@@ -1,0 +1,71 @@
+"""Query-suite registry: every operator ships as a (Spark, oracle-SQL) pair.
+
+A :class:`QuerySpec` binds one engine capability to
+
+- ``spark``: ``(SparkSession, sf_dir) -> DataFrame`` — the engine path
+  (DataFrame API / pandas-UDF kernels / custom operators);
+- ``oracle``: equivalent ANSI SQL for DuckDB over the same parquet
+  tables (pre-registered views), or ``None`` for ops that are not
+  SQL-expressible (streaming, iterative) — those get a rows-only check.
+
+Numeric determinism conventions (so Spark and DuckDB hash-match):
+
+- floating reductions go through exact DECIMAL sums:
+  ``CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)`` — per-row casts of
+  identical doubles are deterministic, and decimal addition is exact,
+  so the reduction no longer depends on partitioning/order;
+- outputs of libm functions (exp/log/pow/trig) are rounded to 6-10
+  significant decimals at the final projection;
+- float literals are emitted in scientific notation so neither engine
+  parses them as DECIMAL (see xsarsea_spark.expr);
+- every computed column is explicitly aliased identically on both
+  sides.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["QuerySpec", "REGISTRY", "spec", "DSUM", "DAVG"]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    description: str = ""
+    tags: tuple = ()
+
+
+REGISTRY: "dict[str, QuerySpec]" = {}
+
+
+def spec(name: str, oracle: Optional[str], description: str = "",
+         tags: tuple = ()):
+    """Decorator: register the Spark callable for ``name``."""
+
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(
+            name=name, spark=fn, oracle=oracle, description=description,
+            tags=tags,
+        )
+        return fn
+
+    return deco
+
+
+def DSUM(e: str, scale: int = 6) -> str:
+    """Exact (order-independent) sum of a double expression."""
+    return f"CAST(SUM(CAST(({e}) AS DECIMAL(38,{scale}))) AS DOUBLE)"
+
+
+def DAVG(e: str, scale: int = 6) -> str:
+    """Exact-sum average of a double expression."""
+    return (
+        f"(CAST(SUM(CAST(({e}) AS DECIMAL(38,{scale}))) AS DOUBLE)"
+        f" / COUNT({e}))"
+    )
