@@ -196,8 +196,11 @@ _NP_FUNCS = {
     "sin": np.sin,
     "cos": np.cos,
     "atan2": np.arctan2,
-    "radians": np.radians,
-    "degrees": np.degrees,
+    # radians/degrees as literal multiplications: JVM Math.toRadians is
+    # x/180*pi while DuckDB/NumPy differ in association — a fixed
+    # precomputed factor keeps all backends bit-identical.
+    "radians": lambda x: x * 0.017453292519943295,
+    "degrees": lambda x: x * 57.29577951308232,
     "abs": np.abs,
     "floor": np.floor,
     "ceil": np.ceil,
@@ -215,6 +218,10 @@ class Call(Expr):
         if self.fn == "tanh":
             x = self.args[0].sql()
             return f"(1.0e0 - (2.0e0 / (exp((2.0e0 * {x})) + 1.0e0)))"
+        if self.fn == "radians":
+            return f"({self.args[0].sql()} * 0.017453292519943295e0)"
+        if self.fn == "degrees":
+            return f"({self.args[0].sql()} * 57.29577951308232e0)"
         return f"{self.fn}({', '.join(a.sql() for a in self.args)})"
 
     def ev(self, env):

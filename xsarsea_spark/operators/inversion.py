@@ -1,0 +1,264 @@
+"""Wind-field inversion from sigma0 (the engine's flagship kernel).
+
+Parity target: xsarsea ``windspeed.py:17-439`` (``invert_from_model``):
+per pixel, find the LUT entry minimizing a Bayesian cost
+``J = Jwind + Jsig``; dual-pol runs a second stage over the crosspol
+LUT coupled through ``|wind_co|``; wind vectors are complex (modulus =
+speed, angle = direction relative to antenna).
+
+Spark-first physical design (SURVEY.md §2.4): a pixel × LUT cross join
+is infeasible at the reference's high-res LUT (~4.5e7 cells), so the
+kernel is an Arrow-batched ``mapInPandas`` with the bounded LUT shipped
+once per executor as a SparkContext broadcast of NumPy arrays — the
+distributed analog of the reference's numba guvectorize over dask
+chunks (``windspeed.py:284-323``). Inside a batch everything is
+vectorized NumPy (row-chunked so memory stays ~tens of MB per task).
+
+Complex wind is represented as (re, im) double column pairs
+(SURVEY.md §1.2 — Spark has no complex type).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xsarsea_spark.functions.gmfs import GMF_REGISTRY
+from xsarsea_spark.operators.lut import axis_from_range, gmf_lut_numpy
+
+__all__ = ["invert_from_model", "prepare_luts", "crosspol_wspd_lut_db"]
+
+_D_ANTENNA = 2.0
+_D_AZI = 2.0
+_DWSPD_FG = 2.0
+
+
+def prepare_luts(
+    co_model: str | None,
+    cr_model: str | None,
+    inc_step: float = 1.0,
+    wspd_step: float = 0.2,
+    phi_step: float = 2.5,
+    cr_wspd_step: float = 0.1,
+) -> dict:
+    """Driver-side constant fold: materialize LUTs in dB as NumPy.
+
+    Mirrors the reference's LUT preparation hoist
+    (``windspeed.py:144-181``): dB conversion, coordinate vectors, and
+    the per-(wspd, phi) cartesian wind components precomputed once.
+    """
+    out: dict = {"phi_180": False}
+    if co_model:
+        g = GMF_REGISTRY[co_model]
+        axes = [
+            axis_from_range("incidence", g.inc_range[0], g.inc_range[1], inc_step),
+            axis_from_range("wspd", g.wspd_range[0], g.wspd_range[1], wspd_step),
+            axis_from_range("phi", g.phi_range[0], g.phi_range[1], phi_step),
+        ]
+        lut = gmf_lut_numpy(co_model, axes)
+        sig_db = 10.0 * np.log10(lut["sigma0"] + 1e-15)
+        c = lut["coords"]
+        out["co"] = {
+            # (wspd, phi, incidence) contiguous like the reference kernel
+            "lut_db": np.ascontiguousarray(sig_db.transpose(1, 2, 0)),
+            "inc": c["incidence"],
+            "wspd": c["wspd"],
+            "phi": c["phi"],
+        }
+        out["phi_180"] = (180.0 - (c["phi"][-1] - c["phi"][0])) < 2.0
+        wspd_g, phi_g = np.meshgrid(c["wspd"], c["phi"], indexing="ij")
+        out["co"]["u"] = wspd_g * np.cos(np.radians(phi_g))  # antenna comp
+        out["co"]["v"] = wspd_g * np.sin(np.radians(phi_g))  # azimuth comp
+        out["co"]["wspd_grid"] = wspd_g
+        out["co"]["phi_grid"] = phi_g
+    if cr_model:
+        g = GMF_REGISTRY[cr_model]
+        axes = [
+            axis_from_range("incidence", g.inc_range[0], g.inc_range[1], inc_step),
+            axis_from_range("wspd", g.wspd_range[0], g.wspd_range[1], cr_wspd_step),
+        ]
+        lut = gmf_lut_numpy(cr_model, axes)
+        out["cr"] = {
+            "lut_db": np.ascontiguousarray(
+                (10.0 * np.log10(lut["sigma0"] + 1e-15)).transpose(1, 0)
+            ),  # (wspd, incidence)
+            "inc": lut["coords"]["incidence"],
+            "wspd": lut["coords"]["wspd"],
+        }
+    return out
+
+
+def crosspol_wspd_lut_db(cr_model: str, inc_step: float = 1.0,
+                         wspd_step: float = 0.1) -> dict:
+    """Crosspol LUT alone (for the SQL-checkable crosspol inversion)."""
+    return prepare_luts(None, cr_model, inc_step=inc_step,
+                        cr_wspd_step=wspd_step)["cr"]
+
+
+def _nearest_idx(x: np.ndarray, x0: float, step: float, n: int) -> np.ndarray:
+    """Nearest regular-grid index via floor(t + 0.5) — the same closed
+    form the SQL oracle uses, so both engines bucket identically."""
+    i = np.floor((x - x0) / step + 0.5)
+    return np.clip(i, 0, n - 1).astype(np.int64)
+
+
+def _invert_batch(
+    pdf: pd.DataFrame,
+    luts: dict,
+    dsig_co: float,
+    cols: dict,
+    chunk: int = 128,
+) -> pd.DataFrame:
+    n = len(pdf)
+    inc = pdf[cols["inc"]].to_numpy(dtype=np.float64, na_value=np.nan)
+    out_co = np.full(n, np.nan, dtype=np.complex128)
+    out_dual = np.full(n, np.nan, dtype=np.complex128)
+
+    has_co = "co" in luts and cols.get("sigma0_co_db") is not None
+    has_cr = "cr" in luts and cols.get("sigma0_cr_db") is not None
+
+    if has_co:
+        s0co = pdf[cols["sigma0_co_db"]].to_numpy(np.float64, na_value=np.nan)
+        anc = (
+            pdf[cols["anc_re"]].to_numpy(np.float64, na_value=np.nan)
+            + 1j * pdf[cols["anc_im"]].to_numpy(np.float64, na_value=np.nan)
+        )
+        co = luts["co"]
+        ii = _nearest_idx(inc, co["inc"][0],
+                          co["inc"][1] - co["inc"][0], len(co["inc"]))
+        valid = ~np.isnan(inc) & ~np.isnan(s0co) & ~np.isnan(np.abs(anc))
+        idx = np.flatnonzero(valid)
+        for s in range(0, len(idx), chunk):
+            sel = idx[s: s + chunk]
+            lut_inc = co["lut_db"][:, :, ii[sel]]        # (wspd, phi, b)
+            m_ant = np.real(anc[sel])
+            m_azi = np.imag(anc[sel])
+            if luts["phi_180"]:
+                m_azi = np.abs(m_azi)
+            jwind = (
+                ((co["u"][:, :, None] - m_ant[None, None, :]) / _D_ANTENNA) ** 2
+                + ((co["v"][:, :, None] - m_azi[None, None, :]) / _D_AZI) ** 2
+            )
+            jsig = ((lut_inc - s0co[sel][None, None, :]) / dsig_co) ** 2
+            j = (jwind + jsig).reshape(-1, len(sel))
+            amin = np.argmin(j, axis=0)
+            wspd_co = co["wspd_grid"].reshape(-1)[amin]
+            phi_co = co["phi_grid"].reshape(-1)[amin]
+            sol = wspd_co * np.exp(1j * np.radians(phi_co))
+            if luts["phi_180"]:
+                sol2 = wspd_co * np.exp(-1j * np.radians(phi_co))
+                d1 = np.abs(np.angle(anc[sel] / sol))
+                d2 = np.abs(np.angle(anc[sel] / sol2))
+                sol = np.where(d1 <= d2, sol, sol2)
+            out_co[sel] = sol
+
+    if has_cr:
+        s0cr = pdf[cols["sigma0_cr_db"]].to_numpy(np.float64, na_value=np.nan)
+        dsig_cr = pdf[cols["dsig_cr"]].to_numpy(np.float64, na_value=np.nan)
+        cr = luts["cr"]
+        ii = _nearest_idx(inc, cr["inc"][0],
+                          cr["inc"][1] - cr["inc"][0], len(cr["inc"]))
+        valid = ~np.isnan(inc) & ~np.isnan(s0cr) & ~np.isnan(dsig_cr)
+        if has_co:
+            # copol requested but ancillary NaN -> dual also NaN (guard
+            # parity with windspeed.py:197-207)
+            s0co_n = pdf[cols["sigma0_co_db"]].to_numpy(np.float64,
+                                                        na_value=np.nan)
+            anc_n = (
+                pdf[cols["anc_re"]].to_numpy(np.float64, na_value=np.nan)
+                + 1j * pdf[cols["anc_im"]].to_numpy(np.float64, na_value=np.nan)
+            )
+            valid &= ~(~np.isnan(s0co_n) & np.isnan(np.abs(anc_n)))
+        idx = np.flatnonzero(valid)
+        if len(idx):
+            lut_inc = cr["lut_db"][:, ii[idx]]            # (wspd, b)
+            jsig = ((lut_inc - s0cr[idx][None, :]) / dsig_cr[idx][None, :]) ** 2
+            wco = np.abs(out_co[idx])
+            fg = ~np.isnan(wco)
+            j = jsig.copy()
+            if fg.any():
+                jw = ((cr["wspd"][:, None] - wco[None, :]) / _DWSPD_FG) ** 2
+                j[:, fg] = jsig[:, fg] + jw[:, fg]
+            amin = np.argmin(j, axis=0)
+            wspd_dual = cr["wspd"][amin]
+            phi_dual = np.where(fg, np.angle(out_co[idx]), 0.0)
+            out_dual[idx] = wspd_dual * np.exp(1j * phi_dual)
+
+    res = pdf[cols["keep"]].copy()
+    res["wind_co_re"] = np.real(out_co)
+    res["wind_co_im"] = np.imag(out_co)
+    res["wind_dual_re"] = np.real(out_dual)
+    res["wind_dual_im"] = np.imag(out_dual)
+    return res
+
+
+def invert_from_model(
+    px: DataFrame,
+    co_model: str | None = None,
+    cr_model: str | None = None,
+    dsig_co: float = 0.1,
+    inc_col: str = "incidence",
+    sigma0_co_col: str | None = None,
+    sigma0_cr_col: str | None = None,
+    dsig_cr_col: str | None = None,
+    anc_re_col: str | None = None,
+    anc_im_col: str | None = None,
+    keep_cols: list | None = None,
+    lut_inc_step: float = 1.0,
+    lut_wspd_step: float = 0.2,
+    lut_phi_step: float = 2.5,
+    lut_cr_wspd_step: float = 0.1,
+) -> DataFrame:
+    """Distributed wind inversion; returns keep_cols + wind (re, im) pairs.
+
+    Input sigma0 columns are LINEAR; dB conversion (with the reference's
+    1e-15 clamp) happens inside the plan before the kernel.
+    """
+    spark = px.sparkSession
+    luts = prepare_luts(
+        co_model,
+        cr_model,
+        inc_step=lut_inc_step,
+        wspd_step=lut_wspd_step,
+        phi_step=lut_phi_step,
+        cr_wspd_step=lut_cr_wspd_step,
+    )
+    b_luts = spark.sparkContext.broadcast(luts)
+
+    keep_cols = list(keep_cols or [])
+    work = px
+    cols = {"inc": inc_col, "keep": keep_cols, "sigma0_co_db": None,
+            "sigma0_cr_db": None, "dsig_cr": None,
+            "anc_re": anc_re_col, "anc_im": anc_im_col}
+    if co_model and sigma0_co_col:
+        work = work.withColumn(
+            "__s0co_db", F.expr(f"10e0 * log10({sigma0_co_col} + 1e-15)")
+        )
+        cols["sigma0_co_db"] = "__s0co_db"
+    if cr_model and sigma0_cr_col:
+        work = work.withColumn(
+            "__s0cr_db", F.expr(f"10e0 * log10({sigma0_cr_col} + 1e-15)")
+        )
+        cols["sigma0_cr_db"] = "__s0cr_db"
+        cols["dsig_cr"] = dsig_cr_col
+
+    in_cols = [c for c in
+               [inc_col, cols["sigma0_co_db"], cols["sigma0_cr_db"],
+                cols["dsig_cr"], anc_re_col, anc_im_col] + keep_cols
+               if c is not None]
+    work = work.select(*dict.fromkeys(in_cols))
+
+    out_fields = [work.schema[c] for c in keep_cols] + [
+        T.StructField(n, T.DoubleType())
+        for n in ["wind_co_re", "wind_co_im", "wind_dual_re", "wind_dual_im"]
+    ]
+    schema = T.StructType(out_fields)
+
+    def gen(batches):
+        for pdf in batches:
+            yield _invert_batch(pdf, b_luts.value, dsig_co, cols)
+
+    return work.mapInPandas(gen, schema=schema)
