@@ -1,0 +1,59 @@
+"""Benchmark harness: times every registered suite query at one SF.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+Prints ONE JSON line:
+  {"metric": "suite_total", "value": N, "unit": "sec",
+   "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from xsarsea_spark.session import get_session
+    from xsarsea_spark.suite import REGISTRY
+
+    spark = get_session(app_name="xsarsea-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers so per-query numbers measure the
+    # plans, not session startup
+    REGISTRY["q06_forecast_revenue"].spark(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name, qs in sorted(REGISTRY.items()):
+        t0 = time.perf_counter()
+        try:
+            df = qs.spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # keep benching the rest
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -26,8 +26,10 @@ TABLES = [
     "embeddings",
 ]
 
-# Dimension tables small enough to broadcast at any realistic scale.
-BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
+# Dimension tables small enough to broadcast at ANY scale factor
+# (O(1) row counts). customer/supplier/part/orders grow with sf and
+# must NOT be force-broadcast — AQE picks broadcast when actually small.
+BROADCAST_TABLES = {"region", "nation"}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

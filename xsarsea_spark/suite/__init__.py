@@ -1,0 +1,12 @@
+"""Query suite: importing this package registers every QuerySpec.
+
+Each submodule registers (Spark, oracle-SQL) pairs into
+``xsarsea_spark.suite.base.REGISTRY`` at import time.
+"""
+
+from xsarsea_spark.suite.base import REGISTRY, QuerySpec, spec  # noqa: F401
+
+# Import for side effect: populate REGISTRY.
+from xsarsea_spark.suite import relational  # noqa: F401,E402
+
+__all__ = ["REGISTRY", "QuerySpec", "spec"]

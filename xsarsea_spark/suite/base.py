@@ -58,14 +58,22 @@ def spec(name: str, oracle: Optional[str], description: str = "",
     return deco
 
 
+def _nanguard(e: str) -> str:
+    """NaN -> NULL so SUM and COUNT agree (CAST(NaN AS DECIMAL) yields
+    NULL in Spark but errors in DuckDB; nulling first makes both
+    engines skip NaN rows identically — nanmean semantics)."""
+    return f"CASE WHEN isnan({e}) THEN NULL ELSE ({e}) END"
+
+
 def DSUM(e: str, scale: int = 6) -> str:
-    """Exact (order-independent) sum of a double expression."""
-    return f"CAST(SUM(CAST(({e}) AS DECIMAL(38,{scale}))) AS DOUBLE)"
+    """Exact (order-independent) NaN-skipping sum of a double expression."""
+    return f"CAST(SUM(CAST(({_nanguard(e)}) AS DECIMAL(38,{scale}))) AS DOUBLE)"
 
 
 def DAVG(e: str, scale: int = 6) -> str:
-    """Exact-sum average of a double expression."""
+    """Exact-sum NaN-skipping average of a double expression."""
+    g = _nanguard(e)
     return (
-        f"(CAST(SUM(CAST(({e}) AS DECIMAL(38,{scale}))) AS DOUBLE)"
-        f" / COUNT({e}))"
+        f"(CAST(SUM(CAST(({g}) AS DECIMAL(38,{scale}))) AS DOUBLE)"
+        f" / COUNT({g}))"
     )

@@ -103,12 +103,12 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
+    # orders and customer are O(sf) fact/semi-fact tables: no forced
+    # broadcast (a multi-GB driver collect at sf100). Shuffle joins on
+    # the keys; AQE downgrades to broadcast when a side is small.
     return (
-        li.join(
-            F.broadcast(orders.join(F.broadcast(cust),
-                                    orders.o_custkey == cust.c_custkey)),
-            li.l_orderkey == orders.o_orderkey,
-        )
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.expr(DSUM(_REV)).alias("revenue"))
         .select(
@@ -158,11 +158,13 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     li = load(spark, sf_dir, "lineitem")
+    # O(sf) sides (orders, customer, supplier) join via shuffle + AQE;
+    # only the O(1) dims (nation, region) are forced broadcasts.
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -243,9 +245,10 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    # no forced broadcast of O(sf) orders/customer — shuffle + AQE
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.expr(DSUM(_REV)).alias("revenue"))
@@ -364,7 +367,7 @@ def q_brand_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     rev = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)  # O(sf) part: AQE decides
         .groupBy("p_brand", "p_partkey")
         .agg(F.expr(DSUM(_REV)).alias("revenue"))
     )
@@ -466,7 +469,8 @@ def q_region_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
     reg = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)  # O(sf) supplier: AQE
+
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
