@@ -4,13 +4,20 @@ Parity target: xsarsea ``models.py:331-335`` (``lut.interp(incidence=...,
 wspd=..., phi=...)``) — N-D linear interpolation of scattered points
 into a gridded LUT — and ``models.py:154-167`` (grid-to-grid regrid).
 
-Spark-first physical pattern (SURVEY.md §4): for each grid dimension,
-compute the bracketing integer index ``i = floor((x - x0)/step)``
-(clamped to the grid interior) plus the fractional offset; then one
-broadcast equi-join per grid corner (2^d joins for d dims) and a
-fixed-order multilinear blend expression. No shuffle of the point
-table — LUTs are bounded (≤ ~10^6 rows) so every corner join is a
-broadcast hash join that AQE keeps JVM-side in whole-stage codegen.
+Spark-first physical pattern (SURVEY.md §4), scale-audited:
+
+- ``interp_join`` — the LUT is pre-shifted ONCE into a corner-struct
+  table (each base cell carries its 2^d corner values, built with a
+  single bounded shuffle over the LUT), then the point table does ONE
+  broadcast hash join + a fixed-order multilinear blend expression.
+  No shuffle of the point table, one broadcast regardless of
+  dimensionality (the naive per-corner formulation would broadcast the
+  LUT 2^d times — a scale-killer at the reference's 4.5e7-row
+  high-res copol LUT).
+- ``interp_kernel`` — for LUTs too big to broadcast-join comfortably
+  (> ~10^6 rows), a ``mapInPandas`` kernel with the LUT shipped once
+  per executor as a SparkContext broadcast of NumPy arrays; inside a
+  batch the multilinear blend is vectorized NumPy (np.interp-style).
 
 The LUT DataFrame must carry integer index columns (``<dim>_idx``),
 which :func:`xsarsea_spark.operators.lut.gmf_to_lut` generates for
@@ -19,12 +26,15 @@ free from ``spark.range``.
 
 from __future__ import annotations
 
-from typing import Mapping, Sequence, Tuple
+from typing import Mapping, Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-__all__ = ["GridAxis", "interp_join"]
+__all__ = ["GridAxis", "interp_join", "interp_kernel", "corner_struct_lut"]
 
 
 class GridAxis:
@@ -33,26 +43,52 @@ class GridAxis:
     def __init__(self, name: str, x0: float, step: float, n: int):
         self.name, self.x0, self.step, self.n = name, float(x0), float(step), int(n)
 
+    @property
+    def hi(self) -> float:
+        return self.x0 + (self.n - 1) * self.step
 
-def interp_join(
-    points: DataFrame,
-    lut: DataFrame,
-    axes: Sequence[GridAxis],
-    value_col: str = "sigma0_model",
-    point_cols: Mapping[str, str] | None = None,
-    out_col: str = "value_interp",
+
+def corner_struct_lut(
+    lut: DataFrame, axes: Sequence[GridAxis], value_col: str
 ) -> DataFrame:
-    """Multilinear interpolation of ``points`` into ``lut``.
-
-    ``axes`` describe the LUT's regular grid; ``point_cols`` maps axis
-    name -> column in ``points`` (defaults to the axis name). The LUT
-    must have ``<axis>_idx`` integer columns and ``value_col``.
-    """
-    point_cols = dict(point_cols or {})
+    """Pre-shift the LUT so each base cell row carries its 2^d corner
+    values (columns ``__v_0 .. __v_{2^d-1}``, corner bit j = +1 on axis
+    j). One bounded shuffle over the LUT, done once per plan."""
     d = len(axes)
-    if d == 0 or d > 3:
-        raise ValueError("interp_join supports 1-3 dimensions")
+    n_corners = 1 << d
+    # each cell k contributes its value to every base cell k - bits(c)
+    contrib = lut.select(
+        F.explode(
+            F.array(*[F.lit(c) for c in range(n_corners)])
+        ).alias("__corner"),
+        *[F.col(f"{ax.name}_idx") for ax in axes],
+        F.col(value_col).alias("__v"),
+    )
+    base_cols = []
+    cond = None
+    for j, ax in enumerate(axes):
+        bit = F.shiftright(F.col("__corner"), j).bitwiseAND(F.lit(1))
+        b = (F.col(f"{ax.name}_idx") - bit).alias(f"__b_{ax.name}")
+        base_cols.append(b)
+        c = (F.col(f"{ax.name}_idx") - bit) >= 0
+        cond = c if cond is None else (cond & c)
+    pivots = [
+        F.max(F.when(F.col("__corner") == c, F.col("__v"))).alias(f"__v_{c}")
+        for c in range(n_corners)
+    ]
+    return (
+        contrib.filter(cond)
+        .groupBy(*base_cols)
+        .agg(*pivots)
+    )
 
+
+def _index_points(
+    points: DataFrame,
+    axes: Sequence[GridAxis],
+    point_cols: Mapping[str, str],
+) -> DataFrame:
+    """Add clamped bracketing index + fraction columns per axis."""
     pt = points
     for ax in axes:
         src = point_cols.get(ax.name, ax.name)
@@ -66,28 +102,14 @@ def interp_join(
             f"__f_{ax.name}",
             F.least(F.greatest(t - i0, F.lit(0.0)), F.lit(1.0)),
         )
+    return pt
 
-    # one broadcast join per corner; fixed corner order => fixed blend
-    # expression order => bit-deterministic result
-    n_corners = 1 << d
-    out = pt
-    for corner in range(n_corners):
-        lsel = lut.select(
-            *[F.col(f"{ax.name}_idx").alias(f"__k_{j}") for j, ax in
-              enumerate(axes)],
-            F.col(value_col).alias(f"__v_{corner}"),
-        )
-        cond = None
-        for j, ax in enumerate(axes):
-            bit = (corner >> j) & 1
-            c = F.col(f"__i_{ax.name}") + F.lit(bit) == F.col(f"__k_{j}")
-            cond = c if cond is None else (cond & c)
-        out = out.join(F.broadcast(lsel), cond, "left").drop(
-            *[f"__k_{j}" for j in range(d)]
-        )
 
+def _blend_expr(axes: Sequence[GridAxis]):
+    """Fixed-corner-order multilinear blend => bit-deterministic."""
+    d = len(axes)
     blend = None
-    for corner in range(n_corners):
+    for corner in range(1 << d):
         w = None
         for j, ax in enumerate(axes):
             bit = (corner >> j) & 1
@@ -96,8 +118,121 @@ def interp_join(
             w = term if w is None else (w * term)
         term = F.col(f"__v_{corner}") * w
         blend = term if blend is None else (blend + term)
+    return blend
 
+
+def _oob_cond(axes: Sequence[GridAxis], point_cols: Mapping[str, str]):
+    oob = None
+    for ax in axes:
+        src = point_cols.get(ax.name, ax.name)
+        c = (F.col(src) < F.lit(ax.x0)) | (F.col(src) > F.lit(ax.hi))
+        oob = c if oob is None else (oob | c)
+    return oob
+
+
+def interp_join(
+    points: DataFrame,
+    lut: DataFrame,
+    axes: Sequence[GridAxis],
+    value_col: str = "sigma0_model",
+    point_cols: Mapping[str, str] | None = None,
+    out_col: str = "value_interp",
+    bounds: str = "clamp",
+) -> DataFrame:
+    """Multilinear interpolation of ``points`` into ``lut``.
+
+    ``axes`` describe the LUT's regular grid; ``point_cols`` maps axis
+    name -> column in ``points`` (defaults to the axis name). The LUT
+    must have ``<axis>_idx`` integer columns and ``value_col``.
+
+    ``bounds``: ``'clamp'`` extrapolates flat outside the grid (like
+    np.interp); ``'nan'`` nulls ``out_col`` for out-of-range points —
+    the reference's xarray ``lut.interp`` behavior, keeping GMF values
+    inside their declared validity ranges.
+    """
+    if bounds not in ("clamp", "nan"):
+        raise ValueError("bounds must be 'clamp' or 'nan'")
+    point_cols = dict(point_cols or {})
+    d = len(axes)
+    if d == 0 or d > 3:
+        raise ValueError("interp_join supports 1-3 dimensions")
+
+    pt = _index_points(points, axes, point_cols)
+    corners = corner_struct_lut(lut, axes, value_col)
+
+    cond = None
+    for ax in axes:
+        c = F.col(f"__i_{ax.name}") == F.col(f"__b_{ax.name}")
+        cond = c if cond is None else (cond & c)
+    out = pt.join(F.broadcast(corners), cond, "left")
+
+    blend = _blend_expr(axes)
+    if bounds == "nan":
+        blend = F.when(_oob_cond(axes, point_cols), F.lit(None)).otherwise(blend)
     out = out.withColumn(out_col, blend)
-    drop = [f"__v_{c}" for c in range(n_corners)]
-    drop += [f"__i_{ax.name}" for ax in axes] + [f"__f_{ax.name}" for ax in axes]
+    drop = [f"__v_{c}" for c in range(1 << d)]
+    drop += [f"__i_{ax.name}" for ax in axes]
+    drop += [f"__f_{ax.name}" for ax in axes]
+    drop += [f"__b_{ax.name}" for ax in axes]
     return out.drop(*drop)
+
+
+def interp_kernel(
+    points: DataFrame,
+    lut_values: np.ndarray,
+    axes: Sequence[GridAxis],
+    point_cols: Mapping[str, str] | None = None,
+    out_col: str = "value_interp",
+    bounds: str = "clamp",
+) -> DataFrame:
+    """Big-LUT path: multilinear interpolation via ``mapInPandas`` with
+    the LUT NumPy grid (shape = axis lengths, C order) shipped once per
+    executor as a SparkContext broadcast. Same numeric result as
+    :func:`interp_join`; use when the LUT is too large to broadcast-join
+    (> ~10^6 rows)."""
+    if bounds not in ("clamp", "nan"):
+        raise ValueError("bounds must be 'clamp' or 'nan'")
+    point_cols = dict(point_cols or {})
+    srcs = [point_cols.get(ax.name, ax.name) for ax in axes]
+    meta = [(ax.x0, ax.step, ax.n, ax.hi) for ax in axes]
+    spark = points.sparkSession
+    b_lut = spark.sparkContext.broadcast(
+        np.ascontiguousarray(lut_values, dtype=np.float64)
+    )
+    want_nan = bounds == "nan"
+
+    schema = T.StructType(
+        list(points.schema) + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def gen(batches):
+        grid = b_lut.value
+        for pdf in batches:
+            n = len(pdf)
+            idx0, frac = [], []
+            oob = np.zeros(n, dtype=bool)
+            for (x0, step, nax, hi), src in zip(meta, srcs):
+                x = pdf[src].to_numpy(dtype=np.float64, na_value=np.nan)
+                t = (x - x0) / step
+                i0 = np.clip(np.floor(t), 0, nax - 2)
+                f = np.clip(t - i0, 0.0, 1.0)
+                oob |= (x < x0) | (x > hi)
+                idx0.append(i0.astype(np.int64))
+                frac.append(f)
+            acc = np.zeros(n, dtype=np.float64)
+            for corner in range(1 << len(meta)):
+                ix = tuple(
+                    idx0[j] + ((corner >> j) & 1) for j in range(len(meta))
+                )
+                w = np.ones(n, dtype=np.float64)
+                for j in range(len(meta)):
+                    fj = frac[j]
+                    w *= fj if ((corner >> j) & 1) else (1.0 - fj)
+                acc += grid[ix] * w
+            if want_nan:
+                acc[oob] = np.nan
+            out = pdf.copy()
+            out[out_col] = acc
+            yield out
+
+    return points.mapInPandas(gen, schema=schema)

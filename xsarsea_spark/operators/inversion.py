@@ -187,6 +187,12 @@ def _invert_batch(
             phi_dual = np.where(fg, np.angle(out_co[idx]), 0.0)
             out_dual[idx] = wspd_dual * np.exp(1j * phi_dual)
 
+    if has_co and has_cr:
+        # low-wind blend (windspeed.py:426-428): below 5 m/s the copol
+        # solution is the dual-pol wind
+        low = (np.abs(out_co) < 5.0) | (np.abs(out_dual) < 5.0)
+        out_dual = np.where(low, out_co, out_dual)
+
     res = pdf[cols["keep"]].copy()
     res["wind_co_re"] = np.real(out_co)
     res["wind_co_im"] = np.imag(out_co)

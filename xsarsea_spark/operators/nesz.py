@@ -29,12 +29,19 @@ def nesz_flattening(
     out_col: str = "nesz_flat",
 ) -> DataFrame:
     """Returns ``px`` with NaN-filled noise and flattened noise columns."""
+    # 0) NaN -> NULL so every aggregate below skips NaN exactly like the
+    # reference's isfinite-filtered nanmean/polyfit (avg/regr_* skip
+    # NULL but propagate NaN)
+    nan_safe = F.when(
+        F.col(noise_col).isNull() | F.isnan(noise_col), F.lit(None)
+    ).otherwise(F.col(noise_col))
+    px = px.withColumn("__noise_nn", nan_safe)
     # 1) NaN-fill from per-sample column means (utils.py:140-143)
     col_means = px.groupBy(sample_col).agg(
-        F.avg(noise_col).alias("__noise_colmean")
+        F.avg("__noise_nn").alias("__noise_colmean")
     )
     filled = px.join(F.broadcast(col_means), on=sample_col, how="left").withColumn(
-        "__noise_filled", F.coalesce(F.col(noise_col), F.col("__noise_colmean"))
+        "__noise_filled", F.coalesce(F.col("__noise_nn"), F.col("__noise_colmean"))
     )
     # 2) to dB (epsilon-free here: reference uses 10*log10(noise))
     filled = filled.withColumn(
@@ -52,5 +59,6 @@ def nesz_flattening(
             out_col,
             F.expr(f"power(10e0, (({inc_col} * __a + __b) - 1e0) / 10e0)"),
         )
-        .drop("__noise_colmean", "__noise_filled", "__noise_db", "__a", "__b")
+        .drop("__noise_nn", "__noise_colmean", "__noise_filled",
+              "__noise_db", "__a", "__b")
     )
