@@ -55,8 +55,8 @@ __all__ = [
 
 def _fmt_float(v: float) -> str:
     """Format a float literal so both Spark and DuckDB parse it as DOUBLE."""
-    if v != v:  # NaN
-        return "(0e0/0e0)"
+    if v != v:  # NaN (CAST form: 0e0/0e0 throws under Spark ANSI mode)
+        return "CAST('NaN' AS DOUBLE)"
     if math.isinf(v):
         return "(1e308*10)" if v > 0 else "(-1e308*10)"
     r = repr(float(v))

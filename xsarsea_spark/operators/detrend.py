@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from xsarsea_spark.functions.gmfs import GMF_REGISTRY, gmf_sql
-from xsarsea_spark.suite.base import DAVG
+from xsarsea_spark.suite.base import DAVG, QTRUNC
 
 __all__ = ["sigma0_detrend", "detrend_profile"]
 
@@ -38,11 +38,16 @@ def detrend_profile(
     inc_col: str = "incidence",
     line_col: str = "line",
     sample_col: str = "sample",
+    quantize: int | None = None,
 ) -> DataFrame:
     """Per-sample GMF trend profile from the first image line.
 
     Returns columns (sample, gmf_ratio): modeled sigma0 divided by its
     scene mean, ready to broadcast-join onto the full pixel table.
+
+    ``quantize``: reproducible mode — truncate the GMF (libm) output to
+    a 1e-k decimal grid so the result is bit-identical across engines
+    and partitionings (see :func:`xsarsea_spark.suite.base.QTRUNC`).
     """
     if model not in GMF_REGISTRY:
         raise KeyError(f"unknown model {model!r}")
@@ -50,10 +55,17 @@ def detrend_profile(
     phi_lit = _dlit(wind_dir_gmf)
     sig_sql = gmf_sql(model, inc=inc_col, wspd=wspd_lit, phi=phi_lit)
 
-    profile = (
+    # project the (large) GMF expression ONCE into a column, then
+    # quantize/aggregate the column reference — keeps whole-stage
+    # codegen small (QTRUNC + DAVG would otherwise inline the full
+    # Fourier expansion 4x)
+    first = (
         px.filter(F.col(line_col) == first_line)
-        .groupBy(sample_col)
-        .agg(F.expr(DAVG(sig_sql, scale=18)).alias("sigma0_gmf_sample"))
+        .select(sample_col, F.expr(sig_sql).alias("__gmf"))
+    )
+    g = QTRUNC("__gmf", quantize) if quantize is not None else "__gmf"
+    profile = first.groupBy(sample_col).agg(
+        F.expr(DAVG(g, scale=18)).alias("sigma0_gmf_sample")
     )
     # window-over-() on the tiny profile: computes the exact scalar mean
     # without a driver round-trip and keeps the plan fully lazy.
@@ -80,6 +92,7 @@ def sigma0_detrend(
     line_col: str = "line",
     sample_col: str = "sample",
     out_col: str = "sigma0_detrend",
+    quantize: int | None = None,
 ) -> DataFrame:
     """Detrended (roughness) sigma0: ``sigma0 / broadcast(profile_ratio)``."""
     profile = detrend_profile(
@@ -91,9 +104,12 @@ def sigma0_detrend(
         inc_col=inc_col,
         line_col=line_col,
         sample_col=sample_col,
+        quantize=quantize,
     )
-    return px.join(F.broadcast(profile), on=sample_col, how="left").withColumn(
-        out_col, F.col(sigma0_col) / F.col("gmf_ratio")
+    return (
+        px.join(F.broadcast(profile), on=sample_col, how="left")
+        .withColumn(out_col, F.col(sigma0_col) / F.col("gmf_ratio"))
+        .drop("gmf_ratio")
     )
 
 

@@ -29,7 +29,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["QuerySpec", "REGISTRY", "spec", "DSUM", "DAVG"]
+__all__ = ["QuerySpec", "REGISTRY", "spec", "DSUM", "DAVG", "QTRUNC"]
 
 
 @dataclass
@@ -68,6 +68,27 @@ def _nanguard(e: str) -> str:
 def DSUM(e: str, scale: int = 6) -> str:
     """Exact (order-independent) NaN-skipping sum of a double expression."""
     return f"CAST(SUM(CAST(({_nanguard(e)}) AS DECIMAL(38,{scale}))) AS DOUBLE)"
+
+
+def QTRUNC(e: str, k: int) -> str:
+    """Engine-consistent quantization barrier after libm calls.
+
+    Spark's and DuckDB's exp/log/pow/trig differ by 1 ulp on ~1-10% of
+    inputs (sqrt is IEEE-exact), so any libm output that feeds a value
+    compared across engines must be truncated to a fixed decimal grid
+    first. Floor-truncation is pure arithmetic (multiply, floor,
+    divide — all exactly specified by IEEE 754), so identical inputs
+    quantize identically in every engine; inputs differing by 1 ulp
+    disagree only when they straddle a 1e-k grid line (probability
+    ~|x|*2.2e-16*1e^k per value — pick k so that is negligible).
+
+    NaN guard: Spark's FLOOR(double) returns BIGINT (NaN becomes 0)
+    while DuckDB's stays DOUBLE (NaN stays NaN) — so NaN bypasses the
+    quantizer explicitly. |e| must stay below ~9e18/1e^k (BIGINT range
+    of Spark's FLOOR).
+    """
+    q = f"(CAST(FLOOR(({e}) * 1e{k}) AS DOUBLE) / 1e{k})"
+    return f"CASE WHEN isnan({e}) THEN CAST('NaN' AS DOUBLE) ELSE {q} END"
 
 
 def DAVG(e: str, scale: int = 6) -> str:
