@@ -65,9 +65,14 @@ _SCENE_COLS = {
         " ELSE 12e-4 + 4e-4 * (((line * 131 + sample * 523) % 997) / 997e0)"
         " END"
     ),
-    # ancillary wind (antenna/azimuth components, m/s; signed)
+    # ancillary wind (antenna/azimuth components, m/s; signed).
+    # anc_im is never exactly 0 (x.x5 grid): the 180-deg ambiguity
+    # resolution ties exactly at anc_im = 0, where cross-engine ulp
+    # noise would make the sign choice non-deterministic.
     "anc_re": "3e0 + (((line * 7 + sample * 13) % 200) / 10e0)",
-    "anc_im": "-12e0 + (((line * 11 + sample * 3) % 240) / 10e0)",
+    "anc_im": "-1205e-2 + (((line * 11 + sample * 3) % 240) / 10e0)",
+    # per-pixel crosspol cost weight (pure arithmetic, engine-exact)
+    "dsig_cr": "5e-2 + 1e-2 * ((line * 3 + sample * 7) % 7)",
     # scattered wind-speed lookup points for LUT interpolation
     "wspd_pt": "3e0 + (((line * 37 + sample * 101) % 770) / 10e0)",
     # angles in degrees for the convention conversions
@@ -438,4 +443,201 @@ def q_lut_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.selectExpr(
         "line", "sample", f"{QTRUNC('__interp', 10)} AS sigma0_interp"
+    )
+
+
+# ----------------------------------------------------------------------
+# Crosspol-only wind inversion (mapInPandas kernel vs SQL argmin).
+# Parity: xsarsea windspeed.py:252-276 (crosspol cost argmin).
+#
+# Output wind speeds are LUT *grid values* (x0 + i*step, identical
+# arithmetic in NumPy and DuckDB), so the comparison is exact: libm
+# ulp noise in the costs can only flip the argmin at near-ties, which
+# the synthetic scene avoids.
+# ----------------------------------------------------------------------
+
+_CRLUT_W_N = 771          # wspd 3..80 step 0.1 (axis_from_range)
+_CRLUT_I_N = 51           # incidence 16..66 step 1
+
+_CR_LUTDB = (
+    "10e0 * log10(("
+    + gmf_sql("gmf_rs2_v2", inc="(16e0 + i * 1e0)", wspd="(3e0 + w * 1e-1)")
+    + ") + 1e-15)"
+)
+
+_INV_CR_ORACLE = f"""
+WITH px AS ({scene_sql(['incidence', 'sigma0_cr', 'dsig_cr'])}),
+obs AS (
+  SELECT line, sample, dsig_cr,
+    10e0 * log10(sigma0_cr + 1e-15) AS s0cr_db,
+    LEAST(GREATEST(FLOOR((incidence - 16e0) / 1e0 + 5e-1), 0),
+          {_CRLUT_I_N - 1}) AS ii
+  FROM px),
+crlut AS MATERIALIZED (
+  SELECT w, i, 3e0 + w * 1e-1 AS wspd, {_CR_LUTDB} AS lutdb
+  FROM (SELECT range AS w FROM range({_CRLUT_W_N}))
+  CROSS JOIN (SELECT range AS i FROM range({_CRLUT_I_N})))
+SELECT line, sample, wspd AS wspd_cr
+FROM obs o JOIN crlut l ON l.i = o.ii
+QUALIFY row_number() OVER (
+  PARTITION BY o.line, o.sample
+  ORDER BY ((l.lutdb - o.s0cr_db) / o.dsig_cr)
+           * ((l.lutdb - o.s0cr_db) / o.dsig_cr), l.w) = 1
+"""
+
+
+@spec(
+    "inversion_crosspol",
+    _INV_CR_ORACLE,
+    description="Crosspol wind inversion: Arrow-batched mapInPandas "
+                "argmin over a broadcast NumPy LUT (windspeed.py:252-276)",
+    tags=("science", "inversion"),
+)
+def q_inv_crosspol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.inversion import invert_from_model
+
+    px = scene_df(spark, ["incidence", "sigma0_cr", "dsig_cr"])
+    out = invert_from_model(
+        px,
+        cr_model="gmf_rs2_v2",
+        sigma0_cr_col="sigma0_cr",
+        dsig_cr_col="dsig_cr",
+        keep_cols=["line", "sample"],
+        lut_inc_step=1.0,
+        lut_cr_wspd_step=0.1,
+    )
+    # crosspol-only: phi = 0, so wind_dual_re IS the retrieved speed
+    return out.select("line", "sample",
+                      F.col("wind_dual_re").alias("wspd_cr"))
+
+
+# ----------------------------------------------------------------------
+# Dual-pol wind inversion (copol Bayesian argmin + crosspol coupling +
+# 180-deg ambiguity resolution + low-wind blend).
+# Parity: xsarsea windspeed.py:183-282 (kernel), 426-428 (blend).
+# ----------------------------------------------------------------------
+
+_DP_LINES = 16            # 16 x 160 = 2560 px keeps the oracle join ~5M
+_DP_W_N, _DP_P_N, _DP_I_N = 51, 37, 51     # wspd 0.2+1k, phi 5k, inc 16+1k
+_DP_CRW_N = 258                            # cr wspd 3 + 0.3k (skips 5.0)
+_DEG2RAD = "1.7453292519943295e-2"         # np.radians multiplier (exact)
+
+_DP_COLUT_DB = (
+    "10e0 * log10(("
+    + gmf_sql("gmf_cmod5n", inc="(16e0 + i * 1e0)", wspd="(2e-1 + w * 1e0)",
+              phi="(p * 5e0)")
+    + ") + 1e-15)"
+)
+_DP_CRLUT_DB = (
+    "10e0 * log10(("
+    + gmf_sql("gmf_rs2_v2", inc="(16e0 + i * 1e0)", wspd="(3e0 + w * 3e-1)")
+    + ") + 1e-15)"
+)
+
+
+def _dp_oracle() -> str:
+    c = _DEG2RAD
+    ju = f"((l.wspd * cos(l.phi * {c}) - o.anc_re) / 2e0)"
+    jv = f"((l.wspd * sin(l.phi * {c}) - ABS(o.anc_im)) / 2e0)"
+    js = "((l.lutdb - o.s0co_db) / 1e-1)"
+    j1 = f"{ju} * {ju} + {jv} * {jv} + {js} * {js}"
+    d1 = f"ABS(atan2(sin(th - phir), cos(th - phir)))"
+    d2 = f"ABS(atan2(sin(th + phir), cos(th + phir)))"
+    js2 = "((l.lutdb - c.s0cr_db) / c.dsig_cr)"
+    jw2 = ("((l.wspd - sqrt(c.co_re * c.co_re + c.co_im * c.co_im)) / 2e0)")
+    j2 = f"{js2} * {js2} + {jw2} * {jw2}"
+    blend = "sqrt(co_re*co_re + co_im*co_im) < 5e0 OR " \
+            "sqrt(dual_re*dual_re + dual_im*dual_im) < 5e0"
+    return f"""
+WITH px AS ({scene_sql(['incidence', 'sigma0', 'sigma0_cr', 'anc_re',
+                        'anc_im', 'dsig_cr'])}),
+obs AS (
+  SELECT line, sample, anc_re, anc_im, dsig_cr,
+    10e0 * log10(sigma0 + 1e-15) AS s0co_db,
+    10e0 * log10(sigma0_cr + 1e-15) AS s0cr_db,
+    LEAST(GREATEST(FLOOR((incidence - 16e0) / 1e0 + 5e-1), 0),
+          {_DP_I_N - 1}) AS ii
+  FROM px WHERE line < {_DP_LINES}),
+colut AS MATERIALIZED (
+  SELECT w, p, i, 2e-1 + w * 1e0 AS wspd, p * 5e0 AS phi,
+         {_DP_COLUT_DB} AS lutdb
+  FROM (SELECT range AS w FROM range({_DP_W_N}))
+  CROSS JOIN (SELECT range AS p FROM range({_DP_P_N}))
+  CROSS JOIN (SELECT range AS i FROM range({_DP_I_N}))),
+stage1 AS (
+  SELECT o.line, o.sample, o.anc_re, o.anc_im, o.dsig_cr, o.s0cr_db,
+         o.ii, l.wspd AS wspd_co, l.phi AS phi_co
+  FROM obs o JOIN colut l ON l.i = o.ii
+  QUALIFY row_number() OVER (
+    PARTITION BY o.line, o.sample ORDER BY {j1}, l.w, l.p) = 1),
+amb AS (
+  SELECT *, atan2(anc_im, anc_re) AS th,
+         phi_co * {c} AS phir
+  FROM stage1),
+co AS (
+  SELECT line, sample, dsig_cr, s0cr_db, ii,
+    wspd_co * cos(CASE WHEN {d1} <= {d2} THEN phir ELSE -phir END) AS co_re,
+    wspd_co * sin(CASE WHEN {d1} <= {d2} THEN phir ELSE -phir END) AS co_im
+  FROM amb),
+crlut AS MATERIALIZED (
+  SELECT w, i, 3e0 + w * 3e-1 AS wspd, {_DP_CRLUT_DB} AS lutdb
+  FROM (SELECT range AS w FROM range({_DP_CRW_N}))
+  CROSS JOIN (SELECT range AS i FROM range({_DP_I_N}))),
+stage2 AS (
+  SELECT c.line, c.sample, c.co_re, c.co_im, l.wspd AS wspd_dual
+  FROM co c JOIN crlut l ON l.i = c.ii
+  QUALIFY row_number() OVER (
+    PARTITION BY c.line, c.sample ORDER BY {j2}, l.w) = 1),
+dual AS (
+  SELECT line, sample, co_re, co_im,
+    wspd_dual * cos(atan2(co_im, co_re)) AS dual_re,
+    wspd_dual * sin(atan2(co_im, co_re)) AS dual_im
+  FROM stage2)
+SELECT line, sample,
+  {QTRUNC('co_re', 6)} AS wind_co_re,
+  {QTRUNC('co_im', 6)} AS wind_co_im,
+  {QTRUNC(f'CASE WHEN {blend} THEN co_re ELSE dual_re END', 6)}
+    AS wind_dual_re,
+  {QTRUNC(f'CASE WHEN {blend} THEN co_im ELSE dual_im END', 6)}
+    AS wind_dual_im
+FROM dual
+"""
+
+
+@spec(
+    "inversion_dualpol",
+    _dp_oracle(),
+    description="Dual-pol Bayesian wind inversion with ambiguity "
+                "resolution and low-wind blend (windspeed.py:183-282)",
+    tags=("science", "inversion"),
+)
+def q_inv_dualpol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.inversion import invert_from_model
+
+    px = scene_df(spark, ["incidence", "sigma0", "sigma0_cr", "anc_re",
+                          "anc_im", "dsig_cr"]).filter(
+        F.col("line") < _DP_LINES
+    )
+    out = invert_from_model(
+        px,
+        co_model="gmf_cmod5n",
+        cr_model="gmf_rs2_v2",
+        dsig_co=0.1,
+        sigma0_co_col="sigma0",
+        sigma0_cr_col="sigma0_cr",
+        dsig_cr_col="dsig_cr",
+        anc_re_col="anc_re",
+        anc_im_col="anc_im",
+        keep_cols=["line", "sample"],
+        lut_inc_step=1.0,
+        lut_wspd_step=1.0,
+        lut_phi_step=5.0,
+        lut_cr_wspd_step=0.3,
+    )
+    return out.selectExpr(
+        "line", "sample",
+        f"{QTRUNC('wind_co_re', 6)} AS wind_co_re",
+        f"{QTRUNC('wind_co_im', 6)} AS wind_co_im",
+        f"{QTRUNC('wind_dual_re', 6)} AS wind_dual_re",
+        f"{QTRUNC('wind_dual_im', 6)} AS wind_dual_im",
     )
