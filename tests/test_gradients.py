@@ -1,0 +1,44 @@
+"""Tile+halo stencil framework: distributed result must be bit-equal
+to the whole-image NumPy chain (halo >= total pyramid reach)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from xsarsea_spark.operators.gradients import (
+    CIRC_KERNEL,
+    local_gradients,
+    local_gradients_numpy,
+)
+
+
+def test_tile_halo_bit_exact(spark):
+    NL, NS = 120, 168
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0.01, 0.05, (NL, NS))
+    pdf = pd.DataFrame({
+        "line": np.repeat(np.arange(NL), NS),
+        "sample": np.tile(np.arange(NS), NL),
+        "sigma0": img.ravel(),
+    })
+    px = spark.createDataFrame(pdf)
+    out = (
+        local_gradients(px, NL, NS, tile=48, halo=24)
+        .toPandas()
+        .sort_values(["line4", "sample4"])
+        .reset_index(drop=True)
+    )
+    ref = local_gradients_numpy(img)
+    h, w = NL // 4, NS // 4
+    assert len(out) == h * w
+    for k in ("g2_re", "g2_im", "g3", "c"):
+        got = out[k].to_numpy().reshape(h, w)
+        assert np.array_equal(got, ref[k][:h, :w]), k
+
+
+def test_circ_kernel_properties():
+    # composed kernel preserves mass and symmetry
+    assert abs(CIRC_KERNEL.sum() - 1.0) < 1e-12
+    assert np.allclose(CIRC_KERNEL, CIRC_KERNEL[::-1])
+    assert len(CIRC_KERNEL) == 31

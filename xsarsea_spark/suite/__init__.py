@@ -9,5 +9,6 @@ from xsarsea_spark.suite.base import REGISTRY, QuerySpec, spec  # noqa: F401
 # Import for side effect: populate REGISTRY.
 from xsarsea_spark.suite import relational  # noqa: F401,E402
 from xsarsea_spark.suite import science  # noqa: F401,E402
+from xsarsea_spark.suite import streaks  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec", "spec"]

@@ -1,0 +1,211 @@
+"""Gradients-pillar query battery (wind-streak direction histograms).
+
+- ``local_gradients_pyramid``: the fused tile+halo stencil pyramid
+  (Scharr -> complex square -> R2 reduce -> quality). Convolution
+  accumulation order is engine-internal, so this is a rows-only check;
+  bit-exactness of the tile framework vs the whole-image NumPy chain
+  is asserted in tests/test_gradients.py instead.
+- ``gradient_histogram``: the per-window weighted angular histogram
+  (two-pass: exact percentile median, DECIMAL-exact weighted bin sums)
+  — fully oracle-checked against DuckDB.
+- ``streak_direction``: circular smoothing (composed 31-tap kernel as
+  one modular join) + per-window argmax peak — fully oracle-checked.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xsarsea_spark.operators.gradients import CIRC_KERNEL
+from xsarsea_spark.suite.base import DSUM, QTRUNC, spec
+from xsarsea_spark.suite.science import scene_df, scene_sql
+
+
+def _dlit(v: float) -> str:
+    r = repr(float(v))
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
+# ----------------------------------------------------------------------
+# Synthetic /4-resolution gradient field (pure arithmetic — identical
+# in Spark and DuckDB). ~3% of pixels are exactly 0 (invalid path).
+# ----------------------------------------------------------------------
+
+_LG_NL, _LG_NS = 96, 120
+
+_LG_COLS = (
+    "CASE WHEN (line * 13 + sample * 7) % 31 = 0 THEN 0e0"
+    " ELSE -1e0 + 2e0 * (((line * 48271 + sample * 69621) % 99991)"
+    " / 99991e0) END AS g2_re",
+    "CASE WHEN (line * 13 + sample * 7) % 31 = 0 THEN 0e0"
+    " ELSE -1e0 + 2e0 * (((line * 16807 + sample * 12345) % 65521)"
+    " / 65521e0) END AS g2_im",
+    "(((line * 131 + sample * 523) % 997) / 997e0) AS c",
+)
+
+
+def _lg_field_df(spark: SparkSession) -> DataFrame:
+    lines = spark.range(_LG_NL).select(F.col("id").alias("line"))
+    samples = spark.range(_LG_NS).select(F.col("id").alias("sample"))
+    return lines.crossJoin(samples).selectExpr("line", "sample", *_LG_COLS)
+
+
+_LG_FIELD_SQL = f"""
+SELECT line, sample, {", ".join(_LG_COLS)}
+FROM (SELECT range AS line FROM range({_LG_NL}))
+CROSS JOIN (SELECT range AS sample FROM range({_LG_NS}))
+"""
+
+
+# ----------------------------------------------------------------------
+# gradient_histogram — oracle-checked
+# ----------------------------------------------------------------------
+
+_GH_WINDOW, _GH_STEP, _GH_NANG = 16, 8, 72
+_GH_START = float(-np.pi / 2 + (np.pi / _GH_NANG) / 2.0)
+_GH_BSTEP = float(np.pi / _GH_NANG)
+
+
+def _gh_oracle() -> str:
+    wpx = _dlit(float(_GH_WINDOW * _GH_WINDOW))
+    return f"""
+WITH lg AS ({_LG_FIELD_SQL}),
+cand AS (SELECT * FROM (VALUES (0), (1)) t(k)),
+w AS (
+  SELECT lg.*,
+    sqrt(g2_re * g2_re + g2_im * g2_im) AS abs_g2,
+    CAST(FLOOR(line / {_GH_STEP}) - cl.k AS BIGINT) AS wl,
+    CAST(FLOOR(sample / {_GH_STEP}) - cs.k AS BIGINT) AS ws
+  FROM lg CROSS JOIN cand cl CROSS JOIN cand cs
+  WHERE FLOOR(line / {_GH_STEP}) - cl.k >= 0
+    AND line < (FLOOR(line / {_GH_STEP}) - cl.k) * {_GH_STEP} + {_GH_WINDOW}
+    AND FLOOR(sample / {_GH_STEP}) - cs.k >= 0
+    AND sample <
+        (FLOOR(sample / {_GH_STEP}) - cs.k) * {_GH_STEP} + {_GH_WINDOW}),
+v AS (SELECT * FROM w WHERE NOT isnan(abs_g2) AND abs_g2 > 0e0),
+meds AS (
+  SELECT wl, ws, median(abs_g2) AS med, COUNT(*) AS nvalid
+  FROM v GROUP BY wl, ws),
+binned AS (
+  SELECT v.wl, v.ws, meds.nvalid,
+    CAST(LEAST(GREATEST(FLOOR((atan2(g2_im, g2_re) - ({_dlit(_GH_START)}))
+      / ({_dlit(_GH_BSTEP)}) + 5e-1), 0), {_GH_NANG - 1}) AS INT) AS k,
+    (abs_g2 / (abs_g2 + med)) * c AS wgt
+  FROM v JOIN meds ON v.wl = meds.wl AND v.ws = meds.ws)
+SELECT wl AS win_line, ws AS win_sample,
+  ({_dlit(_GH_START)}) + k * ({_dlit(_GH_BSTEP)}) AS angle,
+  {DSUM('wgt', 9)} / {wpx} AS weight,
+  nvalid / {wpx} AS used_ratio
+FROM binned
+GROUP BY wl, ws, k, nvalid
+"""
+
+
+@spec(
+    "gradient_histogram",
+    _gh_oracle(),
+    description="Per-window weighted angular histogram with overlapping "
+                "windows (gradients.py:828-879): explode-to-window, "
+                "exact percentile median, DECIMAL-exact bin sums",
+    tags=("science", "gradients"),
+)
+def q_gradient_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.gradients import gradient_histogram
+
+    lg = _lg_field_df(spark)
+    return gradient_histogram(
+        lg, window=_GH_WINDOW, step=_GH_STEP, n_angles=_GH_NANG,
+        line_col="line", sample_col="sample",
+    )
+
+
+# ----------------------------------------------------------------------
+# circ_smooth + peak — oracle-checked
+# ----------------------------------------------------------------------
+
+_SD_NW_L, _SD_NW_S, _SD_NANG = 6, 8, 72
+
+_SD_HIST_COLS = (
+    "(((wl * 7919 + ws * 104729 + b * 131) % 9973) / 9973e0) AS weight"
+)
+
+_SD_HIST_SQL = f"""
+SELECT wl AS win_line, ws AS win_sample, b AS angle_idx, {_SD_HIST_COLS}
+FROM (SELECT range AS wl FROM range({_SD_NW_L}))
+CROSS JOIN (SELECT range AS ws FROM range({_SD_NW_S}))
+CROSS JOIN (SELECT range AS b FROM range({_SD_NANG}))
+"""
+
+
+def _sd_taps_values() -> str:
+    rows = []
+    half = len(CIRC_KERNEL) // 2
+    for i, wv in enumerate(CIRC_KERNEL):
+        if wv != 0.0:
+            rows.append(f"({i - half}, {_dlit(float(wv))})")
+    return ", ".join(rows)
+
+
+def _sd_oracle() -> str:
+    n = _SD_NANG
+    return f"""
+WITH hist AS ({_SD_HIST_SQL}),
+taps AS (SELECT * FROM (VALUES {_sd_taps_values()}) t(d, tapw)),
+sm AS (
+  SELECT win_line, win_sample,
+    (((angle_idx + d) % {n}) + {n}) % {n} AS bin,
+    {DSUM('weight * tapw', 9)} AS wsm
+  FROM hist CROSS JOIN taps
+  GROUP BY win_line, win_sample, (((angle_idx + d) % {n}) + {n}) % {n})
+SELECT win_line, win_sample,
+  ({_dlit(_GH_START)}) + bin * ({_dlit(_GH_BSTEP)}) AS streak_angle,
+  wsm AS peak_weight
+FROM sm
+QUALIFY row_number() OVER (
+  PARTITION BY win_line, win_sample ORDER BY wsm DESC, bin ASC) = 1
+"""
+
+
+@spec(
+    "streak_direction",
+    _sd_oracle(),
+    description="Circular histogram smoothing (composed 31-tap modular "
+                "join, gradients.py:882-923) + per-window argmax peak",
+    tags=("science", "gradients"),
+)
+def q_streak_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.gradients import streak_direction
+
+    wl = spark.range(_SD_NW_L).select(F.col("id").alias("win_line"))
+    ws = spark.range(_SD_NW_S).select(F.col("id").alias("win_sample"))
+    b = spark.range(_SD_NANG).select(F.col("id").alias("angle_idx"))
+    hist = wl.crossJoin(ws).crossJoin(b).selectExpr(
+        "win_line", "win_sample", "angle_idx",
+        "(((win_line * 7919 + win_sample * 104729 + angle_idx * 131)"
+        " % 9973) / 9973e0) AS weight",
+    )
+    return streak_direction(hist, n_angles=_SD_NANG)
+
+
+# ----------------------------------------------------------------------
+# local_gradients pyramid — rows-only (stencil accumulation order is
+# engine-internal; bit-exactness vs the NumPy chain is pytest-asserted)
+# ----------------------------------------------------------------------
+
+
+@spec(
+    "local_gradients_pyramid",
+    None,
+    description="Fused tile+halo stencil pyramid: R2 -> sqrt -> Scharr "
+                "-> complex square -> R2 -> quality (gradients.py:588-"
+                "721); one applyInPandas shuffle per scene",
+    tags=("science", "gradients", "rows-only"),
+)
+def q_local_gradients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.gradients import local_gradients
+    from xsarsea_spark.suite.science import N_LINES, N_SAMPLES
+
+    px = scene_df(spark, ["sigma0"])
+    return local_gradients(px, N_LINES, N_SAMPLES, tile=64, halo=24)
