@@ -1,0 +1,181 @@
+"""Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB): the LSH path NEVER does all-pairs — candidate
+pairs come from a banded ``groupBy`` (same band hash -> same bucket,
+self-equi-join within bucket), so cost is O(docs * K) for signatures
+plus O(sum of bucket^2) for candidates, with bucket sizes bounded by
+band selectivity. The Jaccard verification joins only candidate pairs
+against their shingle sets.
+
+Hashing: 40-bit md5-derived token hashes (cross-engine stable — see
+pipeline.text.HASH40_SQL) permuted by ``(a_k * h + b_k) % P`` with
+P = 2^40 - 87 (prime); all arithmetic stays inside BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xsarsea_spark.pipeline.text import HASH40_SQL
+
+__all__ = [
+    "shingle",
+    "minhash_signatures",
+    "lsh_candidates",
+    "jaccard_verify",
+    "minhash_lsh_dedup",
+    "simhash",
+    "MINHASH_P",
+]
+
+MINHASH_P = (1 << 40) - 87          # prime
+_BAND_MULT = 1000003
+
+
+def _perm_params(k: int) -> tuple[int, int]:
+    return 97 + 31 * k, 911 + 131 * k
+
+
+def shingle(docs: DataFrame, n: int = 3, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = f"split({text_col}, ' ')"
+    parts = " || ' ' || ".join(
+        f"element_at(__toks, i + {j + 1})" for j in range(n)
+    )
+    return (
+        docs.selectExpr(id_col, f"{toks} AS __toks")
+        .selectExpr(
+            id_col,
+            f"explode(transform(sequence(0, size(__toks) - {n}),"
+            f" i -> {parts})) AS shingle",
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, k: int = 16,
+                       id_col: str = "doc_id") -> DataFrame:
+    """MinHash signature rows (id, k, minh): one hash agg over
+    (doc, permutation)."""
+    h40 = HASH40_SQL.format(x="shingle")
+    perms = sh.sparkSession.createDataFrame(
+        [(i, *_perm_params(i)) for i in range(k)],
+        schema="k INT, a BIGINT, b BIGINT",
+    )
+    return (
+        sh.withColumn("__h", F.expr(h40))
+        .crossJoin(F.broadcast(perms))
+        .withColumn("__ph", F.expr(f"(a * __h + b) % {MINHASH_P}"))
+        .groupBy(id_col, "k")
+        .agg(F.min("__ph").alias("minh"))
+    )
+
+
+def lsh_candidates(sig: DataFrame, bands: int = 8,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Banded LSH candidate pairs (id_a < id_b): band hash combines the
+    2 signature rows of each band; pairs come from a bucket self-join,
+    never an all-pairs cross join."""
+    rows_per_band = 2
+    b = (
+        sig.withColumn("band",
+                       F.expr(f"CAST(FLOOR(k / {rows_per_band}) AS INT)"))
+        .withColumn("slot", F.expr(f"k % {rows_per_band}"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.expr(
+                f"(max(CASE WHEN slot = 0 THEN minh END) * {_BAND_MULT}"
+                f" + max(CASE WHEN slot = 1 THEN minh END)) % {MINHASH_P}"
+            ).alias("bandhash")
+        )
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col(f"l.band") == F.col(f"r.band"))
+            & (F.col("l.bandhash") == F.col("r.bandhash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(cand: DataFrame, sh: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs only."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.withColumnRenamed(id_col, "id_a"), on="id_a")
+        .join(
+            sh.withColumnRenamed(id_col, "id_b")
+            .withColumnRenamed("shingle", "shingle_b"),
+            on="id_b",
+        )
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        cand.join(inter, on=["id_a", "id_b"], how="left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.withColumnRenamed(id_col, "id_a")
+              .withColumnRenamed("n", "n_a"), on="id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed("n", "n_b"), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.expr("n_inter / CAST(n_a + n_b - n_inter AS DOUBLE)"),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_dedup(docs: DataFrame, n: int = 3, k: int = 16,
+                      bands: int = 8, threshold: float = 0.5,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Full near-dup pipeline: shingle -> minhash -> banded LSH ->
+    exact Jaccard >= threshold. Returns (id_a, id_b, jaccard)."""
+    sh = shingle(docs, n=n, text_col=text_col, id_col=id_col)
+    sig = minhash_signatures(sh, k=k, id_col=id_col)
+    cand = lsh_candidates(sig, bands=bands, id_col=id_col)
+    ver = jaccard_verify(cand, sh, id_col=id_col)
+    return ver.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """SimHash fingerprint: sign of per-bit weighted sums of token
+    hashes (weight = token multiplicity). Pure built-ins: explode
+    tokens x bit positions, two hash aggregations."""
+    h40 = HASH40_SQL.format(x="tok")
+    toks = docs.selectExpr(
+        id_col, f"explode(split({text_col}, ' ')) AS tok"
+    ).withColumn("__h", F.expr(h40))
+    bitpos = docs.sparkSession.range(bits).select(
+        F.col("id").cast("int").alias("bit"))
+    per_bit = (
+        toks.crossJoin(F.broadcast(bitpos))
+        .withColumn(
+            # FLOOR before the cast: Spark's double->BIGINT cast
+            # truncates while DuckDB's rounds — FLOOR makes both exact
+            "contrib",
+            F.expr("CASE WHEN CAST(FLOOR(__h / POW(2, bit)) AS BIGINT)"
+                   " % 2 = 1 THEN 1 ELSE -1 END"),
+        )
+        .groupBy(id_col, "bit")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return per_bit.groupBy(id_col).agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, bit) AS BIGINT)"
+            " ELSE 0L END) AS BIGINT)"
+        ).alias("simhash")
+    )

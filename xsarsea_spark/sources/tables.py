@@ -35,6 +35,11 @@ BROADCAST_TABLES = {"region", "nation"}
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(name)
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS); Spark reads it only
+        # as raw nanosecond BIGINT via this legacy conf. All event-time
+        # math downstream is integer microseconds (ts DIV 1000).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

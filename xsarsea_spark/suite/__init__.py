@@ -10,5 +10,7 @@ from xsarsea_spark.suite.base import REGISTRY, QuerySpec, spec  # noqa: F401
 from xsarsea_spark.suite import relational  # noqa: F401,E402
 from xsarsea_spark.suite import science  # noqa: F401,E402
 from xsarsea_spark.suite import streaks  # noqa: F401,E402
+from xsarsea_spark.suite import pipeline_suite  # noqa: F401,E402
+from xsarsea_spark.suite import events_suite  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec", "spec"]

@@ -1,0 +1,170 @@
+"""Event-stream query battery: tumbling windows, sessionization,
+watermark dedup — each in a batch form and (where marked) a Structured
+Streaming form validated by the SAME DuckDB oracle.
+
+Time determinism: the events parquet stores TIMESTAMP(NANOS), which
+Spark reads only as raw nanosecond BIGINT (nanosAsLong) and DuckDB
+truncates to microseconds — so ALL event-time math here is integer
+MICROSECONDS (Spark ``ts DIV 1000``, DuckDB ``epoch_us(ts)``), exact
+in BIGINT; sums use exact DECIMAL casts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from xsarsea_spark.sources.tables import load
+from xsarsea_spark.suite.base import DSUM, spec
+
+_US_SPARK = "(ts DIV 1000)"
+_US_DUCK = "epoch_us(ts)"
+
+
+# ----------------------------------------------------------------------
+# Tumbling hourly aggregation (batch + streaming share this oracle)
+# ----------------------------------------------------------------------
+
+_HOURLY_ORACLE = f"""
+SELECT ({_US_DUCK} // 3600000000) AS hour_bucket,
+  event_type,
+  COUNT(*) AS n_events,
+  {DSUM('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@spec(
+    "events_hourly",
+    _HOURLY_ORACLE,
+    description="Tumbling 1-hour event aggregation (count + exact sum) "
+                "— partial/final hash agg, no shuffle beyond the groupBy",
+    tags=("events", "window"),
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.expr(f"({_US_SPARK}) DIV 3600000000")
+            .alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(DSUM("value")).alias("sum_value"),
+        )
+    )
+
+
+@spec(
+    "events_stream_hourly",
+    _HOURLY_ORACLE,
+    description="Structured Streaming variant: readStream -> watermark "
+                "-> tumbling window agg -> memory sink (availableNow); "
+                "same oracle as the batch query",
+    tags=("events", "streaming"),
+)
+def q_events_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.streaming.events import stream_hourly_counts
+
+    return stream_hourly_counts(spark, sf_dir)
+
+
+# ----------------------------------------------------------------------
+# Sessionization (30-min inactivity gap)
+# ----------------------------------------------------------------------
+
+_SESS_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, value, {_US_DUCK} AS ep FROM events),
+m AS (
+  SELECT *, CASE WHEN ep - LAG(ep) OVER w > 1800000000
+                 OR LAG(ep) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                             ORDER BY ep, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM m)
+SELECT user_id, session_id,
+  MIN(ep) AS session_start, MAX(ep) AS session_end,
+  COUNT(*) AS n_events, {DSUM('value')} AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+@spec(
+    "events_sessionize",
+    _SESS_ORACLE,
+    description="Gap-based sessionization (30-min inactivity): lag + "
+                "running sum session ids, per-session rollup",
+    tags=("events", "window"),
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        F.expr(_US_SPARK).alias("ep"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    marked = ev.withColumn(
+        "new_s",
+        F.when(
+            (F.col("ep") - F.lag("ep").over(w) > 1800000000)
+            | F.lag("ep").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ep").alias("session_start"),
+        F.max("ep").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(DSUM("value")).alias("sum_value"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Minute-key dedup (batch + watermarked-stream variants, one oracle:
+# the output is the key set, independent of which row wins)
+# ----------------------------------------------------------------------
+
+_DEDUP_ORACLE = f"""
+SELECT DISTINCT user_id, event_type,
+  ({_US_DUCK} // 60000000) AS minute_bucket
+FROM events
+"""
+
+
+@spec(
+    "events_minute_dedup",
+    _DEDUP_ORACLE,
+    description="Event dedup on (user, type, minute): batch "
+                "dropDuplicates on the derived key",
+    tags=("events", "dedup"),
+)
+def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "user_id", "event_type",
+        F.expr(f"({_US_SPARK}) DIV 60000000")
+        .alias("minute_bucket"),
+    ).dropDuplicates()
+
+
+@spec(
+    "events_stream_dedup",
+    _DEDUP_ORACLE,
+    description="Streaming variant: dropDuplicatesWithinWatermark on "
+                "(user, type, minute); same oracle — output is the key "
+                "set regardless of which physical row wins",
+    tags=("events", "streaming"),
+)
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.streaming.events import stream_minute_dedup
+
+    return stream_minute_dedup(spark, sf_dir)

@@ -1,0 +1,327 @@
+"""LLM-training-data pipeline query battery over the driver's
+``documents`` and ``embeddings`` tables — dedup, similarity search and
+text analysis as first-class, oracle-checked operators.
+
+Cross-engine determinism: content hashing is md5 (identical hex
+digests), derived 40-bit integers come from hex prefixes (Spark
+``conv``, DuckDB ``'0x' || ...`` cast — verified bit-identical), all
+similarity arithmetic is integer or sequential-fold double math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xsarsea_spark.pipeline.dedup import MINHASH_P, _BAND_MULT, _perm_params
+from xsarsea_spark.sources.tables import load
+from xsarsea_spark.suite.base import spec
+
+# DuckDB spelling of pipeline.text.HASH40_SQL (same value)
+_H40_DUCK = "CAST('0x' || substr(md5({x}), 1, 10) AS BIGINT)"
+
+
+# ----------------------------------------------------------------------
+# Per-document token statistics
+# ----------------------------------------------------------------------
+
+_TEXT_STATS_ORACLE = """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l
+           FROM documents)
+SELECT doc_id,
+  len(l) AS n_tokens,
+  len(list_distinct(l)) AS n_distinct_tokens,
+  list_reduce(list_transform(l, x -> length(x)), (a, b) -> a + b)
+    / CAST(len(l) AS DOUBLE) AS avg_token_len,
+  len(list_filter(l, x -> x = 'a' OR x = 'the'))
+    / CAST(len(l) AS DOUBLE) AS stopword_ratio,
+  (length(text) - length(replace(text, ' ', '')))
+    / CAST(length(text) AS DOUBLE) AS space_ratio
+FROM t
+"""
+
+
+@spec(
+    "text_token_stats",
+    _TEXT_STATS_ORACLE,
+    description="Per-document token statistics (counts, diversity, "
+                "stopword/space ratios) — pure JVM-side projections",
+    tags=("pipeline", "text"),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.text import token_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return token_stats(docs).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "avg_token_len",
+        "stopword_ratio", "space_ratio",
+    )
+
+
+# ----------------------------------------------------------------------
+# Language-ID heuristic + quality score
+# ----------------------------------------------------------------------
+
+def _lang_oracle() -> str:
+    from xsarsea_spark.pipeline.text import LANG_MARKERS
+
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        conds = " OR ".join(f"x = '{m}'" for m in LANG_MARKERS[lang])
+        scores.append(
+            f"len(list_filter(l, x -> {conds}))"
+            f" / CAST(len(l) AS DOUBLE) AS score_{lang}"
+        )
+    best = "greatest(" + ", ".join(
+        f"score_{k}" for k in sorted(LANG_MARKERS)) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{k} = {best} THEN '{k}'" for k in sorted(LANG_MARKERS)
+    ) + " END"
+    return f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l
+           FROM documents),
+s AS (SELECT doc_id, lang, {", ".join(scores)},
+        len(l) AS n_tokens, len(list_distinct(l)) AS n_distinct,
+        len(list_filter(l, x -> x = 'a' OR x = 'the'))
+          / CAST(len(l) AS DOUBLE) AS swr
+      FROM t)
+SELECT doc_id, lang, {case} AS pred_lang,
+  LEAST(GREATEST(
+    LEAST(n_tokens / 32e0, 1e0) * 5e-1
+    + (n_distinct / CAST(n_tokens AS DOUBLE)) * 4e-1
+    + LEAST(swr * 4e0, 1e0) * 1e-1, 0e0), 1e0) AS quality
+FROM s
+"""
+
+
+@spec(
+    "lang_id_quality",
+    _lang_oracle(),
+    description="Marker-frequency language ID + pretraining quality "
+                "score (length band, diversity, stopword sanity)",
+    tags=("pipeline", "text"),
+)
+def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.text import language_id, quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    lid = language_id(docs).select("doc_id", "pred_lang")
+    qual = quality_score(docs).select("doc_id", "lang", "quality")
+    return qual.join(lid, on="doc_id").select(
+        "doc_id", "lang", "pred_lang", "quality")
+
+
+# ----------------------------------------------------------------------
+# Exact dedup + fingerprints
+# ----------------------------------------------------------------------
+
+_DEDUP_ORACLE = """
+SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+@spec(
+    "exact_dedup",
+    _DEDUP_ORACLE,
+    description="Exact content dedup: single hash aggregation on "
+                "md5(text), deterministic min-id keeper",
+    tags=("pipeline", "dedup"),
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.text import exact_dedup
+
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+_FP_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l
+           FROM documents)
+SELECT doc_id,
+  {_H40_DUCK.format(x='text')} AS fingerprint,
+  list_reduce(
+    list_transform(list_distinct(l),
+                   x -> {_H40_DUCK.format(x='x')}),
+    (a, b) -> (a + b) % {(1 << 61) - 1}) AS tokenset_hash
+FROM t
+"""
+
+
+@spec(
+    "doc_fingerprint",
+    _FP_ORACLE,
+    description="Content fingerprint (md5-derived 40-bit) + "
+                "order-insensitive token-set hash",
+    tags=("pipeline", "text"),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.text import doc_fingerprint
+
+    return doc_fingerprint(load(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint", "tokenset_hash")
+
+
+# ----------------------------------------------------------------------
+# MinHash + banded LSH near-dedup (never all-pairs)
+# ----------------------------------------------------------------------
+
+_MH_N, _MH_K, _MH_T = 3, 16, 0.2
+
+
+def _minhash_oracle() -> str:
+    perms = ", ".join(f"({k}, {a}, {b})" for k, (a, b) in
+                      ((k, _perm_params(k)) for k in range(_MH_K)))
+    h40 = _H40_DUCK.format(x="shingle")
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(len(l) - {_MH_N - 1}),
+      i -> l[i + 1] || ' ' || l[i + 2] || ' ' || l[i + 3])) AS shingle
+  FROM t),
+perms AS (SELECT * FROM (VALUES {perms}) p(k, a, b)),
+sig AS (
+  SELECT doc_id, k, min((a * ({h40}) + b) % {MINHASH_P}) AS minh
+  FROM sh CROSS JOIN perms GROUP BY doc_id, k),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(k / 2) AS INT) AS band,
+    (max(CASE WHEN k % 2 = 0 THEN minh END) * {_BAND_MULT}
+     + max(CASE WHEN k % 2 = 1 THEN minh END)) % {MINHASH_P} AS bandhash
+  FROM sig GROUP BY doc_id, CAST(FLOOR(k / 2) AS INT)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bandhash = r.bandhash
+   AND l.doc_id < r.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND a.shingle = b.shingle
+  GROUP BY c.id_a, c.id_b)
+SELECT c.id_a, c.id_b,
+  COALESCE(i.n_inter, 0) / CAST(sa.n + sb.n - COALESCE(i.n_inter, 0)
+                                AS DOUBLE) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE COALESCE(i.n_inter, 0) / CAST(sa.n + sb.n - COALESCE(i.n_inter, 0)
+                                    AS DOUBLE) >= {_MH_T!r}
+"""
+
+
+@spec(
+    "minhash_lsh_neardup",
+    _minhash_oracle(),
+    description="MinHash signatures -> banded LSH bucket join -> exact "
+                "Jaccard verify; candidates only, never all-pairs",
+    tags=("pipeline", "dedup"),
+)
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.dedup import minhash_lsh_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(docs, n=_MH_N, k=_MH_K, threshold=_MH_T)
+
+
+# ----------------------------------------------------------------------
+# SimHash fingerprints
+# ----------------------------------------------------------------------
+
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, {_H40_DUCK.format(x='tok')} AS hh FROM toks),
+bits AS (SELECT CAST(range AS INT) AS bit FROM range(16)),
+per_bit AS (
+  SELECT doc_id, bit,
+    SUM(CASE WHEN CAST(FLOOR(hh / POW(2, bit)) AS BIGINT) % 2 = 1
+        THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN bits GROUP BY doc_id, bit)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, bit) AS BIGINT) ELSE 0 END)
+       AS BIGINT) AS simhash
+FROM per_bit GROUP BY doc_id
+"""
+
+
+@spec(
+    "simhash_fingerprint",
+    _SIMHASH_ORACLE,
+    description="16-bit SimHash: per-bit weighted sign sums of token "
+                "hashes, two hash aggregations, no UDF",
+    tags=("pipeline", "dedup"),
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.dedup import simhash
+
+    return simhash(load(spark, sf_dir, "documents"), bits=16)
+
+
+# ----------------------------------------------------------------------
+# Brute-force cosine top-k (exactness baseline for ANN)
+# ----------------------------------------------------------------------
+
+_KNN_NQ, _KNN_K = 20, 5
+
+_KNN_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      (a, b) -> a + b)) AS nrm
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+      FROM e WHERE vec_id < {_KNN_NQ}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    list_reduce(list_transform(range(1, len(q.qv) + 1),
+      i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+      (a, b) -> a + b) / (q.qn * e.nrm) AS cosine
+  FROM q JOIN e ON e.vec_id <> q.query_id)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {_KNN_K}
+"""
+
+
+@spec(
+    "embedding_knn",
+    _KNN_ORACLE,
+    description="Brute-force cosine top-k over array<float> embeddings: "
+                "sequential JVM fold dot product, broadcast query block",
+    tags=("pipeline", "similarity"),
+)
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ)
+    return cosine_topk(queries, emb, k=_KNN_K)
+
+
+# ----------------------------------------------------------------------
+# LSH-bucketed ANN — the 100 TB scale path (rows-only: bucket
+# membership depends on sign() of float projections, which is not
+# stable enough across engines for a value hash)
+# ----------------------------------------------------------------------
+
+
+@spec(
+    "lsh_ann",
+    None,
+    description="Random-hyperplane LSH bucket join ANN: signature "
+                "groupBy + within-bucket exact cosine, never all-pairs",
+    tags=("pipeline", "similarity", "rows-only"),
+)
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.similarity import lsh_ann
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ)
+    return lsh_ann(queries, emb, k=_KNN_K, n_planes=10)
