@@ -1,0 +1,100 @@
+"""File-backed LUT converters + registry + multimodal plumbing."""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from xsarsea_spark.sources.luts import (
+    cmod7_to_parquet,
+    infer_axis,
+    npy_lut_to_parquet,
+    read_lut_parquet,
+)
+from xsarsea_spark.sources.registry import default_catalog
+
+
+def test_cmod7_binary_roundtrip(spark, tmp_path):
+    # synthetic cmod7-shaped Fortran binary: head + 250*73*51 + tail
+    m, n, p = 250, 73, 51
+    rng = np.random.default_rng(3)
+    body = rng.uniform(1e-4, 0.5, m * n * p).astype(np.float32)
+    raw = np.concatenate([[np.float32(0)], body, [np.float32(0)]])
+    path = tmp_path / "gmf_cmod7_vv.dat_little_endian"
+    raw.tofile(path)
+
+    out = str(tmp_path / "cmod7_lut")
+    meta = cmod7_to_parquet(spark, str(path), out)
+    assert meta["axes"]["wspd"] == {"x0": 0.2, "hi": 50.0, "step": 0.2,
+                                    "n": 250}
+    df, meta2 = read_lut_parquet(spark, out)
+    assert meta2["dims"] == ["incidence", "wspd", "phi"]
+    assert df.count() == m * n * p
+    # spot-check one cell against the Fortran-order reshape
+    cell = df.filter("incidence_idx = 5 AND wspd_idx = 7 AND phi_idx = 11") \
+             .collect()[0]
+    expect = body.reshape((m, n, p), order="F")[7, 11, 5]
+    assert cell.sigma0 == pytest.approx(float(expect), rel=1e-7)
+    assert cell.incidence == 21.0 and cell.phi == 27.5
+
+
+def test_npy_lut_roundtrip(spark, tmp_path):
+    inc = np.arange(17.0, 50.0 + 0.5, 0.5)
+    wspd = np.arange(3.0, 80.0 + 0.2, 0.2)
+    rng = np.random.default_rng(4)
+    # stored as (incidence, wspd) then np.load + transpose in reader
+    sig = rng.uniform(-40, -10, (len(inc), len(wspd)))
+    d = tmp_path / "GMF_test"
+    d.mkdir()
+    np.save(d / "sigma.npy", sig)
+    with open(d / "incidence_angle.pkl", "wb") as f:
+        pickle.dump(inc, f)
+    with open(d / "wind_speed.pkl", "wb") as f:
+        pickle.dump(wspd, f)
+
+    out = str(tmp_path / "npy_lut")
+    meta = npy_lut_to_parquet(spark, str(d), out, model="test_lut")
+    assert meta["axes"]["incidence"]["step"] == 0.5
+    df, _ = read_lut_parquet(spark, out)
+    got = df.filter("incidence_idx = 3 AND wspd_idx = 9").collect()[0]
+    # reader: transpose(np.load) -> (wspd, inc); transpose back
+    assert got.sigma0 == pytest.approx(sig[3, 9])
+
+
+def test_infer_axis_rounding():
+    ax = infer_axis(np.arange(0.0, 180.0 + 2.5, 2.5))
+    assert ax == {"x0": 0.0, "hi": 180.0, "step": 2.5, "n": 73}
+
+
+def test_registry_alias_and_get():
+    cat = default_catalog()
+    cat.register_parquet_lut("nc_lut_cmod5n", "/tmp/nc_cmod5n", pol="VV")
+    # gmf (priority 3) beats file lut (priority 10) for the alias
+    assert cat.get("cmod5n").name == "gmf_cmod5n"
+    assert cat.get("nc_lut_cmod5n").kind == "parquet_lut"
+    with pytest.raises(KeyError):
+        cat.get("no_such_model")
+
+
+def test_multimodal_batch_shape(spark, tmp_path):
+    from xsarsea_spark.pipeline.multimodal import (attach_payload,
+                                                   decode_image,
+                                                   extract_features)
+    import pandas as pd
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2], "text": ["hello world", "abc"],
+        "source": ["s1", "s2"],
+    }))
+    feats = extract_features(attach_payload(docs)).collect()
+    assert len(feats) == 2
+    r = {f.doc_id: f for f in feats}
+    assert r[1].n_bytes == 11
+    assert len(r[1].byte_hist) == 16
+    assert abs(sum(r[1].byte_hist) - 1.0) < 1e-12
+    assert 32 <= r[1].fake_width < 512
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

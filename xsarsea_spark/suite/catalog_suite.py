@@ -1,0 +1,140 @@
+"""Catalog / registry / LUT-source query battery.
+
+- ``available_models``: priority-based alias resolution over the model
+  catalog (models.py:453-498) — window dedup + union, oracle-checked
+  against the same rows as a VALUES literal.
+- ``lut_step_inference``: step/range inference from coordinate columns
+  (pickle_luts.py:42-45, models.py:257-260) via lag-window diffs.
+- ``multimodal_features``: binary-payload plumbing + Arrow-batched
+  byte feature extraction (rows-only: md5 digests et al. are exact but
+  array columns and the fake-decode stub make a value hash overkill).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xsarsea_spark.sources.registry import default_catalog
+from xsarsea_spark.sources.tables import load
+from xsarsea_spark.suite.base import spec
+
+
+def _catalog_values() -> str:
+    rows = []
+    for (name, short, kind, pol, units, prio, path) in \
+            default_catalog().rows():
+        rows.append(f"('{name}', '{short}', '{kind}', '{pol}', "
+                    f"'{units}', {prio})")
+    return ", ".join(rows)
+
+
+_AVAIL_ORACLE = f"""
+WITH cat AS (
+  SELECT * FROM (VALUES {_catalog_values()})
+    t(name, short_name, kind, pol, units, priority)),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY short_name ORDER BY priority ASC, name ASC) AS rn
+  FROM cat)
+SELECT name, CASE WHEN rn = 1 THEN short_name END AS alias,
+  kind, pol, units, CAST(NULL AS VARCHAR) AS path
+FROM ranked
+"""
+
+
+@spec(
+    "available_models",
+    _AVAIL_ORACLE,
+    description="Model catalog with priority alias resolution "
+                "(models.py:453-498): window dedup, broadcastable "
+                "catalog table",
+    tags=("catalog",),
+)
+def q_available_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return default_catalog().available(spark)
+
+
+# ----------------------------------------------------------------------
+# Step/range inference from LUT coordinates
+# ----------------------------------------------------------------------
+
+_AXES = (("incidence", 16.0, 2.5, 21), ("wspd", 3.0, 1.6, 30),
+         ("phi", 0.0, 12.0, 16))
+
+
+def _dlit(v: float) -> str:
+    r = repr(float(v))
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
+def _axis_union_sql() -> str:
+    parts = []
+    for name, x0, step, n in _AXES:
+        parts.append(
+            f"SELECT '{name}' AS axis,"
+            f" {_dlit(x0)} + range * {_dlit(step)} AS x"
+            f" FROM range({n})"
+        )
+    return " UNION ALL ".join(parts)
+
+
+_STEP_ORACLE = f"""
+WITH coords AS ({_axis_union_sql()}),
+d AS (
+  SELECT axis, x, x - LAG(x) OVER (PARTITION BY axis ORDER BY x) AS dx
+  FROM coords)
+SELECT axis,
+  MIN(x) AS lo, MAX(x) AS hi,
+  MIN(ROUND(dx, 2)) AS step,
+  COUNT(x) AS n
+FROM d GROUP BY axis
+"""
+
+
+@spec(
+    "lut_step_inference",
+    _STEP_ORACLE,
+    description="LUT axis step/range inference from coordinate values "
+                "(lag-window diff + round, pickle_luts.py:42-45)",
+    tags=("catalog", "lut"),
+)
+def q_step_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    coords = None
+    for name, x0, step, n in _AXES:
+        a = spark.range(n).select(
+            F.lit(name).alias("axis"),
+            (F.lit(x0) + F.col("id") * F.lit(step)).alias("x"),
+        )
+        coords = a if coords is None else coords.unionByName(a)
+    w = Window.partitionBy("axis").orderBy("x")
+    d = coords.withColumn("dx", F.col("x") - F.lag("x").over(w))
+    return d.groupBy("axis").agg(
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+        F.min(F.round("dx", 2)).alias("step"),
+        F.count("x").alias("n"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Multimodal plumbing — rows-only
+# ----------------------------------------------------------------------
+
+
+@spec(
+    "multimodal_features",
+    None,
+    description="Binary payload column + Arrow-batched byte feature "
+                "extraction (histogram, entropy, digest, fake-decode "
+                "dims); decode itself is a documented stub",
+    tags=("pipeline", "multimodal", "rows-only"),
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.multimodal import (attach_payload,
+                                                   extract_features)
+
+    docs = load(spark, sf_dir, "documents")
+    return extract_features(attach_payload(docs))
