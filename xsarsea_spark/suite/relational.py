@@ -410,26 +410,20 @@ ORDER BY o_custkey
     tags=("relational", "window"),
 )
 def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
+    # The cumulative sum is only kept at each customer's LAST row,
+    # where it equals the plain total — so the two full window passes
+    # (sort + cumsum, sort + row_number) collapse into ONE hash
+    # aggregation: max_by for the final order key, exact sum for the
+    # spend. Same oracle, no per-partition sort at any scale.
     orders = load(spark, sf_dir, "orders")
-    w_cum = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_last = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
-    )
     return (
-        orders.withColumn(
-            "running_spend",
-            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
-            .over(w_cum)
-            .cast("double"),
+        orders.groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "max_by(o_orderkey, struct(o_orderdate, o_orderkey))"
+            ).alias("o_orderkey"),
+            F.expr(DSUM("o_totalprice")).alias("running_spend"),
         )
-        .withColumn("rn", F.row_number().over(w_last))
-        .filter(F.col("rn") == 1)
         .select("o_custkey", "o_orderkey", "running_spend")
         .orderBy("o_custkey")
     )
