@@ -13,5 +13,6 @@ from xsarsea_spark.suite import streaks  # noqa: F401,E402
 from xsarsea_spark.suite import pipeline_suite  # noqa: F401,E402
 from xsarsea_spark.suite import events_suite  # noqa: F401,E402
 from xsarsea_spark.suite import catalog_suite  # noqa: F401,E402
+from xsarsea_spark.suite import raster  # noqa: F401,E402
 
 __all__ = ["REGISTRY", "QuerySpec", "spec"]

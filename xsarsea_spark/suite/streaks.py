@@ -209,3 +209,114 @@ def q_local_gradients(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     px = scene_df(spark, ["sigma0"])
     return local_gradients(px, N_LINES, N_SAMPLES, tile=64, halo=24)
+
+
+# ----------------------------------------------------------------------
+# Stacked multi-scale histogram mean (Gradients sweep over
+# (downscale_factor, window_size), gradients.py:248-334 + the
+# hist.mean(['downscale_factor','window_size']) reduction) — the
+# parameter sweep is carried as COLUMNS through one plan, reduced by a
+# single hash agg, instead of N separate runs.
+# ----------------------------------------------------------------------
+
+_ST_PARAMS = ((1, 16), (1, 32), (2, 16), (2, 32))
+
+
+def _stack_hist_cols(ds: int, ws: int) -> str:
+    return (f"(((wl * 7919 + ws * 104729 + b * 131 + {ds} * 17"
+            f" + {ws} * 13) % 9973) / 9973e0)")
+
+
+def _stacked_sql_parts() -> list[str]:
+    parts = []
+    for ds, ws in _ST_PARAMS:
+        parts.append(f"""
+SELECT {ds} AS downscale, {ws} AS window_size,
+  wl AS win_line, ws_ AS win_sample, b AS angle_idx,
+  {_stack_hist_cols(ds, ws).replace('ws *', 'ws_ *')} AS weight
+FROM (SELECT range AS wl FROM range(6))
+CROSS JOIN (SELECT range AS ws_ FROM range(8))
+CROSS JOIN (SELECT range AS b FROM range(72))""")
+    return parts
+
+
+_STACK_ORACLE = f"""
+WITH stacked AS ({" UNION ALL ".join(_stacked_sql_parts())})
+SELECT win_line, win_sample, angle_idx,
+  CAST(SUM(CAST(weight AS DECIMAL(38,12))) AS DOUBLE)
+    / COUNT(weight) AS weight_mean
+FROM stacked GROUP BY win_line, win_sample, angle_idx
+"""
+
+
+@spec(
+    "stacked_histogram_mean",
+    _STACK_ORACLE,
+    description="Multi-scale (downscale, window) histogram stack as a "
+                "unionByName + single mean reduction (gradients.py:"
+                "248-334); the sweep is columns in one plan",
+    tags=("science", "gradients", "setop"),
+)
+def q_stacked_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stacked = None
+    for ds, ws in _ST_PARAMS:
+        wl = spark.range(6).select(F.col("id").alias("win_line"))
+        wsd = spark.range(8).select(F.col("id").alias("win_sample"))
+        b = spark.range(72).select(F.col("id").alias("angle_idx"))
+        part = wl.crossJoin(wsd).crossJoin(b).selectExpr(
+            f"{ds} AS downscale", f"{ws} AS window_size",
+            "win_line", "win_sample", "angle_idx",
+            _stack_hist_cols(ds, ws)
+            .replace("wl", "win_line").replace("ws *", "win_sample *")
+            .replace("b *", "angle_idx *") + " AS weight",
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    return stacked.groupBy("win_line", "win_sample", "angle_idx").agg(
+        F.expr(
+            "CAST(SUM(CAST(weight AS DECIMAL(38,12))) AS DOUBLE)"
+            " / COUNT(weight)"
+        ).alias("weight_mean")
+    )
+
+
+# ----------------------------------------------------------------------
+# Central-symmetry mirror union (circ_hist plotting math,
+# gradients.py:945-946): [-pi/2, pi/2) histogram mirrored to 360 deg.
+# ----------------------------------------------------------------------
+
+_MIRROR_ORACLE = f"""
+WITH hist AS ({_SD_HIST_SQL})
+SELECT win_line, win_sample,
+  ({_dlit(_GH_START)}) + angle_idx * ({_dlit(_GH_BSTEP)}) AS angle,
+  weight
+FROM hist
+UNION ALL
+SELECT win_line, win_sample,
+  -(({_dlit(_GH_START)}) + angle_idx * ({_dlit(_GH_BSTEP)})) AS angle,
+  weight
+FROM hist
+"""
+
+
+@spec(
+    "histogram_mirror_union",
+    _MIRROR_ORACLE,
+    description="Central-symmetry mirror union to 360 deg "
+                "(gradients.py:945-946) — union with negated angles",
+    tags=("science", "gradients", "setop"),
+)
+def q_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wl = spark.range(_SD_NW_L).select(F.col("id").alias("win_line"))
+    ws = spark.range(_SD_NW_S).select(F.col("id").alias("win_sample"))
+    b = spark.range(_SD_NANG).select(F.col("id").alias("angle_idx"))
+    hist = wl.crossJoin(ws).crossJoin(b).selectExpr(
+        "win_line", "win_sample", "angle_idx",
+        "(((win_line * 7919 + win_sample * 104729 + angle_idx * 131)"
+        " % 9973) / 9973e0) AS weight",
+    )
+    ang = (F.lit(_GH_START) + F.col("angle_idx") * F.lit(_GH_BSTEP))
+    pos = hist.select("win_line", "win_sample", ang.alias("angle"),
+                      "weight")
+    neg = hist.select("win_line", "win_sample", (-ang).alias("angle"),
+                      "weight")
+    return pos.unionByName(neg)
