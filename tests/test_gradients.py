@@ -42,3 +42,32 @@ def test_circ_kernel_properties():
     assert abs(CIRC_KERNEL.sum() - 1.0) < 1e-12
     assert np.allclose(CIRC_KERNEL, CIRC_KERNEL[::-1])
     assert len(CIRC_KERNEL) == 31
+
+
+def test_rain_mask_tile_bit_exact(spark):
+    import pandas as pd
+
+    from xsarsea_spark.operators.gradients import (
+        filtering_parameters,
+        filtering_parameters_numpy,
+    )
+
+    NL, NS = 120, 160
+    rng = np.random.default_rng(23)
+    img = rng.uniform(0.005, 0.08, (NL, NS))
+    pdf = pd.DataFrame({
+        "line": np.repeat(np.arange(NL), NS),
+        "sample": np.tile(np.arange(NS), NL),
+        "sigma0": img.ravel(),
+    })
+    px = spark.createDataFrame(pdf)
+    out = (
+        filtering_parameters(px, NL, NS, tile=56, halo=48)
+        .toPandas().sort_values(["line4", "sample4"]).reset_index(drop=True)
+    )
+    ref = filtering_parameters_numpy(img)
+    h, w = NL // 4, NS // 4
+    assert len(out) == h * w
+    for k in ("f1", "f2", "f3", "f4", "F"):
+        assert np.array_equal(out[k].to_numpy().reshape(h, w),
+                              ref[k][:h, :w]), k

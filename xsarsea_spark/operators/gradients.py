@@ -412,3 +412,155 @@ def streak_direction(hist: DataFrame, n_angles: int = 72,
             F.col(weight_col).alias("peak_weight"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Rain/texture mask (Zhao 2021): Mean operator, bilinear zoom,
+# filtering_parameters (gradients.py:724-825)
+# ----------------------------------------------------------------------
+
+B22 = np.array(
+    [[1, 0, 2, 0, 1], [0, 0, 0, 0, 0], [2, 0, 4, 0, 2],
+     [0, 0, 0, 0, 0], [1, 0, 2, 0, 1]], dtype=np.float64) / 16.0
+B42 = _conv_full(B22, B22)       # 9x9 dilated smoother
+
+
+def mean_operator_numpy(arr: np.ndarray) -> np.ndarray:
+    """Local Mean operator (gradients.py:724-755): B4 smooth then the
+    dilated B42 smooth; the reference's conv(ones)/renorm denominators
+    are identically 1.0 for these unit-sum kernels."""
+    return _correlate2(_correlate2(arr, B4, "symmetric"), B42, "symmetric")
+
+
+def zoom2_numpy(arr: np.ndarray, out_shape: tuple) -> np.ndarray:
+    """Factor-2 bilinear upsample (ndimage.zoom order=1 analog).
+
+    Coordinate mapping is the coarsen-consistent, SHIFT-INVARIANT one:
+    coarse cell j sits at fine coordinate 2j + 0.5, so fine pixel i
+    reads coarse position (i - 0.5) / 2 (clamped at edges). Unlike
+    ndimage.zoom's shape-dependent scaling, this mapping is local —
+    which is what makes the operator tile-decomposable.
+    """
+    h, w = arr.shape
+    oh, ow = out_shape
+    yi = (np.arange(oh) - 0.5) / 2.0
+    xi = (np.arange(ow) - 0.5) / 2.0
+    y0 = np.clip(np.floor(yi).astype(np.int64), 0, h - 2)
+    x0 = np.clip(np.floor(xi).astype(np.int64), 0, w - 2)
+    fy = np.clip((yi - y0), 0.0, 1.0)[:, None]
+    fx = np.clip((xi - x0), 0.0, 1.0)[None, :]
+    a = arr[y0][:, x0]
+    b = arr[y0][:, x0 + 1]
+    c = arr[y0 + 1][:, x0]
+    d = arr[y0 + 1][:, x0 + 1]
+    return (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx
+            + c * fy * (1 - fx) + d * fy * fx)
+
+
+def filtering_parameters_numpy(sigma0: np.ndarray) -> dict:
+    """Zhao 2021 rain/texture mask (gradients.py:758-825).
+
+    Deviation from the reference: f1/f2 live on the /2 grid and f3/f4
+    on the /4 grid there; combining them via xarray alignment yields an
+    empty intersection (disjoint coordinate sets), so the reference's
+    final F is degenerate. Here all four parameters are brought to the
+    /4 grid (f1, f2 block-averaged down by 2) and combined there —
+    same physics, well-defined output.
+    """
+    image = np.sqrt(sigma0)
+    r2 = _r2(image)                      # /2 grid
+    lg = local_gradients_numpy(image)    # /4 grid (g3, c)
+    g3, c = lg["g3"], lg["c"]
+    j = mean_operator_numpy(r2)
+
+    # P1: local std / mean (on /2)
+    j1 = mean_operator_numpy(r2 * r2)
+    j2 = np.sqrt(np.maximum(j1 - j * j, 0.0))
+    p1 = j2 / (j + 0.00001)
+
+    # P2: high-pass residual vs smoothed half-res (on /2)
+    resampl = _coarsen2(r2)
+    sm = _correlate2(resampl, B2, "symmetric")
+    k = r2 - zoom2_numpy(sm, r2.shape)
+    p2 = (k * k) / ((j * j) + 0.00001)
+
+    # P3: gradient-magnitude contrast (on /4)
+    g4 = mean_operator_numpy(g3)
+    p3 = g3 / (g4 + 0.00001)
+
+    # P4: quality (on /4)
+    p4 = np.sqrt(c)
+
+    f1 = np.clip(-50.0 * p1 + 2.75, 0.0, 1.0)
+    f2 = np.clip(-5000.0 * p2 + 3.0, 0.0, 1.0)
+    f3 = np.clip(-2.5 * p3 + 4.0, 0.0, 1.0)
+    f4 = np.clip(-10.0 * p4 + 6.3, 0.0, 1.0)
+
+    # bring f1/f2 to the /4 grid and combine
+    h4, w4 = f3.shape
+    f1d = _coarsen2(f1)[:h4, :w4]
+    f2d = _coarsen2(f2)[:h4, :w4]
+    F = np.sqrt(0.25 * (f1d * f1d + f2d * f2d + f3 * f3 + f4 * f4))
+    return {"f1": f1d, "f2": f2d, "f3": f3, "f4": f4, "F": F}
+
+
+_FP_SCHEMA = T.StructType(
+    [T.StructField("line4", T.LongType()),
+     T.StructField("sample4", T.LongType())]
+    + [T.StructField(k, T.DoubleType()) for k in
+       ("f1", "f2", "f3", "f4", "F")]
+)
+
+
+def filtering_parameters(
+    px: DataFrame,
+    n_lines: int,
+    n_samples: int,
+    value_col: str = "sigma0",
+    line_col: str = "line",
+    sample_col: str = "sample",
+    tile: int = 256,
+    halo: int = 48,
+) -> DataFrame:
+    """Distributed rain/texture mask: the whole Zhao-2021 chain fused
+    into ONE tile+halo applyInPandas pass (halo 48 covers the deepest
+    stencil chain: R2 + Mean-of-G3 on the /4 grid)."""
+    if tile % 4 or halo % 4:
+        raise ValueError("tile and halo must be multiples of 4")
+    work = _with_halo_tiles(
+        px.select(line_col, sample_col, value_col),
+        line_col, sample_col, tile, halo,
+    )
+    out_l_max = (n_lines // 2) // 2
+    out_s_max = (n_samples // 2) // 2
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tl, ts = int(key[0]), int(key[1])
+        empty = pd.DataFrame(
+            {f.name: pd.Series(dtype="float64") for f in _FP_SCHEMA})
+        if tl * tile >= n_lines or ts * tile >= n_samples:
+            return empty
+        o_l = max(tl * tile - halo, 0)
+        o_s = max(ts * tile - halo, 0)
+        e_l = min((tl + 1) * tile + halo, n_lines)
+        e_s = min((ts + 1) * tile + halo, n_samples)
+        arr = np.full((e_l - o_l, e_s - o_s), np.nan)
+        li = pdf[line_col].to_numpy(dtype=np.int64) - o_l
+        si = pdf[sample_col].to_numpy(dtype=np.int64) - o_s
+        arr[li, si] = pdf[value_col].to_numpy(dtype=np.float64)
+        res = filtering_parameters_numpy(arr)
+        lo4_l, lo4_s = (tl * tile) // 4, (ts * tile) // 4
+        hi4_l = min(((tl + 1) * tile) // 4, out_l_max)
+        hi4_s = min(((ts + 1) * tile) // 4, out_s_max)
+        if hi4_l <= lo4_l or hi4_s <= lo4_s:
+            return empty
+        a_l, a_s = lo4_l - o_l // 4, lo4_s - o_s // 4
+        b_l, b_s = a_l + (hi4_l - lo4_l), a_s + (hi4_s - lo4_s)
+        l4, s4 = np.meshgrid(np.arange(lo4_l, hi4_l),
+                             np.arange(lo4_s, hi4_s), indexing="ij")
+        out = {"line4": l4.ravel(), "sample4": s4.ravel()}
+        for k in ("f1", "f2", "f3", "f4", "F"):
+            out[k] = res[k][a_l:b_l, a_s:b_s].ravel()
+        return pd.DataFrame(out)
+
+    return work.groupBy("__tl", "__ts").applyInPandas(run, schema=_FP_SCHEMA)

@@ -320,3 +320,83 @@ def q_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     neg = hist.select("win_line", "win_sample", (-ang).alias("angle"),
                       "weight")
     return pos.unionByName(neg)
+
+
+# ----------------------------------------------------------------------
+# Rain/texture mask — rows-only (fused multi-stencil tile pass; tile
+# bit-exactness vs the NumPy chain is pytest-asserted)
+# ----------------------------------------------------------------------
+
+
+@spec(
+    "rain_mask_filtering",
+    None,
+    description="Zhao-2021 rain/texture mask: Mean operator, high-pass "
+                "residual vs zoomed smooth, gradient contrast, quality "
+                "(gradients.py:758-825) — ONE fused tile+halo pass",
+    tags=("science", "gradients", "rows-only"),
+)
+def q_rain_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.gradients import filtering_parameters
+    from xsarsea_spark.suite.science import N_LINES, N_SAMPLES
+
+    px = scene_df(spark, ["sigma0"])
+    return filtering_parameters(px, N_LINES, N_SAMPLES, tile=64, halo=48)
+
+
+# ----------------------------------------------------------------------
+# Full multi-scale streaks pipeline — rows-only end-to-end chain
+# (Gradients.histogram, gradients.py:248-334): per downscale factor,
+# resample -> stencil pyramid -> windowed histogram -> stack union ->
+# mean -> circular smooth -> peak.
+# ----------------------------------------------------------------------
+
+
+@spec(
+    "streaks_full",
+    None,
+    description="End-to-end wind-streak chain over (downscale 1,2): "
+                "block resample, fused stencil pyramid, windowed "
+                "histogram, stack mean, circ smooth, argmax peak",
+    tags=("science", "gradients", "rows-only"),
+)
+def q_streaks_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.gradients import (gradient_histogram,
+                                                   local_gradients,
+                                                   streak_direction)
+    from xsarsea_spark.suite.science import N_LINES, N_SAMPLES
+
+    px = scene_df(spark, ["sigma0"])
+    stacked = None
+    for ds in (1, 2):
+        if ds == 1:
+            img, nl, ns = px, N_LINES, N_SAMPLES
+        else:
+            nl, ns = N_LINES // ds, N_SAMPLES // ds
+            img = px.groupBy(
+                F.expr(f"CAST(FLOOR(line / {ds}) AS BIGINT)").alias("line"),
+                F.expr(f"CAST(FLOOR(sample / {ds}) AS BIGINT)")
+                .alias("sample"),
+            ).agg(F.avg("sigma0").alias("sigma0"))
+        lg = local_gradients(img, nl, ns, tile=64, halo=24)
+        hist = gradient_histogram(lg, window=8, step=8)
+        # windows are in /4 units per downscale; rebase to the ds=1
+        # window grid so the stack aligns (coarser factors cover the
+        # same ground with the same key after rescaling)
+        part = hist.select(
+            (F.col("win_line") * ds).alias("win_line"),
+            (F.col("win_sample") * ds).alias("win_sample"),
+            "angle", "weight",
+        ).withColumn("downscale", F.lit(ds))
+        stacked = part if stacked is None else stacked.unionByName(part)
+    mean_hist = stacked.groupBy("win_line", "win_sample", "angle").agg(
+        F.avg("weight").alias("weight"))
+    start = float(-__import__("numpy").pi / 2
+                  + (__import__("numpy").pi / 72) / 2.0)
+    bstep = float(__import__("numpy").pi / 72)
+    dense = mean_hist.withColumn(
+        "angle_idx",
+        F.expr(f"CAST(FLOOR((angle - ({start!r})) / ({bstep!r}) + 5e-1)"
+               " AS INT)"),
+    )
+    return streak_direction(dense, n_angles=72)
