@@ -168,3 +168,51 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xsarsea_spark.streaming.events import stream_minute_dedup
 
     return stream_minute_dedup(spark, sf_dir)
+
+
+# ----------------------------------------------------------------------
+# As-of join: each 'click' event picks up the latest prior 'error'
+# event per user (backward as-of). Oracle: DuckDB's native ASOF JOIN.
+# ----------------------------------------------------------------------
+
+_ASOF_ORACLE = f"""
+WITH clicks AS (
+  SELECT user_id, event_id, {_US_DUCK} AS us, value
+  FROM events WHERE event_type = 'click'),
+errors AS (
+  SELECT user_id, {_US_DUCK} AS us, value
+  FROM events WHERE event_type = 'error')
+SELECT c.user_id, c.event_id, c.us, c.value,
+  e.us AS us_asof, e.value AS value_asof
+FROM clicks c
+ASOF LEFT JOIN errors e
+  ON c.user_id = e.user_id AND c.us >= e.us
+"""
+
+
+@spec(
+    "events_asof_join",
+    _ASOF_ORACLE,
+    description="Backward as-of join (latest prior error per click, "
+                "per user) via union + carry-forward window — one "
+                "shuffle, no range-join explosion; oracle is DuckDB's "
+                "native ASOF JOIN",
+    tags=("events", "join"),
+)
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value",
+        F.expr(_US_SPARK).alias("us"),
+    )
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", "event_id", "us", "value")
+    errors = ev.filter("event_type = 'error'").select(
+        "user_id", "us", "value", F.col("us").alias("us_r"))
+    return (
+        asof_join(clicks, errors, on="us", by=["user_id"],
+                  right_cols=["value", "us_r"])
+        .select("user_id", "event_id", "us", "value",
+                F.col("us_r_asof").alias("us_asof"), "value_asof")
+    )

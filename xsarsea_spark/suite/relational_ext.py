@@ -1,0 +1,211 @@
+"""Extended relational battery (TPC-H Q7/Q14/Q18/Q19 shapes, adapted
+to the driver's schema — no partsupp table, synthetic dimension
+values). Same conventions as suite.relational: exact DECIMAL sums,
+O(1) dims broadcast, O(sf) joins left to AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xsarsea_spark.sources.tables import load
+from xsarsea_spark.suite.base import DSUM, spec
+
+_REV = "l_extendedprice * (1e0 - l_discount)"
+
+
+# ----------------------------------------------------------------------
+# q07 volume shipping: revenue between two nations by year
+# ----------------------------------------------------------------------
+
+_N1, _N2 = "NATION_3", "NATION_7"
+
+_Q07_SQL = f"""
+SELECT supp_nation, cust_nation, l_year, {DSUM('volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+    {_REV} AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = '{_N1}' AND n2.n_name = '{_N2}')
+     OR (n1.n_name = '{_N2}' AND n2.n_name = '{_N1}'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@spec(
+    "q07_volume_shipping",
+    _Q07_SQL,
+    "Bidirectional nation-pair trade volume by ship year.",
+    tags=("relational", "join", "agg"),
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias(
+            "supp_nation"))
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias(
+            "cust_nation"))
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    j = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == _N1) & (F.col("cust_nation") == _N2))
+            | ((F.col("supp_nation") == _N2) & (F.col("cust_nation") == _N1))
+        )
+        .withColumn("l_year",
+                    F.expr("CAST(EXTRACT(year FROM l_shipdate) AS BIGINT)"))
+        .withColumn("volume", F.expr(_REV))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.expr(DSUM("volume")).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ----------------------------------------------------------------------
+# q14 promo revenue ratio
+# ----------------------------------------------------------------------
+
+_Q14_SQL = f"""
+SELECT
+  100e0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                     THEN {_REV} ELSE 0e0 END
+                   AS DECIMAL(38,6))) AS DOUBLE)
+    / CAST(SUM(CAST(({_REV}) AS DECIMAL(38,6))) AS DOUBLE)
+    AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+@spec(
+    "q14_promo_revenue",
+    _Q14_SQL,
+    "Conditional-aggregate ratio over a one-month scan window.",
+    tags=("relational", "agg"),
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part")
+    promo = (f"CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0e0 END")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.expr(
+                f"100e0 * CAST(SUM(CAST({promo} AS DECIMAL(38,6)))"
+                f" AS DOUBLE)"
+                f" / CAST(SUM(CAST(({_REV}) AS DECIMAL(38,6)))"
+                f" AS DOUBLE)"
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# q18 large-volume customers
+# ----------------------------------------------------------------------
+
+_Q18_QTY = 150
+
+_Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+  {DSUM('l_quantity')} AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > {_Q18_QTY})
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@spec(
+    "q18_large_volume_customer",
+    _Q18_SQL,
+    "Semi-join on a HAVING aggregate subquery + grouped rollup.",
+    tags=("relational", "join", "agg"),
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > _Q18_QTY)
+        .select("l_orderkey")
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        li.join(big, on="l_orderkey", how="left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(F.expr(DSUM("l_quantity")).alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# ----------------------------------------------------------------------
+# q19 discounted revenue (brand/size/quantity disjunction)
+# ----------------------------------------------------------------------
+
+_Q19_SQL = f"""
+SELECT {DSUM(_REV)} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 21)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 40)
+"""
+
+
+@spec(
+    "q19_discounted_revenue",
+    _Q19_SQL,
+    "Disjunctive brand/size/quantity predicates over a fact-dim join.",
+    tags=("relational", "join", "agg"),
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1")
+         & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#13")
+           & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#20")
+           & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(cond).agg(F.expr(DSUM(_REV)).alias("revenue"))

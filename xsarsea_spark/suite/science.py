@@ -641,3 +641,61 @@ def q_inv_dualpol(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{QTRUNC('wind_dual_re', 6)} AS wind_dual_re",
         f"{QTRUNC('wind_dual_im', 6)} AS wind_dual_im",
     )
+
+
+# ----------------------------------------------------------------------
+# Crosspol inversion with ENGINE-computed dsig (get_dsig wired into
+# the inversion chain end-to-end; windspeed/utils.py:47-91 +
+# windspeed.py:252-276).
+# ----------------------------------------------------------------------
+
+_DSIG_RS2_SQL = get_dsig_sql("gmf_rs2_v2", "incidence", "sigma0_cr",
+                             "nesz_f")
+
+_INV_DSIG_ORACLE = f"""
+WITH px AS ({scene_sql(['incidence', 'sigma0_cr'])}),
+obs AS (
+  SELECT line, sample,
+    {_DSIG_RS2_SQL.replace('nesz_f', f'({_NESZ_F})')} AS dsig_cr,
+    10e0 * log10(sigma0_cr + 1e-15) AS s0cr_db,
+    LEAST(GREATEST(FLOOR((incidence - 16e0) / 1e0 + 5e-1), 0),
+          {_CRLUT_I_N - 1}) AS ii
+  FROM px),
+crlut AS MATERIALIZED (
+  SELECT w, i, 3e0 + w * 1e-1 AS wspd, {_CR_LUTDB} AS lutdb
+  FROM (SELECT range AS w FROM range({_CRLUT_W_N}))
+  CROSS JOIN (SELECT range AS i FROM range({_CRLUT_I_N})))
+SELECT line, sample, wspd AS wspd_cr
+FROM obs o JOIN crlut l ON l.i = o.ii
+QUALIFY row_number() OVER (
+  PARTITION BY o.line, o.sample
+  ORDER BY ((l.lutdb - o.s0cr_db) / o.dsig_cr)
+           * ((l.lutdb - o.s0cr_db) / o.dsig_cr), l.w) = 1
+"""
+
+
+@spec(
+    "inversion_crosspol_dsig",
+    _INV_DSIG_ORACLE,
+    description="Crosspol inversion with engine-computed get_dsig "
+                "uncertainty weight (windspeed/utils.py:47-91 wired "
+                "into the kernel chain)",
+    tags=("science", "inversion"),
+)
+def q_inv_crosspol_dsig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.inversion import invert_from_model
+
+    px = scene_df(spark, ["incidence", "sigma0_cr"]).withColumn(
+        "nesz_f", F.expr(_NESZ_F)
+    ).withColumn("dsig_cr", F.expr(_DSIG_RS2_SQL))
+    out = invert_from_model(
+        px,
+        cr_model="gmf_rs2_v2",
+        sigma0_cr_col="sigma0_cr",
+        dsig_cr_col="dsig_cr",
+        keep_cols=["line", "sample"],
+        lut_inc_step=1.0,
+        lut_cr_wspd_step=0.1,
+    )
+    return out.select("line", "sample",
+                      F.col("wind_dual_re").alias("wspd_cr"))
