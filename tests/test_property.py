@@ -1,0 +1,145 @@
+"""Property-based and backend-equivalence tests.
+
+The reference's one good testing idea is backend equivalence (scalar =
+vectorized = distributed); here that becomes: the NumPy compilation,
+the DuckDB compilation, and both Spark physical paths of an operator
+must agree on random inputs.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from xsarsea_spark.functions.gmfs import GMF_REGISTRY, gmf_numpy, gmf_sql
+
+
+# ----------------------------------------------------------------------
+# Dual-compile consistency: NumPy eval vs DuckDB eval of the same tree
+# ----------------------------------------------------------------------
+
+@settings(max_examples=25, deadline=None)
+@given(
+    inc=st.floats(16.0, 66.0),
+    wspd=st.floats(0.5, 50.0),
+    phi=st.floats(0.0, 180.0),
+)
+def test_gmf_numpy_matches_duckdb(inc, wspd, phi):
+    con = duckdb.connect()
+    for name in ("gmf_cmod5", "gmf_cmod5n", "gmf_cmodifr2",
+                 "gmf_rs2_v2", "gmf_s1_v2", "gmf_rcm_v4"):
+        g = GMF_REGISTRY[name]
+        sql = gmf_sql(name, inc=f"({inc!r})", wspd=f"({wspd!r})",
+                      phi=f"({phi!r})")
+        want = con.execute(f"SELECT {sql}").fetchone()[0]
+        got = float(gmf_numpy(name, np.array([inc]), np.array([wspd]),
+                              np.array([phi]) if g.needs_phi else None)[0])
+        assert got == pytest.approx(want, rel=1e-11), name
+
+
+@settings(max_examples=50, deadline=None)
+@given(x=st.floats(-1e4, 1e4, allow_nan=False))
+def test_angle_wrap_ranges(x):
+    from xsarsea_spark.expr import fmod_floor, lit
+
+    v180 = fmod_floor(lit(x) + 180.0, 360.0).ev({}) - 180.0
+    v360 = fmod_floor(lit(x) + 360.0, 360.0).ev({})
+    assert -180.0 <= v180 < 180.0 or v180 == pytest.approx(-180.0)
+    assert 0.0 <= v360 < 360.0
+    # equivalent angles mod 360 (circular distance)
+    d = (v360 - x) % 360.0
+    assert min(d, 360.0 - d) == pytest.approx(0.0, abs=1e-6)
+
+
+# ----------------------------------------------------------------------
+# Backend equivalence: interp_join (corner-struct broadcast) vs
+# interp_kernel (mapInPandas + broadcast NumPy grid)
+# ----------------------------------------------------------------------
+
+def test_interp_two_paths_bit_equal(spark):
+    from xsarsea_spark.operators.interp import (GridAxis, interp_join,
+                                                interp_kernel)
+
+    rng = np.random.default_rng(5)
+    axes = [GridAxis("x", 2.0, 0.5, 17), GridAxis("y", -1.0, 0.25, 13)]
+    grid = rng.uniform(-3, 3, (17, 13))
+    lut_rows = [
+        (i, j, float(2.0 + 0.5 * i), float(-1.0 + 0.25 * j),
+         float(grid[i, j]))
+        for i in range(17) for j in range(13)
+    ]
+    lut = spark.createDataFrame(
+        lut_rows, schema="x_idx LONG, y_idx LONG, x DOUBLE, y DOUBLE, "
+                         "v DOUBLE")
+    pts = spark.createDataFrame(pd.DataFrame({
+        "pid": np.arange(500),
+        "x": rng.uniform(1.5, 10.5, 500),     # includes out-of-range
+        "y": rng.uniform(-1.5, 2.5, 500),
+    }))
+    for bounds in ("clamp", "nan"):
+        a = (interp_join(pts, lut, axes, value_col="v", out_col="o",
+                         bounds=bounds)
+             .select("pid", "o").toPandas().sort_values("pid"))
+        b = (interp_kernel(pts, grid, axes, out_col="o", bounds=bounds)
+             .select("pid", "o").toPandas().sort_values("pid"))
+        av, bv = a["o"].to_numpy(), b["o"].to_numpy()
+        both_nan = np.isnan(av) & np.isnan(bv)
+        assert np.all((av == bv) | both_nan), bounds
+
+
+# ----------------------------------------------------------------------
+# asof_join vs pandas merge_asof on random event sets
+# ----------------------------------------------------------------------
+
+def test_asof_join_matches_pandas(spark):
+    from xsarsea_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 5, 300),
+        "t": rng.integers(0, 10_000, 300),
+        "lid": np.arange(300),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 5, 200),
+        "t": rng.integers(0, 10_000, 200),
+        "payload": rng.uniform(0, 1, 200),
+    })
+    # merge_asof needs unique sort positions; drop dup (k, t) on right
+    right = right.drop_duplicates(["k", "t"])
+    got = (
+        asof_join(spark.createDataFrame(left),
+                  spark.createDataFrame(right),
+                  on="t", by=["k"], right_cols=["payload"])
+        .toPandas().sort_values("lid").reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("t"),
+        on="t", by="k", direction="backward",
+    ).sort_values("lid").reset_index(drop=True)
+    gv, wv = got["payload_asof"].to_numpy(), want["payload"].to_numpy()
+    both_nan = np.isnan(gv) & np.isnan(wv)
+    assert np.all((gv == wv) | both_nan)
+
+
+# ----------------------------------------------------------------------
+# LUT materialization parity: Spark grid evaluation vs driver NumPy
+# (the inversion kernel's broadcast LUT must equal the SQL-built LUT)
+# ----------------------------------------------------------------------
+
+def test_lut_spark_vs_numpy_parity(spark):
+    from xsarsea_spark.operators.lut import gmf_lut_numpy, gmf_to_lut
+
+    df, axes = gmf_to_lut(spark, "gmf_rs2_v2", inc_step=2.0,
+                          wspd_step=2.0)
+    ref = gmf_lut_numpy("gmf_rs2_v2", axes)
+    pdf = df.toPandas().sort_values(["incidence_idx", "wspd_idx"])
+    got = pdf["sigma0_model"].to_numpy().reshape(ref["sigma0"].shape)
+    # same formula, JVM vs NumPy libm: equal to ~1 ulp
+    assert np.allclose(got, ref["sigma0"], rtol=1e-13, atol=0)
+    assert np.array_equal(pdf["incidence"].to_numpy().reshape(
+        ref["sigma0"].shape)[:, 0], ref["coords"]["incidence"])

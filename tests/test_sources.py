@@ -98,3 +98,53 @@ def test_multimodal_batch_shape(spark, tmp_path):
     assert 32 <= r[1].fake_width < 512
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_partitioned_and_tiled_sinks(spark, tmp_path):
+    import pandas as pd
+
+    from xsarsea_spark.sources.sinks import (write_partitioned,
+                                             write_scene_tiled)
+
+    pdf = pd.DataFrame({
+        "line": list(range(8)) * 2, "sample": [0] * 8 + [1] * 8,
+        "pol": ["VV", "VH"] * 8, "sigma0": [0.01 * i for i in range(16)],
+    })
+    df = spark.createDataFrame(pdf)
+    p1 = str(tmp_path / "part")
+    write_partitioned(df, p1, ["pol"])
+    back = spark.read.parquet(p1)
+    # partition pruning: the pol filter reads only one directory
+    plan = back.filter("pol = 'VV'")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert back.filter("pol = 'VV'").count() == 8
+
+    p2 = str(tmp_path / "tiled")
+    write_scene_tiled(df, p2, tile=4)
+    tiled = spark.read.parquet(p2)
+    assert "tile_line" in tiled.columns
+    assert tiled.count() == 16
+    assert tiled.filter("tile_line = 0").count() == 8
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    import pandas as pd
+
+    from xsarsea_spark.sources.sinks import write_bucketed
+
+    a = spark.createDataFrame(pd.DataFrame(
+        {"k": range(100), "x": range(100)}))
+    b = spark.createDataFrame(pd.DataFrame(
+        {"k": range(100), "y": range(100)}))
+    try:
+        write_bucketed(a, "t_a", "k", n_buckets=4)
+        write_bucketed(b, "t_b", "k", n_buckets=4)
+        j = spark.table("t_a").join(spark.table("t_b"), on="k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert j.count() == 100
+        # co-bucketed join: no exchange on either side
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        # managed tables: DROP removes the data directories
+        spark.sql("DROP TABLE IF EXISTS t_a")
+        spark.sql("DROP TABLE IF EXISTS t_b")
