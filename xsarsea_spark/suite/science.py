@@ -699,3 +699,46 @@ def q_inv_crosspol_dsig(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select("line", "sample",
                       F.col("wind_dual_re").alias("wspd_cr"))
+
+
+# ----------------------------------------------------------------------
+# Complex wind-vector ops over (re, im) pairs (windspeed.py:236-247;
+# Spark has no complex type — SURVEY.md §1.2).
+# ----------------------------------------------------------------------
+
+from xsarsea_spark.functions.complexw import (angle_diff_rad,  # noqa: E402
+                                              wind_dir_deg, wind_im,
+                                              wind_re, wind_speed)
+
+_CW_PROJ = {
+    "speed": QTRUNC(wind_speed(_var("anc_re"), _var("anc_im")).sql(), 9),
+    "dir_deg": QTRUNC(wind_dir_deg(_var("anc_re"), _var("anc_im")).sql(), 9),
+    "rebuilt_re": QTRUNC(wind_re(_var("anc_re"), _var("heading")).sql(), 9),
+    "rebuilt_im": QTRUNC(wind_im(_var("anc_re"), _var("heading")).sql(), 9),
+    "dphi": QTRUNC(angle_diff_rad(_var("anc_re"), _var("anc_im"),
+                                  _var("(3e0 + sample * 1e-2)"),
+                                  _var("(1e0 + line * 1e-2)")).sql(), 9),
+}
+
+_CW_ORACLE = f"""
+WITH px AS ({scene_sql(['anc_re', 'anc_im', 'heading'])})
+SELECT line, sample,
+  {", ".join(f"{e} AS {n}" for n, e in _CW_PROJ.items())}
+FROM px
+"""
+
+
+@spec(
+    "wind_vector_ops",
+    _CW_ORACLE,
+    description="Complex wind-vector helper set on (re, im) pairs: "
+                "modulus, argument, rebuild, conjugate-product angle "
+                "difference (windspeed.py:236-247)",
+    tags=("science", "scalar"),
+)
+def q_wind_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    px = scene_df(spark, ["anc_re", "anc_im", "heading"])
+    return px.selectExpr(
+        "line", "sample",
+        *[f"{e} AS {n}" for n, e in _CW_PROJ.items()],
+    )
