@@ -19,14 +19,36 @@ from pyspark.sql import DataFrame, SparkSession
 from xsarsea_spark.suite import REGISTRY
 
 
+def _pin_runtime_confs(spark: SparkSession) -> None:
+    """Runtime-settable confs the oracle parity depends on, pinned
+    here so results don't depend on the caller's session defaults."""
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
+def _wrap(fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _pin_runtime_confs(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1-shaped pricing summary) on sf0.001."""
+    _pin_runtime_confs(spark)
     return REGISTRY["q01_pricing_summary"].spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator family from SURVEY.md §2."""
-    return {name: qs.spark for name, qs in REGISTRY.items()}
+    return {name: _wrap(qs.spark) for name, qs in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
