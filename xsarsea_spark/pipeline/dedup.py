@@ -57,19 +57,24 @@ def shingle(docs: DataFrame, n: int = 3, text_col: str = "text",
 
 def minhash_signatures(sh: DataFrame, k: int = 16,
                        id_col: str = "doc_id") -> DataFrame:
-    """MinHash signature rows (id, k, minh): one hash agg over
-    (doc, permutation)."""
+    """MinHash signature rows (id, k, minh).
+
+    All K permutation minima are computed as K aggregate expressions in
+    ONE hash aggregation over the shingles (map-side partial combine),
+    then unpivoted with ``stack`` — no K-fold row blowup: the naive
+    crossJoin(perms) formulation multiplies the shuffle by K, which at
+    100 TB is the difference between one pass and sixteen.
+    """
     h40 = HASH40_SQL.format(x="shingle")
-    perms = sh.sparkSession.createDataFrame(
-        [(i, *_perm_params(i)) for i in range(k)],
-        schema="k INT, a BIGINT, b BIGINT",
-    )
-    return (
-        sh.withColumn("__h", F.expr(h40))
-        .crossJoin(F.broadcast(perms))
-        .withColumn("__ph", F.expr(f"(a * __h + b) % {MINHASH_P}"))
-        .groupBy(id_col, "k")
-        .agg(F.min("__ph").alias("minh"))
+    work = sh.withColumn("__h", F.expr(h40))
+    aggs = [
+        F.expr(f"min(({a} * __h + {b}) % {MINHASH_P}) AS m{i}")
+        for i, (a, b) in ((i, _perm_params(i)) for i in range(k))
+    ]
+    wide = work.groupBy(id_col).agg(*aggs)
+    stack = ", ".join(f"{i}, m{i}" for i in range(k))
+    return wide.selectExpr(
+        id_col, f"stack({k}, {stack}) AS (k, minh)"
     )
 
 

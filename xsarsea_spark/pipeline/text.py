@@ -151,3 +151,43 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
             f" 0L, (a, x) -> (a + ({tok_h})) % {p})"
         ),
     )
+
+
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_count_bpe(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token counting: whitespace tokens + a regex tokenizer
+    (letter runs / digit runs / single punctuation) — the usual
+    pretraining budget estimator; pure JVM regexp, no UDF."""
+    return docs.select(
+        "doc_id",
+        F.expr(f"size(split({text_col}, ' '))").alias("ws_tokens"),
+        F.expr(
+            f"size(regexp_extract_all({text_col},"
+            f" '{BPE_ISH_PATTERN}', 0))"
+        ).alias("bpe_ish_tokens"),
+        F.expr(f"CAST(length({text_col}) AS DOUBLE)"
+               f" / size(regexp_extract_all({text_col},"
+               f" '{BPE_ISH_PATTERN}', 0))").alias("chars_per_token"),
+    )
+
+
+ROLLING_B = 1000003
+# prime < 2^42 so acc*B + h40 stays inside BIGINT (2^42 * 2^20 + 2^40 < 2^63)
+ROLLING_P = 4398046511093
+
+
+def rolling_hash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-SENSITIVE polynomial rolling hash over the token stream:
+    acc = (acc * B + h40(tok)) mod p, as a sequential JVM-side fold —
+    the content fingerprint that distinguishes permuted documents
+    (unlike tokenset_hash)."""
+    tok_h = HASH40_SQL.format(x="x")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(split({text_col}, ' '), 0L,"
+            f" (a, x) -> (a * {ROLLING_B} + ({tok_h})) % {ROLLING_P})"
+        ).alias("rolling_hash"),
+    )

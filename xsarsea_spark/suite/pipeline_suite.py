@@ -325,3 +325,55 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _KNN_NQ)
     return lsh_ann(queries, emb, k=_KNN_K, n_planes=10)
+
+
+# ----------------------------------------------------------------------
+# BPE-ish token counting + order-sensitive rolling-hash fingerprint
+# ----------------------------------------------------------------------
+
+_TOKCOUNT_ORACLE = """
+SELECT doc_id,
+  len(string_split(text, ' ')) AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+    AS bpe_ish_tokens,
+  CAST(length(text) AS DOUBLE)
+    / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+    AS chars_per_token
+FROM documents
+"""
+
+
+@spec(
+    "token_count_bpe",
+    _TOKCOUNT_ORACLE,
+    description="Token budget estimation: whitespace + BPE-ish regex "
+                "tokenizer counts and chars/token",
+    tags=("pipeline", "text"),
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.text import token_count_bpe
+
+    return token_count_bpe(load(spark, sf_dir, "documents"))
+
+
+_ROLLING_ORACLE = f"""
+SELECT doc_id,
+  list_reduce(
+    list_transform(string_split(text, ' '),
+                   x -> {_H40_DUCK.format(x='x')}),
+    (a, b) -> (a * 1000003 + b) % 4398046511093) AS rolling_hash
+FROM documents
+"""
+
+
+@spec(
+    "doc_rolling_hash",
+    _ROLLING_ORACLE,
+    description="Order-sensitive polynomial rolling hash over the "
+                "token stream (sequential JVM fold)",
+    tags=("pipeline", "text"),
+)
+def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.text import rolling_hash
+
+    return rolling_hash(load(spark, sf_dir, "documents"))
