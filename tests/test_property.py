@@ -143,3 +143,30 @@ def test_lut_spark_vs_numpy_parity(spark):
     assert np.allclose(got, ref["sigma0"], rtol=1e-13, atol=0)
     assert np.array_equal(pdf["incidence"].to_numpy().reshape(
         ref["sigma0"].shape)[:, 0], ref["coords"]["incidence"])
+
+
+# ----------------------------------------------------------------------
+# IVF ANN recall vs brute force
+# ----------------------------------------------------------------------
+
+def test_ivf_recall(spark):
+    from xsarsea_spark.pipeline.ivf import (assign_cells, ivf_search,
+                                            train_ivf)
+    from xsarsea_spark.pipeline.similarity import cosine_topk
+    from xsarsea_spark.sources.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter("vec_id < 10")
+    truth = cosine_topk(queries, emb, k=5).toPandas()
+    centroids = train_ivf(emb, n_centroids=8, iters=3)
+    indexed = assign_cells(emb, centroids)
+    got = ivf_search(queries, indexed, centroids, k=5,
+                     n_probe=4).toPandas()
+    t = {(r.query_id, r.neighbor_id) for r in truth.itertuples()}
+    g = {(r.query_id, r.neighbor_id) for r in got.itertuples()}
+    recall = len(t & g) / len(t)
+    # probing half the cells should recover most true neighbors
+    assert recall >= 0.6, recall
+    # cells actually partition the corpus
+    ncells = indexed.select("cell").distinct().count()
+    assert 2 <= ncells <= 8

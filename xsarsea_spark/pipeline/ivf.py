@@ -1,0 +1,177 @@
+"""IVF (inverted-file) approximate nearest neighbor search.
+
+The second scale path for embedding similarity (next to the
+random-hyperplane LSH in pipeline.similarity): a coarse k-means
+quantizer partitions the corpus into cells; queries probe only the
+``n_probe`` nearest cells and run exact cosine inside them.
+
+Scale design:
+
+- training runs Lloyd iterations where the ONLY driver-side state is
+  the centroid matrix (n_centroids x dim floats — KBs); assignments
+  and per-cell sums are distributed aggregations;
+- the index is just a ``cell`` column on the corpus — at 100 TB it
+  becomes the partition/bucket key, so a probe reads only its cells'
+  files;
+- search touches corpus rows of the probed cells only — never
+  all-pairs.
+
+Determinism: centroids initialize from the first ``n_centroids``
+vectors by id and Lloyd updates use fixed-dimension averages, so the
+index is reproducible run-to-run (no RNG).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xsarsea_spark.pipeline.similarity import _DOT, with_norm
+
+__all__ = ["train_ivf", "assign_cells", "ivf_search"]
+
+
+def _assign_kernel(centroids: np.ndarray, id_col: str, vec_col: str):
+    c = np.ascontiguousarray(centroids, dtype=np.float64)
+    cn = np.linalg.norm(c, axis=1)
+    cn[cn == 0] = 1.0
+
+    def gen(batches):
+        for pdf in batches:
+            v = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            vn = np.linalg.norm(v, axis=1)
+            vn[vn == 0] = 1.0
+            # cosine assignment (argmax similarity)
+            sim = (v @ c.T) / vn[:, None] / cn[None, :]
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "cell": np.argmax(sim, axis=1).astype(np.int32),
+            })
+
+    return gen
+
+
+def train_ivf(corpus: DataFrame, n_centroids: int = 16, iters: int = 5,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic Lloyd training; returns the centroid matrix."""
+    dim = len(corpus.select(vec_col).first()[0])
+    init = (
+        corpus.orderBy(id_col).limit(n_centroids)
+        .select(vec_col).collect()
+    )
+    centroids = np.stack(
+        [np.asarray(r[0], dtype=np.float64) for r in init])
+    schema = T.StructType([
+        corpus.schema[id_col],
+        T.StructField("cell", T.IntegerType()),
+    ])
+    for _ in range(iters):
+        assigned = corpus.select(id_col, vec_col).mapInPandas(
+            _assign_kernel(centroids, id_col, vec_col), schema=schema
+        ).join(corpus.select(id_col, vec_col), on=id_col)
+        # per-cell, per-dimension mean: posexplode + two-level agg
+        sums = (
+            assigned.select("cell", F.posexplode(vec_col)
+                            .alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.sum(F.col("x").cast("double")).alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = centroids.copy()
+        acc = {}
+        for r in sums:
+            acc.setdefault(r["cell"], np.zeros(dim + 1))
+        for r in sums:
+            acc[r["cell"]][r["i"]] = r["s"] / r["n"]
+            acc[r["cell"]][dim] = 1.0
+        for cell, row in acc.items():
+            if row[dim] > 0:
+                new[cell] = row[:dim]
+        centroids = new
+    return centroids
+
+
+def assign_cells(corpus: DataFrame, centroids: np.ndarray,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Index: corpus rows tagged with their nearest-centroid cell."""
+    schema = T.StructType([
+        corpus.schema[id_col],
+        T.StructField("cell", T.IntegerType()),
+    ])
+    cells = corpus.select(id_col, vec_col).mapInPandas(
+        _assign_kernel(centroids, id_col, vec_col), schema=schema)
+    return corpus.join(cells, on=id_col)
+
+
+def ivf_search(
+    queries: DataFrame,
+    indexed_corpus: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the n_probe nearest cells per query, exact cosine inside.
+
+    Returns (query_id, rank, neighbor_id, cosine).
+    """
+    spark = queries.sparkSession
+    c = np.ascontiguousarray(centroids, dtype=np.float64)
+    cn = np.linalg.norm(c, axis=1)
+    cn[cn == 0] = 1.0
+
+    probe_schema = T.StructType([
+        queries.schema[id_col],
+        T.StructField("cell", T.IntegerType()),
+    ])
+
+    def probe_gen(batches):
+        for pdf in batches:
+            v = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            vn = np.linalg.norm(v, axis=1)
+            vn[vn == 0] = 1.0
+            sim = (v @ c.T) / vn[:, None] / cn[None, :]
+            top = np.argsort(-sim, axis=1)[:, :n_probe]
+            ids = np.repeat(pdf[id_col].to_numpy(), n_probe)
+            yield pd.DataFrame({
+                id_col: ids,
+                "cell": top.ravel().astype(np.int32),
+            })
+
+    probes = queries.select(id_col, vec_col).mapInPandas(
+        probe_gen, schema=probe_schema
+    ).withColumnRenamed(id_col, "query_id")
+
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        F.col("__norm").alias("__qn"))
+    cband = with_norm(indexed_corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "cell",
+        F.col(vec_col).alias("__cv"), F.col("__norm").alias("__cn"))
+
+    dot = _DOT.format(a="__qv", b="__cv")
+    scored = (
+        probes.join(cband, on="cell")
+        .join(F.broadcast(q), on="query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", F.expr(f"({dot}) / (__qn * __cn)"))
+    )
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

@@ -377,3 +377,28 @@ def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xsarsea_spark.pipeline.text import rolling_hash
 
     return rolling_hash(load(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------------------------
+# IVF ANN — rows-only (index + probe search; recall vs brute force is
+# pytest-asserted)
+# ----------------------------------------------------------------------
+
+
+@spec(
+    "ivf_ann",
+    None,
+    description="IVF approximate NN: deterministic k-means coarse "
+                "quantizer, cell-partitioned index, n_probe cell scan "
+                "+ exact cosine — the second bucketed scale path",
+    tags=("pipeline", "similarity", "rows-only"),
+)
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.ivf import (assign_cells, ivf_search,
+                                            train_ivf)
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = train_ivf(emb, n_centroids=16, iters=3)
+    indexed = assign_cells(emb, centroids)
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ)
+    return ivf_search(queries, indexed, centroids, k=_KNN_K, n_probe=4)
