@@ -209,3 +209,148 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(20, 40))
     )
     return j.filter(cond).agg(F.expr(DSUM(_REV)).alias("revenue"))
+
+
+# ----------------------------------------------------------------------
+# q08 market share: one nation's share of regional revenue by year
+# ----------------------------------------------------------------------
+
+_Q08_SQL = f"""
+WITH all_nations AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+    {_REV} AS volume, n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA')
+SELECT o_year,
+  CAST(SUM(CAST(CASE WHEN supp_nation = '{_N1}' THEN volume
+                ELSE 0e0 END AS DECIMAL(38,6))) AS DOUBLE)
+    / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+FROM all_nations GROUP BY o_year ORDER BY o_year
+"""
+
+
+@spec(
+    "q08_market_share",
+    _Q08_SQL,
+    "Conditional-share aggregate over a 7-way star join.",
+    tags=("relational", "join", "agg"),
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_regionkey").alias("c_rk"))
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation"))
+    region = load(spark, sf_dir, "region").filter("r_name = 'ASIA'")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == F.col("r_regionkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .withColumn("o_year",
+                    F.expr("CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)"))
+        .withColumn("volume", F.expr(_REV))
+    )
+    share = (
+        f"CAST(SUM(CAST(CASE WHEN supp_nation = '{_N1}' THEN volume"
+        f" ELSE 0e0 END AS DECIMAL(38,6))) AS DOUBLE)"
+        f" / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE)"
+    )
+    return (
+        j.groupBy("o_year")
+        .agg(F.expr(share).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+# ----------------------------------------------------------------------
+# q15 top supplier(s) by revenue (view + max subquery)
+# ----------------------------------------------------------------------
+
+_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, {DSUM(_REV)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@spec(
+    "q15_top_supplier",
+    _Q15_SQL,
+    "Aggregate view + scalar-max semi filter.",
+    tags=("relational", "agg"),
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.expr(DSUM(_REV)).alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx),
+                 F.col("total_revenue") == F.col("__mx"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ----------------------------------------------------------------------
+# q17 small-quantity-order revenue (correlated avg subquery)
+# ----------------------------------------------------------------------
+
+_Q17_SQL = f"""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+  / 7e0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT 2e-1 * AVG(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+@spec(
+    "q17_small_quantity",
+    _Q17_SQL,
+    "Correlated per-part average subquery decorrelated to a join.",
+    tags=("relational", "join", "agg"),
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter("p_brand = 'Brand#1'")
+    # decorrelate: per-part avg as a plain aggregate, then join
+    avgs = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.expr("2e-1") * F.avg("l_quantity")).alias("__thr"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(avgs, li.l_partkey == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__thr"))
+        .agg(F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)"
+            " / 7e0").alias("avg_yearly"))
+    )
