@@ -126,9 +126,13 @@ _GMF_GRID = (
 
 
 def _gmf_eval_projection() -> str:
+    # Q9 (not 10): with 14 x 10k values this is the largest
+    # quantization surface in the suite — the coarser grid cuts the
+    # cross-engine boundary-straddle probability ~10x while keeping
+    # >= 5 significant digits on the smallest crosspol values
     cols = []
     for m in _GMF_EVAL_MODELS:
-        cols.append(f"{QTRUNC(gmf_sql(m), 10)} AS {m}")
+        cols.append(f"{QTRUNC(gmf_sql(m), 9)} AS {m}")
     return ",\n  ".join(cols)
 
 
@@ -153,7 +157,7 @@ def q_gmf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = i.crossJoin(w).crossJoin(p)
     return grid.selectExpr(
         "incidence", "wspd", "phi",
-        *[f"{QTRUNC(gmf_sql(m), 10)} AS {m}" for m in _GMF_EVAL_MODELS],
+        *[f"{QTRUNC(gmf_sql(m), 9)} AS {m}" for m in _GMF_EVAL_MODELS],
     )
 
 
