@@ -400,3 +400,147 @@ def q_streaks_full(spark: SparkSession, sf_dir: str) -> DataFrame:
                " AS INT)"),
     )
     return streak_direction(dense, n_angles=72)
+
+
+# ----------------------------------------------------------------------
+# EXACT oracle for the stencil pyramid: every convolution is emitted
+# as fixed-tap-order join+sum SQL that mirrors _correlate2's
+# accumulation order term by term (all kernel weights are dyadic, so
+# products are exactly rounded identically in both engines; additions
+# happen in the same order) — no quantization needed.
+# ----------------------------------------------------------------------
+
+from xsarsea_spark.operators.gradients import B2 as _B2K  # noqa: E402
+from xsarsea_spark.operators.gradients import B4 as _B4K  # noqa: E402
+from xsarsea_spark.operators.gradients import SCHARR_X as _SXK  # noqa: E402
+from xsarsea_spark.operators.gradients import SCHARR_Y as _SYK  # noqa: E402
+from xsarsea_spark.suite.science import N_LINES as _NL  # noqa: E402
+from xsarsea_spark.suite.science import N_SAMPLES as _NS  # noqa: E402
+
+
+def _reflect(expr: str, n: int, mode: str) -> str:
+    """Single-bounce boundary index mapping (reach << n)."""
+    if mode == "symmetric":        # np.pad 'symmetric': -1 -> 0
+        return (f"CASE WHEN ({expr}) < 0 THEN -({expr}) - 1 "
+                f"WHEN ({expr}) >= {n} THEN {2 * n} - ({expr}) - 1 "
+                f"ELSE ({expr}) END")
+    # 'reflect' (cv2 BORDER_REFLECT_101): -1 -> 1
+    return (f"CASE WHEN ({expr}) < 0 THEN -({expr}) "
+            f"WHEN ({expr}) >= {n} THEN {2 * n} - ({expr}) - 2 "
+            f"ELSE ({expr}) END")
+
+
+def _taps(kernel) -> list:
+    """(di, dj, w) in _correlate2's accumulation order."""
+    kh, kw = kernel.shape
+    out = []
+    for i in range(kh):
+        for j in range(kw):
+            w = float(kernel[i, j])
+            if w != 0.0:
+                out.append((i - kh // 2, j - kw // 2, w))
+    return out
+
+
+def _conv_cte(name, src, nl, ns, kernels: dict, mode: str) -> str:
+    """One CTE joining src once per tap position; each output column
+    is a fixed-order weighted sum over its kernel's taps."""
+    positions = []
+    for taps in kernels.values():
+        for (di, dj, _w) in taps:
+            if (di, dj) not in positions:
+                positions.append((di, dj))
+    joins = []
+    alias = {}
+    for k, (di, dj) in enumerate(positions):
+        alias[(di, dj)] = f"t{k}"
+        joins.append(
+            f"JOIN {src} t{k} ON t{k}.l ="
+            f" {_reflect(f'g.l + {di}', nl, mode)}"
+            f" AND t{k}.s = {_reflect(f'g.s + {dj}', ns, mode)}"
+        )
+    cols = []
+    for out_col, taps in kernels.items():
+        src_col = out_col.split(":")[1] if ":" in out_col else "v"
+        out_name = out_col.split(":")[0]
+        terms = " + ".join(
+            f"{_dlit(w)} * {alias[(di, dj)]}.{src_col}"
+            for (di, dj, w) in taps)
+        cols.append(f"{terms} AS {out_name}")
+    return (
+        f"{name} AS MATERIALIZED (\n  SELECT g.l, g.s, {', '.join(cols)}\n"
+        f"  FROM (SELECT a.range AS l, b.range AS s FROM range({nl}) a"
+        f" CROSS JOIN range({ns}) b) g\n  " + "\n  ".join(joins) + ")"
+    )
+
+
+def _coarsen_cte(name, src, nl2, ns2, cols: list) -> str:
+    """(v(2l,2s) + v(2l,2s+1) + v(2l+1,2s) + v(2l+1,2s+1)) / 4."""
+    joins = [
+        f"JOIN {src} t0 ON t0.l = 2 * g.l     AND t0.s = 2 * g.s",
+        f"JOIN {src} t1 ON t1.l = 2 * g.l     AND t1.s = 2 * g.s + 1",
+        f"JOIN {src} t2 ON t2.l = 2 * g.l + 1 AND t2.s = 2 * g.s",
+        f"JOIN {src} t3 ON t3.l = 2 * g.l + 1 AND t3.s = 2 * g.s + 1",
+    ]
+    exprs = [f"(t0.{c} + t1.{c} + t2.{c} + t3.{c}) / 4e0 AS {c}"
+             for c in cols]
+    return (
+        f"{name} AS MATERIALIZED (\n  SELECT g.l, g.s, {', '.join(exprs)}\n"
+        f"  FROM (SELECT a.range AS l, b.range AS s FROM range({nl2}) a"
+        f" CROSS JOIN range({ns2}) b) g\n  " + "\n  ".join(joins) + ")"
+    )
+
+
+def _lg_exact_oracle() -> str:
+    nl, ns = _NL, _NS
+    nl2, ns2 = nl // 2, ns // 2
+    nl4, ns4 = nl2 // 2, ns2 // 2
+    b2 = _taps(_B2K)
+    b4 = _taps(_B4K)
+    sx = _taps(_SXK)
+    sy = _taps(_SYK)
+    parts = [
+        f"img AS MATERIALIZED (SELECT line AS l, sample AS s, sigma0 AS v FROM"
+        f" ({scene_sql(['sigma0'])}))",
+        _conv_cte("r2a_pre", "img", nl, ns, {"v": b4}, "symmetric"),
+        _coarsen_cte("r2a_coar", "r2a_pre", nl2, ns2, ["v"]),
+        _conv_cte("r2a", "r2a_coar", nl2, ns2, {"v": b2}, "symmetric"),
+        "ampl AS MATERIALIZED (SELECT l, s, sqrt(v) AS v FROM r2a)",
+        _conv_cte("grad", "ampl", nl2, ns2,
+                  {"gx": sx, "gy": sy}, "reflect"),
+        "g2 AS MATERIALIZED (SELECT l, s, gx * gx - gy * gy AS re,"
+        " 2e0 * (gx * gy) AS im FROM grad)",
+        "g2a AS MATERIALIZED (SELECT l, s, re, im,"
+        " sqrt(re * re + im * im) AS ab FROM g2)",
+        _conv_cte("r2b_pre", "g2a", nl2, ns2,
+                  {"re:re": b4, "im:im": b4, "ab:ab": b4}, "symmetric"),
+        _coarsen_cte("r2b_coar", "r2b_pre", nl4, ns4,
+                     ["re", "im", "ab"]),
+        _conv_cte("r2b", "r2b_coar", nl4, ns4,
+                  {"re:re": b2, "im:im": b2, "ab:ab": b2}, "symmetric"),
+        "fin AS MATERIALIZED (SELECT l, s, re, im, ab,"
+        " sqrt(re * re + im * im) AS r FROM r2b)",
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT l AS line4, s AS sample4,
+  4e0 * l + 1.5e0 AS line, 4e0 * s + 1.5e0 AS sample,
+  sqrt((r + re) / 2e0) AS g2_re,
+  (CASE WHEN im >= 0e0 THEN 1e0 ELSE -1e0 END)
+    * sqrt(GREATEST((r - re) / 2e0, 0e0)) AS g2_im,
+  ab AS g3,
+  CASE WHEN r / (ab + {_dlit(0.00001)}) <= 1e0
+       THEN r / (ab + {_dlit(0.00001)}) ELSE 0e0 END AS c
+FROM fin
+""")
+
+
+# upgrade the rows-only pyramid spec to a full oracle
+REGISTRY = __import__("xsarsea_spark.suite.base",
+                      fromlist=["REGISTRY"]).REGISTRY
+REGISTRY["local_gradients_pyramid"].oracle = _lg_exact_oracle()
+REGISTRY["local_gradients_pyramid"].description = (
+    "Fused tile+halo stencil pyramid (R2 -> sqrt -> Scharr -> complex "
+    "square -> R2 -> quality) — EXACT oracle: every convolution "
+    "emitted as fixed-tap-order join+sum SQL mirroring the kernel's "
+    "accumulation order (dyadic weights, no quantization)")
