@@ -49,20 +49,32 @@ class GridAxis:
 
 
 def corner_struct_lut(
-    lut: DataFrame, axes: Sequence[GridAxis], value_col: str
+    lut: DataFrame, axes: Sequence[GridAxis],
+    value_col: "str | Sequence[str]",
 ) -> DataFrame:
     """Pre-shift the LUT so each base cell row carries its 2^d corner
     values (columns ``__v_0 .. __v_{2^d-1}``, corner bit j = +1 on axis
-    j). One bounded shuffle over the LUT, done once per plan."""
+    j). One bounded shuffle over the LUT, done once per plan.
+
+    ``value_col`` may be a list: every listed column rides the SAME
+    explode + groupBy (corner columns ``__v_{c}__{name}``), so a
+    multi-field LUT (e.g. u/v wind components) costs one shuffle and
+    one downstream broadcast join total, not one per field."""
+    multi = not isinstance(value_col, str)
+    vcols = list(value_col) if multi else [value_col]
     d = len(axes)
     n_corners = 1 << d
-    # each cell k contributes its value to every base cell k - bits(c)
+
+    def vname(c: int, v: str) -> str:
+        return f"__v_{c}__{v}" if multi else f"__v_{c}"
+
+    # each cell k contributes its value(s) to every base cell k - bits(c)
     contrib = lut.select(
         F.explode(
             F.array(*[F.lit(c) for c in range(n_corners)])
         ).alias("__corner"),
         *[F.col(f"{ax.name}_idx") for ax in axes],
-        F.col(value_col).alias("__v"),
+        *[F.col(v).alias(f"__v__{v}") for v in vcols],
     )
     base_cols = []
     cond = None
@@ -73,7 +85,10 @@ def corner_struct_lut(
         c = (F.col(f"{ax.name}_idx") - bit) >= 0
         cond = c if cond is None else (cond & c)
     pivots = [
-        F.max(F.when(F.col("__corner") == c, F.col("__v"))).alias(f"__v_{c}")
+        F.max(
+            F.when(F.col("__corner") == c, F.col(f"__v__{v}"))
+        ).alias(vname(c, v))
+        for v in vcols
         for c in range(n_corners)
     ]
     return (
@@ -105,7 +120,7 @@ def _index_points(
     return pt
 
 
-def _blend_expr(axes: Sequence[GridAxis]):
+def _blend_expr(axes: Sequence[GridAxis], suffix: str = ""):
     """Fixed-corner-order multilinear blend => bit-deterministic."""
     d = len(axes)
     blend = None
@@ -116,7 +131,7 @@ def _blend_expr(axes: Sequence[GridAxis]):
             f = F.col(f"__f_{ax.name}")
             term = f if bit else (F.lit(1.0) - f)
             w = term if w is None else (w * term)
-        term = F.col(f"__v_{corner}") * w
+        term = F.col(f"__v_{corner}{suffix}") * w
         blend = term if blend is None else (blend + term)
     return blend
 
@@ -134,9 +149,9 @@ def interp_join(
     points: DataFrame,
     lut: DataFrame,
     axes: Sequence[GridAxis],
-    value_col: str = "sigma0_model",
+    value_col: "str | Sequence[str]" = "sigma0_model",
     point_cols: Mapping[str, str] | None = None,
-    out_col: str = "value_interp",
+    out_col: "str | Sequence[str]" = "value_interp",
     bounds: str = "clamp",
 ) -> DataFrame:
     """Multilinear interpolation of ``points`` into ``lut``.
@@ -144,6 +159,10 @@ def interp_join(
     ``axes`` describe the LUT's regular grid; ``point_cols`` maps axis
     name -> column in ``points`` (defaults to the axis name). The LUT
     must have ``<axis>_idx`` integer columns and ``value_col``.
+
+    ``value_col``/``out_col`` may be parallel lists to interpolate
+    several LUT fields (e.g. u/v wind components) with ONE corner
+    shuffle + ONE broadcast join instead of one pass per field.
 
     ``bounds``: ``'clamp'`` extrapolates flat outside the grid (like
     np.interp); ``'nan'`` nulls ``out_col`` for out-of-range points —
@@ -156,6 +175,11 @@ def interp_join(
     d = len(axes)
     if d == 0 or d > 3:
         raise ValueError("interp_join supports 1-3 dimensions")
+    multi = not isinstance(value_col, str)
+    vcols = list(value_col) if multi else [value_col]
+    ocols = list(out_col) if multi else [out_col]
+    if len(vcols) != len(ocols):
+        raise ValueError("value_col and out_col lengths differ")
 
     pt = _index_points(points, axes, point_cols)
     corners = corner_struct_lut(lut, axes, value_col)
@@ -166,11 +190,15 @@ def interp_join(
         cond = c if cond is None else (cond & c)
     out = pt.join(F.broadcast(corners), cond, "left")
 
-    blend = _blend_expr(axes)
-    if bounds == "nan":
-        blend = F.when(_oob_cond(axes, point_cols), F.lit(None)).otherwise(blend)
-    out = out.withColumn(out_col, blend)
-    drop = [f"__v_{c}" for c in range(1 << d)]
+    oob = _oob_cond(axes, point_cols) if bounds == "nan" else None
+    drop = []
+    for v, o in zip(vcols, ocols):
+        suffix = f"__{v}" if multi else ""
+        blend = _blend_expr(axes, suffix)
+        if oob is not None:
+            blend = F.when(oob, F.lit(None)).otherwise(blend)
+        out = out.withColumn(o, blend)
+        drop += [f"__v_{c}{suffix}" for c in range(1 << d)]
     drop += [f"__i_{ax.name}" for ax in axes]
     drop += [f"__f_{ax.name}" for ax in axes]
     drop += [f"__b_{ax.name}" for ax in axes]

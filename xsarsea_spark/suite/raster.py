@@ -202,8 +202,8 @@ def q_ancillary(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_AW_V.replace('li', 'line_idx').replace('sa', 'sample_idx')}"
         " AS v10",
     )
-    out = interp_join(px, ras, _AW_AXES, value_col="u10", out_col="anc_u")
-    out = interp_join(out, ras, _AW_AXES, value_col="v10", out_col="anc_v")
+    out = interp_join(px, ras, _AW_AXES, value_col=["u10", "v10"],
+                      out_col=["anc_u", "anc_v"])
     return out.select("line", "sample", "sigma0", "anc_u", "anc_v")
 
 
