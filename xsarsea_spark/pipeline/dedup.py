@@ -184,3 +184,94 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text",
             " ELSE 0L END) AS BIGINT)"
         ).alias("simhash")
     )
+
+
+# ----------------------------------------------------------------------
+# Embedding-cosine near-dup (the vector-space dedup family)
+# ----------------------------------------------------------------------
+
+def _plane_component_sql() -> str:
+    """Deterministic pseudo-random hyperplane component for plane ``p``,
+    vector coordinate ``i`` (no RNG state — identical in any engine)."""
+    return "((((p * 9973 + i * 277) % 2003) - 1001) / 1001e0)"
+
+
+def cosine_neardup(
+    vecs: DataFrame,
+    threshold: float = 0.98,
+    n_planes: int = 16,
+    bands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded random-
+    hyperplane LSH — never all-pairs.
+
+    Each vector gets ``n_planes`` signed projections (sequential
+    JVM-side fold per plane — deterministic accumulation order), cut
+    into ``bands`` sign-pattern buckets. Candidate pairs share a
+    (band, bucket); only candidates get the exact cosine, and pairs
+    with cosine >= ``threshold`` survive. Returns (id_a, id_b, cosine).
+
+    Scale: signatures are one projection pass over the vectors; the
+    candidate stage shuffles on (band, bucket) — bucket sizes are
+    bounded by band selectivity (2^(n_planes/bands) buckets/band), so
+    cost is O(n * n_planes * dim) + O(sum bucket^2), not O(n^2).
+    Parity: reference has no vector dedup; family required by the
+    engine brief (embedding-cosine near-dup).
+    """
+    r = n_planes // bands
+    if r * bands != n_planes:
+        raise ValueError("bands must divide n_planes")
+    pc = _plane_component_sql()
+    projs = (
+        f"transform(sequence(0, {n_planes - 1}), p ->"
+        f" aggregate(zip_with({vec_col},"
+        f" sequence(0, size({vec_col}) - 1),"
+        f" (x, i) -> CAST(x AS DOUBLE) * {pc}),"
+        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    # band bucket = little-endian sign bits of the band's r projections
+    buckets = (
+        f"transform(sequence(0, {bands - 1}), b ->"
+        f" aggregate(sequence(0, {r - 1}), 0L, (acc, j) ->"
+        f" acc + CASE WHEN element_at(__projs, b * {r} + j + 1) > 0e0"
+        f" THEN CAST(shiftleft(1, j) AS BIGINT) ELSE 0L END))"
+    )
+    sig = (
+        vecs.select(id_col, vec_col)
+        .withColumn("__projs", F.expr(projs))
+        .withColumn("__buckets", F.expr(buckets))
+        .select(id_col, F.posexplode("__buckets").alias("band", "bucket"))
+    )
+    a = sig.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = sig.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    nrm = (
+        f"sqrt(aggregate(zip_with({{v}}, {{v}}, (x, y) ->"
+        f" CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    va = vecs.select(F.col(id_col).alias("id_a"),
+                     F.col(vec_col).alias("__va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"),
+                     F.col(vec_col).alias("__vb"))
+    dot = ("aggregate(zip_with(__va, __vb, (x, y) ->"
+           " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+           " CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    out = (
+        cand.join(va, on="id_a").join(vb, on="id_b")
+        .withColumn(
+            "cosine",
+            F.expr(f"({dot}) / ({nrm.format(v='__va')}"
+                   f" * {nrm.format(v='__vb')})"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )
+    return out

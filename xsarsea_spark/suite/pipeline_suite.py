@@ -402,3 +402,91 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexed = assign_cells(emb, centroids)
     queries = emb.filter(F.col("vec_id") < _KNN_NQ)
     return ivf_search(queries, indexed, centroids, k=_KNN_K, n_probe=4)
+
+
+# ----------------------------------------------------------------------
+# Embedding-cosine near-dup (vector-space dedup family). The corpus is
+# embeddings UNION a deterministically-perturbed clone of every 7th
+# vector (clone ids offset by 1e6), so true near-dup pairs exist by
+# construction. All similarity math is sequential-fold double
+# arithmetic (exact cross-engine); LSH buckets are sign patterns of
+# deterministic hyperplane projections — both engines compute the
+# identical candidate set, never all-pairs.
+# ----------------------------------------------------------------------
+
+_CND_PLANES, _CND_BANDS, _CND_T = 16, 4, 0.95
+_CND_R = _CND_PLANES // _CND_BANDS
+
+_CND_PERTURB = "2e-2 * ((((vec_id * 31 + {i0} * 17) % 21) - 10) / 10e0)"
+
+
+def _cnd_oracle() -> str:
+    plane = "((((p * 9973 + (i - 1) * 277) % 2003) - 1001) / 1001e0)"
+    bucket = " + ".join(
+        f"(CASE WHEN pj[band * {_CND_R} + {j + 1}] > 0e0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(_CND_R)
+    )
+    pert = _CND_PERTURB.format(i0="(i - 1)")
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+clones AS (
+  SELECT vec_id + 1000000 AS vec_id,
+    list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) + {pert}) AS v
+  FROM embeddings WHERE vec_id % 7 = 0),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM clones),
+projs AS (
+  SELECT vec_id, v,
+    list_transform(range(0, {_CND_PLANES}), p ->
+      list_reduce(list_transform(range(1, len(v) + 1),
+        i -> v[i] * {plane}), (a, b) -> a + b)) AS pj
+  FROM corpus),
+sig AS (
+  SELECT vec_id, band, {bucket} AS bucket
+  FROM projs CROSS JOIN (SELECT CAST(range AS INT) AS band
+                         FROM range({_CND_BANDS}))),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+nrm AS (
+  SELECT vec_id, v,
+    sqrt(list_reduce(list_transform(range(1, len(v) + 1),
+      i -> v[i] * v[i]), (a, b) -> a + b)) AS n
+  FROM corpus)
+SELECT id_a, id_b, cosine FROM (
+  SELECT id_a, id_b,
+    list_reduce(list_transform(range(1, len(x.v) + 1),
+      i -> x.v[i] * y.v[i]), (a, b) -> a + b) / (x.n * y.n) AS cosine
+  FROM cand JOIN nrm x ON x.vec_id = id_a
+            JOIN nrm y ON y.vec_id = id_b)
+WHERE cosine >= {_CND_T}
+"""
+
+
+@spec(
+    "embedding_cosine_neardup",
+    _cnd_oracle(),
+    description="Embedding-cosine near-dup: banded random-hyperplane "
+                "LSH candidates (never all-pairs) + exact cosine >= "
+                "0.95 verify, over a clone-injected corpus",
+    tags=("pipeline", "dedup", "similarity"),
+)
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.dedup import cosine_neardup
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
+    pert = _CND_PERTURB.format(i0="i")
+    clones = emb.filter(F.col("vec_id") % 7 == 0).selectExpr(
+        "vec_id + 1000000 AS vec_id",
+        f"zip_with(embedding, sequence(0, size(embedding) - 1),"
+        f" (x, i) -> CAST(x AS DOUBLE) + {pert}) AS embedding",
+    )
+    corpus = base.unionAll(clones)
+    return cosine_neardup(corpus, threshold=_CND_T,
+                          n_planes=_CND_PLANES, bands=_CND_BANDS)
