@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["events_stream", "stream_hourly_counts", "stream_minute_dedup"]
+__all__ = ["events_stream", "stream_hourly_counts",
+           "stream_minute_dedup", "stream_sessionize"]
 
 EVENTS_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
@@ -94,3 +95,46 @@ def stream_minute_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type", "minute_bucket"]
     ).select("user_id", "event_type", "minute_bucket")
     return _run_to_memory(dedup, "append")
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` sessionization (30-min inactivity gap)
+    — Spark's built-in merging session state, batch-equivalent output.
+
+    The memory-sink result carries (user_id, window, n_events,
+    sum_value); session ordinals and start/end are derived from the
+    window bounds afterwards (window.end is last-event + gap, so
+    session_end = window.end - gap). Boundary semantics: session_window
+    splits at gap >= G while the batch lag-formulation splits at
+    gap > G — identical whenever no inter-event gap equals G exactly
+    (asserted for the driver tables; a tie would need a nanosecond-
+    exact 30-minute spacing).
+    """
+    ev = events_stream(spark, sf_dir).withWatermark("event_time", "1 hour")
+    agg = (
+        ev.groupBy(
+            F.session_window("event_time", "30 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)"
+            ).alias("sum_value"),
+        )
+    )
+    tbl = _run_to_memory(agg, "complete")
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("user_id").orderBy("session_start")
+    return (
+        tbl.select(
+            "user_id",
+            F.expr("unix_micros(w.start)").alias("session_start"),
+            F.expr("unix_micros(w.end) - 1800000000").alias("session_end"),
+            "n_events", "sum_value",
+        )
+        .withColumn("session_id", F.row_number().over(win))
+        .select("user_id", "session_id", "session_start", "session_end",
+                "n_events", "sum_value")
+    )

@@ -216,3 +216,18 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "us", "value",
                 F.col("us_r_asof").alias("us_asof"), "value_asof")
     )
+
+
+@spec(
+    "events_stream_sessionize",
+    _SESS_ORACLE,
+    description="Structured Streaming sessionization via native "
+                "session_window (merging session state, availableNow) "
+                "— same oracle as the batch gap-sessionize query",
+    tags=("events", "streaming"),
+)
+def q_events_stream_sessionize(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from xsarsea_spark.streaming.events import stream_sessionize
+
+    return stream_sessionize(spark, sf_dir)
