@@ -14,6 +14,8 @@ P = 2^40 - 87 (prime); all arithmetic stays inside BIGINT.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -190,59 +192,133 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text",
 # Embedding-cosine near-dup (the vector-space dedup family)
 # ----------------------------------------------------------------------
 
-def _plane_component_sql() -> str:
-    """Deterministic pseudo-random hyperplane component for plane ``p``,
-    vector coordinate ``i`` (no RNG state — identical in any engine)."""
-    return "((((p * 9973 + i * 277) % 2003) - 1001) / 1001e0)"
+def hyperplanes(n_planes: int, dim: int, seed: int = 0xC0FFEE) -> list:
+    """Deterministic pseudo-random hyperplane components as integers in
+    [-1001, 1001], generated by a fixed 64-bit LCG at SQL-build time.
+
+    Planes are emitted into the SQL as exact integer-ratio literals
+    (``k e0 / 1001e0``), so Spark and any SQL oracle compute
+    bit-identical projections. (An earlier modular in-SQL formula made
+    consecutive planes near-parallel — 9973 = -42 mod 2003 — which
+    collapsed every vector into the all-signs-equal buckets.)
+    """
+    st = seed & ((1 << 64) - 1)
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            st = (st * 6364136223846793005 + 1442695040888963407) \
+                % (1 << 64)
+            row.append(int((st >> 33) % 2003) - 1001)
+        planes.append(row)
+    return planes
+
+
+def projection_sql(plane: list, elem) -> str:
+    """Flat unrolled dot product ``sum_i v[i] * k_i/1001`` — plain
+    left-to-right double adds (codegen-able, no interpreted lambdas,
+    deterministic order in every engine). ``elem(i)`` renders 1-based
+    element access for the target engine."""
+    terms = [
+        f"CAST({elem(i + 1)} AS DOUBLE) * ({k}e0/1001e0)"
+        for i, k in enumerate(plane) if k != 0
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def band_bucket_sql(proj_sqls: list, band: int, r: int) -> str:
+    """Integer bucket id = little-endian sign bits of the band's ``r``
+    projections."""
+    return " + ".join(
+        f"(CASE WHEN {proj_sqls[band * r + j]} > 0e0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(r)
+    )
+
+
+def norm_sql(elem, dim: int) -> str:
+    """Flat unrolled L2 norm of a vector column."""
+    sq = " + ".join(
+        f"CAST({elem(i + 1)} AS DOUBLE) * CAST({elem(i + 1)} AS DOUBLE)"
+        for i in range(dim)
+    )
+    return f"sqrt({sq})"
+
+
+def dot_sql(ea, eb, dim: int) -> str:
+    """Flat unrolled dot product between two vector columns."""
+    return "(" + " + ".join(
+        f"CAST({ea(i + 1)} AS DOUBLE) * CAST({eb(i + 1)} AS DOUBLE)"
+        for i in range(dim)
+    ) + ")"
 
 
 def cosine_neardup(
     vecs: DataFrame,
     threshold: float = 0.98,
-    n_planes: int = 16,
+    n_planes: int = 32,
     bands: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
+    seed: int = 0xC0FFEE,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded random-
     hyperplane LSH — never all-pairs.
 
-    Each vector gets ``n_planes`` signed projections (sequential
-    JVM-side fold per plane — deterministic accumulation order), cut
-    into ``bands`` sign-pattern buckets. Candidate pairs share a
-    (band, bucket); only candidates get the exact cosine, and pairs
-    with cosine >= ``threshold`` survive. Returns (id_a, id_b, cosine).
+    Each vector gets ``n_planes`` signed projections (flat unrolled
+    multiply-adds — whole-stage codegen, deterministic order), cut into
+    ``bands`` sign-pattern buckets of ``n_planes/bands`` bits each.
+    Candidate pairs share a (band, bucket); only candidates get the
+    exact cosine, and pairs with cosine >= ``threshold`` survive.
+    Returns (id_a, id_b, cosine).
 
     Scale: signatures are one projection pass over the vectors; the
-    candidate stage shuffles on (band, bucket) — bucket sizes are
-    bounded by band selectivity (2^(n_planes/bands) buckets/band), so
-    cost is O(n * n_planes * dim) + O(sum bucket^2), not O(n^2).
+    candidate stage shuffles on (band, bucket) — with r = n_planes /
+    bands sign bits there are 2^r buckets per band, so cost is
+    O(n * n_planes * dim) + O(sum bucket^2), not O(n^2). Default
+    r = 8 gives 256 buckets/band.
     Parity: reference has no vector dedup; family required by the
     engine brief (embedding-cosine near-dup).
     """
+    from pyspark.sql.functions import pandas_udf
+
     r = n_planes // bands
     if r * bands != n_planes:
         raise ValueError("bands must divide n_planes")
-    pc = _plane_component_sql()
-    projs = (
-        f"transform(sequence(0, {n_planes - 1}), p ->"
-        f" aggregate(zip_with({vec_col},"
-        f" sequence(0, size({vec_col}) - 1),"
-        f" (x, i) -> CAST(x AS DOUBLE) * {pc}),"
-        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
-    )
-    # band bucket = little-endian sign bits of the band's r projections
-    buckets = (
-        f"transform(sequence(0, {bands - 1}), b ->"
-        f" aggregate(sequence(0, {r - 1}), 0L, (acc, j) ->"
-        f" acc + CASE WHEN element_at(__projs, b * {r} + j + 1) > 0e0"
-        f" THEN CAST(shiftleft(1, j) AS BIGINT) ELSE 0L END))"
-    )
+    if dim is None:
+        dim = vecs.selectExpr(f"size({vec_col}) AS d").first()["d"]
+    planes = hyperplanes(n_planes, dim, seed=seed)
+    # (dim, n_planes) float64 constants — each k/1001 is one IEEE
+    # division, identical to the SQL literal `{k}e0/1001e0`
+    K = np.array(planes, dtype=np.float64).T / 1001.0
+    weights = np.array([1 << j for j in range(r)], dtype=np.int64)
+
+    # Signatures via an Arrow-batched pandas UDF: 2048+ unrolled
+    # multiply-adds per row exceed the JVM 64KB method limit (and
+    # whole-stage codegen cannot split expressions over columnar input
+    # vars), so the flat-SQL form de-optimizes to interpreted eval.
+    # The accumulation below is column-at-a-time — left-to-right over
+    # vector index i, exactly the SQL sum order, so projections are
+    # bit-identical to the unrolled-SQL oracle (NumPy does not fuse
+    # a*b+c into FMA here; each term is two IEEE-rounded ops in both
+    # engines).
+    def _bucket_batches(emb: pd.Series) -> pd.Series:
+        V = np.asarray(list(emb.to_numpy()), dtype=np.float64)
+        acc = np.zeros((V.shape[0], n_planes), dtype=np.float64)
+        for i in range(dim):
+            acc += V[:, i:i + 1] * K[i]
+        bits = acc > 0.0
+        out = np.empty((V.shape[0], bands), dtype=np.int32)
+        for b in range(bands):
+            out[:, b] = bits[:, b * r:(b + 1) * r] @ weights
+        return pd.Series(list(out))
+
+    buckets_udf = pandas_udf(_bucket_batches, "array<int>")
     sig = (
-        vecs.select(id_col, vec_col)
-        .withColumn("__projs", F.expr(projs))
-        .withColumn("__buckets", F.expr(buckets))
-        .select(id_col, F.posexplode("__buckets").alias("band", "bucket"))
+        vecs.select(F.col(id_col),
+                    buckets_udf(F.col(vec_col)).alias("__bks"))
+        .select(id_col, F.posexplode("__bks").alias("band", "bucket"))
     )
     a = sig.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = sig.select(F.col(id_col).alias("id_b"), "band", "bucket")
@@ -252,25 +328,23 @@ def cosine_neardup(
         .select("id_a", "id_b")
         .distinct()
     )
-    nrm = (
-        f"sqrt(aggregate(zip_with({{v}}, {{v}}, (x, y) ->"
-        f" CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    nrm = vecs.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.expr(norm_sql(lambda i: f"element_at({vec_col}, {i})", dim))
+        .alias("__n"),
     )
-    va = vecs.select(F.col(id_col).alias("id_a"),
-                     F.col(vec_col).alias("__va"))
-    vb = vecs.select(F.col(id_col).alias("id_b"),
-                     F.col(vec_col).alias("__vb"))
-    dot = ("aggregate(zip_with(__va, __vb, (x, y) ->"
-           " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-           " CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    va = nrm.select(F.col(id_col).alias("id_a"),
+                    F.col("__v").alias("__va"),
+                    F.col("__n").alias("__na"))
+    vb = nrm.select(F.col(id_col).alias("id_b"),
+                    F.col("__v").alias("__vb"),
+                    F.col("__n").alias("__nb"))
+    dot = dot_sql(lambda i: f"element_at(__va, {i})",
+                  lambda i: f"element_at(__vb, {i})", dim)
     out = (
         cand.join(va, on="id_a").join(vb, on="id_b")
-        .withColumn(
-            "cosine",
-            F.expr(f"({dot}) / ({nrm.format(v='__va')}"
-                   f" * {nrm.format(v='__vb')})"),
-        )
+        .withColumn("cosine", F.expr(f"{dot} / (__na * __nb)"))
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )

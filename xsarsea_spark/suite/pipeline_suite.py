@@ -414,19 +414,28 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical candidate set, never all-pairs.
 # ----------------------------------------------------------------------
 
-_CND_PLANES, _CND_BANDS, _CND_T = 16, 4, 0.95
+_CND_PLANES, _CND_BANDS, _CND_T, _CND_DIM = 32, 4, 0.95, 64
 _CND_R = _CND_PLANES // _CND_BANDS
 
 _CND_PERTURB = "2e-2 * ((((vec_id * 31 + {i0} * 17) % 21) - 10) / 10e0)"
 
 
 def _cnd_oracle() -> str:
-    plane = "((((p * 9973 + (i - 1) * 277) % 2003) - 1001) / 1001e0)"
-    bucket = " + ".join(
-        f"(CASE WHEN pj[band * {_CND_R} + {j + 1}] > 0e0"
-        f" THEN {1 << j} ELSE 0 END)"
-        for j in range(_CND_R)
+    """Same plane constants + same flat unrolled arithmetic as
+    pipeline.dedup.cosine_neardup — bit-identical in DuckDB."""
+    from xsarsea_spark.pipeline.dedup import (band_bucket_sql, dot_sql,
+                                              hyperplanes, norm_sql,
+                                              projection_sql)
+
+    planes = hyperplanes(_CND_PLANES, _CND_DIM)
+    proj_sqls = [projection_sql(p, lambda i: f"v[{i}]") for p in planes]
+    sig_selects = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band,"
+        f" {band_bucket_sql(proj_sqls, b, _CND_R)} AS bucket FROM corpus"
+        for b in range(_CND_BANDS)
     )
+    nrm = norm_sql(lambda i: f"v[{i}]", _CND_DIM)
+    dot = dot_sql(lambda i: f"x.v[{i}]", lambda i: f"y.v[{i}]", _CND_DIM)
     pert = _CND_PERTURB.format(i0="(i - 1)")
     return f"""
 WITH base AS (
@@ -438,29 +447,18 @@ clones AS (
       i -> CAST(embedding[i] AS DOUBLE) + {pert}) AS v
   FROM embeddings WHERE vec_id % 7 = 0),
 corpus AS (SELECT * FROM base UNION ALL SELECT * FROM clones),
-projs AS (
-  SELECT vec_id, v,
-    list_transform(range(0, {_CND_PLANES}), p ->
-      list_reduce(list_transform(range(1, len(v) + 1),
-        i -> v[i] * {plane}), (a, b) -> a + b)) AS pj
-  FROM corpus),
 sig AS (
-  SELECT vec_id, band, {bucket} AS bucket
-  FROM projs CROSS JOIN (SELECT CAST(range AS INT) AS band
-                         FROM range({_CND_BANDS}))),
+  {sig_selects}),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM sig a JOIN sig b
     ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
 nrm AS (
-  SELECT vec_id, v,
-    sqrt(list_reduce(list_transform(range(1, len(v) + 1),
-      i -> v[i] * v[i]), (a, b) -> a + b)) AS n
+  SELECT vec_id, v, {nrm} AS n
   FROM corpus)
 SELECT id_a, id_b, cosine FROM (
   SELECT id_a, id_b,
-    list_reduce(list_transform(range(1, len(x.v) + 1),
-      i -> x.v[i] * y.v[i]), (a, b) -> a + b) / (x.n * y.n) AS cosine
+    {dot} / (x.n * y.n) AS cosine
   FROM cand JOIN nrm x ON x.vec_id = id_a
             JOIN nrm y ON y.vec_id = id_b)
 WHERE cosine >= {_CND_T}
@@ -489,4 +487,5 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionAll(clones)
     return cosine_neardup(corpus, threshold=_CND_T,
-                          n_planes=_CND_PLANES, bands=_CND_BANDS)
+                          n_planes=_CND_PLANES, bands=_CND_BANDS,
+                          dim=_CND_DIM)
