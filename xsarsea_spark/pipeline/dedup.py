@@ -160,31 +160,31 @@ def minhash_lsh_dedup(docs: DataFrame, n: int = 3, k: int = 16,
 def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """SimHash fingerprint: sign of per-bit weighted sums of token
-    hashes (weight = token multiplicity). Pure built-ins: explode
-    tokens x bit positions, two hash aggregations."""
+    hashes (weight = token multiplicity).
+
+    All ``bits`` per-bit sign sums are computed as aggregate
+    expressions in ONE hash aggregation over the exploded tokens
+    (map-side partial combine), then folded into the fingerprint in a
+    tiny projection — the earlier crossJoin-with-bit-positions
+    formulation multiplied the shuffle by ``bits`` (16x at default),
+    which at 100 TB is the whole job. Integer sums, so aggregation
+    order cannot affect the result."""
     h40 = HASH40_SQL.format(x="tok")
     toks = docs.selectExpr(
         id_col, f"explode(split({text_col}, ' ')) AS tok"
     ).withColumn("__h", F.expr(h40))
-    bitpos = docs.sparkSession.range(bits).select(
-        F.col("id").cast("int").alias("bit"))
-    per_bit = (
-        toks.crossJoin(F.broadcast(bitpos))
-        .withColumn(
-            # FLOOR before the cast: Spark's double->BIGINT cast
-            # truncates while DuckDB's rounds — FLOOR makes both exact
-            "contrib",
-            F.expr("CASE WHEN CAST(FLOOR(__h / POW(2, bit)) AS BIGINT)"
-                   " % 2 = 1 THEN 1 ELSE -1 END"),
-        )
-        .groupBy(id_col, "bit")
-        .agg(F.sum("contrib").alias("s"))
+    aggs = [
+        F.expr(f"SUM(CASE WHEN (__h DIV {1 << j}) % 2 = 1"
+               f" THEN 1 ELSE -1 END) AS __s{j}")
+        for j in range(bits)
+    ]
+    wide = toks.groupBy(id_col).agg(*aggs)
+    combine = " + ".join(
+        f"(CASE WHEN __s{j} > 0 THEN {1 << j}L ELSE 0L END)"
+        for j in range(bits)
     )
-    return per_bit.groupBy(id_col).agg(
-        F.expr(
-            "CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, bit) AS BIGINT)"
-            " ELSE 0L END) AS BIGINT)"
-        ).alias("simhash")
+    return wide.selectExpr(
+        id_col, f"CAST({combine} AS BIGINT) AS simhash"
     )
 
 

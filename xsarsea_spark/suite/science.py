@@ -151,14 +151,35 @@ FROM ({_GMF_GRID})
     tags=("science", "gmf"),
 )
 def q_gmf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Evaluated through the Expr layer's NumPy backend in mapInPandas
+    # rather than 14 giant SQL projections: the unrolled SQL form costs
+    # ~7 s of one-shot janino compilation (the data work is ~0.5 s).
+    # np.floor(x * 1e9) / 1e9 is the same IEEE op sequence as QTRUNC,
+    # with NaN passing through floor natively (DuckDB semantics).
+    import numpy as np
+    import pandas as pd
+
+    from xsarsea_spark.functions.gmfs import gmf_numpy
+
     i = spark.range(21).select((16.0 + F.col("id") * 2.5).alias("incidence"))
     w = spark.range(30).select((3.0 + F.col("id") * 1.6).alias("wspd"))
     p = spark.range(16).select((F.col("id") * 12.0).alias("phi"))
     grid = i.crossJoin(w).crossJoin(p)
-    return grid.selectExpr(
-        "incidence", "wspd", "phi",
-        *[f"{QTRUNC(gmf_sql(m), 9)} AS {m}" for m in _GMF_EVAL_MODELS],
-    )
+    schema = ("incidence double, wspd double, phi double, "
+              + ", ".join(f"{m} double" for m in _GMF_EVAL_MODELS))
+
+    def _eval(batches):
+        for pdf in batches:
+            inc = pdf["incidence"].to_numpy(np.float64)
+            ws = pdf["wspd"].to_numpy(np.float64)
+            ph = pdf["phi"].to_numpy(np.float64)
+            out = {"incidence": inc, "wspd": ws, "phi": ph}
+            for m in _GMF_EVAL_MODELS:
+                v = gmf_numpy(m, inc, ws, ph)
+                out[m] = np.floor(v * 1e9) / 1e9
+            yield pd.DataFrame(out)
+
+    return grid.mapInPandas(_eval, schema)
 
 
 # ----------------------------------------------------------------------
