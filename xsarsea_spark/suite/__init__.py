@@ -9,6 +9,7 @@ from xsarsea_spark.suite.base import REGISTRY, QuerySpec, spec  # noqa: F401
 # Import for side effect: populate REGISTRY.
 from xsarsea_spark.suite import relational  # noqa: F401,E402
 from xsarsea_spark.suite import relational_ext  # noqa: F401,E402
+from xsarsea_spark.suite import relational_full  # noqa: F401,E402
 from xsarsea_spark.suite import science  # noqa: F401,E402
 from xsarsea_spark.suite import streaks  # noqa: F401,E402
 from xsarsea_spark.suite import pipeline_suite  # noqa: F401,E402

@@ -1,0 +1,508 @@
+"""Completion of the TPC-H-shaped battery (Q2/Q9/Q11/Q12/Q13/Q16/Q20/
+Q21 adapted to the driver's schema — no partsupp table, so
+part-supplier facts derive from lineitem) plus multi-level grouping
+(ROLLUP / CUBE) coverage.
+
+Conventions follow suite.relational: exact DECIMAL sums (DSUM/DAVG),
+O(1) dims broadcast, O(sf) fact joins left to AQE, no LIMIT under
+ties, all aggregates aliased identically in Spark and oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xsarsea_spark.sources.tables import load
+from xsarsea_spark.suite.base import DAVG, DSUM, spec
+
+_REV = "l_extendedprice * (1e0 - l_discount)"
+
+
+# ----------------------------------------------------------------------
+# Q2 shape: minimum-cost supplier per part. partsupp's supplycost is
+# derived as the supplier's exact average unit price over their
+# lineitems for that part.
+# ----------------------------------------------------------------------
+
+_Q02_SQL = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+    {DAVG('l_extendedprice / l_quantity', 9)} AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+eligible AS (
+  SELECT p_partkey, p_brand, s_name, s_acctbal, n_name, unit_cost,
+    MIN(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+  FROM ps
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE p_type = 'PROMO' AND p_size BETWEEN 10 AND 20
+    AND r_name = 'EUROPE')
+SELECT p_partkey, p_brand, s_name, s_acctbal, n_name,
+  unit_cost AS supply_cost
+FROM eligible WHERE unit_cost = min_cost
+"""
+
+
+@spec(
+    "q02_min_cost_supplier",
+    _Q02_SQL,
+    "Minimum-cost supplier per PROMO mid-size part in EUROPE "
+    "(Q2 shape: derived supply cost + per-part window min).",
+    tags=("relational", "join", "window"),
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    # scale 9: cents/quantity quotients that terminate do so within 7
+    # decimals (quantity <= 50 divides at most 2^5), so no value can
+    # sit on a 1e-9 rounding boundary where the engines' DECIMAL cast
+    # tie-break rules differ (Spark HALF_UP vs DuckDB half-even —
+    # scale 6 hit exactly that on x.xxxxxx5 quotients)
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.expr(DAVG("l_extendedprice / l_quantity", 9)).alias("unit_cost"))
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "PROMO") & F.col("p_size").between(10, 20))
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    j = (
+        ps.join(part, ps.l_partkey == part.p_partkey)
+        .join(supp, ps.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        j.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select("p_partkey", "p_brand", "s_name", "s_acctbal", "n_name",
+                F.col("unit_cost").alias("supply_cost"))
+    )
+
+
+# ----------------------------------------------------------------------
+# Q9 shape: product-type profit by nation and year. supplycost is a
+# fixed fraction of the part's retail price.
+# ----------------------------------------------------------------------
+
+_Q09_PROFIT = f"{_REV} - 6e-1 * p_retailprice * l_quantity"
+
+_Q09_SQL = f"""
+SELECT n_name AS nation,
+  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS o_year,
+  {DSUM(_Q09_PROFIT)} AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+"""
+
+
+@spec(
+    "q09_product_profit",
+    _Q09_SQL,
+    "Profit on gear-named parts by supplier nation and ship year "
+    "(Q9 shape with retail-price-derived supply cost).",
+    tags=("relational", "join", "agg"),
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.expr("CAST(EXTRACT(year FROM l_shipdate) AS BIGINT)")
+            .alias("o_year"),
+            F.expr(_Q09_PROFIT).alias("__profit"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.expr(DSUM("__profit")).alias("sum_profit"))
+    )
+
+
+# ----------------------------------------------------------------------
+# Q11 shape: important parts — per-part inventory value from one
+# nation's suppliers exceeding a multiple of the mean part value.
+# The scalar threshold is joined in as a broadcast 1-row aggregate,
+# never collected to the driver.
+# ----------------------------------------------------------------------
+
+_Q11_NATION = "NATION_5"
+
+_Q11_SQL = f"""
+WITH pv AS (
+  SELECT l_partkey AS p_key, {DSUM(_REV)} AS part_value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = '{_Q11_NATION}'
+  GROUP BY l_partkey),
+tot AS (
+  SELECT CAST(SUM(CAST(part_value AS DECIMAL(38,6))) AS DOUBLE) AS t,
+    COUNT(*) AS n
+  FROM pv)
+SELECT p_key AS l_partkey, part_value
+FROM pv CROSS JOIN tot
+WHERE part_value > 2e0 * t / n
+"""
+
+
+@spec(
+    "q11_important_parts",
+    _Q11_SQL,
+    "Parts whose single-nation inventory value exceeds twice the mean "
+    "(Q11 shape: scalar-aggregate threshold via broadcast join).",
+    tags=("relational", "agg", "subquery"),
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation").filter(
+        F.col("n_name") == _Q11_NATION)
+    pv = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("p_key"))
+        .agg(F.expr(DSUM(_REV)).alias("part_value"))
+    )
+    tot = pv.agg(
+        F.expr("CAST(SUM(CAST(part_value AS DECIMAL(38,6))) AS DOUBLE)")
+        .alias("t"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") > 2.0 * F.col("t") / F.col("n"))
+        .select(F.col("p_key").alias("l_partkey"), "part_value")
+    )
+
+
+# ----------------------------------------------------------------------
+# Q12 shape: late-shipment priority classification. The schema has no
+# shipmode/receiptdate, so lateness derives from shipdate - orderdate
+# and the two-way split is LATE vs VERY LATE.
+# ----------------------------------------------------------------------
+
+_Q12_SQL = """
+SELECT ship_bucket,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 0 ELSE 1 END) AS low_line_count
+FROM (
+  SELECT o_orderpriority,
+    CASE WHEN l_shipdate >= o_orderdate + INTERVAL '90' DAY
+         THEN 'VERY LATE' ELSE 'LATE' END AS ship_bucket
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_shipdate >= o_orderdate + INTERVAL '60' DAY)
+GROUP BY ship_bucket
+"""
+
+
+@spec(
+    "q12_late_shipping",
+    _Q12_SQL,
+    "Order-priority counts for late vs very-late shipments "
+    "(Q12 shape: CASE-sum split over a date-lag bucket).",
+    tags=("relational", "join", "agg"),
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.expr("l_shipdate >= o_orderdate + INTERVAL '60' DAY"))
+        .withColumn(
+            "ship_bucket",
+            F.expr("CASE WHEN l_shipdate >= o_orderdate +"
+                   " INTERVAL '90' DAY THEN 'VERY LATE' ELSE 'LATE' END"),
+        )
+    )
+    hi = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    return j.groupBy("ship_bucket").agg(
+        F.expr(f"SUM(CASE WHEN {hi} THEN 1 ELSE 0 END)")
+        .alias("high_line_count"),
+        F.expr(f"SUM(CASE WHEN {hi} THEN 0 ELSE 1 END)")
+        .alias("low_line_count"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Q13 shape: customer order-count distribution (left join keeps
+# customers with zero qualifying orders).
+# ----------------------------------------------------------------------
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+    AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+@spec(
+    "q13_order_distribution",
+    _Q13_SQL,
+    "Distribution of per-customer non-urgent order counts "
+    "(Q13 shape: left join preserving zero-order customers).",
+    tags=("relational", "join", "agg"),
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist"))
+
+
+# ----------------------------------------------------------------------
+# Q16 shape: distinct-supplier counts per part attribute group,
+# excluding suppliers with negative balance (complaints analog) via
+# anti join.
+# ----------------------------------------------------------------------
+
+_Q16_SIZES = (1, 5, 10, 15, 20, 25, 30, 35)
+
+_Q16_SQL = f"""
+SELECT p_brand, p_type, p_size,
+  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN {_Q16_SIZES}
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0e0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@spec(
+    "q16_supplier_part_count",
+    _Q16_SQL,
+    "Distinct suppliers per (brand, type, size) excluding "
+    "negative-balance suppliers (Q16 shape: anti join + "
+    "count-distinct).",
+    tags=("relational", "join", "agg"),
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(*_Q16_SIZES))
+    bad = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ----------------------------------------------------------------------
+# Q20 shape: suppliers of one nation who moved a significant volume of
+# small-named parts in a year — nested semi joins.
+# ----------------------------------------------------------------------
+
+_Q20_SQL = f"""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'small%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING {DSUM('l_quantity')} > 40e0)
+  AND s_nationkey IN (
+    SELECT n_nationkey FROM nation
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'ASIA')
+"""
+
+
+@spec(
+    "q20_promotion_suppliers",
+    _Q20_SQL,
+    "ASIA suppliers shipping >40 units of any small-named part "
+    "in 1997 (Q20 shape: grouped HAVING inside nested semi joins).",
+    tags=("relational", "join", "subquery"),
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01")))
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")).select("p_partkey")
+    movers = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.expr(DSUM("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 40.0)
+        .select("l_suppkey")
+        .distinct()
+    )
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nat = (
+        load(spark, sf_dir, "nation")
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey")
+    )
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        supp.join(movers, supp.s_suppkey == movers.l_suppkey, "left_semi")
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey,
+              "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+# ----------------------------------------------------------------------
+# Q21 shape: suppliers who were the ONLY returning supplier on
+# finished multi-supplier orders — correlated EXISTS / NOT EXISTS as
+# compound-condition semi / anti joins.
+# ----------------------------------------------------------------------
+
+_Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY s_name
+"""
+
+
+@spec(
+    "q21_waiting_supplier",
+    _Q21_SQL,
+    "Sole returning supplier on finished multi-supplier orders "
+    "(Q21 shape: EXISTS + NOT EXISTS as semi/anti joins).",
+    tags=("relational", "join", "subquery"),
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"),
+              "left_semi")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("k2"),
+                   F.col("l_suppkey").alias("s2"))
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("k3"),
+                F.col("l_suppkey").alias("s3"))
+    )
+    waiting = (
+        l1.join(l2, (F.col("l_orderkey") == F.col("k2"))
+                & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("k3"))
+              & (F.col("l_suppkey") != F.col("s3")), "left_anti")
+    )
+    return (
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ----------------------------------------------------------------------
+# Multi-level grouping: ROLLUP and CUBE with GROUPING markers — one
+# shuffle each (Spark expands grouping sets map-side).
+# ----------------------------------------------------------------------
+
+_ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag) AS INT) AS grp_rf,
+  CAST(GROUPING(l_linestatus) AS INT) AS grp_ls,
+  {DSUM(_REV)} AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+@spec(
+    "q_rollup_revenue",
+    _ROLLUP_SQL,
+    "Revenue at (flag, status), per-flag and grand-total levels in "
+    "one pass — GROUP BY ROLLUP with GROUPING markers.",
+    tags=("relational", "agg", "grouping"),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("grp_rf"),
+            F.grouping("l_linestatus").cast("int").alias("grp_ls"),
+            F.expr(DSUM(_REV)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_CUBE_SQL = f"""
+SELECT o_orderpriority, o_orderstatus,
+  CAST(GROUPING(o_orderpriority) AS INT) AS grp_pri,
+  CAST(GROUPING(o_orderstatus) AS INT) AS grp_st,
+  {DSUM('o_totalprice')} AS total_price,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE(o_orderpriority, o_orderstatus)
+"""
+
+
+@spec(
+    "q_cube_order_stats",
+    _CUBE_SQL,
+    "Order totals over every (priority, status) marginal — GROUP BY "
+    "CUBE with GROUPING markers.",
+    tags=("relational", "agg", "grouping"),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("int").alias("grp_pri"),
+            F.grouping("o_orderstatus").cast("int").alias("grp_st"),
+            F.expr(DSUM("o_totalprice")).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
