@@ -170,3 +170,43 @@ def test_ivf_recall(spark):
     # cells actually partition the corpus
     ncells = indexed.select("cell").distinct().count()
     assert 2 <= ncells <= 8
+
+
+# ----------------------------------------------------------------------
+# Multi-probe LSH recall: probing low-margin bit-flip buckets must
+# strictly add candidates over exact-bucket LSH and recover most of
+# the brute-force top-k
+# ----------------------------------------------------------------------
+
+def test_lsh_multiprobe_recall(spark):
+    from pyspark.sql import functions as F
+
+    from xsarsea_spark.pipeline.similarity import (lsh_ann,
+                                                   lsh_ann_multiprobe)
+    from xsarsea_spark.sources.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    # queries are small deterministic perturbations of corpus vectors
+    # (cosine ~0.999): the true nearest neighbor is the source vector
+    queries = emb.filter("vec_id % 16 = 0").selectExpr(
+        "vec_id + 1000000 AS vec_id",
+        "zip_with(embedding, sequence(0, size(embedding) - 1),"
+        " (x, i) -> CAST(x AS DOUBLE)"
+        " + 5e-3 * ((((vec_id * 13 + i * 7) % 11) - 5) / 5e0))"
+        " AS embedding",
+    )
+    nq = queries.count()
+    plain = lsh_ann(queries, emb, k=1, n_planes=8, dim=64).toPandas()
+    multi = lsh_ann_multiprobe(queries, emb, k=1, n_planes=8,
+                               n_probe=4, dim=64).toPandas()
+
+    def hits(df):
+        return sum(
+            1 for r in df.itertuples()
+            if r.rank == 1 and r.neighbor_id == r.query_id - 1000000)
+
+    h_plain, h_multi = hits(plain), hits(multi)
+    # probing low-margin flips must not lose sources and should
+    # recover most of what exact-bucket LSH misses
+    assert h_multi >= h_plain
+    assert h_multi >= 0.9 * nq, (h_plain, h_multi, nq)

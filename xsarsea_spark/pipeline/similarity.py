@@ -14,10 +14,12 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["with_norm", "cosine_topk", "lsh_ann"]
+__all__ = ["with_norm", "cosine_topk", "lsh_ann", "lsh_ann_multiprobe"]
 
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) ->"
@@ -70,59 +72,68 @@ def cosine_topk(
     )
 
 
-def _hyperplane_sql(dim: int, n_planes: int) -> str:
-    """Deterministic pseudo-random hyperplane component: plane p,
-    component i -> ((p*9973 + i*277) % 2003 - 1001) / 1001."""
-    return "(((p * 9973 + i * 277) % 2003) - 1001) / 1001e0"
+def _projection_matrix(dim: int, n_planes: int, seed: int):
+    """(dim, n_planes) float64 hyperplane matrix — the same integer
+    LCG constants as pipeline.dedup.hyperplanes, so SQL oracles can be
+    generated from the identical planes."""
+    from xsarsea_spark.pipeline.dedup import hyperplanes
+
+    return np.array(hyperplanes(n_planes, dim, seed=seed),
+                    dtype=np.float64).T / 1001.0
 
 
-def lsh_ann(
-    queries: DataFrame,
-    corpus: DataFrame,
-    k: int = 5,
-    n_planes: int = 12,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """Approximate top-k: random-hyperplane signature bucket join, then
-    exact cosine within buckets only.
+def _project(emb, K, dim: int, n_planes: int):
+    """Projections with column-at-a-time (left-to-right over i)
+    accumulation — bit-identical to the unrolled-SQL fold order."""
+    V = np.asarray(list(emb.to_numpy()), dtype=np.float64)
+    acc = np.zeros((V.shape[0], n_planes), dtype=np.float64)
+    for i in range(dim):
+        acc += V[:, i:i + 1] * K[i]
+    return acc
 
-    A vector's signature is the n_planes-bit sign pattern of its
-    projections; candidates share the full signature. Recall can be
-    raised by lowering n_planes or adding multi-probe — this is the
-    bucketed scale path, not the exactness baseline.
-    """
-    spark = queries.sparkSession
-    dim = len(queries.select(vec_col).first()[0])
-    planes = spark.range(n_planes).select(
-        F.col("id").cast("int").alias("p")
-    ).crossJoin(
-        spark.range(dim).select(F.col("id").cast("int").alias("i"))
-    ).withColumn("h", F.expr(_hyperplane_sql(dim, n_planes)))
 
-    def signature(df: DataFrame, ident: str) -> DataFrame:
-        comp = (
-            df.select(F.col(id_col).alias(ident), F.col(vec_col).alias("v"))
-            .select(ident, F.posexplode("v").alias("i", "x"))
-            .join(F.broadcast(planes), on="i")
-            .groupBy(ident, "p")
-            .agg(F.sum(F.expr("CAST(x AS DOUBLE) * h")).alias("proj"))
-            .groupBy(ident)
-            .agg(
-                F.sum(
-                    F.expr("CASE WHEN proj > 0 THEN CAST(POW(2, p) AS BIGINT)"
-                           " ELSE 0L END")
-                ).alias("sig")
-            )
-        )
-        return comp
+def _sig_udf(dim: int, n_planes: int, seed: int):
+    from pyspark.sql.functions import pandas_udf
 
-    qs = signature(queries, "query_id")
-    cs = signature(corpus, "neighbor_id")
-    cand = qs.join(cs, on="sig").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
+    K = _projection_matrix(dim, n_planes, seed)
+    w = np.array([1 << j for j in range(n_planes)], dtype=np.int64)
 
+    def _sig(emb: pd.Series) -> pd.Series:
+        acc = _project(emb, K, dim, n_planes)
+        return pd.Series((acc > 0.0) @ w)
+
+    return pandas_udf(_sig, "bigint")
+
+
+def _probe_udf(dim: int, n_planes: int, n_probe: int, seed: int):
+    """Multi-probe signatures: the exact bucket plus single-bit flips
+    of the ``n_probe`` lowest-margin (|projection|) bits — the bits a
+    near-duplicate on the other side of a hyperplane would differ in.
+    Ties rank by bit index (stable argsort == SQL ORDER BY margin,
+    bit)."""
+    from pyspark.sql.functions import pandas_udf
+
+    K = _projection_matrix(dim, n_planes, seed)
+    w = np.array([1 << j for j in range(n_planes)], dtype=np.int64)
+
+    def _probes(emb: pd.Series) -> pd.Series:
+        acc = _project(emb, K, dim, n_planes)
+        sig = (acc > 0.0) @ w
+        order = np.argsort(np.abs(acc), axis=1, kind="stable")
+        out = []
+        for r in range(len(sig)):
+            probes = [int(sig[r])]
+            for t in range(n_probe):
+                probes.append(int(sig[r]) ^ (1 << int(order[r, t])))
+            out.append(probes)
+        return pd.Series(out)
+
+    return pandas_udf(_probes, "array<bigint>")
+
+
+def _exact_topk(cand: DataFrame, queries: DataFrame, corpus: DataFrame,
+                k: int, vec_col: str, id_col: str) -> DataFrame:
+    """Exact cosine + per-query top-k over candidate pairs only."""
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
         F.col("__norm").alias("__qn"))
@@ -145,3 +156,75 @@ def lsh_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def lsh_ann(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    seed: int = 0xC0FFEE,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signature bucket join, then
+    exact cosine within buckets only.
+
+    A vector's signature is the n_planes-bit sign pattern of its
+    projections; candidates share the full signature. Recall can be
+    raised by lowering n_planes or with ``lsh_ann_multiprobe`` — this
+    is the bucketed scale path, not the exactness baseline.
+    """
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+    sig = _sig_udf(dim, n_planes, seed)
+    qs = queries.select(F.col(id_col).alias("query_id"),
+                        sig(F.col(vec_col)).alias("sig"))
+    cs = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       sig(F.col(vec_col)).alias("sig"))
+    cand = (
+        qs.join(cs, on="sig")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_topk(cand, queries, corpus, k, vec_col, id_col)
+
+
+def lsh_ann_multiprobe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    seed: int = 0xC0FFEE,
+) -> DataFrame:
+    """Multi-probe LSH ANN: each query searches its own bucket plus
+    the ``n_probe`` buckets one low-margin bit-flip away, recovering
+    most of the recall lost to hyperplane quantization at ~(n_probe+1)
+    x the candidate cost — still never all-pairs.
+
+    Scale: the corpus is signed once and shuffled once on sig; the
+    probe explosion multiplies only the (small) query side.
+    """
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+    sig = _sig_udf(dim, n_planes, seed)
+    probes = _probe_udf(dim, n_planes, n_probe, seed)
+    qs = (
+        queries.select(F.col(id_col).alias("query_id"),
+                       probes(F.col(vec_col)).alias("__probes"))
+        .select("query_id", F.explode("__probes").alias("sig"))
+    )
+    cs = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       sig(F.col(vec_col)).alias("sig"))
+    cand = (
+        qs.join(cs, on="sig")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    return _exact_topk(cand, queries, corpus, k, vec_col, id_col)

@@ -265,6 +265,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 
 _KNN_NQ, _KNN_K = 20, 5
+_CND_DIM = 64          # embeddings table vector dim (all sfs)
 
 _KNN_ORACLE = f"""
 WITH e AS (
@@ -306,25 +307,127 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
-# LSH-bucketed ANN — the 100 TB scale path (rows-only: bucket
-# membership depends on sign() of float projections, which is not
-# stable enough across engines for a value hash)
+# LSH-bucketed ANN — the 100 TB scale path. Exact oracle: hyperplanes
+# are LCG-derived integer-ratio literals and projections accumulate in
+# a fixed left-to-right order, so bucket membership, candidates and
+# cosines are bit-identical across engines.
 # ----------------------------------------------------------------------
+
+_LSH_PLANES = 10
+_MP_PLANES, _MP_PROBE = 8, 4
+
+
+def _lsh_oracle_parts(n_planes: int):
+    from xsarsea_spark.pipeline.dedup import (band_bucket_sql, dot_sql,
+                                              hyperplanes, norm_sql,
+                                              projection_sql)
+
+    planes = hyperplanes(n_planes, _CND_DIM)
+    proj_sqls = [projection_sql(p, lambda i: f"v[{i}]") for p in planes]
+    sig_expr = band_bucket_sql(proj_sqls, 0, n_planes)
+    nrm = norm_sql(lambda i: f"v[{i}]", _CND_DIM)
+    dot = dot_sql(lambda i: f"x.v[{i}]", lambda i: f"y.v[{i}]", _CND_DIM)
+    return proj_sqls, sig_expr, nrm, dot
+
+
+def _lsh_topk_tail(nrm: str, dot: str) -> str:
+    return f"""
+nrm AS (SELECT vec_id, v, {nrm} AS n FROM corpus),
+scored AS (
+  SELECT query_id, neighbor_id, {dot} / (x.n * y.n) AS cosine
+  FROM cand JOIN nrm x ON x.vec_id = query_id
+            JOIN nrm y ON y.vec_id = neighbor_id)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= {_KNN_K}
+"""
+
+
+def _lsh_ann_oracle() -> str:
+    _, sig_expr, nrm, dot = _lsh_oracle_parts(_LSH_PLANES)
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+sig AS (SELECT vec_id, {sig_expr} AS sig FROM corpus),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sig q JOIN sig c ON q.sig = c.sig AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_KNN_NQ}),
+{_lsh_topk_tail(nrm, dot)}
+"""
 
 
 @spec(
     "lsh_ann",
-    None,
+    _lsh_ann_oracle(),
     description="Random-hyperplane LSH bucket join ANN: signature "
                 "groupBy + within-bucket exact cosine, never all-pairs",
-    tags=("pipeline", "similarity", "rows-only"),
+    tags=("pipeline", "similarity"),
 )
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xsarsea_spark.pipeline.similarity import lsh_ann
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _KNN_NQ)
-    return lsh_ann(queries, emb, k=_KNN_K, n_planes=10)
+    return lsh_ann(queries, emb, k=_KNN_K, n_planes=_LSH_PLANES,
+                   dim=_CND_DIM)
+
+
+def _lsh_multiprobe_oracle() -> str:
+    proj_sqls, sig_expr, nrm, dot = _lsh_oracle_parts(_MP_PLANES)
+    bitvals = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {j} AS bit, {proj_sqls[j]} AS pr"
+        f" FROM corpus WHERE vec_id < {_KNN_NQ}"
+        for j in range(_MP_PLANES)
+    )
+    pow2 = ("CASE r.bit " + " ".join(
+        f"WHEN {j} THEN {1 << j}" for j in range(_MP_PLANES)) + " END")
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+sig AS (SELECT vec_id, {sig_expr} AS sig FROM corpus),
+bitvals AS (
+  {bitvals}),
+ranked AS (
+  SELECT vec_id, bit, pr,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY abs(pr), bit) AS rk
+  FROM bitvals),
+probes AS (
+  SELECT vec_id AS query_id, sig AS psig FROM sig
+  WHERE vec_id < {_KNN_NQ}
+  UNION ALL
+  SELECT r.vec_id,
+    s.sig + CASE WHEN r.pr > 0e0 THEN -({pow2}) ELSE ({pow2}) END
+  FROM ranked r JOIN sig s ON s.vec_id = r.vec_id
+  WHERE r.rk <= {_MP_PROBE}),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN sig c ON c.sig = p.psig
+  WHERE c.vec_id <> p.query_id),
+{_lsh_topk_tail(nrm, dot)}
+"""
+
+
+@spec(
+    "lsh_ann_multiprobe",
+    _lsh_multiprobe_oracle(),
+    description="Multi-probe LSH ANN: each query also searches the "
+                "buckets one low-margin bit-flip away — LSH recall "
+                "recovery without widening buckets",
+    tags=("pipeline", "similarity"),
+)
+def q_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.similarity import lsh_ann_multiprobe
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ)
+    return lsh_ann_multiprobe(queries, emb, k=_KNN_K,
+                              n_planes=_MP_PLANES, n_probe=_MP_PROBE,
+                              dim=_CND_DIM)
 
 
 # ----------------------------------------------------------------------
@@ -414,7 +517,7 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical candidate set, never all-pairs.
 # ----------------------------------------------------------------------
 
-_CND_PLANES, _CND_BANDS, _CND_T, _CND_DIM = 32, 4, 0.95, 64
+_CND_PLANES, _CND_BANDS, _CND_T = 32, 4, 0.95
 _CND_R = _CND_PLANES // _CND_BANDS
 
 _CND_PERTURB = "2e-2 * ((((vec_id * 31 + {i0} * 17) % 21) - 10) / 10e0)"
