@@ -78,8 +78,15 @@ def extract_features(mm: DataFrame, n_bins: int = 16) -> DataFrame:
                     np.float64)
                 tot = max(len(b), 1)
                 p = hist / tot
-                nz = p[p > 0]
-                entropy = float(-(nz * np.log2(nz)).sum()) if len(nz) else 0.0
+                # explicit left-to-right fold in ascending bin order,
+                # skipping zero bins — the exact op sequence a SQL
+                # list_filter/list_reduce oracle performs, so the
+                # value is engine-reproducible to the last ulp of log2
+                acc = 0.0
+                for pv in p:
+                    if pv > 0.0:
+                        acc += float(pv) * float(np.log2(pv))
+                entropy = -acc + 0.0
                 digest = hashlib.md5(bytes(payload)).hexdigest()
                 # deterministic fake decode dims derived from digest
                 w = 32 + int(digest[:4], 16) % 480

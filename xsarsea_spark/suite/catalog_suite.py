@@ -138,3 +138,68 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return extract_features(attach_payload(docs))
+
+
+def _mm_oracle() -> str:
+    """Byte features recomputed in SQL: the corpus is ASCII (verified
+    length == octet_length for every row), so high nibbles come from
+    per-character code points. Same fold orders as the UDF."""
+    from xsarsea_spark.suite.base import QTRUNC
+
+    fracs = ", ".join(
+        f"len(list_filter(codes, c -> c = {b}))"
+        f" / CAST(GREATEST(length(text), 1) AS DOUBLE)"
+        for b in range(16)
+    )
+    entropy = ("-(list_reduce(list_transform("
+               "list_filter(fr, p -> p > 0e0), p -> p * log2(p)),"
+               " (a, b) -> a + b)) + 0e0")
+    checksum = ("list_reduce(list_transform(range(1, 17),"
+                " i -> (i - 1) * fr[i]), (a, b) -> a + b)")
+    return f"""
+WITH codes AS (
+  SELECT doc_id, text,
+    list_transform(range(1, length(text) + 1),
+      i -> ascii(substr(text, i, 1)) // 16) AS codes
+  FROM documents),
+fr AS (SELECT doc_id, text, [{fracs}] AS fr FROM codes)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_bytes,
+  {QTRUNC(entropy, 9)} AS byte_entropy,
+  {checksum} AS hist_checksum,
+  md5(text) AS content_digest,
+  32 + CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 480
+    AS fake_width,
+  32 + CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 480
+    AS fake_height
+FROM fr
+"""
+
+
+@spec(
+    "multimodal_feature_values",
+    _mm_oracle(),
+    description="Byte-feature extraction, value-exact: scalar features "
+                "+ histogram checksum vs a SQL re-derivation from "
+                "per-character code points (entropy QTRUNC'd across "
+                "the numpy/DuckDB log2 ulp gap)",
+    tags=("pipeline", "multimodal"),
+)
+def q_multimodal_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.multimodal import (attach_payload,
+                                                   extract_features)
+    from xsarsea_spark.suite.base import QTRUNC
+
+    docs = load(spark, sf_dir, "documents")
+    feats = extract_features(attach_payload(docs))
+    return feats.selectExpr(
+        "doc_id",
+        "n_bytes",
+        f"{QTRUNC('byte_entropy', 9)} AS byte_entropy",
+        "aggregate(zip_with(byte_hist, sequence(0, 15),"
+        " (f, b) -> b * f), CAST(0 AS DOUBLE), (a, b) -> a + b)"
+        " AS hist_checksum",
+        "content_digest",
+        "fake_width",
+        "fake_height",
+    )

@@ -506,3 +506,79 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Window-function battery: ranking, navigation and framed running
+# aggregates in one pass over each customer's order timeline. All
+# orderings carry a unique o_orderkey tiebreak; running sums are
+# DECIMAL inside the frame, so every value is deterministic.
+# ----------------------------------------------------------------------
+
+_WINBAT_SQL = """
+SELECT o_orderkey, o_custkey,
+  ROW_NUMBER() OVER w AS rn,
+  CAST((epoch_us(o_orderdate)
+        - epoch_us(LAG(o_orderdate) OVER w)) // 86400000000
+       AS BIGINT) AS days_since_prev,
+  CAST((epoch_us(LEAD(o_orderdate) OVER w)
+        - epoch_us(o_orderdate)) // 86400000000
+       AS BIGINT) AS days_to_next,
+  NTILE(4) OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey) AS price_quartile,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER
+       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS DOUBLE) AS running_spend,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER
+       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       AS DOUBLE) AS trailing3_spend,
+  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+  PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey)
+    AS global_price_pctrank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@spec(
+    "q_window_battery",
+    _WINBAT_SQL,
+    "Ranking, navigation and framed running aggregates over each "
+    "customer's order timeline in one window pass.",
+    tags=("relational", "window"),
+)
+def q_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy("o_totalprice",
+                                                 "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtrail = w.rowsBetween(-2, Window.currentRow)
+    wg = Window.orderBy("o_totalprice", "o_orderkey")
+    day_us = 86400000000
+    dsum = "SUM(CAST(o_totalprice AS DECIMAL(38,6)))"
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.expr(f"(unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+               f" - unix_micros(CAST(LAG(o_orderdate) OVER"
+               f" (PARTITION BY o_custkey ORDER BY o_orderdate,"
+               f" o_orderkey) AS TIMESTAMP))) DIV {day_us}")
+        .alias("days_since_prev"),
+        F.expr(f"(unix_micros(CAST(LEAD(o_orderdate) OVER"
+               f" (PARTITION BY o_custkey ORDER BY o_orderdate,"
+               f" o_orderkey) AS TIMESTAMP))"
+               f" - unix_micros(CAST(o_orderdate AS TIMESTAMP)))"
+               f" DIV {day_us}").alias("days_to_next"),
+        F.ntile(4).over(wp).alias("price_quartile"),
+        F.expr(dsum).over(wrun).cast("double").alias("running_spend"),
+        F.expr(dsum).over(wtrail).cast("double")
+        .alias("trailing3_spend"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.percent_rank().over(wg).alias("global_price_pctrank"),
+    )
