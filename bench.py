@@ -23,9 +23,16 @@ def main() -> None:
     spark = get_session(app_name="xsarsea-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers so per-query numbers measure the
-    # plans, not session startup
+    # warm the JVM + parquet footers + Python/Arrow workers so
+    # per-query numbers measure the plans, not session startup
     REGISTRY["q06_forecast_revenue"].spark(spark, sf_dir).collect()
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(32).repartition(32).select(_warm(col("id"))).collect()
 
     timings: dict[str, float] = {}
     for name, qs in sorted(REGISTRY.items()):

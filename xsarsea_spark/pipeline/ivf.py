@@ -66,33 +66,58 @@ def train_ivf(corpus: DataFrame, n_centroids: int = 16, iters: int = 5,
     )
     centroids = np.stack(
         [np.asarray(r[0], dtype=np.float64) for r in init])
-    schema = T.StructType([
-        corpus.schema[id_col],
+    part_schema = T.StructType([
         T.StructField("cell", T.IntegerType()),
+        T.StructField("i", T.IntegerType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("n", T.LongType()),
     ])
     for _ in range(iters):
-        assigned = corpus.select(id_col, vec_col).mapInPandas(
-            _assign_kernel(centroids, id_col, vec_col), schema=schema
-        ).join(corpus.select(id_col, vec_col), on=id_col)
-        # per-cell, per-dimension mean: posexplode + two-level agg
+        # The assign kernel already holds the vectors, so each Arrow
+        # batch emits per-cell partial sums directly (map-side
+        # combine): n_cells x dim rows per batch instead of re-joining
+        # the corpus and exploding rows x dim elements through a
+        # shuffle. Only the final n_cells x dim reduction reaches the
+        # driver — the bounded centroid state Lloyd needs anyway.
+        c = np.ascontiguousarray(centroids, dtype=np.float64)
+        cn = np.linalg.norm(c, axis=1)
+        cn[cn == 0] = 1.0
+
+        def partial_gen(batches, c=c, cn=cn):
+            for pdf in batches:
+                v = np.stack(
+                    [np.asarray(x, dtype=np.float64)
+                     for x in pdf[vec_col]])
+                vn = np.linalg.norm(v, axis=1)
+                vn[vn == 0] = 1.0
+                sim = (v @ c.T) / vn[:, None] / cn[None, :]
+                cell = np.argmax(sim, axis=1)
+                rows = []
+                for cid in np.unique(cell):
+                    m = cell == cid
+                    s = v[m].sum(axis=0)
+                    n = int(m.sum())
+                    rows.extend(
+                        (int(cid), i, float(s[i]), n)
+                        for i in range(v.shape[1]))
+                yield pd.DataFrame(rows,
+                                   columns=["cell", "i", "s", "n"])
+
         sums = (
-            assigned.select("cell", F.posexplode(vec_col)
-                            .alias("i", "x"))
+            corpus.select(vec_col).mapInPandas(partial_gen,
+                                               schema=part_schema)
             .groupBy("cell", "i")
-            .agg(F.sum(F.col("x").cast("double")).alias("s"),
-                 F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         new = centroids.copy()
-        acc = {}
+        seen = set()
         for r in sums:
-            acc.setdefault(r["cell"], np.zeros(dim + 1))
-        for r in sums:
-            acc[r["cell"]][r["i"]] = r["s"] / r["n"]
-            acc[r["cell"]][dim] = 1.0
-        for cell, row in acc.items():
-            if row[dim] > 0:
-                new[cell] = row[:dim]
+            new[r["cell"], r["i"]] = r["s"] / r["n"]
+            seen.add(r["cell"])
+        for cell in range(len(centroids)):
+            if cell not in seen:
+                new[cell] = centroids[cell]
         centroids = new
     return centroids
 

@@ -47,17 +47,36 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def _run_to_memory(stream_df: DataFrame, output_mode: str,
+                   state_partitions: int | None = 8) -> DataFrame:
+    """Run an availableNow stream into a memory sink.
+
+    Stateful operators allocate one state-store instance per shuffle
+    partition, and instance setup dominates when per-partition state
+    is small — at the session default of 32 partitions the three
+    suite streams spend 2.6-11 s on state plumbing vs ~1-2 s at 8.
+    ``state_partitions`` sizes that explicitly for the run (state
+    sizing is a deliberate per-stream choice at scale, not something
+    to inherit from the batch session); pass None to keep the session
+    setting. The session value is restored afterwards."""
+    spark = stream_df.sparkSession
     name = "mem_" + uuid.uuid4().hex[:12]
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(state_partitions))
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
