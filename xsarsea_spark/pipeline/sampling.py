@@ -1,0 +1,133 @@
+"""Training-data curation operators: stratified sampling, benchmark
+contamination, and duplicate-cluster resolution.
+
+All three are deterministic (hash-ordered, not RNG-seeded), so the
+same corpus always yields the same sample / report — reproducibility
+is a hard requirement for training-data pipelines.
+
+Scale design:
+- sampling is one window pass per stratum partition (no global sort);
+- contamination is a bucketed join on shingle hash — the benchmark
+  side is tiny and broadcast, the corpus side streams;
+- component resolution iterates bounded min-label propagation rounds
+  over the (sparse) near-dup edge list; only a convergence scalar
+  reaches the driver per round, like Lloyd's in pipeline.ivf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xsarsea_spark.pipeline.dedup import shingle
+
+__all__ = ["stratified_sample", "contamination_report",
+           "dup_components"]
+
+
+def stratified_sample(docs: DataFrame, n_per_stratum: int,
+                      strata_cols: tuple = ("lang",),
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-stratum sample: the ``n_per_stratum`` docs
+    with the smallest md5(id) per stratum. Hash order is uniform but
+    fixed, so re-runs (and other engines) pick the identical sample —
+    unlike RNG-based ``df.sample``. One window pass, no global sort.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (
+        docs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
+
+
+def contamination_report(docs: DataFrame, benchmark: DataFrame,
+                         n: int = 8, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Benchmark-contamination check: fraction of each corpus
+    document's word ``n``-grams that appear in ANY benchmark document.
+
+    Returns (doc_id, n_grams, n_contaminated, contamination) for
+    contaminated docs only. The benchmark shingle set is distinct and
+    broadcast; the corpus side streams through one join + one
+    aggregation — never a cross join.
+    """
+    corpus_sh = shingle(docs, n=n, text_col=text_col, id_col=id_col)
+    bench_sh = (
+        shingle(benchmark, n=n, text_col=text_col, id_col=id_col)
+        .select("shingle").distinct()
+    )
+    totals = corpus_sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), on="shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        totals.join(hits, on=id_col)
+        .withColumn(
+            "contamination",
+            F.expr("n_contaminated / CAST(n_grams AS DOUBLE)"))
+        .select(id_col, "n_grams", "n_contaminated", "contamination")
+    )
+
+
+def dup_components(pairs: DataFrame, max_rounds: int = 20,
+                   id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Resolve near-duplicate pairs into clusters: connected
+    components by min-label propagation, returning (doc_id, component)
+    with component = the smallest doc id in the cluster.
+
+    Each round joins the current labels over the symmetric edge list
+    and keeps the per-node minimum; iteration stops when a round
+    changes nothing (checked with a 1-row aggregate — the only
+    driver-side state, like Lloyd's centroids). Rounds are bounded by
+    the graph diameter, which for dedup clusters is tiny; duplicate
+    detection upstream keeps the edge list sparse, so each round is
+    one shuffle of O(edges).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(
+            pairs.select(F.col(id_b).alias("src"),
+                         F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    edges = edges.localCheckpoint()
+    labels = labels.localCheckpoint()
+    for _ in range(max_rounds):
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("n_comp"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "component")

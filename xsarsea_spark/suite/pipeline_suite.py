@@ -592,3 +592,114 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup(corpus, threshold=_CND_T,
                           n_planes=_CND_PLANES, bands=_CND_BANDS,
                           dim=_CND_DIM)
+
+
+# ----------------------------------------------------------------------
+# Training-data curation: stratified sampling, benchmark
+# contamination, duplicate-cluster resolution
+# ----------------------------------------------------------------------
+
+_SAMPLE_N = 50
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+    ROW_NUMBER() OVER (PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+WHERE rk <= {_SAMPLE_N}
+"""
+
+
+@spec(
+    "stratified_sample",
+    _SAMPLE_ORACLE,
+    description="Deterministic hash-ordered stratified sample: the "
+                f"{_SAMPLE_N} smallest-md5 docs per language stratum "
+                "— reproducible across runs and engines, no RNG",
+    tags=("pipeline", "sampling"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample(docs, n_per_stratum=_SAMPLE_N,
+                             strata_cols=("lang",)).select(
+        "doc_id", "lang", "source")
+
+
+_CONTAM_N = 3
+
+_CONTAM_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(len(l) - {_CONTAM_N - 1}),
+      i -> l[i + 1] || ' ' || l[i + 2] || ' ' || l[i + 3])) AS shingle
+  FROM t),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+corp AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+totals AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY doc_id),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_contaminated
+  FROM corp c JOIN bench b USING (shingle) GROUP BY c.doc_id)
+SELECT t.doc_id, t.n_grams, h.n_contaminated,
+  h.n_contaminated / CAST(t.n_grams AS DOUBLE) AS contamination
+FROM totals t JOIN hits h ON h.doc_id = t.doc_id
+"""
+
+
+@spec(
+    "benchmark_contamination",
+    _CONTAM_ORACLE,
+    description="Benchmark-contamination report: fraction of each "
+                "corpus doc's word n-grams appearing in a held-out "
+                "benchmark set — broadcast shingle join, never "
+                "cross-join",
+    tags=("pipeline", "text", "dedup"),
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.sampling import contamination_report
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_report(corpus, bench, n=_CONTAM_N)
+
+
+def _components_oracle() -> str:
+    """Connected components over the MinHash near-dup pair graph via
+    transitive closure (WITH RECURSIVE) — clusters are tiny, so the
+    closure is bounded."""
+    pairs_sql = _minhash_oracle().strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+FROM reach GROUP BY src
+"""
+
+
+@spec(
+    "dup_cluster_components",
+    _components_oracle(),
+    description="Duplicate-cluster resolution: connected components "
+                "of the near-dup pair graph by bounded min-label "
+                "propagation (oracle: recursive-CTE transitive "
+                "closure)",
+    tags=("pipeline", "dedup", "iterative"),
+)
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.dedup import minhash_lsh_dedup
+    from xsarsea_spark.pipeline.sampling import dup_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(docs, n=_MH_N, k=_MH_K, threshold=_MH_T)
+    return dup_components(pairs)
