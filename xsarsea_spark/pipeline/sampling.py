@@ -82,13 +82,14 @@ def dup_components(pairs: DataFrame, max_rounds: int = 20,
     components by min-label propagation, returning (doc_id, component)
     with component = the smallest doc id in the cluster.
 
-    Each round joins the current labels over the symmetric edge list
-    and keeps the per-node minimum; iteration stops when a round
-    changes nothing (checked with a 1-row aggregate — the only
-    driver-side state, like Lloyd's centroids). Rounds are bounded by
-    the graph diameter, which for dedup clusters is tiny; duplicate
-    detection upstream keeps the edge list sparse, so each round is
-    one shuffle of O(edges).
+    Each round takes the per-node minimum label over the symmetric
+    edge list, then pointer-jumps (label <- label of the label), so
+    convergence needs O(log diameter) rounds instead of O(diameter) —
+    the label graph halves in height every round. Iteration stops
+    when a round changes nothing (checked with a 1-row aggregate —
+    the only driver-side state, like Lloyd's centroids). Duplicate
+    detection upstream keeps the edge list sparse, so each round is a
+    constant number of shuffles of O(edges + nodes).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -110,13 +111,26 @@ def dup_components(pairs: DataFrame, max_rounds: int = 20,
             .groupBy("src")
             .agg(F.min("component").alias("n_comp"))
         )
+        stepped = labels.join(neigh, labels.node == neigh.src, "left").select(
+            "node",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("n_comp"), F.col("component")),
+            ).alias("component"),
+        )
+        # pointer jump: follow the label one hop (component of my
+        # component) — label trees flatten in log rounds
+        parents = stepped.select(
+            F.col("node").alias("p_node"),
+            F.col("component").alias("p_comp"))
         new_labels = (
-            labels.join(neigh, labels.node == neigh.src, "left")
+            stepped.join(parents, stepped.component == parents.p_node,
+                         "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"),
-                    F.coalesce(F.col("n_comp"), F.col("component")),
+                    F.coalesce(F.col("p_comp"), F.col("component")),
                 ).alias("component"),
             )
             .localCheckpoint()

@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["events_stream", "stream_hourly_counts",
-           "stream_minute_dedup", "stream_sessionize"]
+           "stream_minute_dedup", "stream_sessionize",
+           "stream_interval_join", "stream_user_stats"]
 
 EVENTS_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
@@ -157,3 +158,97 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_id", "session_start", "session_end",
                 "n_events", "sum_value")
     )
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each view joined to the same
+    user's purchases within the following 30 minutes.
+
+    Both sides are watermarked file streams; the time-range predicate
+    bounds the join state Spark must retain (views older than the
+    watermark minus the interval are dropped). Inner-join matches emit
+    as soon as both sides arrive, so availableNow produces the full
+    batch-equivalent result. All time math in integer microseconds
+    (nanos DIV 1000 == DuckDB epoch_us truncation).
+    """
+    views = (
+        events_stream(spark, sf_dir)
+        .filter("event_type = 'view'")
+        .withWatermark("event_time", "1 hour")
+        .alias("v")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter("event_type = 'purchase'")
+        .withWatermark("event_time", "1 hour")
+        .alias("p")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v.user_id = p.user_id"
+            " AND p.event_time >= v.event_time"
+            " AND p.event_time <= v.event_time + INTERVAL 30 MINUTES"
+        ),
+    ).select(
+        F.col("v.event_id").alias("view_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("v.user_id").alias("user_id"),
+        F.expr("(p.ts DIV 1000) - (v.ts DIV 1000)").alias("gap_us"),
+    )
+    return _run_to_memory(joined, "append")
+
+
+def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful per-user aggregator via applyInPandasWithState:
+    running event/purchase counts, an order-fixed value sum, max value
+    and first/last event time per user.
+
+    The value sum folds left-to-right in ascending event_id order —
+    the same op sequence as a SQL ``list_reduce(list(value ORDER BY
+    event_id))`` — so totals are engine-exact, not
+    arrival-order-dependent. State is a six-field tuple per user;
+    with an availableNow trigger the single micro-batch emits each
+    user's final row (at scale the same operator emits per-batch
+    running updates)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    ev = (
+        events_stream(spark, sf_dir)
+        .withWatermark("event_time", "1 hour")
+        .select("user_id", "event_id", "event_type", "value", "ts")
+    )
+    out_schema = ("user_id bigint, n_events bigint, n_purchases bigint, "
+                  "sum_value double, max_value double, "
+                  "first_us bigint, last_us bigint")
+    state_schema = ("n bigint, np bigint, acc double, mx double, "
+                    "fu bigint, lu bigint")
+
+    def fn(key, pdfs, state: GroupState):
+        df = pd.concat(list(pdfs)).sort_values("event_id")
+        if state.exists:
+            n, npur, acc, mx, fu, lu = state.get
+        else:
+            n, npur, acc, mx, fu, lu = 0, 0, 0.0, None, None, None
+        for r in df.itertuples():
+            n += 1
+            if r.event_type == "purchase":
+                npur += 1
+            acc += float(r.value)
+            mx = float(r.value) if mx is None else max(mx, float(r.value))
+            us = int(r.ts) // 1000
+            fu = us if fu is None else min(fu, us)
+            lu = us if lu is None else max(lu, us)
+        state.update((n, npur, acc, mx, fu, lu))
+        yield pd.DataFrame([{
+            "user_id": int(key[0]), "n_events": n, "n_purchases": npur,
+            "sum_value": acc, "max_value": mx,
+            "first_us": fu, "last_us": lu,
+        }])
+
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
+    return _run_to_memory(agg, "update")

@@ -231,3 +231,73 @@ def q_events_stream_sessionize(spark: SparkSession,
     from xsarsea_spark.streaming.events import stream_sessionize
 
     return stream_sessionize(spark, sf_dir)
+
+
+# ----------------------------------------------------------------------
+# Stream-stream interval join: views -> same-user purchases within 30
+# minutes. The batch oracle is the plain interval self-join in integer
+# microseconds.
+# ----------------------------------------------------------------------
+
+_IVJOIN_ORACLE = """
+SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+  v.user_id AS user_id,
+  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM events v JOIN events p
+  ON p.user_id = v.user_id
+ AND epoch_us(p.ts) >= epoch_us(v.ts)
+ AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
+@spec(
+    "events_stream_interval_join",
+    _IVJOIN_ORACLE,
+    description="Stream-stream interval join (watermarked both sides, "
+                "bounded join state): views to same-user purchases "
+                "within 30 minutes — batch-identical output",
+    tags=("events", "streaming", "join"),
+)
+def q_events_stream_interval_join(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from xsarsea_spark.streaming.events import stream_interval_join
+
+    return stream_interval_join(spark, sf_dir)
+
+
+# ----------------------------------------------------------------------
+# Custom stateful operator via applyInPandasWithState: per-user
+# running stats with an order-fixed value fold. Oracle: per-user
+# aggregate with a list(... ORDER BY event_id) sequential reduction —
+# the same op sequence as the kernel's sorted left-to-right fold.
+# ----------------------------------------------------------------------
+
+_USTATS_ORACLE = """
+SELECT user_id,
+  COUNT(*) AS n_events,
+  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+    AS n_purchases,
+  list_reduce(list(value ORDER BY event_id), (a, b) -> a + b)
+    AS sum_value,
+  MAX(value) AS max_value,
+  MIN(epoch_us(ts)) AS first_us,
+  MAX(epoch_us(ts)) AS last_us
+FROM events
+GROUP BY user_id
+"""
+
+
+@spec(
+    "events_stream_user_stats",
+    _USTATS_ORACLE,
+    description="applyInPandasWithState custom stateful aggregator: "
+                "per-user counts, order-fixed value sum, max, "
+                "first/last event time",
+    tags=("events", "streaming", "udf"),
+)
+def q_events_stream_user_stats(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from xsarsea_spark.streaming.events import stream_user_stats
+
+    return stream_user_stats(spark, sf_dir)
