@@ -301,3 +301,50 @@ def q_events_stream_user_stats(spark: SparkSession,
     from xsarsea_spark.streaming.events import stream_user_stats
 
     return stream_user_stats(spark, sf_dir)
+
+
+# ----------------------------------------------------------------------
+# Skew-salted join: every user in events is a hot key (~67 rows/user
+# at sf0.01, power-law-style fan-out at scale). Salting re-buckets
+# the shuffle only; the oracle is the PLAIN join + aggregation, so
+# the row-identity of the salted plan is what's being checked.
+# ----------------------------------------------------------------------
+
+_SALT_ORACLE = """
+WITH dim AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS reg_us
+  FROM events GROUP BY user_id)
+SELECT e.user_id, e.event_type,
+  COUNT(*) AS n_events,
+  MIN(d.reg_us) AS reg_us,
+  SUM(epoch_us(e.ts) - d.reg_us) AS age_us_sum
+FROM events e JOIN dim d ON d.user_id = e.user_id
+GROUP BY e.user_id, e.event_type
+"""
+
+
+@spec(
+    "events_salted_join",
+    _SALT_ORACLE,
+    description="Skew-salted fact-dim join: hot keys split across "
+                "salts, dim rows replicated per salt — row-identical "
+                "to the plain join the oracle runs",
+    tags=("events", "join", "skew"),
+)
+def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(
+        F.expr("MIN(ts DIV 1000)").alias("reg_us"))
+    joined = salted_join(ev.select("user_id", "event_type", "ts"),
+                         dim, on="user_id", n_salts=8,
+                         hot_threshold=20)
+    return (
+        joined.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("reg_us").alias("reg_us"),
+            F.expr("SUM(ts DIV 1000 - reg_us)").alias("age_us_sum"),
+        )
+    )
