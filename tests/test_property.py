@@ -210,3 +210,35 @@ def test_lsh_multiprobe_recall(spark):
     # recover most of what exact-bucket LSH misses
     assert h_multi >= h_plain
     assert h_multi >= 0.9 * nq, (h_plain, h_multi, nq)
+
+
+# ----------------------------------------------------------------------
+# KMV sketch mergeability: sketch(A) merge sketch(B) == sketch(A u B)
+# — the defining property that makes it a sketch, not just a sample
+# ----------------------------------------------------------------------
+
+def test_kmv_merge_property(spark):
+    from xsarsea_spark.operators.sketch import (kmv_estimate, kmv_merge,
+                                                kmv_sketch)
+    from xsarsea_spark.sources.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.01", "events")
+    val = "CAST(user_id AS STRING) || '#' || props"
+    a = ev.filter("user_id % 2 = 0")
+    b = ev.filter("user_id % 2 = 1")
+    merged = kmv_merge(
+        kmv_sketch(a, ["event_type"], val, k=32),
+        kmv_sketch(b, ["event_type"], val, k=32),
+        ["event_type"], k=32)
+    whole = kmv_sketch(ev, ["event_type"], val, k=32)
+    m = merged.orderBy("event_type", "rk").collect()
+    w = whole.orderBy("event_type", "rk").collect()
+    assert [(r.event_type, r.h, r.rk) for r in m] == \
+        [(r.event_type, r.h, r.rk) for r in w]
+    est = {r.event_type: r.kmv_estimate
+           for r in kmv_estimate(whole, ["event_type"], k=32).collect()}
+    true = {r.event_type: r.t for r in ev.groupBy("event_type").agg(
+        __import__("pyspark.sql.functions", fromlist=["expr"])
+        .expr(f"COUNT(DISTINCT {val})").alias("t")).collect()}
+    for et, t in true.items():
+        assert abs(est[et] - t) / t < 0.5, (et, est[et], t)

@@ -1,0 +1,82 @@
+"""Deterministic distinct-count sketch: KMV (k minimum values).
+
+Sketches are normally excluded from exact cross-engine checking
+(HLL++ implementations differ per engine), but KMV built on the
+repo's stable 40-bit md5 hash is fully deterministic: the sketch of a
+group is its k smallest distinct hash values, and the estimator
+``(k-1) * 2^40 / h_k`` is plain IEEE arithmetic — so the whole
+operator is value-exact in any engine, while still being a real
+mergeable sketch (union two sketches = keep the k smallest of the
+union).
+
+Scale: the distinct + per-group top-k is one shuffle on the group
+key; the sketch per group is k rows regardless of group size, so
+downstream merges move O(groups x k), not O(distinct values) — the
+point of a sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xsarsea_spark.pipeline.text import HASH40_SQL
+
+__all__ = ["kmv_sketch", "kmv_estimate", "kmv_merge"]
+
+_HSPACE = float(1 << 40)
+
+
+def kmv_sketch(df: DataFrame, group_cols: list, value_sql: str,
+               k: int = 64) -> DataFrame:
+    """Per-group KMV sketch rows: the up-to-k smallest distinct
+    40-bit hashes of ``value_sql`` -> (group_cols..., h, rk)."""
+    from pyspark.sql import Window
+
+    h = HASH40_SQL.format(x=f"({value_sql})")
+    d = df.selectExpr(*group_cols, f"{h} AS h").distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def kmv_merge(sketch_a: DataFrame, sketch_b: DataFrame,
+              group_cols: list, k: int = 64) -> DataFrame:
+    """Union two sketches: keep the k smallest distinct hashes per
+    group — the defining mergeability property of KMV."""
+    from pyspark.sql import Window
+
+    u = (
+        sketch_a.select(*group_cols, "h")
+        .unionByName(sketch_b.select(*group_cols, "h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        u.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list,
+                 k: int = 64) -> DataFrame:
+    """Finalize: exact count when the group holds < k distinct hashes,
+    else (k-1) * 2^40 / h_k. All-integer inputs to one IEEE division,
+    so the estimate is engine-exact."""
+    return (
+        sketch.groupBy(*group_cols)
+        .agg(
+            F.max(F.when(F.col("rk") == k, F.col("h"))).alias("__hk"),
+            F.max("rk").alias("__n"),
+        )
+        .withColumn(
+            "kmv_estimate",
+            F.expr(
+                f"CASE WHEN __n < {k} THEN CAST(__n AS DOUBLE)"
+                f" ELSE {k - 1} * {_HSPACE!r} / __hk END"
+            ),
+        )
+        .select(*group_cols, "kmv_estimate")
+    )

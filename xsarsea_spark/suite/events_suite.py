@@ -348,3 +348,65 @@ def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("SUM(ts DIV 1000 - reg_us)").alias("age_us_sum"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# KMV distinct-count sketch: deterministic (md5-based), so unlike
+# HLL it is value-exact across engines while remaining a real
+# mergeable sketch. Estimates distinct (user, props) combos per type
+# next to the exact count.
+# ----------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_VAL = "CAST(user_id AS VARCHAR) || '#' || props"
+
+_KMV_ORACLE = f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+    {{h}} AS h
+  FROM events),
+r AS (
+  SELECT event_type, h,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM d),
+s AS (
+  SELECT event_type,
+    MAX(CASE WHEN rk = {_KMV_K} THEN h END) AS hk,
+    MAX(rk) AS n
+  FROM r WHERE rk <= {_KMV_K} GROUP BY event_type),
+t AS (
+  SELECT event_type,
+    COUNT(DISTINCT CAST(user_id AS VARCHAR) || '#' || props)
+      AS true_distinct
+  FROM events GROUP BY event_type)
+SELECT s.event_type,
+  CASE WHEN n < {_KMV_K} THEN CAST(n AS DOUBLE)
+       ELSE {_KMV_K - 1} * 1099511627776e0 / hk END AS kmv_estimate,
+  t.true_distinct
+FROM s JOIN t ON t.event_type = s.event_type
+"""
+
+
+@spec(
+    "events_kmv_distinct",
+    _KMV_ORACLE.format(
+        h="CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#' ||"
+          " props), 1, 10) AS BIGINT)"),
+    description="KMV distinct-count sketch (k smallest md5 hashes) "
+                "per event type, next to the exact distinct — "
+                "deterministic, so value-exact unlike HLL",
+    tags=("events", "agg", "sketch"),
+)
+def q_events_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    ev = load(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, ["event_type"], _KMV_VAL.replace("VARCHAR",
+                                                         "STRING"),
+                    k=_KMV_K)
+    est = kmv_estimate(sk, ["event_type"], k=_KMV_K)
+    true = ev.groupBy("event_type").agg(
+        F.expr(f"COUNT(DISTINCT {_KMV_VAL.replace('VARCHAR', 'STRING')})")
+        .alias("true_distinct"))
+    return est.join(true, on="event_type").select(
+        "event_type", "kmv_estimate", "true_distinct")
