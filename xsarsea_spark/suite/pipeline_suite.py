@@ -703,3 +703,73 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = minhash_lsh_dedup(docs, n=_MH_N, k=_MH_K, threshold=_MH_T)
     return dup_components(pairs)
+
+
+# ----------------------------------------------------------------------
+# TF-IDF top terms per document. Ranking happens on the QUANTIZED
+# score so rank and emitted value share the same cross-engine
+# barrier; (tf, df) ties produce bit-identical scores in both
+# engines and fall through to the term tie-break.
+# ----------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM toks GROUP BY doc_id, term),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+    {{q}} AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT doc_id, rank, term, tfidf FROM (
+  SELECT doc_id, term, tfidf,
+    ROW_NUMBER() OVER (PARTITION BY doc_id
+      ORDER BY tfidf DESC, term) AS rank
+  FROM scored)
+WHERE rank <= {_TFIDF_K}
+"""
+
+
+def _tfidf_expr() -> str:
+    from xsarsea_spark.suite.base import QTRUNC
+
+    return QTRUNC("tf * ln(CAST(n_docs AS DOUBLE) / df)", 9)
+
+
+@spec(
+    "doc_tfidf_topterms",
+    _TFIDF_ORACLE.format(q=_tfidf_expr()),
+    description="Top TF-IDF terms per document (tf x ln(N/df), "
+                "quantized ranking, deterministic term tie-break)",
+    tags=("pipeline", "text"),
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.selectExpr("doc_id",
+                           "explode(split(text, ' ')) AS term")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, on="term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.expr(_tfidf_expr()))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_K)
+        .select("doc_id", "rank", "term", "tfidf")
+    )

@@ -582,3 +582,36 @@ def q_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_order"),
         F.percent_rank().over(wg).alias("global_price_pctrank"),
     )
+
+
+# ----------------------------------------------------------------------
+# Grouped exact-quantile battery: Spark's exact `percentile` uses the
+# same linear interpolation as DuckDB's quantile_cont, bit-for-bit,
+# so no quantization barrier is needed.
+# ----------------------------------------------------------------------
+
+_QUANT_PROBS = (("p25", "0.25"), ("p50", "0.5"), ("p75", "0.75"),
+                ("p90", "0.9"), ("p99", "0.99"))
+
+_QUANT_SQL = f"""
+SELECT l_returnflag, COUNT(*) AS n_items,
+  {", ".join(f"quantile_cont(l_extendedprice, {p}) AS {a}"
+             for a, p in _QUANT_PROBS)}
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@spec(
+    "q_price_quantiles",
+    _QUANT_SQL,
+    "Exact grouped price quantiles (25/50/75/90/99) — bit-identical "
+    "linear interpolation across engines.",
+    tags=("relational", "agg", "quantile"),
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        *[F.expr(f"percentile(l_extendedprice, {p})").alias(a)
+          for a, p in _QUANT_PROBS],
+    )
