@@ -610,8 +610,15 @@ FROM lineitem GROUP BY l_returnflag
 )
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    # one percentile buffer for all probs (array form), not five
+    probs = ", ".join(p for _, p in _QUANT_PROBS)
+    agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
-        *[F.expr(f"percentile(l_extendedprice, {p})").alias(a)
-          for a, p in _QUANT_PROBS],
+        F.expr(f"percentile(l_extendedprice, array({probs}))")
+        .alias("__ps"),
+    )
+    return agg.select(
+        "l_returnflag", "n_items",
+        *[F.col("__ps").getItem(i).alias(a)
+          for i, (a, _) in enumerate(_QUANT_PROBS)],
     )
