@@ -1,10 +1,11 @@
 """Gradients-pillar query battery (wind-streak direction histograms).
 
-- ``local_gradients_pyramid``: the fused tile+halo stencil pyramid
-  (Scharr -> complex square -> R2 reduce -> quality). Convolution
-  accumulation order is engine-internal, so this is a rows-only check;
-  bit-exactness of the tile framework vs the whole-image NumPy chain
-  is asserted in tests/test_gradients.py instead.
+- ``local_gradients_pyramid`` / ``streaks_full``: the fused
+  tile+halo stencil pyramid and the full multi-scale chain, both with
+  EXACT composed-SQL oracles (fixed-tap-order convolution CTEs, exact
+  percentile medians, DECIMAL bin sums); tile bit-exactness vs the
+  whole-image NumPy chain is additionally asserted in
+  tests/test_gradients.py.
 - ``gradient_histogram``: the per-window weighted angular histogram
   (two-pass: exact percentile median, DECIMAL-exact weighted bin sums)
   — fully oracle-checked against DuckDB.
@@ -373,11 +374,21 @@ def q_streaks_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             img, nl, ns = px, N_LINES, N_SAMPLES
         else:
             nl, ns = N_LINES // ds, N_SAMPLES // ds
+            # fixed-order 2x2 block mean: each conditional MAX picks
+            # exactly one pixel, so the (p00+p01+p10+p11)/4 addition
+            # order is deterministic (a groupBy avg would sum in
+            # partition order)
+            cell = ("MAX(CASE WHEN line % 2 = {dl} AND sample % 2 = {dsm}"
+                    " THEN sigma0 END)")
             img = px.groupBy(
-                F.expr(f"CAST(FLOOR(line / {ds}) AS BIGINT)").alias("line"),
-                F.expr(f"CAST(FLOOR(sample / {ds}) AS BIGINT)")
+                F.expr("CAST(FLOOR(line / 2) AS BIGINT)").alias("line"),
+                F.expr("CAST(FLOOR(sample / 2) AS BIGINT)")
                 .alias("sample"),
-            ).agg(F.avg("sigma0").alias("sigma0"))
+            ).agg(F.expr(
+                "(" + " + ".join(
+                    cell.format(dl=dl, dsm=dsm)
+                    for dl in (0, 1) for dsm in (0, 1))
+                + ") / 4e0").alias("sigma0"))
         lg = local_gradients(img, nl, ns, tile=64, halo=24)
         hist = gradient_histogram(lg, window=8, step=8)
         # windows are in /4 units per downscale; rebase to the ds=1
@@ -491,38 +502,40 @@ def _coarsen_cte(name, src, nl2, ns2, cols: list) -> str:
     )
 
 
-def _lg_exact_oracle() -> str:
-    nl, ns = _NL, _NS
+def _pyramid_parts(p: str, nl: int, ns: int) -> list:
+    """CTE chain for the stencil pyramid over an existing image CTE
+    ``{p}img(l, s, v)`` of shape (nl, ns). The final CTE ``{p}lg``
+    carries (line4, sample4, line, sample, g2_re, g2_im, g3, c) at
+    1/4 resolution — the exact column set ``local_gradients``
+    returns."""
     nl2, ns2 = nl // 2, ns // 2
     nl4, ns4 = nl2 // 2, ns2 // 2
     b2 = _taps(_B2K)
     b4 = _taps(_B4K)
     sx = _taps(_SXK)
     sy = _taps(_SYK)
-    parts = [
-        f"img AS MATERIALIZED (SELECT line AS l, sample AS s, sigma0 AS v FROM"
-        f" ({scene_sql(['sigma0'])}))",
-        _conv_cte("r2a_pre", "img", nl, ns, {"v": b4}, "symmetric"),
-        _coarsen_cte("r2a_coar", "r2a_pre", nl2, ns2, ["v"]),
-        _conv_cte("r2a", "r2a_coar", nl2, ns2, {"v": b2}, "symmetric"),
-        "ampl AS MATERIALIZED (SELECT l, s, sqrt(v) AS v FROM r2a)",
-        _conv_cte("grad", "ampl", nl2, ns2,
+    return [
+        _conv_cte(f"{p}r2a_pre", f"{p}img", nl, ns, {"v": b4},
+                  "symmetric"),
+        _coarsen_cte(f"{p}r2a_coar", f"{p}r2a_pre", nl2, ns2, ["v"]),
+        _conv_cte(f"{p}r2a", f"{p}r2a_coar", nl2, ns2, {"v": b2},
+                  "symmetric"),
+        f"{p}ampl AS MATERIALIZED (SELECT l, s, sqrt(v) AS v FROM {p}r2a)",
+        _conv_cte(f"{p}grad", f"{p}ampl", nl2, ns2,
                   {"gx": sx, "gy": sy}, "reflect"),
-        "g2 AS MATERIALIZED (SELECT l, s, gx * gx - gy * gy AS re,"
-        " 2e0 * (gx * gy) AS im FROM grad)",
-        "g2a AS MATERIALIZED (SELECT l, s, re, im,"
-        " sqrt(re * re + im * im) AS ab FROM g2)",
-        _conv_cte("r2b_pre", "g2a", nl2, ns2,
+        f"{p}g2 AS MATERIALIZED (SELECT l, s, gx * gx - gy * gy AS re,"
+        f" 2e0 * (gx * gy) AS im FROM {p}grad)",
+        f"{p}g2a AS MATERIALIZED (SELECT l, s, re, im,"
+        f" sqrt(re * re + im * im) AS ab FROM {p}g2)",
+        _conv_cte(f"{p}r2b_pre", f"{p}g2a", nl2, ns2,
                   {"re:re": b4, "im:im": b4, "ab:ab": b4}, "symmetric"),
-        _coarsen_cte("r2b_coar", "r2b_pre", nl4, ns4,
+        _coarsen_cte(f"{p}r2b_coar", f"{p}r2b_pre", nl4, ns4,
                      ["re", "im", "ab"]),
-        _conv_cte("r2b", "r2b_coar", nl4, ns4,
+        _conv_cte(f"{p}r2b", f"{p}r2b_coar", nl4, ns4,
                   {"re:re": b2, "im:im": b2, "ab:ab": b2}, "symmetric"),
-        "fin AS MATERIALIZED (SELECT l, s, re, im, ab,"
-        " sqrt(re * re + im * im) AS r FROM r2b)",
-    ]
-    return (
-        "WITH " + ",\n".join(parts) + f"""
+        f"{p}fin AS MATERIALIZED (SELECT l, s, re, im, ab,"
+        f" sqrt(re * re + im * im) AS r FROM {p}r2b)",
+        f"""{p}lg AS MATERIALIZED (
 SELECT l AS line4, s AS sample4,
   4e0 * l + 1.5e0 AS line, 4e0 * s + 1.5e0 AS sample,
   sqrt((r + re) / 2e0) AS g2_re,
@@ -531,8 +544,20 @@ SELECT l AS line4, s AS sample4,
   ab AS g3,
   CASE WHEN r / (ab + {_dlit(0.00001)}) <= 1e0
        THEN r / (ab + {_dlit(0.00001)}) ELSE 0e0 END AS c
-FROM fin
-""")
+FROM {p}fin)""",
+    ]
+
+
+def _lg_exact_oracle() -> str:
+    parts = [
+        f"img AS MATERIALIZED (SELECT line AS l, sample AS s, sigma0 AS v FROM"
+        f" ({scene_sql(['sigma0'])}))",
+    ] + _pyramid_parts("", _NL, _NS)
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT line4, sample4, line, sample, g2_re, g2_im, g3, c"
+          " FROM lg"
+    )
 
 
 # upgrade the rows-only pyramid spec to a full oracle
@@ -544,3 +569,98 @@ REGISTRY["local_gradients_pyramid"].description = (
     "square -> R2 -> quality) — EXACT oracle: every convolution "
     "emitted as fixed-tap-order join+sum SQL mirroring the kernel's "
     "accumulation order (dyadic weights, no quantization)")
+
+
+# ----------------------------------------------------------------------
+# EXACT oracle for the full multi-scale streaks chain: per downscale,
+# fixed-order block mean -> pyramid CTEs (_pyramid_parts) -> windowed
+# histogram (window=8, step=8 on /4 indices) -> rebase + stack ->
+# mean (<=2 addends, commutative-exact) -> circular smooth -> peak.
+# ----------------------------------------------------------------------
+
+def _sf_hist_ctes(p: str) -> list:
+    k_expr = (f"CAST(LEAST(GREATEST(FLOOR((atan2(g2_im, g2_re) -"
+              f" ({_dlit(_GH_START)})) / ({_dlit(_GH_BSTEP)}) + 5e-1),"
+              f" 0), 71) AS INT)")
+    return [
+        f"""{p}w AS MATERIALIZED (
+  SELECT g2_re, g2_im, c,
+    sqrt(g2_re * g2_re + g2_im * g2_im) AS abs_g2,
+    CAST(FLOOR(line4 / 8) AS BIGINT) AS wl,
+    CAST(FLOOR(sample4 / 8) AS BIGINT) AS ws
+  FROM {p}lg)""",
+        f"""{p}v AS MATERIALIZED (
+  SELECT * FROM {p}w WHERE NOT isnan(abs_g2) AND abs_g2 > 0e0)""",
+        f"""{p}meds AS MATERIALIZED (
+  SELECT wl, ws, median(abs_g2) AS med FROM {p}v GROUP BY wl, ws)""",
+        f"""{p}hist AS MATERIALIZED (
+  SELECT wl, ws, {k_expr} AS k,
+    {DSUM('(abs_g2 / (abs_g2 + med)) * c', 9)} / 64e0 AS weight
+  FROM {p}v JOIN {p}meds USING (wl, ws)
+  GROUP BY 1, 2, 3)""",
+    ]
+
+
+def _streaks_full_oracle() -> str:
+    nl2, ns2 = _NL // 2, _NS // 2
+    cell = ("MAX(CASE WHEN line % 2 = {dl} AND sample % 2 = {dsm}"
+            " THEN sigma0 END)")
+    block = " + ".join(cell.format(dl=dl, dsm=dsm)
+                       for dl in (0, 1) for dsm in (0, 1))
+    parts = [
+        f"scene AS MATERIALIZED ({scene_sql(['sigma0'])})",
+        "d1_img AS MATERIALIZED (SELECT line AS l, sample AS s,"
+        " sigma0 AS v FROM scene)",
+        f"""d2_img AS MATERIALIZED (
+  SELECT CAST(FLOOR(line / 2) AS BIGINT) AS l,
+    CAST(FLOOR(sample / 2) AS BIGINT) AS s,
+    ({block}) / 4e0 AS v
+  FROM scene GROUP BY 1, 2)""",
+    ]
+    parts += _pyramid_parts("d1_", _NL, _NS)
+    parts += _pyramid_parts("d2_", nl2, ns2)
+    parts += _sf_hist_ctes("d1_")
+    parts += _sf_hist_ctes("d2_")
+    ang = f"({_dlit(_GH_START)}) + k * ({_dlit(_GH_BSTEP)})"
+    parts += [
+        f"""stacked AS MATERIALIZED (
+  SELECT wl AS win_line, ws AS win_sample, {ang} AS angle, weight
+  FROM d1_hist
+  UNION ALL
+  SELECT wl * 2, ws * 2, {ang}, weight FROM d2_hist)""",
+        """mh AS MATERIALIZED (
+  SELECT win_line, win_sample, angle,
+    SUM(weight) / COUNT(weight) AS weight
+  FROM stacked GROUP BY 1, 2, 3)""",
+        f"""dense AS MATERIALIZED (
+  SELECT win_line, win_sample,
+    CAST(FLOOR((angle - ({_dlit(_GH_START)})) / ({_dlit(_GH_BSTEP)})
+         + 5e-1) AS INT) AS angle_idx,
+    weight
+  FROM mh)""",
+        f"taps AS (SELECT * FROM (VALUES {_sd_taps_values()}) t(d, tapw))",
+        f"""sm AS MATERIALIZED (
+  SELECT win_line, win_sample,
+    (((angle_idx + d) % 72) + 72) % 72 AS bin,
+    {DSUM('weight * tapw', 9)} AS wsm
+  FROM dense CROSS JOIN taps
+  GROUP BY 1, 2, 3)""",
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT win_line, win_sample,
+  ({_dlit(_GH_START)}) + bin * ({_dlit(_GH_BSTEP)}) AS streak_angle,
+  wsm AS peak_weight
+FROM sm
+QUALIFY row_number() OVER (
+  PARTITION BY win_line, win_sample ORDER BY wsm DESC, bin ASC) = 1
+""")
+
+
+REGISTRY["streaks_full"].oracle = _streaks_full_oracle()
+REGISTRY["streaks_full"].description = (
+    "End-to-end wind-streak chain over (downscale 1,2): fixed-order "
+    "block resample, fused stencil pyramid, windowed histogram, stack "
+    "mean, circ smooth, argmax peak — EXACT oracle composed from the "
+    "fixed-tap-order convolution SQL, exact percentile medians and "
+    "DECIMAL bin sums")
