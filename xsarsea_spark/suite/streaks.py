@@ -664,3 +664,114 @@ REGISTRY["streaks_full"].description = (
     "mean, circ smooth, argmax peak — EXACT oracle composed from the "
     "fixed-tap-order convolution SQL, exact percentile medians and "
     "DECIMAL bin sums")
+
+
+# ----------------------------------------------------------------------
+# EXACT oracle for the rain/texture mask (Zhao-2021 chain): sqrt ->
+# R2 -> {local std/mean, high-pass vs zoomed smooth} on /2, pyramid
+# g3/c -> gradient contrast on /4, clipped fusions — every stage
+# mirrors filtering_parameters_numpy's op order term by term. The
+# bilinear zoom is a 4-tap position-mapped join with the same
+# clamped (i - 0.5) / 2 coordinate mapping.
+# ----------------------------------------------------------------------
+
+from xsarsea_spark.operators.gradients import B42 as _B42K  # noqa: E402
+
+
+def _zoom2_cte(name: str, src: str, nlo: int, nso: int,
+               nli: int, nsi: int) -> str:
+    """Factor-2 bilinear upsample CTE: out (nlo x nso) from src
+    (nli x nsi), zoom2_numpy's clamped shift-invariant mapping."""
+    y0 = (f"LEAST(GREATEST(CAST(FLOOR((g.l - 5e-1) / 2e0) AS BIGINT),"
+          f" 0), {nli - 2})")
+    x0 = (f"LEAST(GREATEST(CAST(FLOOR((g.s - 5e-1) / 2e0) AS BIGINT),"
+          f" 0), {nsi - 2})")
+    fy = (f"LEAST(GREATEST((g.l - 5e-1) / 2e0 - ({y0}), 0e0), 1e0)")
+    fx = (f"LEAST(GREATEST((g.s - 5e-1) / 2e0 - ({x0}), 0e0), 1e0)")
+    return f"""{name} AS MATERIALIZED (
+  SELECT g.l, g.s,
+    ta.v * (1e0 - ({fy})) * (1e0 - ({fx}))
+    + tb.v * (1e0 - ({fy})) * ({fx})
+    + tc.v * ({fy}) * (1e0 - ({fx}))
+    + td.v * ({fy}) * ({fx}) AS v
+  FROM (SELECT a.range AS l, b.range AS s FROM range({nlo}) a
+        CROSS JOIN range({nso}) b) g
+  JOIN {src} ta ON ta.l = {y0} AND ta.s = {x0}
+  JOIN {src} tb ON tb.l = {y0} AND tb.s = ({x0}) + 1
+  JOIN {src} tc ON tc.l = ({y0}) + 1 AND tc.s = {x0}
+  JOIN {src} td ON td.l = ({y0}) + 1 AND td.s = ({x0}) + 1)"""
+
+
+def _clip01(x: str) -> str:
+    return f"LEAST(GREATEST({x}, 0e0), 1e0)"
+
+
+def _rain_oracle() -> str:
+    nl, ns = _NL, _NS
+    nl2, ns2 = nl // 2, ns // 2
+    nl4, ns4 = nl2 // 2, ns2 // 2
+    b2, b4, b42 = _taps(_B2K), _taps(_B4K), _taps(_B42K)
+    eps = _dlit(0.00001)
+    parts = [
+        f"scene AS MATERIALIZED ({scene_sql(['sigma0'])})",
+        # image = sqrt(sigma0); the pyramid runs on the SAME image
+        "fp2_img AS MATERIALIZED (SELECT line AS l, sample AS s,"
+        " sqrt(sigma0) AS v FROM scene)",
+        # r2 = R2(image) on the /2 grid
+        _conv_cte("fr_pre", "fp2_img", nl, ns, {"v": b4}, "symmetric"),
+        _coarsen_cte("fr_coar", "fr_pre", nl2, ns2, ["v"]),
+        _conv_cte("fr_r2", "fr_coar", nl2, ns2, {"v": b2}, "symmetric"),
+        # j = Mean(r2), j1 = Mean(r2^2): B4 then dilated B42
+        _conv_cte("fj_a", "fr_r2", nl2, ns2, {"v": b4}, "symmetric"),
+        _conv_cte("fj", "fj_a", nl2, ns2, {"v": b42}, "symmetric"),
+        "fr_sq AS MATERIALIZED (SELECT l, s, v * v AS v FROM fr_r2)",
+        _conv_cte("fj1_a", "fr_sq", nl2, ns2, {"v": b4}, "symmetric"),
+        _conv_cte("fj1", "fj1_a", nl2, ns2, {"v": b42}, "symmetric"),
+        # P2 ingredients: coarsen r2, smooth, zoom back to /2
+        _coarsen_cte("fsm_coar", "fr_r2", nl4, ns4, ["v"]),
+        _conv_cte("fsm", "fsm_coar", nl4, ns4, {"v": b2}, "symmetric"),
+        _zoom2_cte("fzoom", "fsm", nl2, ns2, nl4, ns4),
+    ]
+    # pyramid for g3 and c (on sqrt image)
+    parts += _pyramid_parts("fp2_", nl, ns)
+    parts += [
+        # g4 = Mean(g3) on the /4 grid
+        "fg3 AS MATERIALIZED (SELECT line4 AS l, sample4 AS s, g3 AS v"
+        " FROM fp2_lg)",
+        _conv_cte("fg4_a", "fg3", nl4, ns4, {"v": b4}, "symmetric"),
+        _conv_cte("fg4", "fg4_a", nl4, ns4, {"v": b42}, "symmetric"),
+        # /2-grid fusions f1, f2
+        f"""ff12 AS MATERIALIZED (
+  SELECT r.l, r.s,
+    {_clip01(f"-5e1 * (sqrt(GREATEST(j1.v - j.v * j.v, 0e0))"
+             f" / (j.v + {eps})) + 2.75e0")} AS f1,
+    {_clip01(f"-5e3 * (((r.v - z.v) * (r.v - z.v))"
+             f" / ((j.v * j.v) + {eps})) + 3e0")} AS f2
+  FROM fr_r2 r
+  JOIN fj j ON j.l = r.l AND j.s = r.s
+  JOIN fj1 j1 ON j1.l = r.l AND j1.s = r.s
+  JOIN fzoom z ON z.l = r.l AND z.s = r.s)""",
+        _coarsen_cte("ff1d", "ff12", nl4, ns4, ["f1", "f2"]),
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT g.line4, g.sample4, d.f1, d.f2,
+  {_clip01(f"-2.5e0 * (g.g3 / (g4.v + {eps})) + 4e0")} AS f3,
+  {_clip01("-1e1 * sqrt(g.c) + 6.3e0")} AS f4,
+  sqrt(25e-2 * (d.f1 * d.f1 + d.f2 * d.f2
+    + ({_clip01(f"-2.5e0 * (g.g3 / (g4.v + {eps})) + 4e0")})
+      * ({_clip01(f"-2.5e0 * (g.g3 / (g4.v + {eps})) + 4e0")})
+    + ({_clip01("-1e1 * sqrt(g.c) + 6.3e0")})
+      * ({_clip01("-1e1 * sqrt(g.c) + 6.3e0")}))) AS F
+FROM fp2_lg g
+JOIN fg4 g4 ON g4.l = g.line4 AND g4.s = g.sample4
+JOIN ff1d d ON d.l = g.line4 AND d.s = g.sample4
+""")
+
+
+REGISTRY["rain_mask_filtering"].oracle = _rain_oracle()
+REGISTRY["rain_mask_filtering"].description = (
+    "Zhao-2021 rain/texture mask (local std/mean, high-pass vs zoomed "
+    "smooth, gradient contrast, quality) — ONE fused tile+halo pass; "
+    "EXACT composed oracle incl. a 4-tap position-mapped bilinear "
+    "zoom join")
