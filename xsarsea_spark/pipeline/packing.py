@@ -1,0 +1,88 @@
+"""Sequence packing and mixture sampling for pretraining pipelines.
+
+``pack_sequences`` implements concat-then-chunk packing: documents are
+laid out end to end in a deterministic order and cut into fixed-length
+context windows, so a document may span a sequence boundary. The
+layout is pure integer arithmetic over one window cumsum — exact in
+any engine, and the industry-standard way to reach ~100% token
+utilization (vs per-sequence greedy packing's padding waste).
+
+``mixture_sample`` draws a deterministic hash-thresholded subset per
+source at per-source rates — the "data mixture" step of a training
+run, reproducible across runs and engines (no RNG state).
+
+Scale: packing is one window pass ordered by the document key; at
+100 TB the global cumsum becomes per-shard cumsums plus one tiny
+shard-offset prefix sum (the classic two-level scan), which preserves
+the same output contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xsarsea_spark.pipeline.text import HASH40_SQL
+
+__all__ = ["pack_sequences", "mixture_sample"]
+
+
+def pack_sequences(docs: DataFrame, seq_len: int,
+                   text_col: str = "text",
+                   id_col: str = "doc_id",
+                   max_span: int = 8) -> DataFrame:
+    """Concat-then-chunk packing: returns one row per (document,
+    sequence) intersection with the exact token spans —
+    (doc_id, seq_id, doc_offset, seq_offset, span_len).
+
+    ``max_span`` bounds how many sequences one document may cross
+    (validate ``seq_len`` against the longest document upstream).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    toks = docs.select(
+        id_col,
+        F.expr(f"size(split({text_col}, ' '))").cast("long")
+        .alias("__n"),
+    )
+    laid = toks.withColumn(
+        "__cum_end", F.sum("__n").over(w)
+    ).withColumn("__cum_before", F.col("__cum_end") - F.col("__n"))
+    spans = docs.sparkSession.range(max_span).select(
+        F.col("id").cast("long").alias("__k"))
+    out = (
+        laid.crossJoin(F.broadcast(spans))
+        .withColumn("seq_id",
+                    F.expr(f"__cum_before DIV {seq_len} + __k"))
+        .filter(F.expr(f"seq_id * {seq_len} < __cum_before + __n"))
+        .withColumn("__begin",
+                    F.expr(f"GREATEST(__cum_before, seq_id * {seq_len})"))
+        .withColumn(
+            "__end",
+            F.expr(f"LEAST(__cum_before + __n,"
+                   f" (seq_id + 1) * {seq_len})"))
+        .select(
+            id_col,
+            "seq_id",
+            (F.col("__begin") - F.col("__cum_before"))
+            .alias("doc_offset"),
+            F.expr(f"__begin - seq_id * {seq_len}").alias("seq_offset"),
+            (F.col("__end") - F.col("__begin")).alias("span_len"),
+        )
+    )
+    return out
+
+
+def mixture_sample(docs: DataFrame, rate_sql: str,
+                   id_col: str = "doc_id",
+                   source_col: str = "source") -> DataFrame:
+    """Deterministic per-source mixture: keep a row when its md5-hash
+    unit uniform falls under the source's rate. ``rate_sql`` is a SQL
+    expression over the row (typically the source column) yielding a
+    rate in [0, 1]. Same corpus + rates -> same sample, any engine."""
+    h = HASH40_SQL.format(
+        x=f"CAST({id_col} AS STRING) || '#' || {source_col}")
+    return docs.filter(
+        F.expr(f"({h}) / 1099511627776e0 < ({rate_sql})"))

@@ -773,3 +773,80 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TFIDF_K)
         .select("doc_id", "rank", "term", "tfidf")
     )
+
+
+# ----------------------------------------------------------------------
+# Sequence packing (concat-then-chunk) + deterministic mixture
+# sampling — the layout/token math is all integers, the sampling a
+# hash threshold, so both are value-exact.
+# ----------------------------------------------------------------------
+
+_PACK_LEN = 128
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents),
+laid AS (
+  SELECT doc_id, n,
+    SUM(n) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+      AS cum_before
+  FROM toks),
+spans AS (SELECT CAST(range AS BIGINT) AS k FROM range(8))
+SELECT doc_id,
+  cum_before // {_PACK_LEN} + k AS seq_id,
+  GREATEST(cum_before, (cum_before // {_PACK_LEN} + k) * {_PACK_LEN})
+    - cum_before AS doc_offset,
+  GREATEST(cum_before, (cum_before // {_PACK_LEN} + k) * {_PACK_LEN})
+    - (cum_before // {_PACK_LEN} + k) * {_PACK_LEN} AS seq_offset,
+  LEAST(cum_before + n, (cum_before // {_PACK_LEN} + k + 1)
+    * {_PACK_LEN})
+  - GREATEST(cum_before, (cum_before // {_PACK_LEN} + k)
+    * {_PACK_LEN}) AS span_len
+FROM laid CROSS JOIN spans
+WHERE (cum_before // {_PACK_LEN} + k) * {_PACK_LEN} < cum_before + n
+"""
+
+
+@spec(
+    "doc_sequence_packing",
+    _PACK_ORACLE,
+    description="Concat-then-chunk sequence packing into fixed "
+                "context windows (docs may span boundaries): one "
+                "integer window cumsum, ~100% token utilization",
+    tags=("pipeline", "packing"),
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.packing import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=_PACK_LEN)
+
+
+_MIX_RATE = ("((CAST(substr(source, 4) AS BIGINT) % 4) + 1) * 25e-2")
+
+_MIX_ORACLE = f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+  source), 1, 10) AS BIGINT) / 1099511627776e0
+  < ((CAST(substr(source, 4) AS BIGINT) % 4) + 1) * 25e-2
+"""
+
+
+@spec(
+    "doc_mixture_sample",
+    _MIX_ORACLE,
+    description="Deterministic data-mixture sampling: per-source "
+                "hash-threshold rates (25/50/75/100%), reproducible "
+                "across runs and engines — no RNG",
+    tags=("pipeline", "sampling"),
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.packing import mixture_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return mixture_sample(docs, _MIX_RATE).select(
+        "doc_id", "source", "lang")
