@@ -410,3 +410,115 @@ def q_events_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("true_distinct"))
     return est.join(true, on="event_type").select(
         "event_type", "kmv_estimate", "true_distinct")
+
+
+# ----------------------------------------------------------------------
+# Funnel analysis: ordered view -> click -> purchase per user. Each
+# stage timestamp is the earliest event of that type STRICTLY AFTER
+# the previous stage (the classic ordered-funnel semantics, cf.
+# ClickHouse windowFunnel). All three stage minima are unbounded
+# window aggregates over the SAME partitioning key, so Catalyst plans
+# ONE exchange on user_id for the whole chain, and the final per-user
+# collapse reuses that partitioning — a single shuffle end-to-end at
+# any scale. Pure BIGINT microsecond math: cross-engine exact.
+# ----------------------------------------------------------------------
+
+_FUNNEL_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, {_US_DUCK} AS us, event_type FROM events),
+w1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+    OVER (PARTITION BY user_id) AS t_view FROM e),
+w2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND us > t_view
+                     THEN us END)
+    OVER (PARTITION BY user_id) AS t_click FROM w1),
+w3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > t_click
+                     THEN us END)
+    OVER (PARTITION BY user_id) AS t_purchase FROM w2)
+SELECT user_id, MIN(t_view) AS t_view, MIN(t_click) AS t_click,
+  MIN(t_purchase) AS t_purchase,
+  (CASE WHEN MIN(t_view) IS NOT NULL THEN 1 ELSE 0 END
+   + CASE WHEN MIN(t_click) IS NOT NULL THEN 1 ELSE 0 END
+   + CASE WHEN MIN(t_purchase) IS NOT NULL THEN 1 ELSE 0 END) AS stage
+FROM w3 GROUP BY user_id
+"""
+
+
+@spec(
+    "events_funnel",
+    _FUNNEL_ORACLE,
+    description="Ordered 3-stage funnel (view -> click -> purchase) "
+                "per user: stage minima chained through window "
+                "aggregates sharing one user_id exchange",
+    tags=("events", "funnel", "window"),
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").selectExpr(
+        "user_id", f"{_US_SPARK} AS us", "event_type")
+    w = Window.partitionBy("user_id")
+    df = ev.withColumn(
+        "t_view",
+        F.expr("min(CASE WHEN event_type = 'view' THEN us END)").over(w))
+    df = df.withColumn(
+        "t_click",
+        F.expr("min(CASE WHEN event_type = 'click' AND us > t_view "
+               "THEN us END)").over(w))
+    df = df.withColumn(
+        "t_purchase",
+        F.expr("min(CASE WHEN event_type = 'purchase' AND us > t_click "
+               "THEN us END)").over(w))
+    return df.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+        F.expr(
+            "CASE WHEN min(t_view) IS NOT NULL THEN 1 ELSE 0 END"
+            " + CASE WHEN min(t_click) IS NOT NULL THEN 1 ELSE 0 END"
+            " + CASE WHEN min(t_purchase) IS NOT NULL THEN 1 ELSE 0 END"
+        ).alias("stage"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Cohort retention matrix: users bucketed by their first-active week,
+# counted in every later week they return. Integer week arithmetic
+# (us DIV week), one window pass for the cohort label (shared user_id
+# exchange), then a distinct-count per (cohort, offset) cell.
+# ----------------------------------------------------------------------
+
+_WEEK_US = 604_800_000_000          # 7 * 86400 * 1e6 microseconds
+
+
+_RETENTION_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, ({_US_DUCK} // {_WEEK_US}) AS week FROM events),
+c AS (
+  SELECT *, MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM e)
+SELECT cohort_week, week - cohort_week AS week_offset,
+  COUNT(DISTINCT user_id) AS n_users
+FROM c GROUP BY 1, 2
+"""
+
+
+@spec(
+    "events_retention",
+    _RETENTION_ORACLE,
+    description="Weekly cohort retention matrix: first-active week "
+                "per user via one windowed min, then distinct users "
+                "per (cohort_week, week_offset) cell",
+    tags=("events", "retention", "window"),
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").selectExpr(
+        "user_id", f"({_US_SPARK}) DIV {_WEEK_US} AS week")
+    w = Window.partitionBy("user_id")
+    c = ev.withColumn("cohort_week", F.min("week").over(w))
+    return (
+        c.groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
