@@ -242,3 +242,54 @@ def test_kmv_merge_property(spark):
         .expr(f"COUNT(DISTINCT {val})").alias("t")).collect()}
     for et, t in true.items():
         assert abs(est[et] - t) / t < 0.5, (et, est[et], t)
+
+
+def test_dsu_matches_distributed_loop(spark):
+    """The union-find fallback and the min-label-propagation loop must
+    produce the identical (node, min-id) labeling."""
+    from xsarsea_spark.pipeline.sampling import dup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "id_a LONG, id_b LONG")
+    local = {(r.doc_id, r.component)
+             for r in dup_components(pairs).collect()}
+    dist = {(r.doc_id, r.component)
+            for r in dup_components(pairs, local_threshold=0).collect()}
+    assert local == dist
+    assert local == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+                     (20, 20), (21, 20), (22, 20)}
+
+
+def test_bigrams_positions(spark):
+    from xsarsea_spark.pipeline.text import bigrams
+
+    df = spark.createDataFrame(
+        [(1, "a b b c"), (2, "solo")], "doc_id LONG, text STRING")
+    got = sorted((r.w1, r.w2) for r in bigrams(df).collect())
+    assert got == [("a", "b"), ("b", "b"), ("b", "c")]
+
+
+def test_funnel_ordering_semantics(spark, tmp_path):
+    """A purchase BEFORE the first click must not count as stage 3."""
+    import pandas as pd
+
+    from xsarsea_spark.suite.base import REGISTRY
+
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:00", "2024-01-01 01:00:00",
+            "2024-01-01 02:00:00", "2024-01-02 00:00:00",
+            "2024-01-02 01:00:00"]),
+        "user_id": [7, 7, 7, 8, 8],
+        "event_type": ["view", "purchase", "click", "purchase", "view"],
+        "value": [1.0] * 5,
+        "props": ["{}"] * 5,
+    })
+    ev.to_parquet(tmp_path / "events.parquet", index=False)
+    rows = {r.user_id: r for r in REGISTRY["events_funnel"]
+            .spark(spark, str(tmp_path)).collect()}
+    assert rows[7].stage == 2          # purchase precedes click
+    assert rows[7].t_click is not None and rows[7].t_purchase is None
+    assert rows[8].stage == 1          # view only, purchase too early

@@ -191,3 +191,22 @@ def rolling_hash(docs: DataFrame, text_col: str = "text") -> DataFrame:
             f" (a, x) -> (a * {ROLLING_B} + ({tok_h})) % {ROLLING_P})"
         ).alias("rolling_hash"),
     )
+
+
+def bigrams(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Token bigram rows (id, w1, w2), duplicates kept — the raw
+    material for n-gram language-model statistics. One explode, no
+    self-join: positions come from a ``transform(sequence(...))``
+    over the token array."""
+    return (
+        docs.selectExpr(id_col, f"split({text_col}, ' ') AS __l")
+        .filter("size(__l) >= 2")
+        .selectExpr(
+            id_col,
+            "explode(transform(sequence(1, size(__l) - 1),"
+            " i -> named_struct('w1', element_at(__l, i),"
+            " 'w2', element_at(__l, i + 1)))) AS __bg",
+        )
+        .selectExpr(id_col, "__bg.w1 AS w1", "__bg.w2 AS w2")
+    )

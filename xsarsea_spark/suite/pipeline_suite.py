@@ -850,3 +850,78 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return mixture_sample(docs, _MIX_RATE).select(
         "doc_id", "source", "lang")
+
+
+# ----------------------------------------------------------------------
+# Bigram language-model scoring: corpus-wide add-one-smoothed bigram
+# conditional probabilities, then a per-document mean log-likelihood —
+# the classic cheap "does this look like natural text" pretraining
+# filter (a KenLM stand-in with exact cross-engine arithmetic).
+#
+# Determinism: each ln() term passes the QTRUNC barrier, is cast to
+# DECIMAL(38,9) (exact for |ll| < 1e28), and the per-doc sum is a
+# DECIMAL sum — order-independent, so Spark's partition order and
+# DuckDB's scan order cannot disagree. Scale: the count tables are
+# vocabulary-sized (<< corpus), the scoring join keys are words (AQE
+# skew-split handles stopword heads), and nothing leaves the JVM.
+# ----------------------------------------------------------------------
+
+
+def _bigram_term() -> str:
+    from xsarsea_spark.suite.base import QTRUNC
+
+    return QTRUNC("ln((c12 + 1) / CAST(c1 + v AS DOUBLE))", 9)
+
+
+_BIGRAM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  WHERE len(string_split(text, ' ')) >= 2),
+bg AS (
+  SELECT doc_id, unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
+  FROM t),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+vocab AS (
+  SELECT COUNT(DISTINCT x) AS v
+  FROM (SELECT unnest(string_split(text, ' ')) AS x FROM documents)),
+scored AS (
+  SELECT doc_id, {{term}} AS term
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+  CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE) AS ll,
+  CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS avg_ll
+FROM scored GROUP BY doc_id
+"""
+
+
+@spec(
+    "doc_bigram_lm",
+    _BIGRAM_ORACLE.format(term=_bigram_term()),
+    description="Add-one-smoothed bigram LM log-likelihood per "
+                "document (KenLM-style quality filter); "
+                "order-independent DECIMAL summation",
+    tags=("pipeline", "text", "lm"),
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.text import bigrams
+
+    docs = load(spark, sf_dir, "documents")
+    bg = bigrams(docs)
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = docs.selectExpr("explode(split(text, ' ')) AS x").agg(
+        F.countDistinct("x").alias("v"))
+    scored = (
+        bg.join(c12, on=["w1", "w2"])
+        .join(c1, on="w1")
+        .crossJoin(F.broadcast(vocab))
+        .selectExpr("doc_id", f"{_bigram_term()} AS term")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE)")
+        .alias("ll"),
+        F.expr("CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE)"
+               " / COUNT(*)").alias("avg_ll"),
+    )
