@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["events_stream", "stream_hourly_counts",
+           "stream_user_profile_tws",
            "stream_minute_dedup", "stream_sessionize",
            "stream_interval_join", "stream_user_stats"]
 
@@ -252,3 +253,111 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         fn, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout)
     return _run_to_memory(agg, "update")
+
+
+def stream_user_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user profile via ``transformWithStateInPandas`` — the
+    Spark 4 typed-state streaming API (ValueState + MapState +
+    ListState over the RocksDB provider), the successor to
+    applyInPandasWithState.
+
+    State per user: a ValueState row counter, a MapState of
+    event_type -> count, and a ListState holding the top-3 (value,
+    event_id) pairs ordered (value DESC, event_id ASC) — the
+    bounded-state form of a streaming top-k. Batches fold in
+    ascending event_id order so emitted rows are arrival-order
+    independent and SQL-oracle exact.
+
+    Gated: the transformWithState Python<->JVM state protocol speaks
+    protobuf, which this environment does not ship — the operator
+    raises a clear NotImplementedError there and runs anywhere
+    protobuf is installed. (Semantics twin: stream_user_stats covers
+    the custom-stateful surface un-gated via applyInPandasWithState.)
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the protobuf package "
+            "(the typed-state server protocol); this environment "
+            "does not ship it — use stream_user_stats "
+            "(applyInPandasWithState) for the same stateful surface"
+        ) from e
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    ev = (
+        events_stream(spark, sf_dir)
+        .withWatermark("event_time", "1 hour")
+        .select("user_id", "event_id", "event_type", "value")
+    )
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_types", T.LongType()),
+        T.StructField("n_errors", T.LongType()),
+        T.StructField("top1", T.DoubleType()),
+        T.StructField("top2", T.DoubleType()),
+        T.StructField("top3", T.DoubleType()),
+    ])
+
+    class Profile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n bigint")
+            self._types = handle.getMapState(
+                "types", "t string", "c bigint")
+            self._top = handle.getListState(
+                "top", "v double, eid bigint")
+
+        def handleInputRows(self, key, rows, timer_values):
+            df = pd.concat(list(rows)).sort_values("event_id")
+            n = self._n.get()[0] if self._n.exists() else 0
+            top = [tuple(t) for t in self._top.get()] \
+                if self._top.exists() else []
+            for r in df.itertuples():
+                n += 1
+                t = r.event_type
+                prev = (self._types.getValue((t,))[0]
+                        if self._types.containsKey((t,)) else 0)
+                self._types.updateValue((t,), (prev + 1,))
+                top.append((float(r.value), int(r.event_id)))
+                top.sort(key=lambda p: (-p[0], p[1]))
+                top = top[:3]
+            self._n.update((n,))
+            self._top.put(top)
+            counts = {k[0]: v[0] for k, v in self._types.iterator()}
+            pad = top + [(None, None)] * (3 - len(top))
+            yield pd.DataFrame([{
+                "user_id": int(key[0]), "n_events": n,
+                "n_types": len(counts),
+                "n_errors": counts.get("error", 0),
+                "top1": pad[0][0], "top2": pad[1][0],
+                "top3": pad[2][0],
+            }])
+
+        def close(self) -> None:
+            pass
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider")
+    try:
+        agg = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=Profile(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        return _run_to_memory(agg, "update")
+    finally:
+        if prev_provider is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                prev_provider)
+        else:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass")
