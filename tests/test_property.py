@@ -293,3 +293,40 @@ def test_funnel_ordering_semantics(spark, tmp_path):
     assert rows[7].stage == 2          # purchase precedes click
     assert rows[7].t_click is not None and rows[7].t_purchase is None
     assert rows[8].stage == 1          # view only, purchase too early
+
+
+def test_pq_recall_and_determinism(spark):
+    """PQ-ADC top-k must overlap the exact L2 top-k (recall@5) and be
+    run-to-run deterministic."""
+    import numpy as np
+
+    from xsarsea_spark.pipeline.pq import (encode_pq, pq_search,
+                                           train_pq)
+    from xsarsea_spark.sources.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    books = train_pq(emb, m=8, k=16, iters=3)
+    codes = encode_pq(emb, books)
+    queries = emb.filter("vec_id < 20")
+    got = pq_search(queries, codes, books, k=5, corpus=emb,
+                    shortlist=50).collect()
+    again = pq_search(queries, codes, books, k=5, corpus=emb,
+                      shortlist=50).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    ids = np.array(sorted(vecs))
+    mat = np.stack([vecs[i] for i in ids])
+    hits = tot = 0
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for qid, approx in by_q.items():
+        d = ((mat - vecs[qid]) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))
+        exact = set(ids[order[:5]].tolist())
+        hits += len(exact & approx)
+        tot += 5
+    assert tot == 100
+    assert hits / tot >= 0.7, f"recall {hits/tot}"

@@ -925,3 +925,23 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE)"
                " / COUNT(*)").alias("avg_ll"),
     )
+
+
+@spec(
+    "pq_ann",
+    None,
+    description="Product-quantization ANN: per-subspace k-means "
+                "codebooks (one corpus pass per Lloyd round for all "
+                "subspaces), M-byte codes, ADC search via broadcast "
+                "distance tables — the compressed third scale path",
+    tags=("pipeline", "similarity", "rows-only"),
+)
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.pq import encode_pq, pq_search, train_pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = train_pq(emb, m=8, k=16, iters=3)
+    codes = encode_pq(emb, books)
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ)
+    return pq_search(queries, codes, books, k=_KNN_K, corpus=emb,
+                     shortlist=10 * _KNN_K)
