@@ -94,3 +94,20 @@ def test_tws_profile_gated_or_runs(spark):
     df = stream_user_profile_tws(spark, "/root/testdata/sf0.001")
     assert df.count() > 0
     assert "top1" in df.columns
+
+
+def test_scd2_collapses_and_closes(spark):
+    from xsarsea_spark.operators.scd import scd2_history
+
+    rows = [
+        (1, 10, 1, "a"), (1, 20, 2, "a"), (1, 30, 3, "b"),
+        (1, 40, 4, "a"), (2, 10, 5, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k LONG, ts LONG, seq LONG, v STRING")
+    out = {(r.k, r.valid_from): r for r in scd2_history(
+        df, ["k"], "ts", ["v"], "seq").collect()}
+    assert set(out) == {(1, 10), (1, 30), (1, 40), (2, 10)}
+    assert out[(1, 10)].valid_to == 30      # the ts=20 repeat merged
+    assert out[(1, 40)].is_current and out[(1, 40)].valid_to is None
+    assert out[(2, 10)].is_current

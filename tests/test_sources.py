@@ -148,3 +148,51 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         # managed tables: DROP removes the data directories
         spark.sql("DROP TABLE IF EXISTS t_a")
         spark.sql("DROP TABLE IF EXISTS t_b")
+
+
+def test_zorder_sql_matches_python(spark):
+    """The SQL bit-interleave must equal a straightforward Python
+    Morton encode, in Spark (DuckDB equality is covered by the
+    q_zorder_profile oracle row)."""
+    from xsarsea_spark.sources.sinks import zorder_sql
+
+    rows = [(3, 5), (0, 0), (1023, 1), (7, 1024)]
+    df = spark.createDataFrame(rows, "a LONG, b LONG")
+    got = {(r.a, r.b): r.z for r in df.selectExpr(
+        "a", "b", f"{zorder_sql(['a', 'b'], bits=11)} AS z").collect()}
+
+    def morton(a, b, bits=11):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for a, b in rows:
+        assert got[(a, b)] == morton(a, b)
+
+
+def test_write_zordered_roundtrip(spark, tmp_path):
+    """Z-ordered write preserves the data and tightens per-file key
+    spans vs the row count split naively."""
+    from pyspark.sql import functions as F
+
+    from xsarsea_spark.sources.sinks import write_zordered
+
+    df = spark.range(4096).selectExpr(
+        "id % 64 AS x", "id DIV 64 AS y", "id AS payload")
+    out = str(tmp_path / "zorder")
+    write_zordered(df, out, ["x", "y"], bits=6, n_files=16)
+    back = spark.read.parquet(out)
+    assert back.count() == 4096
+    assert {r.payload for r in back.collect()} == set(range(4096))
+    spans = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(((F.max("x") - F.min("x") + 1)
+              * (F.max("y") - F.min("y") + 1)).alias("area"))
+        .collect()
+    )
+    # each file covers a small rectangle of the 64x64 grid, far under
+    # the full plane a value-ordered split would smear across
+    assert max(r.area for r in spans) <= 1024

@@ -51,3 +51,39 @@ def write_scene_tiled(px: DataFrame, path: str, tile: int = 512,
        .write.mode("overwrite")
        .partitionBy("tile_line", "tile_sample")
        .parquet(path))
+
+
+def zorder_sql(cols: list[str], bits: int = 16) -> str:
+    """Z-order (Morton) key as a pure-SQL bit interleave — identical
+    text works in Spark and DuckDB (shiftleft spelled with operators).
+
+    Bit i of column j lands at position i * n_cols + j, so
+    lexicographic order on the key is the space-filling Z-curve:
+    range-partitioning or sorting files by it co-locates rows that are
+    close in ALL key dimensions at once, which turns parquet min/max
+    column statistics into multi-dimensional data-skipping — the
+    standard Delta/Iceberg OPTIMIZE ZORDER layout trick, here as a
+    plain deterministic expression.
+    """
+    n = len(cols)
+    terms = []
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            terms.append(
+                f"(((CAST({c} AS BIGINT) >> {i}) & 1)"
+                f" << {i * n + j})")
+    return " | ".join(terms)
+
+
+def write_zordered(df: DataFrame, path: str, zcols: list[str],
+                   bits: int = 16, n_files: int = 200) -> None:
+    """Cluster files along the Z-curve of ``zcols``: range-partition
+    on the interleaved key (sampled split points, no global sort),
+    sort within partitions, drop the key. Each output file then covers
+    a tight hyper-rectangle of the key space -> min/max skipping on
+    every z column."""
+    keyed = df.withColumn("__z", F.expr(zorder_sql(zcols, bits)))
+    (keyed.repartitionByRange(n_files, "__z")
+          .sortWithinPartitions("__z")
+          .drop("__z")
+          .write.mode("overwrite").parquet(path))

@@ -522,3 +522,51 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# ----------------------------------------------------------------------
+# SCD2 dimension history from the purchase-value observation stream:
+# consecutive equal values collapse, each surviving change opens a
+# [valid_from, valid_to) interval, last interval flagged current —
+# the standard warehouse MERGE-maintained layout, built here from two
+# window passes over one user_id exchange. (us, event_id) ordering
+# makes equal-timestamp ties deterministic in both engines.
+# ----------------------------------------------------------------------
+
+_SCD2_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, {_US_DUCK} AS us, event_id, value
+  FROM events WHERE event_type = 'purchase'),
+d AS (
+  SELECT *, lag(value) OVER
+    (PARTITION BY user_id ORDER BY us, event_id) AS pv
+  FROM c),
+k AS (SELECT user_id, us, event_id, value FROM d
+      WHERE value IS DISTINCT FROM pv)
+SELECT user_id, value, us AS valid_from,
+  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+    AS valid_to,
+  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+    AS is_current
+FROM k
+"""
+
+
+@spec(
+    "events_scd2_history",
+    _SCD2_ORACLE,
+    description="SCD type-2 validity intervals from the purchase "
+                "value stream: lag-collapse + lead-close, two window "
+                "passes on one business-key exchange",
+    tags=("events", "scd", "window"),
+)
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.scd import scd2_history
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .selectExpr("user_id", f"{_US_SPARK} AS us", "event_id",
+                    "value")
+    )
+    return scd2_history(ev, ["user_id"], "us", ["value"], "event_id")

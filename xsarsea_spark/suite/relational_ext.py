@@ -354,3 +354,54 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)"
             " / 7e0").alias("avg_yearly"))
     )
+
+
+# ----------------------------------------------------------------------
+# Z-order layout profile: Morton-interleave (l_partkey, l_suppkey)
+# and profile the top-of-key buckets. The SAME bit-interleave SQL text
+# runs in both engines (pure BIGINT shifts — exact), and the per-bucket
+# min/max spans demonstrate what the z-layout buys: every bucket is a
+# tight hyper-rectangle in BOTH key dimensions, so files sorted by
+# this key skip on parquet min/max stats for predicates on EITHER key.
+# sinks.write_zordered is the companion writer.
+# ----------------------------------------------------------------------
+
+def _zprofile_sql() -> str:
+    from xsarsea_spark.sources.sinks import zorder_sql
+
+    z = zorder_sql(["l_partkey", "l_suppkey"], bits=21)
+    return f"""
+SELECT (({z}) >> 10) AS zbucket,
+  COUNT(*) AS n_rows,
+  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@spec(
+    "q_zorder_profile",
+    _zprofile_sql(),
+    description="Morton/z-order key bucket profile over lineitem "
+                "(bit-interleave in pure BIGINT SQL) — the "
+                "OPTIMIZE ZORDER data-skipping layout, verifiable "
+                "cross-engine",
+    tags=("relational", "layout"),
+)
+def q_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.sources.sinks import zorder_sql
+
+    z = zorder_sql(["l_partkey", "l_suppkey"], bits=21)
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("zbucket", F.expr(f"({z}) >> 10"))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+    )
