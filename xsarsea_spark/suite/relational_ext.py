@@ -405,3 +405,72 @@ def q_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("max_supp"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Deterministic PageRank over the part<->supplier bipartite graph
+# (edges = distinct (partkey, suppkey) pairs of a 10% part slice,
+# both orientations). The oracle chains one CTE per iteration — and
+# because every round's in-edge sum is quantized-then-DECIMAL, N
+# Spark join/agg rounds match N SQL CTE levels BIT-EXACTLY: the first
+# oracle-exact iterative graph algorithm in the suite (dup_cluster's
+# closure oracle checks reachability, not numerics).
+# ----------------------------------------------------------------------
+
+_PR_ITERS = 4
+_PR_DAMP = "0.85"
+
+
+def _pagerank_oracle() -> str:
+    from xsarsea_spark.operators.pagerank import pagerank_contrib_expr
+
+    d = _PR_DAMP
+    contrib = pagerank_contrib_expr("r.rank", "deg")
+    sql = f"""
+WITH pairs AS (
+  SELECT DISTINCT 'P' || CAST(l_partkey AS VARCHAR) AS p,
+                  'S' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM lineitem WHERE l_partkey % 10 = 0),
+e AS (SELECT p AS src, s AS dst FROM pairs
+      UNION ALL SELECT s, p FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, 1e0 / n AS rank FROM nodes CROSS JOIN nn)"""
+    for i in range(1, _PR_ITERS + 1):
+        sql += f""",
+r{i} AS (
+  SELECT nodes.node,
+    (1e0 - {d}e0) / n + {d}e0 * coalesce(s.in_sum, 0e0) AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN (
+    SELECT e.dst AS node,
+      CAST(SUM(CAST({contrib} AS DECIMAL(38,12))) AS DOUBLE)
+        AS in_sum
+    FROM e JOIN deg USING (src) JOIN r{i - 1} r ON r.node = e.src
+    GROUP BY e.dst) s ON s.node = nodes.node)"""
+    return sql + f"\nSELECT node, rank FROM r{_PR_ITERS}"
+
+
+@spec(
+    "graph_pagerank",
+    _pagerank_oracle(),
+    description="PageRank on the part-supplier bipartite graph: "
+                "fixed Pregel-style join/agg rounds, quantized "
+                "DECIMAL in-sums make every iteration bit-exact "
+                "against the chained-CTE oracle",
+    tags=("relational", "graph", "iterative"),
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.pagerank import pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    pairs = (
+        li.filter(F.col("l_partkey") % 10 == 0)
+        .selectExpr("'P' || CAST(l_partkey AS STRING) AS p",
+                    "'S' || CAST(l_suppkey AS STRING) AS s")
+        .distinct()
+    )
+    edges = pairs.selectExpr("p AS src", "s AS dst").unionAll(
+        pairs.selectExpr("s AS src", "p AS dst"))
+    return pagerank(edges, iters=_PR_ITERS,
+                    damping=float(_PR_DAMP), dangling=False)
