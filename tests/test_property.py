@@ -330,3 +330,34 @@ def test_pq_recall_and_determinism(spark):
         tot += 5
     assert tot == 100
     assert hits / tot >= 0.7, f"recall {hits/tot}"
+
+
+def test_countmin_merge_and_bound(spark):
+    """Bucket-wise counter sum of two half-stream sketches equals the
+    full sketch (mergeability), and cm_count >= true count always."""
+    from pyspark.sql import functions as F
+
+    from xsarsea_spark.operators.sketch import (countmin_estimate,
+                                                countmin_sketch)
+    from xsarsea_spark.sources.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.01", "events")
+    v = "CAST(user_id AS STRING)"
+    full = countmin_sketch(ev, v)
+    a = countmin_sketch(ev.filter("event_id % 2 = 0"), v)
+    b = countmin_sketch(ev.filter("event_id % 2 = 1"), v)
+    merged = (
+        a.unionByName(b).groupBy("rw", "bucket")
+        .agg(F.sum("counter").alias("counter"))
+    )
+    assert {tuple(r) for r in merged.collect()} \
+        == {tuple(r) for r in full.collect()}
+
+    items = ev.select("user_id").distinct()
+    est = countmin_estimate(items, full, v)
+    true = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("t"))
+    bad = (
+        est.join(true, on="user_id")
+        .filter(F.col("cm_count") < F.col("t")).count()
+    )
+    assert bad == 0

@@ -80,3 +80,58 @@ def kmv_estimate(sketch: DataFrame, group_cols: list,
         )
         .select(*group_cols, "kmv_estimate")
     )
+
+
+# ----------------------------------------------------------------------
+# Count-min: deterministic frequency sketch
+# ----------------------------------------------------------------------
+
+def _cm_hash(value_sql: str, row: int, width: int) -> str:
+    """Row-salted 40-bit md5 hash folded to a bucket — identical text
+    in both engines modulo the md5->int spelling (HASH40_SQL)."""
+    h = HASH40_SQL.format(x=f"('{row}#' || ({value_sql}))")
+    return f"(({h}) % {width})"
+
+
+def countmin_sketch(df: DataFrame, value_sql: str, depth: int = 4,
+                    width: int = 64) -> DataFrame:
+    """Count-min sketch table (row, bucket, counter).
+
+    ``depth`` salted hash rows x ``width`` buckets of exact counters:
+    fixed O(depth*width) memory per (sub)stream no matter the
+    cardinality, mergeable by summing counters bucket-wise. Fully
+    deterministic (md5 bucketing, integer counters), so estimates are
+    value-exact cross-engine — unlike library sketches with
+    engine-specific hashing.
+
+    Scale: built as ONE pass — each input row explodes to ``depth``
+    (row, bucket) pairs of integers (map-side combined), the shuffle
+    carries at most depth*width counter rows per partition.
+    """
+    buckets = ", ".join(
+        _cm_hash(value_sql, j, width) for j in range(depth))
+    return (
+        df.selectExpr(
+            f"posexplode(array({buckets})) AS (rw, bucket)")
+        .groupBy("rw", "bucket")
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+
+
+def countmin_estimate(items: DataFrame, sketch: DataFrame,
+                      value_sql: str, depth: int = 4,
+                      width: int = 64) -> DataFrame:
+    """Point-frequency estimates: min over the sketch's depth rows of
+    the item's bucket counter (>= true count, with the classic
+    eps = e/width overestimate bound). ``items`` keeps its columns,
+    gaining ``cm_count``."""
+    probes = items.selectExpr(
+        "*",
+        f"posexplode(array({', '.join(_cm_hash(value_sql, j, width) for j in range(depth))}))"
+        " AS (rw, bucket)")
+    return (
+        probes.join(sketch, on=["rw", "bucket"], how="left")
+        .na.fill({"counter": 0})
+        .groupBy(*items.columns)
+        .agg(F.min("counter").alias("cm_count"))
+    )

@@ -570,3 +570,62 @@ def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "value")
     )
     return scd2_history(ev, ["user_id"], "us", ["value"], "event_id")
+
+
+# ----------------------------------------------------------------------
+# Count-min frequency sketch next to the exact counts. md5 bucketing
+# and integer counters make the whole sketch value-exact cross-engine
+# (library sketches never are); cm_count >= true_count always, with
+# the classic e/width overestimate bound.
+# ----------------------------------------------------------------------
+
+_CM_D, _CM_W = 4, 64
+
+
+def _cm_hash_duck(row: int) -> str:
+    return (f"(CAST('0x' || substr(md5('{row}#' ||"
+            f" CAST(user_id AS VARCHAR)), 1, 10) AS BIGINT)"
+            f" % {_CM_W})")
+
+
+def _countmin_oracle() -> str:
+    bl = ", ".join(_cm_hash_duck(j) for j in range(_CM_D))
+    rl = ", ".join(str(j) for j in range(_CM_D))
+    return f"""
+WITH ex AS (
+  SELECT unnest([{bl}]) AS bucket, unnest([{rl}]) AS rw FROM events),
+sk AS (SELECT rw, bucket, COUNT(*) AS counter FROM ex GROUP BY 1, 2),
+items AS (SELECT DISTINCT user_id FROM events),
+probes AS (
+  SELECT user_id, unnest([{bl}]) AS bucket, unnest([{rl}]) AS rw
+  FROM items),
+est AS (
+  SELECT user_id, MIN(coalesce(counter, 0)) AS cm_count
+  FROM probes LEFT JOIN sk USING (rw, bucket) GROUP BY user_id),
+tc AS (SELECT user_id, COUNT(*) AS true_count
+       FROM events GROUP BY user_id)
+SELECT user_id, true_count, cm_count FROM tc JOIN est USING (user_id)
+"""
+
+
+@spec(
+    "events_countmin",
+    _countmin_oracle(),
+    description="Count-min frequency sketch (4x64 md5 rows, exact "
+                "integer counters) vs true per-user counts — "
+                "deterministic, mergeable, value-exact cross-engine",
+    tags=("events", "sketch"),
+)
+def q_events_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.sketch import (countmin_estimate,
+                                                countmin_sketch)
+
+    ev = load(spark, sf_dir, "events")
+    v = "CAST(user_id AS STRING)"
+    sk = countmin_sketch(ev, v, depth=_CM_D, width=_CM_W)
+    items = ev.select("user_id").distinct()
+    est = countmin_estimate(items, sk, v, depth=_CM_D, width=_CM_W)
+    true = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("true_count"))
+    return true.join(est, on="user_id").select(
+        "user_id", "true_count", "cm_count")
