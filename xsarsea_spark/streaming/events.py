@@ -361,3 +361,31 @@ def stream_user_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.unset(
                 "spark.sql.streaming.stateStore.providerClass")
+
+
+def stream_cohort_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each streaming event is enriched with a
+    batch-computed per-user dimension (first-active week = the
+    retention cohort) via a broadcast join, then aggregated per
+    (cohort_week, event_type).
+
+    At scale this is THE standard enrichment shape — a stream joining
+    a slowly-refreshed dimension snapshot: the static side is re-read
+    per micro-batch (picking up dimension updates), broadcast when
+    small, and the stream side never shuffles for the join itself.
+    """
+    from xsarsea_spark.sources.tables import load
+
+    week = 604_800_000_000
+    static = (
+        load(spark, sf_dir, "events")
+        .selectExpr("user_id",
+                    f"(ts DIV 1000) DIV {week} AS week")
+        .groupBy("user_id")
+        .agg(F.min("week").alias("cohort_week"))
+    )
+    ev = events_stream(spark, sf_dir).select("user_id", "event_type")
+    joined = ev.join(F.broadcast(static), on="user_id")
+    agg = joined.groupBy("cohort_week", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"))
+    return _run_to_memory(agg, "complete")

@@ -629,3 +629,28 @@ def q_events_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("true_count"))
     return true.join(est, on="user_id").select(
         "user_id", "true_count", "cm_count")
+
+
+_COHORT_ENRICH_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, MIN({_US_DUCK} // {_WEEK_US}) AS cohort_week
+  FROM events GROUP BY user_id)
+SELECT cohort_week, event_type, COUNT(*) AS n_events
+FROM events JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@spec(
+    "events_stream_cohort",
+    _COHORT_ENRICH_ORACLE,
+    description="Stream-static broadcast join: streaming events "
+                "enriched with the batch-computed cohort dimension, "
+                "aggregated per (cohort_week, event_type)",
+    tags=("events", "streaming", "join"),
+)
+def q_events_stream_cohort(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from xsarsea_spark.streaming.events import stream_cohort_enrich
+
+    return stream_cohort_enrich(spark, sf_dir)
