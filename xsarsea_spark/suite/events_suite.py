@@ -654,3 +654,45 @@ def q_events_stream_cohort(spark: SparkSession,
     from xsarsea_spark.streaming.events import stream_cohort_enrich
 
     return stream_cohort_enrich(spark, sf_dir)
+
+
+# ----------------------------------------------------------------------
+# Non-equi range-band join: each event lands in a value band via
+# lo <= value < hi. With the band dimension broadcast this is a
+# BroadcastNestedLoopJoin — O(1)-size inner loop per row, no shuffle
+# of the fact side; the band table is inline VALUES so both engines
+# join the identical literal dimension.
+# ----------------------------------------------------------------------
+
+_BANDS = [(0, "0e0", "1e1"), (1, "1e1", "5e1"), (2, "5e1", "1e2"),
+          (3, "1e2", "25e1"), (4, "25e1", "1e9")]
+
+_BAND_VALUES = ", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in _BANDS)
+
+_BAND_ORACLE = f"""
+WITH bands(band_id, lo, hi) AS (VALUES {_BAND_VALUES})
+SELECT band_id, COUNT(*) AS n_events, {DSUM('value')} AS sum_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band_id
+"""
+
+
+@spec(
+    "events_band_join",
+    _BAND_ORACLE,
+    description="Non-equi value-band join (broadcast nested loop over "
+                "an inline dimension) + per-band exact aggregates",
+    tags=("events", "join", "range"),
+)
+def q_events_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bands = spark.sql(
+        f"SELECT * FROM VALUES {_BAND_VALUES} AS bands(band_id, lo, hi)")
+    return (
+        ev.join(F.broadcast(bands),
+                (F.col("value") >= F.col("lo"))
+                & (F.col("value") < F.col("hi")))
+        .groupBy("band_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.expr(DSUM("value")).alias("sum_value"))
+    )
