@@ -1,0 +1,62 @@
+"""Plan-shape regression tests: the scale properties PLANS.md claims
+must survive code changes. Plans are captured with AQE and the
+broadcast threshold disabled, so ONLY explicit F.broadcast() hints
+appear as BroadcastExchange — a forced broadcast of an O(sf) table
+is the driver-OOM-at-100TB anti-pattern round 1 was dinged for."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# queries whose plans must not force-broadcast anything that grows
+# with sf (region/nation are O(1) and allowed)
+_CHECKED = ["q03_shipping_priority", "q05_local_supplier_volume",
+            "q10_returned_items", "q18_large_volume_customer",
+            "events_funnel", "events_retention", "graph_pagerank"]
+
+_OSF_TABLES = ("customer", "orders", "lineitem", "supplier", "part",
+               "documents", "events", "embeddings")
+
+
+@pytest.fixture(scope="module")
+def audit_spark():
+    from xsarsea_spark.session import get_session
+
+    s = get_session(app_name="xsarsea-plan-audit", cpus=4,
+                    shuffle_partitions=4, extra_conf={
+                        "spark.sql.adaptive.enabled": "false",
+                        "spark.sql.autoBroadcastJoinThreshold": "-1",
+                    })
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def _broadcast_scans(plan: str) -> list[str]:
+    """Parquet files appearing beneath a BroadcastExchange."""
+    out = []
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        depth = len(ln) - len(ln.lstrip())
+        for nxt in lines[i + 1:]:
+            nd = len(nxt) - len(nxt.lstrip())
+            if nxt.strip() and nd <= depth:
+                break
+            for t in _OSF_TABLES:
+                if f"{t}.parquet" in nxt:
+                    out.append(t)
+    return out
+
+
+@pytest.mark.parametrize("name", _CHECKED)
+def test_no_forced_osf_broadcast(audit_spark, name):
+    from xsarsea_spark.suite.base import REGISTRY
+
+    df = REGISTRY[name].spark(audit_spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bad = _broadcast_scans(plan)
+    assert not bad, f"{name} force-broadcasts O(sf) table(s): {bad}"

@@ -361,3 +361,18 @@ def test_countmin_merge_and_bound(spark):
         .filter(F.col("cm_count") < F.col("t")).count()
     )
     assert bad == 0
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every true member passes; with a deliberately tiny filter the
+    (deterministic) false positives appear but never negatives."""
+    from xsarsea_spark.operators.sketch import bloom_build, bloom_filter
+
+    keys = spark.range(0, 40).selectExpr("id * 7 AS k")
+    probe = spark.range(0, 500).selectExpr("id AS k")
+    bloom = bloom_build(keys, "CAST(k AS STRING)", m_bits=256, k=3)
+    passed = {r.k for r in bloom_filter(
+        probe, bloom, "CAST(k AS STRING)", m_bits=256, k=3).collect()}
+    members = {i * 7 for i in range(40) if i * 7 < 500}
+    assert members <= passed           # no false negatives
+    assert len(passed) < 500           # filter actually filters

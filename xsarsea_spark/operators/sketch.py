@@ -135,3 +135,62 @@ def countmin_estimate(items: DataFrame, sketch: DataFrame,
         .groupBy(*items.columns)
         .agg(F.min("counter").alias("cm_count"))
     )
+
+
+# ----------------------------------------------------------------------
+# Bloom filter: deterministic semi-join prefilter
+# ----------------------------------------------------------------------
+
+def _bloom_pos(value_sql: str, j: int, m_bits: int) -> str:
+    h = HASH40_SQL.format(x=f"('B{j}#' || ({value_sql}))")
+    return f"(({h}) % {m_bits})"
+
+
+def bloom_build(keys: DataFrame, value_sql: str, m_bits: int = 4096,
+                k: int = 3) -> DataFrame:
+    """Bloom filter as a (word, bits) table: k md5-salted bit
+    positions per key, OR-folded into 63-bit words with ``bit_or``
+    (63 so no position ever shifts into the BIGINT sign bit — the
+    same spelling works in any engine).
+
+    The build is one exploded pass + one tiny hash agg; the result is
+    O(m_bits/63) rows however many keys went in — broadcastable at
+    any scale, which is the point: it rides ahead of a join as a
+    cheap prefilter the way Spark's own runtime row-level filters do.
+    """
+    poss = ", ".join(_bloom_pos(value_sql, j, m_bits)
+                     for j in range(k))
+    return (
+        keys.selectExpr(f"explode(array({poss})) AS p")
+        .selectExpr("CAST(p DIV 63 AS INT) AS word",
+                    "CAST(1 AS BIGINT) << CAST(p % 63 AS INT) AS b")
+        .groupBy("word")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+    )
+
+
+def bloom_filter(df: DataFrame, bloom: DataFrame, value_sql: str,
+                 m_bits: int = 4096, k: int = 3) -> DataFrame:
+    """Keep rows whose key passes every one of the k bit probes
+    (possible false positives, never false negatives). The bloom side
+    is broadcast; each probe is an equi-join on the word index plus a
+    mask test — the fact side never shuffles."""
+    out = df
+    for j in range(k):
+        p = _bloom_pos(value_sql, j, m_bits)
+        probe = (
+            bloom.withColumnRenamed("word", f"__w{j}")
+            .withColumnRenamed("bits", f"__bits{j}")
+        )
+        out = (
+            out.withColumn(f"__p{j}", F.expr(p))
+            .join(F.broadcast(probe),
+                  F.expr(f"CAST(__p{j} DIV 63 AS INT) = __w{j}"),
+                  "left")
+            .filter(F.expr(
+                f"(coalesce(__bits{j}, 0L)"
+                f" & (CAST(1 AS BIGINT) << CAST(__p{j} % 63 AS INT)))"
+                " != 0"))
+            .drop(f"__p{j}", f"__w{j}", f"__bits{j}")
+        )
+    return out

@@ -696,3 +696,77 @@ def q_events_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.expr(DSUM("value")).alias("sum_value"))
     )
+
+
+# ----------------------------------------------------------------------
+# Bloom-filter semi-join prefilter — the runtime-row-filter pattern:
+# a bounded bit table built from the selective side rides broadcast
+# ahead of the real join, so the fact side sheds rows without
+# shuffling. md5 bit positions + 63-bit words make the filter
+# value-exact cross-engine; the row also carries the exact semi-join
+# count so the (deterministic) false-positive overhead is visible.
+# ----------------------------------------------------------------------
+
+_BLOOM_M, _BLOOM_K, _BLOOM_THR = 4096, 3, 18
+
+
+def _bloom_pos_duck(j: int) -> str:
+    return (f"(CAST('0x' || substr(md5('B{j}#' ||"
+            f" CAST(user_id AS VARCHAR)), 1, 10) AS BIGINT)"
+            f" % {_BLOOM_M})")
+
+
+def _bloom_oracle() -> str:
+    poss = ", ".join(_bloom_pos_duck(j) for j in range(_BLOOM_K))
+    probes = " AND ".join(
+        f"""EXISTS (SELECT 1 FROM bits b
+      WHERE b.word = ({_bloom_pos_duck(j)}) // 63
+        AND (b.bits & (1::BIGINT << (({_bloom_pos_duck(j)}) % 63)))
+            != 0)"""
+        for j in range(_BLOOM_K))
+    return f"""
+WITH hot AS (
+  SELECT user_id FROM events WHERE event_type = 'error'
+  GROUP BY user_id HAVING COUNT(*) > {_BLOOM_THR}),
+bits AS (
+  SELECT p // 63 AS word, bit_or(1::BIGINT << (p % 63)) AS bits
+  FROM (SELECT unnest([{poss}]) AS p FROM hot) GROUP BY 1),
+cand AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+passed AS (SELECT user_id FROM cand WHERE {probes}),
+exact AS (SELECT c.user_id FROM cand c
+          WHERE c.user_id IN (SELECT user_id FROM hot))
+SELECT (SELECT COUNT(*) FROM passed) AS n_bloom_pass,
+       (SELECT COUNT(*) FROM exact) AS n_exact_pass
+"""
+
+
+@spec(
+    "events_bloom_prefilter",
+    _bloom_oracle(),
+    description="Deterministic bloom-filter semi-join prefilter "
+                "(md5 bits, 63-bit bit_or words, broadcast probes) "
+                "vs the exact semi join — the runtime-filter scale "
+                "pattern, value-exact in both engines",
+    tags=("events", "join", "sketch"),
+)
+def q_events_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.sketch import bloom_build, bloom_filter
+
+    ev = load(spark, sf_dir, "events")
+    v = "CAST(user_id AS STRING)"
+    hot = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > _BLOOM_THR)
+        .select("user_id")
+    )
+    bloom = bloom_build(hot, v, m_bits=_BLOOM_M, k=_BLOOM_K)
+    cand = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id")
+    passed = bloom_filter(cand, bloom, v, m_bits=_BLOOM_M,
+                          k=_BLOOM_K)
+    exact = cand.join(hot, on="user_id", how="left_semi")
+    a = passed.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
+    b = exact.agg(F.count(F.lit(1)).alias("n_exact_pass"))
+    return a.crossJoin(b)
