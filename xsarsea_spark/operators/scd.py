@@ -51,3 +51,49 @@ def scd2_history(changes: DataFrame, key_cols: list[str],
         .select(*key_cols, *attr_cols, "valid_from", "valid_to",
                 "is_current")
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str],
+                  cols: list[str]) -> DataFrame:
+    """Change-data-capture between two snapshots: one full-outer join
+    on the business key emitting ('I'nsert, 'U'pdate, 'D'elete) rows
+    with old_*/new_* value columns; unchanged rows are dropped.
+
+    This is the read side of every incremental MERGE pipeline — at
+    scale it is a single co-partitioned join (bucket both snapshots
+    on the key and it degenerates to a zipper merge, no shuffle).
+    Comparison is null-safe so NULL -> value and value -> NULL count
+    as updates.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"old_{c}") for c in cols],
+        F.lit(1).alias("__in_old"))
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"new_{c}") for c in cols],
+        F.lit(1).alias("__in_new"))
+    cond = None
+    for k in keys:
+        eq = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+    changed = None
+    for c in cols:
+        ne = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        changed = ne if changed is None else (changed | ne)
+    op = (
+        F.when(F.col("__in_old").isNull(), F.lit("I"))
+        .when(F.col("__in_new").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            *[F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}"))
+              .alias(k) for k in keys],
+            "op",
+            *[F.col(f"old_{c}") for c in cols],
+            *[F.col(f"new_{c}") for c in cols])
+    )

@@ -770,3 +770,55 @@ def q_events_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = passed.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
     b = exact.agg(F.count(F.lit(1)).alias("n_exact_pass"))
     return a.crossJoin(b)
+
+
+# ----------------------------------------------------------------------
+# CDC snapshot diff: two deterministic per-user profile snapshots
+# (built from different event subsets) full-outer joined into
+# I/U/D change rows — the read side of an incremental MERGE. All
+# compared attributes are integers (counts, last-seen micros), so the
+# diff is trivially exact.
+# ----------------------------------------------------------------------
+
+_CDC_ORACLE = f"""
+WITH old_s AS (
+  SELECT user_id, COUNT(*) AS n_events, MAX({_US_DUCK}) AS last_us
+  FROM events WHERE event_id % 3 != 0 GROUP BY user_id),
+new_s AS (
+  SELECT user_id, COUNT(*) AS n_events, MAX({_US_DUCK}) AS last_us
+  FROM events WHERE user_id % 11 != 0 GROUP BY user_id)
+SELECT coalesce(o.user_id, n.user_id) AS user_id,
+  CASE WHEN o.user_id IS NULL THEN 'I'
+       WHEN n.user_id IS NULL THEN 'D'
+       ELSE 'U' END AS op,
+  o.n_events AS old_n_events, o.last_us AS old_last_us,
+  n.n_events AS new_n_events, n.last_us AS new_last_us
+FROM old_s o FULL OUTER JOIN new_s n ON o.user_id = n.user_id
+WHERE o.user_id IS NULL OR n.user_id IS NULL
+   OR o.n_events != n.n_events OR o.last_us != n.last_us
+"""
+
+
+@spec(
+    "events_snapshot_cdc",
+    _CDC_ORACLE,
+    description="CDC diff of two profile snapshots: one full-outer "
+                "join emitting I/U/D rows with old/new values "
+                "(co-partitionable on the key — zero-shuffle when "
+                "bucketed)",
+    tags=("events", "cdc", "join"),
+)
+def q_events_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.scd import snapshot_diff
+
+    ev = load(spark, sf_dir, "events")
+
+    def snap(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(f"MAX({_US_SPARK})").alias("last_us"))
+
+    old = snap(ev.filter("event_id % 3 != 0"))
+    new = snap(ev.filter("user_id % 11 != 0"))
+    return snapshot_diff(old, new, ["user_id"],
+                         ["n_events", "last_us"])

@@ -945,3 +945,58 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _KNN_NQ)
     return pq_search(queries, codes, books, k=_KNN_K, corpus=emb,
                      shortlist=10 * _KNN_K)
+
+
+# ----------------------------------------------------------------------
+# Edit-distance verification of LSH candidate pairs. Levenshtein is
+# integer-exact and byte==char on this corpus (pure ASCII — DuckDB
+# computes byte-wise, Spark char-wise, identical for ASCII; the
+# operator is documented ASCII-only for oracle use). Distance runs on
+# a fixed 120-char prefix so the verify cost per candidate is bounded
+# no matter the document length — candidates only, never all pairs.
+# ----------------------------------------------------------------------
+
+_ED_PREFIX = 120
+
+
+def _editdist_oracle() -> str:
+    pairs_sql = _minhash_oracle().strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql})
+SELECT p.id_a, p.id_b,
+  levenshtein(substr(a.text, 1, {_ED_PREFIX}),
+              substr(b.text, 1, {_ED_PREFIX})) AS edit_dist,
+  p.jaccard
+FROM pairs p
+JOIN documents a ON a.doc_id = p.id_a
+JOIN documents b ON b.doc_id = p.id_b
+"""
+
+
+@spec(
+    "doc_editdist_verify",
+    _editdist_oracle(),
+    description="Levenshtein verification of LSH candidate pairs "
+                "(bounded 120-char prefix, candidates only) — "
+                "integer-exact cross-engine on ASCII text",
+    tags=("pipeline", "dedup", "text"),
+)
+def q_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.dedup import minhash_lsh_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(docs, n=_MH_N, k=_MH_K,
+                              threshold=_MH_T)
+    texts = docs.selectExpr(
+        "doc_id", f"substring(text, 1, {_ED_PREFIX}) AS __t")
+    return (
+        pairs
+        .join(texts.withColumnRenamed("doc_id", "id_a")
+              .withColumnRenamed("__t", "__ta"), on="id_a")
+        .join(texts.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("__t", "__tb"), on="id_b")
+        .select(
+            "id_a", "id_b",
+            F.expr("levenshtein(__ta, __tb)").alias("edit_dist"),
+            "jaccard")
+    )
