@@ -822,3 +822,82 @@ def q_events_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = snap(ev.filter("user_id % 11 != 0"))
     return snapshot_diff(old, new, ["user_id"],
                          ["n_events", "last_us"])
+
+
+# ----------------------------------------------------------------------
+# Semi-structured processing: JSON path extraction from the props
+# column (string JSON), typed cast, grouped aggregation. The
+# extracted field is an integer, so values are exact; both engines
+# evaluate their native JSON path primitive (get_json_object /
+# ->> '$.k') — same scalar out.
+# ----------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_type,
+  COUNT(*) AS n_events,
+  SUM(CAST(props ->> '$.k' AS BIGINT)) AS sum_k,
+  MIN(CAST(props ->> '$.k' AS BIGINT)) AS min_k,
+  MAX(CAST(props ->> '$.k' AS BIGINT)) AS max_k,
+  COUNT(DISTINCT CAST(props ->> '$.k' AS BIGINT)) AS n_distinct_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@spec(
+    "events_json_extract",
+    _JSON_ORACLE,
+    description="JSON path extraction from the props column with "
+                "typed integer aggregation — semi-structured scan "
+                "stays JVM-side (get_json_object)",
+    tags=("events", "json"),
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = "CAST(get_json_object(props, '$.k') AS BIGINT)"
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.expr(f"SUM({k})").alias("sum_k"),
+             F.expr(f"MIN({k})").alias("min_k"),
+             F.expr(f"MAX({k})").alias("max_k"),
+             F.expr(f"COUNT(DISTINCT {k})").alias("n_distinct_k"))
+    )
+
+
+# ----------------------------------------------------------------------
+# Pivot: one row per user, one count column per event type (explicit
+# value list, so Spark skips the extra distinct pass). The oracle is
+# the equivalent conditional aggregation — what PIVOT desugars to.
+# ----------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PIVOT_ORACLE = f"""
+SELECT user_id,
+  {", ".join(f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+             f" AS n_{t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
+@spec(
+    "events_pivot",
+    _PIVOT_ORACLE,
+    description="Pivot events to one count column per type (explicit "
+                "value list -> single pass, map-side combined)",
+    tags=("events", "pivot"),
+)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    out = piv
+    for t in _EVENT_TYPES:
+        out = out.withColumn(f"n_{t}",
+                             F.coalesce(F.col(t), F.lit(0))) \
+            .drop(t)
+    return out

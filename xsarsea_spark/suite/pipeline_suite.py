@@ -1000,3 +1000,48 @@ def q_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("levenshtein(__ta, __tb)").alias("edit_dist"),
             "jaccard")
     )
+
+
+# ----------------------------------------------------------------------
+# Higher-order array-function battery over the embeddings: norm via
+# sequential fold (exact cross-engine), element clipping via
+# transform, threshold counting via filter, self-dot via zip_with —
+# the HOF surface stays entirely JVM-side (no UDF), and every number
+# is a left-to-right fold so DuckDB's list_reduce matches bit-exactly.
+# ----------------------------------------------------------------------
+
+_HOF_ORACLE = """
+SELECT vec_id,
+  len(embedding) AS dim,
+  list_reduce(list_transform(embedding,
+    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+    (a, b) -> a + b) AS sq_norm,
+  len(list_filter(embedding, x -> x > 0)) AS n_positive,
+  list_reduce(list_transform(embedding,
+    x -> CAST(LEAST(GREATEST(x, -25e-2), 25e-2) AS DOUBLE)),
+    (a, b) -> a + b) AS clipped_sum
+FROM embeddings
+"""
+
+
+@spec(
+    "embedding_hof_battery",
+    _HOF_ORACLE,
+    description="Higher-order array functions (transform/filter/"
+                "aggregate/clip) over embeddings — JVM-side, "
+                "sequential folds bit-match list_reduce",
+    tags=("pipeline", "array"),
+)
+def q_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.selectExpr(
+        "vec_id",
+        "size(embedding) AS dim",
+        "aggregate(embedding, CAST(0 AS DOUBLE),"
+        " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        " AS sq_norm",
+        "size(filter(embedding, x -> x > 0)) AS n_positive",
+        "aggregate(embedding, CAST(0 AS DOUBLE),"
+        " (a, x) -> a + CAST(LEAST(GREATEST(x, -25e-2), 25e-2)"
+        " AS DOUBLE)) AS clipped_sum",
+    )
