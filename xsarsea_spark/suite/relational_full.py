@@ -622,3 +622,60 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col("__ps").getItem(i).alias(a)
           for i, (a, _) in enumerate(_QUANT_PROBS)],
     )
+
+
+# ----------------------------------------------------------------------
+# Data-quality gate over lineitem (Deequ-style declarative rules):
+# all row-level rules fold into ONE aggregation pass; each uniqueness
+# rule is one grouped pass. Integer counters -> exact oracle.
+# ----------------------------------------------------------------------
+
+_DQ_ORACLE = """
+WITH row_rules AS (
+  SELECT * FROM (VALUES
+    ('not_null:l_orderkey',
+     (SELECT SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+      FROM lineitem)),
+    ('range:l_quantity',
+     (SELECT SUM(CASE WHEN l_quantity IS NOT NULL
+                  AND (l_quantity < 1 OR l_quantity > 50)
+                  THEN 1 ELSE 0 END) FROM lineitem)),
+    ('range:l_discount',
+     (SELECT SUM(CASE WHEN l_discount IS NOT NULL
+                  AND (l_discount < 0e0 OR l_discount > 1e-1)
+                  THEN 1 ELSE 0 END) FROM lineitem)),
+    ('in_set:l_returnflag',
+     (SELECT SUM(CASE WHEN l_returnflag IS NOT NULL
+                  AND l_returnflag NOT IN ('A', 'N', 'R')
+                  THEN 1 ELSE 0 END) FROM lineitem)),
+    ('unique:l_orderkey, l_linenumber',
+     (SELECT coalesce(SUM(n - 1), 0) FROM (
+        SELECT COUNT(*) AS n FROM lineitem
+        GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)))
+  ) v(rule, n_violations))
+SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+  n_violations = 0 AS passed
+FROM row_rules
+"""
+
+
+@spec(
+    "lineitem_dq_gate",
+    _DQ_ORACLE,
+    description="Declarative data-quality gate (Deequ-style): "
+                "completeness/range/set rules fused into one "
+                "aggregation pass + one grouped uniqueness pass",
+    tags=("relational", "quality"),
+)
+def q_lineitem_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.quality import dq_report
+
+    li = load(spark, sf_dir, "lineitem")
+    return dq_report(
+        li,
+        not_null=["l_orderkey"],
+        ranges={"l_quantity": ("1", "50"),
+                "l_discount": ("0e0", "1e-1")},
+        in_set={"l_returnflag": ["A", "N", "R"]},
+        unique=[["l_orderkey", "l_linenumber"]],
+    )
