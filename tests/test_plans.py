@@ -21,17 +21,22 @@ _OSF_TABLES = ("customer", "orders", "lineitem", "supplier", "part",
 
 
 @pytest.fixture(scope="module")
-def audit_spark():
-    from xsarsea_spark.session import get_session
-
-    s = get_session(app_name="xsarsea-plan-audit", cpus=4,
-                    shuffle_partitions=4, extra_conf={
-                        "spark.sql.adaptive.enabled": "false",
-                        "spark.sql.autoBroadcastJoinThreshold": "-1",
-                    })
-    s.sparkContext.setLogLevel("ERROR")
-    yield s
-    s.stop()
+def audit_spark(spark):
+    """AQE and the broadcast threshold are RUNTIME SQL confs, so the
+    audit flips them on the shared session and restores them —
+    never touching the one-per-JVM SparkContext (stopping it would
+    kill every later test module)."""
+    prev = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield spark
+    for k, v in prev.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
 
 
 def _broadcast_scans(plan: str) -> list[str]:
