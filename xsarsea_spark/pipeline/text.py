@@ -210,3 +210,39 @@ def bigrams(docs: DataFrame, text_col: str = "text",
         )
         .selectExpr(id_col, "__bg.w1 AS w1", "__bg.w2 AS w2")
     )
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
+                    stride: int = 48, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """RAG-style overlapping chunking: fixed ``chunk_tokens``-token
+    windows every ``stride`` tokens (overlap = chunk - stride), plus
+    a tail chunk for the remainder. Pure array SQL (sequence ->
+    slice -> array_join), one explode — no UDF, no per-doc Python.
+
+    Returns (id, chunk_id, n_tokens, chunk_text). Deterministic:
+    chunk boundaries are pure integer arithmetic on the token array.
+    """
+    return (
+        docs.selectExpr(id_col, f"split({text_col}, ' ') AS __l")
+        .selectExpr(
+            id_col, "__l",
+            # number of stride starts: ceil(max(size-chunk, 0)/stride)
+            # + 1 covers the tail
+            f"sequence(0, CAST(CEIL(CAST(GREATEST("
+            f"size(__l) - {chunk_tokens}, 0) AS DOUBLE)"
+            f" / {stride}) AS INT)) AS __starts",
+        )
+        .selectExpr(
+            id_col,
+            f"posexplode(transform(__starts,"
+            f" s -> slice(__l, s * {stride} + 1, {chunk_tokens})))"
+            " AS (chunk_id, __chunk)",
+        )
+        .filter(F.expr("size(__chunk) > 0"))
+        .selectExpr(
+            id_col, "chunk_id",
+            "size(__chunk) AS n_tokens",
+            "array_join(__chunk, ' ') AS chunk_text",
+        )
+    )

@@ -901,3 +901,114 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.coalesce(F.col(t), F.lit(0))) \
             .drop(t)
     return out
+
+
+# ----------------------------------------------------------------------
+# Markov transition mining: consecutive event-type pairs per user
+# (time-ordered, event_id tie-break), corpus transition counts and
+# QTRUNC'd conditional probabilities — first-order sequence model of
+# user behavior. One user_id exchange for the lag, then a pair agg.
+# ----------------------------------------------------------------------
+
+_TRANS_ORACLE = f"""
+WITH o AS (
+  SELECT user_id, event_type, {_US_DUCK} AS us, event_id
+  FROM events),
+p AS (
+  SELECT event_type AS cur,
+    lead(event_type) OVER
+      (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+  FROM o),
+c AS (SELECT cur, nxt, COUNT(*) AS n FROM p
+      WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+tot AS (SELECT cur, SUM(n) AS t FROM c GROUP BY cur)
+SELECT cur, nxt, n,
+  {{q}} AS prob
+FROM c JOIN tot USING (cur)
+"""
+
+
+def _trans_prob() -> str:
+    from xsarsea_spark.suite.base import QTRUNC
+
+    return QTRUNC("n / CAST(t AS DOUBLE)", 9)
+
+
+@spec(
+    "events_markov_transitions",
+    _TRANS_ORACLE.format(q=_trans_prob()),
+    description="First-order Markov transition matrix of event types "
+                "per user (lag pairs, conditional probabilities)",
+    tags=("events", "sequence", "window"),
+)
+def q_events_transitions(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type", f"{_US_SPARK} AS us", "event_id")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    p = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"))
+    c = (p.filter(F.col("nxt").isNotNull())
+         .groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n")))
+    tot = c.groupBy("cur").agg(F.sum("n").alias("t"))
+    return c.join(tot, on="cur").select(
+        "cur", "nxt", "n", F.expr(_trans_prob()).alias("prob"))
+
+
+# ----------------------------------------------------------------------
+# Trailing-window anomaly detection: per-user hourly event counts
+# z-scored against the mean/std of the 6 PRECEDING present hours
+# (frame excludes the current row). Counts are integers, so the
+# window sums are exact and the z arithmetic is pure IEEE on
+# identical inputs in both engines; QTRUNC guards the final sqrt.
+# ----------------------------------------------------------------------
+
+_ANOM_ORACLE = f"""
+WITH h AS (
+  SELECT user_id, ({_US_DUCK} // 3600000000) AS hour_bucket,
+    COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT user_id, hour_bucket, n,
+    SUM(n) OVER wf AS s, SUM(n * n) OVER wf AS ss,
+    COUNT(*) OVER wf AS k
+  FROM h
+  WINDOW wf AS (PARTITION BY user_id ORDER BY hour_bucket
+                ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+SELECT user_id, hour_bucket, n,
+  {{z}} AS zscore
+FROM w WHERE k >= 3
+"""
+
+
+def _anom_z() -> str:
+    from xsarsea_spark.suite.base import QTRUNC
+
+    mean = "(s / CAST(k AS DOUBLE))"
+    var = f"(ss / CAST(k AS DOUBLE) - {mean} * {mean})"
+    return QTRUNC(f"(n - {mean}) / SQRT({var} + 1e-9)", 9)
+
+
+@spec(
+    "events_hourly_anomaly",
+    _ANOM_ORACLE.format(z=_anom_z()),
+    description="Trailing-window z-score anomaly detection on "
+                "per-user hourly counts (6-hour preceding frame, "
+                "exact integer window sums)",
+    tags=("events", "window", "anomaly"),
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "user_id",
+        F.expr(f"({_US_SPARK}) DIV 3600000000").alias("hour_bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wf = (Window.partitionBy("user_id").orderBy("hour_bucket")
+          .rowsBetween(-6, -1))
+    w = (h.withColumn("s", F.sum("n").over(wf))
+         .withColumn("ss", F.expr("SUM(n * n)").over(wf))
+         .withColumn("k", F.count(F.lit(1)).over(wf)))
+    return w.filter(F.col("k") >= 3).select(
+        "user_id", "hour_bucket", "n",
+        F.expr(_anom_z()).alias("zscore"))

@@ -1045,3 +1045,49 @@ def q_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         " (a, x) -> a + CAST(LEAST(GREATEST(x, -25e-2), 25e-2)"
         " AS DOUBLE)) AS clipped_sum",
     )
+
+
+# ----------------------------------------------------------------------
+# RAG-style overlapping chunking: fixed-token windows every stride
+# tokens + tail. Pure integer chunk geometry — both engines cut the
+# identical token array at the identical offsets.
+# ----------------------------------------------------------------------
+
+_CH_TOK, _CH_STRIDE = 64, 48
+
+_CHUNK_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+           FROM documents),
+st AS (
+  SELECT doc_id, l,
+    range(0, CAST(CEIL(CAST(GREATEST(len(l) - {_CH_TOK}, 0)
+      AS DOUBLE) / {_CH_STRIDE}) AS INT) + 1) AS starts
+  FROM t),
+ex AS (
+  SELECT doc_id,
+    unnest(starts) AS chunk_id,
+    unnest(list_transform(starts,
+      s -> l[s * {_CH_STRIDE} + 1 :
+             LEAST(s * {_CH_STRIDE} + {_CH_TOK}, len(l))]))
+      AS chunk
+  FROM st)
+SELECT doc_id, chunk_id, len(chunk) AS n_tokens,
+  array_to_string(chunk, ' ') AS chunk_text
+FROM ex WHERE len(chunk) > 0
+"""
+
+
+@spec(
+    "doc_chunking",
+    _CHUNK_ORACLE,
+    description="RAG-style overlapping token chunking (64-token "
+                "windows, stride 48, tail kept) — pure array SQL, "
+                "one explode, no UDF",
+    tags=("pipeline", "text", "chunking"),
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.text import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=_CH_TOK,
+                           stride=_CH_STRIDE)
