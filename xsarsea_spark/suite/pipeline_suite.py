@@ -1091,3 +1091,94 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return chunk_documents(docs, chunk_tokens=_CH_TOK,
                            stride=_CH_STRIDE)
+
+
+# ----------------------------------------------------------------------
+# Deterministic weighted sampling (Efraimidis-Spirakis bottom-k with
+# md5 uniforms): priority = u^(1/w), u = (h40+1)/2^40 exact, weight =
+# document length — longer docs proportionally likelier, same sample
+# every run on the same corpus. pow() is libm, so ranking happens on
+# the QTRUNC'd priority (ties impossible past the doc_id tie-break).
+# One pass + one top-k window: no global sort of the corpus.
+# ----------------------------------------------------------------------
+
+_WS_K = 50
+
+
+def _ws_priority(h40: str) -> str:
+    from xsarsea_spark.suite.base import QTRUNC
+
+    u = f"(({h40}) + 1e0) / {float(1 << 40)!r}"
+    return QTRUNC(f"POW({u}, 1e0 / n_chars)", 12)
+
+
+_WS_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, lang, n_chars,
+    {_ws_priority(_H40_DUCK.format(x="CAST(doc_id AS VARCHAR)"))}
+      AS priority
+  FROM documents)
+SELECT doc_id, lang, n_chars, priority, rk FROM (
+  SELECT *, ROW_NUMBER() OVER
+    (ORDER BY priority DESC, doc_id) AS rk
+  FROM p)
+WHERE rk <= {_WS_K}
+"""
+
+
+@spec(
+    "doc_weighted_sample",
+    _WS_ORACLE,
+    description="Deterministic weighted sampling (Efraimidis-"
+                "Spirakis bottom-k, md5 uniforms, length weights) — "
+                "reproducible training-mixture draws",
+    tags=("pipeline", "sampling"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from xsarsea_spark.pipeline.text import HASH40_SQL
+
+    docs = load(spark, sf_dir, "documents")
+    pr = _ws_priority(HASH40_SQL.format(x="CAST(doc_id AS STRING)"))
+    p = docs.selectExpr("doc_id", "lang", "n_chars",
+                        f"{pr} AS priority")
+    w = Window.orderBy(F.col("priority").desc(), F.col("doc_id"))
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _WS_K)
+    )
+
+
+# ----------------------------------------------------------------------
+# Inverted index: term -> document frequency + ordered posting list
+# (serialized to a string so the value hash is engine-neutral). The
+# grouped list build is the one shuffle; posting lists are bounded by
+# document frequency, exactly the IR layout a retrieval stage scans.
+# ----------------------------------------------------------------------
+
+_INVIDX_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents)
+SELECT term, COUNT(*) AS df,
+  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+FROM toks GROUP BY term
+"""
+
+
+@spec(
+    "doc_inverted_index",
+    _INVIDX_ORACLE,
+    description="Inverted index build: term -> df + ordered posting "
+                "list (distinct explode + one grouped list agg)",
+    tags=("pipeline", "text", "index"),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.selectExpr(
+        "doc_id", "explode(split(text, ' ')) AS term").distinct()
+    return toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.expr("array_join(sort_array(collect_list(doc_id)), ',')")
+        .alias("postings"))
