@@ -97,3 +97,42 @@ def extract_features(mm: DataFrame, n_bins: int = 16) -> DataFrame:
 
     return mm.select("doc_id", "payload").mapInPandas(
         gen, schema=_FEAT_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("frame_digest", T.StringType()),
+])
+
+
+def sample_frames(mm: DataFrame, frame_bytes: int = 256,
+                  stride: int = 2) -> DataFrame:
+    """Video-style frame sampling over the opaque payload: the blob is
+    treated as ``n_bytes // frame_bytes`` fixed-size frames, every
+    ``stride``-th frame is sliced out in the Arrow batch and reduced
+    to its md5 digest (the stand-in for a real decode+thumbnail).
+
+    The kernel IS the production batch shape — binary slicing inside
+    mapInPandas, emitted rows bounded by n_frames/stride — while the
+    digest arithmetic is exactly re-derivable in SQL (md5 over byte
+    substrings), so the operator is value-exact against an oracle
+    despite being a Python-side media kernel.
+    """
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = len(b) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    fr = b[i * frame_bytes:(i + 1) * frame_bytes]
+                    rows.append(
+                        (int(doc_id), i,
+                         hashlib.md5(fr).hexdigest()))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _FRAME_SCHEMA])
+
+    return mm.select("doc_id", "payload").mapInPandas(
+        gen, schema=_FRAME_SCHEMA)

@@ -1182,3 +1182,45 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("df"),
         F.expr("array_join(sort_array(collect_list(doc_id)), ',')")
         .alias("postings"))
+
+
+# ----------------------------------------------------------------------
+# Multimodal frame sampling with an EXACT oracle: the payload blob is
+# carved into fixed 256-byte frames, every 2nd frame md5-digested in
+# the Arrow kernel; the oracle re-derives the digests with SQL byte
+# substrings (payload bytes == ASCII text bytes on this corpus), so
+# the media-kernel batch shape is value-checked, not just rows-only.
+# ----------------------------------------------------------------------
+
+_FR_BYTES, _FR_STRIDE = 256, 2
+
+_FRAME_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, length(text) // {_FR_BYTES} AS n_frames
+  FROM documents),
+f AS (
+  SELECT doc_id,
+    unnest(range(0, n_frames, {_FR_STRIDE})) AS frame_idx, text
+  FROM t WHERE n_frames > 0)
+SELECT doc_id, frame_idx,
+  md5(substr(text, CAST(frame_idx * {_FR_BYTES} + 1 AS INT),
+             {_FR_BYTES})) AS frame_digest
+FROM f
+"""
+
+
+@spec(
+    "multimodal_frame_sample",
+    _FRAME_ORACLE,
+    description="Frame sampling over binary payloads (fixed-size "
+                "slices, strided, md5 'decode' in the Arrow kernel) "
+                "— value-exact vs a SQL byte-substring oracle",
+    tags=("pipeline", "multimodal"),
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.multimodal import (attach_payload,
+                                                   sample_frames)
+
+    docs = load(spark, sf_dir, "documents")
+    return sample_frames(attach_payload(docs),
+                         frame_bytes=_FR_BYTES, stride=_FR_STRIDE)
