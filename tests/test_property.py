@@ -376,3 +376,63 @@ def test_bloom_no_false_negatives(spark):
     members = {i * 7 for i in range(40) if i * 7 < 500}
     assert members <= passed           # no false negatives
     assert len(passed) < 500           # filter actually filters
+
+
+# ----------------------------------------------------------------------
+# HLL sketch: mergeability (register-wise MAX) and estimate accuracy
+# ----------------------------------------------------------------------
+
+def test_hll_merge_property(spark):
+    from pyspark.sql import functions as F
+
+    from xsarsea_spark.operators.sketch import (hll_estimate, hll_merge,
+                                                hll_sketch)
+    from xsarsea_spark.sources.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.01", "events")
+    val = "CAST(user_id AS STRING) || '#' || props"
+    merged = hll_merge(
+        hll_sketch(ev.filter("user_id % 2 = 0"), ["event_type"], val),
+        hll_sketch(ev.filter("user_id % 2 = 1"), ["event_type"], val),
+        ["event_type"])
+    whole = hll_sketch(ev, ["event_type"], val)
+    m = sorted((r.event_type, r.reg, r.m_reg) for r in merged.collect())
+    w = sorted((r.event_type, r.reg, r.m_reg) for r in whole.collect())
+    assert m == w
+    # registers bounded regardless of cardinality
+    per_group = whole.groupBy("event_type").count().collect()
+    assert all(r["count"] <= 64 for r in per_group)
+    est = {r.event_type: r.hll_estimate
+           for r in hll_estimate(whole, ["event_type"]).collect()}
+    true = {r.event_type: r.t for r in ev.groupBy("event_type").agg(
+        F.expr(f"COUNT(DISTINCT {val})").alias("t")).collect()}
+    for et, t in true.items():
+        # 64 registers -> ~1.04/sqrt(64) = 13% typical relative error
+        assert abs(est[et] - t) / t < 0.4, (et, est[et], t)
+
+
+# ----------------------------------------------------------------------
+# Gap-fill: observed rows unchanged, gaps linear between neighbours
+# ----------------------------------------------------------------------
+
+def test_gapfill_linear_semantics(spark):
+    from xsarsea_spark.operators.timeseries import gapfill_linear
+
+    rows = [("a", 0, 10), ("a", 4, 2), ("a", 5, 7), ("a", 8, 1),
+            ("b", 2, 3), ("b", 3, 9)]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    out = {(r.k, r.t): (r.v_filled, r.interpolated)
+           for r in gapfill_linear(df, ["k"], "t", "v").collect()}
+    # dense grid per series
+    assert sorted(t for k, t in out if k == "a") == list(range(9))
+    assert sorted(t for k, t in out if k == "b") == [2, 3]
+    # observed rows pass through un-interpolated
+    for k, t, v in rows:
+        assert out[(k, t)] == (float(v), 0)
+    # linear interior fill: 10 -> 2 over 4 steps
+    assert out[("a", 1)] == (8.0, 1)
+    assert out[("a", 2)] == (6.0, 1)
+    assert out[("a", 3)] == (4.0, 1)
+    # 7 -> 1 over 3 steps
+    assert out[("a", 6)] == (5.0, 1)
+    assert out[("a", 7)] == (3.0, 1)

@@ -194,3 +194,106 @@ def bloom_filter(df: DataFrame, bloom: DataFrame, value_sql: str,
             .drop(f"__p{j}", f"__w{j}", f"__bits{j}")
         )
     return out
+
+
+# ----------------------------------------------------------------------
+# HyperLogLog: deterministic cardinality sketch
+# ----------------------------------------------------------------------
+
+#: 60-bit md5 prefix as BIGINT (Spark spelling; the DuckDB twin is
+#: ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`` — bit-identical).
+HASH60_SQL = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def hll_rank_sql(rest_col: str, w: int = 40) -> str:
+    """Position of the first 1-bit (from the MSB) of a ``w``-bit
+    field, as a pure comparison ladder — no log2/bit_length, so the
+    SAME text runs in Spark and DuckDB with exact integer semantics.
+    Returns w+1 when the field is all zeros (HLL's rho convention)."""
+    branches = " ".join(
+        f"WHEN ({rest_col}) >= {1 << (w - i)} THEN {i}"
+        for i in range(1, w + 1))
+    return f"(CASE {branches} ELSE {w + 1} END)"
+
+
+def hll_sketch(df: DataFrame, group_cols: list, value_sql: str,
+               b: int = 6, w: int = 40) -> DataFrame:
+    """Per-group HLL register table (group_cols..., reg, m_reg).
+
+    Register index = low ``b`` bits of a 60-bit md5 hash; rank = first
+    1-bit position of the next ``w`` bits. Everything is integer
+    arithmetic on a deterministic hash, so — unlike library HLLs with
+    engine-private hashing — the registers (and hence the estimate)
+    are value-exact in any engine.
+
+    Scale: one hash agg; output is <= 2^b rows per group no matter
+    the input cardinality, mergeable with a register-wise MAX
+    (:func:`hll_merge`) — the HLL property that makes it the standard
+    distributed distinct-counter.
+    """
+    m = 1 << b
+    h = HASH60_SQL.format(x=f"({value_sql})")
+    rank = hll_rank_sql("__rest", w)
+    return (
+        df.selectExpr(
+            *group_cols,
+            f"({h}) % {m} AS reg",
+            f"(({h}) DIV {m}) % {1 << w} AS __rest")
+        .selectExpr(*group_cols, "reg", f"{rank} AS rnk")
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rnk").alias("m_reg"))
+    )
+
+
+def hll_merge(sketch_a: DataFrame, sketch_b: DataFrame,
+              group_cols: list) -> DataFrame:
+    """Union two register tables with a register-wise MAX — the
+    defining mergeability property of HLL."""
+    u = sketch_a.unionByName(sketch_b)
+    return u.groupBy(*group_cols, "reg").agg(
+        F.max("m_reg").alias("m_reg"))
+
+
+def hll_estimate_sql(s_col: str, c_col: str, b: int = 6,
+                     w: int = 40) -> str:
+    """Final-estimate expression over ``s = SUM(2^(w+1-m_reg))`` and
+    ``c = COUNT(registers)`` — shared verbatim by the Spark query and
+    the DuckDB oracle.
+
+    The harmonic mean's powers of two are kept as a scaled BIGINT sum
+    (exact in both engines); the only floating ops are one division
+    chain of IEEE-exact multiplies and, on the linear-counting branch,
+    one ln() behind the QTRUNC barrier. alpha_64 = 0.709 (Flajolet et
+    al. 2007) — ``b`` other than 6 is rejected rather than silently
+    miscalibrated.
+    """
+    if b != 6:
+        raise ValueError("hll_estimate_sql is calibrated for b=6")
+    from xsarsea_spark.suite.base import QTRUNC
+
+    m = 1 << b
+    raw = (f"(709e-3 * {m}e0 * {m}e0 * {float(1 << (w + 1)):.0f}e0"
+           f" / CAST({s_col} AS DOUBLE))")
+    lin = f"({m}e0 * ln({m}e0 / CAST({m} - {c_col} AS DOUBLE)))"
+    return (
+        f"CASE WHEN ({m} - {c_col}) > 0 AND {raw} <= {5 * m // 2}e0"
+        f" THEN {QTRUNC(lin, 6)} ELSE {QTRUNC(raw, 6)} END"
+    )
+
+
+def hll_estimate(sketch: DataFrame, group_cols: list, b: int = 6,
+                 w: int = 40) -> DataFrame:
+    """Finalize a register table into per-group estimates
+    (group_cols..., hll_estimate, registers_used)."""
+    m = 1 << b
+    est = hll_estimate_sql("__s", "__c", b, w)
+    return (
+        sketch.groupBy(*group_cols)
+        .agg(
+            F.expr(f"SUM(SHIFTLEFT(CAST(1 AS BIGINT),"
+                   f" {w + 1} - m_reg))").alias("__s"),
+            F.count(F.lit(1)).alias("__c"),
+        )
+        .selectExpr(*group_cols, f"{est} AS hll_estimate",
+                    "CAST(__c AS INT) AS registers_used")
+    )

@@ -1012,3 +1012,145 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.filter(F.col("k") >= 3).select(
         "user_id", "hour_bucket", "n",
         F.expr(_anom_z()).alias("zscore"))
+
+
+# ----------------------------------------------------------------------
+# HyperLogLog distinct-count sketch: the third cardinality/frequency
+# sketch next to KMV and count-min. Register index and rank come from
+# a 60-bit md5 hash with a pure comparison-ladder rank (no
+# log2/bit_length, whose spellings differ per engine), the harmonic
+# mean is a scaled BIGINT sum, and only the final estimate touches
+# libm (one ln behind QTRUNC) — so unlike library HLLs this one is
+# value-exact cross-engine. Scale: output is <= 64 rows per group
+# whatever the cardinality; merges are register-wise MAX.
+# ----------------------------------------------------------------------
+
+_HLL_VAL_SPARK = "CAST(user_id AS STRING) || '#' || props"
+_HLL_VAL_DUCK = "CAST(user_id AS VARCHAR) || '#' || props"
+
+
+def _hll_oracle() -> str:
+    from xsarsea_spark.operators.sketch import (hll_estimate_sql,
+                                                hll_rank_sql)
+
+    rank = hll_rank_sql("__rest", 40)
+    est = hll_estimate_sql("s", "c", 6, 40)
+    return f"""
+WITH h AS (
+  SELECT event_type,
+    CAST('0x' || substr(md5({_HLL_VAL_DUCK}), 1, 15) AS BIGINT) AS h
+  FROM events),
+r0 AS (
+  SELECT event_type, h % 64 AS reg,
+    (h // 64) % {1 << 40} AS __rest FROM h),
+r AS (SELECT event_type, reg, {rank} AS rnk FROM r0),
+s AS (
+  SELECT event_type, reg, MAX(rnk) AS m_reg FROM r GROUP BY 1, 2),
+e AS (
+  SELECT event_type,
+    SUM(CAST(1 AS BIGINT) << (41 - m_reg)) AS s,
+    COUNT(*) AS c
+  FROM s GROUP BY 1),
+t AS (
+  SELECT event_type,
+    COUNT(DISTINCT {_HLL_VAL_DUCK}) AS true_distinct
+  FROM events GROUP BY 1)
+SELECT e.event_type, {est} AS hll_estimate,
+  CAST(c AS INT) AS registers_used, t.true_distinct
+FROM e JOIN t ON t.event_type = e.event_type
+"""
+
+
+@spec(
+    "events_hll_distinct",
+    _hll_oracle(),
+    description="Deterministic HyperLogLog cardinality sketch per "
+                "event type (64 md5 registers, comparison-ladder "
+                "rank, BIGINT harmonic mean) next to the exact "
+                "distinct — value-exact cross-engine, unlike "
+                "engine-native HLLs",
+    tags=("events", "agg", "sketch"),
+)
+def q_events_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.sketch import hll_estimate, hll_sketch
+
+    ev = load(spark, sf_dir, "events")
+    sk = hll_sketch(ev, ["event_type"], _HLL_VAL_SPARK, b=6, w=40)
+    est = hll_estimate(sk, ["event_type"], b=6, w=40)
+    true = ev.groupBy("event_type").agg(
+        F.expr(f"COUNT(DISTINCT {_HLL_VAL_SPARK})")
+        .alias("true_distinct"))
+    return est.join(true, on="event_type").select(
+        "event_type", "hll_estimate", "registers_used",
+        "true_distinct")
+
+
+# ----------------------------------------------------------------------
+# Time-series gap-fill: densify sparse per-type 10-minute event
+# counts onto the full bucket grid and linearly interpolate the gaps
+# (~60% of buckets are empty at sf0.01). Grouped-carry windows — a
+# running COUNT(value) partitions every gap with exactly its two
+# observed neighbours — avoid IGNORE NULLS, which the two engines
+# spell incompatibly. Integer carries; one cast-ordered IEEE division
+# at the end, so the interpolated doubles are bit-exact.
+# ----------------------------------------------------------------------
+
+_GAPFILL_ORACLE = f"""
+WITH c AS (
+  SELECT event_type, {_US_DUCK} // 600000000 AS bucket,
+    COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2),
+bd AS (
+  SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx
+  FROM c GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(generate_series(mn, mx)) AS bucket
+  FROM bd),
+g AS (
+  SELECT grid.event_type, grid.bucket, c.cnt
+  FROM grid LEFT JOIN c USING (event_type, bucket)),
+f AS (
+  SELECT *,
+    COUNT(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gf,
+    COUNT(cnt) OVER (PARTITION BY event_type ORDER BY bucket DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gb
+  FROM g),
+p AS (
+  SELECT *,
+    MAX(cnt) OVER (PARTITION BY event_type, gf) AS pv,
+    MIN(bucket) OVER (PARTITION BY event_type, gf) AS pt,
+    MAX(cnt) OVER (PARTITION BY event_type, gb) AS nv,
+    MAX(bucket) OVER (PARTITION BY event_type, gb) AS nt
+  FROM f)
+SELECT event_type, bucket,
+  CASE WHEN cnt IS NOT NULL THEN CAST(cnt AS DOUBLE)
+       ELSE CAST(pv AS DOUBLE)
+            + CAST(nv - pv AS DOUBLE)
+            * CAST(bucket - pt AS DOUBLE)
+            / CAST(nt - pt AS DOUBLE) END AS cnt_filled,
+  CAST(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END AS INT)
+    AS interpolated
+FROM p
+"""
+
+
+@spec(
+    "events_gapfill_interp",
+    _GAPFILL_ORACLE,
+    description="Densify sparse 10-minute event counts onto the full "
+                "per-type bucket grid and linearly interpolate gaps "
+                "(grouped-carry windows, bit-exact interpolation)",
+    tags=("events", "timeseries", "window"),
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.timeseries import gapfill_linear
+
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type",
+        F.expr(f"({_US_SPARK}) DIV 600000000").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    out = gapfill_linear(c, ["event_type"], "bucket", "cnt")
+    return out.select("event_type", "bucket",
+                      F.col("cnt_filled"), "interpolated")
