@@ -52,13 +52,40 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(json.dumps({
-        "metric": "suite_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf_val,
-    }))
+
+    # The driver captures only the LAST 2000 chars of stdout and
+    # parses the JSON line out of that window (round 1+2 both lost
+    # the bench signal to an oversized line). Full per-query detail
+    # goes to a sidecar file; the printed line carries the total plus
+    # as many per-query timings (priority order) as fit in ~1800
+    # chars.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_detail.json"), "w") as fh:
+        json.dump({"metric": "suite_total", "value": total,
+                   "unit": "sec", "queries": timings, "sf": sf_val,
+                   "n_queries": len(timings)}, fh, indent=1)
+
+    try:
+        from __spark_entry__ import _PRIORITY
+        order = [n for n in _PRIORITY if n in timings] + [
+            n for n in sorted(timings) if n not in set(_PRIORITY)]
+    except Exception:
+        order = sorted(timings)
+
+    def line_for(k: int) -> str:
+        return json.dumps({
+            "metric": "suite_total",
+            "value": total,
+            "unit": "sec",
+            "queries": {n: round(timings[n], 2) for n in order[:k]},
+            "n_queries": len(timings),
+            "sf": sf_val,
+        }, separators=(",", ":"))
+
+    k = len(order)
+    while k > 0 and len(line_for(k)) > 1800:
+        k -= 1
+    print(line_for(k))
     spark.stop()
 
 

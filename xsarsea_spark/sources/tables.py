@@ -12,6 +12,8 @@ predicate pushdown, column pruning and partition pruning either way).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = [
     "region",
@@ -32,14 +34,36 @@ TABLES = [
 BROADCAST_TABLES = {"region", "nation"}
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Canonicalize ``events.ts`` to BIGINT **nanoseconds** since epoch.
+
+    The suite's event-time contract is integer math on ``ts`` (micros =
+    ``ts DIV 1000``), exact in BIGINT and bit-identical to DuckDB's
+    ``epoch_us(ts)``. The driver's parquet has shipped both physical
+    types across rounds — TIMESTAMP(NANOS) (readable only as raw-nanos
+    BIGINT via ``nanosAsLong``) and TIMESTAMP(MICROS) (read as
+    TIMESTAMP/_NTZ) — so normalize here instead of assuming one.
+    The NTZ->TIMESTAMP cast is wall-clock-preserving and the session
+    timezone is pinned UTC, so ``unix_micros`` is exact.
+    """
+    t = df.schema["ts"].dataType
+    if isinstance(t, T.LongType):
+        return df  # already raw nanos
+    return df.withColumn(
+        "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    )
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(name)
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS); Spark reads it only
-        # as raw nanosecond BIGINT via this legacy conf. All event-time
-        # math downstream is integer microseconds (ts DIV 1000).
+        # Needed only when events.parquet stores TIMESTAMP(NANOS);
+        # harmless otherwise. See normalize_event_ts.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return normalize_event_ts(
+            spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -25,25 +25,26 @@ __all__ = ["events_stream", "stream_hourly_counts",
            "stream_minute_dedup", "stream_sessionize",
            "stream_interval_join", "stream_user_stats"]
 
-EVENTS_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),   # raw nanos (nanosAsLong)
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
-
-
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (nanos-as-long ts +
-    a derived proper event-time column for watermarking)."""
+    """File-source stream over the events parquet: ``ts`` normalized to
+    raw-nanos BIGINT (same contract as the batch loader) plus a derived
+    proper event-time column for watermarking.
+
+    The stream schema is taken from the parquet footer (one batch-side
+    metadata read — no data scan), so the same code handles both
+    TIMESTAMP(NANOS) (nanosAsLong BIGINT) and TIMESTAMP(MICROS)
+    physical files."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    if not isinstance(schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
     return raw.withColumn(
         "event_time", F.expr("timestamp_micros(ts DIV 1000)")
     )
@@ -155,7 +156,8 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("unix_micros(w.end) - 1800000000").alias("session_end"),
             "n_events", "sum_value",
         )
-        .withColumn("session_id", F.row_number().over(win))
+        .withColumn("session_id",
+                    F.row_number().over(win).cast("bigint"))
         .select("user_id", "session_id", "session_start", "session_end",
                 "n_events", "sum_value")
     )

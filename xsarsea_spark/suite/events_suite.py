@@ -88,7 +88,7 @@ s AS (
                              ORDER BY ep, event_id
                              ROWS UNBOUNDED PRECEDING) AS session_id
   FROM m)
-SELECT user_id, session_id,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
   MIN(ep) AS session_start, MAX(ep) AS session_end,
   COUNT(*) AS n_events, {DSUM('value')} AS sum_value
 FROM s GROUP BY user_id, session_id
@@ -276,8 +276,8 @@ def q_events_stream_interval_join(spark: SparkSession,
 _USTATS_ORACLE = """
 SELECT user_id,
   COUNT(*) AS n_events,
-  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-    AS n_purchases,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_purchases,
   list_reduce(list(value ORDER BY event_id), (a, b) -> a + b)
     AS sum_value,
   MAX(value) AS max_value,
@@ -317,7 +317,7 @@ WITH dim AS (
 SELECT e.user_id, e.event_type,
   COUNT(*) AS n_events,
   MIN(d.reg_us) AS reg_us,
-  SUM(epoch_us(e.ts) - d.reg_us) AS age_us_sum
+  CAST(SUM(epoch_us(e.ts) - d.reg_us) AS BIGINT) AS age_us_sum
 FROM events e JOIN dim d ON d.user_id = e.user_id
 GROUP BY e.user_id, e.event_type
 """
@@ -835,7 +835,7 @@ def q_events_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_ORACLE = """
 SELECT event_type,
   COUNT(*) AS n_events,
-  SUM(CAST(props ->> '$.k' AS BIGINT)) AS sum_k,
+  CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
   MIN(CAST(props ->> '$.k' AS BIGINT)) AS min_k,
   MAX(CAST(props ->> '$.k' AS BIGINT)) AS max_k,
   COUNT(DISTINCT CAST(props ->> '$.k' AS BIGINT)) AS n_distinct_k
@@ -875,8 +875,8 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 _PIVOT_ORACLE = f"""
 SELECT user_id,
-  {", ".join(f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
-             f" AS n_{t}" for t in _EVENT_TYPES)}
+  {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0"
+             f" END) AS BIGINT) AS n_{t}" for t in _EVENT_TYPES)}
 FROM events GROUP BY user_id
 """
 

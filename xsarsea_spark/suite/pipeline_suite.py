@@ -104,10 +104,11 @@ FROM s
 def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xsarsea_spark.pipeline.text import language_id, quality_score
 
+    # Both operators are pure per-row projections over the same scan,
+    # so compose them — one scan, zero shuffles (the previous
+    # doc_id self-join cost 2 scans + an exchange for nothing).
     docs = load(spark, sf_dir, "documents")
-    lid = language_id(docs).select("doc_id", "pred_lang")
-    qual = quality_score(docs).select("doc_id", "lang", "quality")
-    return qual.join(lid, on="doc_id").select(
+    return quality_score(language_id(docs)).select(
         "doc_id", "lang", "pred_lang", "quality")
 
 
@@ -796,15 +797,17 @@ laid AS (
   FROM toks),
 spans AS (SELECT CAST(range AS BIGINT) AS k FROM range(8))
 SELECT doc_id,
-  cum_before // {_PACK_LEN} + k AS seq_id,
-  GREATEST(cum_before, (cum_before // {_PACK_LEN} + k) * {_PACK_LEN})
-    - cum_before AS doc_offset,
-  GREATEST(cum_before, (cum_before // {_PACK_LEN} + k) * {_PACK_LEN})
-    - (cum_before // {_PACK_LEN} + k) * {_PACK_LEN} AS seq_offset,
-  LEAST(cum_before + n, (cum_before // {_PACK_LEN} + k + 1)
+  CAST(cum_before // {_PACK_LEN} + k AS BIGINT) AS seq_id,
+  CAST(GREATEST(cum_before, (cum_before // {_PACK_LEN} + k)
+    * {_PACK_LEN}) - cum_before AS BIGINT) AS doc_offset,
+  CAST(GREATEST(cum_before, (cum_before // {_PACK_LEN} + k)
+    * {_PACK_LEN})
+    - (cum_before // {_PACK_LEN} + k) * {_PACK_LEN} AS BIGINT)
+    AS seq_offset,
+  CAST(LEAST(cum_before + n, (cum_before // {_PACK_LEN} + k + 1)
     * {_PACK_LEN})
   - GREATEST(cum_before, (cum_before // {_PACK_LEN} + k)
-    * {_PACK_LEN}) AS span_len
+    * {_PACK_LEN}) AS BIGINT) AS span_len
 FROM laid CROSS JOIN spans
 WHERE (cum_before // {_PACK_LEN} + k) * {_PACK_LEN} < cum_before + n
 """

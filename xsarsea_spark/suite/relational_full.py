@@ -196,10 +196,10 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_SQL = """
 SELECT ship_bucket,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-      THEN 1 ELSE 0 END) AS high_line_count,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-      THEN 0 ELSE 1 END) AS low_line_count
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM (
   SELECT o_orderpriority,
     CASE WHEN l_shipdate >= o_orderdate + INTERVAL '90' DAY

@@ -74,6 +74,30 @@ def compare(spark_df, oracle_sql: str, sf_dir: str, name: str = "query",
             f"schema mismatch: spark={sorted(got.columns)} "
             f"oracle={sorted(want.columns)}",
         )
+    # The driver's value hash is dtype-sensitive (286 int vs 286.0
+    # float hash differently), so an int column on one side and a
+    # float column on the other (DuckDB HUGEINT sums land as float64
+    # in pandas) is a FAIL even when values compare equal. Flag it
+    # here rather than coercing it away.
+    for c in got.columns:
+        gk = ("f" if pd.api.types.is_float_dtype(got[c])
+              else "i" if pd.api.types.is_integer_dtype(got[c]) else "")
+        wk = ("f" if pd.api.types.is_float_dtype(want[c])
+              else "i" if pd.api.types.is_integer_dtype(want[c]) else "")
+        if gk != wk:
+            return CompareResult(
+                name, False,
+                f"column {c}: numeric-kind mismatch "
+                f"spark={got[c].dtype} oracle={want[c].dtype} "
+                "(driver value-hash would differ; CAST both sides)",
+            )
+        if gk == "f" and got[c].dtype.itemsize != want[c].dtype.itemsize:
+            return CompareResult(
+                name, False,
+                f"column {c}: float width mismatch "
+                f"spark={got[c].dtype} oracle={want[c].dtype} "
+                "(float32 values stringify differently; cast to double)",
+            )
     if len(got) != len(want):
         return CompareResult(
             name, False, f"rowcount mismatch: spark={len(got)} oracle={len(want)}"
