@@ -15,6 +15,61 @@ import sys
 import time
 
 
+def science_throughput(spark) -> dict[str, float]:
+    """Fixed-size science workloads (BASELINE.md engine-baseline plan):
+
+    - ``lut_gen_lowres_sec``: cmod5n LUT on the reference's low-res
+      speed grid (inc 1.0 / wspd 0.2 / phi 2.5 -> ~930k cells,
+      cmod7.py:32-34 sizing).
+    - ``inversion_dualpol_sec_per_mpx``: full dual-pol Bayesian
+      inversion (copol+crosspol+ancillary) on a 1024x1024 synthetic
+      scene at the reference's low-res LUT steps.
+    - ``gradients_sec_per_mpx``: the local_gradients stencil pyramid
+      (tile+halo) on the same 1024x1024 scene.
+    """
+    from pyspark.sql import functions as F
+
+    from xsarsea_spark.operators.gradients import local_gradients
+    from xsarsea_spark.operators.inversion import invert_from_model
+    from xsarsea_spark.operators.lut import gmf_to_lut
+    from xsarsea_spark.suite.science import scene_df
+
+    out: dict[str, float] = {}
+    n = 1024
+    mpx = (n * n) / 1e6
+
+    t0 = time.perf_counter()
+    lut, _ = gmf_to_lut(spark, "gmf_cmod5n", res="low")
+    lut.write.format("noop").mode("overwrite").save()
+    out["lut_gen_lowres_sec"] = round(time.perf_counter() - t0, 3)
+
+    px = scene_df(
+        spark,
+        ["incidence", "sigma0", "sigma0_cr", "anc_re", "anc_im",
+         "dsig_cr"],
+        n_lines=n, n_samples=n,
+    )
+    t0 = time.perf_counter()
+    invert_from_model(
+        px,
+        co_model="gmf_cmod5n", cr_model="gmf_rs2_v2",
+        sigma0_co_col="sigma0", sigma0_cr_col="sigma0_cr",
+        dsig_cr_col="dsig_cr",
+        anc_re_col="anc_re", anc_im_col="anc_im",
+        keep_cols=["line", "sample"],
+    ).write.format("noop").mode("overwrite").save()
+    out["inversion_dualpol_sec_per_mpx"] = round(
+        (time.perf_counter() - t0) / mpx, 3)
+
+    gpx = scene_df(spark, ["sigma0"], n_lines=n, n_samples=n)
+    t0 = time.perf_counter()
+    local_gradients(gpx, n, n).write.format("noop") \
+        .mode("overwrite").save()
+    out["gradients_sec_per_mpx"] = round(
+        (time.perf_counter() - t0) / mpx, 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from xsarsea_spark.session import get_session
@@ -24,7 +79,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers + Python/Arrow workers so
-    # per-query numbers measure the plans, not session startup
+    # per-query numbers measure the plans, not session startup or
+    # each table's first physical scan
+    from xsarsea_spark.sources.tables import TABLES, load
+    for t in TABLES:
+        load(spark, sf_dir, t).count()
     REGISTRY["q06_forecast_revenue"].spark(spark, sf_dir).collect()
     from pyspark.sql.functions import col, pandas_udf
 
@@ -46,6 +105,15 @@ def main() -> None:
             continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # BASELINE.md "Engine baseline plan" throughput metrics: LUT
+    # generation, inversion sec/Mpx, gradients sec/Mpx — measured on
+    # fixed-size synthetic workloads so they are SF-independent.
+    throughput: dict[str, float] = {}
+    try:
+        throughput = science_throughput(spark)
+    except Exception as exc:
+        print(f"bench: throughput section FAILED: {exc}", file=sys.stderr)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -63,7 +131,8 @@ def main() -> None:
                            "BENCH_detail.json"), "w") as fh:
         json.dump({"metric": "suite_total", "value": total,
                    "unit": "sec", "queries": timings, "sf": sf_val,
-                   "n_queries": len(timings)}, fh, indent=1)
+                   "n_queries": len(timings),
+                   "throughput": throughput}, fh, indent=1)
 
     try:
         from __spark_entry__ import _PRIORITY
@@ -79,6 +148,7 @@ def main() -> None:
             "unit": "sec",
             "queries": {n: round(timings[n], 2) for n in order[:k]},
             "n_queries": len(timings),
+            "throughput": throughput,
             "sf": sf_val,
         }, separators=(",", ":"))
 

@@ -110,7 +110,7 @@ def _invert_batch(
     luts: dict,
     dsig_co: float,
     cols: dict,
-    chunk: int = 128,
+    chunk: int = 1024,
 ) -> pd.DataFrame:
     n = len(pdf)
     inc = pdf[cols["inc"]].to_numpy(dtype=np.float64, na_value=np.nan)
@@ -131,22 +131,57 @@ def _invert_batch(
                           co["inc"][1] - co["inc"][0], len(co["inc"]))
         valid = ~np.isnan(inc) & ~np.isnan(s0co) & ~np.isnan(np.abs(anc))
         idx = np.flatnonzero(valid)
+        n_w = co["lut_db"].shape[0]
+        # wspd-blocked argmin: iterating the wspd axis keeps every
+        # temporary at (n_phi, chunk) — cache-resident — instead of
+        # materializing the full (n_wspd, n_phi, chunk) cost cube
+        # (~18 MB per 128 px at reference LUT steps, which made the
+        # kernel DRAM-bandwidth-bound at ~10x the compute cost).
+        # Identical arithmetic order ((antenna + azimuth) + sigma)
+        # and identical first-minimum tie-break (ascending wspd-major
+        # flat index), so results are bit-equal to the cube form.
+        n_phi = co["lut_db"].shape[1]
+        jbuf = np.empty((n_phi, chunk))
+        tbuf = np.empty((n_phi, chunk))
         for s in range(0, len(idx), chunk):
             sel = idx[s: s + chunk]
-            lut_inc = co["lut_db"][:, :, ii[sel]]        # (wspd, phi, b)
-            m_ant = np.real(anc[sel])
+            b = len(sel)
+            m_ant = np.real(anc[sel])[None, :]
             m_azi = np.imag(anc[sel])
             if luts["phi_180"]:
                 m_azi = np.abs(m_azi)
-            jwind = (
-                ((co["u"][:, :, None] - m_ant[None, None, :]) / _D_ANTENNA) ** 2
-                + ((co["v"][:, :, None] - m_azi[None, None, :]) / _D_AZI) ** 2
-            )
-            jsig = ((lut_inc - s0co[sel][None, None, :]) / dsig_co) ** 2
-            j = (jwind + jsig).reshape(-1, len(sel))
-            amin = np.argmin(j, axis=0)
-            wspd_co = co["wspd_grid"].reshape(-1)[amin]
-            phi_co = co["phi_grid"].reshape(-1)[amin]
+            m_azi = m_azi[None, :]
+            s0 = s0co[sel][None, :]
+            iis = ii[sel]
+            jmin = np.full(b, np.inf)
+            wspd_co = np.empty(b)
+            phi_co = np.empty(b)
+            rows = np.arange(b)
+            j = jbuf[:, :b]
+            t = tbuf[:, :b]
+            for w in range(n_w):
+                # in-place passes over two preallocated (n_phi, b)
+                # buffers — same op order as the expression form
+                # ((x - m) / D) ** 2 term by term, so bit-identical
+                np.subtract(co["u"][w][:, None], m_ant, out=j)
+                j /= _D_ANTENNA
+                np.multiply(j, j, out=j)
+                np.subtract(co["v"][w][:, None], m_azi, out=t)
+                t /= _D_AZI
+                np.multiply(t, t, out=t)
+                j += t
+                np.take(co["lut_db"][w], iis, axis=1, out=t)
+                t -= s0
+                t /= dsig_co
+                np.multiply(t, t, out=t)
+                j += t
+                p = np.argmin(j, axis=0)
+                vmin = j[p, rows]
+                upd = vmin < jmin
+                if upd.any():
+                    jmin[upd] = vmin[upd]
+                    wspd_co[upd] = co["wspd"][w]
+                    phi_co[upd] = co["phi"][p[upd]]
             sol = wspd_co * np.exp(1j * np.radians(phi_co))
             if luts["phi_180"]:
                 sol2 = wspd_co * np.exp(-1j * np.radians(phi_co))
@@ -173,19 +208,31 @@ def _invert_batch(
             )
             valid &= ~(~np.isnan(s0co_n) & np.isnan(np.abs(anc_n)))
         idx = np.flatnonzero(valid)
-        if len(idx):
-            lut_inc = cr["lut_db"][:, ii[idx]]            # (wspd, b)
-            jsig = ((lut_inc - s0cr[idx][None, :]) / dsig_cr[idx][None, :]) ** 2
-            wco = np.abs(out_co[idx])
+        n_crw = cr["lut_db"].shape[0]
+        jc = np.empty((n_crw, chunk))
+        tc = np.empty((n_crw, chunk))
+        for s in range(0, len(idx), chunk):
+            sel = idx[s: s + chunk]
+            b = len(sel)
+            jcb = jc[:, :b]
+            tcb = tc[:, :b]
+            # jsig = ((lut - s0) / dsig)^2 in-place (same op order as
+            # the expression form -> bit-identical)
+            np.take(cr["lut_db"], ii[sel], axis=1, out=jcb)
+            jcb -= s0cr[sel][None, :]
+            jcb /= dsig_cr[sel][None, :]
+            np.multiply(jcb, jcb, out=jcb)
+            wco = np.abs(out_co[sel])
             fg = ~np.isnan(wco)
-            j = jsig.copy()
             if fg.any():
-                jw = ((cr["wspd"][:, None] - wco[None, :]) / _DWSPD_FG) ** 2
-                j[:, fg] = jsig[:, fg] + jw[:, fg]
-            amin = np.argmin(j, axis=0)
+                np.subtract(cr["wspd"][:, None], wco[None, :], out=tcb)
+                tcb /= _DWSPD_FG
+                np.multiply(tcb, tcb, out=tcb)
+                jcb[:, fg] += tcb[:, fg]
+            amin = np.argmin(jcb, axis=0)
             wspd_dual = cr["wspd"][amin]
-            phi_dual = np.where(fg, np.angle(out_co[idx]), 0.0)
-            out_dual[idx] = wspd_dual * np.exp(1j * phi_dual)
+            phi_dual = np.where(fg, np.angle(out_co[sel]), 0.0)
+            out_dual[sel] = wspd_dual * np.exp(1j * phi_dual)
 
     if has_co and has_cr:
         # low-wind blend (windspeed.py:426-428): below 5 m/s the copol

@@ -71,8 +71,19 @@ def gmf_to_lut(
     wspd_step: float | None = None,
     phi_step: float | None = None,
     res: str = "low",
+    kernel: str = "numpy",
 ) -> tuple[DataFrame, list[GridAxis]]:
-    """Materialize a GMF as a gridded LUT DataFrame (+ axis metadata)."""
+    """Materialize a GMF as a gridded LUT DataFrame (+ axis metadata).
+
+    ``kernel='numpy'`` (default) evaluates the dual-compiled NumPy
+    form of the GMF in Arrow batches — bit-identical values to the
+    SQL expression form (the expression tree compiles to both; the
+    inversion oracles depend on that equivalence) at ~10x the
+    throughput of the deeply-nested codegen'd SQL on the reference's
+    high-res grids. ``kernel='sql'`` keeps the pure-expression plan
+    (useful when the LUT must stay inside one Catalyst plan, e.g.
+    the SQL-oracle suite queries).
+    """
     g = GMF_REGISTRY[model]
     steps = LOW_RES_STEPS if res == "low" else HIGH_RES_STEPS
     inc_step = inc_step or steps["incidence"]
@@ -86,10 +97,28 @@ def gmf_to_lut(
         axes.append(
             axis_from_range("phi", g.phi_range[0], g.phi_range[1], phi_step)
         )
-    df = grid_df(spark, axes).withColumn(
-        "sigma0_model", F.expr(gmf_sql(model))
-    )
-    return df, axes
+    grid = grid_df(spark, axes)
+    if kernel == "sql":
+        df = grid.withColumn("sigma0_model", F.expr(gmf_sql(model)))
+        return df, axes
+
+    import pandas as pd
+
+    schema = (", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in grid.schema.fields)
+              + ", sigma0_model double")
+    needs_phi = g.needs_phi
+
+    def _eval(batches):
+        for pdf in batches:
+            inc = pdf["incidence"].to_numpy(np.float64)
+            ws = pdf["wspd"].to_numpy(np.float64)
+            ph = pdf["phi"].to_numpy(np.float64) if needs_phi else None
+            out = pdf.copy()
+            out["sigma0_model"] = gmf_numpy(model, inc, ws, ph)
+            yield out
+
+    return grid.mapInPandas(_eval, schema), axes
 
 
 def gmf_lut_numpy(model: str, axes: list[GridAxis]) -> dict:
