@@ -246,3 +246,121 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
             "array_join(__chunk, ' ') AS chunk_text",
         )
     )
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style repetition quality signals, adapted to the
+    whitespace-token corpus: top-unigram fraction, top-bigram
+    fraction, duplicated-trigram fraction, mean token length, plus
+    the composite keep/drop flag.
+
+    Every signal is a per-row projection over the token array
+    (higher-order functions — zero shuffles, whole corpus streamed);
+    frequencies are small-integer counts, so the emitted ratios are
+    single IEEE divisions and bit-identical across engines.
+
+    Scale: O(tokens * distinct_tokens) per row, no exchange at all —
+    the shape survives any corpus size. Parity: repetition-filter
+    family from Rae et al. 2021 (Gopher) §A1.1; reference repo has no
+    text pillar (engine-brief extension).
+    """
+    t = docs.withColumn("__toks", F.split(F.col(text_col), " "))
+    t = t.withColumn("__n", F.size("__toks"))
+    t = t.withColumn(
+        "top_unigram_frac",
+        F.expr(
+            "array_max(transform(array_distinct(__toks),"
+            " x -> size(filter(__toks, t -> t = x))))"
+            " / CAST(__n AS DOUBLE)"
+        ),
+    )
+    t = t.withColumn(
+        "__bi",
+        F.expr(
+            "transform(sequence(1, __n - 1),"
+            " i -> concat(element_at(__toks, i), ' ',"
+            "            element_at(__toks, i + 1)))"
+        ),
+    )
+    t = t.withColumn(
+        "top_bigram_frac",
+        F.expr(
+            "array_max(transform(array_distinct(__bi),"
+            " x -> size(filter(__bi, t -> t = x))))"
+            " / CAST(size(__bi) AS DOUBLE)"
+        ),
+    )
+    t = t.withColumn(
+        "__tri",
+        F.expr(
+            "transform(sequence(1, __n - 2),"
+            " i -> concat(element_at(__toks, i), ' ',"
+            "            element_at(__toks, i + 1), ' ',"
+            "            element_at(__toks, i + 2)))"
+        ),
+    )
+    t = t.withColumn(
+        "dup_trigram_frac",
+        F.expr(
+            "(size(__tri) - size(array_distinct(__tri)))"
+            " / CAST(size(__tri) AS DOUBLE)"
+        ),
+    )
+    t = t.withColumn(
+        "mean_token_len",
+        F.expr("aggregate(__toks, 0L, (a, x) -> a + length(x))"
+               " / CAST(__n AS DOUBLE)"),
+    )
+    t = t.withColumn(
+        "gopher_keep",
+        F.expr(
+            "top_unigram_frac <= 0.30 AND top_bigram_frac <= 0.18"
+            " AND dup_trigram_frac <= 0.30"
+            " AND mean_token_len >= 3.0 AND mean_token_len <= 10.0"
+            " AND __n >= 50"
+        ),
+    )
+    return t.drop("__toks", "__bi", "__tri", "__n")
+
+
+def crossdoc_ngram_dup(docs: DataFrame, n: int = 8,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Cross-document n-gram duplication: for each document, the
+    fraction of its n-gram positions whose n-gram also occurs in at
+    least one OTHER document (the boilerplate/contamination signal
+    behind paragraph-dedup in C4/RefinedWeb).
+
+    Plan shape: project 40-bit n-gram hashes (never the gram strings
+    — the shuffled stream is 8 bytes per position at any corpus
+    size), aggregate distinct-doc counts per hash, join back on the
+    same hash partitioning, per-doc ratio. Two shuffles total, both
+    on the hash key.
+    """
+    gram = (
+        f"transform(sequence(1, size(__toks) - {n - 1}),"
+        f" i -> {HASH40_SQL.format(x=_GRAM_CONCAT)})"
+    )
+    grams = (
+        docs.withColumn("__toks", F.split(F.col(text_col), " "))
+        .filter(F.expr(f"size(__toks) >= {n}"))
+        .select(id_col, F.explode(F.expr(gram.format(n=n))).alias("__h"))
+    )
+    docs_per_gram = grams.groupBy("__h").agg(
+        F.countDistinct(id_col).alias("__nd"))
+    return (
+        grams.join(docs_per_gram, on="__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.expr("SUM(CASE WHEN __nd >= 2 THEN 1 ELSE 0 END)")
+            .cast("bigint").alias("n_shared_grams"),
+        )
+        .withColumn(
+            "shared_frac",
+            F.expr("n_shared_grams / CAST(n_grams AS DOUBLE)"),
+        )
+    )
+
+
+_GRAM_CONCAT = ("array_join(slice(__toks, i, {n}), ' ')")

@@ -2,9 +2,11 @@
 watermark dedup — each in a batch form and (where marked) a Structured
 Streaming form validated by the SAME DuckDB oracle.
 
-Time determinism: the events parquet stores TIMESTAMP(NANOS), which
-Spark reads only as raw nanosecond BIGINT (nanosAsLong) and DuckDB
-truncates to microseconds — so ALL event-time math here is integer
+Time determinism: the batch loader canonicalizes ``events.ts`` to raw
+nanosecond BIGINT whatever the parquet physical type (TIMESTAMP(NANOS)
+via nanosAsLong, or TIMESTAMP(MICROS) via unix_micros — see
+``sources.tables.normalize_event_ts``), and DuckDB reads the same file
+at microsecond resolution — so ALL event-time math here is integer
 MICROSECONDS (Spark ``ts DIV 1000``, DuckDB ``epoch_us(ts)``), exact
 in BIGINT; sums use exact DECIMAL casts.
 """

@@ -1227,3 +1227,103 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return sample_frames(attach_payload(docs),
                          frame_bytes=_FR_BYTES, stride=_FR_STRIDE)
+
+
+# ----------------------------------------------------------------------
+# Gopher-style repetition quality rules: every signal a per-row HOF
+# projection (zero shuffles); counts are small integers so ratios are
+# one IEEE division each — bit-identical across engines.
+# ----------------------------------------------------------------------
+
+_GOPHER_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+m AS (
+  SELECT doc_id,
+    len(l) AS n,
+    list_max(list_transform(list_distinct(l),
+      x -> len(list_filter(l, t -> t = x)))) AS top_uni,
+    list_transform(range(1, len(l)),
+      i -> l[i] || ' ' || l[i + 1]) AS bi,
+    list_transform(range(1, len(l) - 1),
+      i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]) AS tri,
+    list_sum(list_transform(l, x -> length(x))) AS chars
+  FROM t)
+SELECT doc_id,
+  top_uni / CAST(n AS DOUBLE) AS top_unigram_frac,
+  list_max(list_transform(list_distinct(bi),
+    x -> len(list_filter(bi, t -> t = x))))
+    / CAST(len(bi) AS DOUBLE) AS top_bigram_frac,
+  (len(tri) - len(list_distinct(tri)))
+    / CAST(len(tri) AS DOUBLE) AS dup_trigram_frac,
+  chars / CAST(n AS DOUBLE) AS mean_token_len,
+  (top_uni / CAST(n AS DOUBLE) <= 0.30
+   AND list_max(list_transform(list_distinct(bi),
+     x -> len(list_filter(bi, t -> t = x))))
+     / CAST(len(bi) AS DOUBLE) <= 0.18
+   AND (len(tri) - len(list_distinct(tri)))
+     / CAST(len(tri) AS DOUBLE) <= 0.30
+   AND chars / CAST(n AS DOUBLE) >= 3.0
+   AND chars / CAST(n AS DOUBLE) <= 10.0
+   AND n >= 50) AS gopher_keep
+FROM m
+"""
+
+
+@spec(
+    "doc_gopher_quality",
+    _GOPHER_ORACLE,
+    description="Gopher/C4 repetition filters (top-unigram/bigram "
+                "fraction, duplicated trigrams, mean token length) as "
+                "zero-shuffle HOF projections",
+    tags=("pipeline", "text", "quality"),
+)
+def q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.text import gopher_quality
+
+    return gopher_quality(load(spark, sf_dir, "documents")).select(
+        "doc_id", "top_unigram_frac", "top_bigram_frac",
+        "dup_trigram_frac", "mean_token_len", "gopher_keep")
+
+
+# ----------------------------------------------------------------------
+# Cross-document n-gram duplication (boilerplate / contamination
+# signal): hash-only shuffle stream, two exchanges on the gram hash.
+# ----------------------------------------------------------------------
+
+_XD_N = 8
+
+_XDUP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+g AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(l) - {_XD_N} + 2),
+      i -> {_H40_DUCK.format(
+          x=f"array_to_string(l[i:i + {_XD_N} - 1], ' ')")}))
+      AS h
+  FROM t WHERE len(l) >= {_XD_N}),
+d AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY h)
+SELECT doc_id, COUNT(*) AS n_grams,
+  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_shared_grams,
+  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    / CAST(COUNT(*) AS DOUBLE) AS shared_frac
+FROM g JOIN d USING (h)
+GROUP BY doc_id
+"""
+
+
+@spec(
+    "doc_ngram_crossdup",
+    _XDUP_ORACLE,
+    description="Cross-document 8-gram duplication fraction "
+                "(C4/RefinedWeb boilerplate signal): 40-bit gram "
+                "hashes only on the wire, two hash-key shuffles",
+    tags=("pipeline", "dedup", "text"),
+)
+def q_ngram_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.text import crossdoc_ngram_dup
+
+    return crossdoc_ngram_dup(load(spark, sf_dir, "documents"),
+                              n=_XD_N)
