@@ -65,3 +65,22 @@ def test_no_forced_osf_broadcast(audit_spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     bad = _broadcast_scans(plan)
     assert not bad, f"{name} force-broadcasts O(sf) table(s): {bad}"
+
+
+def test_kmeans_semantics(spark):
+    from xsarsea_spark.pipeline.clustering import kmeans_embeddings
+
+    from .conftest import SF_DIR
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    r1 = kmeans_embeddings(emb, k=4, rounds=1).toPandas()
+    r3 = kmeans_embeddings(emb, k=4, rounds=3).toPandas()
+    assert set(r3["cluster"]) <= set(range(4))
+    assert len(r3) == emb.count()
+    # Lloyd's monotonicity: total inertia never increases with rounds
+    assert r3["dist2"].sum() <= r1["dist2"].sum() + 1e-12
+    # determinism
+    r3b = kmeans_embeddings(emb, k=4, rounds=3).toPandas()
+    a = r3.sort_values("vec_id").reset_index(drop=True)
+    b = r3b.sort_values("vec_id").reset_index(drop=True)
+    assert (a["cluster"] == b["cluster"]).all()
+    assert (a["dist2"] == b["dist2"]).all()

@@ -1327,3 +1327,72 @@ def q_ngram_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return crossdoc_ngram_dup(load(spark, sf_dir, "documents"),
                               n=_XD_N)
+
+
+# ----------------------------------------------------------------------
+# SemDeDup-style embedding k-means (Lloyd's, deterministic): chained
+# CTE oracle replicating every round bit-for-bit — min-id init,
+# index-order distance folds, vec_id-order mean folds, lowest-cluster
+# tie-break. Like graph_pagerank, the iterative numerics are fully
+# oracle-checked, not rows-only.
+# ----------------------------------------------------------------------
+
+_KM_K, _KM_ROUNDS = 4, 3
+
+_KM_DIST = (
+    "list_reduce(list_transform(range(1, len(e) + 1),"
+    " i -> (e[i] - cent[i]) * (e[i] - cent[i])), (a, b) -> a + b)"
+)
+
+
+def _kmeans_oracle(k: int, rounds: int) -> str:
+    parts = [
+        "v AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        " FROM embeddings)",
+        f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1"
+        f" AS cluster, e AS cent FROM v ORDER BY vec_id LIMIT {k})",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"a{r} AS ("
+            f"SELECT v.vec_id, v.e, c.cluster, {_KM_DIST} AS dist2 "
+            f"FROM v CROSS JOIN c{r} c "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id"
+            f" ORDER BY {_KM_DIST}, c.cluster) = 1)"
+        )
+        if r < rounds - 1:
+            parts.append(
+                f"x{r} AS (SELECT cluster, vec_id,"
+                f" unnest(range(1, len(e) + 1)) AS d,"
+                f" unnest(e) AS x FROM a{r})"
+            )
+            parts.append(
+                f"m{r} AS (SELECT cluster, d,"
+                f" list_reduce(list(x ORDER BY vec_id),"
+                f" (a, b) -> a + b) / COUNT(x) AS m"
+                f" FROM x{r} GROUP BY cluster, d)"
+            )
+            parts.append(
+                f"c{r + 1} AS (SELECT cluster,"
+                f" list(m ORDER BY d) AS cent"
+                f" FROM m{r} GROUP BY cluster)"
+            )
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT vec_id, cluster, dist2 FROM a{rounds - 1}")
+
+
+@spec(
+    "embedding_kmeans",
+    _kmeans_oracle(_KM_K, _KM_ROUNDS),
+    description="Deterministic Lloyd's k-means over embeddings "
+                "(SemDeDup pre-pass): min-id init, ordered folds, "
+                "driver-held k x dim centroids — every round "
+                "bit-exact vs a chained-CTE oracle",
+    tags=("pipeline", "similarity", "iterative"),
+)
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.clustering import kmeans_embeddings
+
+    return kmeans_embeddings(load(spark, sf_dir, "embeddings"),
+                             k=_KM_K, rounds=_KM_ROUNDS)
