@@ -1345,11 +1345,21 @@ _KM_DIST = (
 )
 
 
-def _kmeans_oracle(k: int, rounds: int) -> str:
+_KM_SOURCE = ("SELECT vec_id,"
+              " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+              " FROM embeddings")
+
+
+def _kmeans_oracle(k: int, rounds: int,
+                   source: str = _KM_SOURCE) -> str:
+    parts = _kmeans_ctes(k, rounds, source)
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT vec_id, cluster, dist2 FROM a{rounds - 1}")
+
+
+def _kmeans_ctes(k: int, rounds: int, source: str) -> list[str]:
     parts = [
-        "v AS (SELECT vec_id,"
-        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
-        " FROM embeddings)",
+        f"v AS ({source})",
         f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1"
         f" AS cluster, e AS cent FROM v ORDER BY vec_id LIMIT {k})",
     ]
@@ -1378,8 +1388,7 @@ def _kmeans_oracle(k: int, rounds: int) -> str:
                 f" list(m ORDER BY d) AS cent"
                 f" FROM m{r} GROUP BY cluster)"
             )
-    return ("WITH " + ",\n".join(parts)
-            + f"\nSELECT vec_id, cluster, dist2 FROM a{rounds - 1}")
+    return parts
 
 
 @spec(
@@ -1396,3 +1405,109 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return kmeans_embeddings(load(spark, sf_dir, "embeddings"),
                              k=_KM_K, rounds=_KM_ROUNDS)
+
+
+# ----------------------------------------------------------------------
+# Full SemDeDup composition (Abbas et al. 2023): k-means clusters ->
+# all-pairs EXACT cosine only WITHIN each cluster -> drop every vector
+# with a higher-similarity lower-id partner. The whole chain — the
+# clone-injected corpus, every k-means round, and the pairwise cosine
+# verdicts — is replicated in one chained-CTE oracle.
+# ----------------------------------------------------------------------
+
+_SD_K, _SD_ROUNDS, _SD_T = 4, 2, 0.95
+
+
+def _cnd_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clone-injected embedding corpus (same construction/values as
+    embedding_cosine_neardup's)."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
+    pert = _CND_PERTURB.format(i0="i")
+    clones = emb.filter(F.col("vec_id") % 7 == 0).selectExpr(
+        "vec_id + 1000000 AS vec_id",
+        f"zip_with(embedding, sequence(0, size(embedding) - 1),"
+        f" (x, i) -> CAST(x AS DOUBLE) + {pert}) AS embedding",
+    )
+    return base.unionAll(clones)
+
+
+def _semdedup_oracle() -> str:
+    from xsarsea_spark.pipeline.dedup import dot_sql, norm_sql
+
+    pert = _CND_PERTURB.format(i0="(i - 1)")
+    corpus = [
+        "base AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)",
+        "clones AS (SELECT vec_id + 1000000 AS vec_id,"
+        " list_transform(range(1, len(embedding) + 1),"
+        f" i -> CAST(embedding[i] AS DOUBLE) + {pert}) AS v"
+        " FROM embeddings WHERE vec_id % 7 = 0)",
+        "corpus AS (SELECT * FROM base UNION ALL SELECT * FROM clones)",
+    ]
+    km = _kmeans_ctes(_SD_K, _SD_ROUNDS,
+                      "SELECT vec_id, v AS e FROM corpus")
+    nrm = norm_sql(lambda i: f"v[{i}]", _CND_DIM)
+    dot = dot_sql(lambda i: f"x.v[{i}]", lambda i: f"y.v[{i}]", _CND_DIM)
+    tail = [
+        f"asg AS (SELECT vec_id, cluster FROM a{_SD_ROUNDS - 1})",
+        f"nrm AS (SELECT vec_id, v, {nrm} AS n FROM corpus)",
+        f"""pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asg a JOIN asg b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN nrm x ON x.vec_id = a.vec_id
+  JOIN nrm y ON y.vec_id = b.vec_id
+  WHERE {dot} / (x.n * y.n) >= {_SD_T})""",
+        "removed AS (SELECT DISTINCT id_b FROM pairs)",
+    ]
+    return ("WITH " + ",\n".join(corpus + km + tail) + """
+SELECT a.vec_id, a.cluster, r.id_b IS NOT NULL AS removed
+FROM asg a LEFT JOIN removed r ON r.id_b = a.vec_id""")
+
+
+@spec(
+    "embedding_semdedup",
+    _semdedup_oracle(),
+    description="SemDeDup: deterministic k-means then exact-cosine "
+                "dedup strictly within clusters (pairwise work is "
+                "per-cluster, never corpus-wide) — clusters, rounds "
+                "and verdicts all value-checked by one CTE oracle",
+    tags=("pipeline", "dedup", "similarity", "iterative"),
+)
+def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.clustering import kmeans_embeddings
+    from xsarsea_spark.pipeline.dedup import dot_sql, norm_sql
+
+    corpus = _cnd_corpus(spark, sf_dir)
+    asg = kmeans_embeddings(corpus, k=_SD_K, rounds=_SD_ROUNDS).select(
+        "vec_id", "cluster")
+    nrm = corpus.select(
+        "vec_id", F.col("embedding").alias("__v"),
+        F.expr(norm_sql(lambda i: f"element_at(embedding, {i})",
+                        _CND_DIM)).alias("__n"))
+    a = asg.select(F.col("vec_id").alias("id_a"), "cluster")
+    b = asg.select(F.col("vec_id").alias("id_b"),
+                   F.col("cluster").alias("__cb"))
+    dot = dot_sql(lambda i: f"element_at(__va, {i})",
+                  lambda i: f"element_at(__vb, {i})", _CND_DIM)
+    pairs = (
+        a.join(b, (F.col("cluster") == F.col("__cb"))
+               & (F.col("id_a") < F.col("id_b")))
+        .join(nrm.select(F.col("vec_id").alias("id_a"),
+                         F.col("__v").alias("__va"),
+                         F.col("__n").alias("__na")), on="id_a")
+        .join(nrm.select(F.col("vec_id").alias("id_b"),
+                         F.col("__v").alias("__vb"),
+                         F.col("__n").alias("__nb")), on="id_b")
+        .filter(F.expr(f"{dot} / (__na * __nb) >= {_SD_T}"))
+    )
+    removed = (pairs.select(F.col("id_b").alias("vec_id"))
+               .distinct().withColumn("__r", F.lit(True)))
+    return (
+        asg.join(removed, on="vec_id", how="left")
+        .select("vec_id", "cluster",
+                F.coalesce("__r", F.lit(False)).alias("removed"))
+    )
