@@ -55,9 +55,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # relational core (joins/aggs/windows/rollup)
     "q01_pricing_summary", "q03_shipping_priority",
-    "q05_local_supplier_volume", "q06_forecast_revenue",
+    "q06_forecast_revenue",
     "q09_product_profit", "q12_late_shipping",
-    "q18_large_volume_customer", "q22_customers_without_orders",
+    "q18_large_volume_customer",
     "q_rollup_revenue", "q_window_battery",
     # SAR science pillar
     "sigma0_detrend", "nesz_flattening", "lut_interp", "lut_regrid",
@@ -71,7 +71,8 @@ _PRIORITY = [
     "embedding_cosine_neardup", "dup_cluster_components",
     "embedding_knn", "lsh_ann", "lang_id_quality", "token_count_bpe",
     "doc_tfidf_topterms", "doc_sequence_packing",
-    "benchmark_contamination",
+    "benchmark_contamination", "embedding_kmeans",
+    "doc_gopher_quality",
     # events + Structured Streaming
     "events_hourly", "events_sessionize", "events_asof_join",
     "events_stream_hourly", "events_stream_sessionize",

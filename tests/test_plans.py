@@ -84,3 +84,24 @@ def test_kmeans_semantics(spark):
     b = r3b.sort_values("vec_id").reset_index(drop=True)
     assert (a["cluster"] == b["cluster"]).all()
     assert (a["dist2"] == b["dist2"]).all()
+
+
+def test_gopher_quality_zero_exchange(spark):
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["doc_gopher_quality"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    # pure per-row HOF projection: the corpus is never shuffled
+    assert "Exchange" not in plan
+
+
+def test_crossdup_shuffles_hashes_only(spark):
+    from xsarsea_spark.suite import REGISTRY
+
+    df = REGISTRY["doc_ngram_crossdup"].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the gram STRINGS must never reach an exchange — only the 40-bit
+    # hash column (and the final per-doc agg) shuffle
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "array_join" not in ln and "slice" not in ln
