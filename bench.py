@@ -61,12 +61,16 @@ def science_throughput(spark) -> dict[str, float]:
     out["inversion_dualpol_sec_per_mpx"] = round(
         (time.perf_counter() - t0) / mpx, 3)
 
-    gpx = scene_df(spark, ["sigma0"], n_lines=n, n_samples=n)
+    # 4096x2048 = 32 tiles of 512^2: one tile per local core, so the
+    # number measures saturated per-core throughput (a 1024^2 scene is
+    # only 4 tiles and idles 7/8 of the machine)
+    gl, gs = 4096, 2048
+    gpx = scene_df(spark, ["sigma0"], n_lines=gl, n_samples=gs)
     t0 = time.perf_counter()
-    local_gradients(gpx, n, n).write.format("noop") \
+    local_gradients(gpx, gl, gs).write.format("noop") \
         .mode("overwrite").save()
     out["gradients_sec_per_mpx"] = round(
-        (time.perf_counter() - t0) / mpx, 3)
+        (time.perf_counter() - t0) / ((gl * gs) / 1e6), 3)
     return out
 
 
