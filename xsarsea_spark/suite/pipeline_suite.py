@@ -1511,3 +1511,94 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cluster",
                 F.coalesce("__r", F.lit(False)).alias("removed"))
     )
+
+
+# ----------------------------------------------------------------------
+# BM25 ranked retrieval for a fixed query-term set: term filter pushes
+# to the token explode, df/avgdl are tiny broadcast aggregates, and
+# ranking happens on the QTRUNC-quantized score (the ln() barrier) so
+# rank order and emitted values are cross-engine identical.
+# ----------------------------------------------------------------------
+
+_BM25_TERMS = ("table", "query", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TOPK = 20
+
+_BM25_SCORE = (
+    "ln((n_docs - df + 5e-1) / (df + 5e-1) + 1e0)"
+    f" * (tf * ({_BM25_K1} + 1e0))"
+    f" / (tf + {_BM25_K1} * (1e0 - {_BM25_B}"
+    f" + {_BM25_B} * dl / avgdl))"
+)
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    from xsarsea_spark.suite.base import DSUM, QTRUNC
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+    len(string_split(text, ' ')) AS dl
+  FROM documents),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+    SUM(len(string_split(text, ' ')))
+      / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf, MIN(dl) AS dl
+  FROM toks WHERE term IN ({terms}) GROUP BY doc_id, term),
+df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM toks WHERE term IN ({terms}) GROUP BY term),
+scored AS (
+  SELECT doc_id,
+    {DSUM(QTRUNC(_BM25_SCORE, 9), 12)} AS score
+  FROM tf JOIN df USING (term) CROSS JOIN stats
+  GROUP BY doc_id)
+SELECT doc_id, score FROM scored
+QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) <= {_BM25_TOPK}
+"""
+
+
+@spec(
+    "doc_bm25_topk",
+    _bm25_oracle(),
+    description="BM25 ranked retrieval for a fixed term set: term "
+                "filter pushed into the token stream, tiny broadcast "
+                "df/avgdl stats, quantized-score ranking",
+    tags=("pipeline", "text", "topk"),
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from xsarsea_spark.suite.base import DSUM, QTRUNC
+
+    docs = load(spark, sf_dir, "documents")
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    toks = docs.selectExpr(
+        "doc_id", "explode(split(text, ' ')) AS term",
+        "size(split(text, ' ')) AS dl",
+    ).filter(F.expr(f"term IN ({terms})"))
+    stats = docs.selectExpr(
+        "CAST(COUNT(*) AS DOUBLE) AS n_docs",
+        "SUM(size(split(text, ' '))) / CAST(COUNT(*) AS DOUBLE)"
+        " AS avgdl",
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("tf"),
+        F.expr("MIN(dl)").alias("dl"),
+    )
+    df = toks.groupBy("term").agg(
+        F.expr("CAST(COUNT(DISTINCT doc_id) AS DOUBLE)").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), on="term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.expr(DSUM(QTRUNC(_BM25_SCORE, 9), 12)).alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= _BM25_TOPK)
+            .select("doc_id", "score"))
