@@ -62,6 +62,10 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sit on a 1e-9 rounding boundary where the engines' DECIMAL cast
     # tie-break rules differ (Spark HALF_UP vs DuckDB half-even —
     # scale 6 hit exactly that on x.xxxxxx5 quotients)
+    # NOTE: exactsum's split-accumulator was tried here and gained
+    # nothing — at ~190k output groups the agg is bound by the
+    # hash-table/grouping work, not the DECIMAL conversion (unlike
+    # Q1's 4-group case where the conversion dominates).
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.expr(DAVG("l_extendedprice / l_quantity", 9)).alias("unit_cost"))
     part = load(spark, sf_dir, "part").filter(
