@@ -58,7 +58,7 @@ _PRIORITY = [
     "q06_forecast_revenue",
     "q09_product_profit", "q12_late_shipping",
     "q18_large_volume_customer",
-    "q_rollup_revenue", "q_window_battery",
+    "q_rollup_revenue",
     # SAR science pillar
     "sigma0_detrend", "nesz_flattening", "lut_interp", "lut_regrid",
     "inversion_crosspol", "inversion_dualpol", "inversion_crosspol_dsig",
@@ -72,7 +72,7 @@ _PRIORITY = [
     "embedding_knn", "lsh_ann", "lang_id_quality", "token_count_bpe",
     "doc_tfidf_topterms", "doc_sequence_packing",
     "benchmark_contamination", "embedding_kmeans",
-    "doc_gopher_quality",
+    "doc_gopher_quality", "pipeline_curate_end2end",
     # events + Structured Streaming
     "events_hourly", "events_sessionize", "events_asof_join",
     "events_stream_hourly", "events_stream_sessionize",

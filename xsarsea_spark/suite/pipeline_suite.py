@@ -1602,3 +1602,144 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= _BM25_TOPK)
             .select("doc_id", "score"))
+
+
+# ----------------------------------------------------------------------
+# Int8 embedding quantization (the storage path for embedding columns
+# at 100 TB): per-vector max-abs scale, floor(x+0.5) grid assignment
+# (engine-exact, no ROUND-mode dependence), reconstruction error.
+# ----------------------------------------------------------------------
+
+_Q8_ORACLE = """
+WITH v AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+s AS (
+  SELECT vec_id, e,
+    list_max(list_transform(e, x -> abs(x))) AS scale_max
+  FROM v),
+q AS (
+  SELECT vec_id, e, scale_max,
+    list_transform(e,
+      x -> CAST(FLOOR(x * 127e0 / scale_max + 5e-1) AS BIGINT)) AS qv
+  FROM s WHERE scale_max > 0)
+SELECT vec_id, scale_max,
+  list_min(qv) AS q_min, list_max(qv) AS q_max,
+  list_max(list_transform(range(1, len(e) + 1),
+    i -> abs(e[i] - qv[i] * scale_max / 127e0))) AS max_abs_err
+FROM q
+"""
+
+
+@spec(
+    "embedding_int8_quant",
+    _Q8_ORACLE,
+    description="Int8 embedding quantization: per-vector max-abs "
+                "scale, floor(x+0.5) grid (no ROUND-mode dependence), "
+                "max reconstruction error — the embedding storage "
+                "path, all per-row HOFs",
+    tags=("pipeline", "multimodal", "similarity"),
+)
+def q_embedding_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+    s = v.withColumn(
+        "scale_max", F.expr("array_max(transform(e, x -> abs(x)))"))
+    q = s.filter("scale_max > 0").withColumn(
+        "qv",
+        F.expr("transform(e, x -> CAST(FLOOR(x * 127e0 / scale_max"
+               " + 5e-1) AS BIGINT))"))
+    return q.select(
+        "vec_id", "scale_max",
+        F.expr("array_min(qv)").alias("q_min"),
+        F.expr("array_max(qv)").alias("q_max"),
+        F.expr("array_max(zip_with(e, qv,"
+               " (x, k) -> abs(x - k * scale_max / 127e0)))")
+        .alias("max_abs_err"),
+    )
+
+
+# ----------------------------------------------------------------------
+# End-to-end curation pipeline: the full pretraining-data DAG in ONE
+# query — exact dedup -> MinHash-LSH near-dedup -> quality gates
+# (marker quality + Gopher repetition rules) -> per-language
+# deterministic cap. The oracle nests each stage's already-proven SQL
+# as a CTE subquery, so the composition is value-checked end to end.
+# ----------------------------------------------------------------------
+
+_E2E_CAP = 25
+_E2E_QMIN = 0.5
+
+
+def _e2e_oracle() -> str:
+    return f"""
+WITH exact_keep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text)
+      ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1),
+near_pairs AS ({_minhash_oracle()}),
+near_drop AS (SELECT DISTINCT id_b AS doc_id FROM near_pairs),
+qual AS ({_lang_oracle()}),
+gq AS ({_GOPHER_ORACLE}),
+kept AS (
+  SELECT d.doc_id, d.lang,
+    len(string_split(d.text, ' ')) AS n_tokens, q.quality
+  FROM documents d
+  JOIN exact_keep ek ON ek.doc_id = d.doc_id
+  LEFT JOIN near_drop nd ON nd.doc_id = d.doc_id
+  JOIN qual q ON q.doc_id = d.doc_id
+  JOIN gq ON gq.doc_id = d.doc_id
+  WHERE nd.doc_id IS NULL AND q.quality >= {_E2E_QMIN}
+    AND gq.gopher_keep)
+SELECT doc_id, lang, n_tokens, quality FROM kept
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= {_E2E_CAP}
+"""
+
+
+@spec(
+    "pipeline_curate_end2end",
+    _e2e_oracle(),
+    description="Whole curation DAG in one plan: exact dedup, "
+                "MinHash-LSH near-dedup, quality + Gopher gates, "
+                "deterministic per-language cap — stages compose "
+                "without materialization barriers",
+    tags=("pipeline", "dedup", "text", "quality"),
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from xsarsea_spark.pipeline.dedup import minhash_lsh_dedup
+    from xsarsea_spark.pipeline.text import (gopher_quality, language_id,
+                                             quality_score)
+
+    docs = load(spark, sf_dir, "documents")
+    wmd5 = Window.partitionBy(F.expr("md5(text)")).orderBy("doc_id")
+    exact_keep = (docs.withColumn("__rn", F.row_number().over(wmd5))
+                  .filter("__rn = 1").select("doc_id"))
+    near_drop = (minhash_lsh_dedup(docs, n=_MH_N, k=_MH_K,
+                                   threshold=_MH_T)
+                 .select(F.col("id_b").alias("doc_id")).distinct()
+                 .withColumn("__nd", F.lit(True)))
+    qual = quality_score(language_id(docs)).select(
+        "doc_id", F.col("quality").alias("__q"))
+    gq = gopher_quality(docs).select("doc_id", "gopher_keep")
+    kept = (
+        docs.join(exact_keep, on="doc_id")
+        .join(near_drop, on="doc_id", how="left")
+        .join(qual, on="doc_id")
+        .join(gq, on="doc_id")
+        .filter(F.expr(f"__nd IS NULL AND __q >= {_E2E_QMIN}"
+                       " AND gopher_keep"))
+        .select("doc_id", "lang",
+                F.expr("size(split(text, ' '))").alias("n_tokens"),
+                F.col("__q").alias("quality"))
+    )
+    wcap = Window.partitionBy("lang").orderBy(
+        F.expr("md5(CAST(doc_id AS STRING))"), F.col("doc_id"))
+    return (kept.withColumn("__rk", F.row_number().over(wcap))
+            .filter(F.col("__rk") <= _E2E_CAP)
+            .select("doc_id", "lang", "n_tokens", "quality"))
