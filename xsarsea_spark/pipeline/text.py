@@ -259,68 +259,54 @@ def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     frequencies are small-integer counts, so the emitted ratios are
     single IEEE divisions and bit-identical across engines.
 
+    All metrics are computed inside ONE let-bound expression — the
+    token/bigram/trigram arrays are bound as lambda variables via the
+    transform-over-singleton idiom, never as projected alias columns.
+    This matters: Catalyst's predicate pushdown SUBSTITUTES alias
+    definitions into filter conditions, and a condition like
+    ``gopher_keep`` whose aliases chained back to ``split(text)``
+    re-evaluated the split inside every lambda element after
+    substitution — a measured 50x blowup (148 s vs 3 s at sf0.1) on
+    ``.filter("gopher_keep")``. With let-binding the arrays are
+    computed once per row no matter where the optimizer moves the
+    expression.
+
     Scale: O(tokens * distinct_tokens) per row, no exchange at all —
     the shape survives any corpus size. Parity: repetition-filter
     family from Rae et al. 2021 (Gopher) §A1.1; reference repo has no
     text pillar (engine-brief extension).
     """
-    t = docs.withColumn("__toks", F.split(F.col(text_col), " "))
-    t = t.withColumn("__n", F.size("__toks"))
-    t = t.withColumn(
-        "top_unigram_frac",
-        F.expr(
-            "array_max(transform(array_distinct(__toks),"
-            " x -> size(filter(__toks, t -> t = x))))"
-            " / CAST(__n AS DOUBLE)"
-        ),
-    )
-    t = t.withColumn(
-        "__bi",
-        F.expr(
-            "transform(sequence(1, __n - 1),"
-            " i -> concat(element_at(__toks, i), ' ',"
-            "            element_at(__toks, i + 1)))"
-        ),
-    )
-    t = t.withColumn(
-        "top_bigram_frac",
-        F.expr(
-            "array_max(transform(array_distinct(__bi),"
-            " x -> size(filter(__bi, t -> t = x))))"
-            " / CAST(size(__bi) AS DOUBLE)"
-        ),
-    )
-    t = t.withColumn(
-        "__tri",
-        F.expr(
-            "transform(sequence(1, __n - 2),"
-            " i -> concat(element_at(__toks, i), ' ',"
-            "            element_at(__toks, i + 1), ' ',"
-            "            element_at(__toks, i + 2)))"
-        ),
-    )
-    t = t.withColumn(
-        "dup_trigram_frac",
-        F.expr(
-            "(size(__tri) - size(array_distinct(__tri)))"
-            " / CAST(size(__tri) AS DOUBLE)"
-        ),
-    )
-    t = t.withColumn(
-        "mean_token_len",
-        F.expr("aggregate(__toks, 0L, (a, x) -> a + length(x))"
-               " / CAST(__n AS DOUBLE)"),
-    )
-    t = t.withColumn(
-        "gopher_keep",
-        F.expr(
-            "top_unigram_frac <= 0.30 AND top_bigram_frac <= 0.18"
-            " AND dup_trigram_frac <= 0.30"
-            " AND mean_token_len >= 3.0 AND mean_token_len <= 10.0"
-            " AND __n >= 50"
-        ),
-    )
-    return t.drop("__toks", "__bi", "__tri", "__n")
+    uni = ("array_max(transform(array_distinct(tk),"
+           " x -> size(filter(tk, w -> w = x))))"
+           " / CAST(size(tk) AS DOUBLE)")
+    bi = ("array_max(transform(array_distinct(bg),"
+          " x -> size(filter(bg, w -> w = x))))"
+          " / CAST(size(bg) AS DOUBLE)")
+    tri = ("(size(tg) - size(array_distinct(tg)))"
+           " / CAST(size(tg) AS DOUBLE)")
+    mtl = ("aggregate(tk, 0L, (a, x) -> a + length(x))"
+           " / CAST(size(tk) AS DOUBLE)")
+    struct = f"""transform(array(split({text_col}, ' ')), tk ->
+  transform(array(transform(sequence(1, size(tk) - 1),
+      i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))),
+    bg ->
+    transform(array(transform(sequence(1, size(tk) - 2),
+        i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1),
+                    ' ', element_at(tk, i + 2)))),
+      tg -> named_struct(
+        'top_unigram_frac', {uni},
+        'top_bigram_frac', {bi},
+        'dup_trigram_frac', {tri},
+        'mean_token_len', {mtl},
+        'gopher_keep',
+          {uni} <= 0.30 AND {bi} <= 0.18 AND {tri} <= 0.30
+          AND ({mtl}) >= 3.0 AND ({mtl}) <= 10.0
+          AND size(tk) >= 50))[0])[0])[0]"""
+    t = docs.withColumn("__gq", F.expr(struct))
+    for f in ("top_unigram_frac", "top_bigram_frac",
+              "dup_trigram_frac", "mean_token_len", "gopher_keep"):
+        t = t.withColumn(f, F.col(f"__gq.{f}"))
+    return t.drop("__gq")
 
 
 def crossdoc_ngram_dup(docs: DataFrame, n: int = 8,
