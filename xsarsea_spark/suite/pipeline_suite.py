@@ -1415,7 +1415,7 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verdicts — is replicated in one chained-CTE oracle.
 # ----------------------------------------------------------------------
 
-_SD_K, _SD_ROUNDS, _SD_T = 4, 2, 0.95
+_SD_K, _SD_ROUNDS, _SD_T = 16, 2, 0.95
 
 
 def _cnd_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
