@@ -1415,7 +1415,12 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verdicts — is replicated in one chained-CTE oracle.
 # ----------------------------------------------------------------------
 
-_SD_K, _SD_ROUNDS, _SD_T = 16, 2, 0.95
+# k trades the O(k) per-row assignment (k interpreted HOF distance
+# exprs) against the O(n^2/k) pair stage: measured at sf0.1,
+# k=4 -> 10 s, k=16 -> 21 s (assignment-bound), so k=4 wins at this
+# corpus size; at real corpus scale assignment stays linear while
+# pairs grow quadratically, so k should grow ~sqrt(n).
+_SD_K, _SD_ROUNDS, _SD_T = 4, 2, 0.95
 
 
 def _cnd_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
