@@ -34,6 +34,11 @@ __all__ = ["kmeans_embeddings"]
 
 
 def _dist_expr(vec_col: str, centroid: list[float]) -> str:
+    # NOTE: a flat unrolled (x-c)^2 sum was tried here — it ~4x'd
+    # embedding_semdedup (the assignment subplan appears on both
+    # sides of the pair self-join, and duplicated 256-term codegen
+    # methods overwhelm the JIT), while barely moving plain k-means.
+    # The lambda fold stays.
     lits = ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in centroid)
     return (
         f"aggregate(zip_with({vec_col}, array({lits}),"
