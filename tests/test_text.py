@@ -1,0 +1,70 @@
+"""Text-pipeline edge cases the sf corpora can't reach (their minimum
+document is ~10 tokens): docs with 0/1/2 tokens must neither crash the
+Spark HOF expressions (sequence(1, 0) inverts and indexes element 0)
+nor diverge from the DuckDB oracle's end-exclusive range() semantics.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+_SHORT_DOCS = [
+    (1, "one"),
+    (2, "two words"),
+    (3, ""),
+    (4, "a b c"),
+    (5, "x x"),
+    (6, " ".join(["tok"] * 60)),
+]
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else round(v, 12)
+    return v
+
+
+@pytest.fixture(scope="module")
+def gopher_results(spark):
+    from xsarsea_spark.pipeline.text import gopher_quality
+    from xsarsea_spark.suite.pipeline_suite import _GOPHER_ORACLE
+
+    docs = spark.createDataFrame(_SHORT_DOCS, "doc_id int, text string")
+    cols = ["doc_id", "top_unigram_frac", "top_bigram_frac",
+            "dup_trigram_frac", "mean_token_len", "gopher_keep"]
+    sp = {r["doc_id"]: tuple(_norm(r[c]) for c in cols[1:])
+          for r in gopher_quality(docs).select(*cols).collect()}
+
+    con = duckdb.connect()
+    values = ", ".join(f"({i}, '{t}')" for i, t in _SHORT_DOCS)
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)")
+    du = {row[0]: tuple(_norm(v) for v in row[1:])
+          for row in con.sql(_GOPHER_ORACLE).fetchall()}
+    con.close()
+    return sp, du
+
+
+def test_gopher_short_docs_no_crash(gopher_results):
+    sp, _ = gopher_results
+    assert len(sp) == len(_SHORT_DOCS)
+    # 1-token doc: no bigrams/trigrams -> NULL ratios, keep=False
+    assert sp[1][1] is None and sp[1][2] is None and sp[1][4] is False
+    # 2-token doc: one bigram, no trigrams
+    assert sp[2][1] == 1.0 and sp[2][2] is None
+    # long doc still evaluates normally
+    assert sp[6][0] == 1.0 and sp[6][4] is False
+
+
+def test_gopher_short_docs_match_oracle(gopher_results):
+    sp, du = gopher_results
+    assert set(sp) == set(du)
+    for doc_id in sorted(sp):
+        assert sp[doc_id] == du[doc_id], (
+            f"doc {doc_id}: spark={sp[doc_id]} duckdb={du[doc_id]}")

@@ -276,23 +276,34 @@ def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     family from Rae et al. 2021 (Gopher) §A1.1; reference repo has no
     text pillar (engine-brief extension).
     """
+    # nullif() divisors: under ANSI mode (Spark 4 default) 0 / 0.0
+    # raises DIVIDE_BY_ZERO; a NULL divisor instead propagates NULL,
+    # which is exactly what DuckDB's non-ANSI 0 / 0.0 returns.
     uni = ("array_max(transform(array_distinct(tk),"
            " x -> size(filter(tk, w -> w = x))))"
-           " / CAST(size(tk) AS DOUBLE)")
+           " / CAST(nullif(size(tk), 0) AS DOUBLE)")
     bi = ("array_max(transform(array_distinct(bg),"
           " x -> size(filter(bg, w -> w = x))))"
-          " / CAST(size(bg) AS DOUBLE)")
+          " / CAST(nullif(size(bg), 0) AS DOUBLE)")
     tri = ("(size(tg) - size(array_distinct(tg)))"
-           " / CAST(size(tg) AS DOUBLE)")
+           " / CAST(nullif(size(tg), 0) AS DOUBLE)")
     mtl = ("aggregate(tk, 0L, (a, x) -> a + length(x))"
-           " / CAST(size(tk) AS DOUBLE)")
+           " / CAST(nullif(size(tk), 0) AS DOUBLE)")
+    # Short-doc guards: sequence(1, n-1) inverts when n <= 1 (Spark
+    # auto-steps DOWN, yielding [1, 0] and an element_at(tk, 0) error),
+    # so bigrams/trigrams collapse to array() below 2/3 tokens — the
+    # same empty lists DuckDB's end-exclusive range() produces, and
+    # both engines then agree on NULL ratios (array_max of empty is
+    # NULL; 0 / 0.0 division is NULL in Spark and DuckDB alike).
     struct = f"""transform(array(split({text_col}, ' ')), tk ->
-  transform(array(transform(sequence(1, size(tk) - 1),
-      i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))),
+  transform(array(CASE WHEN size(tk) < 2 THEN array()
+      ELSE transform(sequence(1, size(tk) - 1),
+      i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) END),
     bg ->
-    transform(array(transform(sequence(1, size(tk) - 2),
+    transform(array(CASE WHEN size(tk) < 3 THEN array()
+        ELSE transform(sequence(1, size(tk) - 2),
         i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1),
-                    ' ', element_at(tk, i + 2)))),
+                    ' ', element_at(tk, i + 2))) END),
       tg -> named_struct(
         'top_unigram_frac', {uni},
         'top_bigram_frac', {bi},
