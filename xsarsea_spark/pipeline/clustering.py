@@ -7,18 +7,22 @@ Lloyd's algorithm with deterministic, engine-replicable arithmetic:
   index (``aggregate(zip_with(...))`` — the same op sequence DuckDB's
   ``list_reduce(list_transform(...))`` produces), ties to the lowest
   cluster id;
-- update: per-(cluster, dim) mean whose sum folds left-to-right in
-  ascending ``vec_id`` order (sorted-struct fold — the repo's
-  order-fixed summation pattern), so every round is bit-reproducible
-  in any engine without decimal quantization.
+- update: per-(cluster, dim) mean over the scale-``KM_SCALE`` decimal
+  grid (``operators/exactsum.py`` — per-row quantize to BIGINT, sum
+  long accumulators, recombine once per group), which is
+  order-independent and therefore bit-reproducible in any engine;
+  the oracle applies the identical ``DECIMAL(38, KM_SCALE)`` sum.
 
 Driver state is the k x dim centroid matrix per round — the canonical
 Lloyd's layout (what MLlib's KMeans keeps on the driver too); all
-per-vector work stays distributed. The sorted-struct fold in the
-update is exact but collects each (cluster, dim) group's values; at
-100 TB swap it for the order-independent DECIMAL sum (operators/
-exactsum.py) and accept a documented 1e-s quantization of the
-centroid sums — the assignment stage is unchanged.
+per-vector work stays distributed. The exactsum update replaces the
+earlier sorted-struct fold, which collected every member value of a
+(cluster, dim) group into one array — group width grew with cluster
+size, an executor-OOM shape at 100 TB. The long-backed sums are
+map-side combined and O(1) per group; the cost is a documented
+1e-9 quantization of each value entering the centroid mean — applied
+identically on the oracle side, so rounds stay bit-exact across
+engines.
 
 Parity: reference has no clustering pillar; engine-brief extension
 (embedding curation). Cluster sizes + inertia per round make this the
@@ -30,7 +34,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_embeddings"]
+from xsarsea_spark.operators.exactsum import ExactSumSpec, exact_sum_agg
+
+__all__ = ["kmeans_embeddings", "KM_SCALE"]
+
+# Centroid-update quantization: each coordinate is rounded to the
+# 1e-9 grid before the order-independent sum. Embedding coordinates
+# are O(1), so |x| * 1e9 stays far inside the exact-conversion bound
+# (~2^51); the matching oracle sums DECIMAL(38, KM_SCALE).
+KM_SCALE = 9
 
 
 def _dist_expr(vec_col: str, centroid: list[float]) -> str:
@@ -84,17 +96,11 @@ def kmeans_embeddings(
         if rnd == rounds - 1:
             break  # output is the final assignment; no wasted update
         upd = (
-            assigned.select(
-                "cluster", F.col(id_col).alias("__id"),
-                F.posexplode("__v").alias("__d", "__x"))
-            .groupBy("cluster", "__d")
-            .agg(
-                F.expr(
-                    "aggregate(array_sort(collect_list("
-                    "  struct(__id, __x))),"
-                    " CAST(0 AS DOUBLE), (a, s) -> a + s.__x)"
-                    " / COUNT(__x)"
-                ).alias("__c"))
+            exact_sum_agg(
+                assigned.select(
+                    "cluster", F.posexplode("__v").alias("__d", "__x")),
+                ["cluster", "__d"],
+                [ExactSumSpec("__c", "__x", scale=KM_SCALE, avg=True)])
             .groupBy("cluster")
             .agg(F.expr(
                 "transform(array_sort(collect_list(struct(__d, __c))),"

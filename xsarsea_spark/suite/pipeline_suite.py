@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from xsarsea_spark.pipeline.clustering import KM_SCALE
 from xsarsea_spark.pipeline.dedup import MINHASH_P, _BAND_MULT, _perm_params
 from xsarsea_spark.sources.tables import load
 from xsarsea_spark.suite.base import spec
@@ -1373,14 +1374,16 @@ def _kmeans_ctes(k: int, rounds: int, source: str) -> list[str]:
         )
         if r < rounds - 1:
             parts.append(
-                f"x{r} AS (SELECT cluster, vec_id,"
+                f"x{r} AS (SELECT cluster,"
                 f" unnest(range(1, len(e) + 1)) AS d,"
                 f" unnest(e) AS x FROM a{r})"
             )
+            # order-independent DECIMAL mean — the oracle twin of the
+            # exactsum centroid update (clustering.KM_SCALE grid)
             parts.append(
                 f"m{r} AS (SELECT cluster, d,"
-                f" list_reduce(list(x ORDER BY vec_id),"
-                f" (a, b) -> a + b) / COUNT(x) AS m"
+                f" CAST(SUM(CAST(x AS DECIMAL(38,{KM_SCALE}))) AS DOUBLE)"
+                f" / COUNT(x) AS m"
                 f" FROM x{r} GROUP BY cluster, d)"
             )
             parts.append(
