@@ -44,9 +44,14 @@ __all__ = ["kmeans_embeddings", "KM_SCALE"]
 # (~2^51); the matching oracle sums DECIMAL(38, KM_SCALE).
 KM_SCALE = 9
 
+# Assignment layout split: codegen'd unrolled distance columns up to
+# this k (fastest at small k), the constant-codegen argmin fold above
+# it (required for sqrt(n)-sized k). Same arithmetic either way.
+_UNROLL_K_MAX = 8
+
 
 def _dist_expr(vec_col: str, centroid: list[float]) -> str:
-    # NOTE: a flat unrolled (x-c)^2 sum was tried here — it ~4x'd
+    # NOTE: a flat dim-unrolled (x-c)^2 sum was tried here — it ~4x'd
     # embedding_semdedup (the assignment subplan appears on both
     # sides of the pair self-join, and duplicated 256-term codegen
     # methods overwhelm the JIT), while barely moving plain k-means.
@@ -56,6 +61,46 @@ def _dist_expr(vec_col: str, centroid: list[float]) -> str:
         f"aggregate(zip_with({vec_col}, array({lits}),"
         f" (x, c) -> (x - c) * (x - c)),"
         f" CAST(0 AS DOUBLE), (a, y) -> a + y)"
+    )
+
+
+def _argmin_expr(vec_col: str, centroids: dict[int, list[float]]) -> str:
+    """Single-expression argmin over all k centroids — the large-k
+    assignment path.
+
+    One fold over an array of (cluster, centroid) structs, with the
+    per-centroid distance let-bound via the aggregate-over-singleton
+    idiom so it is evaluated once per centroid. Unlike the k-unrolled
+    column layout (one distance column per centroid + least() + a
+    k-branch CASE chain) its codegen size is constant in k, so it
+    scales to the sqrt(n)-sized k SemDeDup wants; the trade is
+    interpreted lambda evaluation, measured ~1.8x slower than the
+    codegen'd columns at k=4 — hence the ``_UNROLL_K_MAX`` split in
+    :func:`kmeans_embeddings`.
+
+    Strict ``<`` keeps the first minimum while folding in ascending
+    cluster order — the same lowest-cluster-id tie-break the oracle's
+    ``ORDER BY dist, cluster`` and the unrolled path's least()/CASE
+    chain produce; both paths share the same per-centroid fold, so
+    they are arithmetic-identical and oracle-interchangeable.
+    """
+    cents = ", ".join(
+        "named_struct('c', {c}, 'v', array({lits}))".format(
+            c=c,
+            lits=", ".join(f"CAST('{v!r}' AS DOUBLE)"
+                           for v in centroids[c]))
+        for c in sorted(centroids))
+    dist = (
+        f"aggregate(zip_with({vec_col}, ct.v,"
+        f" (x, c) -> (x - c) * (x - c)),"
+        f" CAST(0 AS DOUBLE), (a, y) -> a + y)"
+    )
+    return (
+        f"aggregate(array({cents}),"
+        f" named_struct('d', CAST('Infinity' AS DOUBLE), 'c', -1),"
+        f" (acc, ct) -> aggregate(array({dist}), acc,"
+        f" (a, dd) -> IF(dd < a.d, named_struct('d', dd, 'c', ct.c),"
+        f" a)))"
     )
 
 
@@ -79,20 +124,28 @@ def kmeans_embeddings(
 
     assigned = None
     for rnd in range(rounds):
-        ids = sorted(centroids)
-        work = base
-        for c in ids:
-            work = work.withColumn(
-                f"__d{c}", F.expr(_dist_expr("__v", centroids[c]))
+        if len(centroids) <= _UNROLL_K_MAX:
+            ids = sorted(centroids)
+            work = base
+            for c in ids:
+                work = work.withColumn(
+                    f"__d{c}", F.expr(_dist_expr("__v", centroids[c]))
+                )
+            mincol = F.least(*[F.col(f"__d{c}") for c in ids])
+            cl = None
+            for c in ids:
+                cond = F.col(f"__d{c}") == mincol
+                cl = F.when(cond, F.lit(c)) if cl is None else cl.when(
+                    cond, F.lit(c))
+            assigned = work.withColumn("cluster", cl).withColumn(
+                "dist2", mincol)
+        else:
+            assigned = (
+                base.withColumn(
+                    "__am", F.expr(_argmin_expr("__v", centroids)))
+                .withColumn("cluster", F.col("__am.c"))
+                .withColumn("dist2", F.col("__am.d"))
             )
-        mincol = F.least(*[F.col(f"__d{c}") for c in ids])
-        cl = None
-        for c in ids:
-            cond = F.col(f"__d{c}") == mincol
-            cl = F.when(cond, F.lit(c)) if cl is None else cl.when(
-                cond, F.lit(c))
-        assigned = work.withColumn("cluster", cl).withColumn(
-            "dist2", mincol)
         if rnd == rounds - 1:
             break  # output is the final assignment; no wasted update
         upd = (

@@ -1358,7 +1358,10 @@ def _kmeans_oracle(k: int, rounds: int,
             + f"\nSELECT vec_id, cluster, dist2 FROM a{rounds - 1}")
 
 
-def _kmeans_ctes(k: int, rounds: int, source: str) -> list[str]:
+def _kmeans_ctes(k: int | str, rounds: int, source: str) -> list[str]:
+    # k may be a SQL scalar expression (e.g. a COUNT(*) subquery for
+    # sqrt(n)-sized SemDeDup clustering) — only the init LIMIT depends
+    # on it; every later CTE is generic in the number of clusters.
     parts = [
         f"v AS ({source})",
         f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1"
@@ -1418,12 +1421,17 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verdicts — is replicated in one chained-CTE oracle.
 # ----------------------------------------------------------------------
 
-# k trades the O(k) per-row assignment (k interpreted HOF distance
-# exprs) against the O(n^2/k) pair stage: measured at sf0.1,
-# k=4 -> 10 s, k=16 -> 21 s (assignment-bound), so k=4 wins at this
-# corpus size; at real corpus scale assignment stays linear while
-# pairs grow quadratically, so k should grow ~sqrt(n).
-_SD_K, _SD_ROUNDS, _SD_T = 4, 2, 0.95
+# k balances the O(n*k) assignment against the O(n^2/k) pair stage:
+# k = ceil(sqrt(n)) makes both n^1.5 — sub-quadratic by construction
+# at any corpus size. Derived identically on both sides (a corpus
+# count on the Spark side, a COUNT(*) subquery in the oracle's init
+# LIMIT). The single-fold argmin assignment keeps codegen size
+# constant in k, so sqrt-sized k no longer hits the unrolled-column
+# JIT blowup that made large k assignment-bound in round 3.
+_SD_K_MIN, _SD_ROUNDS, _SD_T = 4, 2, 0.95
+
+_SD_K_SQL = ("(SELECT GREATEST({kmin}, CAST(ceil(sqrt(COUNT(*)))"
+             " AS BIGINT)) FROM v)").format(kmin=_SD_K_MIN)
 
 
 def _cnd_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1455,7 +1463,7 @@ def _semdedup_oracle() -> str:
         " FROM embeddings WHERE vec_id % 7 = 0)",
         "corpus AS (SELECT * FROM base UNION ALL SELECT * FROM clones)",
     ]
-    km = _kmeans_ctes(_SD_K, _SD_ROUNDS,
+    km = _kmeans_ctes(_SD_K_SQL, _SD_ROUNDS,
                       "SELECT vec_id, v AS e FROM corpus")
     nrm = norm_sql(lambda i: f"v[{i}]", _CND_DIM)
     dot = dot_sql(lambda i: f"x.v[{i}]", lambda i: f"y.v[{i}]", _CND_DIM)
@@ -1486,12 +1494,18 @@ FROM asg a LEFT JOIN removed r ON r.id_b = a.vec_id""")
     tags=("pipeline", "dedup", "similarity", "iterative"),
 )
 def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     from xsarsea_spark.pipeline.clustering import kmeans_embeddings
     from xsarsea_spark.pipeline.dedup import dot_sql, norm_sql
 
     corpus = _cnd_corpus(spark, sf_dir)
-    asg = kmeans_embeddings(corpus, k=_SD_K, rounds=_SD_ROUNDS).select(
-        "vec_id", "cluster")
+    k = max(_SD_K_MIN, math.ceil(math.sqrt(corpus.count())))
+    # localCheckpoint: the assignment feeds BOTH sides of the pair
+    # self-join — without it the full Lloyd's lineage (rounds of
+    # argmin folds) is re-evaluated per side (measured ~2x the query).
+    asg = (kmeans_embeddings(corpus, k=k, rounds=_SD_ROUNDS)
+           .select("vec_id", "cluster").localCheckpoint())
     nrm = corpus.select(
         "vec_id", F.col("embedding").alias("__v"),
         F.expr(norm_sql(lambda i: f"element_at(embedding, {i})",
