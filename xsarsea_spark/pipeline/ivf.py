@@ -16,9 +16,17 @@ Scale design:
 - search touches corpus rows of the probed cells only — never
   all-pairs.
 
-Determinism: centroids initialize from the first ``n_centroids``
-vectors by id and Lloyd updates use fixed-dimension averages, so the
-index is reproducible run-to-run (no RNG).
+Determinism and oracle parity: centroids initialize from the first
+``n_centroids`` vectors by id; every float reduction is a
+left-to-right fold over the dimension index (``_seq_matmul`` /
+``_seq_norm`` below — bit-identical to a SQL
+``aggregate(zip_with(...))`` fold, unlike BLAS matmul or NumPy
+pairwise summation, whose accumulation trees are
+implementation-defined); and Lloyd centroid sums go through the
+scale-``IVF_SCALE`` integer grid (the operators/exactsum.py pattern),
+so they are order-independent. Together these make the whole index +
+search value-replicable by a chained-CTE DuckDB oracle
+(suite.pipeline_suite._ivf_oracle), not just rows-reproducible.
 """
 
 from __future__ import annotations
@@ -31,22 +39,69 @@ from pyspark.sql import types as T
 
 from xsarsea_spark.pipeline.similarity import _DOT, with_norm
 
-__all__ = ["train_ivf", "assign_cells", "ivf_search"]
+__all__ = ["train_ivf", "assign_cells", "ivf_search", "IVF_SCALE"]
+
+# Centroid-sum quantization grid (matches the oracle's DECIMAL(38,9)).
+IVF_SCALE = 9
+
+
+def _seq_matmul(v: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """v @ c.T with a left-to-right fold over the dim axis.
+
+    One vectorized add per dimension — each element accumulates in
+    ascending-index order with one rounding per step, exactly the SQL
+    ``aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (s, t) -> s + t)``
+    fold. ~2-4x slower than BLAS dgemm; the price of replicability.
+    """
+    acc = np.zeros((v.shape[0], c.shape[0]))
+    for d in range(v.shape[1]):
+        acc += v[:, d, None] * c[None, :, d]
+    return acc
+
+
+def _seq_norm(v: np.ndarray) -> np.ndarray:
+    """sqrt of the ascending-index sum of squares (fold-ordered)."""
+    acc = np.zeros(v.shape[0])
+    for d in range(v.shape[1]):
+        acc += v[:, d] * v[:, d]
+    return np.sqrt(acc)
+
+
+def _quantize(p: np.ndarray) -> np.ndarray:
+    """Round half away from zero on the exact value of the double
+    ``p`` (what Spark ROUND / DuckDB's double->DECIMAL cast compute).
+    ``floor(p + 0.5)`` would be wrong within 1 ulp of half-integers —
+    the addition itself rounds; trunc/compare arithmetic is exact."""
+    t = np.trunc(p)
+    f = p - t
+    return np.where(np.abs(f) >= 0.5, t + np.copysign(1.0, p), t)
+
+
+def _sim_to(v: np.ndarray, c: np.ndarray, cn: np.ndarray) -> np.ndarray:
+    """Cosine similarity block with the oracle's exact op order:
+    ``(dot / vnorm) / cnorm``, zero norms guarded to 1."""
+    vn = _seq_norm(v)
+    vn[vn == 0] = 1.0
+    return _seq_matmul(v, c) / vn[:, None] / cn[None, :]
+
+
+def _guarded_norms(c: np.ndarray) -> np.ndarray:
+    cn = _seq_norm(c)
+    cn[cn == 0] = 1.0
+    return cn
 
 
 def _assign_kernel(centroids: np.ndarray, id_col: str, vec_col: str):
     c = np.ascontiguousarray(centroids, dtype=np.float64)
-    cn = np.linalg.norm(c, axis=1)
-    cn[cn == 0] = 1.0
+    cn = _guarded_norms(c)
 
     def gen(batches):
         for pdf in batches:
             v = np.stack(
                 [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
-            vn = np.linalg.norm(v, axis=1)
-            vn[vn == 0] = 1.0
-            # cosine assignment (argmax similarity)
-            sim = (v @ c.T) / vn[:, None] / cn[None, :]
+            # cosine assignment (argmax similarity; ties -> lowest
+            # cell, same as the oracle's ORDER BY sim DESC, cell)
+            sim = _sim_to(v, c, cn)
             yield pd.DataFrame({
                 id_col: pdf[id_col].to_numpy(),
                 "cell": np.argmax(sim, axis=1).astype(np.int32),
@@ -69,7 +124,7 @@ def train_ivf(corpus: DataFrame, n_centroids: int = 16, iters: int = 5,
     part_schema = T.StructType([
         T.StructField("cell", T.IntegerType()),
         T.StructField("i", T.IntegerType()),
-        T.StructField("s", T.DoubleType()),
+        T.StructField("q", T.LongType()),
         T.StructField("n", T.LongType()),
     ])
     for _ in range(iters):
@@ -79,41 +134,45 @@ def train_ivf(corpus: DataFrame, n_centroids: int = 16, iters: int = 5,
         # the corpus and exploding rows x dim elements through a
         # shuffle. Only the final n_cells x dim reduction reaches the
         # driver — the bounded centroid state Lloyd needs anyway.
+        # Partials are scale-IVF_SCALE integer quanta, so the batch
+        # grouping and the Spark SUM order can't perturb the result.
         c = np.ascontiguousarray(centroids, dtype=np.float64)
-        cn = np.linalg.norm(c, axis=1)
-        cn[cn == 0] = 1.0
+        cn = _guarded_norms(c)
 
         def partial_gen(batches, c=c, cn=cn):
             for pdf in batches:
                 v = np.stack(
                     [np.asarray(x, dtype=np.float64)
                      for x in pdf[vec_col]])
-                vn = np.linalg.norm(v, axis=1)
-                vn[vn == 0] = 1.0
-                sim = (v @ c.T) / vn[:, None] / cn[None, :]
-                cell = np.argmax(sim, axis=1)
+                cell = np.argmax(_sim_to(v, c, cn), axis=1)
+                quanta = _quantize(v * 10.0 ** IVF_SCALE).astype(
+                    np.int64)
                 rows = []
                 for cid in np.unique(cell):
                     m = cell == cid
-                    s = v[m].sum(axis=0)
+                    s = quanta[m].sum(axis=0)
                     n = int(m.sum())
                     rows.extend(
-                        (int(cid), i, float(s[i]), n)
+                        (int(cid), i, int(s[i]), n)
                         for i in range(v.shape[1]))
                 yield pd.DataFrame(rows,
-                                   columns=["cell", "i", "s", "n"])
+                                   columns=["cell", "i", "q", "n"])
 
         sums = (
             corpus.select(vec_col).mapInPandas(partial_gen,
                                                schema=part_schema)
             .groupBy("cell", "i")
-            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .agg(F.sum("q").alias("q"), F.sum("n").alias("n"))
             .collect()
         )
         new = centroids.copy()
         seen = set()
         for r in sums:
-            new[r["cell"], r["i"]] = r["s"] / r["n"]
+            # double(q)/10^s then /n — the oracle's
+            # CAST(SUM(DECIMAL) AS DOUBLE) / COUNT, rounding for
+            # rounding
+            new[r["cell"], r["i"]] = (
+                float(r["q"]) / 10.0 ** IVF_SCALE) / r["n"]
             seen.add(r["cell"])
         for cell in range(len(centroids)):
             if cell not in seen:
@@ -150,8 +209,7 @@ def ivf_search(
     """
     spark = queries.sparkSession
     c = np.ascontiguousarray(centroids, dtype=np.float64)
-    cn = np.linalg.norm(c, axis=1)
-    cn[cn == 0] = 1.0
+    cn = _guarded_norms(c)
 
     probe_schema = T.StructType([
         queries.schema[id_col],
@@ -162,10 +220,10 @@ def ivf_search(
         for pdf in batches:
             v = np.stack(
                 [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
-            vn = np.linalg.norm(v, axis=1)
-            vn[vn == 0] = 1.0
-            sim = (v @ c.T) / vn[:, None] / cn[None, :]
-            top = np.argsort(-sim, axis=1)[:, :n_probe]
+            sim = _sim_to(v, c, cn)
+            # stable: a tie at the n_probe boundary keeps the lowest
+            # cell, matching the oracle's ORDER BY sim DESC, cell
+            top = np.argsort(-sim, axis=1, kind="stable")[:, :n_probe]
             ids = np.repeat(pdf[id_col].to_numpy(), n_probe)
             yield pd.DataFrame({
                 id_col: ids,

@@ -17,10 +17,15 @@ independent of corpus size), streams the codes table once, and
 reduces per-partition top-k candidates. Everything driver-side is
 bounded by the codebook, never the corpus.
 
-Determinism: centroid init is the first K vectors in id order, Lloyd
-partial sums reduce through Spark's exact-enough double aggregation
-identically each run on the same data; ties in code assignment and
-top-k break on (distance, id) so repeated runs emit identical rows.
+Determinism and oracle parity: centroid init is the first K vectors
+in id order; every subspace distance accumulates left-to-right over
+the dimension index (``_seq_sqdist`` — bit-identical to a SQL fold,
+unlike NumPy's pairwise ``.sum``); Lloyd sums go through the
+scale-``PQ_SCALE`` integer grid so reduction order can't perturb
+them; and all tie-breaks (code assignment, shortlist, top-k) resolve
+on (distance, id). The full train → encode → ADC → refine chain is
+value-replicable by the chained-CTE DuckDB oracle in
+suite.pipeline_suite._pq_oracle.
 """
 
 from __future__ import annotations
@@ -32,7 +37,23 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-__all__ = ["train_pq", "encode_pq", "pq_search"]
+from xsarsea_spark.pipeline.ivf import _quantize
+
+__all__ = ["train_pq", "encode_pq", "pq_search", "PQ_SCALE"]
+
+# Codebook-sum quantization grid (matches the oracle's DECIMAL(38,9)).
+PQ_SCALE = 9
+
+
+def _seq_sqdist(vs: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Squared L2 from each row of ``vs`` (n, sub) to each row of
+    ``b`` (k, sub), accumulated left-to-right over the sub-dimension —
+    the SQL ``list_reduce`` fold order, one rounding per step."""
+    acc = np.zeros((vs.shape[0], b.shape[0]))
+    for d in range(vs.shape[1]):
+        diff = vs[:, d, None] - b[None, :, d]
+        acc += diff * diff
+    return acc
 
 
 def _split(dim: int, m: int) -> list:
@@ -64,7 +85,7 @@ def train_pq(corpus: DataFrame, m: int = 8, k: int = 16, iters: int = 5,
         T.StructField("sub", T.IntegerType()),
         T.StructField("cell", T.IntegerType()),
         T.StructField("i", T.IntegerType()),
-        T.StructField("s", T.DoubleType()),
+        T.StructField("q", T.LongType()),
         T.StructField("n", T.LongType()),
     ])
     for _ in range(iters):
@@ -77,30 +98,32 @@ def train_pq(corpus: DataFrame, m: int = 8, k: int = 16, iters: int = 5,
                 rows = []
                 for s_i, sl in enumerate(slices):
                     vs = v[:, sl]                          # (n, sub)
-                    # squared L2 to each of the k centroids
-                    d = ((vs[:, None, :] - b[s_i][None, :, :]) ** 2
-                         ).sum(axis=2)
-                    cell = np.argmin(d, axis=1)
+                    # squared L2 to each of the k centroids; ties ->
+                    # lowest cell (oracle: ORDER BY d2, cell)
+                    cell = np.argmin(_seq_sqdist(vs, b[s_i]), axis=1)
+                    quanta = _quantize(
+                        vs * 10.0 ** PQ_SCALE).astype(np.int64)
                     for cid in np.unique(cell):
                         msk = cell == cid
-                        ssum = vs[msk].sum(axis=0)
+                        ssum = quanta[msk].sum(axis=0)
                         n = int(msk.sum())
                         rows.extend(
-                            (s_i, int(cid), i, float(ssum[i]), n)
+                            (s_i, int(cid), i, int(ssum[i]), n)
                             for i in range(sub))
                 yield pd.DataFrame(
-                    rows, columns=["sub", "cell", "i", "s", "n"])
+                    rows, columns=["sub", "cell", "i", "q", "n"])
 
         sums = (
             corpus.select(vec_col)
             .mapInPandas(partial_gen, schema=part_schema)
             .groupBy("sub", "cell", "i")
-            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .agg(F.sum("q").alias("q"), F.sum("n").alias("n"))
             .collect()
         )
         new = books.copy()
         for r in sums:
-            new[r["sub"], r["cell"], r["i"]] = r["s"] / r["n"]
+            new[r["sub"], r["cell"], r["i"]] = (
+                float(r["q"]) / 10.0 ** PQ_SCALE) / r["n"]
         books = new
     return books
 
@@ -115,9 +138,8 @@ def _encode_kernel(books: np.ndarray, id_col: str, vec_col: str):
                           for x in pdf[vec_col]])
             codes = np.empty((v.shape[0], m), dtype=np.int32)
             for s_i, sl in enumerate(slices):
-                d = ((v[:, sl][:, None, :] - books[s_i][None, :, :])
-                     ** 2).sum(axis=2)
-                codes[:, s_i] = np.argmin(d, axis=1)
+                codes[:, s_i] = np.argmin(
+                    _seq_sqdist(v[:, sl], books[s_i]), axis=1)
             yield pd.DataFrame({
                 id_col: pdf[id_col].to_numpy(),
                 "codes": list(codes),
@@ -194,9 +216,7 @@ def pq_search(queries: DataFrame, codes: DataFrame, books: np.ndarray,
     tables = np.empty((len(q_ids), m, kk))
     for s_i in range(m):
         sl = slice(s_i * sub, (s_i + 1) * sub)
-        tables[:, s_i, :] = (
-            (qv[:, sl][:, None, :] - books[s_i][None, :, :]) ** 2
-        ).sum(axis=2)
+        tables[:, s_i, :] = _seq_sqdist(qv[:, sl], books[s_i])
     bc = spark.sparkContext.broadcast((q_ids, tables))
 
     out_schema = T.StructType([
@@ -215,12 +235,16 @@ def pq_search(queries: DataFrame, codes: DataFrame, books: np.ndarray,
             dist = np.zeros((len(ids), c.shape[0]))
             for s_i in range(m):
                 dist += tabs[:, s_i, c[:, s_i]]
-            # per-partition top-k per query bounds shuffle volume
+            # per-partition top-k per query bounds shuffle volume.
+            # Shared codes make exact ADC ties STRUCTURAL, so the
+            # preselection must order ties by neighbor_id (lexsort)
+            # or a boundary tie could evict the row the global
+            # (adc_dist, neighbor_id) rank keeps.
             take = min(k, c.shape[0])
-            part = np.argpartition(dist, take - 1, axis=1)[:, :take]
             rows = []
             for qi in range(len(ids)):
-                for xi in part[qi]:
+                part = np.lexsort((nid, dist[qi]))[:take]
+                for xi in part:
                     rows.append((int(ids[qi]), int(nid[xi]),
                                  float(dist[qi, xi])))
             yield pd.DataFrame(

@@ -485,28 +485,129 @@ def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
-# IVF ANN — rows-only (index + probe search; recall vs brute force is
-# pytest-asserted)
+# IVF ANN — value-exact chained-CTE oracle. The ivf.py kernels use
+# fold-ordered NumPy arithmetic and grid-quantized Lloyd sums
+# precisely so every stage (training rounds, final assignment, probe
+# ranking, exact in-cell cosine) is replicable below; recall vs brute
+# force stays pytest-asserted on top.
 # ----------------------------------------------------------------------
+
+_IVF_NC, _IVF_ITERS, _IVF_PROBE = 16, 3, 4
+
+
+def _ddot(a: str, b: str) -> str:
+    """Fold-ordered dot of two DOUBLE-list expressions (DuckDB)."""
+    return (f"list_reduce(list_transform(range(1, len({a}) + 1),"
+            f" i -> {a}[i] * {b}[i]), (s, t) -> s + t)")
+
+
+def _ivf_oracle() -> str:
+    from xsarsea_spark.pipeline.ivf import IVF_SCALE
+
+    parts = [
+        "v AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        " FROM embeddings)",
+        # zero-guarded norms for the similarity stages (kernel guard)
+        f"nv AS (SELECT vec_id, e,"
+        f" CASE WHEN nr = 0 THEN 1.0 ELSE nr END AS vn FROM"
+        f" (SELECT vec_id, e, sqrt({_ddot('e', 'e')}) AS nr FROM v))",
+        f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1"
+        f" AS cell, e AS cent FROM v ORDER BY vec_id LIMIT {_IVF_NC})",
+    ]
+    sim = f"({_ddot('nv.e', 'k.cent')} / nv.vn) / k.cn"
+    for r in range(_IVF_ITERS):
+        parts.append(
+            f"k{r} AS (SELECT cell, cent,"
+            f" CASE WHEN nr = 0 THEN 1.0 ELSE nr END AS cn FROM"
+            f" (SELECT cell, cent, sqrt({_ddot('cent', 'cent')}) AS nr"
+            f" FROM c{r}))"
+        )
+        parts.append(
+            f"a{r} AS (SELECT nv.vec_id, nv.e, k.cell"
+            f" FROM nv CROSS JOIN k{r} k"
+            f" QUALIFY ROW_NUMBER() OVER (PARTITION BY nv.vec_id"
+            f" ORDER BY {sim} DESC, k.cell) = 1)"
+        )
+        parts.append(
+            f"x{r} AS (SELECT cell, unnest(range(1, len(e) + 1)) AS d,"
+            f" unnest(e) AS x FROM a{r})"
+        )
+        parts.append(
+            f"m{r} AS (SELECT cell, d,"
+            f" CAST(SUM(CAST(x AS DECIMAL(38,{IVF_SCALE}))) AS DOUBLE)"
+            f" / COUNT(x) AS m FROM x{r} GROUP BY cell, d)"
+        )
+        parts.append(
+            f"o{r} AS (SELECT cell,"
+            f" unnest(range(1, len(cent) + 1)) AS d,"
+            f" unnest(cent) AS oc FROM c{r})"
+        )
+        # empty cells keep their previous centroid (kernel carryover)
+        parts.append(
+            f"c{r + 1} AS (SELECT o.cell,"
+            f" list(COALESCE(m.m, o.oc) ORDER BY o.d) AS cent"
+            f" FROM o{r} o LEFT JOIN m{r} m"
+            f" ON m.cell = o.cell AND m.d = o.d GROUP BY o.cell)"
+        )
+    rf = _IVF_ITERS
+    parts += [
+        f"kf AS (SELECT cell, cent,"
+        f" CASE WHEN nr = 0 THEN 1.0 ELSE nr END AS cn FROM"
+        f" (SELECT cell, cent, sqrt({_ddot('cent', 'cent')}) AS nr"
+        f" FROM c{rf}))",
+        # the index: every corpus vector's final cell
+        f"af AS (SELECT nv.vec_id, k.cell"
+        f" FROM nv CROSS JOIN kf k"
+        f" QUALIFY ROW_NUMBER() OVER (PARTITION BY nv.vec_id"
+        f" ORDER BY {sim} DESC, k.cell) = 1)",
+        # probes: top-n_probe cells per query by the same similarity
+        f"pr AS (SELECT vec_id AS query_id, cell FROM (SELECT"
+        f" nv.vec_id, k.cell, ROW_NUMBER() OVER (PARTITION BY"
+        f" nv.vec_id ORDER BY {sim} DESC, k.cell) AS rn"
+        f" FROM nv CROSS JOIN kf k WHERE nv.vec_id < {_KNN_NQ})"
+        f" WHERE rn <= {_IVF_PROBE})",
+        # search norms: with_norm has no zero guard
+        f"sn AS (SELECT vec_id, e, sqrt({_ddot('e', 'e')}) AS nrm"
+        f" FROM v)",
+        f"sq AS (SELECT vec_id AS query_id, e AS qv, nrm AS qn"
+        f" FROM sn WHERE vec_id < {_KNN_NQ})",
+        f"scored AS (SELECT pr.query_id, a.vec_id AS neighbor_id,"
+        f" {_ddot('sq.qv', 'c.e')} / (sq.qn * c.nrm) AS cosine"
+        f" FROM pr JOIN af a ON a.cell = pr.cell"
+        f" JOIN sn c ON c.vec_id = a.vec_id"
+        f" JOIN sq ON sq.query_id = pr.query_id"
+        f" WHERE a.vec_id <> pr.query_id)",
+    ]
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT query_id, rank, neighbor_id, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {_KNN_K}""")
 
 
 @spec(
     "ivf_ann",
-    None,
+    _ivf_oracle(),
     description="IVF approximate NN: deterministic k-means coarse "
                 "quantizer, cell-partitioned index, n_probe cell scan "
-                "+ exact cosine — the second bucketed scale path",
-    tags=("pipeline", "similarity", "rows-only"),
+                "+ exact cosine — the second bucketed scale path; "
+                "training rounds, probes and search all value-checked "
+                "by one chained-CTE oracle",
+    tags=("pipeline", "similarity", "iterative"),
 )
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xsarsea_spark.pipeline.ivf import (assign_cells, ivf_search,
                                             train_ivf)
 
     emb = load(spark, sf_dir, "embeddings")
-    centroids = train_ivf(emb, n_centroids=16, iters=3)
+    centroids = train_ivf(emb, n_centroids=_IVF_NC, iters=_IVF_ITERS)
     indexed = assign_cells(emb, centroids)
     queries = emb.filter(F.col("vec_id") < _KNN_NQ)
-    return ivf_search(queries, indexed, centroids, k=_KNN_K, n_probe=4)
+    return ivf_search(queries, indexed, centroids, k=_KNN_K,
+                      n_probe=_IVF_PROBE)
 
 
 # ----------------------------------------------------------------------
@@ -931,24 +1032,121 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M, _PQ_K, _PQ_ITERS = 8, 16, 3
+_PQ_SUB = _CND_DIM // _PQ_M
+_PQ_SHORT = 10 * _KNN_K
+
+
+def _pq_oracle() -> str:
+    from xsarsea_spark.pipeline.pq import PQ_SCALE
+
+    sub = _PQ_SUB
+    # fold-ordered subspace squared-L2 between sv (vector slice) and
+    # bc (codebook row) — the _seq_sqdist twin
+    sqd = (f"list_reduce(list_transform(range(1, {sub} + 1),"
+           f" i -> (sv.sv[i] - b.bc[i]) * (sv.sv[i] - b.bc[i])),"
+           f" (p, t) -> p + t)")
+    parts = [
+        "v AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        " FROM embeddings)",
+        f"ss AS (SELECT unnest(range({_PQ_M})) AS s)",
+        f"sv AS (SELECT vec_id, s,"
+        f" list_slice(e, s * {sub} + 1, s * {sub} + {sub}) AS sv"
+        f" FROM v CROSS JOIN ss)",
+        f"b0 AS (SELECT s, cell,"
+        f" list_slice(e, s * {sub} + 1, s * {sub} + {sub}) AS bc FROM"
+        f" (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, e"
+        f" FROM v ORDER BY vec_id LIMIT {_PQ_K}) CROSS JOIN ss)",
+    ]
+    for r in range(_PQ_ITERS):
+        parts.append(
+            f"a{r} AS (SELECT sv.vec_id, sv.s, sv.sv, b.cell"
+            f" FROM sv JOIN b{r} b ON b.s = sv.s"
+            f" QUALIFY ROW_NUMBER() OVER (PARTITION BY sv.vec_id,"
+            f" sv.s ORDER BY {sqd} ASC, b.cell) = 1)"
+        )
+        parts.append(
+            f"x{r} AS (SELECT s, cell,"
+            f" unnest(range(1, {sub} + 1)) AS d, unnest(sv) AS x"
+            f" FROM a{r})"
+        )
+        parts.append(
+            f"m{r} AS (SELECT s, cell, d,"
+            f" CAST(SUM(CAST(x AS DECIMAL(38,{PQ_SCALE}))) AS DOUBLE)"
+            f" / COUNT(x) AS m FROM x{r} GROUP BY s, cell, d)"
+        )
+        parts.append(
+            f"o{r} AS (SELECT s, cell,"
+            f" unnest(range(1, {sub} + 1)) AS d, unnest(bc) AS oc"
+            f" FROM b{r})"
+        )
+        parts.append(
+            f"b{r + 1} AS (SELECT o.s, o.cell,"
+            f" list(COALESCE(m.m, o.oc) ORDER BY o.d) AS bc"
+            f" FROM o{r} o LEFT JOIN m{r} m ON m.s = o.s"
+            f" AND m.cell = o.cell AND m.d = o.d GROUP BY o.s, o.cell)"
+        )
+    bf = _PQ_ITERS
+    ex = ("list_reduce(list_transform(range(1, len(q.embedding) + 1),"
+          " i -> CAST(q.embedding[i] - c.embedding[i] AS DOUBLE)"
+          " * CAST(q.embedding[i] - c.embedding[i] AS DOUBLE)),"
+          " (p, t) -> p + t)")
+    parts += [
+        # encode every corpus vector: per-subspace nearest code
+        f"enc AS (SELECT sv.vec_id, sv.s, b.cell"
+        f" FROM sv JOIN b{bf} b ON b.s = sv.s"
+        f" QUALIFY ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.s"
+        f" ORDER BY {sqd} ASC, b.cell) = 1)",
+        # per-query (m x K) exact subspace distance tables
+        f"qt AS (SELECT sv.vec_id AS query_id, sv.s, b.cell,"
+        f" {sqd} AS td FROM sv JOIN b{bf} b ON b.s = sv.s"
+        f" WHERE sv.vec_id < {_KNN_NQ})",
+        # ADC: fold the m table lookups in ascending subspace order
+        # (matches the kernel's zero-init sequential accumulation)
+        "adc AS (SELECT qt.query_id, enc.vec_id AS neighbor_id,"
+        " list_reduce(list(qt.td ORDER BY qt.s), (p, t) -> p + t)"
+        " AS adc FROM enc JOIN qt ON qt.s = enc.s"
+        " AND qt.cell = enc.cell GROUP BY qt.query_id, enc.vec_id)",
+        f"short AS (SELECT query_id, neighbor_id FROM (SELECT"
+        f" query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY"
+        f" query_id ORDER BY adc ASC, neighbor_id ASC) AS rn"
+        f" FROM adc) WHERE rn <= {_PQ_SHORT})",
+        # FAISS-style refine: exact squared L2 on the shortlist only;
+        # float subtraction then double product, the zip_with twin
+        f"ex AS (SELECT s.query_id, s.neighbor_id, {ex} AS adc_dist"
+        f" FROM short s JOIN embeddings q ON q.vec_id = s.query_id"
+        f" JOIN embeddings c ON c.vec_id = s.neighbor_id)",
+    ]
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT query_id, rank, neighbor_id, adc_dist FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM ex)
+WHERE rank <= {_KNN_K}""")
+
+
 @spec(
     "pq_ann",
-    None,
+    _pq_oracle(),
     description="Product-quantization ANN: per-subspace k-means "
                 "codebooks (one corpus pass per Lloyd round for all "
                 "subspaces), M-byte codes, ADC search via broadcast "
-                "distance tables — the compressed third scale path",
-    tags=("pipeline", "similarity", "rows-only"),
+                "distance tables, exact-rerank refine — train, "
+                "encode, ADC and refine all value-checked by one "
+                "chained-CTE oracle",
+    tags=("pipeline", "similarity", "iterative"),
 )
 def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xsarsea_spark.pipeline.pq import encode_pq, pq_search, train_pq
 
     emb = load(spark, sf_dir, "embeddings")
-    books = train_pq(emb, m=8, k=16, iters=3)
+    books = train_pq(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
     codes = encode_pq(emb, books)
     queries = emb.filter(F.col("vec_id") < _KNN_NQ)
     return pq_search(queries, codes, books, k=_KNN_K, corpus=emb,
-                     shortlist=10 * _KNN_K)
+                     shortlist=_PQ_SHORT)
 
 
 # ----------------------------------------------------------------------
