@@ -1,0 +1,81 @@
+"""Decoder unit tests for the dependency-free PPM/BMP parsers —
+covering what the driver-data oracle can't reach: padded BMP rows
+(width not a multiple of 4), top-down BMPs (negative height), header
+comments/whitespace, and the unknown-format dispatch error."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from xsarsea_spark.pipeline.multimodal import (decode_bmp, decode_image,
+                                               decode_ppm)
+
+
+def _pixels(w: int, h: int) -> np.ndarray:
+    rng = np.random.default_rng(1234)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _encode_ppm(img: np.ndarray, header: bytes | None = None) -> bytes:
+    h, w = img.shape[:2]
+    head = header or f"P6\n{w} {h}\n255\n".encode()
+    return head + img.tobytes()
+
+
+def _encode_bmp(img: np.ndarray, top_down: bool = False) -> bytes:
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    rows = img if top_down else img[::-1]
+    raster = b"".join(
+        rows[r, :, ::-1].tobytes() + b"\x00" * (stride - w * 3)
+        for r in range(h))
+    hh = -h if top_down else h
+    return (b"BM" + (54 + len(raster)).to_bytes(4, "little")
+            + b"\x00" * 4 + (54).to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + hh.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little")
+            + len(raster).to_bytes(4, "little") + b"\x00" * 16
+            + raster)
+
+
+def test_ppm_roundtrip_with_comments_and_whitespace():
+    img = _pixels(7, 3)
+    plain = _encode_ppm(img)
+    commented = _encode_ppm(
+        img, b"P6 # inline\n# full comment line\n  7\t3 # dims\n255\n")
+    np.testing.assert_array_equal(decode_ppm(plain), img)
+    np.testing.assert_array_equal(decode_ppm(commented), img)
+
+
+@pytest.mark.parametrize("w,h", [(5, 4), (16, 8), (3, 1), (6, 5)])
+@pytest.mark.parametrize("top_down", [False, True])
+def test_bmp_roundtrip_padded_and_orientation(w, h, top_down):
+    img = _pixels(w, h)
+    np.testing.assert_array_equal(
+        decode_bmp(_encode_bmp(img, top_down=top_down)), img)
+
+
+def test_bmp_and_ppm_decode_to_identical_pixels():
+    img = _pixels(5, 4)
+    np.testing.assert_array_equal(
+        decode_image(_encode_ppm(img)), decode_image(_encode_bmp(img)))
+
+
+def test_unknown_magic_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_unsupported_variants_raise():
+    img = _pixels(4, 2)
+    bad_maxval = b"P6\n4 2\n65535\n" + img.tobytes() * 2
+    with pytest.raises(ValueError):
+        decode_ppm(bad_maxval)
+    bmp = bytearray(_encode_bmp(img))
+    bmp[28:30] = (8).to_bytes(2, "little")       # 8 bpp unsupported
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bmp))

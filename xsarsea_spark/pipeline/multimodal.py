@@ -1,16 +1,18 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Per the engine brief, image/audio/video decode libraries are not
-available in this environment, so the DECODE step is a clearly-marked
-stub — but everything Spark-side is real and tested: the binary column
-schema, Arrow batch shape through ``mapInPandas``, deterministic
-feature extraction over raw bytes, and the struct-typed metadata
-column.
+Payloads stay opaque binary end-to-end (no driver collect); feature
+extraction is one Arrow-batched pass with bounded per-batch memory;
+metadata lives in a struct column so Parquet keeps it columnar and
+prunable.
 
-Scale notes: payloads stay opaque binary end-to-end (no driver
-collect); feature extraction is one Arrow-batched pass with bounded
-per-batch memory; metadata lives in a struct column so Parquet keeps
-it columnar and prunable.
+Decode: this environment ships no imaging library, so
+:func:`decode_image` implements two simple PUBLIC uncompressed
+formats dependency-free — binary PPM (P6, Netpbm spec: magic +
+whitespace/comment-separated dims + maxval + raster) and 24-bit
+uncompressed BMP (BITMAPFILEHEADER/BITMAPINFOHEADER, BGR pixels,
+4-byte-padded rows stored bottom-up) — both returning an
+(h, w, 3) uint8 RGB array. Compressed formats (JPEG/PNG/...) still
+raise with a clear message; swap in Pillow/cv2 in production.
 """
 
 from __future__ import annotations
@@ -23,7 +25,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["attach_payload", "extract_features", "decode_image"]
+__all__ = ["attach_payload", "extract_features", "decode_image",
+           "decode_ppm", "decode_bmp", "attach_image_payload",
+           "decode_features"]
 
 
 def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -41,14 +45,80 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> "np.ndarray":
-    """STUB: real image decode needs an imaging library (Pillow/cv2),
-    which is not installed in this environment. The Spark-side
-    plumbing (schema, batching, feature shapes) does not depend on the
-    decoder; swap this function for a real one in production."""
+def _ppm_tokens(buf: bytes, start: int, count: int):
+    """Read ``count`` whitespace-separated ASCII integers from a
+    Netpbm header, skipping ``#``-to-end-of-line comments. Returns
+    (values, offset_after_last_token)."""
+    vals = []
+    i = start
+    while len(vals) < count:
+        while i < len(buf) and buf[i:i + 1].isspace():
+            i += 1
+        if i < len(buf) and buf[i] == 0x23:          # '#' comment
+            while i < len(buf) and buf[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and buf[j:j + 1].isdigit():
+            j += 1
+        if j == i:
+            raise ValueError("malformed PPM header")
+        vals.append(int(buf[i:j]))
+        i = j
+    return vals, i
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8 RGB array."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    (w, h, maxval), i = _ppm_tokens(payload, 2, 3)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    # exactly ONE whitespace byte separates maxval from the raster
+    raster = payload[i + 1:i + 1 + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> (h, w, 3) uint8 RGB array.
+
+    Handles the standard layout: BGR byte order, rows padded to
+    4-byte multiples, positive height meaning bottom-up row order.
+    """
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    px = np.frombuffer(
+        payload[off:off + stride * h], dtype=np.uint8
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        px = px[::-1]
+    return px[:, :, ::-1]                            # BGR -> RGB
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch on magic bytes: P6 PPM and 24-bit BMP decode
+    dependency-free; anything else needs an imaging library
+    (Pillow/cv2) that this environment does not ship."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "image decode requires an imaging library; this environment "
-        "ships none — extract_features uses raw-byte features instead"
+        f"no dependency-free decoder for magic {payload[:2]!r}; "
+        "compressed formats require an imaging library"
     )
 
 
@@ -97,6 +167,97 @@ def extract_features(mm: DataFrame, n_bins: int = 16) -> DataFrame:
 
     return mm.select("doc_id", "payload").mapInPandas(
         gen, schema=_FEAT_SCHEMA)
+
+
+def _bmp_header_hex(w: int, h: int) -> str:
+    """Constant 54-byte 24-bpp BMP header (BITMAPFILEHEADER +
+    BITMAPINFOHEADER) as hex, for SQL-side payload construction."""
+    stride = (w * 3 + 3) // 4 * 4
+    img = stride * h
+    head = (b"BM" + (54 + img).to_bytes(4, "little") + b"\x00" * 4
+            + (54).to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little") + img.to_bytes(4, "little")
+            + b"\x00" * 16)
+    return head.hex()
+
+
+_IMG_W, _IMG_H = 16, 8
+
+
+def attach_image_payload(docs: DataFrame,
+                         text_col: str = "text") -> DataFrame:
+    """Wrap document text bytes into REAL image containers so the
+    decoders have genuine binary inputs: doc_id % 3 == 0 -> 24-bit
+    BMP (BGR, bottom-up — a true byte permutation of the source),
+    % 3 == 1 -> binary PPM 16x8, % 3 == 2 -> binary PPM 16x4 with a
+    comment line in the header (exercises the Netpbm tokenizer).
+    The corpus is ASCII, so byte k of the text is its code point —
+    which is what lets a SQL oracle re-derive every decoded value
+    from the text alone (container-agnostically: the oracle proves
+    each decoder inverts its encoding).
+    """
+    full = _IMG_W * _IMG_H * 3
+    # BMP raster byte i -> source byte: bottom-up row flip + BGR swap
+    src = (f"(({_IMG_H - 1} - (i div {_IMG_W * 3})) * {_IMG_W * 3}"
+           f" + ((i % {_IMG_W * 3}) div 3) * 3"
+           f" + (2 - ((i % {_IMG_W * 3}) % 3)) + 1)")
+    perm = (f"array_join(transform(sequence(0, {full - 1}),"
+            f" i -> char(ascii(substring({text_col}, {src}, 1)))), '')")
+    return docs.filter(F.length(text_col) >= full).selectExpr(
+        "doc_id",
+        f"""CASE CAST(doc_id % 3 AS INT)
+          WHEN 0 THEN concat(unhex('{_bmp_header_hex(_IMG_W, _IMG_H)}'),
+                             CAST({perm} AS BINARY))
+          WHEN 1 THEN CAST(concat('P6\\n{_IMG_W} {_IMG_H}\\n255\\n',
+                           substring({text_col}, 1, {full})) AS BINARY)
+          ELSE CAST(concat('P6\\n# t\\n{_IMG_W} {_IMG_H // 2}\\n255\\n',
+                    substring({text_col}, 1, {full // 2})) AS BINARY)
+        END AS payload""",
+        "CASE WHEN doc_id % 3 = 0 THEN 'image/bmp'"
+        " ELSE 'image/x-portable-pixmap' END AS media_type",
+    )
+
+
+_DECODE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("mean_g", T.DoubleType()),
+    T.StructField("mean_b", T.DoubleType()),
+    T.StructField("px_digest", T.StringType()),
+])
+
+
+def decode_features(mm: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode: parse each binary payload with
+    :func:`decode_image`, then per-channel means (exact int64 sums /
+    pixel count — order-independent, one rounding at the division)
+    and the md5 of the decoded row-major RGB buffer (byte-exact
+    evidence the container was inverted correctly)."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                h, w = img.shape[:2]
+                s = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                n = h * w
+                rows.append((
+                    int(doc_id), int(w), int(h),
+                    float(s[0] / n), float(s[1] / n), float(s[2] / n),
+                    hashlib.md5(img.tobytes()).hexdigest(),
+                ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _DECODE_SCHEMA])
+
+    return mm.select("doc_id", "payload").mapInPandas(
+        gen, schema=_DECODE_SCHEMA)
 
 
 _FRAME_SCHEMA = T.StructType([

@@ -120,24 +120,62 @@ def q_step_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
-# Multimodal plumbing — rows-only
+# Multimodal decode — REAL dependency-free PPM/BMP parsing in the
+# Arrow kernel. Payloads are genuine binary containers built from the
+# (ASCII) document text, so the oracle re-derives every decoded value
+# from the text alone — container-agnostically, which is exactly the
+# proof that each decoder inverts its encoding (the BMP path is a
+# true bottom-up BGR byte permutation, not a pass-through).
 # ----------------------------------------------------------------------
+
+
+def _mm_decode_oracle() -> str:
+    from xsarsea_spark.pipeline.multimodal import _IMG_H, _IMG_W
+
+    full = _IMG_W * _IMG_H * 3
+    chan = ("CAST(list_reduce(list_transform(range(0, npx // 3),"
+            " j -> by[3 * j + {c}]), (x, y) -> x + y) AS DOUBLE)"
+            " / (npx // 3)")
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 2 THEN {full // 2} ELSE {full} END AS npx,
+    text
+  FROM documents WHERE length(text) >= {full}),
+p AS (SELECT doc_id, npx, substr(text, 1, npx) AS px FROM d),
+b AS (SELECT doc_id, npx, px,
+        list_transform(range(1, npx + 1),
+          i -> ascii(substr(px, i, 1))) AS by
+      FROM p)
+SELECT doc_id,
+  CAST({_IMG_W} AS BIGINT) AS width,
+  CAST(CASE WHEN doc_id % 3 = 2 THEN {_IMG_H // 2}
+       ELSE {_IMG_H} END AS BIGINT) AS height,
+  {chan.format(c=1)} AS mean_r,
+  {chan.format(c=2)} AS mean_g,
+  {chan.format(c=3)} AS mean_b,
+  md5(px) AS px_digest
+FROM b
+"""
 
 
 @spec(
     "multimodal_features",
-    None,
-    description="Binary payload column + Arrow-batched byte feature "
-                "extraction (histogram, entropy, digest, fake-decode "
-                "dims); decode itself is a documented stub",
-    tags=("pipeline", "multimodal", "rows-only"),
+    _mm_decode_oracle(),
+    description="Real multimodal decode: dependency-free binary PPM "
+                "(P6, comment-aware tokenizer) and 24-bit BMP "
+                "(bottom-up BGR, padded rows) parsers in the Arrow "
+                "kernel; channel means are exact int sums and the "
+                "decoded-buffer md5 is value-checked against a SQL "
+                "re-derivation from the source bytes",
+    tags=("pipeline", "multimodal"),
 )
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from xsarsea_spark.pipeline.multimodal import (attach_payload,
-                                                   extract_features)
+    from xsarsea_spark.pipeline.multimodal import (attach_image_payload,
+                                                   decode_features)
 
     docs = load(spark, sf_dir, "documents")
-    return extract_features(attach_payload(docs))
+    return decode_features(attach_image_payload(docs))
 
 
 def _mm_oracle() -> str:
