@@ -7,9 +7,10 @@ Parity targets:
   (250 wspd, 73 phi, 51 inc) order='F', coords from fixed ranges;
 - ``PickleLutModel._raw_lut`` (pickle_luts.py:20-73): ``sigma.npy`` +
   pickled coordinate vectors, steps/ranges inferred from diffs;
-- ``NcLutModel._raw_lut`` (models.py:361-410): NetCDF LUT — gated
-  behind an import-try (no netCDF library in this environment; the
-  converter raises with a clear message rather than silently failing);
+- ``NcLutModel._raw_lut`` (models.py:361-410): NetCDF LUT — classic
+  NetCDF (CDF-1/2) parses dependency-free via ``sources/netcdf3.py``;
+  NetCDF-4/HDF5 containers raise with a pointer to
+  ``nccopy -k classic``;
 - ``Model.to_netcdf`` sink (models.py:232-262): our sink is Parquet
   with the same range/step metadata, written once and read lazily.
 
@@ -132,17 +133,37 @@ def npy_lut_to_parquet(spark: SparkSession, lut_dir: str,
 
 def nc_lut_to_parquet(spark: SparkSession, nc_path: str,
                       out_path: str) -> dict:
-    """NetCDF LUT converter (models.py:361-410) — requires a NetCDF
-    reader, which is not available in this environment."""
-    try:
-        import netCDF4  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "NetCDF LUT conversion needs the netCDF4 package; convert "
-            "offline with nc_lut_to_parquet on a machine that has it, "
-            "then register the parquet path"
-        ) from e
-    raise NotImplementedError("netCDF4 present but converter body TBD")
+    """NetCDF LUT converter (``NcLutModel._raw_lut``,
+    models.py:361-410): read ``sigma0_model`` plus its coordinate
+    variables and the units/model/resolution global attrs from a
+    classic NetCDF file (dependency-free ``sources/netcdf3.py``
+    parser — NetCDF-4/HDF5 containers raise there with a pointer to
+    ``nccopy -k classic``)."""
+    from xsarsea_spark.sources.netcdf3 import read_netcdf3
+
+    ds = read_netcdf3(nc_path)
+    var = ds.variables.get("sigma0_model") or ds.variables.get("sigma0")
+    if var is None:
+        raise ValueError(
+            f"{nc_path}: no sigma0_model/sigma0 variable "
+            f"(found {sorted(ds.variables)})")
+    missing = [d for d in var.dims if d not in ds.variables]
+    if missing:
+        raise ValueError(f"{nc_path}: missing coordinate vars {missing}")
+    coords = {d: np.asarray(ds.variables[d].data, dtype=np.float64)
+              for d in var.dims}
+    model = str(ds.attrs.get(
+        "model", os.path.splitext(os.path.basename(nc_path))[0]))
+    meta = lut_arrays_to_parquet(
+        spark, out_path, np.asarray(var.data, dtype=np.float64),
+        coords, units=str(ds.attrs.get("units", "dB")), model=model)
+    extra = {k: ds.attrs[k] for k in ("resolution", "pol")
+             if k in ds.attrs}
+    if extra:
+        meta.update(extra)
+        with open(os.path.join(out_path, "_lut_meta.json"), "w") as f:
+            json.dump(meta, f)
+    return meta
 
 
 def read_lut_parquet(spark: SparkSession, path: str) -> tuple[DataFrame,

@@ -7,8 +7,9 @@ the spatial dims, rename ``owiAzSize``/``owiRaSize`` to
 coordinates.
 
 Spark mapping: a scene is one or two Parquet (or any Spark-readable)
-tables keyed by the raster dims. NetCDF itself needs a converter
-(gated, like the LUT sources); the reader below implements the exact
+tables keyed by the raster dims. Classic NetCDF converts
+dependency-free via ``owi_nc_to_parquet`` (sources/netcdf3.py
+parser); the reader below implements the exact
 merge/rename/drop/coords semantics over converted tables and is the
 path every scene-level operator consumes.
 """
@@ -77,15 +78,48 @@ def assign_integer_coords(px: DataFrame, line_col: str = "line",
     return out
 
 
-def owi_nc_to_parquet(nc_path: str, out_root: str) -> None:
-    """NetCDF-to-Parquet scene converter — gated on a NetCDF reader
-    (not shipped in this environment)."""
-    try:
-        import netCDF4  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "OWI NetCDF conversion needs the netCDF4 package; run the "
-            "converter where it is installed, then read_owi_scene the "
-            "resulting parquet tables"
-        ) from e
-    raise NotImplementedError("netCDF4 present but converter body TBD")
+def owi_nc_to_parquet(spark: SparkSession, nc_path: str, out_root: str,
+                      uv_nc_path: str | None = None) -> dict:
+    """NetCDF-to-Parquet scene converter (detrend.py:71-93 input
+    path), dependency-free for classic NetCDF via
+    ``sources/netcdf3.py``. Classic files have no groups, so the
+    reference's root + ``owiInversionTables_UV`` group arrive as two
+    files (the standard ``nccopy -k classic`` split); each becomes a
+    wide pixel table keyed by its raster dims, which
+    ``read_owi_scene`` then merges/renames/drops exactly like the
+    reference. Returns {"root": path[, "uv": path]}.
+    """
+    paths = {"root": f"{out_root}/root"}
+    _nc_scene_table(spark, nc_path).write.mode("overwrite").parquet(
+        paths["root"])
+    if uv_nc_path is not None:
+        paths["uv"] = f"{out_root}/uv"
+        _nc_scene_table(spark, uv_nc_path).write.mode(
+            "overwrite").parquet(paths["uv"])
+    return paths
+
+
+def _nc_scene_table(spark: SparkSession, nc_path: str) -> DataFrame:
+    """One classic-NetCDF scene file -> a wide (dim0, dim1, vars...)
+    DataFrame: every 2-D variable over the raster dim pair becomes a
+    column; the dim columns are dense 0..n-1 integers (the
+    reference's assign_coords(arange) applied at conversion time)."""
+    import numpy as np
+    import pandas as pd
+
+    from xsarsea_spark.sources.netcdf3 import read_netcdf3
+
+    ds = read_netcdf3(nc_path)
+    two_d = {n: v for n, v in ds.variables.items() if len(v.dims) == 2}
+    if not two_d:
+        raise ValueError(f"{nc_path}: no 2-D raster variables")
+    dim_pair = next(iter(two_d.values())).dims
+    ny, nx = (ds.dims[d] for d in dim_pair)
+    ii, jj = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    data = {dim_pair[0]: ii.ravel().astype(np.int64),
+            dim_pair[1]: jj.ravel().astype(np.int64)}
+    for n, v in two_d.items():
+        if v.dims != dim_pair:
+            continue                     # different raster grid
+        data[n] = np.asarray(v.data, dtype=np.float64).ravel()
+    return spark.createDataFrame(pd.DataFrame(data))
