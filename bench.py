@@ -138,12 +138,11 @@ def main() -> None:
                    "n_queries": len(timings),
                    "throughput": throughput}, fh, indent=1)
 
-    try:
-        from __spark_entry__ import _PRIORITY
-        order = [n for n in _PRIORITY if n in timings] + [
-            n for n in sorted(timings) if n not in set(_PRIORITY)]
-    except Exception:
-        order = sorted(timings)
+    # Deterministic trim: slowest queries first (ties by name), so
+    # every round's printed line is comparable to the last no matter
+    # how the driver-priority order rotates — the slow tail is the
+    # part worth watching, and BENCH_detail.json keeps the rest.
+    order = sorted(timings, key=lambda n: (-timings[n], n))
 
     def line_for(k: int) -> str:
         return json.dumps({

@@ -28,9 +28,12 @@ A single un-split ``SUM(v)`` would overflow a 9.2e18 BIGINT at only
 the correctness margin. For groups beyond ~10^12 rows, pre-aggregate
 per salt bucket first (``salted_exact_sum``).
 
-Requires |x| * 10^s < 2^53 per row (exact double->grid conversion);
-at the default scale 6 that is |x| <= ~9e9 — far above any per-row
-measure in the suite.
+Requires |x| * 10^s < 2^51 per row: the conversion is only safe while
+``fl(x * 10^s)`` cannot cross a grid midpoint, and near 2^53 that
+product carries up to ~2 grid units of rounding error, so the
+honestly-safe bound sits two octaves lower. At the default scale 6
+that is |x| <= ~2.2e9 — still far above any per-row measure in the
+suite.
 """
 
 from __future__ import annotations

@@ -154,8 +154,12 @@ def _invert_batch(
             s0 = s0co[sel][None, :]
             iis = ii[sel]
             jmin = np.full(b, np.inf)
-            wspd_co = np.empty(b)
-            phi_co = np.empty(b)
+            # NaN-init: if a pixel's cost is NaN for EVERY wspd block
+            # (a NaN anywhere in lut_db propagates through argmin),
+            # no update fires — np.empty would then leak
+            # uninitialized garbage into the output
+            wspd_co = np.full(b, np.nan)
+            phi_co = np.full(b, np.nan)
             rows = np.arange(b)
             j = jbuf[:, :b]
             t = tbuf[:, :b]
