@@ -1,0 +1,67 @@
+"""Driver-data drift protection: the graded corpus is regenerated
+every round, and the minimum document has already drifted shorter
+across rounds (the round-3 Gopher crash was exactly this class of
+bug). Every document-reading suite query must survive an adversarial
+``documents`` table — empty/NULL/whitespace-only/1-token/unicode
+texts, duplicate rows — without raising. Values are not checked here
+(the oracle sweep owns that); this is the no-crash gate."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+import duckdb
+import pandas as pd
+import pytest
+
+from xsarsea_spark.suite import REGISTRY
+
+_SRC = "/root/testdata/sf0.001"
+
+_ADV_DOCS = [
+    (0, "", "en", "s1"),
+    (1, "x", "en", "s1"),
+    (2, "hello", None, "s2"),
+    (3, "a b", "en", None),
+    (4, "   ", "fr", "s1"),
+    (5, None, None, None),
+    (6, " ".join(["tok"] * 60), "en", "s1"),
+    (7, "!!! ??? ... ;;; :::", "en", "s2"),
+    (8, "héllo wörld ünïcode " * 25, "de", "s1"),
+    (9, "word " * 100, "en", "s1"),
+    (10, "word " * 100, "en", "s2"),        # exact duplicate of 9
+    (11, "a b c d e f g h i j " * 30, "en", "s1"),
+]
+
+_DOC_TAGS = {"text", "quality", "dedup", "multimodal", "sampling",
+             "packing", "lm", "chunking", "index", "pipeline"}
+
+
+@pytest.fixture(scope="module")
+def adversarial_dir(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("adv_sf")
+    for p in glob.glob(f"{_SRC}/*.parquet"):
+        shutil.copy(p, dst)
+    pdf = pd.DataFrame(
+        [(i, t, lang, src, len(t) if t is not None else None)
+         for i, t, lang, src in _ADV_DOCS],
+        columns=["doc_id", "text", "lang", "source", "n_chars"])
+    con = duckdb.connect()
+    con.register("adv", pdf)
+    con.execute(
+        "COPY (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang,"
+        " source, CAST(n_chars AS BIGINT) AS n_chars FROM adv)"
+        f" TO '{dst}/documents.parquet' (FORMAT PARQUET)")
+    con.close()
+    return str(dst)
+
+
+_DOC_QUERIES = sorted(
+    n for n, q in REGISTRY.items() if _DOC_TAGS & set(q.tags))
+
+
+@pytest.mark.parametrize("name", _DOC_QUERIES)
+def test_survives_adversarial_documents(spark, adversarial_dir, name):
+    df = REGISTRY[name].spark(spark, adversarial_dir)
+    assert df.count() >= 0

@@ -41,13 +41,20 @@ def _perm_params(k: int) -> tuple[int, int]:
 
 def shingle(docs: DataFrame, n: int = 3, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Docs with fewer than ``n`` tokens yield NO shingles (and so drop
+    out of signature/candidate stages) — the same semantics as the
+    oracle's end-exclusive ``range(len - n + 1)``. Without the
+    filter, ``sequence(0, size - n)`` auto-steps DOWN for short docs
+    and ``element_at`` throws INVALID_ARRAY_INDEX."""
     toks = f"split({text_col}, ' ')"
     parts = " || ' ' || ".join(
         f"element_at(__toks, i + {j + 1})" for j in range(n)
     )
     return (
         docs.selectExpr(id_col, f"{toks} AS __toks")
+        .filter(f"size(__toks) >= {n}")
         .selectExpr(
             id_col,
             f"explode(transform(sequence(0, size(__toks) - {n}),"

@@ -143,6 +143,8 @@ def extract_features(mm: DataFrame, n_bins: int = 16) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:     # NULL text -> NULL payload
+                    continue
                 b = np.frombuffer(bytes(payload), dtype=np.uint8)
                 hist = np.bincount(b >> 4, minlength=n_bins).astype(
                     np.float64)
@@ -285,6 +287,8 @@ def sample_frames(mm: DataFrame, frame_bytes: int = 256,
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:     # NULL text -> NULL payload
+                    continue
                 b = bytes(payload)
                 n_frames = len(b) // frame_bytes
                 for i in range(0, n_frames, stride):

@@ -199,7 +199,7 @@ WITH codes AS (
   SELECT doc_id, text,
     list_transform(range(1, length(text) + 1),
       i -> ascii(substr(text, i, 1)) // 16) AS codes
-  FROM documents),
+  FROM documents WHERE text IS NOT NULL),
 fr AS (SELECT doc_id, text, [{fracs}] AS fr FROM codes)
 SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_bytes,

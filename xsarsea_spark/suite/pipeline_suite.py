@@ -930,14 +930,19 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, seq_len=_PACK_LEN)
 
 
-_MIX_RATE = ("((CAST(substr(source, 4) AS BIGINT) % 4) + 1) * 25e-2")
+# TRY_CAST: a source tag that doesn't end in an integer (drifted
+# corpus) falls into the 25% bucket instead of crashing the CAST —
+# identical guard on both engines, no-op on the current 'srcN' tags.
+_MIX_RATE = ("((COALESCE(TRY_CAST(substr(source, 4) AS BIGINT), 0)"
+             " % 4) + 1) * 25e-2")
 
 _MIX_ORACLE = f"""
 SELECT doc_id, source, lang
 FROM documents
 WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
   source), 1, 10) AS BIGINT) / 1099511627776e0
-  < ((CAST(substr(source, 4) AS BIGINT) % 4) + 1) * 25e-2
+  < ((COALESCE(TRY_CAST(substr(source, 4) AS BIGINT), 0) % 4) + 1)
+    * 25e-2
 """
 
 
@@ -1311,7 +1316,12 @@ def _ws_priority(h40: str) -> str:
     from xsarsea_spark.suite.base import QTRUNC
 
     u = f"(({h40}) + 1e0) / {float(1 << 40)!r}"
-    return QTRUNC(f"POW({u}, 1e0 / n_chars)", 12)
+    # weight floor of 1: an empty or NULL-length doc gets weight 1
+    # instead of a 1/0 ANSI crash; COALESCE levels the engines'
+    # different NULL handling in GREATEST (Spark skips NULLs,
+    # DuckDB propagates)
+    w = "COALESCE(GREATEST(n_chars, 1), 1)"
+    return QTRUNC(f"POW({u}, 1e0 / {w})", 12)
 
 
 _WS_ORACLE = f"""

@@ -202,7 +202,7 @@ def q_streak_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Fused tile+halo stencil pyramid: R2 -> sqrt -> Scharr "
                 "-> complex square -> R2 -> quality (gradients.py:588-"
                 "721); one applyInPandas shuffle per scene",
-    tags=("science", "gradients", "rows-only"),
+    tags=("science", "gradients"),
 )
 def q_local_gradients(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xsarsea_spark.operators.gradients import local_gradients
@@ -335,7 +335,7 @@ def q_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Zhao-2021 rain/texture mask: Mean operator, high-pass "
                 "residual vs zoomed smooth, gradient contrast, quality "
                 "(gradients.py:758-825) — ONE fused tile+halo pass",
-    tags=("science", "gradients", "rows-only"),
+    tags=("science", "gradients"),
 )
 def q_rain_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xsarsea_spark.operators.gradients import filtering_parameters
@@ -359,7 +359,7 @@ def q_rain_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="End-to-end wind-streak chain over (downscale 1,2): "
                 "block resample, fused stencil pyramid, windowed "
                 "histogram, stack mean, circ smooth, argmax peak",
-    tags=("science", "gradients", "rows-only"),
+    tags=("science", "gradients"),
 )
 def q_streaks_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xsarsea_spark.operators.gradients import (gradient_histogram,
