@@ -65,3 +65,49 @@ _DOC_QUERIES = sorted(
 def test_survives_adversarial_documents(spark, adversarial_dir, name):
     df = REGISTRY[name].spark(spark, adversarial_dir)
     assert df.count() >= 0
+
+
+@pytest.fixture(scope="module")
+def adversarial_events_dir(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("adv_ev")
+    for p in glob.glob(f"{_SRC}/*.parquet"):
+        shutil.copy(p, dst)
+    (dst / "events.parquet").unlink()
+    con = duckdb.connect()
+    # real base corpus + an adversarial tail: NULL/NaN values, NULL
+    # and empty event types, NULL timestamps, malformed JSON props,
+    # duplicate event ids, a same-instant burst on one user
+    con.execute(f"""
+COPY (
+  SELECT * FROM '{_SRC}/events.parquet'
+  UNION ALL
+  SELECT * FROM (VALUES
+    (9001, TIMESTAMP '2024-01-15 12:00:00', 901, 'view',
+     CAST('NaN' AS DOUBLE), '{{"k": 1}}'),
+    (9002, TIMESTAMP '2024-01-15 12:00:00', 901, 'view',
+     NULL, 'not json at all'),
+    (9003, TIMESTAMP '2024-01-15 12:00:00', 901, NULL,
+     1.0, NULL),
+    (9004, TIMESTAMP '2024-01-15 12:00:00', 901, '',
+     -5.0, ''),
+    (9005, NULL, 902, 'purchase', 2.5, '{{}}'),
+    (9005, TIMESTAMP '2024-01-16 00:00:00', 902, 'purchase',
+     2.5, '{{"k": 2}}'),
+    (9006, TIMESTAMP '2024-01-16 00:00:00.000001', NULL,
+     'click', 0.0, '{{"k": 3}}')
+  ) t(event_id, ts, user_id, event_type, value, props)
+) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+    con.close()
+    return str(dst)
+
+
+_EV_QUERIES = sorted(
+    n for n, q in REGISTRY.items()
+    if {"events", "streaming"} & set(q.tags))
+
+
+@pytest.mark.parametrize("name", _EV_QUERIES)
+def test_survives_adversarial_events(spark, adversarial_events_dir,
+                                     name):
+    df = REGISTRY[name].spark(spark, adversarial_events_dir)
+    assert df.count() >= 0

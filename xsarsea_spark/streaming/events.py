@@ -239,14 +239,22 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             n += 1
             if r.event_type == "purchase":
                 npur += 1
-            acc += float(r.value)
-            mx = float(r.value) if mx is None else max(mx, float(r.value))
-            us = int(r.ts) // 1000
-            fu = us if fu is None else min(fu, us)
-            lu = us if lu is None else max(lu, us)
+            # SQL-aggregate NULL semantics (Arrow hands NULLs to the
+            # kernel as NaN): SUM/MAX/MIN skip them — and a NULL ts
+            # would otherwise crash int() outright
+            if not pd.isna(r.value):
+                acc += float(r.value)
+                mx = (float(r.value) if mx is None
+                      else max(mx, float(r.value)))
+            if not pd.isna(r.ts):
+                us = int(r.ts) // 1000
+                fu = us if fu is None else min(fu, us)
+                lu = us if lu is None else max(lu, us)
         state.update((n, npur, acc, mx, fu, lu))
+        # GROUP BY keeps a NULL-key group; int(NaN) would crash it
+        uid = None if pd.isna(key[0]) else int(key[0])
         yield pd.DataFrame([{
-            "user_id": int(key[0]), "n_events": n, "n_purchases": npur,
+            "user_id": uid, "n_events": n, "n_purchases": npur,
             "sum_value": acc, "max_value": mx,
             "first_us": fu, "last_us": lu,
         }])
