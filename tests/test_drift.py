@@ -111,3 +111,47 @@ def test_survives_adversarial_events(spark, adversarial_events_dir,
                                      name):
     df = REGISTRY[name].spark(spark, adversarial_events_dir)
     assert df.count() >= 0
+
+
+@pytest.fixture(scope="module")
+def adversarial_embeddings_dir(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("adv_emb")
+    for p in glob.glob(f"{_SRC}/*.parquet"):
+        shutil.copy(p, dst)
+    (dst / "embeddings.parquet").unlink()
+    # real base + an all-zero vector (norm 0 -> cosine divides),
+    # a NaN-element vector, exact-duplicate vectors under two ids,
+    # a duplicated vec_id, and a large-magnitude vector
+    adv = pd.DataFrame(
+        [(vid, [float(fill)] * 64, lab) for vid, fill, lab in [
+            (9101, 0.0, 0), (9102, float("nan"), 1),
+            (9103, 0.25, 2), (9104, 0.25, 2), (9104, 0.25, 2),
+            (9105, 1e6, 3)]],
+        columns=["vec_id", "embedding", "label"])
+    con = duckdb.connect()
+    con.register("adv", adv)
+    con.execute(f"""
+COPY (
+  SELECT * FROM '{_SRC}/embeddings.parquet'
+  UNION ALL
+  SELECT CAST(vec_id AS BIGINT),
+         CAST(embedding AS FLOAT[]),
+         CAST(label AS INTEGER)
+  FROM adv
+) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
+    con.close()
+    return str(dst)
+
+
+_EMB_QUERIES = sorted(
+    n for n, q in REGISTRY.items()
+    if {"similarity", "iterative"} & set(q.tags)
+    and "graph" not in q.tags)
+
+
+@pytest.mark.parametrize("name", _EMB_QUERIES)
+def test_survives_adversarial_embeddings(spark,
+                                         adversarial_embeddings_dir,
+                                         name):
+    df = REGISTRY[name].spark(spark, adversarial_embeddings_dir)
+    assert df.count() >= 0

@@ -117,7 +117,10 @@ def exact_sum_agg(
         val = (f"(CAST(__q{i} AS DOUBLE) * {_M}e0"
                f" + CAST(__rs{i} AS DOUBLE)) / 1e{s.scale}")
         if s.avg:
-            val = f"({val}) / __n{i}"
+            # nullif: a group whose every value was NaN (nanguarded to
+            # NULL) has COUNT 0 — NULL average, exactly DuckDB's /0,
+            # instead of an ANSI DIVIDE_BY_ZERO crash
+            val = f"({val}) / nullif(__n{i}, 0)"
         out_cols.append(F.expr(val).alias(s.name))
     passthrough = [
         c for c in grouped.columns

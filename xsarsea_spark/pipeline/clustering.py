@@ -117,6 +117,13 @@ def kmeans_embeddings(
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
         .alias("__v"),
     )
+    # Input contract: finite vectors only. A NaN coordinate poisons
+    # every distance (the row then lands in a NULL/-1 cluster and the
+    # centroid state dict chokes on the key); dropping such rows here
+    # is a no-op on well-formed corpora and keeps both engines' round
+    # arithmetic aligned.
+    base = base.filter(
+        F.expr("NOT exists(__v, x -> x IS NULL OR isnan(x))"))
     init = base.orderBy(id_col).limit(k).collect()
     centroids: dict[int, list[float]] = {
         i: list(r["__v"]) for i, r in enumerate(init)

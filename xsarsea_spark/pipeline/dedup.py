@@ -362,7 +362,7 @@ def cosine_neardup(
                   lambda i: f"element_at(__vb, {i})", dim)
     out = (
         cand.join(va, on="id_a").join(vb, on="id_b")
-        .withColumn("cosine", F.expr(f"{dot} / (__na * __nb)"))
+        .withColumn("cosine", F.expr(f"{dot} / nullif(__na * __nb, 0e0)"))
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )

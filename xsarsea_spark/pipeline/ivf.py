@@ -247,7 +247,7 @@ def ivf_search(
         .join(F.broadcast(q), on="query_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cosine", F.expr(f"({dot}) / (__qn * __cn)"))
+        .withColumn("cosine", F.expr(f"({dot}) / nullif(__qn * __cn, 0e0)"))
     )
     from pyspark.sql.window import Window
 

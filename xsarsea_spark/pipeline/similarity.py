@@ -58,7 +58,7 @@ def cosine_topk(
     dot = _DOT.format(a="__qv", b="__cv")
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.expr(f"({dot}) / (__qn * __cn)"))
+        .withColumn("cosine", F.expr(f"({dot}) / nullif(__qn * __cn, 0e0)"))
     )
     from pyspark.sql.window import Window
 
@@ -144,7 +144,7 @@ def _exact_topk(cand: DataFrame, queries: DataFrame, corpus: DataFrame,
     scored = (
         cand.join(F.broadcast(q), on="query_id")
         .join(c, on="neighbor_id")
-        .withColumn("cosine", F.expr(f"({dot}) / (__qn * __cn)"))
+        .withColumn("cosine", F.expr(f"({dot}) / nullif(__qn * __cn, 0e0)"))
     )
     from pyspark.sql.window import Window
 

@@ -1732,7 +1732,7 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nrm.select(F.col("vec_id").alias("id_b"),
                          F.col("__v").alias("__vb"),
                          F.col("__n").alias("__nb")), on="id_b")
-        .filter(F.expr(f"{dot} / (__na * __nb) >= {_SD_T}"))
+        .filter(F.expr(f"{dot} / nullif(__na * __nb, 0e0) >= {_SD_T}"))
     )
     removed = (pairs.select(F.col("id_b").alias("vec_id"))
                .distinct().withColumn("__r", F.lit(True)))
