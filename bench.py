@@ -89,6 +89,12 @@ def main() -> None:
     for t in TABLES:
         load(spark, sf_dir, t).count()
     REGISTRY["q06_forecast_revenue"].spark(spark, sf_dir).collect()
+    # warm the interpolation-join machinery too: the alphabetically
+    # first suite query (ancillary_wind_join) uses it, and without
+    # this it absorbs ~2-4 s of one-time codegen/JIT that isn't its
+    # plan's cost (measured 4.75 s first-in-loop vs 0.8 s warm)
+    REGISTRY["lut_regrid"].spark(spark, sf_dir).write.format(
+        "noop").mode("overwrite").save()
     from pyspark.sql.functions import col, pandas_udf
 
     @pandas_udf("long")
