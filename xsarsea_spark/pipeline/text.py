@@ -22,7 +22,9 @@ __all__ = [
     "quality_score",
     "exact_dedup",
     "doc_fingerprint",
+    "pii_signals",
     "HASH40_SQL",
+    "PII_PATTERNS",
 ]
 
 # 40-bit content hash from md5 hex — bit-identical in Spark and DuckDB
@@ -191,6 +193,47 @@ def rolling_hash(docs: DataFrame, text_col: str = "text") -> DataFrame:
             f" (a, x) -> (a * {ROLLING_B} + ({tok_h})) % {ROLLING_P})"
         ).alias("rolling_hash"),
     )
+
+
+# PII patterns restricted to the RE2 ∩ Java-regex subset (character
+# classes, bounded repetition, \b word boundaries — no lookarounds),
+# so Spark's regexp_count/regexp_replace and DuckDB's
+# regexp_extract_all/regexp_replace(..., 'g') match byte for byte.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+
+def pii_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction signals per document: match counts
+    for emails / IPv4 addresses / phone numbers, a has_pii flag, and
+    the redacted text (``<EMAIL>``/``<IP>``/``<PHONE>`` placeholders
+    substituted in that fixed order, so overlapping matches resolve
+    deterministically).
+
+    Everything is JVM-side regexp expressions — zero exchange, the
+    whole corpus streams through one codegen stage; the standard
+    pre-release scrubbing pass of a pretraining pipeline (C4 and
+    RefinedWeb both ship equivalents). Counts are exact integers and
+    the redacted text is byte-deterministic, so the operator is
+    value-oracle-checkable end to end.
+    """
+    t = docs
+    text = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        t = t.withColumn(f"n_{name}",
+                         F.regexp_count(text, F.lit(pat)).cast("long"))
+    red = text
+    for name, pat in PII_PATTERNS.items():
+        tag = {"email": "<EMAIL>", "ipv4": "<IP>",
+               "phone": "<PHONE>"}[name]
+        red = F.regexp_replace(red, pat, tag)
+    return t.withColumn(
+        "has_pii",
+        (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0
+    ).withColumn("redacted", red)
 
 
 def bigrams(docs: DataFrame, text_col: str = "text",

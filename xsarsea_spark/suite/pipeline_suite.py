@@ -1496,6 +1496,69 @@ def q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# PII detection + redaction: the pre-release scrubbing pass. The
+# corpus carries no natural PII, so every 5th document gets a
+# deterministic injected contact line (same || concat on both
+# engines); counts and the redacted-text md5 are then value-exact.
+# ----------------------------------------------------------------------
+
+_PII_INJECT = (
+    "text || ' contact user' || doc_id || '@mail.example.com ip 10.'"
+    " || (doc_id % 200) || '.3.' || (doc_id % 250) || ' tel 555-'"
+    " || lpad(CAST(doc_id % 1000 AS {str_t}), 3, '0') || '-0199'"
+)
+
+
+def _pii_oracle() -> str:
+    from xsarsea_spark.pipeline.text import PII_PATTERNS
+
+    inject = _PII_INJECT.format(str_t="VARCHAR")
+    e, i, p = (PII_PATTERNS[k].replace("'", "''")
+               for k in ("email", "ipv4", "phone"))
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN {inject} ELSE text END AS tx
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(tx, '{e}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(tx, '{i}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(tx, '{p}')) AS BIGINT) AS n_phone,
+  (len(regexp_extract_all(tx, '{e}'))
+   + len(regexp_extract_all(tx, '{i}'))
+   + len(regexp_extract_all(tx, '{p}'))) > 0 AS has_pii,
+  md5(regexp_replace(regexp_replace(regexp_replace(tx,
+    '{e}', '<EMAIL>', 'g'), '{i}', '<IP>', 'g'),
+    '{p}', '<PHONE>', 'g')) AS redacted_md5
+FROM t
+"""
+
+
+@spec(
+    "doc_pii_redact",
+    _pii_oracle(),
+    description="PII detection + redaction (emails / IPv4 / phone "
+                "numbers in the RE2-and-Java-safe regex subset): "
+                "per-doc match counts, has_pii flag, redacted-text "
+                "md5 — zero-exchange JVM regexp projections, "
+                "value-exact vs the DuckDB re-derivation",
+    tags=("pipeline", "text", "quality"),
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.text import pii_signals
+
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"CASE WHEN doc_id % 5 = 0 THEN"
+        f" {_PII_INJECT.format(str_t='STRING')}"
+        f" ELSE text END AS text",
+    )
+    return pii_signals(docs).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "has_pii",
+        F.md5("redacted").alias("redacted_md5"))
+
+
+# ----------------------------------------------------------------------
 # Cross-document n-gram duplication (boilerplate / contamination
 # signal): hash-only shuffle stream, two exchanges on the gram hash.
 # ----------------------------------------------------------------------
