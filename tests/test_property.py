@@ -244,6 +244,42 @@ def test_kmv_merge_property(spark):
         assert abs(est[et] - t) / t < 0.5, (et, est[et], t)
 
 
+def test_dd_sketch_merge_and_accuracy(spark):
+    """DDSketch mergeability — merge(sketch(A), sketch(B)) must equal
+    sketch(A u B) bucket for bucket — and the relative-error
+    guarantee: each quantile estimate within ~1% of the exact
+    quantile (alpha = 0.01 from gamma = 1.01/0.99)."""
+    from pyspark.sql import functions as F
+
+    from xsarsea_spark.operators.sketch import (dd_merge, dd_quantiles,
+                                                dd_sketch)
+    from xsarsea_spark.sources.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.01", "events")
+    a, b = ev.filter("user_id % 2 = 0"), ev.filter("user_id % 2 = 1")
+    merged = dd_merge(dd_sketch(a, ["event_type"], "value"),
+                      dd_sketch(b, ["event_type"], "value"),
+                      ["event_type"])
+    whole = dd_sketch(ev, ["event_type"], "value")
+    key = lambda rows: sorted((r.event_type, r.bucket, r.cnt)
+                              for r in rows)
+    assert key(merged.collect()) == key(whole.collect())
+
+    qs = {"q50": "5e-1", "q95": "95e-2", "q99": "99e-2"}
+    est = {r.event_type: r for r in
+           dd_quantiles(whole, ["event_type"], qs).collect()}
+    exact = {r.event_type: r for r in ev.filter("value > 0").groupBy(
+        "event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("q50"),
+        F.expr("percentile(value, 0.95)").alias("q95"),
+        F.expr("percentile(value, 0.99)").alias("q99")).collect()}
+    for et, e in exact.items():
+        for q in qs:
+            rel = abs(est[et][q] - e[q]) / e[q]
+            # alpha plus discrete-quantile slack on a finite corpus
+            assert rel < 0.03, (et, q, est[et][q], e[q])
+
+
 def test_dsu_matches_distributed_loop(spark):
     """The union-find fallback and the min-label-propagation loop must
     produce the identical (node, min-id) labeling."""

@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 
 from xsarsea_spark.pipeline.text import HASH40_SQL
 
-__all__ = ["kmv_sketch", "kmv_estimate", "kmv_merge"]
+__all__ = ["kmv_sketch", "kmv_estimate", "kmv_merge",
+           "dd_sketch", "dd_merge", "dd_quantiles"]
 
 _HSPACE = float(1 << 40)
 
@@ -297,3 +298,92 @@ def hll_estimate(sketch: DataFrame, group_cols: list, b: int = 6,
         .selectExpr(*group_cols, f"{est} AS hll_estimate",
                     "CAST(__c AS INT) AS registers_used")
     )
+
+
+# ----------------------------------------------------------------------
+# DDSketch-style mergeable quantile sketch (Masson, Rim, Lee 2019:
+# "DDSketch: a fast and fully-mergeable quantile sketch with
+# relative-error guarantees"). Positive store only, log-gamma
+# buckets: index(v) = floor(ln(v)/ln(gamma)); estimate for a bucket
+# is 2*gamma^i/(gamma+1) (the bucket's midpoint in relative terms).
+#
+# Determinism/oracle parity: gamma is the exact double 1.01/0.99
+# computed the same way in both engines, ln() results pass the QTRUNC
+# barrier before floor() so the bucket boundary can't flip between
+# libm implementations, and counts are integers — merging is plain
+# per-bucket addition, so the sketch is value-exact cross-engine,
+# unlike engine-native percentile_approx.
+# ----------------------------------------------------------------------
+
+DD_GAMMA_SQL = "(101e0 / 99e0)"          # (1+a)/(1-a), a = 1% rel err
+
+
+def dd_bucket_sql(value_sql: str, qtrunc) -> str:
+    r = qtrunc(f"ln({value_sql}) / ln({DD_GAMMA_SQL})", 9)
+    return f"CAST(FLOOR({r}) AS BIGINT)"
+
+
+def dd_sketch(df: DataFrame, group_cols: list,
+              value_sql: str) -> DataFrame:
+    """Per-group DDSketch rows (group..., bucket, cnt) over POSITIVE
+    values of ``value_sql`` (the standard positive store; route
+    zeros/negatives to a separate counter if they matter). One hash
+    aggregation; O(groups x log-range/log-gamma) rows out."""
+    from xsarsea_spark.suite.base import QTRUNC
+
+    b = dd_bucket_sql(value_sql, QTRUNC)
+    # NOT isnan: Spark orders NaN above every double (NaN > 0 is
+    # true) while DuckDB does not — exclude explicitly so both
+    # engines sketch the same row set under NaN drift
+    return (
+        df.filter(F.expr(f"({value_sql}) > 0"
+                         f" AND NOT isnan({value_sql})"))
+        .selectExpr(*group_cols, f"{b} AS bucket")
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dd_merge(sketch_a: DataFrame, sketch_b: DataFrame,
+             group_cols: list) -> DataFrame:
+    """Merge = per-bucket count addition (fully mergeable by
+    construction)."""
+    return (
+        sketch_a.unionByName(sketch_b)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def dd_quantile_sql(q: str, qtrunc) -> tuple[str, str]:
+    """(cutoff condition template, estimate expression) for quantile
+    ``q`` given columns cum (cumulative count), total n, bucket."""
+    est = qtrunc(
+        f"2e0 * POW({DD_GAMMA_SQL}, bucket) / ({DD_GAMMA_SQL} + 1e0)",
+        9)
+    return f"cum >= ({q}) * n", est
+
+
+def dd_quantiles(sketch: DataFrame, group_cols: list,
+                 qs: dict[str, str]) -> DataFrame:
+    """Per-group quantile estimates from a sketch: walk buckets in
+    ascending order, take the first whose cumulative count covers
+    q * n. ``qs`` maps output column -> SQL quantile literal."""
+    from pyspark.sql import Window
+
+    from xsarsea_spark.suite.base import QTRUNC
+
+    w = (Window.partitionBy(*group_cols).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    t = (
+        sketch.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n", F.sum("cnt").over(
+            Window.partitionBy(*group_cols)))
+    )
+    aggs = [F.sum("cnt").cast("bigint").alias("n_values")]
+    for name, q in qs.items():
+        cond, est = dd_quantile_sql(q, QTRUNC)
+        aggs.append(
+            F.min(F.expr(f"CASE WHEN {cond} THEN {est} END"))
+            .alias(name))
+    return t.groupBy(*group_cols).agg(*aggs)

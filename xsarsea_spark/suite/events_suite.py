@@ -415,6 +415,63 @@ def q_events_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# DDSketch quantile sketch (Masson et al. 2019): log-gamma buckets,
+# fully mergeable (per-bucket count addition), relative-error bound.
+# gamma is the exact double 101/99 and the ln()/POW() results pass
+# the QTRUNC barrier, so unlike percentile_approx the sketch AND its
+# quantile estimates are value-exact cross-engine.
+# ----------------------------------------------------------------------
+
+_DD_QS = {"q50": "5e-1", "q95": "95e-2", "q99": "99e-2"}
+
+
+def _dd_oracle() -> str:
+    from xsarsea_spark.operators.sketch import (DD_GAMMA_SQL,
+                                                dd_bucket_sql,
+                                                dd_quantile_sql)
+    from xsarsea_spark.suite.base import QTRUNC
+
+    b = dd_bucket_sql("value", QTRUNC)
+    picks = []
+    for name, q in _DD_QS.items():
+        cond, est = dd_quantile_sql(q, QTRUNC)
+        picks.append(f"MIN(CASE WHEN {cond} THEN {est} END) AS {name}")
+    return f"""
+WITH s AS (
+  SELECT event_type, {b} AS bucket, COUNT(*) AS cnt
+  FROM events WHERE value > 0 AND NOT isnan(value)
+  GROUP BY event_type, bucket),
+t AS (
+  SELECT event_type, bucket, cnt,
+    SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+    SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM s)
+SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_values,
+  {", ".join(picks)}
+FROM t GROUP BY event_type
+"""
+
+
+@spec(
+    "events_dd_quantiles",
+    _dd_oracle(),
+    description="DDSketch mergeable quantile sketch (log-gamma "
+                "buckets, 1% relative error) per event type: q50/"
+                "q95/q99 estimates value-exact cross-engine via the "
+                "QTRUNC barrier — unlike engine-native "
+                "percentile_approx",
+    tags=("events", "agg", "sketch", "quantile"),
+)
+def q_events_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.sketch import dd_quantiles, dd_sketch
+
+    ev = load(spark, sf_dir, "events")
+    sk = dd_sketch(ev, ["event_type"], "value")
+    return dd_quantiles(sk, ["event_type"], _DD_QS).select(
+        "event_type", "n_values", *list(_DD_QS))
+
+
+# ----------------------------------------------------------------------
 # Funnel analysis: ordered view -> click -> purchase per user. Each
 # stage timestamp is the earliest event of that type STRICTLY AFTER
 # the previous stage (the classic ordered-funnel semantics, cf.
