@@ -60,7 +60,9 @@ _PRIORITY = [
     "gradient_histogram", "streaks_full", "lut_interp",
     "minhash_lsh_neardup", "embedding_kmeans",
     "events_stream_sessionize", "graph_pagerank",
-    "multimodal_frame_sample", "available_models",
+    # round-4 additions, never driver-checked (multimodal family stays
+    # covered by multimodal_features below; registry by lut_step_inference)
+    "doc_pii_redact", "events_dd_quantiles",
     # never-driver-checked: text/doc pillar
     "text_token_stats", "doc_fingerprint", "doc_rolling_hash",
     "doc_bigram_lm", "doc_editdist_verify", "doc_chunking",
