@@ -1,0 +1,104 @@
+"""PCA power iteration: algorithm-replica + invariant checks.
+
+The oracle sweep (test_suite_oracle) already proves cross-engine
+bit-exactness; these tests prove the algorithm computes the RIGHT
+thing — an independent NumPy replica of the same quantized pipeline
+must agree to float noise, and the output must satisfy the analytic
+invariants of power iteration. Convergence to PC1 itself is NOT
+asserted: the synthetic corpus is near-isotropic (top eigengap ratio
+~0.99), where no fixed round count isolates the top component; on
+real embedding corpora with a dominant direction the 12 rounds
+converge geometrically in the eigengap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from .conftest import SF_DIR_SMALL
+
+D, ROUNDS = 64, 12
+
+
+def _replica(X: np.ndarray, rounds: int = ROUNDS):
+    """NumPy replay of pca_power's quantized arithmetic (grid means
+    at 1e-9, grid product-averages at 1e-6, scalar-order folds are
+    approximated by float64 BLAS — equal to ~1e-12 here)."""
+    mu = np.round(X * 1e9) / 1e9
+    mu = mu.sum(axis=0) / len(X)
+    C = X - mu
+    P = np.einsum("ni,nj->nij", C, C)
+    G = np.round(P * 1e6).sum(axis=0) / 1e6 / len(X)
+    v = np.ones(D)
+    for _ in range(rounds):
+        v = G @ v
+    u = v / np.linalg.norm(v)
+    return u, float(u @ G @ u), G
+
+
+@pytest.fixture(scope="module")
+def engine_result(spark):
+    from xsarsea_spark.pipeline.linalg import pca_power
+
+    emb = spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet")
+    rows = pca_power(emb, d=D, rounds=ROUNDS).collect()
+    rows.sort(key=lambda r: r["dim"])
+    u = np.array([r["loading"] for r in rows])
+    return u, rows[0]["eigval"]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    import duckdb
+
+    con = duckdb.connect()
+    e = con.execute(
+        "SELECT embedding FROM"
+        f" '{SF_DIR_SMALL}/embeddings.parquet'").fetchnumpy()["embedding"]
+    con.close()
+    return np.stack([np.asarray(x, dtype=np.float64) for x in e])
+
+
+def test_matches_numpy_replica(engine_result, corpus):
+    u, ev = engine_result
+    u_np, ev_np, _ = _replica(corpus)
+    # BLAS vs scalar-fold order => tiny float noise only. The mean
+    # quantization in the replica sums unrounded after rounding each
+    # value (vs grid-sum) — identical by construction of the grid.
+    assert np.allclose(u, u_np, atol=1e-9)
+    assert ev == pytest.approx(ev_np, rel=1e-12)
+
+
+def test_power_iteration_invariants(engine_result, corpus):
+    u, ev = engine_result
+    _, _, G = _replica(corpus)
+    lam = np.linalg.eigvalsh(G)
+    # unit iterate
+    assert np.linalg.norm(u) == pytest.approx(1.0, rel=1e-12)
+    # Rayleigh quotient bounded by the spectrum...
+    assert lam[0] - 1e-9 <= ev <= lam[-1] + 1e-9
+    # ...and never below the start direction's quotient (power
+    # iteration is monotone in the Rayleigh quotient)
+    ones = np.ones(D) / np.sqrt(D)
+    assert ev >= float(ones @ G @ ones) - 1e-12
+
+
+def test_degenerate_corpora(spark):
+    from pyspark.sql import functions as F
+
+    from xsarsea_spark.pipeline.linalg import pca_power
+
+    emb = spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet")
+    # empty corpus -> zero rows, no ANSI crash
+    assert pca_power(emb.filter("vec_id < 0"), d=D).count() == 0
+    # wrong width / NaN rows are dropped, result still well-formed
+    broken = emb.withColumn(
+        "embedding",
+        F.expr("CASE WHEN vec_id % 3 = 0 THEN slice(embedding, 1, 5) "
+               "WHEN vec_id % 3 = 1 THEN"
+               " transform(embedding, x -> CAST('NaN' AS FLOAT))"
+               " ELSE embedding END"))
+    out = pca_power(broken, d=D).collect()
+    assert len(out) == D
+    assert all(np.isfinite(r["loading"]) for r in out)

@@ -1,0 +1,274 @@
+"""Distributed linear algebra for embedding curation: PCA top
+component by power iteration, fully in-plan and engine-replicable.
+
+Shape (the part that must survive 100 TB):
+
+1. **Covariance accumulation is one aggregation pass.** Each row
+   contributes its d^2 centered outer-product entries; the grouped
+   sums are map-side combined (``operators/exactsum.py`` long-backed
+   accumulators), so the exchange moves O(partitions * d^2) rows, not
+   O(n * d^2) — the same partial-aggregate shape MLlib's
+   ``RowMatrix.computeCovariance`` relies on. Per-dim means come from
+   the identical machinery (scale-9 grid, the k-means convention).
+2. **The iteration state is d^2 + d doubles and never leaves the
+   executors.** The Gram matrix is reassembled into ONE row
+   (array<array<double>>) and all rounds + the Rayleigh quotient run
+   in a single Arrow-batched ``mapInPandas`` kernel over it — no
+   ``collect()``, no driver loop, no per-round job; the 1-row state
+   is the broadcast-sized allowance the algorithm gets (same argument
+   as k-means' k x d centroids). Pure-expression iteration was tried
+   and is structurally infeasible: Catalyst collapses chained
+   per-round projections into one nested lambda whose inner iterate
+   re-evaluates per outer element — 64^rounds work (and with
+   per-round normalization the TREE itself goes exponential, hitting
+   the analyzer's iteration cap).
+3. **Every float op is order-fixed**, so a DuckDB oracle replays the
+   iteration bit-for-bit: products are quantized to the scale-6 grid
+   before the order-independent sum; matvec/norm/dot fold
+   LEFT-TO-RIGHT in binary64 (the kernel uses explicit scalar loops
+   — no BLAS, no pairwise summation — matching DuckDB
+   ``list_reduce`` from the first element, since 0.0 + x == x
+   exactly); sqrt and division are IEEE-exact. The ``*_sql``
+   generators emit the same op sequence for the oracle's chained
+   CTEs.
+
+Input contract: finite fixed-width vectors; rows with NULL/NaN
+coordinates or the wrong width are dropped (no-op on well-formed
+corpora — the adversarial-drift gate feeds deliberately broken rows).
+
+Parity: reference repo has no linear-algebra pillar (engine-brief
+extension — PCA whitening / SemDeDup-adjacent embedding analysis).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xsarsea_spark.operators.exactsum import ExactSumSpec, exact_sum_agg
+
+__all__ = ["pca_power", "power_init_sql", "power_step_sql",
+           "norm_sql", "scale_sql", "rayleigh_sql",
+           "MU_SCALE", "G_SCALE"]
+
+# Per-dim mean grid (matches clustering.KM_SCALE): coords are O(1),
+# |x| * 1e9 stays far inside the exact-conversion bound.
+MU_SCALE = 9
+# Centered-product grid: products bound the quantization input, so the
+# documented-safe magnitude is |c_i * c_j| < ~2.2e9 (scale 6). Chosen
+# one notch coarser than MU_SCALE so even the adversarial 1e6-coord
+# drift vector only loses precision, never overflows the BIGINT cast.
+G_SCALE = 6
+
+
+class _Dialect:
+    """Shared expression leaves for the two engines. One generator,
+    identical arithmetic op sequence, so results are bit-equal: matvec
+    / norm / dot all fold LEFT-TO-RIGHT over the dim axis; the ONLY
+    dialect differences are function names and pair construction
+    (Spark ``zip_with`` vs DuckDB index-lambda — same per-element
+    products in the same order). Intermediates are let-bound via
+    single-element-list lambdas, which keeps each expression shallow;
+    iteration rounds are chained as separate projections / CTEs
+    because a fully nested 12-round expression exceeds Spark's
+    analyzer iteration budget.
+    """
+
+    def __init__(self, d: int, duck: bool):
+        self.d, self.duck = d, duck
+        self._n = 0
+        self.tf = "list_transform" if duck else "transform"
+
+    def fresh(self, p: str) -> str:
+        self._n += 1
+        return f"{p}{self._n}"
+
+    def let(self, var: str, val: str, body: str) -> str:
+        if self.duck:
+            return f"list_transform([{val}], {var} -> {body})[1]"
+        return (f"element_at(transform(array({val}),"
+                f" {var} -> {body}), 1)")
+
+    def fold_sum(self, items: str) -> str:
+        a, b = self.fresh("a"), self.fresh("b")
+        if self.duck:
+            return f"list_reduce({items}, ({a}, {b}) -> {a} + {b})"
+        return (f"aggregate({items}, CAST(0 AS DOUBLE),"
+                f" ({a}, {b}) -> {a} + {b})")
+
+    def prods(self, u: str, v: str) -> str:
+        if self.duck:
+            k = self.fresh("k")
+            return (f"list_transform(range(1, {self.d + 1}),"
+                    f" {k} -> {u}[{k}] * {v}[{k}])")
+        x, y = self.fresh("x"), self.fresh("y")
+        return f"zip_with({u}, {v}, ({x}, {y}) -> {x} * {y})"
+
+    def matvec(self, m: str, v: str) -> str:
+        r = self.fresh("row")
+        return f"{self.tf}({m}, {r} -> {self.fold_sum(self.prods(r, v))})"
+
+    def norm(self, w: str) -> str:
+        y = self.fresh("y")
+        sq = f"{self.tf}({w}, {y} -> {y} * {y})"
+        return f"sqrt({self.fold_sum(sq)})"
+
+
+def power_init_sql(d: int, dialect: str) -> str:
+    """All-ones start vector. The iterate stays UNNORMALIZED through
+    the rounds — crucial: a per-round normalize references its matvec
+    result three times, and Catalyst's projection collapse +
+    lambda-inlining then COPIES the referenced subtree, going
+    exponential in rounds (measured: ~3x plan-compile time per extra
+    round; 12 rounds never finished). A bare matvec chain references
+    the previous iterate exactly once, so the collapsed tree is
+    linear; doubles absorb the lambda^rounds magnitude growth
+    (overflow needs lambda^12 > 1e308 — a lambda above 3e25)."""
+    dl = _Dialect(d, dialect == "duck")
+    k = dl.fresh("k")
+    seq = f"range(1, {d + 1})" if dl.duck else f"sequence(1, {d})"
+    return f"{dl.tf}({seq}, {k} -> CAST(1 AS DOUBLE))"
+
+
+def power_step_sql(g: str, v: str, d: int, dialect: str) -> str:
+    """One UNNORMALIZED power-iteration round: G @ v. NULL G (empty
+    or guarded-out corpus) NULL-propagates."""
+    dl = _Dialect(d, dialect == "duck")
+    return dl.matvec(g, v)
+
+
+def norm_sql(w: str, d: int, dialect: str) -> str:
+    """L2 norm of a vector expression (left-to-right fold, IEEE
+    sqrt)."""
+    return _Dialect(d, dialect == "duck").norm(w)
+
+
+def scale_sql(w: str, n: str, d: int, dialect: str) -> str:
+    """w / n elementwise — the deferred normalization."""
+    dl = _Dialect(d, dialect == "duck")
+    x = dl.fresh("x")
+    return f"{dl.tf}({w}, {x} -> {x} / {n})"
+
+
+def rayleigh_sql(g: str, v: str, d: int, dialect: str) -> str:
+    """Rayleigh quotient v' G v of a unit vector — the eigenvalue
+    estimate matching the iterate."""
+    dl = _Dialect(d, dialect == "duck")
+    gv = dl.fresh("gv")
+    return dl.let(gv, dl.matvec(g, v),
+                  dl.fold_sum(dl.prods(v, gv)))
+
+
+def pca_power(
+    vecs: DataFrame,
+    d: int = 64,
+    rounds: int = 12,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component of a vector corpus.
+
+    Returns (dim, loading, eigval): the unit dominant eigenvector of
+    the (grid-quantized) covariance matrix, one row per dimension
+    (1-indexed), with the Rayleigh-quotient eigenvalue — the variance
+    captured by PC1 — repeated on each row.
+    """
+    base = vecs.select(
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+        .alias("__v")
+    ).filter(F.expr(
+        f"size(__v) = {d}"
+        " AND NOT exists(__v, e -> e IS NULL OR isnan(e))"))
+
+    dims = base.select(F.posexplode("__v").alias("__p", "__x")) \
+               .select((F.col("__p") + 1).alias("__d"), "__x")
+    mu = exact_sum_agg(
+        dims, ["__d"],
+        [ExactSumSpec("__mu", "__x", scale=MU_SCALE, avg=True)])
+    mu_row = mu.groupBy().agg(F.expr(
+        "transform(array_sort(collect_list(struct(__d, __mu))),"
+        " s -> s.__mu)").alias("__mu"))
+
+    centered = base.crossJoin(F.broadcast(mu_row)).select(
+        F.expr("zip_with(__v, __mu, (x, m) -> x - m)").alias("__c"))
+
+    prod = centered.select(F.explode(F.expr(
+        f"flatten(transform(sequence(1, {d}),"
+        f" i -> transform(sequence(1, {d}),"
+        f" j -> named_struct('i', i, 'j', j,"
+        f" 'p', element_at(__c, i) * element_at(__c, j)))))"
+    )).alias("__s")).select("__s.i", "__s.j", "__s.p")
+    gram = exact_sum_agg(
+        prod, ["i", "j"],
+        [ExactSumSpec("g", "p", scale=G_SCALE, avg=True)])
+
+    grows = gram.groupBy("i").agg(F.expr(
+        "transform(array_sort(collect_list(struct(j, g))),"
+        " s -> s.g)").alias("__row"))
+    gmat = grows.groupBy().agg(F.expr(
+        "transform(array_sort(collect_list(struct(i, __row))),"
+        " s -> s.__row)").alias("__G"))
+    # A malformed/empty corpus yields a short (or empty) matrix; NULL
+    # it out so the iteration NULL-propagates to zero output rows
+    # instead of tripping ANSI element_at on a ragged array.
+    gmat = gmat.select(F.expr(
+        f"CASE WHEN size(__G) = {d} THEN __G END").alias("__G"))
+
+    # The iteration runs in ONE Arrow-batched kernel over the 1-row
+    # Gram state — executor-side, no driver collect, no extra jobs.
+    # Pure-expression alternatives fail structurally: chained
+    # per-round projections get collapsed by Catalyst into one nested
+    # lambda whose inner iterate is re-evaluated per outer lambda
+    # element (64^rounds work — measured ~3x wall per extra round),
+    # and per-round localCheckpoints would cost a job each. The
+    # kernel folds every sum LEFT-TO-RIGHT in plain binary64 scalars,
+    # the exact op sequence the DuckDB oracle's list_reduce CTEs
+    # replay, so the result stays bit-equal across engines.
+    return gmat.mapInPandas(
+        _power_iter_kernel(d, rounds),
+        schema="dim bigint, loading double, eigval double")
+
+
+def _power_iter_kernel(d: int, rounds: int):
+    """mapInPandas kernel: power iteration + Rayleigh quotient over
+    the (single) Gram row, explicit scalar folds only — no BLAS, no
+    pairwise summation, so op order is engine-replicable."""
+
+    def kernel(batches):
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            for gobj in pdf["__G"]:
+                if gobj is None:
+                    continue
+                g = [[float(x) for x in row] for row in gobj]
+                if len(g) != d:
+                    continue
+                v = [1.0] * d
+                for _ in range(rounds):
+                    nxt = []
+                    for row in g:
+                        acc = 0.0
+                        for x, y in zip(row, v):
+                            acc += x * y
+                        nxt.append(acc)
+                    v = nxt
+                s = 0.0
+                for y in v:
+                    s += y * y
+                nrm = math.sqrt(s)
+                u = [x / nrm for x in v]
+                ev = 0.0
+                for row, x in zip(g, u):
+                    acc = 0.0
+                    for a, b in zip(row, u):
+                        acc += a * b
+                    ev += x * acc
+                yield pd.DataFrame({
+                    "dim": list(range(1, d + 1)),
+                    "loading": u,
+                    "eigval": [ev] * d,
+                })
+
+    return kernel

@@ -2036,3 +2036,88 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (kept.withColumn("__rk", F.row_number().over(wcap))
             .filter(F.col("__rk") <= _E2E_CAP)
             .select("doc_id", "lang", "n_tokens", "quality"))
+
+
+# ----------------------------------------------------------------------
+# PCA top component by in-plan power iteration: one map-side-combined
+# covariance pass (O(partitions * d^2) exchange), then every iteration
+# round as a pure expression over the 1-row Gram matrix — no collect,
+# no driver loop. The oracle replays the identical op sequence (same
+# generator, DuckDB dialect), so the eigenvector is bit-exact across
+# engines, like graph_pagerank's rounds.
+# ----------------------------------------------------------------------
+
+_PCA_D, _PCA_ROUNDS = 64, 12
+
+
+def _pca_oracle() -> str:
+    from xsarsea_spark.pipeline.linalg import (G_SCALE, MU_SCALE,
+                                               norm_sql, power_init_sql,
+                                               power_step_sql,
+                                               rayleigh_sql, scale_sql)
+
+    d = _PCA_D
+    # one CTE per iteration round — the twin of the engine's chained
+    # per-round projections, same generator leaves, same op order
+    # (unnormalized matvec chain, one normalize at the end)
+    its = [f"i0 AS (SELECT G, {power_init_sql(d, 'duck')} AS v FROM gm)"]
+    for r in range(_PCA_ROUNDS):
+        its.append(
+            f"i{r + 1} AS (SELECT G,"
+            f" {power_step_sql('G', 'v', d, 'duck')} AS v FROM i{r})")
+    its.append(
+        f"fin AS (SELECT G, v, {norm_sql('v', d, 'duck')} AS n"
+        f" FROM i{_PCA_ROUNDS})")
+    its.append(
+        f"un AS (SELECT G, {scale_sql('v', 'n', d, 'duck')} AS v"
+        f" FROM fin)")
+    its.append(
+        f"it AS (SELECT v, {rayleigh_sql('G', 'v', d, 'duck')} AS ev"
+        f" FROM un)")
+    iter_ctes = ",\n".join(its)
+    return f"""
+WITH f AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+  WHERE len(embedding) = {d}
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0),
+dx AS (SELECT e, unnest(range(1, {d + 1})) AS d FROM f),
+m AS (SELECT d,
+        CAST(SUM(CAST(e[d] AS DECIMAL(38,{MU_SCALE}))) AS DOUBLE)
+          / COUNT(e[d]) AS mu
+      FROM dx GROUP BY d),
+ml AS (SELECT list(mu ORDER BY d) AS mu FROM m),
+c AS (SELECT list_transform(range(1, {d + 1}), k -> e[k] - mu[k]) AS c
+      FROM f, ml),
+pr AS (SELECT i, j, c[i] * c[j] AS p
+       FROM c,
+            (SELECT unnest(range(1, {d + 1})) AS i),
+            (SELECT unnest(range(1, {d + 1})) AS j)),
+g AS (SELECT i, j,
+        CAST(SUM(CAST(p AS DECIMAL(38,{G_SCALE}))) AS DOUBLE)
+          / COUNT(p) AS g
+      FROM pr GROUP BY i, j),
+gr AS (SELECT i, list(g ORDER BY j) AS row FROM g GROUP BY i),
+gm AS (SELECT CASE WHEN COUNT(*) = {d} THEN list(row ORDER BY i) END
+         AS G FROM gr),
+{iter_ctes}
+SELECT k AS dim, v[k] AS loading, ev AS eigval
+FROM it, (SELECT unnest(range(1, {d + 1})) AS k) t
+"""
+
+
+@spec(
+    "embedding_pca_power",
+    _pca_oracle(),
+    description="PCA top component by power iteration, fully in-plan: "
+                "exact-grid covariance in ONE map-side-combined agg "
+                "pass, 12 iteration rounds as let-bound expressions "
+                "over the 1-row Gram state, Rayleigh eigenvalue — "
+                "bit-exact vs the same-generator DuckDB replay",
+    tags=("pipeline", "similarity", "iterative"),
+)
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.linalg import pca_power
+
+    return pca_power(load(spark, sf_dir, "embeddings"),
+                     d=_PCA_D, rounds=_PCA_ROUNDS)
