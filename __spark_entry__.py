@@ -52,8 +52,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # window; round 4 rotates it — 12 sentinels (one per SURVEY.md §2
 # family / engine-brief pillar, all green in r03) keep cross-round
 # continuity, and the other 38 slots carry every query that has never
-# had a driver correctness row. After this round every registry query
-# has been driver-checked at least once.
+# had a driver correctness row. After this round the only registry
+# query without a driver row is embedding_pca_power (added late in
+# round 4) — put it first in the round-5 window.
 _PRIORITY = [
     # sentinels: one per operator family, driver-green in round 3
     "q01_pricing_summary", "sigma0_detrend", "inversion_dualpol",
