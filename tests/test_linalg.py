@@ -84,6 +84,28 @@ def test_power_iteration_invariants(engine_result, corpus):
     assert ev >= float(ones @ G @ ones) - 1e-12
 
 
+def test_projection_matches_replica(spark, corpus, engine_result):
+    from xsarsea_spark.pipeline.linalg import pca_project
+
+    u, _ = engine_result
+    emb = spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet")
+    rows = pca_project(emb, d=D, rounds=ROUNDS).collect()
+    scores = {r["vec_id"]: r["pc1_score"] for r in rows}
+    mu = np.round(corpus * 1e9) / 1e9
+    mu = mu.sum(axis=0) / len(corpus)
+    expect = (corpus - mu) @ u
+    import duckdb
+
+    con = duckdb.connect()
+    ids = [r[0] for r in con.execute(
+        "SELECT vec_id FROM"
+        f" '{SF_DIR_SMALL}/embeddings.parquet'").fetchall()]
+    con.close()
+    got = np.array([scores[i] for i in ids])
+    assert len(scores) == len(corpus)
+    assert np.allclose(got, expect, atol=1e-9)
+
+
 def test_degenerate_corpora(spark):
     from pyspark.sql import functions as F
 

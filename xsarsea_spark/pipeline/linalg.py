@@ -47,7 +47,8 @@ from pyspark.sql import functions as F
 
 from xsarsea_spark.operators.exactsum import ExactSumSpec, exact_sum_agg
 
-__all__ = ["pca_power", "power_init_sql", "power_step_sql",
+__all__ = ["pca_power", "pca_state", "pca_project",
+           "power_init_sql", "power_step_sql",
            "norm_sql", "scale_sql", "rayleigh_sql",
            "MU_SCALE", "G_SCALE"]
 
@@ -159,25 +160,32 @@ def rayleigh_sql(g: str, v: str, d: int, dialect: str) -> str:
                   dl.fold_sum(dl.prods(v, gv)))
 
 
-def pca_power(
+def _valid_vectors(vecs: DataFrame, d: int, vec_col: str,
+                   extra: list[str] | None = None) -> DataFrame:
+    """Finite fixed-width vectors as DOUBLE arrays (the input
+    contract; a no-op on well-formed corpora)."""
+    return vecs.select(
+        *(extra or []),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+        .alias("__v"),
+    ).filter(F.expr(
+        f"size(__v) = {d}"
+        " AND NOT exists(__v, e -> e IS NULL OR isnan(e))"))
+
+
+def pca_state(
     vecs: DataFrame,
     d: int = 64,
     rounds: int = 12,
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Top principal component of a vector corpus.
-
-    Returns (dim, loading, eigval): the unit dominant eigenvector of
-    the (grid-quantized) covariance matrix, one row per dimension
-    (1-indexed), with the Rayleigh-quotient eigenvalue — the variance
-    captured by PC1 — repeated on each row.
+    """ONE-row PCA state of a vector corpus: the per-dim mean vector,
+    the unit dominant eigenvector of the (grid-quantized) covariance,
+    and its Rayleigh-quotient eigenvalue — columns
+    (__mu array<double>, __u array<double>, __ev double). This is the
+    broadcast-sized artifact downstream projection joins against.
     """
-    base = vecs.select(
-        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
-        .alias("__v")
-    ).filter(F.expr(
-        f"size(__v) = {d}"
-        " AND NOT exists(__v, e -> e IS NULL OR isnan(e))"))
+    base = _valid_vectors(vecs, d, vec_col)
 
     dims = base.select(F.posexplode("__v").alias("__p", "__x")) \
                .select((F.col("__p") + 1).alias("__d"), "__x")
@@ -223,9 +231,63 @@ def pca_power(
     # kernel folds every sum LEFT-TO-RIGHT in plain binary64 scalars,
     # the exact op sequence the DuckDB oracle's list_reduce CTEs
     # replay, so the result stays bit-equal across engines.
-    return gmat.mapInPandas(
+    eig = gmat.mapInPandas(
         _power_iter_kernel(d, rounds),
-        schema="dim bigint, loading double, eigval double")
+        schema="__u array<double>, __ev double")
+    return F.broadcast(eig).crossJoin(F.broadcast(mu_row)) \
+        .select("__mu", "__u", "__ev")
+
+
+def pca_power(
+    vecs: DataFrame,
+    d: int = 64,
+    rounds: int = 12,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component of a vector corpus.
+
+    Returns (dim, loading, eigval): the unit dominant eigenvector of
+    the (grid-quantized) covariance matrix, one row per dimension
+    (1-indexed), with the Rayleigh-quotient eigenvalue — the variance
+    captured by PC1 — repeated on each row.
+    """
+    state = pca_state(vecs, d=d, rounds=rounds, vec_col=vec_col)
+    return state.select(
+        F.posexplode("__u").alias("__p", "loading"),
+        F.col("__ev").alias("eigval"),
+    ).select(
+        (F.col("__p") + 1).cast("bigint").alias("dim"),
+        "loading", "eigval",
+    )
+
+
+def pca_project(
+    vecs: DataFrame,
+    d: int = 64,
+    rounds: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector PC1 score: (x - mu) . u for every valid corpus
+    vector — the column you rank/filter/bucket a corpus by after PCA.
+
+    The 1-row state broadcasts; the corpus side streams through a
+    single zip_with/aggregate projection (no exchange beyond the
+    state's own bounded aggregations), so the scoring pass is
+    embarrassingly parallel at any corpus size. Ops are the same
+    order-fixed folds as the state computation, hence oracle-exact.
+    """
+    state = pca_state(vecs, d=d, rounds=rounds, vec_col=vec_col)
+    base = _valid_vectors(vecs, d, vec_col, extra=[id_col])
+    return base.crossJoin(F.broadcast(state)).select(
+        F.col(id_col),
+        F.expr(
+            "aggregate(zip_with(zip_with(__v, __mu, (x, m) -> x - m),"
+            " __u, (c, u) -> c * u),"
+            " CAST(0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("pc1_score"),
+        F.col("__ev").alias("eigval"),
+    )
 
 
 def _power_iter_kernel(d: int, rounds: int):
@@ -265,10 +327,6 @@ def _power_iter_kernel(d: int, rounds: int):
                     for a, b in zip(row, u):
                         acc += a * b
                     ev += x * acc
-                yield pd.DataFrame({
-                    "dim": list(range(1, d + 1)),
-                    "loading": u,
-                    "eigval": [ev] * d,
-                })
+                yield pd.DataFrame({"__u": [u], "__ev": [ev]})
 
     return kernel

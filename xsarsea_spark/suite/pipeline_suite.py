@@ -2039,27 +2039,30 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
-# PCA top component by in-plan power iteration: one map-side-combined
-# covariance pass (O(partitions * d^2) exchange), then every iteration
-# round as a pure expression over the 1-row Gram matrix — no collect,
-# no driver loop. The oracle replays the identical op sequence (same
-# generator, DuckDB dialect), so the eigenvector is bit-exact across
+# PCA by power iteration: one map-side-combined exact-grid covariance
+# pass (O(partitions * d^2) exchange), then all rounds + the Rayleigh
+# quotient in ONE Arrow kernel over the 1-row Gram state (scalar
+# left-to-right folds — no collect, no driver loop, no BLAS). The
+# oracle replays the identical op sequence via generator-emitted CTEs,
+# so eigenvector AND per-vector projections are bit-exact across
 # engines, like graph_pagerank's rounds.
 # ----------------------------------------------------------------------
 
 _PCA_D, _PCA_ROUNDS = 64, 12
 
 
-def _pca_oracle() -> str:
+def _pca_ctes() -> str:
+    """Shared WITH-body: corpus guard -> grid means -> grid covariance
+    -> chained power-iteration rounds -> it(v, ev)."""
     from xsarsea_spark.pipeline.linalg import (G_SCALE, MU_SCALE,
                                                norm_sql, power_init_sql,
                                                power_step_sql,
                                                rayleigh_sql, scale_sql)
 
     d = _PCA_D
-    # one CTE per iteration round — the twin of the engine's chained
-    # per-round projections, same generator leaves, same op order
-    # (unnormalized matvec chain, one normalize at the end)
+    # one CTE per iteration round — the twin of the engine kernel's
+    # scalar loop, same generator leaves, same op order (unnormalized
+    # matvec chain, one normalize at the end)
     its = [f"i0 AS (SELECT G, {power_init_sql(d, 'duck')} AS v FROM gm)"]
     for r in range(_PCA_ROUNDS):
         its.append(
@@ -2076,8 +2079,8 @@ def _pca_oracle() -> str:
         f" FROM un)")
     iter_ctes = ",\n".join(its)
     return f"""
-WITH f AS (
-  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+f AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
   WHERE len(embedding) = {d}
     AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0),
@@ -2100,7 +2103,13 @@ g AS (SELECT i, j,
 gr AS (SELECT i, list(g ORDER BY j) AS row FROM g GROUP BY i),
 gm AS (SELECT CASE WHEN COUNT(*) = {d} THEN list(row ORDER BY i) END
          AS G FROM gr),
-{iter_ctes}
+{iter_ctes}"""
+
+
+def _pca_oracle() -> str:
+    d = _PCA_D
+    return f"""
+WITH {_pca_ctes()}
 SELECT k AS dim, v[k] AS loading, ev AS eigval
 FROM it, (SELECT unnest(range(1, {d + 1})) AS k) t
 """
@@ -2109,11 +2118,11 @@ FROM it, (SELECT unnest(range(1, {d + 1})) AS k) t
 @spec(
     "embedding_pca_power",
     _pca_oracle(),
-    description="PCA top component by power iteration, fully in-plan: "
-                "exact-grid covariance in ONE map-side-combined agg "
-                "pass, 12 iteration rounds as let-bound expressions "
-                "over the 1-row Gram state, Rayleigh eigenvalue — "
-                "bit-exact vs the same-generator DuckDB replay",
+    description="PCA top component by power iteration: exact-grid "
+                "covariance in ONE map-side-combined agg pass, 12 "
+                "rounds + Rayleigh eigenvalue in a single Arrow "
+                "kernel over the 1-row Gram state — bit-exact vs the "
+                "same-generator DuckDB CTE replay",
     tags=("pipeline", "similarity", "iterative"),
 )
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2121,3 +2130,33 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return pca_power(load(spark, sf_dir, "embeddings"),
                      d=_PCA_D, rounds=_PCA_ROUNDS)
+
+
+def _pca_project_oracle() -> str:
+    d = _PCA_D
+    return f"""
+WITH {_pca_ctes()}
+SELECT f.vec_id,
+  list_reduce(list_transform(range(1, {d + 1}),
+    k -> (f.e[k] - ml.mu[k]) * it.v[k]), (a, b) -> a + b)
+    AS pc1_score,
+  it.ev AS eigval
+FROM f, ml, it
+"""
+
+
+@spec(
+    "embedding_pca_project",
+    _pca_project_oracle(),
+    description="Per-vector PC1 scores: the 1-row PCA state "
+                "broadcasts, the corpus streams through one "
+                "order-fixed fold projection — the rank/filter/bucket "
+                "column for PCA-based corpus curation, value-exact",
+    tags=("pipeline", "similarity", "iterative"),
+)
+def q_embedding_pca_project(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.linalg import pca_project
+
+    return pca_project(load(spark, sf_dir, "embeddings"),
+                       d=_PCA_D, rounds=_PCA_ROUNDS)
