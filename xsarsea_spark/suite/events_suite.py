@@ -1074,6 +1074,72 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Trailing EWMA per user: the recurrence acc <- 3/4*acc + 1/4*x folded
+# over the last 8 events in event-time order. Recurrences don't fit
+# window SUM/AVG, so the frame is materialized (collect_list over an
+# 8-row frame — bounded width, unlike the k-means fold this replaced
+# elsewhere) and sorted before folding, making the fold order an
+# explicit array_sort contract rather than an engine's internal frame
+# order. Dyadic decay weights (0.75/0.25 are exact binary fractions)
+# keep every step a pure IEEE mul/add — value-exact cross-engine with
+# NO quantization. One user_id exchange, one window pass.
+# ----------------------------------------------------------------------
+
+_EWMA_W = 8          # frame width (ROWS 7 PRECEDING .. CURRENT)
+_EWMA_FOLD = "(acc, x) -> 7.5e-1 * acc + 2.5e-1 * x"
+
+_EWMA_ORACLE = f"""
+WITH b AS (
+  SELECT user_id, event_id, value, {_US_DUCK} AS us
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+f AS (
+  SELECT user_id, event_id, value,
+    list_sort(list(struct_pack(us := us, eid := event_id,
+                               v := value))
+      OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN {_EWMA_W - 1} PRECEDING AND CURRENT ROW))
+      AS fr
+  FROM b)
+SELECT user_id, event_id, value,
+  list_reduce(list_transform(fr, s -> s.v), {_EWMA_FOLD}) AS ewma
+FROM f
+"""
+
+
+@spec(
+    "events_ewma",
+    _EWMA_ORACLE,
+    description="Trailing 8-event EWMA per user (recurrence fold in "
+                "sorted event-time order, dyadic decay weights) — "
+                "bit-exact cross-engine, no quantization",
+    tags=("events", "window", "sequence"),
+)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    base = ev.filter("value IS NOT NULL AND NOT isnan(value)") \
+        .selectExpr("user_id", "event_id", "value",
+                    f"{_US_SPARK} AS __us")
+    wf = (Window.partitionBy("user_id").orderBy("__us", "event_id")
+          .rowsBetween(-(_EWMA_W - 1), 0))
+    fr = base.withColumn(
+        "__fr",
+        F.collect_list(F.struct("__us", "event_id", "value")).over(wf))
+    # init = first frame value, fold the rest — the same op sequence
+    # DuckDB's list_reduce applies (frame is never empty: the current
+    # row is in it)
+    vs = fr.withColumn(
+        "__vs",
+        F.expr("transform(array_sort(__fr), s -> s.value)"))
+    return vs.select(
+        "user_id", "event_id", "value",
+        F.expr(
+            "aggregate(slice(__vs, 2, size(__vs) - 1),"
+            f" element_at(__vs, 1), {_EWMA_FOLD})"
+        ).alias("ewma"),
+    )
+
+
+# ----------------------------------------------------------------------
 # HyperLogLog distinct-count sketch: the third cardinality/frequency
 # sketch next to KMV and count-min. Register index and rank come from
 # a 60-bit md5 hash with a pure comparison-ladder rank (no
