@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["events_stream", "stream_hourly_counts",
+           "stream_hourly_to_parquet", "read_latest_batch",
            "stream_user_profile_tws",
            "stream_minute_dedup", "stream_sessionize",
            "stream_interval_join", "stream_user_stats"]
@@ -82,11 +83,10 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str,
     return spark.table(name)
 
 
-def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked tumbling-hour aggregation (complete mode so every
-    window is emitted — deterministic, batch-equivalent output)."""
-    ev = events_stream(spark, sf_dir).withWatermark("event_time", "1 hour")
-    agg = (
+def _hourly_agg(ev: DataFrame) -> DataFrame:
+    """Tumbling-hour aggregation shared by the memory-sink query and
+    the exactly-once parquet sink."""
+    return (
         ev.groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -100,7 +100,83 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_events", "sum_value",
         )
     )
-    return _run_to_memory(agg, "complete")
+
+
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-hour aggregation (complete mode so every
+    window is emitted — deterministic, batch-equivalent output)."""
+    ev = events_stream(spark, sf_dir).withWatermark("event_time", "1 hour")
+    return _run_to_memory(_hourly_agg(ev), "complete")
+
+
+def stream_hourly_to_parquet(spark: SparkSession, sf_dir: str,
+                             out_dir: str, checkpoint_dir: str) -> str:
+    """Exactly-once parquet sink via ``foreachBatch``.
+
+    The two halves of the guarantee:
+
+    - **source-side**: the checkpoint records which input files each
+      batch consumed, so a restarted query neither re-reads nor skips
+      input — re-running against an unchanged source is a no-op;
+    - **sink-side**: parquet overwrite is not transactional per batch,
+      so each micro-batch writes to its own ``batch_id=N`` directory
+      and drops a commit marker LAST; a replayed batch (failure after
+      write, before checkpoint commit) sees the marker and skips —
+      idempotent, the standard foreachBatch exactly-once recipe.
+
+    Complete output mode means the LATEST committed batch directory
+    is the full result (``read_latest_batch``); earlier directories
+    are superseded snapshots, the retention policy a real deployment
+    would garbage-collect.
+    """
+    import os
+
+    ev = events_stream(spark, sf_dir).withWatermark("event_time", "1 hour")
+    agg = _hourly_agg(ev)
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        dest = os.path.join(out_dir, f"batch_id={batch_id}")
+        marker = os.path.join(dest, "_BATCH_COMMITTED")
+        if os.path.exists(marker):
+            # replay of a committed batch: skip the write, but still
+            # drain every partition — Spark 4 validates that
+            # foreachBatch processed the whole DataFrame (state-store
+            # commit check), so a bare early return would fail the
+            # query. The noop source consumes without writing.
+            df.write.format("noop").mode("overwrite").save()
+            return
+        df.write.mode("overwrite").parquet(dest)
+        with open(marker, "w"):
+            pass
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            agg.writeStream.foreachBatch(write_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out_dir
+
+
+def read_latest_batch(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The current result of a complete-mode foreachBatch sink: the
+    highest committed ``batch_id=N`` directory."""
+    import os
+
+    done = [d for d in os.listdir(out_dir)
+            if d.startswith("batch_id=")
+            and os.path.exists(os.path.join(out_dir, d,
+                                            "_BATCH_COMMITTED"))]
+    if not done:
+        raise FileNotFoundError(f"no committed batches in {out_dir}")
+    latest = max(done, key=lambda d: int(d.split("=")[1]))
+    return spark.read.parquet(os.path.join(out_dir, latest))
 
 
 def stream_minute_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
