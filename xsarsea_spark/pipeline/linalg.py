@@ -3,13 +3,15 @@ component by power iteration, fully in-plan and engine-replicable.
 
 Shape (the part that must survive 100 TB):
 
-1. **Covariance accumulation is one aggregation pass.** Each row
-   contributes its d^2 centered outer-product entries; the grouped
-   sums are map-side combined (``operators/exactsum.py`` long-backed
-   accumulators), so the exchange moves O(partitions * d^2) rows, not
-   O(n * d^2) — the same partial-aggregate shape MLlib's
-   ``RowMatrix.computeCovariance`` relies on. Per-dim means come from
-   the identical machinery (scale-9 grid, the k-means convention).
+1. **Covariance accumulation is one aggregation pass.** Each task
+   folds its rows into a d x d partial Gram inside an Arrow kernel
+   (``_gram_partials`` — the NumPy twin of ``operators/exactsum.py``'s
+   long-backed grid arithmetic, bit-identical by construction), so
+   the exchange moves exactly partitions * d^2 rows, not O(n * d^2)
+   — the partial-aggregate shape MLlib's
+   ``RowMatrix.computeCovariance`` relies on, at C speed. Per-dim
+   means still use exact_sum_agg itself (scale-9 grid, the k-means
+   convention).
 2. **The iteration state is d^2 + d doubles and never leaves the
    executors.** The Gram matrix is reassembled into ONE row
    (array<array<double>>) and all rounds + the Rayleigh quotient run
@@ -199,15 +201,30 @@ def pca_state(
     centered = base.crossJoin(F.broadcast(mu_row)).select(
         F.expr("zip_with(__v, __mu, (x, m) -> x - m)").alias("__c"))
 
-    prod = centered.select(F.explode(F.expr(
-        f"flatten(transform(sequence(1, {d}),"
-        f" i -> transform(sequence(1, {d}),"
-        f" j -> named_struct('i', i, 'j', j,"
-        f" 'p', element_at(__c, i) * element_at(__c, j)))))"
-    )).alias("__s")).select("__s.i", "__s.j", "__s.p")
-    gram = exact_sum_agg(
-        prod, ["i", "j"],
-        [ExactSumSpec("g", "p", scale=G_SCALE, avg=True)])
+    # Per-partition partial Grams in ONE Arrow kernel, then a 4096-key
+    # long sum — the map-side-combine shape, but at NumPy speed. The
+    # kernel replicates exact_sum_agg's grid arithmetic bit-for-bit
+    # (see _gram_partials), so the earlier pure-SQL formulation
+    # (explode d^2 structs per row -> exact_sum_agg) produces the
+    # identical Gram; that path cost 11.5 s at sf0.1 on interpreted
+    # HOF lambdas vs ~1 s here, and the exchange shrinks from
+    # O(rows_in_partition * d^2) pre-combine input to exactly
+    # partitions * d^2 rows by construction.
+    partials = centered.mapInPandas(
+        _gram_partials(d, G_SCALE),
+        schema="i int, j int, q long, r long, n long")
+    sums = partials.groupBy("i", "j").agg(
+        F.expr("SUM(q)").alias("__qs"),
+        F.expr("SUM(r)").alias("__rs"),
+        F.expr("SUM(n)").alias("__n"))
+    # identical recombination to operators/exactsum.py (avg path)
+    gram = sums.select(
+        "i", "j",
+        F.expr(
+            f"((CAST(__qs AS DOUBLE) * {1 << 20}e0"
+            f" + CAST(__rs AS DOUBLE)) / 1e{G_SCALE})"
+            " / nullif(__n, 0)"
+        ).alias("g"))
 
     grows = gram.groupBy("i").agg(F.expr(
         "transform(array_sort(collect_list(struct(j, g))),"
@@ -288,6 +305,66 @@ def pca_project(
         ).alias("pc1_score"),
         F.col("__ev").alias("eigval"),
     )
+
+
+def _gram_partials(d: int, scale: int):
+    """mapInPandas kernel: per-partition partial Gram sums on the
+    exact decimal grid — the NumPy twin of operators/exactsum.py.
+
+    Per element: y = fl(p * 10^scale) (the same double Spark's
+    ``(p) * 1e{scale}`` produces), then HALF_UP (half away from zero)
+    to the grid WITHOUT the ``floor(y + 0.5)`` double-rounding trap:
+    ``y - floor(y)`` is exact for |y| < 2^52, so comparing the exact
+    fraction against 0.5 reproduces BigDecimal HALF_UP semantics
+    bit-for-bit. The quantum splits into (q, r) longs exactly as the
+    SQL path does; long sums are order-independent, so partial
+    accumulation per partition is exact by construction.
+
+    Input contract: __c rows are finite (the caller filters NaN/NULL
+    vectors and the mean of finite values is finite), so the NaN
+    guard of the SQL path has nothing to do here; a partition with no
+    rows yields nothing.
+    """
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        m = 1 << 20
+        mul = float(10.0 ** scale)
+        qsum = np.zeros((d, d), dtype=np.int64)
+        rsum = np.zeros((d, d), dtype=np.int64)
+        cnt = 0
+        for pdf in batches:
+            col = pdf["__c"]
+            if not len(col):
+                continue
+            c = np.stack([np.asarray(x, dtype=np.float64)
+                          for x in col])
+            for lo in range(0, len(c), 256):
+                ch = c[lo:lo + 256]
+                y = np.einsum("ni,nj->nij", ch, ch) * mul
+                f = np.floor(y)
+                g = np.ceil(y)
+                v = np.where(y >= 0,
+                             f + ((y - f) >= 0.5),
+                             g - ((g - y) >= 0.5)).astype(np.int64)
+                r = ((v % m) + m) % m
+                qsum += ((v - r) // m).sum(axis=0)
+                rsum += r.sum(axis=0)
+                cnt += len(ch)
+        if cnt == 0:
+            return
+        ii, jj = np.meshgrid(np.arange(1, d + 1, dtype=np.int32),
+                             np.arange(1, d + 1, dtype=np.int32),
+                             indexing="ij")
+        yield pd.DataFrame({
+            "i": ii.ravel(), "j": jj.ravel(),
+            "q": qsum.ravel(), "r": rsum.ravel(),
+            "n": np.full(d * d, cnt, dtype=np.int64),
+        })
+
+    return kernel
 
 
 def _power_iter_kernel(d: int, rounds: int):
