@@ -82,6 +82,46 @@ def test_variable_selection_and_validation(registered, nc_path):
             .option("variables", "incidence,sigma0").load(path).collect()
 
 
+def test_write_read_round_trip(registered, tmp_path):
+    from pyspark.sql import functions as F
+
+    src = registered.range(0, 1000, 1, 6).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2).cast("int").alias("k"),
+        F.expr("CAST(id AS DOUBLE) / 7").alias("v"),
+    )
+    out = str(tmp_path / "nc_out")
+    src.write.format("netcdf3").mode("append").save(out)
+    back = registered.read.format("netcdf3").load(out)
+    import glob
+    assert len(glob.glob(out + "/*.nc")) == 6     # one part per task
+    got = sorted(map(tuple, back.select("x", "k", "v").collect()))
+    want = sorted(map(tuple, src.collect()))
+    assert got == want
+
+
+def test_write_overwrite_replaces(registered, tmp_path):
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "nc_ow")
+    a = registered.range(5).select(
+        F.col("id").cast("double").alias("x"))
+    b = registered.range(100, 103).select(
+        F.col("id").cast("double").alias("x"))
+    a.write.format("netcdf3").mode("append").save(out)
+    b.coalesce(1).write.format("netcdf3").mode("overwrite").save(out)
+    got = sorted(r["x"] for r in
+                 registered.read.format("netcdf3").load(out).collect())
+    assert got == [100.0, 101.0, 102.0]
+
+
+def test_write_rejects_strings(registered, tmp_path):
+    df = registered.createDataFrame([("a", 1.0)], "s string, x double")
+    with pytest.raises(Exception, match="unwritable type"):
+        df.write.format("netcdf3").mode("append") \
+            .save(str(tmp_path / "bad"))
+
+
 def test_composes_with_sql(registered, nc_path):
     path, inc, wspd, sig, _ = nc_path
     from pyspark.sql import functions as F

@@ -40,8 +40,10 @@ from __future__ import annotations
 import numpy as np
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    InputPartition)
-from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                    DataSourceWriter, InputPartition,
+                                    WriterCommitMessage)
+from pyspark.sql.types import (DoubleType, FloatType, IntegerType,
+                               LongType, ShortType, StructField,
                                StructType)
 
 __all__ = ["Netcdf3DataSource", "register_netcdf3"]
@@ -77,9 +79,23 @@ def _plan(path: str, variables_opt: str | None):
     return ds, data_vars, dims, coords
 
 
+def _resolve_paths(path: str) -> list[str]:
+    """A file is itself; a directory is its sorted ``*.nc`` part
+    files (the layout the writer produces)."""
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.nc")))
+        if not files:
+            raise FileNotFoundError(f"netcdf3: no .nc files in {path}")
+        return files
+    return [path]
+
+
 class _Slice(InputPartition):
-    def __init__(self, lo: int, hi: int):
-        self.lo, self.hi = lo, hi
+    def __init__(self, path: str, lo: int, hi: int):
+        self.path, self.lo, self.hi = path, lo, hi
 
 
 class _NC3Reader(DataSourceReader):
@@ -91,17 +107,25 @@ class _NC3Reader(DataSourceReader):
         self.n_parts = int(options.get("partitions", "4"))
 
     def partitions(self):
-        _, _, dims, _ = _plan(self.path, self.variables)
         from xsarsea_spark.sources.netcdf3 import read_netcdf3
 
-        n0 = read_netcdf3(self.path).dims[dims[0]] if dims else 1
+        paths = _resolve_paths(self.path)
+        if len(paths) > 1:
+            # multi-file dataset: the file is the parallel unit
+            return [_Slice(p, 0, -1) for p in paths]
+        _, _, dims, _ = _plan(paths[0], self.variables)
+        n0 = read_netcdf3(paths[0]).dims[dims[0]] if dims else 1
         k = max(1, min(self.n_parts, n0))
         bounds = np.linspace(0, n0, k + 1).astype(int)
-        return [_Slice(int(lo), int(hi))
+        return [_Slice(paths[0], int(lo), int(hi))
                 for lo, hi in zip(bounds[:-1], bounds[1:]) if hi > lo]
 
     def read(self, partition: _Slice):
-        ds, data_vars, dims, coords = _plan(self.path, self.variables)
+        ds, data_vars, dims, coords = _plan(partition.path,
+                                            self.variables)
+        if partition.hi < 0:            # whole-file partition
+            partition = _Slice(partition.path, 0,
+                               ds.dims[dims[0]] if dims else 1)
         sizes = [ds.dims[d] for d in dims]
         lo, hi = partition.lo, partition.hi
         if not dims:                      # scalar variables: one row
@@ -127,6 +151,87 @@ class _NC3Reader(DataSourceReader):
             yield tuple(c.item() for c in row)
 
 
+class _Done(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path, self.rows = path, rows
+
+
+# Spark type -> numpy dtype for the classic-NetCDF external types.
+# BIGINT intentionally maps to float64: NC3 has no 64-bit integer, and
+# a silent truncating NC_INT write would corrupt ids — the lossy-but-
+# explicit double is the documented trade (exact below 2^53).
+_W_TYPES = {
+    ShortType: "int16", IntegerType: "int32", LongType: "float64",
+    FloatType: "float32", DoubleType: "float64",
+}
+
+
+class _NC3Writer(DataSourceWriter):
+    """Tabular writer: each task encodes its partition as ONE classic
+    NetCDF part file (columns become 1-D variables over a ``row``
+    dimension — the layout the reader maps straight back to rows).
+    Tasks write independently to ``part-<uuid>.nc``; commit is
+    rename-free because names are unique, matching the
+    one-file-per-task contract every distributed sink uses. A classic
+    single-.nc sink is impossible to write in parallel (one
+    contiguous header + fixed offsets), so the directory IS the
+    dataset — read it back per part file.
+    """
+
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("netcdf3: .save(path) is required")
+        self.schema = schema
+        for f in schema.fields:
+            if type(f.dataType) not in _W_TYPES:
+                raise ValueError(
+                    f"netcdf3: column {f.name!r} has unwritable type "
+                    f"{f.dataType.simpleString()} (numeric columns "
+                    "only — classic NetCDF has no string/array/i64 "
+                    "external type)")
+
+    def write(self, rows):
+        import os
+        import uuid
+
+        import numpy as np
+
+        from xsarsea_spark.sources.netcdf3 import write_netcdf3
+
+        names = [f.name for f in self.schema.fields]
+        dtypes = [_W_TYPES[type(f.dataType)]
+                  for f in self.schema.fields]
+        cols: list[list] = [[] for _ in names]
+        n = 0
+        for row in rows:
+            for c, v in zip(cols, row):
+                c.append(v)
+            n += 1
+        variables = {
+            nm: (("row",), {}, np.asarray(c, dtype=dt))
+            for nm, dt, c in zip(names, dtypes, cols)
+        }
+        os.makedirs(self.path, exist_ok=True)
+        dest = os.path.join(self.path, f"part-{uuid.uuid4().hex}.nc")
+        buf = write_netcdf3({"row": n}, variables if n else {
+            nm: (("row",), {}, np.zeros(0, dtype=dt))
+            for nm, dt in zip(names, dtypes)})
+        with open(dest, "wb") as f:
+            f.write(buf)
+        return _Done(dest, n)
+
+    def commit(self, messages):
+        pass
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class Netcdf3DataSource(DataSource):
     """``spark.read.format("netcdf3")`` — classic NetCDF (CDF-1/2)."""
 
@@ -136,7 +241,8 @@ class Netcdf3DataSource(DataSource):
 
     def schema(self):
         _, data_vars, dims, coords = _plan(
-            self.options.get("path"), self.options.get("variables"))
+            _resolve_paths(self.options.get("path"))[0],
+            self.options.get("variables"))
         fields = [StructField(f"{d}_idx", IntegerType(), False)
                   for d in dims]
         fields += [StructField(d, DoubleType(), False) for d in coords]
@@ -146,6 +252,18 @@ class Netcdf3DataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _NC3Reader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        if overwrite:
+            # driver-side, before any task writes: clear prior parts
+            import glob
+            import os
+
+            path = self.options.get("path")
+            if path and os.path.isdir(path):
+                for p in glob.glob(os.path.join(path, "*.nc")):
+                    os.remove(p)
+        return _NC3Writer(self.options, schema)
 
 
 def register_netcdf3(spark) -> None:
