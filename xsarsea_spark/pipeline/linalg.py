@@ -49,9 +49,9 @@ from pyspark.sql import functions as F
 
 from xsarsea_spark.operators.exactsum import ExactSumSpec, exact_sum_agg
 
-__all__ = ["pca_power", "pca_state", "pca_project",
+__all__ = ["pca_power", "pca_state", "pca_project", "pca_topk",
            "power_init_sql", "power_step_sql",
-           "norm_sql", "scale_sql", "rayleigh_sql",
+           "norm_sql", "scale_sql", "rayleigh_sql", "deflate_sql",
            "MU_SCALE", "G_SCALE"]
 
 # Per-dim mean grid (matches clustering.KM_SCALE): coords are O(1),
@@ -162,6 +162,22 @@ def rayleigh_sql(g: str, v: str, d: int, dialect: str) -> str:
                   dl.fold_sum(dl.prods(v, gv)))
 
 
+def deflate_sql(g: str, v: str, ev: str, d: int, dialect: str) -> str:
+    """Hotelling deflation G - ev * v v' as a matrix expression —
+    elementwise ``G[i][j] - ((ev * v[i]) * v[j])``, the exact op order
+    of the kernel's Python loop."""
+    dl = _Dialect(d, dialect == "duck")
+    i, j = dl.fresh("i"), dl.fresh("j")
+    if dl.duck:
+        return (f"list_transform(range(1, {d + 1}), {i} ->"
+                f" list_transform(range(1, {d + 1}), {j} ->"
+                f" {g}[{i}][{j}] - {ev} * {v}[{i}] * {v}[{j}]))")
+    return (f"transform(sequence(1, {d}), {i} ->"
+            f" transform(sequence(1, {d}), {j} ->"
+            f" element_at(element_at({g}, {i}), {j})"
+            f" - {ev} * element_at({v}, {i}) * element_at({v}, {j})))")
+
+
 def _valid_vectors(vecs: DataFrame, d: int, vec_col: str,
                    extra: list[str] | None = None) -> DataFrame:
     """Finite fixed-width vectors as DOUBLE arrays (the input
@@ -187,6 +203,27 @@ def pca_state(
     (__mu array<double>, __u array<double>, __ev double). This is the
     broadcast-sized artifact downstream projection joins against.
     """
+    gmat, mu_row = _gram_state(vecs, d, vec_col)
+    # The iteration runs in ONE Arrow-batched kernel over the 1-row
+    # Gram state — executor-side, no driver collect, no extra jobs.
+    # Pure-expression alternatives fail structurally: chained
+    # per-round projections get collapsed by Catalyst into one nested
+    # lambda whose inner iterate is re-evaluated per outer lambda
+    # element (64^rounds work — measured ~3x wall per extra round),
+    # and per-round localCheckpoints would cost a job each. The
+    # kernel folds every sum LEFT-TO-RIGHT in plain binary64 scalars,
+    # the exact op sequence the DuckDB oracle's list_reduce CTEs
+    # replay, so the result stays bit-equal across engines.
+    eig = gmat.mapInPandas(
+        _power_iter_kernel(d, rounds),
+        schema="__u array<double>, __ev double")
+    return F.broadcast(eig).crossJoin(F.broadcast(mu_row)) \
+        .select("__mu", "__u", "__ev")
+
+
+def _gram_state(vecs: DataFrame, d: int, vec_col: str):
+    """(1-row Gram matrix, 1-row mean vector) of a corpus — the
+    bounded state every PCA entry point builds on."""
     base = _valid_vectors(vecs, d, vec_col)
 
     dims = base.select(F.posexplode("__v").alias("__p", "__x")) \
@@ -237,22 +274,29 @@ def pca_state(
     # instead of tripping ANSI element_at on a ragged array.
     gmat = gmat.select(F.expr(
         f"CASE WHEN size(__G) = {d} THEN __G END").alias("__G"))
+    return gmat, mu_row
 
-    # The iteration runs in ONE Arrow-batched kernel over the 1-row
-    # Gram state — executor-side, no driver collect, no extra jobs.
-    # Pure-expression alternatives fail structurally: chained
-    # per-round projections get collapsed by Catalyst into one nested
-    # lambda whose inner iterate is re-evaluated per outer lambda
-    # element (64^rounds work — measured ~3x wall per extra round),
-    # and per-round localCheckpoints would cost a job each. The
-    # kernel folds every sum LEFT-TO-RIGHT in plain binary64 scalars,
-    # the exact op sequence the DuckDB oracle's list_reduce CTEs
-    # replay, so the result stays bit-equal across engines.
-    eig = gmat.mapInPandas(
-        _power_iter_kernel(d, rounds),
-        schema="__u array<double>, __ev double")
-    return F.broadcast(eig).crossJoin(F.broadcast(mu_row)) \
-        .select("__mu", "__u", "__ev")
+
+def pca_topk(
+    vecs: DataFrame,
+    d: int = 64,
+    rounds: int = 12,
+    n_comp: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top ``n_comp`` principal components by power iteration with
+    Hotelling deflation: after each component, the working matrix
+    loses its captured subspace (G <- G - ev * u u') and the next
+    iteration runs on the residual — all inside the same 1-row Arrow
+    kernel, so k components cost k scalar iteration loops and zero
+    extra exchanges. Returns (component, dim, loading, eigval), one
+    row per (component, dimension).
+    """
+    gmat, _ = _gram_state(vecs, d, vec_col)
+    return gmat.mapInPandas(
+        _power_topk_kernel(d, rounds, n_comp),
+        schema="component int, dim bigint, loading double,"
+               " eigval double")
 
 
 def pca_power(
@@ -367,43 +411,81 @@ def _gram_partials(d: int, scale: int):
     return kernel
 
 
+def _power_once(g: list, rounds: int) -> tuple[list, float]:
+    """One power-iteration pass + Rayleigh quotient, explicit scalar
+    folds only — no BLAS, no pairwise summation, so op order is
+    engine-replicable (matches the *_sql generators' fold order)."""
+    import math
+
+    v = [1.0] * len(g)
+    for _ in range(rounds):
+        nxt = []
+        for row in g:
+            acc = 0.0
+            for x, y in zip(row, v):
+                acc += x * y
+            nxt.append(acc)
+        v = nxt
+    s = 0.0
+    for y in v:
+        s += y * y
+    nrm = math.sqrt(s)
+    u = [x / nrm for x in v]
+    ev = 0.0
+    for row, x in zip(g, u):
+        acc = 0.0
+        for a, b in zip(row, u):
+            acc += a * b
+        ev += x * acc
+    return u, ev
+
+
+def _iter_grams(batches, d: int):
+    """Valid d x d Gram rows from the 1-row input stream."""
+    for pdf in batches:
+        for gobj in pdf["__G"]:
+            if gobj is None:
+                continue
+            g = [[float(x) for x in row] for row in gobj]
+            if len(g) == d:
+                yield g
+
+
 def _power_iter_kernel(d: int, rounds: int):
-    """mapInPandas kernel: power iteration + Rayleigh quotient over
-    the (single) Gram row, explicit scalar folds only — no BLAS, no
-    pairwise summation, so op order is engine-replicable."""
+    """mapInPandas kernel: single top component (see _power_once)."""
 
     def kernel(batches):
-        import math
-
         import pandas as pd
 
-        for pdf in batches:
-            for gobj in pdf["__G"]:
-                if gobj is None:
-                    continue
-                g = [[float(x) for x in row] for row in gobj]
-                if len(g) != d:
-                    continue
-                v = [1.0] * d
-                for _ in range(rounds):
-                    nxt = []
-                    for row in g:
-                        acc = 0.0
-                        for x, y in zip(row, v):
-                            acc += x * y
-                        nxt.append(acc)
-                    v = nxt
-                s = 0.0
-                for y in v:
-                    s += y * y
-                nrm = math.sqrt(s)
-                u = [x / nrm for x in v]
-                ev = 0.0
-                for row, x in zip(g, u):
-                    acc = 0.0
-                    for a, b in zip(row, u):
-                        acc += a * b
-                    ev += x * acc
-                yield pd.DataFrame({"__u": [u], "__ev": [ev]})
+        for g in _iter_grams(batches, d):
+            u, ev = _power_once(g, rounds)
+            yield pd.DataFrame({"__u": [u], "__ev": [ev]})
+
+    return kernel
+
+
+def _power_topk_kernel(d: int, rounds: int, n_comp: int):
+    """mapInPandas kernel: n_comp components via Hotelling deflation
+    (G <- G - ev * u u', the same left-associated op order the
+    oracle's deflation CTE applies)."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for g in _iter_grams(batches, d):
+            comp, dim, load, eig = [], [], [], []
+            for c in range(n_comp):
+                u, ev = _power_once(g, rounds)
+                comp += [c] * d
+                dim += list(range(1, d + 1))
+                load += u
+                eig += [ev] * d
+                if c < n_comp - 1:
+                    g = [[g[i][j] - ev * u[i] * u[j]
+                          for j in range(d)] for i in range(d)]
+            yield pd.DataFrame({
+                "component": pd.array(comp, dtype="int32"),
+                "dim": dim, "loading": load, "eigval": eig,
+            })
 
     return kernel

@@ -2051,33 +2051,40 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PCA_D, _PCA_ROUNDS = 64, 12
 
 
-def _pca_ctes() -> str:
-    """Shared WITH-body: corpus guard -> grid means -> grid covariance
-    -> chained power-iteration rounds -> it(v, ev)."""
-    from xsarsea_spark.pipeline.linalg import (G_SCALE, MU_SCALE,
-                                               norm_sql, power_init_sql,
+def _pca_iter_ctes(src: str, sfx: str) -> list[str]:
+    """One power-iteration chain over the Gram in CTE ``src`` — the
+    twin of the engine kernel's scalar loop, same generator leaves,
+    same op order (unnormalized matvec chain, one normalize at the
+    end). Ends with ``it{sfx}(G, v, ev)``."""
+    from xsarsea_spark.pipeline.linalg import (norm_sql, power_init_sql,
                                                power_step_sql,
                                                rayleigh_sql, scale_sql)
 
     d = _PCA_D
-    # one CTE per iteration round — the twin of the engine kernel's
-    # scalar loop, same generator leaves, same op order (unnormalized
-    # matvec chain, one normalize at the end)
-    its = [f"i0 AS (SELECT G, {power_init_sql(d, 'duck')} AS v FROM gm)"]
+    its = [f"i{sfx}_0 AS (SELECT G, {power_init_sql(d, 'duck')} AS v"
+           f" FROM {src})"]
     for r in range(_PCA_ROUNDS):
         its.append(
-            f"i{r + 1} AS (SELECT G,"
-            f" {power_step_sql('G', 'v', d, 'duck')} AS v FROM i{r})")
+            f"i{sfx}_{r + 1} AS (SELECT G,"
+            f" {power_step_sql('G', 'v', d, 'duck')} AS v"
+            f" FROM i{sfx}_{r})")
     its.append(
-        f"fin AS (SELECT G, v, {norm_sql('v', d, 'duck')} AS n"
-        f" FROM i{_PCA_ROUNDS})")
+        f"fin{sfx} AS (SELECT G, v, {norm_sql('v', d, 'duck')} AS n"
+        f" FROM i{sfx}_{_PCA_ROUNDS})")
     its.append(
-        f"un AS (SELECT G, {scale_sql('v', 'n', d, 'duck')} AS v"
-        f" FROM fin)")
+        f"un{sfx} AS (SELECT G, {scale_sql('v', 'n', d, 'duck')} AS v"
+        f" FROM fin{sfx})")
     its.append(
-        f"it AS (SELECT v, {rayleigh_sql('G', 'v', d, 'duck')} AS ev"
-        f" FROM un)")
-    iter_ctes = ",\n".join(its)
+        f"it{sfx} AS (SELECT G, v,"
+        f" {rayleigh_sql('G', 'v', d, 'duck')} AS ev FROM un{sfx})")
+    return its
+
+
+def _pca_gram_ctes() -> str:
+    """Corpus guard -> grid means -> grid covariance -> gm(G)."""
+    from xsarsea_spark.pipeline.linalg import G_SCALE, MU_SCALE
+
+    d = _PCA_D
     return f"""
 f AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -2102,8 +2109,14 @@ g AS (SELECT i, j,
       FROM pr GROUP BY i, j),
 gr AS (SELECT i, list(g ORDER BY j) AS row FROM g GROUP BY i),
 gm AS (SELECT CASE WHEN COUNT(*) = {d} THEN list(row ORDER BY i) END
-         AS G FROM gr),
-{iter_ctes}"""
+         AS G FROM gr)"""
+
+
+def _pca_ctes() -> str:
+    """Shared WITH-body: gram pipeline + one power-iteration chain
+    ending in it(G, v, ev)."""
+    return (_pca_gram_ctes() + ",\n"
+            + ",\n".join(_pca_iter_ctes("gm", "")))
 
 
 def _pca_oracle() -> str:
@@ -2160,3 +2173,45 @@ def q_embedding_pca_project(spark: SparkSession,
 
     return pca_project(load(spark, sf_dir, "embeddings"),
                        d=_PCA_D, rounds=_PCA_ROUNDS)
+
+
+_PCA_K = 3
+
+
+def _pca_topk_oracle() -> str:
+    from xsarsea_spark.pipeline.linalg import deflate_sql
+
+    d = _PCA_D
+    parts = [_pca_gram_ctes()] + _pca_iter_ctes("gm", "0")
+    for c in range(1, _PCA_K):
+        # Hotelling deflation of the previous chain's matrix, then a
+        # fresh iteration chain over the residual — the CTE twin of
+        # the kernel's per-component loop
+        parts.append(
+            f"gd{c} AS (SELECT"
+            f" {deflate_sql('G', 'v', 'ev', d, 'duck')} AS G"
+            f" FROM it{c - 1})")
+        parts += _pca_iter_ctes(f"gd{c}", str(c))
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({c} AS INTEGER) AS component, k AS dim,"
+        f" v[k] AS loading, ev AS eigval"
+        f" FROM it{c}, (SELECT unnest(range(1, {d + 1})) AS k) t{c}"
+        for c in range(_PCA_K))
+    return "WITH " + ",\n".join(parts) + "\n" + finals
+
+
+@spec(
+    "embedding_pca_topk",
+    _pca_topk_oracle(),
+    description="Top-3 principal components via power iteration with "
+                "Hotelling deflation — k components from ONE corpus "
+                "covariance pass, the whole deflation sequence "
+                "bit-exact vs a chained-CTE replay",
+    tags=("pipeline", "similarity", "iterative"),
+)
+def q_embedding_pca_topk(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.linalg import pca_topk
+
+    return pca_topk(load(spark, sf_dir, "embeddings"),
+                    d=_PCA_D, rounds=_PCA_ROUNDS, n_comp=_PCA_K)
