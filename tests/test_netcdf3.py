@@ -174,3 +174,48 @@ def test_owi_nc_roundtrip(spark, tmp_path):
     for (i, j), r in rows.items():
         assert r["owiNrcs"] == sig[i, j]
         assert r["owiIncidenceAngle"] == inc[i, j]
+
+
+# ----------------------------------------------------------------------
+# Property fuzz: arbitrary dim shapes / dtypes / values must round-trip
+# the binary format exactly (bit-for-bit arrays, names, attrs).
+# ----------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+
+_DTYPES = [np.int8, np.int16, np.int32, np.float32, np.float64]
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_roundtrip_property(data):
+    ndims = data.draw(st.integers(1, 3))
+    shape = tuple(data.draw(st.integers(1, 5)) for _ in range(ndims))
+    dims = {f"d{i}": s for i, s in enumerate(shape)}
+    nvars = data.draw(st.integers(1, 3))
+    variables = {}
+    for v in range(nvars):
+        dt = data.draw(st.sampled_from(_DTYPES))
+        arr = data.draw(arrays(
+            dtype=dt, shape=shape,
+            elements=st.floats(-1e6, 1e6, width=32).map(float)
+            if np.issubdtype(dt, np.floating)
+            else st.integers(-100, 100)))
+        variables[f"v{v}"] = (tuple(dims), {"n": v}, arr)
+    attrs = {"title": "fuzz", "level": data.draw(st.integers(0, 9))}
+    version = data.draw(st.sampled_from([1, 2]))
+
+    buf = write_netcdf3(dims, variables, attrs, version=version)
+    ds = read_netcdf3(buf)
+    assert ds.dims == dims
+    assert ds.attrs["title"] == "fuzz"
+    for name, (vdims, vattrs, arr) in variables.items():
+        got = ds.variables[name]
+        assert got.dims == vdims
+        assert got.attrs["n"] == vattrs["n"]
+        np.testing.assert_array_equal(
+            np.asarray(got.data), arr.astype(got.data.dtype))
+        assert np.asarray(got.data).dtype == np.dtype(arr.dtype)
