@@ -140,6 +140,28 @@ def test_topk_matches_replica_and_is_orthogonal(spark, corpus):
             assert abs(float(got[a][0] @ got[b][0])) < 0.2
 
 
+def test_whiten_unit_variance(spark):
+    from xsarsea_spark.pipeline.linalg import pca_whiten
+
+    emb = spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet")
+    rows = pca_whiten(emb, d=D, rounds=ROUNDS, n_comp=3).collect()
+    by_comp: dict[int, list[float]] = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r["whitened"])
+    assert set(by_comp) == {0, 1, 2}
+    for c, ws in by_comp.items():
+        w = np.array(ws)
+        # Component 0: score variance along u equals its Rayleigh
+        # quotient by construction, so E[w^2] = 1 up to the covariance
+        # grid quantization. Deflated components normalize by the
+        # RESIDUAL matrix's Rayleigh, which undercounts the original
+        # variance by the (small, unconverged-iterate) overlap with
+        # prior components — measured ~2e-3 here.
+        tol = 1e-5 if c == 0 else 1e-2
+        assert abs(float((w * w).mean()) - 1.0) < tol, f"comp {c}"
+        assert abs(float(w.mean())) < 1e-6
+
+
 def test_degenerate_corpora(spark):
     from pyspark.sql import functions as F
 

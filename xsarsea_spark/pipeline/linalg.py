@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from xsarsea_spark.operators.exactsum import ExactSumSpec, exact_sum_agg
 
 __all__ = ["pca_power", "pca_state", "pca_project", "pca_topk",
+           "pca_whiten",
            "power_init_sql", "power_step_sql",
            "norm_sql", "scale_sql", "rayleigh_sql", "deflate_sql",
            "MU_SCALE", "G_SCALE"]
@@ -292,11 +293,46 @@ def pca_topk(
     extra exchanges. Returns (component, dim, loading, eigval), one
     row per (component, dimension).
     """
-    gmat, _ = _gram_state(vecs, d, vec_col)
-    return gmat.mapInPandas(
-        _power_topk_kernel(d, rounds, n_comp),
-        schema="component int, dim bigint, loading double,"
-               " eigval double")
+    st, _ = _topk_state(vecs, d, rounds, n_comp, vec_col)
+    return st.select(
+        "component",
+        F.posexplode("__u").alias("__p", "loading"),
+        F.col("__ev").alias("eigval"),
+    ).select(
+        "component",
+        (F.col("__p") + 1).cast("bigint").alias("dim"),
+        "loading", "eigval",
+    )
+
+
+def pca_whiten(
+    vecs: DataFrame,
+    d: int = 64,
+    rounds: int = 12,
+    n_comp: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PCA-whitened k-dim projection: for every valid vector and
+    component, score = (x - mu) . u_c and whitened = score /
+    sqrt(ev_c) — unit-variance coordinates along the captured
+    directions, the standard preprocessing before embedding
+    dedup/clustering. The k-row state broadcasts; the corpus streams
+    through one order-fixed fold per (vector, component) — n * k
+    output rows, no exchange on the scoring pass.
+    """
+    st, mu_row = _topk_state(vecs, d, rounds, n_comp, vec_col)
+    state = F.broadcast(st).crossJoin(F.broadcast(mu_row))
+    base = _valid_vectors(vecs, d, vec_col, extra=[id_col])
+    return base.crossJoin(F.broadcast(state)).select(
+        F.col(id_col), "component",
+        F.expr(
+            "aggregate(zip_with(zip_with(__v, __mu, (x, m) -> x - m),"
+            " __u, (c, u) -> c * u),"
+            " CAST(0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("score"),
+        F.col("__ev").alias("eigval"),
+    ).withColumn("whitened", F.expr("score / sqrt(eigval)"))
 
 
 def pca_power(
@@ -467,25 +503,34 @@ def _power_iter_kernel(d: int, rounds: int):
 def _power_topk_kernel(d: int, rounds: int, n_comp: int):
     """mapInPandas kernel: n_comp components via Hotelling deflation
     (G <- G - ev * u u', the same left-associated op order the
-    oracle's deflation CTE applies)."""
+    oracle's deflation CTE applies). One state row per component."""
 
     def kernel(batches):
         import pandas as pd
 
         for g in _iter_grams(batches, d):
-            comp, dim, load, eig = [], [], [], []
+            comp, us, evs = [], [], []
             for c in range(n_comp):
                 u, ev = _power_once(g, rounds)
-                comp += [c] * d
-                dim += list(range(1, d + 1))
-                load += u
-                eig += [ev] * d
+                comp.append(c)
+                us.append(u)
+                evs.append(ev)
                 if c < n_comp - 1:
                     g = [[g[i][j] - ev * u[i] * u[j]
                           for j in range(d)] for i in range(d)]
             yield pd.DataFrame({
                 "component": pd.array(comp, dtype="int32"),
-                "dim": dim, "loading": load, "eigval": eig,
+                "__u": us, "__ev": evs,
             })
 
     return kernel
+
+
+def _topk_state(vecs: DataFrame, d: int, rounds: int, n_comp: int,
+                vec_col: str):
+    """(k-row component state, 1-row mean) — both broadcast-sized."""
+    gmat, mu_row = _gram_state(vecs, d, vec_col)
+    st = gmat.mapInPandas(
+        _power_topk_kernel(d, rounds, n_comp),
+        schema="component int, __u array<double>, __ev double")
+    return st, mu_row

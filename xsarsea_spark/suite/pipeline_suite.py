@@ -2215,3 +2215,48 @@ def q_embedding_pca_topk(spark: SparkSession,
 
     return pca_topk(load(spark, sf_dir, "embeddings"),
                     d=_PCA_D, rounds=_PCA_ROUNDS, n_comp=_PCA_K)
+
+
+def _pca_whiten_oracle() -> str:
+    from xsarsea_spark.pipeline.linalg import deflate_sql
+
+    d = _PCA_D
+    parts = [_pca_gram_ctes()] + _pca_iter_ctes("gm", "0")
+    for c in range(1, _PCA_K):
+        parts.append(
+            f"gd{c} AS (SELECT"
+            f" {deflate_sql('G', 'v', 'ev', d, 'duck')} AS G"
+            f" FROM it{c - 1})")
+        parts += _pca_iter_ctes(f"gd{c}", str(c))
+    st = "\nUNION ALL\n".join(
+        f"SELECT CAST({c} AS INTEGER) AS component, v, ev FROM it{c}"
+        for c in range(_PCA_K))
+    parts.append(f"st AS ({st})")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT f.vec_id, st.component,
+  list_reduce(list_transform(range(1, {d + 1}),
+    k -> (f.e[k] - ml.mu[k]) * st.v[k]), (a, b) -> a + b) AS score,
+  st.ev AS eigval,
+  list_reduce(list_transform(range(1, {d + 1}),
+    k -> (f.e[k] - ml.mu[k]) * st.v[k]), (a, b) -> a + b)
+    / sqrt(st.ev) AS whitened
+FROM f, ml, st
+""")
+
+
+@spec(
+    "embedding_pca_whiten",
+    _pca_whiten_oracle(),
+    description="PCA-whitened k-dim projection: per (vector, "
+                "component) score and unit-variance coordinate — the "
+                "k-row state broadcasts, the corpus streams through "
+                "order-fixed folds; value-exact vs the deflation-CTE "
+                "replay",
+    tags=("pipeline", "similarity", "iterative"),
+)
+def q_embedding_pca_whiten(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.linalg import pca_whiten
+
+    return pca_whiten(load(spark, sf_dir, "embeddings"),
+                      d=_PCA_D, rounds=_PCA_ROUNDS, n_comp=_PCA_K)
