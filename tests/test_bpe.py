@@ -1,0 +1,83 @@
+"""BPE merge training: greedy-run semantics + an independent Python
+reference implementation over the real corpus."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import duckdb
+import pytest
+
+from .conftest import SF_DIR_SMALL
+
+
+def _ref_bpe(texts: list[str], n_merges: int):
+    """Straightforward word-level BPE with greedy-leftmost merge
+    application and (count DESC, lhs, rhs) tie-break."""
+    docs = [t.split(" ") for t in texts if t is not None and t]
+    merges = []
+    for rank in range(n_merges):
+        counts: Counter = Counter()
+        for d in docs:
+            for x, y in zip(d, d[1:]):
+                counts[(x, y)] += 1
+        if not counts:
+            break
+        (a, b), n = min(counts.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, a, b, n))
+        nxt = []
+        for d in docs:
+            out, i = [], 0
+            while i < len(d):
+                if i + 1 < len(d) and d[i] == a and d[i + 1] == b:
+                    out.append(d[i] + " " + d[i + 1])
+                    i += 2
+                else:
+                    out.append(d[i])
+                    i += 1
+            nxt.append(out)
+        docs = nxt
+    return merges
+
+
+def test_matches_python_reference(spark):
+    from xsarsea_spark.pipeline.bpe import bpe_train
+
+    con = duckdb.connect()
+    texts = [r[0] for r in con.execute(
+        f"SELECT text FROM '{SF_DIR_SMALL}/documents.parquet'"
+    ).fetchall()]
+    con.close()
+    want = _ref_bpe(texts, 5)
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    got = [tuple(r) for r in sorted(
+        bpe_train(docs, n_merges=5).collect(),
+        key=lambda r: r["merge_rank"])]
+    assert got == want
+
+
+@pytest.mark.parametrize("text,expected", [
+    ("a a a a a", ["a a", "a a", "a"]),        # odd run: greedy pairs
+    ("a a a a", ["a a", "a a"]),               # even run
+    ("x a a y a a", ["x", "a a", "y", "a a"]),  # separated runs
+    ("a b a b", ["a b", "a b"]),               # non-run merge
+    ("b a a b", ["b", "a a", "b"]),
+    ("q", ["q"]),                              # no pairs
+])
+def test_greedy_run_semantics(spark, text, expected):
+    from pyspark.sql import functions as F
+
+    from xsarsea_spark.pipeline.bpe import apply_merge_expr
+
+    pair = ("a", "a") if "a a" in " ".join(expected) or "a a" in text \
+        else ("a", "b")
+    # derive the pair from the expected output's merged token
+    merged = next((t for t in expected if " " in t), None)
+    if merged:
+        pair = tuple(merged.split(" "))
+    df = spark.createDataFrame([(text,)], "text string") \
+        .selectExpr("split(text, ' ') AS __t")
+    out = df.select(F.expr(
+        apply_merge_expr("__t", *pair)).alias("m")).collect()[0]["m"]
+    assert list(out) == expected

@@ -1,0 +1,123 @@
+"""Distributed BPE merge training: learn byte-pair-encoding-style
+merges from a tokenized corpus — the tokenizer-training primitive of
+an LLM data pipeline, run as k rounds of (distributed pair count ->
+bounded top-1 -> per-row merge application).
+
+Scale shape:
+
+- **Pair counting** is one explode + hash aggregation per round —
+  map-side combined, the exchange carries distinct pairs (vocab^2
+  bounded), never positions.
+- **The learned state is k (left, right) string pairs** — the
+  bounded artifact (k-means-centroid precedent) collected one row per
+  round; everything corpus-sized stays distributed.
+- **Merge application is a zero-exchange per-row projection**:
+  occurrence positions, greedy-leftmost selection and the rebuild are
+  HOF expressions over the token array. Greedy-leftmost on runs
+  ("a a a" with merge (a,a) keeps alternating occurrences) is the
+  run-parity closed form — occurrence i is applied iff its offset
+  from its consecutive-run start is even — so no sequential fold (and
+  therefore no engine-specific fold-state) is needed.
+- Each round ends in ``localCheckpoint``: the top-1 collect forces a
+  job through the full lineage anyway, and without materialization
+  round r+1 would recompute every earlier rebuild (and Catalyst's
+  projection collapse would re-inline the rebuild expression once per
+  ``element_at`` reference — the same blowup pca_power documents).
+
+The DuckDB oracle replays every round in chained CTEs — including
+recomputing each round's argmax pair in SQL, so the merge table is
+value-exact cross-engine with no literals smuggled in.
+
+Determinism: ties break on (count DESC, left ASC, right ASC); merged
+tokens join with a single space, so multi-level merges stay readable
+("key agg" + "row" -> "key agg row").
+
+Parity: reference repo has no tokenizer pillar (engine-brief
+extension); the algorithm is Sennrich et al. 2016 word-level BPE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bpe_train", "apply_merge_expr"]
+
+
+def _lit(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def apply_merge_expr(col: str, a: str, b: str) -> str:
+    """Spark SQL expression: token array ``col`` with every
+    greedy-leftmost (a, b) adjacency merged into one token.
+
+    Let-bound via the singleton idiom (occ and kept positions are
+    each computed once per row); all 1-based array ops, ANSI-safe
+    (the size<2 guard keeps ``sequence`` ascending).
+    """
+    la, lb = _lit(a), _lit(b)
+    occ = (f"CASE WHEN size({col}) < 2 THEN array() "
+           f"ELSE filter(sequence(1, size({col}) - 1),"
+           f" p -> element_at({col}, p) = {la}"
+           f" AND element_at({col}, p + 1) = {lb}) END")
+    # run-parity greedy: occurrence index i (1-based within occ) is
+    # kept iff i minus its consecutive-run start index is even
+    # The size-0 guard matters: sequence(1, 0) auto-steps DOWN and
+    # feeds j = 0 into element_at (an ANSI error); IF (not OR) keeps
+    # the j = 1 base case from touching index 0
+    kept = ("CASE WHEN size(o) = 0 THEN array() ELSE"
+            " transform(filter(sequence(1, size(o)), i ->"
+            " ((i - array_max(filter(sequence(1, i), j -> IF(j = 1,"
+            " true, element_at(o, j) - element_at(o, j - 1) > 1))))"
+            " % 2) = 0), i -> element_at(o, i)) END")
+    rebuild = (
+        f"CASE WHEN size(o) = 0 THEN {col} ELSE"
+        f" flatten(transform(sequence(1, size({col})), q ->"
+        f" CASE WHEN array_contains(transform(kk, p -> p + 1), q)"
+        f" THEN array()"
+        f" WHEN array_contains(kk, q)"
+        f" THEN array(element_at({col}, q) || ' '"
+        f" || element_at({col}, q + 1))"
+        f" ELSE array(element_at({col}, q)) END)) END")
+    return (f"element_at(transform(array({occ}), o ->"
+            f" element_at(transform(array({kept}), kk ->"
+            f" {rebuild}), 1)), 1)")
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 4,
+              text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns the merge table
+    (merge_rank, lhs, rhs, pair_count)."""
+    spark = docs.sparkSession
+    cur = (
+        docs.filter(F.col(text_col).isNotNull())
+        .selectExpr(id_col, f"split({text_col}, ' ') AS __t")
+        .filter("size(__t) >= 1")
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = cur.filter("size(__t) >= 2").select(F.explode(F.expr(
+            "transform(sequence(1, size(__t) - 1), p ->"
+            " named_struct('lhs', element_at(__t, p),"
+            " 'rhs', element_at(__t, p + 1)))")).alias("__p"))
+        top = (
+            pairs.groupBy("__p.lhs", "__p.rhs")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .orderBy(F.desc("__n"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["lhs"], top[0]["rhs"], top[0]["__n"]
+        merges.append((rank, a, b, int(n)))
+        cur = cur.select(
+            id_col,
+            F.expr(apply_merge_expr("__t", a, b)).alias("__t"),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        schema="merge_rank int, lhs string, rhs string,"
+               " pair_count bigint")

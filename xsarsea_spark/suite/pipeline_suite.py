@@ -2260,3 +2260,84 @@ def q_embedding_pca_whiten(spark: SparkSession,
 
     return pca_whiten(load(spark, sf_dir, "embeddings"),
                       d=_PCA_D, rounds=_PCA_ROUNDS, n_comp=_PCA_K)
+
+
+# ----------------------------------------------------------------------
+# Distributed BPE merge training (Sennrich et al. 2016, word-level):
+# k rounds of (pair-count hash agg -> top-1 -> zero-exchange greedy
+# merge application). The oracle recomputes every round in chained
+# CTEs — INCLUDING each round's argmax pair — so the merge table is
+# value-exact with no literals smuggled across engines.
+# ----------------------------------------------------------------------
+
+_BPE_MERGES = 4
+
+
+def _bpe_apply_duck(t: str, lhs: str, rhs: str) -> str:
+    """DuckDB twin of bpe.apply_merge_expr (1-based lists; DuckDB's
+    out-of-range [0] yields NULL rather than erroring, and OR with a
+    true branch short-circuits the NULL away)."""
+    o = (f"list_filter(range(1, len({t})),"
+         f" p -> {t}[p] = {lhs} AND {t}[p + 1] = {rhs})")
+    kk = ("list_transform(list_filter(range(1, len(o) + 1), i ->"
+          " ((i - list_max(list_filter(range(1, i + 1), j -> j = 1"
+          " OR o[j] - o[j - 1] > 1))) % 2) = 0), i -> o[i])")
+    rebuild = (
+        f"CASE WHEN len(o) = 0 THEN {t} ELSE"
+        f" flatten(list_transform(range(1, len({t}) + 1), q ->"
+        f" CASE WHEN list_contains(list_transform(kk, p -> p + 1), q)"
+        f" THEN []"
+        f" WHEN list_contains(kk, q)"
+        f" THEN [{t}[q] || ' ' || {t}[q + 1]]"
+        f" ELSE [{t}[q]] END)) END")
+    return o, kk, rebuild
+
+
+def _bpe_oracle() -> str:
+    parts = [
+        "t0 AS (SELECT doc_id, string_split(text, ' ') AS t"
+        " FROM documents WHERE text IS NOT NULL"
+        " AND len(string_split(text, ' ')) >= 1)",
+    ]
+    for r in range(_BPE_MERGES):
+        o, kk, rebuild = _bpe_apply_duck("t", "top.lhs", "top.rhs")
+        parts.append(
+            f"pr{r} AS (SELECT"
+            f" unnest(list_transform(range(1, len(t)),"
+            f" i -> struct_pack(lhs := t[i], rhs := t[i + 1]))) AS s"
+            f" FROM t{r} WHERE len(t) >= 2)")
+        parts.append(
+            f"top{r} AS (SELECT s.lhs AS lhs, s.rhs AS rhs,"
+            f" COUNT(*) AS n FROM pr{r}"
+            f" GROUP BY 1, 2 ORDER BY n DESC, lhs, rhs LIMIT 1)")
+        if r < _BPE_MERGES - 1:
+            parts.append(
+                f"a{r} AS (SELECT doc_id, t, {o} AS o"
+                f" FROM t{r}, top{r} top)")
+            parts.append(
+                f"b{r} AS (SELECT doc_id, t, o, {kk} AS kk FROM a{r})")
+            parts.append(
+                f"t{r + 1} AS (SELECT doc_id, {rebuild} AS t"
+                f" FROM b{r})")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_rank, lhs, rhs,"
+        f" CAST(n AS BIGINT) AS pair_count FROM top{r}"
+        for r in range(_BPE_MERGES))
+    return "WITH " + ",\n".join(parts) + "\n" + finals
+
+
+@spec(
+    "doc_bpe_train",
+    _bpe_oracle(),
+    description="Distributed BPE merge training: k rounds of "
+                "map-side-combined pair counting + zero-exchange "
+                "greedy-leftmost merge application (run-parity closed "
+                "form) — the whole training loop, argmaxes included, "
+                "value-exact vs a chained-CTE replay",
+    tags=("pipeline", "text", "iterative"),
+)
+def q_doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.bpe import bpe_train
+
+    return bpe_train(load(spark, sf_dir, "documents"),
+                     n_merges=_BPE_MERGES)
