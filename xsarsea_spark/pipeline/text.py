@@ -302,17 +302,21 @@ def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     frequencies are small-integer counts, so the emitted ratios are
     single IEEE divisions and bit-identical across engines.
 
-    All metrics are computed inside ONE let-bound expression — the
+    Each metric is its own MINIMAL let-bound expression — the
     token/bigram/trigram arrays are bound as lambda variables via the
     transform-over-singleton idiom, never as projected alias columns.
-    This matters: Catalyst's predicate pushdown SUBSTITUTES alias
-    definitions into filter conditions, and a condition like
+    This matters twice. (1) Catalyst's predicate pushdown SUBSTITUTES
+    alias definitions into filter conditions, and a condition like
     ``gopher_keep`` whose aliases chained back to ``split(text)``
     re-evaluated the split inside every lambda element after
     substitution — a measured 50x blowup (148 s vs 3 s at sf0.1) on
-    ``.filter("gopher_keep")``. With let-binding the arrays are
-    computed once per row no matter where the optimizer moves the
-    expression.
+    ``.filter("gopher_keep")``; let-binding pins the arrays to one
+    evaluation per row wherever the optimizer moves the expression.
+    (2) Packing all metrics into one struct and extracting fields is
+    just as bad the other way: CollapseProject inlines the struct
+    into every GetStructField, so every extracted column re-runs ALL
+    the metrics (measured ~5x, 5.8 s vs 1.2 s at sf0.1). One column =
+    one metric = one evaluation.
 
     Scale: O(tokens * distinct_tokens) per row, no exchange at all —
     the shape survives any corpus size. Parity: repetition-filter
@@ -338,29 +342,53 @@ def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # same empty lists DuckDB's end-exclusive range() produces, and
     # both engines then agree on NULL ratios (array_max of empty is
     # NULL; 0 / 0.0 division is NULL in Spark and DuckDB alike).
-    struct = f"""transform(array(split({text_col}, ' ')), tk ->
-  transform(array(CASE WHEN size(tk) < 2 THEN array()
-      ELSE transform(sequence(1, size(tk) - 1),
-      i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) END),
-    bg ->
-    transform(array(CASE WHEN size(tk) < 3 THEN array()
-        ELSE transform(sequence(1, size(tk) - 2),
-        i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1),
-                    ' ', element_at(tk, i + 2))) END),
-      tg -> named_struct(
-        'top_unigram_frac', {uni},
-        'top_bigram_frac', {bi},
-        'dup_trigram_frac', {tri},
-        'mean_token_len', {mtl},
-        'gopher_keep',
-          {uni} <= 0.30 AND {bi} <= 0.18 AND {tri} <= 0.30
-          AND ({mtl}) >= 3.0 AND ({mtl}) <= 10.0
-          AND size(tk) >= 50))[0])[0])[0]"""
-    t = docs.withColumn("__gq", F.expr(struct))
-    for f in ("top_unigram_frac", "top_bigram_frac",
-              "dup_trigram_frac", "mean_token_len", "gopher_keep"):
-        t = t.withColumn(f, F.col(f"__gq.{f}"))
-    return t.drop("__gq")
+    bgdef = ("CASE WHEN size(tk) < 2 THEN array()"
+             " ELSE transform(sequence(1, size(tk) - 1),"
+             " i -> concat(element_at(tk, i), ' ',"
+             " element_at(tk, i + 1))) END")
+    tgdef = ("CASE WHEN size(tk) < 3 THEN array()"
+             " ELSE transform(sequence(1, size(tk) - 2),"
+             " i -> concat(element_at(tk, i), ' ',"
+             " element_at(tk, i + 1), ' ',"
+             " element_at(tk, i + 2))) END")
+
+    def tk_let(body: str) -> str:
+        return (f"transform(array(split({text_col}, ' ')),"
+                f" tk -> {body})[0]")
+
+    # One MINIMAL let-bound expression per metric. The earlier
+    # formulation computed all four metrics (plus the keep flag's
+    # duplicate copies) inside ONE struct and extracted five fields —
+    # CollapseProject inlined the full struct into every
+    # GetStructField, so the O(tokens * distinct) transforms ran ~10x
+    # per row (measured 5.8 s vs 1.2 s at sf0.1). Per-column bodies
+    # evaluate each metric exactly once.
+    t = docs.select(
+        "*",
+        F.expr(tk_let(uni)).alias("top_unigram_frac"),
+        F.expr(tk_let(
+            f"transform(array({bgdef}), bg -> {bi})[0]"
+        )).alias("top_bigram_frac"),
+        F.expr(tk_let(
+            f"transform(array({tgdef}), tg -> {tri})[0]"
+        )).alias("dup_trigram_frac"),
+        F.expr(tk_let(mtl)).alias("mean_token_len"),
+    )
+    # keep-flag from the projected metric columns: each alias is used
+    # more than once in the upper project (as an output column AND
+    # inside the conjunction) and is non-cheap, so CollapseProject
+    # leaves the lower project materialized — the metrics compute once
+    # and the flag reads them. The token-count conjunct re-splits the
+    # text, but split() is O(n) against the metrics' O(n * distinct).
+    return t.withColumn(
+        "gopher_keep",
+        F.expr(
+            "top_unigram_frac <= 0.30 AND top_bigram_frac <= 0.18"
+            " AND dup_trigram_frac <= 0.30"
+            " AND mean_token_len >= 3.0 AND mean_token_len <= 10.0"
+            f" AND size(split({text_col}, ' ')) >= 50"
+        ),
+    )
 
 
 def crossdoc_ngram_dup(docs: DataFrame, n: int = 8,
