@@ -68,3 +68,59 @@ def test_gopher_short_docs_match_oracle(gopher_results):
     for doc_id in sorted(sp):
         assert sp[doc_id] == du[doc_id], (
             f"doc {doc_id}: spark={sp[doc_id]} duckdb={du[doc_id]}")
+
+
+# ----------------------------------------------------------------------
+# duplicate_spans: planted-span boundary checks (the sf corpora only
+# exercise whole-doc duplicates, so maximal-span merge logic needs
+# synthetic overlap cases).
+# ----------------------------------------------------------------------
+
+
+def test_duplicate_spans_planted(spark):
+    from xsarsea_spark.pipeline.text import duplicate_spans
+
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(7))
+    shared = " ".join(f"s{i}" for i in range(12))   # 12 shared tokens
+    docs = spark.createDataFrame(
+        [
+            # doc 1: shared run at token offset 10
+            (1, uniq_a + " " + shared + " " + uniq_b),
+            # doc 2: same run at token offset 0
+            (2, shared + " " + uniq_a.replace("a", "c")),
+            # doc 3: nothing shared, > n tokens
+            (3, " ".join(f"z{i}" for i in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            duplicate_spans(docs, n=4).collect()}
+    # doc 3 has no duplicated grams at all
+    assert 3 not in rows and len(rows) == 2
+    # 12 shared tokens -> 9 consecutive duplicated 4-gram positions
+    # merging into ONE maximal span of 12 tokens
+    assert rows[1]["span_start"] == 10 and rows[1]["span_end"] == 21
+    assert rows[2]["span_start"] == 0 and rows[2]["span_end"] == 11
+    for d in (1, 2):
+        assert rows[d]["n_dup_grams"] == 9
+        assert rows[d]["span_tokens"] == 12
+
+
+def test_duplicate_spans_split_runs(spark):
+    from xsarsea_spark.pipeline.text import duplicate_spans
+
+    run1 = " ".join(f"p{i}" for i in range(5))
+    run2 = " ".join(f"q{i}" for i in range(5))
+    docs = spark.createDataFrame(
+        [
+            # two separated duplicated runs -> two island rows
+            (1, run1 + " gap1 gap2 gap3 gap4 gap5 " + run2),
+            (2, run1 + " other tokens entirely here now " + run2),
+        ],
+        "doc_id long, text string",
+    )
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(docs, n=5).collect())
+    assert spans == [(1, 0, 4), (1, 10, 14), (2, 0, 4), (2, 10, 14)]

@@ -432,3 +432,72 @@ def crossdoc_ngram_dup(docs: DataFrame, n: int = 8,
 
 
 _GRAM_CONCAT = ("array_join(slice(__toks, i, {n}), ' ')")
+
+
+def duplicate_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Maximal cross-document duplicated token spans — the exact
+    substring-dedup primitive of Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better"), re-expressed
+    relationally: every maximal run of consecutive n-gram start
+    positions whose n-gram occurs in >= ``min_docs`` distinct
+    documents becomes ONE span row (doc_id, span_start, span_end,
+    n_dup_grams, span_tokens), token indices 0-based inclusive.
+
+    The paper builds a corpus-wide suffix array; the relational
+    equivalent is (1) per-position 40-bit n-gram hashes, (2) a
+    distinct-doc count per hash, (3) a join back of duplicated
+    positions, (4) gaps-and-islands span merge: ``pos -
+    row_number()`` is constant exactly on runs of consecutive
+    duplicated positions, so one hash aggregation per (doc, run)
+    yields the maximal spans — overlapping duplicated n-grams fuse
+    into single spans just as maximal repeats fuse in the suffix
+    array.
+
+    Scale (100 TB): only (doc_id, pos, hash40) triples shuffle —
+    8-byte hashes per token position, never gram strings; both the
+    count and the join exchange on the hash key (one co-partitioned
+    pair), and the islands window partitions by doc_id, so its state
+    is bounded by one document's positions. No all-pairs stage
+    exists at any size.
+    """
+    gram = (
+        f"transform(sequence(1, size(__toks) - {n - 1}),"
+        f" i -> {HASH40_SQL.format(x=_GRAM_CONCAT.format(n=n))})"
+    )
+    grams = (
+        docs.withColumn("__toks", F.split(F.col(text_col), " "))
+        .filter(F.expr(f"size(__toks) >= {n}"))
+        .select(id_col,
+                F.posexplode(F.expr(gram)).alias("__p", "__h"))
+    )
+    dup = (
+        grams.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("__p")
+    islands = (
+        grams.join(dup, on="__h")
+        .select(id_col, "__p")
+        .withColumn("__grp", F.col("__p") - F.row_number().over(w))
+    )
+    return (
+        islands.groupBy(id_col, "__grp")
+        .agg(
+            F.min("__p").cast("bigint").alias("span_start"),
+            (F.max("__p") + F.lit(n - 1)).cast("bigint")
+            .alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .withColumn(
+            "span_tokens",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("bigint"),
+        )
+        .drop("__grp")
+    )

@@ -1602,6 +1602,58 @@ def q_ngram_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Exact duplicated-span extraction (Lee et al. 2021 substring dedup):
+# duplicated n-gram positions merged to maximal spans via
+# gaps-and-islands — pos - row_number() is constant on consecutive
+# runs, so one aggregation per (doc, run) yields the maximal spans.
+# ----------------------------------------------------------------------
+
+_SPAN_N = 8
+
+_SPAN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+g AS (
+  SELECT doc_id, l, unnest(range(0, len(l) - {_SPAN_N} + 1)) AS p
+  FROM t WHERE len(l) >= {_SPAN_N}),
+gh AS (
+  SELECT doc_id, p, {_H40_DUCK.format(
+      x=f"array_to_string(l[p + 1:p + {_SPAN_N}], ' ')")} AS h
+  FROM g),
+d AS (SELECT h FROM gh GROUP BY h
+      HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, p FROM gh JOIN d USING (h)),
+isl AS (
+  SELECT doc_id, p,
+    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM hits)
+SELECT doc_id,
+  CAST(MIN(p) AS BIGINT) AS span_start,
+  CAST(MAX(p) + {_SPAN_N} - 1 AS BIGINT) AS span_end,
+  COUNT(*) AS n_dup_grams,
+  CAST(MAX(p) + {_SPAN_N} - 1 - MIN(p) + 1 AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, grp
+"""
+
+
+@spec(
+    "doc_substring_dedup",
+    _SPAN_ORACLE,
+    description="Exact duplicated-span extraction (Lee et al. 2021 "
+                "substring dedup, relational form): cross-document "
+                "8-gram positions merged to maximal spans by "
+                "gaps-and-islands; 40-bit hashes only on the wire, "
+                "per-doc window state",
+    tags=("pipeline", "dedup", "text"),
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.text import duplicate_spans
+
+    return duplicate_spans(load(spark, sf_dir, "documents"),
+                           n=_SPAN_N)
+
+
+# ----------------------------------------------------------------------
 # SemDeDup-style embedding k-means (Lloyd's, deterministic): chained
 # CTE oracle replicating every round bit-for-bit — min-id init,
 # index-order distance folds, vec_id-order mean folds, lowest-cluster
