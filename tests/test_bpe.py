@@ -81,3 +81,51 @@ def test_greedy_run_semantics(spark, text, expected):
     out = df.select(F.expr(
         apply_merge_expr("__t", *pair)).alias("m")).collect()[0]["m"]
     assert list(out) == expected
+
+
+def _ref_encode(texts: list[str], n_merges: int):
+    """Python-reference encode: final doc token lists after applying
+    all learned merges (reuses _ref_bpe's loop semantics)."""
+    docs = [t.split(" ") for t in texts if t is not None and t]
+    merges = _ref_bpe(texts, n_merges)
+    for _, a, b, _n in merges:
+        nxt = []
+        for d in docs:
+            out, i = [], 0
+            while i < len(d):
+                if i + 1 < len(d) and d[i] == a and d[i + 1] == b:
+                    out.append(d[i] + " " + d[i + 1])
+                    i += 2
+                else:
+                    out.append(d[i])
+                    i += 1
+            nxt.append(out)
+        docs = nxt
+    return docs
+
+
+def test_encode_matches_python_reference(spark):
+    import hashlib
+
+    from xsarsea_spark.pipeline.bpe import bpe_encode
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM '{SF_DIR_SMALL}/documents.parquet'"
+        " ORDER BY doc_id").fetchall()
+    con.close()
+    texts = [t for _, t in rows]
+    want_docs = _ref_encode(texts, 4)
+    want = {}
+    for (doc_id, t), enc in zip(rows, want_docs):
+        raw = len(t.split(" "))
+        digest = hashlib.md5("\x1f".join(enc).encode()).hexdigest()
+        want[doc_id] = (raw, len(enc), digest)
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    got = {r["doc_id"]: (r["n_tokens_raw"], r["n_tokens_encoded"],
+                         r["encoded_md5"])
+           for r in bpe_encode(docs, n_merges=4).collect()}
+    assert got == want
+    # word conservation: every merge only fuses adjacency, so the
+    # recovered raw count always equals the original token count
+    assert all(got[d][0] == len(t.split(" ")) for d, t in rows)

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_train", "apply_merge_expr"]
+__all__ = ["bpe_train", "bpe_encode", "apply_merge_expr"]
 
 
 def _lit(s: str) -> str:
@@ -85,12 +85,13 @@ def apply_merge_expr(col: str, a: str, b: str) -> str:
             f" {rebuild}), 1)), 1)")
 
 
-def bpe_train(docs: DataFrame, n_merges: int = 4,
-              text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
-    """Learn ``n_merges`` BPE merges; returns the merge table
-    (merge_rank, lhs, rhs, pair_count)."""
-    spark = docs.sparkSession
+def _bpe_rounds(docs: DataFrame, n_merges: int, text_col: str,
+                id_col: str, apply_last: bool
+                ) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
+    """Shared training loop: returns (final tokenized corpus, merge
+    list). ``apply_last`` controls whether the last learned merge is
+    also applied to the corpus (encode needs it; train's merge table
+    does not, saving one checkpointed rebuild)."""
     cur = (
         docs.filter(F.col(text_col).isNotNull())
         .selectExpr(id_col, f"split({text_col}, ' ') AS __t")
@@ -113,11 +114,55 @@ def bpe_train(docs: DataFrame, n_merges: int = 4,
             break
         a, b, n = top[0]["lhs"], top[0]["rhs"], top[0]["__n"]
         merges.append((rank, a, b, int(n)))
-        cur = cur.select(
-            id_col,
-            F.expr(apply_merge_expr("__t", a, b)).alias("__t"),
-        ).localCheckpoint()
-    return spark.createDataFrame(
+        if rank < n_merges - 1 or apply_last:
+            cur = cur.select(
+                id_col,
+                F.expr(apply_merge_expr("__t", a, b)).alias("__t"),
+            ).localCheckpoint()
+    return cur, merges
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 4,
+              text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns the merge table
+    (merge_rank, lhs, rhs, pair_count)."""
+    _, merges = _bpe_rounds(docs, n_merges, text_col, id_col,
+                            apply_last=False)
+    return docs.sparkSession.createDataFrame(
         merges,
         schema="merge_rank int, lhs string, rhs string,"
                " pair_count bigint")
+
+
+def bpe_encode(docs: DataFrame, n_merges: int = 4,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Train ``n_merges`` merges AND apply them all: per document the
+    raw/encoded token counts, the compression ratio, and an md5
+    digest of the encoded token stream (tokens joined on chr(31),
+    which no corpus token contains, so the digest is injective over
+    token boundaries — merged tokens themselves contain spaces).
+
+    The encoded corpus IS the training loop's final state — each
+    round's zero-exchange rebuild already materialized via
+    ``localCheckpoint`` — so encode costs one extra rebuild beyond
+    training, not a second pass over the merges.
+    """
+    cur, _ = _bpe_rounds(docs, n_merges, text_col, id_col,
+                         apply_last=True)
+    # raw count recovered from the encoded stream itself (a merged
+    # token expands to its space-separated word count) — no join back
+    # to the source, no second corpus scan
+    return cur.select(
+        id_col,
+        F.expr("CAST(aggregate(__t, 0L,"
+               " (a, x) -> a + size(split(x, ' '))) AS BIGINT)")
+        .alias("n_tokens_raw"),
+        F.expr("CAST(size(__t) AS BIGINT)").alias("n_tokens_encoded"),
+        F.expr("md5(array_join(__t, char(31)))").alias("encoded_md5"),
+    ).withColumn(
+        "compression",
+        F.expr("n_tokens_raw / CAST(n_tokens_encoded AS DOUBLE)"),
+    ).select(id_col, "n_tokens_raw", "n_tokens_encoded",
+             "compression", "encoded_md5")

@@ -2345,7 +2345,10 @@ def _bpe_apply_duck(t: str, lhs: str, rhs: str) -> str:
     return o, kk, rebuild
 
 
-def _bpe_oracle() -> str:
+def _bpe_ctes(apply_last: bool) -> list[str]:
+    """Chained CTEs replaying the training loop; with ``apply_last``
+    the final merge is applied too (t{_BPE_MERGES} exists — the
+    encoded corpus the encode oracle reads)."""
     parts = [
         "t0 AS (SELECT doc_id, string_split(text, ' ') AS t"
         " FROM documents WHERE text IS NOT NULL"
@@ -2362,7 +2365,7 @@ def _bpe_oracle() -> str:
             f"top{r} AS (SELECT s.lhs AS lhs, s.rhs AS rhs,"
             f" COUNT(*) AS n FROM pr{r}"
             f" GROUP BY 1, 2 ORDER BY n DESC, lhs, rhs LIMIT 1)")
-        if r < _BPE_MERGES - 1:
+        if r < _BPE_MERGES - 1 or apply_last:
             parts.append(
                 f"a{r} AS (SELECT doc_id, t, {o} AS o"
                 f" FROM t{r}, top{r} top)")
@@ -2371,11 +2374,15 @@ def _bpe_oracle() -> str:
             parts.append(
                 f"t{r + 1} AS (SELECT doc_id, {rebuild} AS t"
                 f" FROM b{r})")
+    return parts
+
+
+def _bpe_oracle() -> str:
     finals = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS INTEGER) AS merge_rank, lhs, rhs,"
         f" CAST(n AS BIGINT) AS pair_count FROM top{r}"
         for r in range(_BPE_MERGES))
-    return "WITH " + ",\n".join(parts) + "\n" + finals
+    return "WITH " + ",\n".join(_bpe_ctes(False)) + "\n" + finals
 
 
 @spec(
@@ -2393,3 +2400,35 @@ def q_doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bpe_train(load(spark, sf_dir, "documents"),
                      n_merges=_BPE_MERGES)
+
+
+def _bpe_encode_oracle() -> str:
+    final = f"""
+SELECT doc_id,
+  CAST(list_reduce(list_transform(t,
+    x -> len(string_split(x, ' '))), (a, b) -> a + b) AS BIGINT)
+    AS n_tokens_raw,
+  CAST(len(t) AS BIGINT) AS n_tokens_encoded,
+  CAST(list_reduce(list_transform(t,
+    x -> len(string_split(x, ' '))), (a, b) -> a + b) AS BIGINT)
+    / CAST(len(t) AS DOUBLE) AS compression,
+  md5(array_to_string(t, chr(31))) AS encoded_md5
+FROM t{_BPE_MERGES}"""
+    return "WITH " + ",\n".join(_bpe_ctes(True)) + final
+
+
+@spec(
+    "doc_bpe_encode",
+    _bpe_encode_oracle(),
+    description="BPE tokenization of the corpus with the learned "
+                "merges: the encoded stream is the training loop's "
+                "final state (one extra zero-exchange rebuild), "
+                "per-doc raw/encoded counts + compression + encoded "
+                "digest — value-exact vs the full chained-CTE replay",
+    tags=("pipeline", "text", "iterative"),
+)
+def q_doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.bpe import bpe_encode
+
+    return bpe_encode(load(spark, sf_dir, "documents"),
+                      n_merges=_BPE_MERGES)
