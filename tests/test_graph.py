@@ -1,0 +1,39 @@
+"""triangle_counts: planted-graph checks (the sf near-dup graphs are
+too sparse to pin clique arithmetic)."""
+
+from __future__ import annotations
+
+
+def test_triangle_counts_k4_plus_pendant(spark):
+    from xsarsea_spark.operators.pagerank import triangle_counts
+
+    # K4 on {1,2,3,4} (oriented src < dst) plus pendant edge (4,5)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "src long, dst long",
+    )
+    rows = {r["node"]: r for r in triangle_counts(edges).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    # every K4 node sits in C(3,2) = 3 triangles
+    for n in (1, 2, 3):
+        assert rows[n]["degree"] == 3
+        assert rows[n]["triangles"] == 3
+        assert rows[n]["clustering_coeff"] == 1.0
+    # node 4 gains the pendant edge: degree 4, still 3 triangles
+    assert rows[4]["degree"] == 4 and rows[4]["triangles"] == 3
+    assert rows[4]["clustering_coeff"] == 0.5
+    # pendant node: no wedge possible -> NULL coefficient
+    assert rows[5]["degree"] == 1 and rows[5]["triangles"] == 0
+    assert rows[5]["clustering_coeff"] is None
+
+
+def test_triangle_counts_triangle_free(spark):
+    from xsarsea_spark.operators.pagerank import triangle_counts
+
+    # path graph 1-2-3-4: wedges exist, no triangle closes
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    rows = {r["node"]: r for r in triangle_counts(edges).collect()}
+    assert all(r["triangles"] == 0 for r in rows.values())
+    assert rows[2]["degree"] == 2
+    assert rows[2]["clustering_coeff"] == 0.0

@@ -1210,6 +1210,62 @@ def q_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Triangle structure of the near-dup candidate graph: node-ordered
+# wedge join (Suri & Vassilvitskii 2011) over the verified LSH pairs.
+# Duplicate clusters tend toward cliques, so per-doc triangle density
+# separates pairwise collisions from real duplicate groups.
+# ----------------------------------------------------------------------
+
+
+def _triangle_oracle() -> str:
+    pairs_sql = _minhash_oracle().strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+e AS (SELECT id_a AS s, id_b AS d FROM pairs),
+deg AS (
+  SELECT node, COUNT(*) AS degree
+  FROM (SELECT s AS node FROM e UNION ALL SELECT d FROM e)
+  GROUP BY node),
+w AS (SELECT e1.s AS a, e1.d AS b, e2.d AS c
+      FROM e e1 JOIN e e2 ON e2.s = e1.d),
+t AS (SELECT w.a, w.b, w.c
+      FROM w JOIN e ON e.s = w.a AND e.d = w.c),
+pt AS (
+  SELECT node, COUNT(*) AS triangles
+  FROM (SELECT a AS node FROM t
+        UNION ALL SELECT b FROM t
+        UNION ALL SELECT c FROM t)
+  GROUP BY node)
+SELECT deg.node, CAST(deg.degree AS BIGINT) AS degree,
+  CAST(COALESCE(pt.triangles, 0) AS BIGINT) AS triangles,
+  2 * COALESCE(pt.triangles, 0)
+    / CAST(NULLIF(deg.degree * (deg.degree - 1), 0) AS DOUBLE)
+    AS clustering_coeff
+FROM deg LEFT JOIN pt USING (node)
+"""
+
+
+@spec(
+    "dup_graph_triangles",
+    _triangle_oracle(),
+    description="Per-doc triangle count + local clustering "
+                "coefficient of the verified LSH near-dup graph "
+                "(node-ordered wedge join, each triangle generated "
+                "once) — separates pairwise collisions from clique-"
+                "shaped duplicate clusters",
+    tags=("pipeline", "dedup", "graph"),
+)
+def q_dup_graph_triangles(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.pagerank import triangle_counts
+    from xsarsea_spark.pipeline.dedup import minhash_lsh_dedup
+
+    pairs = minhash_lsh_dedup(load(spark, sf_dir, "documents"),
+                              n=_MH_N, k=_MH_K, threshold=_MH_T)
+    return triangle_counts(pairs, src="id_a", dst="id_b")
+
+
+# ----------------------------------------------------------------------
 # Higher-order array-function battery over the embeddings: norm via
 # sequential fold (exact cross-engine), element clipping via
 # transform, threshold counting via filter, self-dot via zip_with —
