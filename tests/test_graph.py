@@ -37,3 +37,24 @@ def test_triangle_counts_triangle_free(spark):
     assert all(r["triangles"] == 0 for r in rows.values())
     assert rows[2]["degree"] == 2
     assert rows[2]["clustering_coeff"] == 0.0
+
+
+def test_skyline2d_ties_and_duplicates(spark):
+    from xsarsea_spark.operators.skyline import skyline2d
+
+    rows = [
+        (1, 1.0, 5),   # frontier
+        (2, 1.0, 5),   # exact duplicate -> both survive
+        (3, 1.0, 4),   # same price, smaller size -> dominated
+        (4, 2.0, 7),   # frontier
+        (5, 2.0, 7),   # duplicate frontier point
+        (6, 3.0, 7),   # dominated by 4/5 (same size, higher price)
+        (7, 3.0, 9),   # frontier
+        (8, 4.0, 9),   # dominated by 7
+        (9, 0.5, 1),   # frontier (cheapest overall)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, price double, size int").repartition(4)
+    got = sorted(r["id"] for r in
+                 skyline2d(df, "price", "size").collect())
+    assert got == [1, 2, 4, 5, 7, 9]

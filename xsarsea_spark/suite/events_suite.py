@@ -1279,3 +1279,74 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = gapfill_linear(c, ["event_type"], "bucket", "cnt")
     return out.select("event_type", "bucket",
                       F.col("cnt_filled"), "interpolated")
+
+
+# ----------------------------------------------------------------------
+# Growth accounting: per day, new vs returning active users and the
+# cumulative user base. Per-user first-seen is one hash agg; the
+# daily rollup is a second; the cumulative sum is a window over the
+# day axis (bounded cardinality — one row per day, not per event).
+# ----------------------------------------------------------------------
+
+_GROWTH_ORACLE = f"""
+WITH fs AS (
+  SELECT user_id,
+    MIN({_US_DUCK} // 86400000000) AS first_day
+  FROM events GROUP BY user_id),
+act AS (
+  SELECT ({_US_DUCK} // 86400000000) AS day, user_id,
+    COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2),
+daily AS (
+  SELECT act.day,
+    COUNT(*) AS active_users,
+    CAST(SUM(CASE WHEN fs.first_day = act.day THEN 1 ELSE 0 END)
+         AS BIGINT) AS new_users,
+    CAST(SUM(act.n_events) AS BIGINT) AS n_events
+  FROM act JOIN fs USING (user_id)
+  GROUP BY act.day)
+SELECT day, active_users, new_users,
+  active_users - new_users AS returning_users, n_events,
+  CAST(SUM(new_users) OVER (ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cumulative_users
+FROM daily
+"""
+
+
+@spec(
+    "events_user_growth",
+    _GROWTH_ORACLE,
+    description="Growth accounting: per-day new vs returning active "
+                "users + cumulative user base — two hash aggs over "
+                "events, then a window over the day axis only (one "
+                "row per day, never per event)",
+    tags=("events", "window"),
+)
+def q_events_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    day = f"({_US_SPARK}) DIV 86400000000"
+    fs = ev.groupBy("user_id").agg(
+        F.expr(f"MIN({day})").alias("first_day"))
+    act = ev.groupBy(
+        F.expr(day).alias("day"), "user_id",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    daily = (
+        act.join(fs, on="user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.expr("CAST(SUM(CASE WHEN first_day = day THEN 1"
+                   " ELSE 0 END) AS BIGINT)").alias("new_users"),
+            F.expr("CAST(SUM(n_events) AS BIGINT)").alias("n_events"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day", "active_users", "new_users",
+        F.expr("active_users - new_users").alias("returning_users"),
+        "n_events",
+        F.sum("new_users").over(w).cast("bigint")
+        .alias("cumulative_users"),
+    )

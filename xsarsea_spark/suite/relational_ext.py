@@ -408,6 +408,46 @@ def q_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# 2-D skyline (Pareto frontier): cheapest-large parts — minimize
+# p_retailprice, maximize p_size. The oracle is the quadratic NOT
+# EXISTS dominance definition; the Spark plan is the sorted
+# formulation (zero-exchange Arrow local prefilter + one exact window
+# pass over survivors), so the value match also certifies the sorted
+# rewrite against the textbook definition.
+# ----------------------------------------------------------------------
+
+_SKYLINE_SQL = """
+SELECT p_partkey, p_retailprice, p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice
+         OR q.p_size > p.p_size))
+"""
+
+
+@spec(
+    "q_skyline_parts",
+    _SKYLINE_SQL,
+    description="2-D skyline / Pareto frontier (min price, max size) "
+                "— Arrow local-skyline prefilter with zero exchange, "
+                "exact global window pass over the pruned survivors; "
+                "value-checked against the quadratic NOT EXISTS "
+                "dominance oracle",
+    tags=("relational", "window"),
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.skyline import skyline2d
+
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size")
+    return skyline2d(part, minimize="p_retailprice",
+                     maximize="p_size")
+
+
+# ----------------------------------------------------------------------
 # Deterministic PageRank over the part<->supplier bipartite graph
 # (edges = distinct (partkey, suppkey) pairs of a 10% part slice,
 # both orientations). The oracle chains one CTE per iteration — and
