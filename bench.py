@@ -103,6 +103,25 @@ def main() -> None:
 
     spark.range(32).repartition(32).select(_warm(col("id"))).collect()
 
+    def release_query_state() -> None:
+        """Between-query hygiene, OUTSIDE the timers: checkpointing
+        queries (BPE rounds, dup-components edges, semdedup
+        assignments) pin localCheckpoint blocks that bench otherwise
+        accumulates across all 100+ queries — measured as sporadic
+        multi-second GC stalls landing on unrelated later queries.
+        Queries are independent, so dropping another query's blocks
+        only removes cross-query interference."""
+        sc = spark.sparkContext
+        try:
+            for rdd in sc._jsc.getPersistentRDDs().values():
+                rdd.unpersist(False)
+        except Exception:
+            pass
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     for name, qs in sorted(REGISTRY.items()):
         t0 = time.perf_counter()
@@ -114,6 +133,7 @@ def main() -> None:
             timings[name] = -1.0
             continue
         timings[name] = round(time.perf_counter() - t0, 3)
+        release_query_state()
 
     # BASELINE.md "Engine baseline plan" throughput metrics: LUT
     # generation, inversion sec/Mpx, gradients sec/Mpx — measured on
