@@ -53,11 +53,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # family / engine-brief pillar, all green in r03) keep cross-round
 # continuity, and the other 38 slots carry every query that has never
 # had a driver correctness row. After this round the only registry
-# queries without a driver row are the eleven added late in round 4 —
-# embedding_pca_power, embedding_pca_project, embedding_pca_topk,
+# queries without a driver row are the fourteen added late in round
+# 4 — embedding_pca_power, embedding_pca_project, embedding_pca_topk,
 # embedding_pca_whiten, events_ewma, doc_bpe_train,
 # doc_substring_dedup, doc_bpe_encode, dup_graph_triangles,
-# q_skyline_parts, events_user_growth — put them first in the
+# q_skyline_parts, events_user_growth, q_market_basket,
+# events_ab_ttest, embedding_ann_recall — put them first in the
 # round-5 window.
 _PRIORITY = [
     # sentinels: one per operator family, driver-green in round 3

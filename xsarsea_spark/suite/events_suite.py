@@ -1350,3 +1350,87 @@ def q_events_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_users").over(w).cast("bigint")
         .alias("cumulative_users"),
     )
+
+
+# ----------------------------------------------------------------------
+# Welch's two-sample t-test (experimentation analytics): does `value`
+# differ between click and purchase events? Ingredients are exact
+# DECIMAL sums (order-independent), so the downstream IEEE arithmetic
+# — means, variances, the t statistic and the Welch-Satterthwaite df
+# — is the SAME formula tree over identical doubles in both engines
+# (sqrt is IEEE-exact; x*x replaces pow to stay off libm).
+# ----------------------------------------------------------------------
+
+_TT_A, _TT_B = "click", "purchase"
+
+# shared formula fragments — identical text on both engines
+_TT_MEAN = "(s / CAST(n AS DOUBLE))"
+_TT_VAR = ("((ss - s * s / CAST(n AS DOUBLE))"
+           " / CAST(n - 1 AS DOUBLE))")
+_TT_FINAL = """
+SELECT a.n AS n_a, b.n AS n_b,
+  a.m AS mean_a, b.m AS mean_b,
+  a.v AS var_a, b.v AS var_b,
+  (a.m - b.m) / sqrt(a.v / CAST(a.n AS DOUBLE)
+                     + b.v / CAST(b.n AS DOUBLE)) AS t_stat,
+  ((a.v / CAST(a.n AS DOUBLE) + b.v / CAST(b.n AS DOUBLE))
+   * (a.v / CAST(a.n AS DOUBLE) + b.v / CAST(b.n AS DOUBLE)))
+  / ((a.v / CAST(a.n AS DOUBLE)) * (a.v / CAST(a.n AS DOUBLE))
+       / CAST(a.n - 1 AS DOUBLE)
+     + (b.v / CAST(b.n AS DOUBLE)) * (b.v / CAST(b.n AS DOUBLE))
+       / CAST(b.n - 1 AS DOUBLE)) AS welch_df
+FROM a, b
+"""
+
+_TTEST_ORACLE = f"""
+WITH g AS (
+  SELECT event_type, COUNT(value) AS n,
+    {DSUM('value')} AS s, {DSUM('value * value')} AS ss
+  FROM events
+  WHERE event_type IN ('{_TT_A}', '{_TT_B}')
+  GROUP BY event_type),
+gs AS (SELECT event_type, n, {_TT_MEAN} AS m, {_TT_VAR} AS v FROM g),
+a AS (SELECT * FROM gs WHERE event_type = '{_TT_A}'),
+b AS (SELECT * FROM gs WHERE event_type = '{_TT_B}')
+{_TT_FINAL}
+"""
+
+
+@spec(
+    "events_ab_ttest",
+    _TTEST_ORACLE,
+    description="Welch's two-sample t-test on event values "
+                "(click vs purchase): exact DECIMAL sum/sumsq "
+                "ingredients, then one identical IEEE formula tree "
+                "per engine — t statistic and Welch-Satterthwaite "
+                "df bit-exact with no quantization",
+    tags=("events", "stats"),
+)
+def q_events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    g = (
+        ev.filter(F.col("event_type").isin(_TT_A, _TT_B))
+        .groupBy("event_type")
+        .agg(
+            F.expr("COUNT(value)").alias("n"),
+            F.expr(DSUM("value")).alias("s"),
+            F.expr(DSUM("value * value")).alias("ss"),
+        )
+        .selectExpr("event_type", "n", f"{_TT_MEAN} AS m",
+                    f"{_TT_VAR} AS v")
+    )
+    a = g.filter(F.col("event_type") == _TT_A).alias("a")
+    b = g.filter(F.col("event_type") == _TT_B).alias("b")
+    return a.crossJoin(b).selectExpr(
+        "a.n AS n_a", "b.n AS n_b",
+        "a.m AS mean_a", "b.m AS mean_b",
+        "a.v AS var_a", "b.v AS var_b",
+        "(a.m - b.m) / sqrt(a.v / CAST(a.n AS DOUBLE)"
+        " + b.v / CAST(b.n AS DOUBLE)) AS t_stat",
+        "((a.v / CAST(a.n AS DOUBLE) + b.v / CAST(b.n AS DOUBLE))"
+        " * (a.v / CAST(a.n AS DOUBLE) + b.v / CAST(b.n AS DOUBLE)))"
+        " / ((a.v / CAST(a.n AS DOUBLE)) * (a.v / CAST(a.n AS DOUBLE))"
+        " / CAST(a.n - 1 AS DOUBLE)"
+        " + (b.v / CAST(b.n AS DOUBLE)) * (b.v / CAST(b.n AS DOUBLE))"
+        " / CAST(b.n - 1 AS DOUBLE)) AS welch_df",
+    )

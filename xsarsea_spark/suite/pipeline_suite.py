@@ -433,6 +433,65 @@ def q_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the LSH scale path against the
+# brute-force ground truth — the eval loop every production ANN
+# deployment runs, here as one composed plan whose oracle replays
+# BOTH pipelines and joins them, so the recall numbers themselves are
+# value-checked.
+# ----------------------------------------------------------------------
+
+
+def _ann_recall_oracle() -> str:
+    return f"""
+WITH ex AS ({_KNN_ORACLE}),
+ap AS ({_lsh_ann_oracle()}),
+m AS (
+  SELECT ex.query_id, COUNT(*) AS n_matched
+  FROM ex JOIN ap ON ap.query_id = ex.query_id
+                 AND ap.neighbor_id = ex.neighbor_id
+  GROUP BY ex.query_id),
+nq AS (SELECT query_id, COUNT(*) AS n_exact FROM ex
+       GROUP BY query_id)
+SELECT nq.query_id, CAST(nq.n_exact AS BIGINT) AS n_exact,
+  CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+  COALESCE(m.n_matched, 0) / CAST(nq.n_exact AS DOUBLE) AS recall
+FROM nq LEFT JOIN m USING (query_id)
+"""
+
+
+@spec(
+    "embedding_ann_recall",
+    _ann_recall_oracle(),
+    description="Recall@k of LSH ANN against brute-force ground "
+                "truth, per query — both pipelines composed in one "
+                "plan and replayed by the oracle, so the recall "
+                "numbers themselves are value-exact",
+    tags=("pipeline", "similarity"),
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = q_knn(spark, sf_dir).select("query_id", "neighbor_id")
+    ap = q_lsh_ann(spark, sf_dir).select("query_id", "neighbor_id")
+    m = (
+        ex.join(ap, on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    nq = ex.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"))
+    return (
+        nq.join(m, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.expr("CAST(coalesce(n_matched, 0) AS BIGINT)")
+            .alias("n_matched"),
+            F.expr("coalesce(n_matched, 0)"
+                   " / CAST(n_exact AS DOUBLE)").alias("recall"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
 # BPE-ish token counting + order-sensitive rolling-hash fingerprint
 # ----------------------------------------------------------------------
 

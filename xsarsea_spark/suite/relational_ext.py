@@ -448,6 +448,80 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Market-basket association rules over order item sets: support /
+# confidence / lift for part pairs co-bought in >= 2 orders. The
+# pair stage self-joins items WITHIN an order, so its volume is
+# sum over orders of basket_size^2 — bounded by basket size (~4-7
+# lineitems), linear in order count, never part^2. All measures are
+# integer counts + single IEEE divisions (exact cross-engine).
+# ----------------------------------------------------------------------
+
+_BASKET_MIN = 2
+
+_BASKET_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM items),
+cnt AS (SELECT p, COUNT(*) AS cp FROM items GROUP BY p),
+pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_both
+  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_BASKET_MIN})
+SELECT part_a, part_b, n_both,
+  n_both / CAST(n.n_orders AS DOUBLE) AS support,
+  n_both / CAST(ca.cp AS DOUBLE) AS conf_a_to_b,
+  n_both / CAST(cb.cp AS DOUBLE) AS conf_b_to_a,
+  (n_both * n.n_orders) / CAST(ca.cp * cb.cp AS DOUBLE) AS lift
+FROM pairs
+JOIN cnt ca ON ca.p = part_a
+JOIN cnt cb ON cb.p = part_b
+CROSS JOIN n
+"""
+
+
+@spec(
+    "q_market_basket",
+    _BASKET_SQL,
+    description="Market-basket association rules (support / "
+                "confidence / lift) for part pairs co-bought in >= 2 "
+                "orders — within-order pair join bounded by basket "
+                "size, integer counts + exact IEEE divisions",
+    tags=("relational", "join"),
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    items = li.selectExpr("l_orderkey AS o", "l_partkey AS p") \
+        .distinct()
+    n = items.agg(F.countDistinct("o").alias("n_orders"))
+    cnt = items.groupBy("p").agg(F.count(F.lit(1)).alias("cp"))
+    a = items.selectExpr("o", "p AS part_a")
+    b = items.selectExpr("o", "p AS part_b")
+    pairs = (
+        a.join(b, on="o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= _BASKET_MIN)
+    )
+    return (
+        pairs
+        .join(cnt.selectExpr("p AS part_a", "cp AS ca"), on="part_a")
+        .join(cnt.selectExpr("p AS part_b", "cp AS cb"), on="part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "n_both",
+            F.expr("n_both / CAST(n_orders AS DOUBLE)")
+            .alias("support"),
+            F.expr("n_both / CAST(ca AS DOUBLE)").alias("conf_a_to_b"),
+            F.expr("n_both / CAST(cb AS DOUBLE)").alias("conf_b_to_a"),
+            F.expr("(n_both * n_orders) / CAST(ca * cb AS DOUBLE)")
+            .alias("lift"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
 # Deterministic PageRank over the part<->supplier bipartite graph
 # (edges = distinct (partkey, suppkey) pairs of a 10% part slice,
 # both orientations). The oracle chains one CTE per iteration — and
