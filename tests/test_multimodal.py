@@ -79,3 +79,23 @@ def test_unsupported_variants_raise():
     bmp[28:30] = (8).to_bytes(2, "little")       # 8 bpp unsupported
     with pytest.raises(ValueError):
         decode_bmp(bytes(bmp))
+
+
+def test_ahash_planted_patterns(spark):
+    from xsarsea_spark.pipeline.multimodal import ahash_features
+
+    # uniform image: no block STRICTLY exceeds the global mean -> 0
+    flat = np.full((8, 16, 3), 100, dtype=np.uint8)
+    # left half bright: blocks at grid columns 0-3 set (rows all),
+    # LSB-first packing -> bits k where k % 8 < 4
+    half = np.zeros((8, 16, 3), dtype=np.uint8)
+    half[:, :8, :] = 255
+    want_half = sum(1 << k for k in range(32) if k % 8 < 4)
+    df = spark.createDataFrame(
+        [(1, bytearray(_encode_ppm(flat))),
+         (2, bytearray(_encode_bmp(half)))],
+        "doc_id long, payload binary")
+    got = {r["doc_id"]: r["ahash"]
+           for r in ahash_features(df).collect()}
+    assert got[1] == 0
+    assert got[2] == want_half

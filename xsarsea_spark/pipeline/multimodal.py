@@ -27,7 +27,7 @@ from pyspark.sql import types as T
 
 __all__ = ["attach_payload", "extract_features", "decode_image",
            "decode_ppm", "decode_bmp", "attach_image_payload",
-           "decode_features"]
+           "decode_features", "ahash_features"]
 
 
 def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -301,3 +301,53 @@ def sample_frames(mm: DataFrame, frame_bytes: int = 256,
 
     return mm.select("doc_id", "payload").mapInPandas(
         gen, schema=_FRAME_SCHEMA)
+
+
+_AHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("ahash", T.LongType()),
+])
+
+
+def ahash_features(mm: DataFrame, grid_w: int = 8,
+                   grid_h: int = 4) -> DataFrame:
+    """Perceptual average-hash over REAL decoded images, entirely in
+    integer arithmetic: per-pixel gray sums (r+g+b, int64), block
+    sums over a (grid_h x grid_w) partition, and bit k set iff block
+    k's mean exceeds the global mean — compared as
+    ``block_sum * n_blocks > global_sum`` (exact integers, no
+    division, no floats), then packed LSB-first into one BIGINT.
+
+    Integer-only comparisons make the hash bit-reproducible in ANY
+    engine — the SQL oracle re-derives it from the source bytes —
+    unlike float-mean formulations whose ties depend on rounding.
+    Image dims must divide the grid (the attach_image_payload
+    containers do: 16x8 and 16x4)."""
+
+    def gen(batches):
+        nb = grid_h * grid_w
+        shifts = np.arange(nb, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                h, w = img.shape[:2]
+                if h % grid_h or w % grid_w:
+                    raise ValueError(
+                        f"image {w}x{h} not divisible by grid "
+                        f"{grid_w}x{grid_h}")
+                g = img.astype(np.int64).sum(axis=2)
+                bh, bw = h // grid_h, w // grid_w
+                blocks = g.reshape(grid_h, bh, grid_w, bw) \
+                    .sum(axis=(1, 3)).reshape(-1)
+                total = int(g.sum())
+                bits = (blocks * nb > total).astype(np.int64)
+                ah = int((bits << shifts).sum())
+                rows.append((int(doc_id), int(w), int(h), ah))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _AHASH_SCHEMA])
+
+    return mm.select("doc_id", "payload").mapInPandas(
+        gen, schema=_AHASH_SCHEMA)

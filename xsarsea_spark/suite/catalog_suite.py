@@ -241,3 +241,73 @@ def q_multimodal_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fake_width",
         "fake_height",
     )
+
+
+# ----------------------------------------------------------------------
+# Perceptual average-hash over the decoded images — pure integer
+# arithmetic (block_sum * n_blocks > global_sum), so the hash is
+# bit-reproducible from the source bytes in SQL: the oracle rebuilds
+# every pixel's gray sum from the text, folds blocks, and packs the
+# same LSB-first BIGINT.
+# ----------------------------------------------------------------------
+
+
+def _mm_ahash_oracle() -> str:
+    from xsarsea_spark.pipeline.multimodal import _IMG_H, _IMG_W
+
+    full = _IMG_W * _IMG_H * 3
+    gw, gh = 8, 4
+    nb = gw * gh
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 2 THEN {full // 2} ELSE {full} END AS nby,
+    CASE WHEN doc_id % 3 = 2 THEN {_IMG_H // 2}
+         ELSE {_IMG_H} END AS hh,
+    text
+  FROM documents WHERE length(text) >= {full}),
+b AS (SELECT doc_id, hh, nby,
+        list_transform(range(1, nby + 1),
+          i -> ascii(substr(text, i, 1))) AS by
+      FROM d),
+px AS (
+  SELECT doc_id, hh,
+    unnest(range(0, nby // 3)) AS p, by
+  FROM b),
+g AS (
+  SELECT doc_id, hh,
+    (((p // {_IMG_W}) // (hh // {gh})) * {gw}
+      + ((p % {_IMG_W}) // {_IMG_W // gw})) AS k,
+    by[3 * p + 1] + by[3 * p + 2] + by[3 * p + 3] AS gray
+  FROM px),
+blk AS (
+  SELECT doc_id, hh, k, SUM(gray) AS bsum
+  FROM g GROUP BY doc_id, hh, k),
+tot AS (
+  SELECT doc_id, SUM(gray) AS gsum FROM g GROUP BY doc_id)
+SELECT blk.doc_id,
+  CAST({_IMG_W} AS BIGINT) AS width,
+  CAST(hh AS BIGINT) AS height,
+  CAST(SUM(CASE WHEN bsum * {nb} > tot.gsum
+       THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS ahash
+FROM blk JOIN tot ON tot.doc_id = blk.doc_id
+GROUP BY blk.doc_id, hh
+"""
+
+
+@spec(
+    "multimodal_ahash",
+    _mm_ahash_oracle(),
+    description="Perceptual average-hash of decoded images in pure "
+                "integer arithmetic (block_sum * n_blocks > "
+                "global_sum, no floats, no ties-by-rounding) — the "
+                "32-bit hash re-derived bit-exactly by the SQL "
+                "oracle from the source bytes",
+    tags=("pipeline", "multimodal"),
+)
+def q_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.multimodal import (ahash_features,
+                                                   attach_image_payload)
+
+    docs = load(spark, sf_dir, "documents")
+    return ahash_features(attach_image_payload(docs))
