@@ -105,3 +105,45 @@ def test_crossdup_shuffles_hashes_only(spark):
     for ln in plan.splitlines():
         if "Exchange" in ln:
             assert "array_join" not in ln and "slice" not in ln
+
+
+def test_substring_dedup_shuffles_hashes_only(spark):
+    from xsarsea_spark.suite import REGISTRY
+
+    df = REGISTRY["doc_substring_dedup"].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # like crossdup: only the 40-bit gram hash (plus doc/pos ints)
+    # may reach an exchange, never the gram strings
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "array_join" not in ln and "slice" not in ln
+
+
+def test_skyline_prefilter_precedes_global_window(spark):
+    from xsarsea_spark.suite import REGISTRY
+
+    df = REGISTRY["q_skyline_parts"].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the Arrow local-skyline kernel must sit below the single-
+    # reducer global window, so the global sort only ever sees the
+    # pruned survivors
+    lines = plan.splitlines()
+    w = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    assert any("MapInPandas" in ln for ln in lines[w:]), \
+        "local prefilter must appear beneath the global window"
+
+
+def test_market_basket_broadcasts_only_the_count_row(audit_spark):
+    from xsarsea_spark.suite import REGISTRY
+
+    df = REGISTRY["q_market_basket"].spark(audit_spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly one explicit broadcast, and the operator directly under
+    # it must be the keyless (1-row) order-count aggregate — counting
+    # a big table then broadcasting the COUNT is fine; broadcasting
+    # the table itself is the anti-pattern
+    lines = plan.splitlines()
+    bcasts = [i for i, ln in enumerate(lines)
+              if "BroadcastExchange" in ln]
+    assert len(bcasts) == 1
+    assert "HashAggregate(keys=[]" in lines[bcasts[0] + 1]
