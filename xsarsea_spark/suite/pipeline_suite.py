@@ -1321,7 +1321,13 @@ def q_dup_graph_triangles(spark: SparkSession,
 
     pairs = minhash_lsh_dedup(load(spark, sf_dir, "documents"),
                               n=_MH_N, k=_MH_K, threshold=_MH_T)
-    return triangle_counts(pairs, src="id_a", dst="id_b")
+    # the wedge join consumes the edge list on FOUR plan branches
+    # (degrees, e1, e2, closing edge); checkpoint the tiny verified
+    # pair set so the LSH candidate pipeline runs once, not four
+    # times (the dup_components edge-materialization precedent)
+    return triangle_counts(pairs.select("id_a", "id_b")
+                           .localCheckpoint(),
+                           src="id_a", dst="id_b")
 
 
 # ----------------------------------------------------------------------
