@@ -24,7 +24,8 @@ __all__ = ["events_stream", "stream_hourly_counts",
            "stream_hourly_to_parquet", "read_latest_batch",
            "stream_user_profile_tws",
            "stream_minute_dedup", "stream_sessionize",
-           "stream_interval_join", "stream_user_stats"]
+           "stream_interval_join", "stream_user_stats",
+           "stream_user_growth"]
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet: ``ts`` normalized to
@@ -470,3 +471,61 @@ def stream_cohort_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = joined.groupBy("cohort_week", "event_type").agg(
         F.count(F.lit(1)).alias("n_events"))
     return _run_to_memory(agg, "complete")
+
+
+def stream_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming growth accounting: per-user FIRST-SEEN day tracked in
+    ``applyInPandasWithState`` (state = one bigint per user), rolled
+    up to per-day new-user counts + the cumulative user base after
+    the sink drains.
+
+    Batch twin: ``events_user_growth``'s first-seen subquery. At
+    scale each micro-batch emits updated first-seen rows only for
+    users it touched and the rollup runs downstream of the sink; the
+    min-aggregate post-processing keeps the result exact even when a
+    user's rows span micro-batches (update-mode re-emissions collapse
+    to the final min).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    ev = (
+        events_stream(spark, sf_dir)
+        .withWatermark("event_time", "1 hour")
+        .select("user_id", "ts")
+    )
+    out_schema = "user_id bigint, first_day bigint"
+    state_schema = "fd bigint"
+
+    def fn(key, pdfs, state: GroupState):
+        df = pd.concat(list(pdfs))
+        fd = state.get[0] if state.exists else None
+        for ts in df["ts"]:
+            if pd.isna(ts):
+                continue
+            day = (int(ts) // 1000) // 86400000000
+            fd = day if fd is None else min(fd, day)
+        state.update((fd,))
+        uid = None if pd.isna(key[0]) else int(key[0])
+        yield pd.DataFrame([{"user_id": uid, "first_day": fd}])
+
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
+    tbl = _run_to_memory(agg, "update")
+    from pyspark.sql.window import Window
+
+    daily = (
+        tbl.groupBy("user_id")
+        .agg(F.min("first_day").alias("first_day"))
+        .groupBy(F.col("first_day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day", "new_users",
+        F.sum("new_users").over(w).cast("bigint")
+        .alias("cumulative_users"),
+    )

@@ -1434,3 +1434,34 @@ def q_events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + (b.v / CAST(b.n AS DOUBLE)) * (b.v / CAST(b.n AS DOUBLE))"
         " / CAST(b.n - 1 AS DOUBLE)) AS welch_df",
     )
+
+
+_STREAM_GROWTH_ORACLE = f"""
+WITH fs AS (
+  SELECT user_id, MIN({_US_DUCK} // 86400000000) AS first_day
+  FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+d AS (SELECT first_day AS day, COUNT(*) AS new_users
+      FROM fs GROUP BY first_day)
+SELECT day, new_users,
+  CAST(SUM(new_users) OVER (ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cumulative_users
+FROM d
+"""
+
+
+@spec(
+    "events_stream_growth",
+    _STREAM_GROWTH_ORACLE,
+    description="Streaming growth accounting: per-user first-seen "
+                "day in applyInPandasWithState (one bigint of state "
+                "per user), day rollup + cumulative base after the "
+                "sink — the streaming twin of events_user_growth's "
+                "first-seen stage, same oracle arithmetic",
+    tags=("events", "streaming", "udf"),
+)
+def q_events_stream_growth(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from xsarsea_spark.streaming.events import stream_user_growth
+
+    return stream_user_growth(spark, sf_dir)
