@@ -1465,3 +1465,150 @@ def q_events_stream_growth(spark: SparkSession,
     from xsarsea_spark.streaming.events import stream_user_growth
 
     return stream_user_growth(spark, sf_dir)
+
+
+# ----------------------------------------------------------------------
+# Time-series similarity: Pearson correlation between event types'
+# hourly count series. Counts are INTEGERS, so every sum (S_a, S_ab,
+# S_aa...) is exact BIGINT arithmetic and the closed-form correlation
+# is one identical IEEE expression per engine — bit-exact, no
+# quantization. The series must be DENSIFIED first (a bucket with no
+# events of a type is a 0, not a missing row) via a generated
+# hour-spine cross the type dimension.
+# ----------------------------------------------------------------------
+
+_CORR_FINAL = """(CAST(n * sab - sa * sb AS DOUBLE))
+  / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+     * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))"""
+
+_TYPECORR_ORACLE = f"""
+WITH c AS (
+  SELECT event_type, ({_US_DUCK} // 3600000000) AS bucket,
+    COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2),
+span AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM c),
+spine AS (SELECT unnest(range(lo, hi + 1)) AS bucket FROM span),
+types AS (SELECT DISTINCT event_type FROM events),
+dense AS (
+  SELECT t.event_type, s.bucket, COALESCE(c.cnt, 0) AS cnt
+  FROM spine s CROSS JOIN types t
+  LEFT JOIN c ON c.event_type = t.event_type
+             AND c.bucket = s.bucket),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+    COUNT(*) AS n,
+    SUM(a.cnt) AS sa, SUM(b.cnt) AS sb,
+    SUM(a.cnt * b.cnt) AS sab,
+    SUM(a.cnt * a.cnt) AS saa, SUM(b.cnt * b.cnt) AS sbb
+  FROM dense a JOIN dense b
+    ON a.bucket = b.bucket AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, CAST(n AS BIGINT) AS n_buckets,
+  {_CORR_FINAL} AS pearson
+FROM p
+"""
+
+
+@spec(
+    "events_type_correlation",
+    _TYPECORR_ORACLE,
+    description="Pearson correlation matrix between event types' "
+                "densified hourly count series — integer-exact sums, "
+                "one IEEE closed form per engine, bit-exact with no "
+                "quantization",
+    tags=("events", "timeseries", "stats"),
+)
+def q_events_type_correlation(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type",
+        F.expr(f"({_US_SPARK}) DIV 3600000000").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    span = c.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    spine = span.selectExpr(
+        "explode(sequence(lo, hi)) AS bucket")
+    types = ev.select("event_type").distinct()
+    dense = (
+        spine.crossJoin(types)
+        .join(c, on=["event_type", "bucket"], how="left")
+        .selectExpr("event_type", "bucket",
+                    "COALESCE(cnt, 0) AS cnt")
+    )
+    a = dense.selectExpr("event_type AS type_a", "bucket",
+                         "cnt AS ca")
+    b = dense.selectExpr("event_type AS type_b", "bucket",
+                         "cnt AS cb")
+    p = (
+        a.join(b, on="bucket")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ca").alias("sa"), F.sum("cb").alias("sb"),
+            F.expr("SUM(ca * cb)").alias("sab"),
+            F.expr("SUM(ca * ca)").alias("saa"),
+            F.expr("SUM(cb * cb)").alias("sbb"),
+        )
+    )
+    return p.selectExpr(
+        "type_a", "type_b", "CAST(n AS BIGINT) AS n_buckets",
+        f"{_CORR_FINAL} AS pearson",
+    )
+
+
+# ----------------------------------------------------------------------
+# Top-k ranking similarity over time (the ranking-similarity-join
+# primitive): rank event types per day by activity, then Spearman
+# footrule distance between consecutive days — pure integer window
+# ranks + |rank diff| sums, exact in any engine.
+# ----------------------------------------------------------------------
+
+_RANKSTAB_ORACLE = f"""
+WITH c AS (
+  SELECT ({_US_DUCK} // 86400000000) AS day, event_type,
+    COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT day, event_type,
+    ROW_NUMBER() OVER (PARTITION BY day
+      ORDER BY cnt DESC, event_type) AS rnk
+  FROM c)
+SELECT a.day AS day, COUNT(*) AS n_types,
+  CAST(SUM(ABS(a.rnk - b.rnk)) AS BIGINT) AS footrule_dist
+FROM r a JOIN r b ON b.day = a.day - 1
+                 AND b.event_type = a.event_type
+GROUP BY a.day
+"""
+
+
+@spec(
+    "events_rank_stability",
+    _RANKSTAB_ORACLE,
+    description="Day-over-day ranking similarity: event types ranked "
+                "per day by activity, Spearman footrule distance "
+                "between consecutive days — integer window ranks, "
+                "exact cross-engine",
+    tags=("events", "window", "stats"),
+)
+def q_events_rank_stability(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.expr(f"({_US_SPARK}) DIV 86400000000").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("day").orderBy(
+        F.col("cnt").desc(), F.col("event_type"))
+    r = c.withColumn("rnk", F.row_number().over(w))
+    a = r.selectExpr("day", "event_type", "rnk AS ra")
+    b = r.selectExpr("day + 1 AS day", "event_type", "rnk AS rb")
+    return (
+        a.join(b, on=["day", "event_type"])
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.expr("CAST(SUM(ABS(ra - rb)) AS BIGINT)")
+            .alias("footrule_dist"),
+        )
+    )
