@@ -129,3 +129,30 @@ def test_encode_matches_python_reference(spark):
     # word conservation: every merge only fuses adjacency, so the
     # recovered raw count always equals the original token count
     assert all(got[d][0] == len(t.split(" ")) for d, t in rows)
+
+
+def test_encode_pairless_corpus_matches_oracle(spark, tmp_path):
+    """Drift guard: a corpus where NO round finds any pair (every doc
+    is a single token) must leave documents unchanged in BOTH engines
+    — the oracle's LEFT JOIN ON TRUE mirrors the Spark loop's break,
+    where a cross join against the empty top-1 would wipe all rows."""
+    from xsarsea_spark.suite import REGISTRY
+    from xsarsea_spark.testing.oracle import compare
+
+    import pandas as pd
+
+    pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha", "beta", "gamma"],
+        "lang": ["en"] * 3, "source": ["s"] * 3,
+        "n_chars": [5, 4, 5],
+    }).to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'")
+    q = REGISTRY["doc_bpe_encode"]
+    res = compare(q.spark(spark, str(tmp_path)), q.oracle,
+                  str(tmp_path), name="bpe_encode_pairless", con=con)
+    con.close()
+    assert res.ok, res.detail

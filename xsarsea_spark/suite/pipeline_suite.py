@@ -2487,9 +2487,15 @@ def _bpe_ctes(apply_last: bool) -> list[str]:
             f" COUNT(*) AS n FROM pr{r}"
             f" GROUP BY 1, 2 ORDER BY n DESC, lhs, rhs LIMIT 1)")
         if r < _BPE_MERGES - 1 or apply_last:
+            # LEFT JOIN ON TRUE, not a cross join: if a round finds
+            # NO pair (drift-shrunk corpus), the Spark loop breaks
+            # and leaves the corpus unchanged — the NULL lhs/rhs row
+            # makes occ empty and the rebuild CASE return t as-is,
+            # the exact same semantics (a cross join would instead
+            # wipe every row through the empty top-1)
             parts.append(
                 f"a{r} AS (SELECT doc_id, t, {o} AS o"
-                f" FROM t{r}, top{r} top)")
+                f" FROM t{r} LEFT JOIN top{r} top ON TRUE)")
             parts.append(
                 f"b{r} AS (SELECT doc_id, t, o, {kk} AS kk FROM a{r})")
             parts.append(
