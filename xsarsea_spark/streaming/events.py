@@ -516,8 +516,12 @@ def stream_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = _run_to_memory(agg, "update")
     from pyspark.sql.window import Window
 
+    # users whose every ts was NULL carry first_day NULL — drop them
+    # before the day window (Spark orders NULLS FIRST, DuckDB NULLS
+    # LAST, so a NULL day would skew cumulative sums cross-engine)
     daily = (
-        tbl.groupBy("user_id")
+        tbl.filter("first_day IS NOT NULL")
+        .groupBy("user_id")
         .agg(F.min("first_day").alias("first_day"))
         .groupBy(F.col("first_day").alias("day"))
         .agg(F.count(F.lit(1)).alias("new_users"))

@@ -1289,14 +1289,15 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 
 _GROWTH_ORACLE = f"""
-WITH fs AS (
+WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+fs AS (
   SELECT user_id,
     MIN({_US_DUCK} // 86400000000) AS first_day
-  FROM events GROUP BY user_id),
+  FROM ev GROUP BY user_id),
 act AS (
   SELECT ({_US_DUCK} // 86400000000) AS day, user_id,
     COUNT(*) AS n_events
-  FROM events GROUP BY 1, 2),
+  FROM ev GROUP BY 1, 2),
 daily AS (
   SELECT act.day,
     COUNT(*) AS active_users,
@@ -1324,7 +1325,10 @@ FROM daily
     tags=("events", "window"),
 )
 def q_events_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    # NULL-ts rows would put a NULL day into the cumulative window,
+    # where Spark orders NULLS FIRST but DuckDB NULLS LAST — exclude
+    # them up front so the day axis is NULL-free in both engines
+    ev = load(spark, sf_dir, "events").filter("ts IS NOT NULL")
     day = f"({_US_SPARK}) DIV 86400000000"
     fs = ev.groupBy("user_id").agg(
         F.expr(f"MIN({day})").alias("first_day"))
