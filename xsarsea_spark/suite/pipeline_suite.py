@@ -136,6 +136,76 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load(spark, sf_dir, "documents"))
 
 
+# ----------------------------------------------------------------------
+# Incremental dedup — the production shape: a NEW batch (doc_id in
+# the top 20% of the corpus) deduped against the HISTORICAL corpus's
+# digest set AND within itself. The historical side needs only its
+# distinct digests (the persisted fingerprint table of a real
+# pipeline), so the increment's cost is O(batch) + one digest
+# anti-join, never a recompute over history.
+# ----------------------------------------------------------------------
+
+_INC_FRAC = 0.8     # doc_id < ceil(max_id * frac) -> historical
+
+_INC_DEDUP_ORACLE = f"""
+WITH cut AS (
+  SELECT CAST(CEIL(MAX(doc_id) * {_INC_FRAC}) AS BIGINT) AS c
+  FROM documents),
+old_digests AS (
+  SELECT DISTINCT md5(text) AS digest FROM documents, cut
+  WHERE doc_id < cut.c),
+new_batch AS (
+  SELECT doc_id, md5(text) AS digest FROM documents, cut
+  WHERE doc_id >= cut.c),
+marked AS (
+  SELECT n.doc_id, n.digest,
+    n.digest IN (SELECT digest FROM old_digests) AS seen_in_old,
+    MIN(n.doc_id) OVER (PARTITION BY n.digest) = n.doc_id
+      AS first_in_new
+  FROM new_batch n)
+SELECT doc_id, digest, seen_in_old, first_in_new,
+  (first_in_new AND NOT seen_in_old) AS keep
+FROM marked
+"""
+
+
+@spec(
+    "exact_dedup_incremental",
+    _INC_DEDUP_ORACLE,
+    description="Incremental exact dedup: a new batch checked against "
+                "the historical digest set (left-semi mark join) and "
+                "within itself (min-id window) — O(batch) + one "
+                "digest join, no recompute over history",
+    tags=("pipeline", "dedup"),
+)
+def q_exact_dedup_incremental(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    cut = docs.agg(F.expr(
+        f"CAST(CEIL(MAX(doc_id) * {_INC_FRAC}) AS BIGINT)").alias("c"))
+    d = docs.crossJoin(F.broadcast(cut)).selectExpr(
+        "doc_id", "md5(text) AS digest", "c")
+    old_digests = (d.filter("doc_id < c")
+                   .select("digest").distinct()
+                   .withColumn("__old", F.lit(True)))
+    new_batch = d.filter("doc_id >= c").select("doc_id", "digest")
+    w = Window.partitionBy("digest")
+    return (
+        new_batch
+        .join(old_digests, on="digest", how="left")
+        .select(
+            "doc_id", "digest",
+            F.expr("coalesce(__old, false)").alias("seen_in_old"),
+            (F.min("doc_id").over(w) == F.col("doc_id"))
+            .alias("first_in_new"),
+        )
+        .withColumn("keep",
+                    F.expr("first_in_new AND NOT seen_in_old"))
+    )
+
+
 _FP_ORACLE = f"""
 WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l
            FROM documents)
