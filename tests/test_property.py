@@ -472,3 +472,68 @@ def test_gapfill_linear_semantics(spark):
     # 7 -> 1 over 3 steps
     assert out[("a", 6)] == (5.0, 1)
     assert out[("a", 7)] == (3.0, 1)
+
+
+def test_duplicate_spans_matches_bruteforce(spark):
+    """Randomized reference check: spans from the relational
+    gaps-and-islands plan == a direct Python scan (gram strings, no
+    hashing) over a small-vocab corpus engineered to share n-grams."""
+    import numpy as np
+
+    rng = np.random.default_rng(77)
+    vocab = [f"w{i}" for i in range(6)]
+    docs = [(i, " ".join(rng.choice(vocab, size=rng.integers(3, 30))))
+            for i in range(12)]
+    n = 3
+    grams: dict[str, set[int]] = {}
+    pos: dict[int, list[tuple[int, str]]] = {}
+    for did, text in docs:
+        toks = text.split(" ")
+        pos[did] = []
+        for p in range(len(toks) - n + 1):
+            g = " ".join(toks[p:p + n])
+            grams.setdefault(g, set()).add(did)
+            pos[did].append((p, g))
+    want = set()
+    for did, _ in docs:
+        dup = sorted(p for p, g in pos[did] if len(grams[g]) >= 2)
+        run: list[int] = []
+        for p in dup + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                want.add((did, run[0], run[-1] + n - 1,
+                          len(run), run[-1] + n - run[0]))
+                run = []
+            if p is not None:
+                run.append(p)
+    from xsarsea_spark.pipeline.text import duplicate_spans
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["doc_id"], r["span_start"], r["span_end"],
+            r["n_dup_grams"], r["span_tokens"])
+           for r in duplicate_spans(df, n=n).collect()}
+    assert got == want
+
+
+def test_skyline2d_matches_bruteforce(spark):
+    """Randomized reference check: the prefilter+window skyline ==
+    the quadratic dominance definition, with planted duplicates and
+    axis ties."""
+    import numpy as np
+
+    rng = np.random.default_rng(4242)
+    pts = [(int(i), float(rng.integers(0, 25)) / 2.0,
+            int(rng.integers(0, 25))) for i in range(200)]
+    pts += [(200 + i, pts[i][1], pts[i][2]) for i in range(10)]
+
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] >= p[2]
+            and (q[1] < p[1] or q[2] > p[2]) for q in pts)
+
+    want = {p[0] for p in pts if not dominated(p)}
+    from xsarsea_spark.operators.skyline import skyline2d
+
+    df = spark.createDataFrame(
+        pts, "id long, x double, y long").repartition(7)
+    got = {r["id"] for r in skyline2d(df, "x", "y").collect()}
+    assert got == want
