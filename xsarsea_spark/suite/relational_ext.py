@@ -588,3 +588,69 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.selectExpr("s AS src", "p AS dst"))
     return pagerank(edges, iters=_PR_ITERS,
                     damping=float(_PR_DAMP), dangling=False)
+
+
+# ----------------------------------------------------------------------
+# Incremental aggregate maintenance: a Q1-grain summary maintained as
+# BASE (shipped before the cutoff) + DELTA (the increment) partials,
+# merged by re-aggregating the partial rows — counts and DECIMAL sums
+# add, min/max fold — and value-checked against the full recompute.
+# This is the partial-aggregate mergeability contract every
+# incremental ETL / materialized-view pipeline depends on; exact
+# DECIMAL sums make the merge bit-equal to the one-shot aggregate
+# regardless of how the data was split.
+# ----------------------------------------------------------------------
+
+_INC_CUTOFF = "1997-01-01"
+
+_INC_MERGE_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  COUNT(*) AS count_order,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+    AS sum_base_price,
+  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@spec(
+    "q_incremental_agg_merge",
+    _INC_MERGE_SQL,
+    description="Incremental aggregate maintenance: base + delta "
+                "partial aggregates merged by re-aggregation "
+                "(counts/DECIMAL sums add, min/max fold) — bit-equal "
+                "to the one-shot recompute, the mergeability "
+                "contract of incremental ETL",
+    tags=("relational", "incremental"),
+)
+def q_incremental_agg_merge(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("count_order"),
+            F.expr("SUM(CAST(l_quantity AS DECIMAL(38,6)))")
+            .alias("__sq"),
+            F.expr("SUM(CAST(l_extendedprice AS DECIMAL(38,6)))")
+            .alias("__sp"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+
+    base = partial(li.filter(f"l_shipdate < DATE '{_INC_CUTOFF}'"))
+    delta = partial(li.filter(f"l_shipdate >= DATE '{_INC_CUTOFF}'"))
+    merged = base.unionByName(delta)
+    return (
+        merged.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr("SUM(count_order)").alias("count_order"),
+            F.expr("CAST(SUM(__sq) AS DOUBLE)").alias("sum_qty"),
+            F.expr("CAST(SUM(__sp) AS DOUBLE)")
+            .alias("sum_base_price"),
+            F.min("min_ship").alias("min_ship"),
+            F.max("max_ship").alias("max_ship"),
+        )
+    )
