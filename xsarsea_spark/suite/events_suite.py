@@ -1616,3 +1616,86 @@ def q_events_rank_stability(spark: SparkSession,
             .alias("footrule_dist"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Cohort LTV curves: cumulative per-user purchase value by weekly
+# cohort and week offset — retention's value-weighted sibling. Cell
+# sums are exact DECIMAL; the cumulative pass windows over OFFSETS
+# within a cohort (bounded by the observation span in weeks, never by
+# user or event count).
+# ----------------------------------------------------------------------
+
+_LTV_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, ({_US_DUCK} // {_WEEK_US}) AS week, value,
+    event_type
+  FROM events),
+c AS (
+  SELECT *, MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM e),
+cell AS (
+  SELECT cohort_week, week - cohort_week AS week_offset,
+    COUNT(DISTINCT user_id) AS n_users,
+    CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                  ELSE 0e0 END AS DECIMAL(38,6))) AS DOUBLE)
+      AS cell_value
+  FROM c GROUP BY 1, 2),
+sized AS (
+  SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_size
+  FROM c GROUP BY cohort_week)
+SELECT cell.cohort_week, week_offset, n_users, cell_value,
+  CAST(SUM(CAST(cell_value AS DECIMAL(38,6))) OVER (
+    PARTITION BY cell.cohort_week ORDER BY week_offset
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS cum_value,
+  CAST(SUM(CAST(cell_value AS DECIMAL(38,6))) OVER (
+    PARTITION BY cell.cohort_week ORDER BY week_offset
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / sized.cohort_size AS ltv_per_user
+FROM cell JOIN sized ON sized.cohort_week = cell.cohort_week
+"""
+
+
+@spec(
+    "events_cohort_ltv",
+    _LTV_ORACLE,
+    description="Cohort LTV curves: cumulative purchase value per "
+                "(weekly cohort, week offset) with per-user LTV — "
+                "exact DECIMAL cell sums, cumulative window over "
+                "offsets only (bounded by the span in weeks)",
+    tags=("events", "retention", "window"),
+)
+def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").selectExpr(
+        "user_id", f"({_US_SPARK}) DIV {_WEEK_US} AS week",
+        "value", "event_type")
+    w = Window.partitionBy("user_id")
+    c = ev.withColumn("cohort_week", F.min("week").over(w))
+    cell = (
+        c.groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.expr("CAST(SUM(CAST(CASE WHEN event_type = 'purchase'"
+                   " THEN value ELSE 0e0 END AS DECIMAL(38,6)))"
+                   " AS DOUBLE)").alias("cell_value"),
+        )
+    )
+    sized = c.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size"))
+    cw = Window.partitionBy("cohort_week").orderBy("week_offset") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.expr("CAST(SUM(CAST(cell_value AS DECIMAL(38,6)))"
+                 " OVER (PARTITION BY cohort_week ORDER BY week_offset"
+                 " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                 " AS DOUBLE)")
+    return (
+        cell.join(sized, on="cohort_week")
+        .select(
+            "cohort_week", "week_offset", "n_users", "cell_value",
+            cum.alias("cum_value"),
+            (cum / F.col("cohort_size")).alias("ltv_per_user"),
+        )
+    )

@@ -2629,3 +2629,65 @@ def q_doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bpe_encode(load(spark, sf_dir, "documents"),
                       n_merges=_BPE_MERGES)
+
+
+# ----------------------------------------------------------------------
+# Curriculum binning: quality-quartile assignment + per-bin token
+# budgets (the mixture table a curriculum/annealing schedule consumes).
+# ntile rides ONE window over (quality DESC, doc_id) — deterministic
+# tie-break, so bin membership is engine-identical even at equal
+# scores. The window orders O(docs) rows; the output is 4 rows.
+# ----------------------------------------------------------------------
+
+_CURR_QUALITY = """LEAST(GREATEST(
+    LEAST(n_tokens / 32e0, 1e0) * 5e-1
+    + (n_distinct / CAST(n_tokens AS DOUBLE)) * 4e-1
+    + LEAST(swr * 4e0, 1e0) * 1e-1, 0e0), 1e0)"""
+
+_CURRICULUM_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+           FROM documents),
+s AS (SELECT doc_id, len(l) AS n_tokens,
+        len(list_distinct(l)) AS n_distinct,
+        len(list_filter(l, x -> x = 'a' OR x = 'the'))
+          / CAST(len(l) AS DOUBLE) AS swr
+      FROM t),
+q AS (SELECT doc_id, n_tokens, {_CURR_QUALITY} AS quality FROM s),
+b AS (SELECT doc_id, n_tokens, quality,
+        NTILE(4) OVER (ORDER BY quality DESC, doc_id) AS bin
+      FROM q)
+SELECT bin, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS token_budget,
+  MIN(quality) AS min_quality, MAX(quality) AS max_quality
+FROM b GROUP BY bin
+"""
+
+
+@spec(
+    "doc_quality_curriculum",
+    _CURRICULUM_ORACLE,
+    description="Curriculum binning: quality quartiles via one "
+                "deterministic ntile window + per-bin token budgets "
+                "— the mixture table a training schedule consumes",
+    tags=("pipeline", "text", "sampling"),
+)
+def q_quality_curriculum(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from xsarsea_spark.pipeline.text import quality_score
+
+    q = quality_score(load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "quality")
+    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
+    b = q.withColumn("bin", F.ntile(4).over(w))
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("CAST(SUM(n_tokens) AS BIGINT)")
+            .alias("token_budget"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+    )

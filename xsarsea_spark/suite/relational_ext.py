@@ -654,3 +654,70 @@ def q_incremental_agg_merge(spark: SparkSession,
             F.max("max_ship").alias("max_ship"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Pareto (80/20) revenue concentration: suppliers ranked by revenue,
+# cumulative share, and the "needed to reach 80%" flag. Ranking and
+# cumulative sums ride ONE global window over the supplier-level
+# aggregate (O(suppliers) rows, not O(lineitem)); revenue sums are
+# exact DECIMAL so rank order and shares are engine-identical.
+# ----------------------------------------------------------------------
+
+_PARETO_SQL = f"""
+WITH r AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(({_REV}) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+    SUM(CAST(({_REV}) AS DECIMAL(38,6))) AS __d
+  FROM lineitem GROUP BY l_suppkey),
+t AS (SELECT CAST(SUM(__d) AS DOUBLE) AS total FROM r),
+w AS (
+  SELECT l_suppkey, revenue,
+    ROW_NUMBER() OVER (ORDER BY revenue DESC, l_suppkey) AS rnk,
+    CAST(SUM(__d) OVER (ORDER BY revenue DESC, l_suppkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      AS cum_rev
+  FROM r)
+SELECT l_suppkey, revenue, rnk,
+  cum_rev / t.total AS cum_share,
+  (cum_rev - revenue) / t.total < 0.8 AS in_top80
+FROM w, t
+"""
+
+
+@spec(
+    "q_supplier_pareto",
+    _PARETO_SQL,
+    description="Pareto 80/20 revenue concentration per supplier: "
+                "rank, cumulative share and the needed-to-reach-80% "
+                "flag over ONE window on the supplier aggregate "
+                "(O(suppliers) rows) — exact DECIMAL sums make rank "
+                "and shares engine-identical",
+    tags=("relational", "window"),
+)
+def q_supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_suppkey").agg(
+        F.expr(f"CAST(SUM(CAST(({_REV}) AS DECIMAL(38,6)))"
+               " AS DOUBLE)").alias("revenue"),
+        F.expr(f"SUM(CAST(({_REV}) AS DECIMAL(38,6)))").alias("__d"),
+    )
+    t = r.agg(F.expr("CAST(SUM(__d) AS DOUBLE)").alias("total"))
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_suppkey"))
+    cw = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        r.withColumn("rnk", F.row_number().over(w))
+        .withColumn("cum_rev",
+                    F.expr("CAST(SUM(__d) OVER (ORDER BY revenue DESC,"
+                           " l_suppkey ROWS BETWEEN UNBOUNDED"
+                           " PRECEDING AND CURRENT ROW) AS DOUBLE)"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "l_suppkey", "revenue", "rnk",
+            F.expr("cum_rev / total").alias("cum_share"),
+            F.expr("(cum_rev - revenue) / total < 0.8")
+            .alias("in_top80"),
+        )
+    )
