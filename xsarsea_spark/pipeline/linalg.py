@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 from xsarsea_spark.operators.exactsum import ExactSumSpec, exact_sum_agg
 
 __all__ = ["pca_power", "pca_state", "pca_project", "pca_topk",
-           "pca_whiten",
+           "pca_whiten", "pca_outliers",
            "power_init_sql", "power_step_sql",
            "norm_sql", "scale_sql", "rayleigh_sql", "deflate_sql",
            "MU_SCALE", "G_SCALE"]
@@ -534,3 +534,41 @@ def _topk_state(vecs: DataFrame, d: int, rounds: int, n_comp: int,
         _power_topk_kernel(d, rounds, n_comp),
         schema="component int, __u array<double>, __ev double")
     return st, mu_row
+
+
+def pca_outliers(
+    vecs: DataFrame,
+    d: int = 64,
+    rounds: int = 12,
+    n_comp: int = 3,
+    threshold: float = 9.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mahalanobis-style outlier scoring in the captured PCA
+    subspace: maha2 = sum over components of whitened^2 (each
+    whitened coordinate is unit-variance, so maha2 is chi^2-shaped
+    with ``n_comp`` degrees of freedom; the default threshold 9.0 is
+    3.0 per captured direction). Squared terms pass the QTRUNC
+    barrier and accumulate in DECIMAL, so the score — and therefore
+    the flag — is order-independent and engine-exact.
+
+    Scale: everything downstream of the whitening state is one
+    zero-exchange projection plus a per-vector hash agg over
+    ``n_comp`` rows.
+    """
+    w = pca_whiten(vecs, d=d, rounds=rounds, n_comp=n_comp,
+                   id_col=id_col, vec_col=vec_col)
+    # same floor-truncation barrier the suite's QTRUNC uses (whitened
+    # is O(1), so scale 9 stays far inside the exact BIGINT range);
+    # whitened^2 is never NaN for valid vectors, so no NaN branch
+    term = ("(CAST(FLOOR((whitened * whitened) * 1e9) AS DOUBLE)"
+            " / 1e9)")
+    return (
+        w.select(id_col, F.expr(term).alias("__t"))
+        .groupBy(id_col)
+        .agg(F.expr(
+            "CAST(SUM(CAST(__t AS DECIMAL(38,9))) AS DOUBLE)")
+            .alias("maha2"))
+        .withColumn("is_outlier", F.col("maha2") > F.lit(threshold))
+    )

@@ -2505,6 +2505,37 @@ def q_embedding_pca_whiten(spark: SparkSession,
                       d=_PCA_D, rounds=_PCA_ROUNDS, n_comp=_PCA_K)
 
 
+def _pca_outlier_oracle() -> str:
+    return f"""
+WITH w AS ({_pca_whiten_oracle()})
+SELECT vec_id,
+  CAST(SUM(CAST((CAST(FLOOR((whitened * whitened) * 1e9) AS DOUBLE)
+                 / 1e9) AS DECIMAL(38,9))) AS DOUBLE) AS maha2,
+  CAST(SUM(CAST((CAST(FLOOR((whitened * whitened) * 1e9) AS DOUBLE)
+                 / 1e9) AS DECIMAL(38,9))) AS DOUBLE) > 9.0
+    AS is_outlier
+FROM w GROUP BY vec_id
+"""
+
+
+@spec(
+    "embedding_pca_outliers",
+    _pca_outlier_oracle(),
+    description="Mahalanobis-style outlier score in the captured PCA "
+                "subspace: sum of squared unit-variance coordinates "
+                "(chi^2-shaped, threshold 3.0 per direction) — "
+                "quantized-then-DECIMAL so score AND flag are "
+                "engine-exact",
+    tags=("pipeline", "similarity", "iterative"),
+)
+def q_embedding_pca_outliers(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.linalg import pca_outliers
+
+    return pca_outliers(load(spark, sf_dir, "embeddings"),
+                        d=_PCA_D, rounds=_PCA_ROUNDS, n_comp=_PCA_K)
+
+
 # ----------------------------------------------------------------------
 # Distributed BPE merge training (Sennrich et al. 2016, word-level):
 # k rounds of (pair-count hash agg -> top-1 -> zero-exchange greedy
