@@ -1699,3 +1699,58 @@ def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cum / F.col("cohort_size")).alias("ltv_per_user"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Behavioral diversity: Shannon entropy of each user's event-type
+# distribution. Probabilities are exact integer ratios; each p*log2(p)
+# term passes the QTRUNC barrier and the per-user sum is DECIMAL —
+# order-independent and engine-exact. Two hash aggs, user keys only.
+# ----------------------------------------------------------------------
+
+
+def _entropy_term() -> str:
+    from xsarsea_spark.suite.base import QTRUNC
+
+    return QTRUNC(
+        "(c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))", 9)
+
+
+_ENTROPY_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+n AS (SELECT user_id, SUM(c) AS n, COUNT(*) AS n_types
+      FROM c GROUP BY user_id),
+t AS (
+  SELECT c.user_id, n.n_types, {_entropy_term()} AS term
+  FROM c JOIN n ON n.user_id = c.user_id)
+SELECT user_id, CAST(n_types AS BIGINT) AS n_types,
+  -CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE) AS entropy
+FROM t GROUP BY user_id, n_types
+"""
+
+
+@spec(
+    "events_user_entropy",
+    _ENTROPY_ORACLE,
+    description="Per-user Shannon entropy of the event-type "
+                "distribution (behavioral diversity): exact integer "
+                "ratios, QTRUNC'd log terms, DECIMAL sum — "
+                "engine-exact",
+    tags=("events", "stats"),
+)
+def q_events_user_entropy(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c"))
+    n = c.groupBy("user_id").agg(
+        F.expr("SUM(c)").alias("n"),
+        F.count(F.lit(1)).alias("n_types"))
+    t = c.join(n, on="user_id").selectExpr(
+        "user_id", "n_types", f"{_entropy_term()} AS term")
+    return t.groupBy("user_id", "n_types").agg(
+        F.expr("-CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE)")
+        .alias("entropy")).selectExpr(
+        "user_id", "CAST(n_types AS BIGINT) AS n_types", "entropy")

@@ -2722,3 +2722,69 @@ def q_quality_curriculum(spark: SparkSession,
             F.max("quality").alias("max_quality"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# N-gram novelty: for each document, the fraction of its 8-gram
+# positions whose gram is INTRODUCED by this document (no lower
+# doc_id contains it) — the temporal-freshness signal of a corpus
+# ingested in id order. Same hash-only wire as crossdup: the min
+# introducing doc per 40-bit gram hash, joined back on the hash key.
+# ----------------------------------------------------------------------
+
+_NOV_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+g AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(l) - {_XD_N} + 2),
+      i -> {_H40_DUCK.format(
+          x=f"array_to_string(l[i:i + {_XD_N} - 1], ' ')")}))
+      AS h
+  FROM t WHERE len(l) >= {_XD_N}),
+first AS (SELECT h, MIN(doc_id) AS introducer FROM g GROUP BY h)
+SELECT doc_id, COUNT(*) AS n_grams,
+  CAST(SUM(CASE WHEN introducer = doc_id THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_novel,
+  CAST(SUM(CASE WHEN introducer = doc_id THEN 1 ELSE 0 END)
+       AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM g JOIN first USING (h)
+GROUP BY doc_id
+"""
+
+
+@spec(
+    "doc_ngram_novelty",
+    _NOV_ORACLE,
+    description="Per-document n-gram novelty: fraction of 8-gram "
+                "positions first introduced by this doc (id-order "
+                "freshness signal) — hash-only wire, two shuffles on "
+                "the 40-bit gram key",
+    tags=("pipeline", "dedup", "text"),
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.text import _GRAM_CONCAT, HASH40_SQL
+
+    docs = load(spark, sf_dir, "documents")
+    gram = (
+        f"transform(sequence(1, size(__toks) - {_XD_N - 1}),"
+        f" i -> {HASH40_SQL.format(x=_GRAM_CONCAT.format(n=_XD_N))})"
+    )
+    grams = (
+        docs.withColumn("__toks", F.split(F.col("text"), " "))
+        .filter(F.expr(f"size(__toks) >= {_XD_N}"))
+        .select("doc_id", F.explode(F.expr(gram)).alias("__h"))
+    )
+    first = grams.groupBy("__h").agg(
+        F.min("doc_id").alias("introducer"))
+    return (
+        grams.join(first, on="__h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.expr("CAST(SUM(CASE WHEN introducer = doc_id THEN 1"
+                   " ELSE 0 END) AS BIGINT)").alias("n_novel"),
+        )
+        .withColumn("novelty",
+                    F.expr("n_novel / CAST(n_grams AS DOUBLE)"))
+    )
