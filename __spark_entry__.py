@@ -63,8 +63,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # events_rank_stability, exact_dedup_incremental,
 # q_incremental_agg_merge, events_cohort_ltv, q_supplier_pareto,
 # doc_quality_curriculum, embedding_pca_outliers,
-# events_user_entropy, doc_ngram_novelty — put them first in the
-# round-5 window.
+# events_user_entropy, doc_ngram_novelty, q_orders_backlog — put
+# them first in the round-5 window.
 _PRIORITY = [
     # sentinels: one per operator family, driver-green in round 3
     "q01_pricing_summary", "sigma0_detrend", "inversion_dualpol",

@@ -721,3 +721,64 @@ def q_supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("in_top80"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Open-order backlog: how many orders are in flight on each day an
+# order opens or completes — the classic concurrent-intervals query,
+# computed as +1/-1 boundary deltas and one running integer sum over
+# the DATE axis (bounded by the calendar, never by order count).
+# Completion = the order's last ship date.
+# ----------------------------------------------------------------------
+
+_BACKLOG_SQL = """
+WITH span AS (
+  SELECT o_orderkey, o_orderdate AS d0, MAX(l_shipdate) AS d1
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey, o_orderdate),
+delta AS (
+  SELECT d0 AS day, CAST(1 AS BIGINT) AS dlt FROM span
+  UNION ALL
+  SELECT d1 AS day, CAST(-1 AS BIGINT) AS dlt FROM span),
+daily AS (
+  SELECT day, SUM(dlt) AS net FROM delta GROUP BY day)
+SELECT day,
+  CAST(SUM(net) OVER (ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS open_orders,
+  CAST(net AS BIGINT) AS net_change
+FROM daily
+"""
+
+
+@spec(
+    "q_orders_backlog",
+    _BACKLOG_SQL,
+    description="Open-order backlog (concurrent intervals): +1/-1 "
+                "boundary deltas per order span, one running integer "
+                "sum over the date axis — bounded by the calendar, "
+                "never by order count",
+    tags=("relational", "window", "timeseries"),
+)
+def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    span = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("d1"))
+    )
+    delta = span.selectExpr(
+        "o_orderdate AS day", "CAST(1 AS BIGINT) AS dlt"
+    ).unionAll(span.selectExpr(
+        "d1 AS day", "CAST(-1 AS BIGINT) AS dlt"))
+    daily = delta.groupBy("day").agg(F.expr("SUM(dlt)").alias("net"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        F.sum("net").over(w).cast("bigint").alias("open_orders"),
+        F.col("net").cast("bigint").alias("net_change"),
+    )
