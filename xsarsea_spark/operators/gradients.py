@@ -206,8 +206,8 @@ def local_gradients(
     value_col: str = "sigma0",
     line_col: str = "line",
     sample_col: str = "sample",
-    tile: int = 512,
-    halo: int = 32,
+    tile: int | None = None,
+    halo: int | None = None,
 ) -> DataFrame:
     """Distributed local_gradients: the full stencil pyramid as ONE
     tile+halo ``applyInPandas`` pass.
@@ -218,8 +218,17 @@ def local_gradients(
 
     ``tile`` and ``halo`` must be multiples of 4 so per-tile coarsening
     aligns with the global grid. ``halo`` >= 18 covers the pyramid's
-    total stencil reach (B4+coarsen+B2 twice + Scharr).
+    total stencil reach (B4+coarsen+B2 twice + Scharr). Defaults read
+    from ``spark.xsarsea.gradients.{tile,halo}`` (512/32) so a cluster
+    deployment can size tiles to executor memory without code edits.
     """
+    from xsarsea_spark.engine import get_conf_int
+    if tile is None:
+        tile = get_conf_int(px.sparkSession,
+                            "spark.xsarsea.gradients.tile", 512)
+    if halo is None:
+        halo = get_conf_int(px.sparkSession,
+                            "spark.xsarsea.gradients.halo", 32)
     if tile % 4 or halo % 4:
         raise ValueError("tile and halo must be multiples of 4")
     work = _with_halo_tiles(
@@ -519,12 +528,20 @@ def filtering_parameters(
     value_col: str = "sigma0",
     line_col: str = "line",
     sample_col: str = "sample",
-    tile: int = 256,
-    halo: int = 48,
+    tile: int | None = None,
+    halo: int | None = None,
 ) -> DataFrame:
     """Distributed rain/texture mask: the whole Zhao-2021 chain fused
     into ONE tile+halo applyInPandas pass (halo 48 covers the deepest
-    stencil chain: R2 + Mean-of-G3 on the /4 grid)."""
+    stencil chain: R2 + Mean-of-G3 on the /4 grid). Defaults read from
+    ``spark.xsarsea.rainmask.{tile,halo}`` (256/48)."""
+    from xsarsea_spark.engine import get_conf_int
+    if tile is None:
+        tile = get_conf_int(px.sparkSession,
+                            "spark.xsarsea.rainmask.tile", 256)
+    if halo is None:
+        halo = get_conf_int(px.sparkSession,
+                            "spark.xsarsea.rainmask.halo", 48)
     if tile % 4 or halo % 4:
         raise ValueError("tile and halo must be multiples of 4")
     work = _with_halo_tiles(

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from xsarsea_spark.engine import materialize
+
 __all__ = ["pagerank", "pagerank_contrib_expr", "triangle_counts"]
 
 _Q = 12          # quantization decimals for each edge contribution
@@ -56,15 +58,14 @@ def pagerank(edges: DataFrame, iters: int = 5,
     runs execute as a single Spark job; ``checkpoint_every`` bounds
     lineage depth for long runs.
     """
-    nodes = (
+    nodes = materialize(
         edges.select(F.col(src).alias("node"))
         .unionAll(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     n = nodes.count()
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
-    g = edges.join(deg, on=src).localCheckpoint()
+    g = materialize(edges.join(deg, on=src))
     base = f"(1e0 - {damping}e0) / {n}e0"
     ranks = nodes.withColumn("rank", F.expr(f"1e0 / {n}e0"))
     for i in range(iters):
@@ -89,7 +90,7 @@ def pagerank(edges: DataFrame, iters: int = 5,
                 F.expr(f"{base} + {damping}e0 * in_sum")
                 .alias("rank"))
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            ranks = ranks.localCheckpoint()
+            ranks = materialize(ranks)
     return ranks
 
 

@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from xsarsea_spark.engine import materialize
+
 __all__ = ["bpe_train", "bpe_encode", "apply_merge_expr"]
 
 
@@ -115,10 +117,10 @@ def _bpe_rounds(docs: DataFrame, n_merges: int, text_col: str,
         a, b, n = top[0]["lhs"], top[0]["rhs"], top[0]["__n"]
         merges.append((rank, a, b, int(n)))
         if rank < n_merges - 1 or apply_last:
-            cur = cur.select(
+            cur = materialize(cur.select(
                 id_col,
                 F.expr(apply_merge_expr("__t", a, b)).alias("__t"),
-            ).localCheckpoint()
+            ))
     return cur, merges
 
 

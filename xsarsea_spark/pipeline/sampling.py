@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from xsarsea_spark.engine import get_conf_int, materialize
 from xsarsea_spark.pipeline.dedup import shingle
 
 __all__ = ["stratified_sample", "contamination_report",
@@ -120,13 +121,15 @@ def dup_components(pairs: DataFrame, max_rounds: int = 20,
     driver-side state, like Lloyd's centroids). Both paths produce the
     identical (doc_id, min-id) labeling.
     """
-    edges = (
+    local_threshold = get_conf_int(
+        pairs.sparkSession, "spark.xsarsea.components.localThreshold",
+        local_threshold)
+    edges = materialize(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(
             pairs.select(F.col(id_b).alias("src"),
                          F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
     if edges.count() <= local_threshold:
         return _dsu_components(
@@ -134,11 +137,10 @@ def dup_components(pairs: DataFrame, max_rounds: int = 20,
             pairs.sparkSession)
     # derive labels from the ALREADY-checkpointed edges so the
     # (possibly expensive) upstream pair computation runs exactly once
-    labels = (
+    labels = materialize(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(max_rounds):
         neigh = (
@@ -158,7 +160,7 @@ def dup_components(pairs: DataFrame, max_rounds: int = 20,
         parents = stepped.select(
             F.col("node").alias("p_node"),
             F.col("component").alias("p_comp"))
-        new_labels = (
+        new_labels = materialize(
             stepped.join(parents, stepped.component == parents.p_node,
                          "left")
             .select(
@@ -168,7 +170,6 @@ def dup_components(pairs: DataFrame, max_rounds: int = 20,
                     F.coalesce(F.col("p_comp"), F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

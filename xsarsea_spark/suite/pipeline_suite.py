@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from xsarsea_spark.engine import materialize
 from xsarsea_spark.pipeline.clustering import KM_SCALE
 from xsarsea_spark.pipeline.dedup import MINHASH_P, _BAND_MULT, _perm_params
 from xsarsea_spark.sources.tables import load
@@ -1395,8 +1396,7 @@ def q_dup_graph_triangles(spark: SparkSession,
     # (degrees, e1, e2, closing edge); checkpoint the tiny verified
     # pair set so the LSH candidate pipeline runs once, not four
     # times (the dup_components edge-materialization precedent)
-    return triangle_counts(pairs.select("id_a", "id_b")
-                           .localCheckpoint(),
+    return triangle_counts(materialize(pairs.select("id_a", "id_b")),
                            src="id_a", dst="id_b")
 
 
@@ -2018,8 +2018,8 @@ def q_embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: the assignment feeds BOTH sides of the pair
     # self-join — without it the full Lloyd's lineage (rounds of
     # argmin folds) is re-evaluated per side (measured ~2x the query).
-    asg = (kmeans_embeddings(corpus, k=k, rounds=_SD_ROUNDS)
-           .select("vec_id", "cluster").localCheckpoint())
+    asg = materialize(kmeans_embeddings(corpus, k=k, rounds=_SD_ROUNDS)
+                      .select("vec_id", "cluster"))
     nrm = corpus.select(
         "vec_id", F.col("embedding").alias("__v"),
         F.expr(norm_sql(lambda i: f"element_at(embedding, {i})",
