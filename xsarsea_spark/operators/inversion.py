@@ -61,9 +61,18 @@ def prepare_luts(
         lut = gmf_lut_numpy(co_model, axes)
         sig_db = 10.0 * np.log10(lut["sigma0"] + 1e-15)
         c = lut["coords"]
+        lut_db = np.ascontiguousarray(sig_db.transpose(1, 2, 0))
+        with np.errstate(invalid="ignore"):
+            # per-(wspd, incidence) sigma0 band over phi, for the
+            # coarse-search lower bound (NaN cells -> NaN band ->
+            # prune-safe: an all-NaN phi slice can never win anyway)
+            band_lo = np.nanmin(lut_db, axis=1)
+            band_hi = np.nanmax(lut_db, axis=1)
         out["co"] = {
             # (wspd, phi, incidence) contiguous like the reference kernel
-            "lut_db": np.ascontiguousarray(sig_db.transpose(1, 2, 0)),
+            "lut_db": lut_db,
+            "band_lo": band_lo,  # (wspd, incidence)
+            "band_hi": band_hi,
             "inc": c["incidence"],
             "wspd": c["wspd"],
             "phi": c["phi"],
@@ -105,13 +114,139 @@ def _nearest_idx(x: np.ndarray, x0: float, step: float, n: int) -> np.ndarray:
     return np.clip(i, 0, n - 1).astype(np.int64)
 
 
+def _copol_argmin(
+    co: dict,
+    phi_180: bool,
+    s0co: np.ndarray,
+    m_ant: np.ndarray,
+    m_azi: np.ndarray,
+    iis: np.ndarray,
+    dsig_co: float,
+    jbuf: np.ndarray,
+    tbuf: np.ndarray,
+    search: str,
+    stride: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-chunk copol cost argmin -> (wspd, phi); all inputs are
+    1-D vectors over the chunk's valid pixels.
+
+    Two search modes producing BIT-IDENTICAL results:
+
+    - ``exhaustive``: every (wspd, phi) cell, the wspd-blocked loop.
+    - ``coarse``: the reference's restricted-search idea
+      (``windspeed.py:220-276``) done as exact branch-and-bound. A
+      strided pass establishes a per-pixel cost bound jmin1; a wspd
+      is then skipped when, for EVERY pixel of the chunk, an analytic
+      lower bound on its cost exceeds jmin1. The bound sums two
+      terms, each a true lower bound of the evaluated cost:
+
+      * wind prior: ``((w - |anc|)/D)^2 <= Jwind(w, phi)`` for every
+        grid phi (the continuous-circle minimum);
+      * sigma0 band: per (w, incidence) the LUT's [min, max] over phi
+        is precomputed; if the pixel's s0 falls outside the band,
+        ``((nearest band edge - s0)/dsig)^2 <= Jsig(w, phi)``. With
+        the reference's dsig_co = 0.1 this cuts sharply: wspds whose
+        backscatter band can't reach the observed sigma0 cost
+        hundreds, and the surviving band of wspds is narrow.
+
+      Skipping is per-w over the whole chunk (union of per-pixel
+      live sets), never per-pixel — measured: per-w fancy indexing
+      cost more than it pruned. The caller sorts pixels by
+      (incidence index, s0) before chunking so per-pixel live sets
+      inside a chunk overlap tightly. A skipped wspd has J strictly
+      above the global minimum for every pixel, so it can neither
+      win nor steal the first-minimum tie-break; evaluating extra
+      wspds is exhaustive-identical by construction — the ascending
+      loop reproduces the exhaustive selection exactly (golden-tested
+      in tests/test_inversion_search.py). The 1e-9 relative margin
+      only UNDER-prunes (float slack), never changes results.
+    """
+    n_w, n_phi = co["lut_db"].shape[0], co["lut_db"].shape[1]
+    b = len(s0co)
+    rows = np.arange(b)
+
+    def eval_w(w: int, sub: np.ndarray):
+        # one wspd slice over the pixel subset ``sub``; in-place passes
+        # over the preallocated (n_phi, chunk) buffers with the same
+        # elementwise op order in both modes -> bit-identical values
+        m = len(sub)
+        j = jbuf[:, :m]
+        t = tbuf[:, :m]
+        np.subtract(co["u"][w][:, None], m_ant[sub][None, :], out=j)
+        j /= _D_ANTENNA
+        np.multiply(j, j, out=j)
+        np.subtract(co["v"][w][:, None], m_azi[sub][None, :], out=t)
+        t /= _D_AZI
+        np.multiply(t, t, out=t)
+        j += t
+        np.take(co["lut_db"][w], iis[sub], axis=1, out=t)
+        t -= s0co[sub][None, :]
+        t /= dsig_co
+        np.multiply(t, t, out=t)
+        j += t
+        p = np.argmin(j, axis=0)
+        return p, j[p, np.arange(m)]
+
+    # NaN-init: if a pixel's cost is NaN for EVERY wspd (a NaN
+    # anywhere in lut_db propagates through argmin), no update fires
+    jmin = np.full(b, np.inf)
+    wspd_co = np.full(b, np.nan)
+    phi_co = np.full(b, np.nan)
+
+    use_coarse = (
+        search == "coarse"
+        and _D_ANTENNA == _D_AZI  # the circle bound needs one D
+        and n_w > 2 * stride
+    )
+    if use_coarse:
+        # lower-bound matrix (n_w, b): wind prior + sigma0-band terms
+        mm = np.hypot(m_ant, m_azi)
+        lb = (co["wspd"][:, None] - mm[None, :]) / _D_ANTENNA
+        np.multiply(lb, lb, out=lb)
+        blo = co["band_lo"][:, iis]          # (n_w, b)
+        bhi = co["band_hi"][:, iis]
+        s0 = s0co[None, :]
+        gap = np.where(s0 < blo, blo - s0, np.where(s0 > bhi, s0 - bhi, 0.0))
+        gap /= dsig_co
+        np.multiply(gap, gap, out=gap)
+        lb += gap                             # NaN band -> NaN lb -> not live
+        jmin1 = np.full(b, np.inf)
+        for w in range(0, n_w, stride):
+            _, vmin = eval_w(w, rows)
+            np.fmin(jmin1, vmin, out=jmin1)  # fmin: NaN never lowers
+        thr = jmin1 * (1.0 + 1e-9) + 1e-12  # inf stays inf: no prune
+        # a wspd survives if ANY pixel's bound admits it; the winner
+        # for each pixel always survives (its lb <= its J <= jmin1 <
+        # thr), and an all-NaN-cost pixel (thr=inf) keeps every
+        # finite-bound wspd alive
+        live_w = np.flatnonzero((lb <= thr).any(axis=1))
+    else:
+        live_w = range(n_w)
+
+    for w in live_w:
+        p, vmin = eval_w(w, rows)
+        upd = vmin < jmin
+        if upd.any():
+            jmin[upd] = vmin[upd]
+            wspd_co[upd] = co["wspd"][w]
+            phi_co[upd] = co["phi"][p[upd]]
+    return wspd_co, phi_co
+
+
 def _invert_batch(
     pdf: pd.DataFrame,
     luts: dict,
     dsig_co: float,
     cols: dict,
-    chunk: int = 1024,
+    chunk: int | None = None,
+    search: str = "coarse",
+    stride: int = 16,
 ) -> pd.DataFrame:
+    # measured sweet spots (tests/test_inversion_search.py + PLANS.md):
+    # coarse wants small chunks (tighter per-chunk live-wspd unions),
+    # exhaustive wants big ones (amortize the per-wspd python loop)
+    if chunk is None:
+        chunk = 256 if search == "coarse" else 1024
     n = len(pdf)
     inc = pdf[cols["inc"]].to_numpy(dtype=np.float64, na_value=np.nan)
     out_co = np.full(n, np.nan, dtype=np.complex128)
@@ -131,61 +266,32 @@ def _invert_batch(
                           co["inc"][1] - co["inc"][0], len(co["inc"]))
         valid = ~np.isnan(inc) & ~np.isnan(s0co) & ~np.isnan(np.abs(anc))
         idx = np.flatnonzero(valid)
-        n_w = co["lut_db"].shape[0]
-        # wspd-blocked argmin: iterating the wspd axis keeps every
-        # temporary at (n_phi, chunk) — cache-resident — instead of
-        # materializing the full (n_wspd, n_phi, chunk) cost cube
-        # (~18 MB per 128 px at reference LUT steps, which made the
-        # kernel DRAM-bandwidth-bound at ~10x the compute cost).
-        # Identical arithmetic order ((antenna + azimuth) + sigma)
-        # and identical first-minimum tie-break (ascending wspd-major
-        # flat index), so results are bit-equal to the cube form.
+        if search == "coarse":
+            # sort pixels by (incidence index, s0) so the per-pixel
+            # live wspd sets inside each chunk overlap tightly
+            # (per-pixel results are order-independent; outputs
+            # scatter back through sel)
+            idx = idx[np.lexsort((s0co[idx], ii[idx]))]
+        # wspd-blocked argmin (see _copol_argmin): iterating the wspd
+        # axis keeps every temporary at (n_phi, chunk) — cache-resident
+        # — instead of materializing the full (n_wspd, n_phi, chunk)
+        # cost cube (~18 MB per 128 px at reference LUT steps, which
+        # made the kernel DRAM-bandwidth-bound at ~10x the compute
+        # cost). Identical arithmetic order and first-minimum
+        # tie-break, so results are bit-equal to the cube form.
         n_phi = co["lut_db"].shape[1]
         jbuf = np.empty((n_phi, chunk))
         tbuf = np.empty((n_phi, chunk))
         for s in range(0, len(idx), chunk):
             sel = idx[s: s + chunk]
-            b = len(sel)
-            m_ant = np.real(anc[sel])[None, :]
+            m_ant = np.real(anc[sel])
             m_azi = np.imag(anc[sel])
             if luts["phi_180"]:
                 m_azi = np.abs(m_azi)
-            m_azi = m_azi[None, :]
-            s0 = s0co[sel][None, :]
-            iis = ii[sel]
-            jmin = np.full(b, np.inf)
-            # NaN-init: if a pixel's cost is NaN for EVERY wspd block
-            # (a NaN anywhere in lut_db propagates through argmin),
-            # no update fires — np.empty would then leak
-            # uninitialized garbage into the output
-            wspd_co = np.full(b, np.nan)
-            phi_co = np.full(b, np.nan)
-            rows = np.arange(b)
-            j = jbuf[:, :b]
-            t = tbuf[:, :b]
-            for w in range(n_w):
-                # in-place passes over two preallocated (n_phi, b)
-                # buffers — same op order as the expression form
-                # ((x - m) / D) ** 2 term by term, so bit-identical
-                np.subtract(co["u"][w][:, None], m_ant, out=j)
-                j /= _D_ANTENNA
-                np.multiply(j, j, out=j)
-                np.subtract(co["v"][w][:, None], m_azi, out=t)
-                t /= _D_AZI
-                np.multiply(t, t, out=t)
-                j += t
-                np.take(co["lut_db"][w], iis, axis=1, out=t)
-                t -= s0
-                t /= dsig_co
-                np.multiply(t, t, out=t)
-                j += t
-                p = np.argmin(j, axis=0)
-                vmin = j[p, rows]
-                upd = vmin < jmin
-                if upd.any():
-                    jmin[upd] = vmin[upd]
-                    wspd_co[upd] = co["wspd"][w]
-                    phi_co[upd] = co["phi"][p[upd]]
+            wspd_co, phi_co = _copol_argmin(
+                co, luts["phi_180"], s0co[sel], m_ant, m_azi, ii[sel],
+                dsig_co, jbuf, tbuf, search, stride,
+            )
             sol = wspd_co * np.exp(1j * np.radians(phi_co))
             if luts["phi_180"]:
                 sol2 = wspd_co * np.exp(-1j * np.radians(phi_co))
@@ -268,13 +374,25 @@ def invert_from_model(
     lut_wspd_step: float = 0.2,
     lut_phi_step: float = 2.5,
     lut_cr_wspd_step: float = 0.1,
+    search: str | None = None,
 ) -> DataFrame:
     """Distributed wind inversion; returns keep_cols + wind (re, im) pairs.
 
     Input sigma0 columns are LINEAR; dB conversion (with the reference's
     1e-15 clamp) happens inside the plan before the kernel.
+
+    ``search`` picks the copol argmin strategy: ``"coarse"`` (default;
+    exact branch-and-bound, bit-identical to exhaustive — see
+    ``_copol_argmin``) or ``"exhaustive"``. Defaults from
+    ``spark.xsarsea.inversion.search``; the coarse stride from
+    ``spark.xsarsea.inversion.coarseStride`` (8).
     """
+    from xsarsea_spark.engine import get_conf, get_conf_int
+
     spark = px.sparkSession
+    if search is None:
+        search = get_conf(spark, "spark.xsarsea.inversion.search", "coarse")
+    stride = get_conf_int(spark, "spark.xsarsea.inversion.coarseStride", 8)
     luts = prepare_luts(
         co_model,
         cr_model,
@@ -316,6 +434,7 @@ def invert_from_model(
 
     def gen(batches):
         for pdf in batches:
-            yield _invert_batch(pdf, b_luts.value, dsig_co, cols)
+            yield _invert_batch(pdf, b_luts.value, dsig_co, cols,
+                                search=search, stride=stride)
 
     return work.mapInPandas(gen, schema=schema)
