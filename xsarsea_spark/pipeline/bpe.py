@@ -88,12 +88,28 @@ def apply_merge_expr(col: str, a: str, b: str) -> str:
 
 
 def _bpe_rounds(docs: DataFrame, n_merges: int, text_col: str,
-                id_col: str, apply_last: bool
+                id_col: str, apply_last: bool,
+                sample_frac: float | None = None,
                 ) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
     """Shared training loop: returns (final tokenized corpus, merge
     list). ``apply_last`` controls whether the last learned merge is
     also applied to the corpus (encode needs it; train's merge table
-    does not, saving one checkpointed rebuild)."""
+    does not, saving one checkpointed rebuild).
+
+    ``sample_frac`` (default: exact, or ``spark.xsarsea.bpe.sampleFrac``
+    if set) is the 100-TB knob: with ``0 < frac < 1``, pair counting
+    after the FIRST round runs on a deterministic Bernoulli sample of
+    the corpus — the shape production tokenizer trainers use, since
+    top-pair ranks stabilize after the early rounds while each exact
+    round still scans the full corpus. Round 1 always counts exactly
+    (it fixes the highest-impact merge), merge APPLICATION always
+    rewrites the full corpus (the encode output must be exact), and
+    the default path stays exact for the DuckDB oracle.
+    """
+    if sample_frac is None:
+        from xsarsea_spark.engine import get_conf
+        sample_frac = float(get_conf(
+            docs.sparkSession, "spark.xsarsea.bpe.sampleFrac", "1.0"))
     cur = (
         docs.filter(F.col(text_col).isNotNull())
         .selectExpr(id_col, f"split({text_col}, ' ') AS __t")
@@ -101,7 +117,10 @@ def _bpe_rounds(docs: DataFrame, n_merges: int, text_col: str,
     )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
-        pairs = cur.filter("size(__t) >= 2").select(F.explode(F.expr(
+        src = cur
+        if 0.0 < sample_frac < 1.0 and rank > 0:
+            src = cur.sample(fraction=sample_frac, seed=rank)
+        pairs = src.filter("size(__t) >= 2").select(F.explode(F.expr(
             "transform(sequence(1, size(__t) - 1), p ->"
             " named_struct('lhs', element_at(__t, p),"
             " 'rhs', element_at(__t, p + 1)))")).alias("__p"))
@@ -126,11 +145,13 @@ def _bpe_rounds(docs: DataFrame, n_merges: int, text_col: str,
 
 def bpe_train(docs: DataFrame, n_merges: int = 4,
               text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
+              id_col: str = "doc_id",
+              sample_frac: float | None = None) -> DataFrame:
     """Learn ``n_merges`` BPE merges; returns the merge table
-    (merge_rank, lhs, rhs, pair_count)."""
+    (merge_rank, lhs, rhs, pair_count). ``sample_frac`` < 1 counts
+    pairs on a corpus sample after round 1 (see ``_bpe_rounds``)."""
     _, merges = _bpe_rounds(docs, n_merges, text_col, id_col,
-                            apply_last=False)
+                            apply_last=False, sample_frac=sample_frac)
     return docs.sparkSession.createDataFrame(
         merges,
         schema="merge_rank int, lhs string, rhs string,"
@@ -139,7 +160,8 @@ def bpe_train(docs: DataFrame, n_merges: int = 4,
 
 def bpe_encode(docs: DataFrame, n_merges: int = 4,
                text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id",
+               sample_frac: float | None = None) -> DataFrame:
     """Train ``n_merges`` merges AND apply them all: per document the
     raw/encoded token counts, the compression ratio, and an md5
     digest of the encoded token stream (tokens joined on chr(31),
@@ -152,7 +174,7 @@ def bpe_encode(docs: DataFrame, n_merges: int = 4,
     training, not a second pass over the merges.
     """
     cur, _ = _bpe_rounds(docs, n_merges, text_col, id_col,
-                         apply_last=True)
+                         apply_last=True, sample_frac=sample_frac)
     # raw count recovered from the encoded stream itself (a merged
     # token expands to its space-separated word count) — no join back
     # to the source, no second corpus scan
