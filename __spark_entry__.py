@@ -72,13 +72,15 @@ _PRIORITY = [
     "events_ewma", "events_user_growth", "events_ab_ttest",
     "events_stream_growth", "events_type_correlation",
     "events_rank_stability", "events_cohort_ltv", "events_user_entropy",
+    # round-5 addition, never driver-checked
+    "curated_table_maintain",
     # sentinels: one per operator family, driver-green in prior rounds
     "q01_pricing_summary", "sigma0_detrend", "inversion_dualpol",
     "gradient_histogram", "streaks_full", "lut_interp",
     "nesz_flattening", "rain_mask_filtering", "streak_direction",
     "available_models", "lut_step_inference", "angle_conventions",
     "gmf_eval_family", "events_asof_join", "minhash_lsh_neardup",
-    "embedding_kmeans", "embedding_semdedup", "ivf_ann", "pq_ann",
+    "embedding_kmeans", "embedding_semdedup", "ivf_ann",
     "events_stream_sessionize", "events_stream_user_stats",
     "graph_pagerank", "multimodal_features",
 ]

@@ -196,3 +196,35 @@ def test_write_zordered_roundtrip(spark, tmp_path):
     # each file covers a small rectangle of the 64x64 grid, far under
     # the full plane a value-ordered split would smear across
     assert max(r.area for r in spans) <= 1024
+
+
+def test_write_zordered_append_batch(spark, tmp_path):
+    """Append mode adds a z-clustered batch without touching existing
+    files: content is the union, and the appended batch's files are
+    tight key rectangles too (per-ingest OPTIMIZE shape)."""
+    from pyspark.sql import functions as F
+
+    from xsarsea_spark.sources.sinks import write_zordered
+
+    df = spark.range(4096).selectExpr(
+        "id % 64 AS x", "id DIV 64 AS y", "id AS payload")
+    out = str(tmp_path / "zorder_append")
+    write_zordered(df.filter("payload < 2048"), out, ["x", "y"],
+                   bits=6, n_files=8)
+    first_files = {r.f for r in spark.read.parquet(out).select(
+        F.input_file_name().alias("f")).distinct().collect()}
+    write_zordered(df.filter("payload >= 2048"), out, ["x", "y"],
+                   bits=6, n_files=8, mode="append")
+    back = spark.read.parquet(out)
+    assert {r.payload for r in back.collect()} == set(range(4096))
+    # existing files untouched by the append
+    assert first_files < {r.f for r in back.select(
+        F.input_file_name().alias("f")).distinct().collect()}
+    spans = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(((F.max("x") - F.min("x") + 1)
+              * (F.max("y") - F.min("y") + 1)).alias("area"))
+        .collect()
+    )
+    assert max(r.area for r in spans) <= 1024

@@ -76,14 +76,17 @@ def zorder_sql(cols: list[str], bits: int = 16) -> str:
 
 
 def write_zordered(df: DataFrame, path: str, zcols: list[str],
-                   bits: int = 16, n_files: int = 200) -> None:
+                   bits: int = 16, n_files: int = 200,
+                   mode: str = "overwrite") -> None:
     """Cluster files along the Z-curve of ``zcols``: range-partition
     on the interleaved key (sampled split points, no global sort),
     sort within partitions, drop the key. Each output file then covers
     a tight hyper-rectangle of the key space -> min/max skipping on
-    every z column."""
+    every z column. ``mode='append'`` adds a new z-clustered batch to
+    an existing table (per-batch clustering, the OPTIMIZE-per-ingest
+    maintenance shape)."""
     keyed = df.withColumn("__z", F.expr(zorder_sql(zcols, bits)))
     (keyed.repartitionByRange(n_files, "__z")
           .sortWithinPartitions("__z")
           .drop("__z")
-          .write.mode("overwrite").parquet(path))
+          .write.mode(mode).parquet(path))

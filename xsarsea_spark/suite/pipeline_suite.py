@@ -2788,3 +2788,96 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("novelty",
                     F.expr("n_novel / CAST(n_grams AS DOUBLE)"))
     )
+
+
+# ----------------------------------------------------------------------
+# Maintain a curated z-ordered warehouse table END-TO-END: curate
+# (exact dedup + length gate) -> write batch 1 via write_zordered ->
+# ingest batch 2 incrementally (anti-join against the MATERIALIZED
+# table, then z-clustered append) -> read the table back and profile
+# it. The oracle replays the curation + profile on the source alone,
+# so the value match certifies the whole write/append/read cycle
+# preserved content exactly. The layout property itself (each file a
+# tight hyper-rectangle of the key space) is pytest-asserted in
+# tests/test_sources.py; sinks.py docstring covers why this is the
+# 100-TB maintenance shape (per-ingest OPTIMIZE ZORDER clustering).
+# ----------------------------------------------------------------------
+
+_CUR_BITS, _CUR_SHIFT, _CUR_MINCHARS = 13, 10, 50
+
+
+def _curated_maintain_oracle() -> str:
+    from xsarsea_spark.sources.sinks import zorder_sql
+
+    z = zorder_sql(["n_chars", "doc_id"], bits=_CUR_BITS)
+    return f"""
+WITH curated AS (
+  SELECT doc_id, lang, n_chars FROM (
+    SELECT d.*, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) AS rn
+    FROM documents d
+    WHERE text IS NOT NULL AND n_chars >= {_CUR_MINCHARS}) t
+  WHERE rn = 1)
+SELECT (({z}) >> {_CUR_SHIFT}) AS zbucket,
+  COUNT(*) AS n_docs,
+  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+  COUNT(DISTINCT lang) AS n_langs
+FROM curated GROUP BY 1
+"""
+
+
+@spec(
+    "curated_table_maintain",
+    _curated_maintain_oracle(),
+    description="End-to-end curated-table maintenance: exact-dedup "
+                "curation, z-ordered parquet write, incremental "
+                "anti-join append of the next batch, read-back "
+                "profile — value-equal to replaying the curation on "
+                "the source, certifying the write/append/read cycle",
+    tags=("pipeline", "layout", "sink"),
+)
+def q_curated_table_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from xsarsea_spark.sources.sinks import write_zordered, zorder_sql
+
+    docs = load(spark, sf_dir, "documents")
+    wmd5 = Window.partitionBy(F.expr("md5(text)")).orderBy("doc_id")
+    curated = (
+        docs.filter(F.expr(f"text IS NOT NULL"
+                           f" AND n_chars >= {_CUR_MINCHARS}"))
+        .withColumn("__rn", F.row_number().over(wmd5))
+        .filter("__rn = 1")
+        .select("doc_id", "lang", "n_chars")
+    )
+    base = ("/tmp/xsarsea_curated_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    shutil.rmtree(base, ignore_errors=True)  # fresh maintenance cycle
+    zcols = ["n_chars", "doc_id"]
+    # batch 1: two thirds of the corpus; batch 2: the full curated set,
+    # deduplicated against the MATERIALIZED table by anti-join (the
+    # incremental-ingest shape: O(delta) join, not a recompute)
+    write_zordered(curated.filter("doc_id % 3 > 0"), base, zcols,
+                   bits=_CUR_BITS, n_files=8)
+    existing = spark.read.parquet(base).select("doc_id")
+    delta = curated.join(existing, on="doc_id", how="left_anti")
+    write_zordered(delta, base, zcols, bits=_CUR_BITS, n_files=4,
+                   mode="append")
+    back = spark.read.parquet(base)
+    z = zorder_sql(zcols, bits=_CUR_BITS)
+    return (
+        back.withColumn("zbucket", F.expr(f"({z}) >> {_CUR_SHIFT}"))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
