@@ -72,8 +72,8 @@ _PRIORITY = [
     "events_ewma", "events_user_growth", "events_ab_ttest",
     "events_stream_growth", "events_type_correlation",
     "events_rank_stability", "events_cohort_ltv", "events_user_entropy",
-    # round-5 addition, never driver-checked
-    "curated_table_maintain",
+    # round-5 additions, never driver-checked
+    "curated_table_maintain", "multimodal_jpeg_roundtrip",
     # sentinels: one per operator family, driver-green in prior rounds
     "q01_pricing_summary", "sigma0_detrend", "inversion_dualpol",
     "gradient_histogram", "streaks_full", "lut_interp",
@@ -82,7 +82,7 @@ _PRIORITY = [
     "gmf_eval_family", "events_asof_join", "minhash_lsh_neardup",
     "embedding_kmeans", "embedding_semdedup", "ivf_ann",
     "events_stream_sessionize", "events_stream_user_stats",
-    "graph_pagerank", "multimodal_features",
+    "graph_pagerank",
 ]
 
 

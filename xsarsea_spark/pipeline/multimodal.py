@@ -109,16 +109,20 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatch on magic bytes: P6 PPM and 24-bit BMP decode
-    dependency-free; anything else needs an imaging library
-    (Pillow/cv2) that this environment does not ship."""
+    """Dispatch on magic bytes: P6 PPM, 24-bit BMP, and baseline JPEG
+    decode dependency-free (see ``pipeline/jpeg.py`` for the JPEG
+    codec); anything else (PNG, progressive JPEG, video containers)
+    needs an imaging library that this environment does not ship."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        from xsarsea_spark.pipeline.jpeg import decode_jpeg
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"no dependency-free decoder for magic {payload[:2]!r}; "
-        "compressed formats require an imaging library"
+        "this format requires an imaging library"
     )
 
 

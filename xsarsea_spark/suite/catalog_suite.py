@@ -311,3 +311,95 @@ def q_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return ahash_features(attach_image_payload(docs))
+
+
+# ----------------------------------------------------------------------
+# JPEG codec end-to-end under the driver gate: the Arrow kernel builds
+# a deterministic smooth image per doc (dims and knobs derived from
+# doc_id), round-trips it through the dependency-free baseline JPEG
+# codec (pipeline/jpeg.py) across quality levels, 4:4:4/4:2:0
+# subsampling and restart-marker framing, and emits only
+# SQL-predictable facts: the decoded dimensions (proves SOF parse +
+# MCU-padding crop), that the payload really is a JFIF stream smaller
+# than raw, and that decode error stays inside the quantization
+# budget. Exact pixel values are codec-lossy so they live in
+# tests/test_jpeg.py; the oracle here pins the structural contract.
+# ----------------------------------------------------------------------
+
+_JPG_CAP = 200          # python-loop Huffman: bound the per-sf row count
+_JPG_TOL_MAX, _JPG_TOL_MEAN = 24.0, 6.0
+
+
+def _jpeg_roundtrip_oracle() -> str:
+    return f"""
+SELECT doc_id,
+  CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS width,
+  CAST(16 + (doc_id * 11) % 40 AS BIGINT) AS height,
+  TRUE AS is_jfif,
+  TRUE AS compressed,
+  TRUE AS fidelity_ok
+FROM documents WHERE doc_id < {_JPG_CAP}
+"""
+
+
+@spec(
+    "multimodal_jpeg_roundtrip",
+    _jpeg_roundtrip_oracle(),
+    description="Baseline JPEG codec (pure NumPy, tables read from "
+                "the stream) round-tripped in the Arrow kernel over "
+                "quality/subsampling/restart variants; decoded dims, "
+                "JFIF framing and quantization-budget fidelity are "
+                "value-checked against the doc_id formulas",
+    tags=("pipeline", "multimodal", "jpeg"),
+)
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("is_jfif", T.BooleanType()),
+        T.StructField("compressed", T.BooleanType()),
+        T.StructField("fidelity_ok", T.BooleanType()),
+    ])
+
+    def kernel(batches):
+        import numpy as np
+
+        from xsarsea_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                w = 16 + (did * 7) % 48
+                h = 16 + (did * 11) % 40
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.clip(np.stack([
+                    128 + 60 * np.sin(xx / 9 + did % 13)
+                    + 40 * np.cos(yy / 7),
+                    100 + 2.0 * xx - 1.0 * yy,
+                    80 + 50 * np.cos((xx + yy) / 11),
+                ], axis=-1), 0, 255).astype(np.uint8)
+                enc = encode_jpeg(
+                    img,
+                    quality=85 + (did % 3) * 5,
+                    subsample="420" if did % 2 else "444",
+                    restart=2 if did % 5 == 0 else 0,
+                )
+                dec = decode_jpeg(enc)
+                err = np.abs(dec.astype(np.int64) - img.astype(np.int64))
+                rows.append((
+                    did, dec.shape[1], dec.shape[0],
+                    enc[:2] == b"\xff\xd8" and enc[6:10] == b"JFIF",
+                    len(enc) < img.nbytes,
+                    bool(err.max() <= _JPG_TOL_MAX
+                         and err.mean() <= _JPG_TOL_MEAN),
+                ))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _JPG_CAP).select("doc_id")
+    return docs.mapInPandas(kernel, schema)
