@@ -66,8 +66,9 @@ def test_bmp_and_ppm_decode_to_identical_pixels():
 
 
 def test_unknown_magic_raises():
+    # GIF remains unsupported (PNG/JPEG now decode dependency-free)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n....")
+        decode_image(b"GIF89a....")
 
 
 def test_unsupported_variants_raise():

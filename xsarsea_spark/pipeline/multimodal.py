@@ -6,13 +6,14 @@ metadata lives in a struct column so Parquet keeps it columnar and
 prunable.
 
 Decode: this environment ships no imaging library, so
-:func:`decode_image` implements two simple PUBLIC uncompressed
-formats dependency-free — binary PPM (P6, Netpbm spec: magic +
-whitespace/comment-separated dims + maxval + raster) and 24-bit
-uncompressed BMP (BITMAPFILEHEADER/BITMAPINFOHEADER, BGR pixels,
-4-byte-padded rows stored bottom-up) — both returning an
-(h, w, 3) uint8 RGB array. Compressed formats (JPEG/PNG/...) still
-raise with a clear message; swap in Pillow/cv2 in production.
+:func:`decode_image` dispatches to dependency-free PUBLIC-spec
+decoders — binary PPM (P6, Netpbm spec: magic + whitespace/comment-
+separated dims + maxval + raster), 24-bit uncompressed BMP
+(BITMAPFILEHEADER/BITMAPINFOHEADER, BGR pixels, 4-byte-padded rows
+stored bottom-up), baseline JPEG (``pipeline/jpeg.py``, tables read
+from the stream) and PNG (``pipeline/png.py``, stdlib zlib +
+unfilter) — all returning an (h, w, 3) uint8 RGB array. Remaining
+formats (GIF, WebP, video containers) raise with a clear message.
 """
 
 from __future__ import annotations
@@ -120,6 +121,9 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:2] == b"\xff\xd8":
         from xsarsea_spark.pipeline.jpeg import decode_jpeg
         return decode_jpeg(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from xsarsea_spark.pipeline.png import decode_png
+        return decode_png(payload)
     raise NotImplementedError(
         f"no dependency-free decoder for magic {payload[:2]!r}; "
         "this format requires an imaging library"
