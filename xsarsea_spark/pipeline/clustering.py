@@ -45,9 +45,61 @@ __all__ = ["kmeans_embeddings", "KM_SCALE"]
 KM_SCALE = 9
 
 # Assignment layout split: codegen'd unrolled distance columns up to
-# this k (fastest at small k), the constant-codegen argmin fold above
-# it (required for sqrt(n)-sized k). Same arithmetic either way.
+# this k (fastest at small k), an Arrow/NumPy kernel above it
+# (required for sqrt(n)-sized k). Same arithmetic either way.
 _UNROLL_K_MAX = 8
+
+
+def _assign_arrow(base: DataFrame, centroids: dict[int, list[float]],
+                  id_col: str):
+    """Large-k assignment as an Arrow kernel, BIT-IDENTICAL to the
+    SQL fold paths:
+
+    - distance accumulates dimension-by-dimension left-to-right
+      (``acc += (x_d - c_d)^2`` over a python loop on the dim axis),
+      the exact op order of ``aggregate(zip_with(...))`` and of the
+      oracle's ``list_reduce(list_transform(...))``;
+    - argmin scans centroids in ascending cluster id keeping the
+      strict first minimum (``np.argmin``), the fold's
+      ``IF(dd < a.d, ...)`` tie-break.
+
+    Replaces the interpreted ``_argmin_expr`` lambda fold, which was
+    the measured residual cost of embedding_semdedup (the per-row
+    per-centroid lambda interpretation); the kernel is vectorized
+    over rows AND centroids with only the dim loop in python.
+    ``_argmin_expr`` is kept as the pure-SQL twin (plan-portable,
+    used by tests to pin kernel/SQL bit-equality).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    keys = sorted(centroids)
+    cmat = np.asarray([centroids[c] for c in keys], dtype=np.float64)
+    kid = np.asarray(keys, dtype=np.int64)
+    schema = T.StructType([
+        base.schema[id_col],
+        T.StructField("__v", T.ArrayType(T.DoubleType())),
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("dist2", T.DoubleType()),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.asarray(list(pdf["__v"]), dtype=np.float64)
+            acc = np.zeros((len(v), len(keys)))
+            for d in range(v.shape[1]):       # dim-sequential like the fold
+                diff = v[:, d, None] - cmat[None, :, d]
+                acc += diff * diff
+            pos = np.argmin(acc, axis=1)      # first min, ascending id
+            out = pdf[[id_col, "__v"]].copy()
+            out["cluster"] = kid[pos].astype(np.int32)
+            out["dist2"] = acc[np.arange(len(v)), pos]
+            yield out
+
+    return base.mapInPandas(kernel, schema)
 
 
 def _dist_expr(vec_col: str, centroid: list[float]) -> str:
@@ -147,12 +199,7 @@ def kmeans_embeddings(
             assigned = work.withColumn("cluster", cl).withColumn(
                 "dist2", mincol)
         else:
-            assigned = (
-                base.withColumn(
-                    "__am", F.expr(_argmin_expr("__v", centroids)))
-                .withColumn("cluster", F.col("__am.c"))
-                .withColumn("dist2", F.col("__am.d"))
-            )
+            assigned = _assign_arrow(base, centroids, id_col)
         if rnd == rounds - 1:
             break  # output is the final assignment; no wasted update
         upd = (
