@@ -66,9 +66,10 @@ def test_bmp_and_ppm_decode_to_identical_pixels():
 
 
 def test_unknown_magic_raises():
-    # GIF remains unsupported (PNG/JPEG now decode dependency-free)
+    # WebP remains unsupported (PPM/BMP/JPEG/PNG/GIF decode
+    # dependency-free)
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a....")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_unsupported_variants_raise():

@@ -124,6 +124,9 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from xsarsea_spark.pipeline.png import decode_png
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from xsarsea_spark.pipeline.gif import decode_gif
+        return decode_gif(payload)
     raise NotImplementedError(
         f"no dependency-free decoder for magic {payload[:2]!r}; "
         "this format requires an imaging library"

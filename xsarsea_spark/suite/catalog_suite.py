@@ -403,3 +403,85 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _JPG_CAP).select("doc_id")
     return docs.mapInPandas(kernel, schema)
+
+
+# ----------------------------------------------------------------------
+# GIF animation round-trip under the driver gate: per doc the kernel
+# builds a deterministic multi-frame palette animation (frame count,
+# dims, palette all doc_id formulas), encodes it with the pure-python
+# LZW writer, decodes + composites it back, and evenly samples k
+# frames — GIF is palette-exact, so unlike the lossy JPEG twin the
+# oracle pins EXACT losslessness (every decoded frame bit-equal), and
+# the sampled-frame count follows the min(k, n_frames) closed form.
+# ----------------------------------------------------------------------
+
+_GIF_CAP = 150
+_GIF_K = 3
+
+
+def _gif_roundtrip_oracle() -> str:
+    return f"""
+SELECT doc_id,
+  CAST(8 + (doc_id * 5) % 24 AS BIGINT) AS width,
+  CAST(8 + (doc_id * 3) % 16 AS BIGINT) AS height,
+  CAST(1 + doc_id % 6 AS BIGINT) AS n_frames,
+  CAST(LEAST(1 + doc_id % 6, {_GIF_K}) AS BIGINT) AS n_sampled,
+  TRUE AS lossless
+FROM documents WHERE doc_id < {_GIF_CAP}
+"""
+
+
+@spec(
+    "multimodal_gif_frames",
+    _gif_roundtrip_oracle(),
+    description="Animated GIF codec (pure-python LZW, compositing, "
+                "frame sampling) round-tripped in the Arrow kernel; "
+                "frame count, dims, sample count and EXACT "
+                "losslessness are value-checked against doc_id "
+                "formulas",
+    tags=("pipeline", "multimodal", "gif"),
+)
+def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_sampled", T.LongType()),
+        T.StructField("lossless", T.BooleanType()),
+    ])
+
+    def kernel(batches):
+        import numpy as np
+
+        from xsarsea_spark.pipeline.gif import (decode_gif_frames,
+                                                encode_gif,
+                                                sample_frames)
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].astype("int64"):
+                did = int(did)
+                w = 8 + (did * 5) % 24
+                h = 8 + (did * 3) % 16
+                nf = 1 + did % 6
+                rng = np.random.default_rng(did)
+                pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+                frames = [rng.integers(0, 64, (h, w), dtype=np.uint8)
+                          for _ in range(nf)]
+                enc = encode_gif(frames, pal)
+                dec = decode_gif_frames(enc)
+                lossless = len(dec) == nf and all(
+                    np.array_equal(d, pal[f])
+                    for f, d in zip(frames, dec))
+                samp = sample_frames(enc, _GIF_K)
+                rows.append((did, dec[0].shape[1], dec[0].shape[0],
+                             len(dec), len(samp), bool(lossless)))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _GIF_CAP).select("doc_id")
+    return docs.mapInPandas(kernel, schema)
