@@ -1,0 +1,68 @@
+"""Decoder robustness: every truncation and random bit flip of a
+valid JPEG/PNG/GIF stream must either decode or raise the clean
+codec contract (ValueError / NotImplementedError) — never a raw
+IndexError/KeyError/zlib.error/struct.error out of parser internals,
+which at corpus scale would crash a task instead of letting the
+pipeline quarantine the payload."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from xsarsea_spark.pipeline.gif import decode_gif, encode_gif
+from xsarsea_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+from xsarsea_spark.pipeline.png import decode_png, encode_png
+
+
+def _payloads():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (16, 16), dtype=np.uint8)
+    return {
+        "jpeg": (encode_jpeg(img), decode_jpeg),
+        "png": (encode_png(img), decode_png),
+        "gif": (encode_gif(idx, pal), decode_gif),
+    }
+
+
+@pytest.mark.parametrize("fmt", ["jpeg", "png", "gif"])
+def test_truncations_raise_cleanly(fmt):
+    enc, dec = _payloads()[fmt]
+    for cut in range(1, len(enc), max(1, len(enc) // 60)):
+        try:
+            dec(enc[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+
+
+@pytest.mark.parametrize("fmt", ["jpeg", "png", "gif"])
+def test_bit_flips_raise_cleanly_or_decode(fmt):
+    enc, dec = _payloads()[fmt]
+    rng = np.random.default_rng(1)
+    for _ in range(150):
+        b = bytearray(enc)
+        i = int(rng.integers(0, len(b)))
+        b[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            dec(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+@pytest.mark.parametrize("fmt", ["jpeg", "png", "gif"])
+def test_decode_bomb_guard(fmt):
+    """A dimension field patched to its 16/32-bit max must raise the
+    guard error, not attempt a multi-GB allocation."""
+    enc, dec = _payloads()[fmt]
+    b = bytearray(enc)
+    if fmt == "jpeg":
+        i = bytes(b).index(b"\xff\xc0")
+        b[i + 5:i + 9] = b"\xff\xff\xff\xff"      # SOF h=w=65535
+    elif fmt == "png":
+        b[16:24] = (0xFFFFFF).to_bytes(4, "big") * 2  # IHDR w=h=16M
+    else:
+        b[6:10] = b"\xff\xff\xff\xff"             # LSD w=h=65535
+    with pytest.raises(ValueError, match="decode-bomb|corrupt"):
+        dec(bytes(b))

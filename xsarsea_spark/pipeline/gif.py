@@ -155,11 +155,17 @@ def _lzw_encode(idx: bytes, min_code: int) -> bytes:
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+from xsarsea_spark.pipeline._codec import normalize_corrupt
+
+
+@normalize_corrupt("GIF")
 def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
     """GIF -> list of composited (h, w, 3) uint8 RGB frames."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     W, H, flags, bg, _ = struct.unpack("<HHBBB", payload[6:13])
+    from xsarsea_spark.pipeline._codec import check_dims
+    check_dims("GIF", W, H)
     pos = 13
     gct = None
     if flags & 0x80:
@@ -198,6 +204,7 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
         if b != 0x2C:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
         x, y, w, h, iflags = struct.unpack("<HHHHB", payload[pos:pos + 9])
+        check_dims("GIF", w, h)
         pos += 9
         ct = gct
         if iflags & 0x80:

@@ -249,6 +249,10 @@ def _entropy_segments(payload: bytes, start: int) -> tuple[list[bytes], int]:
     return segs, j
 
 
+from xsarsea_spark.pipeline._codec import normalize_corrupt
+
+
+@normalize_corrupt("JPEG")
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JPEG -> (h, w, 3) uint8 RGB (grayscale replicated)."""
     if payload[:2] != b"\xff\xd8":
@@ -292,6 +296,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise NotImplementedError("only 8-bit JPEG supported")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
+            from xsarsea_spark.pipeline._codec import check_dims
+            check_dims("JPEG", w, h)
             nc = seg[5]
             comps = []
             for c in range(nc):

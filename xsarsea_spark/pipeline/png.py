@@ -38,6 +38,10 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
                     np.where(pb <= pc, b, c)).astype(np.uint8)
 
 
+from xsarsea_spark.pipeline._codec import normalize_corrupt
+
+
+@normalize_corrupt("PNG")
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG -> (h, w, 3) uint8 RGB (alpha composited over white)."""
     if payload[:8] != _SIG:
@@ -61,6 +65,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
+    from xsarsea_spark.pipeline._codec import check_dims
+    check_dims("PNG", w, h)
     if depth != 8:
         raise NotImplementedError(f"PNG bit depth {depth} unsupported")
     if interlace:
