@@ -66,3 +66,22 @@ def test_decode_bomb_guard(fmt):
         b[6:10] = b"\xff\xff\xff\xff"             # LSD w=h=65535
     with pytest.raises(ValueError, match="decode-bomb|corrupt"):
         dec(bytes(b))
+
+
+def test_decode_features_quarantine(spark):
+    """on_error='skip' drops corrupt payloads instead of failing the
+    task; default still raises."""
+    from pyspark.sql import functions as F
+
+    from xsarsea_spark.pipeline.multimodal import decode_features
+
+    enc, _ = _payloads()["png"]
+    rows = [(1, bytearray(enc)), (2, bytearray(b"garbage-bytes")),
+            (3, bytearray(enc[: len(enc) // 2]))]
+    mm = spark.createDataFrame(rows, "doc_id long, payload binary")
+    ok = decode_features(mm, on_error="skip").collect()
+    assert [r.doc_id for r in ok] == [1]
+    with pytest.raises(Exception):
+        decode_features(mm).collect()
+    with pytest.raises(ValueError):
+        decode_features(mm, on_error="banana")

@@ -246,18 +246,33 @@ _DECODE_SCHEMA = T.StructType([
 ])
 
 
-def decode_features(mm: DataFrame) -> DataFrame:
+def decode_features(mm: DataFrame, on_error: str = "raise") -> DataFrame:
     """Arrow-batched REAL decode: parse each binary payload with
     :func:`decode_image`, then per-channel means (exact int64 sums /
     pixel count — order-independent, one rounding at the division)
     and the md5 of the decoded row-major RGB buffer (byte-exact
-    evidence the container was inverted correctly)."""
+    evidence the container was inverted correctly).
+
+    ``on_error``: ``"raise"`` (default — a corrupt payload fails the
+    job, the right call when payloads are engine-generated) or
+    ``"skip"`` — corrupt/unsupported payloads (the decoders' clean
+    ValueError/NotImplementedError contract, see ``pipeline/_codec``)
+    are dropped from the output, the production quarantine shape for
+    scraped corpora where some fraction of images is always broken.
+    """
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
 
     def gen(batches):
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                img = decode_image(bytes(payload))
+                try:
+                    img = decode_image(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    if on_error == "skip":
+                        continue
+                    raise
                 h, w = img.shape[:2]
                 s = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
                 n = h * w
