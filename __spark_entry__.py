@@ -74,11 +74,11 @@ _PRIORITY = [
     "events_rank_stability", "events_cohort_ltv", "events_user_entropy",
     # round-5 additions, never driver-checked
     "curated_table_maintain", "multimodal_jpeg_roundtrip",
-    "multimodal_gif_frames",
+    "multimodal_gif_frames", "stream_curated_ingest",
     # sentinels: one per operator family, driver-green in prior rounds
     "q01_pricing_summary", "sigma0_detrend", "inversion_dualpol",
     "gradient_histogram", "streaks_full", "lut_interp",
-    "nesz_flattening", "rain_mask_filtering", "streak_direction",
+    "nesz_flattening", "rain_mask_filtering",
     "available_models", "lut_step_inference", "angle_conventions",
     "gmf_eval_family", "minhash_lsh_neardup",
     "embedding_kmeans", "embedding_semdedup", "ivf_ann",

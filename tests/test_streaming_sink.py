@@ -88,3 +88,64 @@ def test_replayed_batch_is_idempotent(spark, populated):
                  .select("hour_bucket", "event_type", "n_events",
                          "sum_value").collect()))
     assert got == _batch_rows(spark)
+
+
+def test_stream_curated_ingest_idempotent(spark):
+    """The streaming curated ingest survives BOTH replay modes with
+    zero duplicates: same-checkpoint rerun (source-side no-op, inside
+    the query) AND a fresh-checkpoint full reprocess (digest
+    anti-join blocks every append)."""
+    import hashlib
+    import os
+
+    from xsarsea_spark.suite import REGISTRY
+    from .conftest import SF_DIR_SMALL
+
+    res1 = {tuple(r) for r in
+            REGISTRY["stream_curated_ingest"].spark(
+                spark, SF_DIR_SMALL).collect()}
+    base = ("/tmp/xsarsea_stream_curated_"
+            + hashlib.md5(SF_DIR_SMALL.encode()).hexdigest()[:12])
+    table_dir = os.path.join(base, "table")
+    n1 = spark.read.parquet(table_dir).count()
+
+    # fresh checkpoint: the source reprocesses everything; the digest
+    # anti-join must append nothing
+    import shutil
+    shutil.rmtree(os.path.join(base, "ckpt"))
+    schema = spark.read.parquet(
+        f"{SF_DIR_SMALL}/documents.parquet").schema
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from xsarsea_spark.sources.sinks import write_zordered
+
+    def ingest(df, batch_id):
+        wmd5 = Window.partitionBy("digest").orderBy("doc_id")
+        batch = (df.filter("text IS NOT NULL AND n_chars >= 50")
+                 .withColumn("digest", F.expr("md5(text)"))
+                 .withColumn("__rn", F.row_number().over(wmd5))
+                 .filter("__rn = 1")
+                 .select("doc_id", "lang", "n_chars", "digest"))
+        existing = spark.read.parquet(table_dir).select("digest")
+        batch = batch.join(existing, on="digest", how="left_anti")
+        write_zordered(batch, table_dir, ["n_chars", "doc_id"],
+                       bits=13, n_files=4, mode="append")
+
+    src = (spark.readStream.schema(schema)
+           .option("pathGlobFilter", "documents.parquet")
+           .parquet(SF_DIR_SMALL))
+    q = (src.writeStream.foreachBatch(ingest)
+         .option("checkpointLocation", os.path.join(base, "ckpt2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    assert spark.read.parquet(table_dir).count() == n1
+    res2 = {tuple(r) for r in
+            spark.read.parquet(table_dir).groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+                F.expr("CAST(SUM(n_chars) AS BIGINT)")
+                .alias("sum_chars")).collect()}
+    assert res2 == res1

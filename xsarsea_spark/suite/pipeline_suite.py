@@ -2881,3 +2881,100 @@ def q_curated_table_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").alias("n_langs"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# STREAMING ingest into the curated z-ordered table: Structured
+# Streaming (availableNow) over the documents source, per-micro-batch
+# curation in foreachBatch (length gate + within-batch exact dedup),
+# content-digest anti-join against the MATERIALIZED table (so ingest
+# is idempotent by construction — a replayed batch's digests are all
+# present and append nothing), z-clustered append. The stream is run
+# TWICE against one checkpoint: the second run consumes zero new
+# files (source-side exactly-once), and the oracle value-matching a
+# single batch replay of the curation proves the double-run added no
+# duplicates — the full streaming-exactly-once-ingest contract under
+# the driver's value gate.
+# ----------------------------------------------------------------------
+
+
+def _stream_ingest_oracle() -> str:
+    return f"""
+WITH curated AS (
+  SELECT doc_id, lang, n_chars FROM (
+    SELECT d.*, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) AS rn
+    FROM documents d
+    WHERE text IS NOT NULL AND n_chars >= {_CUR_MINCHARS}) t
+  WHERE rn = 1)
+SELECT lang,
+  COUNT(*) AS n_docs,
+  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM curated GROUP BY lang
+"""
+
+
+@spec(
+    "stream_curated_ingest",
+    _stream_ingest_oracle(),
+    description="Structured-Streaming exactly-once ingest into the "
+                "curated z-ordered table: foreachBatch curation, "
+                "content-digest anti-join (idempotent appends), "
+                "double availableNow run over one checkpoint; final "
+                "table content value-equal to a batch curation replay",
+    tags=("pipeline", "streaming", "sink", "layout"),
+)
+def q_stream_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from xsarsea_spark.sources.sinks import write_zordered
+
+    base = ("/tmp/xsarsea_stream_curated_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    shutil.rmtree(base, ignore_errors=True)
+    table_dir = os.path.join(base, "table")
+    ckpt_dir = os.path.join(base, "ckpt")
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    from pyspark.sql.window import Window
+
+    def ingest(df: DataFrame, batch_id: int) -> None:
+        wmd5 = Window.partitionBy("digest").orderBy("doc_id")
+        batch = (
+            df.filter(F.expr(f"text IS NOT NULL"
+                             f" AND n_chars >= {_CUR_MINCHARS}"))
+            .withColumn("digest", F.expr("md5(text)"))
+            .withColumn("__rn", F.row_number().over(wmd5))
+            .filter("__rn = 1")
+            .select("doc_id", "lang", "n_chars", "digest")
+        )
+        if os.path.isdir(table_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(table_dir)):
+            existing = spark.read.parquet(table_dir).select("digest")
+            batch = batch.join(existing, on="digest", how="left_anti")
+        write_zordered(batch, table_dir, ["n_chars", "doc_id"],
+                       bits=_CUR_BITS, n_files=4, mode="append")
+
+    def run_stream() -> None:
+        src = (spark.readStream.schema(schema)
+               .option("pathGlobFilter", "documents.parquet")
+               .parquet(sf_dir))
+        q = (src.writeStream.foreachBatch(ingest)
+             .option("checkpointLocation", ckpt_dir)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    run_stream()
+    run_stream()    # second run: zero new files -> no-op (exactly-once)
+
+    back = spark.read.parquet(table_dir)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("sum_chars"),
+    )
