@@ -147,3 +147,26 @@ def test_market_basket_broadcasts_only_the_count_row(audit_spark):
               if "BroadcastExchange" in ln]
     assert len(bcasts) == 1
     assert "HashAggregate(keys=[]" in lines[bcasts[0] + 1]
+
+
+def test_inversion_kernel_no_exchange(spark):
+    """The inversion is scan -> project -> mapInPandas: per-pixel
+    work with the LUT broadcast as NumPy — the corpus itself must
+    never shuffle."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["inversion_dualpol"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "mapInPandas" in plan or "MapInPandas" in plan
+
+
+def test_curated_maintain_no_forced_osf_broadcast(audit_spark):
+    """The maintenance query's anti-join must be a plain (shuffle)
+    join at audit confs — broadcasting the materialized table side
+    would OOM the driver once the table is large."""
+    from xsarsea_spark.suite import REGISTRY
+
+    df = REGISTRY["curated_table_maintain"].spark(audit_spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not _broadcast_scans(plan)
