@@ -149,3 +149,81 @@ def test_stream_curated_ingest_idempotent(spark):
                 F.expr("CAST(SUM(n_chars) AS BIGINT)")
                 .alias("sum_chars")).collect()}
     assert res2 == res1
+
+
+def test_bloom_mark_no_false_negatives(spark):
+    """bloom_mark must flag every present key as maybe (no false
+    negatives) — the property the ingest's skip-the-join tier
+    depends on."""
+    from pyspark.sql import functions as F
+
+    from xsarsea_spark.operators.sketch import bloom_build, bloom_mark
+
+    keys = spark.range(500).selectExpr("md5(CAST(id AS STRING)) AS d")
+    bloom = bloom_build(keys, "d", m_bits=1 << 14, k=5)
+    marked = bloom_mark(keys, bloom, "d", m_bits=1 << 14, k=5)
+    assert marked.filter("NOT __maybe").count() == 0
+    absent = spark.range(500, 1500).selectExpr(
+        "md5(CAST(id AS STRING)) AS d")
+    neg = bloom_mark(absent, bloom, "d", m_bits=1 << 14, k=5)
+    # most absentees are definitely-new (fp rate small at this size)
+    assert neg.filter("NOT __maybe").count() >= 900
+
+
+def test_incremental_ingest_second_batch_uses_bloom(spark, tmp_path):
+    """True multi-batch ingest: batch 2 arrives AFTER batch 1 is
+    committed, overlaps it by content, and the final table has no
+    duplicates — the persisted-sidecar split path end to end, with
+    the no-false-negative guarantee asserted on the fresh tier."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    import xsarsea_spark.suite.pipeline_suite as ps
+    from xsarsea_spark.engine import materialize
+    from xsarsea_spark.operators.sketch import bloom_mark
+    from xsarsea_spark.sources.sinks import write_zordered
+    from xsarsea_spark.suite import REGISTRY
+    from .conftest import SF_DIR_SMALL
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    docs.filter("doc_id % 3 > 0").toPandas().to_parquet(
+        src_dir / "documents.parquet")
+
+    # batch 1 through the registered streaming query (fresh table)
+    REGISTRY["stream_curated_ingest"].spark(spark, str(src_dir)).collect()
+    base = ("/tmp/xsarsea_stream_curated_"
+            + hashlib.md5(str(src_dir).encode()).hexdigest()[:12])
+    table_dir = os.path.join(base, "table")
+    n1 = spark.read.parquet(table_dir).count()
+
+    # batch 2: the FULL corpus (overlaps batch 1 by content); run the
+    # same split-path ingest against the persisted table + sidecar
+    docs.toPandas().to_parquet(src_dir / "documents2.parquet")
+    bloom = spark.read.parquet(os.path.join(base, "bloom.parquet"))
+    wmd5 = Window.partitionBy("digest").orderBy("doc_id")
+    batch = (spark.read.parquet(str(src_dir / "documents2.parquet"))
+             .filter("text IS NOT NULL AND n_chars >= 50")
+             .withColumn("digest", F.expr("md5(text)"))
+             .withColumn("__rn", F.row_number().over(wmd5))
+             .filter("__rn = 1")
+             .select("doc_id", "lang", "n_chars", "digest"))
+    marked = bloom_mark(batch, bloom, "digest",
+                        m_bits=ps._ING_BLOOM_BITS, k=ps._ING_BLOOM_K)
+    fresh = marked.filter("NOT __maybe").drop("__maybe")
+    maybe = marked.filter("__maybe").drop("__maybe")
+    # every batch-1 duplicate must land in maybe (no false negatives)
+    assert fresh.join(spark.read.parquet(table_dir).select("digest"),
+                      on="digest").count() == 0
+    checked = maybe.join(
+        spark.read.parquet(table_dir).select("digest"),
+        on="digest", how="left_anti")
+    to_append = materialize(fresh.unionByName(checked))
+    write_zordered(to_append, table_dir, ["n_chars", "doc_id"],
+                   bits=ps._CUR_BITS, n_files=4, mode="append")
+    final = spark.read.parquet(table_dir)
+    assert final.count() == final.select("digest").distinct().count()
+    assert final.count() > n1           # batch 2 added the new third

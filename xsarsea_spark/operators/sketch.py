@@ -197,6 +197,39 @@ def bloom_filter(df: DataFrame, bloom: DataFrame, value_sql: str,
     return out
 
 
+def bloom_mark(df: DataFrame, bloom: DataFrame, value_sql: str,
+               mark_col: str = "__maybe",
+               m_bits: int = 4096, k: int = 3) -> DataFrame:
+    """Like :func:`bloom_filter` but non-destructive: adds a boolean
+    ``mark_col`` — True when every probe hits (the key MIGHT be in
+    the set), False when any probe misses (DEFINITELY absent, the
+    no-false-negative guarantee). The split form incremental ingest
+    needs: definitely-new rows skip the exact dedup join entirely,
+    only the maybes pay it."""
+    out = df
+    hits = []
+    for j in range(k):
+        p = _bloom_pos(value_sql, j, m_bits)
+        probe = (
+            bloom.withColumnRenamed("word", f"__w{j}")
+            .withColumnRenamed("bits", f"__bits{j}")
+        )
+        out = (
+            out.withColumn(f"__p{j}", F.expr(p))
+            .join(F.broadcast(probe),
+                  F.expr(f"CAST(__p{j} DIV 63 AS INT) = __w{j}"),
+                  "left")
+            .withColumn(f"__hit{j}", F.expr(
+                f"(coalesce(__bits{j}, 0L)"
+                f" & (CAST(1 AS BIGINT) << CAST(__p{j} % 63 AS INT)))"
+                " != 0"))
+            .drop(f"__p{j}", f"__w{j}", f"__bits{j}")
+        )
+        hits.append(f"__hit{j}")
+    out = out.withColumn(mark_col, F.expr(" AND ".join(hits)))
+    return out.drop(*hits)
+
+
 # ----------------------------------------------------------------------
 # HyperLogLog: deterministic cardinality sketch
 # ----------------------------------------------------------------------

@@ -2887,15 +2887,21 @@ def q_curated_table_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # STREAMING ingest into the curated z-ordered table: Structured
 # Streaming (availableNow) over the documents source, per-micro-batch
 # curation in foreachBatch (length gate + within-batch exact dedup),
-# content-digest anti-join against the MATERIALIZED table (so ingest
-# is idempotent by construction — a replayed batch's digests are all
-# present and append nothing), z-clustered append. The stream is run
-# TWICE against one checkpoint: the second run consumes zero new
-# files (source-side exactly-once), and the oracle value-matching a
-# single batch replay of the curation proves the double-run added no
-# duplicates — the full streaming-exactly-once-ingest contract under
-# the driver's value gate.
+# content dedup against the MATERIALIZED table, z-clustered append.
+# The cross-batch dedup is the production two-tier shape: a PERSISTED
+# bloom sidecar (KB-sized (word, bits) parquet, merged per ingest)
+# splits the batch — bloom-NEGATIVE rows are definitely new and skip
+# the table scan entirely; only bloom-POSITIVE rows pay the exact
+# digest anti-join backstop, so per-ingest cost is O(batch) + O(fp
+# rate x table digests) instead of a full table-digest scan per
+# batch. Idempotent by construction (a replayed batch's digests all
+# hit the bloom AND the backstop). The stream is run TWICE against
+# one checkpoint: the second run consumes zero new files (source-side
+# exactly-once), and the oracle value-matching a single batch replay
+# of the curation proves the double-run added no duplicates.
 # ----------------------------------------------------------------------
+
+_ING_BLOOM_BITS, _ING_BLOOM_K = 1 << 17, 5
 
 
 def _stream_ingest_oracle() -> str:
@@ -2932,10 +2938,13 @@ def q_stream_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from xsarsea_spark.sources.sinks import write_zordered
 
+    from xsarsea_spark.operators.sketch import bloom_build, bloom_mark
+
     base = ("/tmp/xsarsea_stream_curated_"
             + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
     shutil.rmtree(base, ignore_errors=True)
     table_dir = os.path.join(base, "table")
+    bloom_path = os.path.join(base, "bloom.parquet")
     ckpt_dir = os.path.join(base, "ckpt")
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
@@ -2951,12 +2960,45 @@ def q_stream_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter("__rn = 1")
             .select("doc_id", "lang", "n_chars", "digest")
         )
-        if os.path.isdir(table_dir) and any(
-                f.endswith(".parquet") for f in os.listdir(table_dir)):
+        has_table = os.path.isdir(table_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(table_dir))
+        if has_table and os.path.exists(bloom_path):
+            bloom = spark.read.parquet(bloom_path)
+            marked = bloom_mark(batch, bloom, "digest",
+                                m_bits=_ING_BLOOM_BITS,
+                                k=_ING_BLOOM_K)
+            fresh = marked.filter("NOT __maybe").drop("__maybe")
+            maybe = marked.filter("__maybe").drop("__maybe")
+            existing = spark.read.parquet(table_dir).select("digest")
+            checked = maybe.join(existing, on="digest", how="left_anti")
+            batch = fresh.unionByName(checked)
+        elif has_table:
             existing = spark.read.parquet(table_dir).select("digest")
             batch = batch.join(existing, on="digest", how="left_anti")
+        # materialize so the delta-bloom build and the table append
+        # see the identical row set (and the bloom/table reads in the
+        # lineage aren't replayed against post-append state)
+        from xsarsea_spark.engine import materialize
+        batch = materialize(batch)
+        delta = bloom_build(batch.select("digest"), "digest",
+                            m_bits=_ING_BLOOM_BITS,
+                            k=_ING_BLOOM_K).collect()
         write_zordered(batch, table_dir, ["n_chars", "doc_id"],
                        bits=_CUR_BITS, n_files=4, mode="append")
+        # incremental sidecar update: OR the APPENDED digests' words
+        # into the persisted filter — O(batch) work, never a table
+        # rescan. Merged driver-side (O(m_bits/63) rows, ~2k) because
+        # parquet can't overwrite a path its own lineage reads.
+        words: dict[int, int] = {}
+        if os.path.exists(bloom_path):
+            for r in spark.read.parquet(bloom_path).collect():
+                words[int(r["word"])] = int(r["bits"])
+        for r in delta:
+            w = int(r["word"])
+            words[w] = words.get(w, 0) | int(r["bits"])
+        spark.createDataFrame(sorted(words.items()),
+                              "word int, bits bigint") \
+            .coalesce(1).write.mode("overwrite").parquet(bloom_path)
 
     def run_stream() -> None:
         src = (spark.readStream.schema(schema)
