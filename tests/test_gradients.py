@@ -71,3 +71,26 @@ def test_rain_mask_tile_bit_exact(spark):
     for k in ("f1", "f2", "f3", "f4", "F"):
         assert np.array_equal(out[k].to_numpy().reshape(h, w),
                               ref[k][:h, :w]), k
+
+
+def test_minimum_halo_bitexact(spark):
+    """halo=20 (the minimum multiple of 4 covering the pyramid's
+    18-px stencil reach, and the default) must be bit-identical to a
+    generous halo=32 across tile sizes — halo only replicates, never
+    changes interior outputs."""
+    import numpy as np
+
+    from xsarsea_spark.operators.gradients import local_gradients
+
+    rng = np.random.default_rng(5)
+    n = 128
+    vals = rng.uniform(0.01, 1.0, size=(n, n))
+    rows = [(int(i), int(j), float(vals[i, j]))
+            for i in range(n) for j in range(n)]
+    px = spark.createDataFrame(rows, "line int, sample int, sigma0 double")
+    ref = local_gradients(px, n, n, tile=64, halo=32).orderBy(
+        "line4", "sample4").collect()
+    for tile in (32, 64):
+        got = local_gradients(px, n, n, tile=tile, halo=20).orderBy(
+            "line4", "sample4").collect()
+        assert got == ref
