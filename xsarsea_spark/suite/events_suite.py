@@ -1754,3 +1754,94 @@ def q_events_user_entropy(spark: SparkSession,
         F.expr("-CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE)")
         .alias("entropy")).selectExpr(
         "user_id", "CAST(n_types AS BIGINT) AS n_types", "entropy")
+
+
+# ----------------------------------------------------------------------
+# Holt's linear-trend exponential smoothing per user (double
+# exponential smoothing + h-step forecast) — the 2-state recurrence
+#   l_t = (x_t + (l_{t-1} + b_{t-1})) / 2          (alpha = 1/2)
+#   b_t = (l_t - l_{t-1}) * 0.25 + b_{t-1} * 0.75  (beta  = 1/4)
+# folded LEFT-TO-RIGHT over the user's event-time-ordered values.
+# Cross-engine exactness trick: DuckDB's list_reduce constrains the
+# accumulator type to the ELEMENT type, so the series is lifted to
+# [l, b] DOUBLE-pair elements (b = 0) and the fold is pair -> pair
+# with the same op order in both engines; all coefficients are
+# dyadic, so there is no quantization anywhere. Init = first element
+# (l = x_1, b = 0), matching list_reduce's first-as-accumulator.
+# NOTE the state is a LIST, not a struct, deliberately: DuckDB
+# 1.0's list_reduce mis-evaluates struct-typed accumulators (later
+# field expressions observe the CURRENT step's earlier fields — a
+# partially-updated acc; found by replaying the fold in python and
+# minimized to `(acc,e) -> {{l: acc.l+e.l, b: acc.b+acc.l}}` giving
+# b=112 instead of 12 on [1,10,100]); list-typed accumulators fold
+# correctly. Scale: one row per user; per-user state is the
+# collected series (the per-entity-sequence shape events_markov/ewma
+# already use).
+# ----------------------------------------------------------------------
+
+_HOLT_FOLD = (
+    "(acc, e) -> {arr}("
+    "({e1} + ({a1} + {a2})) / 2e0,"
+    " (({e1} + ({a1} + {a2})) / 2e0 - {a1}) * 25e-2"
+    " + {a2} * 75e-2)"
+)
+
+_HOLT_ORACLE = f"""
+WITH b AS (
+  SELECT user_id, event_id, value, {_US_DUCK} AS us
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+s AS (
+  SELECT user_id,
+    list_transform(
+      list_sort(list(struct_pack(us := us, eid := event_id,
+                                 v := value))),
+      e -> list_value(e.v, 0e0)) AS xs
+  FROM b GROUP BY user_id),
+f AS (
+  SELECT user_id, len(xs) AS n_events,
+    list_reduce(xs, {_HOLT_FOLD.format(arr="list_value",
+                                       a1="acc[1]", a2="acc[2]",
+                                       e1="e[1]")}) AS st
+  FROM s)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+  st[1] AS level, st[2] AS trend,
+  st[1] + 3e0 * st[2] AS forecast_3
+FROM f
+"""
+
+
+@spec(
+    "events_holt_trend",
+    _HOLT_ORACLE,
+    description="Holt's double exponential smoothing per user "
+                "(level+trend recurrence, dyadic coefficients) with "
+                "3-step forecast — struct-accumulator fold, "
+                "bit-exact cross-engine with no quantization",
+    tags=("events", "sequence", "timeseries"),
+)
+def q_events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    base = ev.filter("value IS NOT NULL AND NOT isnan(value)") \
+        .selectExpr("user_id", "event_id", "value",
+                    f"{_US_SPARK} AS __us")
+    xs = base.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list("
+            "struct(__us, event_id, value))),"
+            " e -> array(e.value, 0e0))").alias("__xs"))
+    fold = _HOLT_FOLD.format(arr="array",
+                             a1="element_at(acc, 1)",
+                             a2="element_at(acc, 2)",
+                             e1="element_at(e, 1)")
+    st = xs.selectExpr(
+        "user_id",
+        "CAST(size(__xs) AS BIGINT) AS n_events",
+        f"aggregate(slice(__xs, 2, size(__xs) - 1),"
+        f" element_at(__xs, 1), {fold}) AS __st",
+    )
+    return st.selectExpr(
+        "user_id", "n_events",
+        "element_at(__st, 1) AS level",
+        "element_at(__st, 2) AS trend",
+        "element_at(__st, 1) + 3e0 * element_at(__st, 2) AS forecast_3",
+    )
