@@ -228,3 +228,42 @@ def test_write_zordered_append_batch(spark, tmp_path):
         .collect()
     )
     assert max(r.area for r in spans) <= 1024
+
+
+def test_zorder_layout_skips_files(spark, tmp_path):
+    """The point of the z-layout: under a selective predicate on
+    EITHER key dimension, the set of files containing matching rows
+    is a small fraction of the table — whereas a single-column
+    value-sorted layout only localizes its sort key. Checked by
+    counting distinct input files per matched row set."""
+    from pyspark.sql import functions as F
+
+    from xsarsea_spark.sources.sinks import write_zordered
+
+    df = spark.range(1 << 14).selectExpr(
+        "CAST(id % 128 AS BIGINT) AS x",
+        "CAST(id DIV 128 AS BIGINT) AS y",
+        "id AS payload")
+    zdir = str(tmp_path / "zed")
+    vdir = str(tmp_path / "valsorted")
+    write_zordered(df, zdir, ["x", "y"], bits=7, n_files=32)
+    # contrast layout: sorted by x only, same file count
+    (df.repartitionByRange(32, "x").sortWithinPartitions("x")
+       .write.mode("overwrite").parquet(vdir))
+
+    def files_touched(path: str, pred: str) -> int:
+        return (spark.read.parquet(path).filter(pred)
+                .select(F.input_file_name()).distinct().count())
+
+    pred_x = "x BETWEEN 40 AND 47"     # 1/16 of the x range
+    pred_y = "y BETWEEN 40 AND 47"     # 1/16 of the y range
+    # x-selective: both layouts localize x
+    assert files_touched(zdir, pred_x) <= 12
+    assert files_touched(vdir, pred_x) <= 12
+    # y-selective: ONLY the z-layout localizes y — the value-sorted
+    # layout smears every y across all files
+    z_y = files_touched(zdir, pred_y)
+    v_y = files_touched(vdir, pred_y)
+    assert z_y <= 12
+    assert v_y == 32
+    assert z_y * 2 < v_y
