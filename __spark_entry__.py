@@ -75,13 +75,13 @@ _PRIORITY = [
     # round-5 additions, never driver-checked
     "curated_table_maintain", "multimodal_jpeg_roundtrip",
     "multimodal_gif_frames", "stream_curated_ingest",
-    "events_holt_trend", "doc_setsim_join",
+    "events_holt_trend", "doc_setsim_join", "dup_graph_kcore",
     # sentinels: one per operator family, driver-green in prior rounds
     "q01_pricing_summary", "sigma0_detrend", "inversion_dualpol",
     "gradient_histogram", "streaks_full", "lut_interp",
     "nesz_flattening", "rain_mask_filtering",
     "available_models",
-    "gmf_eval_family", "minhash_lsh_neardup",
+    "minhash_lsh_neardup",
     "embedding_kmeans", "embedding_semdedup", "ivf_ann",
     "events_stream_sessionize", "events_stream_user_stats",
     "graph_pagerank",

@@ -58,3 +58,33 @@ def test_skyline2d_ties_and_duplicates(spark):
     got = sorted(r["id"] for r in
                  skyline2d(df, "price", "size").collect())
     assert got == [1, 2, 4, 5, 7, 9]
+
+
+def test_kcore_rounds_converged(spark):
+    """_KCORE_R is a fixed unroll shared with the oracle; assert
+    peeling has actually converged by then on the fixture corpus
+    (one extra round changes nothing), so the fixed-round semantics
+    equal true k-core here."""
+    from pyspark.sql import functions as F
+
+    import xsarsea_spark.suite.pipeline_suite as ps
+    from .conftest import SF_DIR
+
+    pairs = ps._setsim_pairs(spark, SF_DIR).select("id_a", "id_b")
+    edges = (pairs.selectExpr("id_a AS src", "id_b AS dst")
+             .unionAll(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+             ).localCheckpoint()
+
+    def peel(rounds):
+        alive = edges.select("src").distinct()
+        for _ in range(rounds):
+            deg = (edges.join(alive.withColumnRenamed("src", "__x"),
+                              edges.src == F.col("__x")).drop("__x")
+                   .join(alive.withColumnRenamed("src", "__y"),
+                         F.col("dst") == F.col("__y"))
+                   .groupBy("src").agg(F.count(F.lit(1)).alias("n")))
+            alive = deg.filter(
+                F.col("n") >= ps._KCORE_K).select("src").localCheckpoint()
+        return {r.src for r in alive.collect()}
+
+    assert peel(ps._KCORE_R) == peel(ps._KCORE_R + 1)

@@ -3075,6 +3075,10 @@ WHERE CAST(n_common AS DOUBLE)
     tags=("pipeline", "dedup", "join"),
 )
 def q_doc_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _setsim_pairs(spark, sf_dir)
+
+
+def _setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")
@@ -3128,4 +3132,98 @@ def q_doc_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(__na + __nb - n_common AS DOUBLE)"))
         .filter(F.col("jaccard") >= _SSJ_T)
         .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+# ----------------------------------------------------------------------
+# k-core decomposition of the exact-similarity graph: iterative
+# peeling (drop nodes of degree < K among the survivors, repeat) for
+# a FIXED number of rounds — the graph_pagerank precedent: both
+# engines unroll the same R rounds, so the oracle is a chained-CTE
+# replay with identical integer semantics, no convergence ambiguity.
+# R is chosen so peeling has converged on this corpus
+# (pytest-asserted: round R == round R-1); the Spark side materializes
+# the alive set per round (node-id list, bounded) so round r+1's
+# degree join doesn't replay round r's lineage. Surfaces cohesive
+# duplicate COMMUNITIES (k-core survivors) vs the pairwise/triangle
+# views of the same graph.
+# ----------------------------------------------------------------------
+
+_KCORE_K, _KCORE_R = 30, 6
+
+
+def _kcore_oracle() -> str:
+    edges = f"""
+toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+pq AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib,
+    len(list_filter(a.s, x -> list_contains(b.s, x))) AS c,
+    len(a.s) AS na, len(b.s) AS nb
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id),
+ed AS (
+  SELECT ia AS src, ib AS dst FROM pq
+  WHERE CAST(c AS DOUBLE) / (na + nb - c) >= {_SSJ_T}
+  UNION ALL
+  SELECT ib AS src, ia AS dst FROM pq
+  WHERE CAST(c AS DOUBLE) / (na + nb - c) >= {_SSJ_T}),
+a0 AS (SELECT DISTINCT src FROM ed)"""
+    rounds = []
+    prev = "a0"
+    for r in range(1, _KCORE_R + 1):
+        rounds.append(
+            f"d{r} AS (SELECT e.src, COUNT(*) AS n FROM ed e"
+            f" JOIN {prev} x ON e.src = x.src"
+            f" JOIN {prev} y ON e.dst = y.src GROUP BY e.src),\n"
+            f"a{r} AS (SELECT src FROM d{r} WHERE n >= {_KCORE_K})")
+        prev = f"a{r}"
+    return (
+        "WITH " + edges + ",\n" + ",\n".join(rounds) + f"""
+SELECT e.src AS doc_id, COUNT(*) AS core_degree
+FROM ed e JOIN {prev} x ON e.src = x.src
+          JOIN {prev} y ON e.dst = y.src
+GROUP BY e.src
+"""
+    )
+
+
+@spec(
+    "dup_graph_kcore",
+    _kcore_oracle(),
+    description=f"k-core (k={_KCORE_K}) of the exact Jaccard "
+                "similarity graph by fixed-round peeling — cohesive "
+                "duplicate communities; integer-exact chained-CTE "
+                "oracle replays the identical rounds",
+    tags=("pipeline", "dedup", "graph"),
+)
+def q_dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _setsim_pairs(spark, sf_dir).select("id_a", "id_b")
+    edges = materialize(
+        pairs.selectExpr("id_a AS src", "id_b AS dst")
+        .unionAll(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+    )
+    alive = edges.select("src").distinct()
+    for _ in range(_KCORE_R):
+        deg = (
+            edges.join(alive.withColumnRenamed("src", "__x"),
+                       edges.src == F.col("__x"))
+            .drop("__x")
+            .join(alive.withColumnRenamed("src", "__y"),
+                  F.col("dst") == F.col("__y"))
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        alive = materialize(
+            deg.filter(F.col("__n") >= _KCORE_K).select("src"))
+    return (
+        edges.join(alive.withColumnRenamed("src", "__x"),
+                   edges.src == F.col("__x"))
+        .drop("__x")
+        .join(alive.withColumnRenamed("src", "__y"),
+              F.col("dst") == F.col("__y"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .selectExpr("src AS doc_id",
+                    "CAST(core_degree AS BIGINT) AS core_degree")
     )
