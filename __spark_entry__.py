@@ -76,10 +76,11 @@ _PRIORITY = [
     "curated_table_maintain", "multimodal_jpeg_roundtrip",
     "multimodal_gif_frames", "stream_curated_ingest",
     "events_holt_trend", "doc_setsim_join", "dup_graph_kcore",
+    "events_holt_backtest",
     # sentinels: one per operator family, driver-green in prior rounds
     "q01_pricing_summary", "sigma0_detrend", "inversion_dualpol",
     "gradient_histogram", "streaks_full", "lut_interp",
-    "nesz_flattening", "rain_mask_filtering",
+    "rain_mask_filtering",
     "available_models",
     "minhash_lsh_neardup",
     "embedding_kmeans", "embedding_semdedup", "ivf_ann",

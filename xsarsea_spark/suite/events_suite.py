@@ -1845,3 +1845,100 @@ def q_events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "element_at(__st, 2) AS trend",
         "element_at(__st, 1) + 3e0 * element_at(__st, 2) AS forecast_3",
     )
+
+
+# ----------------------------------------------------------------------
+# Forecast backtest per user: hold out the last 3 observations, fit
+# Holt's smoothing (the events_holt_trend fold) on the train prefix,
+# and score 1/2/3-step forecasts against the holdout vs the naive
+# last-value baseline — the standard forecast-skill evaluation, all
+# arithmetic exact (fixed fold order, dyadic coefficients, one /3e0
+# per MAE, ratio as a single division).
+# ----------------------------------------------------------------------
+
+_HOLT_MIN_N = 6
+
+
+def _holt_backtest_oracle() -> str:
+    fold = _HOLT_FOLD.format(arr="list_value", a1="acc[1]",
+                             a2="acc[2]", e1="e[1]")
+    return f"""
+WITH b AS (
+  SELECT user_id, event_id, value, {_US_DUCK} AS us
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+s AS (
+  SELECT user_id,
+    list_transform(
+      list_sort(list(struct_pack(us := us, eid := event_id,
+                                 v := value))), e -> e.v) AS vs
+  FROM b GROUP BY user_id),
+t AS (SELECT user_id, vs, len(vs) AS n FROM s WHERE len(vs) >= {_HOLT_MIN_N}),
+f AS (
+  SELECT user_id, n, vs,
+    list_reduce(list_transform(vs[1:n-3], v -> list_value(v, 0e0)),
+                {fold}) AS st
+  FROM t),
+m AS (
+  SELECT user_id, CAST(n AS BIGINT) AS n_events,
+    ((abs((st[1] + 1e0 * st[2]) - vs[n-2])
+      + abs((st[1] + 2e0 * st[2]) - vs[n-1]))
+      + abs((st[1] + 3e0 * st[2]) - vs[n])) / 3e0 AS mae_holt,
+    ((abs(vs[n-3] - vs[n-2]) + abs(vs[n-3] - vs[n-1]))
+      + abs(vs[n-3] - vs[n])) / 3e0 AS mae_naive
+  FROM f)
+SELECT user_id, n_events, mae_holt, mae_naive,
+  mae_holt / nullif(mae_naive, 0e0) AS rel_mae
+FROM m
+"""
+
+
+@spec(
+    "events_holt_backtest",
+    _holt_backtest_oracle(),
+    description="Per-user forecast backtest: Holt fit on the train "
+                "prefix, 3-step holdout MAE vs the naive last-value "
+                "baseline, relative skill ratio — exact fold + fixed "
+                "summation order, bit-exact cross-engine",
+    tags=("events", "sequence", "timeseries", "eval"),
+)
+def q_events_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    base = ev.filter("value IS NOT NULL AND NOT isnan(value)") \
+        .selectExpr("user_id", "event_id", "value",
+                    f"{_US_SPARK} AS __us")
+    s = base.groupBy("user_id").agg(
+        F.expr("transform(array_sort(collect_list("
+               "struct(__us, event_id, value))), e -> e.value)")
+        .alias("__vs"))
+    t = s.selectExpr("user_id", "__vs", "size(__vs) AS __n") \
+        .filter(f"__n >= {_HOLT_MIN_N}")
+    fold = _HOLT_FOLD.format(arr="array",
+                             a1="element_at(acc, 1)",
+                             a2="element_at(acc, 2)",
+                             e1="element_at(e, 1)")
+    fdf = t.selectExpr(
+        "user_id", "__vs", "__n",
+        "transform(slice(__vs, 1, __n - 3), v -> array(v, 0e0))"
+        " AS __tr",
+    ).selectExpr(
+        "user_id", "__vs", "__n",
+        f"aggregate(slice(__tr, 2, size(__tr) - 1),"
+        f" element_at(__tr, 1), {fold}) AS __st",
+    )
+    return fdf.selectExpr(
+        "user_id",
+        "CAST(__n AS BIGINT) AS n_events",
+        "((abs((element_at(__st, 1) + 1e0 * element_at(__st, 2))"
+        " - element_at(__vs, __n - 2))"
+        " + abs((element_at(__st, 1) + 2e0 * element_at(__st, 2))"
+        " - element_at(__vs, __n - 1)))"
+        " + abs((element_at(__st, 1) + 3e0 * element_at(__st, 2))"
+        " - element_at(__vs, __n))) / 3e0 AS mae_holt",
+        "((abs(element_at(__vs, __n - 3) - element_at(__vs, __n - 2))"
+        " + abs(element_at(__vs, __n - 3) - element_at(__vs, __n - 1)))"
+        " + abs(element_at(__vs, __n - 3) - element_at(__vs, __n)))"
+        " / 3e0 AS mae_naive",
+    ).selectExpr(
+        "user_id", "n_events", "mae_holt", "mae_naive",
+        "mae_holt / nullif(mae_naive, 0e0) AS rel_mae",
+    )
