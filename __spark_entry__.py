@@ -76,11 +76,10 @@ _PRIORITY = [
     "curated_table_maintain", "multimodal_jpeg_roundtrip",
     "multimodal_gif_frames", "stream_curated_ingest",
     "events_holt_trend", "doc_setsim_join", "dup_graph_kcore",
-    "events_holt_backtest",
+    "events_holt_backtest", "multimodal_ahash_neardup",
     # sentinels: one per operator family, driver-green in prior rounds
     "q01_pricing_summary", "sigma0_detrend", "inversion_dualpol",
     "gradient_histogram", "streaks_full", "lut_interp",
-    "rain_mask_filtering",
     "available_models",
     "minhash_lsh_neardup",
     "embedding_kmeans", "embedding_semdedup", "ivf_ann",

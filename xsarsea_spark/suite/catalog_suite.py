@@ -485,3 +485,73 @@ def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _GIF_CAP).select("doc_id")
     return docs.mapInPandas(kernel, schema)
+
+
+# ----------------------------------------------------------------------
+# Perceptual near-duplicate IMAGES: pairs whose 32-bit average-hashes
+# differ by <= 3 bits. Candidate generation is pigeonhole-EXACT
+# banding (split the hash into 4 bytes; hamming <= 3 means at least
+# one byte is identical, so a band-equality self-join loses nothing),
+# then the exact popcount verify runs on candidates only — the
+# image-modality twin of the text dedup family, never all-pairs. The
+# oracle re-derives every hash from the source bytes (the
+# multimodal_ahash CTE) and verifies quadratically.
+# ----------------------------------------------------------------------
+
+_AH_HAM = 3
+
+
+def _ahash_neardup_oracle() -> str:
+    return f"""
+WITH hashes AS ({_mm_ahash_oracle()})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= {_AH_HAM}
+"""
+
+
+@spec(
+    "multimodal_ahash_neardup",
+    _ahash_neardup_oracle(),
+    description="Perceptual image near-dup pairs (aHash hamming <= "
+                "3) via pigeonhole-exact byte banding — candidates "
+                "only, never all-pairs; hashes and pairs re-derived "
+                "from source bytes by the SQL oracle",
+    tags=("pipeline", "multimodal", "dedup"),
+)
+def q_multimodal_ahash_neardup(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from xsarsea_spark.engine import materialize
+    from xsarsea_spark.pipeline.multimodal import (ahash_features,
+                                                   attach_image_payload)
+
+    docs = load(spark, sf_dir, "documents")
+    # the banding consumes the hash set on two join branches; the
+    # decode kernel runs once (dup_graph_triangles precedent)
+    hashes = materialize(
+        ahash_features(attach_image_payload(docs))
+        .select("doc_id", "ahash"))
+    bands = hashes.selectExpr(
+        "doc_id", "ahash",
+        "explode(transform(sequence(0, 3),"
+        " i -> struct(i AS band, shiftright(ahash, 8 * i) & 255"
+        " AS bv))) AS b").select("doc_id", "ahash", "b.band", "b.bv")
+    cand = (
+        bands.alias("x").join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("id_a"),
+                F.col("x.ahash").alias("__ha"),
+                F.col("y.doc_id").alias("id_b"),
+                F.col("y.ahash").alias("__hb"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr(
+            "CAST(bit_count(__ha ^ __hb) AS BIGINT)"))
+        .filter(F.col("hamming") <= _AH_HAM)
+        .select("id_a", "id_b", "hamming")
+    )
