@@ -77,12 +77,13 @@ _PRIORITY = [
     "multimodal_gif_frames", "stream_curated_ingest",
     "events_holt_trend", "doc_setsim_join", "dup_graph_kcore",
     "events_holt_backtest", "multimodal_ahash_neardup",
+    "pipeline_curation_report",
     # sentinels: one per operator family, driver-green in prior rounds
     "q01_pricing_summary", "sigma0_detrend", "inversion_dualpol",
     "gradient_histogram", "streaks_full", "lut_interp",
     "available_models",
     "minhash_lsh_neardup",
-    "embedding_kmeans", "embedding_semdedup", "ivf_ann",
+    "embedding_kmeans", "ivf_ann",
     "events_stream_sessionize", "events_stream_user_stats",
     "graph_pagerank",
 ]

@@ -3227,3 +3227,108 @@ def q_dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("src AS doc_id",
                     "CAST(core_degree AS BIGINT) AS core_degree")
     )
+
+
+# ----------------------------------------------------------------------
+# Curation funnel report: how many documents (and tokens) survive
+# each cumulative curation stage — raw -> exact dedup -> MinHash-LSH
+# near-dedup -> quality gate -> Gopher gate. The one-stop attrition
+# view every corpus-curation run ships with; each stage reuses the
+# exact stage semantics (and oracle fragments) of
+# pipeline_curate_end2end, so the counts are value-exact, and the
+# whole report is one plan (the stage frames share lineage, no
+# materialization barriers).
+# ----------------------------------------------------------------------
+
+
+def _curation_report_oracle() -> str:
+    return f"""
+WITH exact_keep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text)
+      ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1),
+near_pairs AS ({_minhash_oracle()}),
+near_drop AS (SELECT DISTINCT id_b AS doc_id FROM near_pairs),
+qual AS ({_lang_oracle()}),
+gq AS ({_GOPHER_ORACLE}),
+s1 AS (SELECT d.* FROM documents d
+       JOIN exact_keep ek ON ek.doc_id = d.doc_id),
+s2 AS (SELECT s1.* FROM s1
+       LEFT JOIN near_drop nd ON nd.doc_id = s1.doc_id
+       WHERE nd.doc_id IS NULL),
+s3 AS (SELECT s2.* FROM s2 JOIN qual q ON q.doc_id = s2.doc_id
+       WHERE q.quality >= {_E2E_QMIN}),
+s4 AS (SELECT s3.* FROM s3 JOIN gq ON gq.doc_id = s3.doc_id
+       WHERE gq.gopher_keep)
+SELECT * FROM (
+  SELECT 0 AS stage, 'raw' AS stage_name, COUNT(*) AS n_docs,
+    CAST(SUM(CASE WHEN text IS NULL THEN 0
+         ELSE len(string_split(text, ' ')) END) AS BIGINT) AS n_tokens
+  FROM documents
+  UNION ALL
+  SELECT 1, 'exact_dedup', COUNT(*),
+    CAST(SUM(CASE WHEN text IS NULL THEN 0
+         ELSE len(string_split(text, ' ')) END) AS BIGINT) FROM s1
+  UNION ALL
+  SELECT 2, 'near_dedup', COUNT(*),
+    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'quality_gate', COUNT(*),
+    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM s3
+  UNION ALL
+  SELECT 4, 'gopher_gate', COUNT(*),
+    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM s4)
+"""
+
+
+@spec(
+    "pipeline_curation_report",
+    _curation_report_oracle(),
+    description="Stage-attrition report of the curation funnel (raw "
+                "-> exact dedup -> near-dedup -> quality -> Gopher): "
+                "docs + tokens surviving each cumulative stage, "
+                "value-exact against the stage definitions",
+    tags=("pipeline", "dedup", "text", "quality"),
+)
+def q_pipeline_curation_report(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from xsarsea_spark.pipeline.dedup import minhash_lsh_dedup
+    from xsarsea_spark.pipeline.text import (gopher_quality, language_id,
+                                             quality_score)
+
+    docs = load(spark, sf_dir, "documents")
+    wmd5 = Window.partitionBy(F.expr("md5(text)")).orderBy("doc_id")
+    s1 = (docs.withColumn("__rn", F.row_number().over(wmd5))
+          .filter("__rn = 1").drop("__rn"))
+    near_drop = (minhash_lsh_dedup(docs, n=_MH_N, k=_MH_K,
+                                   threshold=_MH_T)
+                 .select(F.col("id_b").alias("doc_id")).distinct())
+    s2 = s1.join(near_drop, on="doc_id", how="left_anti")
+    qual = quality_score(language_id(docs)).select(
+        "doc_id", F.col("quality").alias("__q"))
+    s3 = s2.join(qual, on="doc_id").filter(
+        f"__q >= {_E2E_QMIN}").drop("__q")
+    gq = gopher_quality(docs).select("doc_id", "gopher_keep")
+    s4 = s3.join(gq, on="doc_id").filter("gopher_keep") \
+        .drop("gopher_keep")
+
+    def agg(df, stage, name, null_safe):
+        tok = ("CAST(SUM(CASE WHEN text IS NULL THEN 0"
+               " ELSE size(split(text, ' ')) END) AS BIGINT)"
+               if null_safe else
+               "CAST(SUM(size(split(text, ' '))) AS BIGINT)")
+        return df.selectExpr(
+            f"CAST({stage} AS INT) AS stage",
+            f"'{name}' AS stage_name", "text").groupBy(
+            "stage", "stage_name").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(tok).alias("n_tokens"))
+
+    return (agg(docs, 0, "raw", True)
+            .unionByName(agg(s1, 1, "exact_dedup", True))
+            .unionByName(agg(s2, 2, "near_dedup", False))
+            .unionByName(agg(s3, 3, "quality_gate", False))
+            .unionByName(agg(s4, 4, "gopher_gate", False)))
