@@ -1942,3 +1942,60 @@ def q_events_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "n_events", "mae_holt", "mae_naive",
         "mae_holt / nullif(mae_naive, 0e0) AS rel_mae",
     )
+
+
+# ----------------------------------------------------------------------
+# Weekly seasonal profile per event type: day-of-week activity and
+# value shape. dow is a pure-integer day arithmetic ((epoch_days + 3)
+# % 7, Monday = 0) so both engines bucket identically with no
+# calendar-function semantics drift; sums are exact DECIMAL, and the
+# only divisions are the final mean and share (same operands both
+# engines -> bit-equal).
+# ----------------------------------------------------------------------
+
+_DOW_SPARK = f"CAST((({_US_SPARK} DIV 86400000000) + 3) % 7 AS INT)"
+_DOW_DUCK = f"CAST((({_US_DUCK} // 86400000000) + 3) % 7 AS INT)"
+
+_SEASONAL_ORACLE = f"""
+WITH b AS (
+  SELECT event_type, {_DOW_DUCK} AS dow, value
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+g AS (
+  SELECT event_type, dow, COUNT(*) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+  FROM b GROUP BY event_type, dow),
+t AS (SELECT event_type, SUM(n_events) AS n_total FROM g
+      GROUP BY event_type)
+SELECT g.event_type, g.dow, g.n_events, g.sum_value,
+  g.sum_value / CAST(g.n_events AS DOUBLE) AS mean_value,
+  CAST(g.n_events AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS dow_share
+FROM g JOIN t ON t.event_type = g.event_type
+"""
+
+
+@spec(
+    "events_seasonal_profile",
+    _SEASONAL_ORACLE,
+    description="Weekly seasonality: per event type the day-of-week "
+                "event counts, exact-DECIMAL value sums, means and "
+                "activity shares — integer day bucketing, bit-exact "
+                "cross-engine",
+    tags=("events", "timeseries"),
+)
+def q_events_seasonal_profile(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    b = ev.filter("value IS NOT NULL AND NOT isnan(value)") \
+        .selectExpr("event_type", f"{_DOW_SPARK} AS dow", "value")
+    g = b.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)")
+        .alias("sum_value"))
+    t = g.groupBy("event_type").agg(
+        F.expr("SUM(n_events)").alias("__nt"))
+    return (g.join(t, on="event_type")
+            .selectExpr("event_type", "dow", "n_events", "sum_value",
+                        "sum_value / CAST(n_events AS DOUBLE)"
+                        " AS mean_value",
+                        "CAST(n_events AS DOUBLE)"
+                        " / CAST(__nt AS DOUBLE) AS dow_share"))

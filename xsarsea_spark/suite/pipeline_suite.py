@@ -3043,13 +3043,23 @@ def q_stream_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 
 _SSJ_T = 0.9
+# The similarity self-joins run on a deterministic 1000-doc slice:
+# this synthetic corpus is so homogeneous that the TRUE result is
+# quadratic in corpus size (measured 965k pairs at t=0.9 across the
+# 5000 sf0.1 docs — any exact algorithm pays output size), so an
+# uncapped bench run measures output materialization, not operator
+# design. The cap is explicit in query AND oracle (never silent), is
+# a no-op at the driver's sf0.01 (500 docs), and the scale story is
+# carried by the prefix-filter candidate shape, which is output-bound.
+_SSJ_CAP = 1000
 
 
 def _setsim_oracle() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
-  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    AND doc_id < {_SSJ_CAP}),
 p AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
     len(list_filter(a.s, x -> list_contains(b.s, x))) AS n_common,
@@ -3083,7 +3093,8 @@ def _setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     sets = (
-        docs.filter("text IS NOT NULL AND length(text) > 0")
+        docs.filter(f"text IS NOT NULL AND length(text) > 0"
+                    f" AND doc_id < {_SSJ_CAP}")
         .selectExpr("doc_id",
                     "array_distinct(split(text, ' ')) AS s")
         .withColumn("n", F.expr("size(s)"))
@@ -3156,7 +3167,8 @@ def _kcore_oracle() -> str:
     edges = f"""
 toks AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
-  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    AND doc_id < {_SSJ_CAP}),
 pq AS (
   SELECT a.doc_id AS ia, b.doc_id AS ib,
     len(list_filter(a.s, x -> list_contains(b.s, x))) AS c,
