@@ -80,9 +80,9 @@ _PRIORITY = [
     "multimodal_gif_frames", "stream_curated_ingest",
     "events_holt_trend", "doc_setsim_join", "dup_graph_kcore",
     "events_holt_backtest", "multimodal_ahash_neardup",
-    "pipeline_curation_report",
+    "pipeline_curation_report", "events_seasonal_profile",
     # sentinels: one per operator family, driver-green in prior rounds
-    "q01_pricing_summary", "sigma0_detrend", "inversion_dualpol",
+    "q01_pricing_summary", "inversion_dualpol",
     "gradient_histogram", "streaks_full", "lut_interp",
     "available_models",
     "minhash_lsh_neardup",
