@@ -3344,3 +3344,106 @@ def q_pipeline_curation_report(spark: SparkSession,
             .unionByName(agg(s2, 2, "near_dedup", False))
             .unionByName(agg(s3, 3, "quality_gate", False))
             .unionByName(agg(s4, 4, "gopher_gate", False)))
+
+
+# ----------------------------------------------------------------------
+# Containment self-join: pairs where the SMALLER token set is mostly
+# inside the larger one (|A n B| / min(|A|,|B|) >= t) — catches
+# partial copies / quote-expansions that symmetric Jaccard misses
+# (a 50-token excerpt inside a 500-token doc has Jaccard ~0.1 but
+# containment 1.0). Candidate generation differs from the symmetric
+# case: if the smaller set A satisfies containment t, B must hold
+# all but |A| - ceil(t|A|) of A's tokens, so A's rarity-ordered
+# prefix of length |A| - ceil(t|A|) + 1 must intersect B's FULL
+# token set — prefix-to-prefix (the Jaccard shape) is INCOMPLETE
+# here; it missed 2756 true pairs when first tried, caught by the
+# quadratic oracle. So the join is prefix-side x full-token-side,
+# exact verify on candidates, quadratic oracle on the capped slice.
+# ----------------------------------------------------------------------
+
+_CONT_T = 0.9
+
+
+def _containment_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    AND doc_id < {_SSJ_CAP}),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    len(list_filter(a.s, x -> list_contains(b.s, x))) AS n_common,
+    len(a.s) AS na, len(b.s) AS nb
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+  CAST(n_common AS DOUBLE)
+    / CAST(LEAST(na, nb) AS DOUBLE) AS containment
+FROM p
+WHERE CAST(n_common AS DOUBLE)
+    / CAST(LEAST(na, nb) AS DOUBLE) >= {_CONT_T}
+"""
+
+
+@spec(
+    "doc_containment_join",
+    _containment_oracle(),
+    description="Exact containment self-join (|A n B| / min set "
+                "size): partial-copy detection symmetric Jaccard "
+                "misses, prefix-filter candidates + exact verify, "
+                "value-equal to the quadratic definition",
+    tags=("pipeline", "dedup", "join"),
+)
+def q_doc_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    sets = (
+        docs.filter(f"text IS NOT NULL AND length(text) > 0"
+                    f" AND doc_id < {_SSJ_CAP}")
+        .selectExpr("doc_id", "array_distinct(split(text, ' ')) AS s")
+        .withColumn("n", F.expr("size(s)"))
+    )
+    toks = sets.select("doc_id", F.explode("s").alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    rank = freq.withColumn(
+        "__rk", F.row_number().over(
+            Window.orderBy(F.asc("__df"), F.asc("tok"))))
+    ranked = (
+        toks.join(rank.select("tok", "__rk"), on="tok")
+        .groupBy("doc_id")
+        .agg(F.expr("transform(array_sort(collect_list("
+                    "struct(__rk, tok))), e -> e.tok)").alias("__o"))
+    )
+    prefixes = (
+        ranked.selectExpr(
+            "doc_id",
+            f"slice(__o, 1, size(__o) - CAST(ceil({_CONT_T} *"
+            " size(__o)) AS INT) + 1) AS __p")
+        .select("doc_id", F.explode("__p").alias("tok"))
+    )
+    # prefix(possibly-smaller side) x FULL token set of the other
+    # side; either doc may be the smaller one, so the asymmetric
+    # join runs once and pairs are normalized to (min, max)
+    cand = (
+        prefixes.alias("a")
+        .join(toks.alias("b"), on="tok")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(F.least("a.doc_id", "b.doc_id").alias("id_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    va = sets.select(F.col("doc_id").alias("id_a"),
+                     F.col("s").alias("__sa"), F.col("n").alias("__na"))
+    vb = sets.select(F.col("doc_id").alias("id_b"),
+                     F.col("s").alias("__sb"), F.col("n").alias("__nb"))
+    return (
+        cand.join(va, on="id_a").join(vb, on="id_b")
+        .withColumn("n_common", F.expr(
+            "CAST(size(filter(__sa, x -> array_contains(__sb, x)))"
+            " AS BIGINT)"))
+        .withColumn("containment", F.expr(
+            "CAST(n_common AS DOUBLE)"
+            " / CAST(LEAST(__na, __nb) AS DOUBLE)"))
+        .filter(F.col("containment") >= _CONT_T)
+        .select("id_a", "id_b", "n_common", "containment")
+    )
