@@ -3447,3 +3447,94 @@ def q_doc_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= _CONT_T)
         .select("id_a", "id_b", "n_common", "containment")
     )
+
+
+# ----------------------------------------------------------------------
+# Matryoshka truncation eval: how much exact top-k retrieval quality
+# survives when vectors are truncated to their leading dims (the MRL
+# deployment question — serve 16 of 64 dims at 4x less memory/IO).
+# Both rankings are exact brute-force cosine (the embedding_knn
+# kernel), the truncated one over slice(embedding, 1, 16); per query
+# the recall of truncated-vs-full neighbor sets is computed in-plan
+# and the oracle replays BOTH rankings, so the recall numbers are
+# value-exact (ann_recall precedent).
+# ----------------------------------------------------------------------
+
+_MAT_DIM = 16
+
+
+def _matryoshka_oracle() -> str:
+    def ranking(vec: str, alias: str) -> str:
+        return f"""
+{alias}_e AS (
+  SELECT vec_id, {vec} AS v,
+    sqrt(list_reduce(list_transform(range(1, len({vec}) + 1),
+      i -> CAST({vec}[i] AS DOUBLE) * CAST({vec}[i] AS DOUBLE)),
+      (a, b) -> a + b)) AS nrm
+  FROM embeddings),
+{alias}_q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+      FROM {alias}_e WHERE vec_id < {_KNN_NQ}),
+{alias}_s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    row_number() OVER (PARTITION BY q.query_id ORDER BY
+      list_reduce(list_transform(range(1, len(q.qv) + 1),
+        i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.v[i] AS DOUBLE)),
+        (a, b) -> a + b) / (q.qn * e.nrm) DESC,
+      e.vec_id ASC) AS rank
+  FROM {alias}_q q JOIN {alias}_e e ON e.vec_id <> q.query_id),
+{alias}_t AS (SELECT query_id, neighbor_id FROM {alias}_s
+              WHERE rank <= {_KNN_K})"""
+
+    return f"""
+WITH {ranking("embedding", "f")},
+{ranking(f"embedding[1:{_MAT_DIM}]", "m")},
+mt AS (
+  SELECT f.query_id, COUNT(*) AS n_matched
+  FROM f_t f JOIN m_t m ON m.query_id = f.query_id
+         AND m.neighbor_id = f.neighbor_id
+  GROUP BY f.query_id),
+nq AS (SELECT query_id, COUNT(*) AS n_exact FROM f_t GROUP BY query_id)
+SELECT nq.query_id, CAST(nq.n_exact AS BIGINT) AS n_exact,
+  CAST(coalesce(mt.n_matched, 0) AS BIGINT) AS n_matched,
+  coalesce(mt.n_matched, 0) / CAST(nq.n_exact AS DOUBLE) AS recall
+FROM nq LEFT JOIN mt ON mt.query_id = nq.query_id
+"""
+
+
+@spec(
+    "embedding_matryoshka_recall",
+    _matryoshka_oracle(),
+    description=f"Recall@k of {_MAT_DIM}-of-{_CND_DIM}-dim truncated "
+                "cosine retrieval vs full-dim ground truth (the MRL "
+                "serve-fewer-dims tradeoff), both exact rankings "
+                "replayed by the oracle — recall values themselves "
+                "value-exact",
+    tags=("pipeline", "similarity", "eval"),
+)
+def q_embedding_matryoshka(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    tr = emb.selectExpr(
+        "vec_id", f"slice(embedding, 1, {_MAT_DIM}) AS embedding")
+    full_t = cosine_topk(emb.filter(F.col("vec_id") < _KNN_NQ), emb,
+                         k=_KNN_K).select("query_id", "neighbor_id")
+    mat_t = cosine_topk(tr.filter(F.col("vec_id") < _KNN_NQ), tr,
+                        k=_KNN_K).select("query_id", "neighbor_id")
+    m = (full_t.join(mat_t, on=["query_id", "neighbor_id"])
+         .groupBy("query_id")
+         .agg(F.count(F.lit(1)).alias("n_matched")))
+    nq = full_t.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"))
+    return (
+        nq.join(m, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.expr("CAST(coalesce(n_matched, 0) AS BIGINT)")
+            .alias("n_matched"),
+            F.expr("coalesce(n_matched, 0)"
+                   " / CAST(n_exact AS DOUBLE)").alias("recall"),
+        )
+    )
