@@ -555,3 +555,101 @@ def q_multimodal_ahash_neardup(spark: SparkSession,
         .filter(F.col("hamming") <= _AH_HAM)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ----------------------------------------------------------------------
+# Image RESIZE as a pipeline verb: 2x2 integer box downscale (the
+# INTER_AREA shape the raster side already uses) over REAL decoded
+# payloads in the Arrow kernel. Exactness: every decoded pixel equals
+# a source text byte (the attach_image_payload containers), and the
+# downscale is floor((a+b+c+d)/4) in integers, so the oracle
+# re-derives every output pixel from the text alone and checks both
+# an order-insensitive sum and a position-weighted polynomial
+# checksum (catches any permutation/layout error without assembling
+# NUL-laden strings for a digest).
+# ----------------------------------------------------------------------
+
+
+def _mm_resize_oracle() -> str:
+    from xsarsea_spark.pipeline.multimodal import _IMG_H, _IMG_W
+
+    full = _IMG_W * _IMG_H * 3
+    ow = _IMG_W // 2
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 2 THEN {_IMG_H // 2} ELSE {_IMG_H} END AS hh,
+    text
+  FROM documents WHERE length(text) >= {full}),
+j AS (
+  SELECT doc_id, hh,
+    unnest(range(0, (hh // 2) * {ow} * 3)) AS p, text
+  FROM d),
+v AS (
+  SELECT doc_id, hh, p,
+    (ascii(substr(text, ((p // ({ow} * 3)) * 2 * {_IMG_W}
+                         + ((p % ({ow} * 3)) // 3) * 2) * 3
+                        + (p % 3) + 1, 1))
+     + ascii(substr(text, ((p // ({ow} * 3)) * 2 * {_IMG_W}
+                           + ((p % ({ow} * 3)) // 3) * 2 + 1) * 3
+                          + (p % 3) + 1, 1))
+     + ascii(substr(text, (((p // ({ow} * 3)) * 2 + 1) * {_IMG_W}
+                           + ((p % ({ow} * 3)) // 3) * 2) * 3
+                          + (p % 3) + 1, 1))
+     + ascii(substr(text, (((p // ({ow} * 3)) * 2 + 1) * {_IMG_W}
+                           + ((p % ({ow} * 3)) // 3) * 2 + 1) * 3
+                          + (p % 3) + 1, 1))) // 4 AS px
+  FROM j)
+SELECT doc_id,
+  CAST({ow} AS BIGINT) AS out_w,
+  CAST(MAX(hh) // 2 AS BIGINT) AS out_h,
+  CAST(SUM(px) AS BIGINT) AS px_sum,
+  CAST(SUM(px * (p + 1)) AS BIGINT) AS px_poly
+FROM v GROUP BY doc_id
+"""
+
+
+@spec(
+    "multimodal_resize",
+    _mm_resize_oracle(),
+    description="Image resize verb: 2x2 integer box downscale of "
+                "real decoded payloads in the Arrow kernel; output "
+                "dims, pixel sum and position-weighted checksum "
+                "re-derived from source bytes by the SQL oracle",
+    tags=("pipeline", "multimodal"),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from xsarsea_spark.pipeline.multimodal import (attach_image_payload,
+                                                   decode_image)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.LongType()),
+        T.StructField("out_h", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_poly", T.LongType()),
+    ])
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload)).astype(np.int64)
+                h, w = img.shape[:2]
+                small = (img[0::2, 0::2] + img[0::2, 1::2]
+                         + img[1::2, 0::2] + img[1::2, 1::2]) // 4
+                flat = small.reshape(-1)
+                pos = np.arange(1, flat.size + 1, dtype=np.int64)
+                rows.append((int(doc_id), small.shape[1],
+                             small.shape[0], int(flat.sum()),
+                             int((flat * pos).sum())))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema])
+
+    mm = attach_image_payload(load(spark, sf_dir, "documents"))
+    return mm.select("doc_id", "payload").mapInPandas(kernel, schema)
