@@ -85,3 +85,47 @@ def test_decode_features_quarantine(spark):
         decode_features(mm).collect()
     with pytest.raises(ValueError):
         decode_features(mm, on_error="banana")
+
+
+def test_wav_roundtrip_and_gates():
+    """WAV codec: 16-bit mono/stereo round-trip is lossless; 8-bit
+    PCM decodes; non-PCM and deep formats gate cleanly; truncations
+    raise the codec contract."""
+    import struct
+
+    from xsarsea_spark.pipeline.audio import decode_wav, encode_wav
+
+    rng = np.random.default_rng(0)
+    mono = rng.integers(-32768, 32768, 300, dtype=np.int16)
+    dec, rate = decode_wav(encode_wav(mono, rate=22050))
+    assert rate == 22050 and dec.shape == (300, 1)
+    np.testing.assert_array_equal(dec[:, 0], mono)
+
+    stereo = rng.integers(-32768, 32768, (128, 2), dtype=np.int16)
+    dec, _ = decode_wav(encode_wav(stereo))
+    np.testing.assert_array_equal(dec, stereo)
+
+    # 8-bit unsigned PCM: build by patching a 16-bit header
+    enc = bytearray(encode_wav(mono[:16]))
+    data8 = bytes((mono[:16] // 256 + 128).astype(np.uint8))
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 16000, 1, 8)
+    wav8 = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data8))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data8)) + data8)
+    dec8, _ = decode_wav(wav8)
+    np.testing.assert_array_equal(
+        dec8[:, 0], (mono[:16] // 256).astype(np.int16))
+
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS....")
+    # non-PCM format tag gates
+    bad = bytearray(encode_wav(mono[:8]))
+    bad[20:22] = struct.pack("<H", 85)      # MP3 tag
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(bad))
+    full = encode_wav(mono)
+    for cut in range(1, len(full), max(1, len(full) // 40)):
+        try:
+            decode_wav(full[:cut])
+        except (ValueError, NotImplementedError):
+            pass

