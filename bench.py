@@ -133,9 +133,23 @@ def main() -> None:
             pass
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # wall budget: stop starting new reps once the next rep would
+    # likely blow it (estimated from the mean completed-rep time), so
+    # a driver-side timeout truncates to fewer FULL passes rather
+    # than killing bench mid-rep with no output at all
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
     wall0 = time.perf_counter()
     samples: dict[str, list[float]] = {n: [] for n in REGISTRY}
-    for _ in range(reps):
+    reps_done = 0
+    for rep in range(reps):
+        if rep > 0:
+            elapsed = time.perf_counter() - wall0
+            if elapsed + (elapsed / rep) > budget:
+                print(f"bench: stopping after {rep} reps "
+                      f"({elapsed:.0f}s elapsed, budget {budget:.0f}s)",
+                      file=sys.stderr)
+                break
+        reps_done += 1
         for name, qs in sorted(REGISTRY.items()):
             t0 = time.perf_counter()
             try:
@@ -161,7 +175,7 @@ def main() -> None:
     throughput: dict[str, float] = {}
     try:
         tp_samples: list[dict[str, float]] = [
-            science_throughput(spark) for _ in range(reps)
+            science_throughput(spark) for _ in range(reps_done)
         ]
         throughput = {
             k: round(statistics.median(s[k] for s in tp_samples), 3)
@@ -188,7 +202,7 @@ def main() -> None:
                            "BENCH_detail.json"), "w") as fh:
         json.dump({"metric": "suite_total", "value": total,
                    "unit": "sec", "queries": timings, "sf": sf_val,
-                   "n_queries": len(timings), "reps": reps,
+                   "n_queries": len(timings), "reps": reps_done,
                    "wall_sec": wall_sec,
                    "samples": {n: [round(v, 3) for v in vs]
                                for n, vs in samples.items()},
@@ -207,7 +221,7 @@ def main() -> None:
             "unit": "sec",
             "queries": {n: round(timings[n], 2) for n in order[:k]},
             "n_queries": len(timings),
-            "reps": reps,
+            "reps": reps_done,
             "wall_sec": wall_sec,
             "throughput": throughput,
             "sf": sf_val,
