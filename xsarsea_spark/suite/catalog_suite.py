@@ -744,3 +744,96 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(
         F.length("text") >= need).select("doc_id", "text")
     return docs.mapInPandas(kernel, schema)
+
+
+# ----------------------------------------------------------------------
+# Audio activity segmentation (the audio analog of text chunking):
+# threshold the absolute sample stream into activity/silence runs and
+# report per-doc segment statistics — pure gaps-and-islands on
+# integers (island id = position minus per-flag row_number), so every
+# value is engine-exact; the samples come from the same
+# byte-pair - 16384 derivation the WAV feature oracle uses.
+# ----------------------------------------------------------------------
+
+_SEG_T = 8192           # |sample| >= T counts as activity
+
+
+def _wav_segments_oracle() -> str:
+    need = 2 * _WAV_N
+    s = (f"list_transform(range(0, {_WAV_N}),"
+         f" i -> (ascii(substr(text, 2 * i + 1, 1))"
+         f" + 256 * ascii(substr(text, 2 * i + 2, 1))) - {_WAV_BIAS})")
+    return f"""
+WITH d AS (
+  SELECT doc_id, {s} AS s
+  FROM documents WHERE length(text) >= {need}),
+u AS (
+  SELECT doc_id, unnest(range(0, {_WAV_N})) AS i, s FROM d),
+f AS (
+  SELECT doc_id, i,
+    CASE WHEN abs(s[i + 1]) >= {_SEG_T} THEN 1 ELSE 0 END AS act
+  FROM u),
+g AS (
+  SELECT doc_id, i, act,
+    i - ROW_NUMBER() OVER (PARTITION BY doc_id, act
+                           ORDER BY i) AS isl
+  FROM f),
+runs AS (
+  SELECT doc_id, act, isl, COUNT(*) AS run_len
+  FROM g GROUP BY doc_id, act, isl)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN act = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_active_segments,
+  CAST(coalesce(MAX(CASE WHEN act = 1 THEN run_len END), 0)
+    AS BIGINT) AS longest_active_run,
+  CAST(SUM(CASE WHEN act = 1 THEN run_len ELSE 0 END) AS BIGINT)
+    AS n_active_samples,
+  SUM(CASE WHEN act = 1 THEN run_len ELSE 0 END)
+    / CAST({_WAV_N} AS DOUBLE) AS activity_ratio
+FROM runs GROUP BY doc_id
+"""
+
+
+@spec(
+    "multimodal_wav_segments",
+    _wav_segments_oracle(),
+    description="Audio activity segmentation: threshold runs over "
+                "the decoded sample stream (gaps-and-islands), "
+                "per-doc segment count / longest run / activity "
+                "ratio — integer-exact cross-engine",
+    tags=("pipeline", "multimodal", "audio"),
+)
+def q_multimodal_wav_segments(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    need = 2 * _WAV_N
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length("text") >= need)
+    s = docs.selectExpr(
+        "doc_id",
+        f"transform(sequence(0, {_WAV_N - 1}),"
+        f" i -> (ascii(substring(text, 2 * i + 1, 1))"
+        f" + 256 * ascii(substring(text, 2 * i + 2, 1)))"
+        f" - {_WAV_BIAS}) AS __s")
+    f = s.select(
+        "doc_id",
+        F.posexplode("__s").alias("i", "__v")).selectExpr(
+        "doc_id", "i",
+        f"CASE WHEN abs(__v) >= {_SEG_T} THEN 1 ELSE 0 END AS act")
+    g = f.withColumn(
+        "isl",
+        F.col("i") - F.row_number().over(
+            Window.partitionBy("doc_id", "act").orderBy("i")))
+    runs = g.groupBy("doc_id", "act", "isl").agg(
+        F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("doc_id").agg(
+        F.expr("CAST(SUM(CASE WHEN act = 1 THEN 1 ELSE 0 END)"
+               " AS BIGINT)").alias("n_active_segments"),
+        F.expr("CAST(coalesce(MAX(CASE WHEN act = 1 THEN run_len"
+               " END), 0) AS BIGINT)").alias("longest_active_run"),
+        F.expr("CAST(SUM(CASE WHEN act = 1 THEN run_len ELSE 0 END)"
+               " AS BIGINT)").alias("n_active_samples"),
+        F.expr(f"SUM(CASE WHEN act = 1 THEN run_len ELSE 0 END)"
+               f" / CAST({_WAV_N} AS DOUBLE)").alias("activity_ratio"),
+    )
