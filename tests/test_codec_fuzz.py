@@ -129,3 +129,66 @@ def test_wav_roundtrip_and_gates():
             decode_wav(full[:cut])
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_wav_zero_channels_raises_value_error():
+    """A corrupt fmt chunk declaring channels=0 must hit the codec
+    ValueError contract, not a ZeroDivisionError from the
+    modulo-by-channels data slicing."""
+    import struct
+
+    from xsarsea_spark.pipeline.audio import decode_wav, encode_wav
+
+    bad = bytearray(encode_wav(np.zeros(8, dtype=np.int16)))
+    bad[22:24] = struct.pack("<H", 0)       # fmt.channels = 0
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+
+
+def test_wav_bit_flips_raise_cleanly_or_decode():
+    from xsarsea_spark.pipeline.audio import decode_wav, encode_wav
+
+    rng = np.random.default_rng(2)
+    enc = encode_wav(
+        rng.integers(-32768, 32768, (64, 2), dtype=np.int16))
+    for _ in range(200):
+        b = bytearray(enc)
+        i = int(rng.integers(0, len(b)))
+        b[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            decode_wav(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_gif_disposal2_uses_global_table_for_background():
+    """Disposal-2 background restore must index the GLOBAL colour
+    table: a frame-local table smaller than the background index used
+    to turn this valid GIF into a spurious IndexError."""
+    import struct
+
+    from xsarsea_spark.pipeline.gif import decode_gif_frames, encode_gif
+
+    pal = np.zeros((16, 3), dtype=np.uint8)
+    pal[15] = (10, 20, 30)                  # background colour
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    base = bytearray(encode_gif(idx, pal))
+    assert base[10] & 0x80                  # global colour table flag
+    base[11] = 15                           # background colour index
+
+    # reuse encode_gif's LZW payload for an all-zero 4x4 frame
+    single = bytes(encode_gif(np.zeros((4, 4), dtype=np.uint8),
+                              np.zeros((2, 3), dtype=np.uint8)))
+    start = single.index(b"\x2c")
+    lzw = single[start + 10:-1]             # min_code + sub-blocks
+    # frame 2: 4-entry LOCAL colour table (< bg index 15) + disposal=2
+    lct = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9], [10, 11, 12]],
+                   dtype=np.uint8)
+    gce = b"\x21\xf9\x04" + bytes([2 << 2]) + b"\x00\x00\x00\x00"
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, 0x80 | 1)
+    out = bytes(base[:-1]) + gce + desc + lct.tobytes() + lzw + b";"
+    frames = decode_gif_frames(out)          # old code: IndexError->corrupt
+    assert len(frames) == 2
+    np.testing.assert_array_equal(frames[0], pal[idx])
+    np.testing.assert_array_equal(
+        frames[1], np.broadcast_to(lct[0], (4, 4, 3)))

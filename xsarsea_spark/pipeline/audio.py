@@ -56,6 +56,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if audio_fmt != 1:
         raise NotImplementedError(
             f"only PCM WAV supported (format tag {audio_fmt})")
+    if channels < 1:
+        # must precede the modulo-by-channels slicing below: a corrupt
+        # fmt chunk declaring 0 channels would otherwise escape the
+        # codec ValueError contract as a ZeroDivisionError
+        raise ValueError("WAV with zero channels")
     if bits == 16:
         s = np.frombuffer(
             data[: len(data) - (len(data) % (2 * channels))],
@@ -66,8 +71,6 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             dtype=np.uint8).astype(np.int16) - 128)
     else:
         raise NotImplementedError(f"{bits}-bit PCM unsupported")
-    if channels < 1:
-        raise ValueError("WAV with zero channels")
     s = s[: (len(s) // channels) * channels]
     return s.reshape(-1, channels), rate
 

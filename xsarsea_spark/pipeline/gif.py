@@ -247,7 +247,9 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
             canvas[y:y + h, x:x + w] = region
         frames.append(canvas.copy())
         if disposal == 2:                    # restore to background
-            bg_rgb = (ct[bg] if gct is not None and bg < len(gct)
+            # GIF89a: the background index refers to the GLOBAL colour
+            # table, not the active (possibly frame-local) one
+            bg_rgb = (gct[bg] if gct is not None and bg < len(gct)
                       else np.array([255, 255, 255], dtype=np.uint8))
             canvas[y:y + h, x:x + w] = bg_rgb
         elif disposal == 3 and prev_canvas is not None:

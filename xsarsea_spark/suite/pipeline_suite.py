@@ -2894,8 +2894,11 @@ def q_curated_table_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the table scan entirely; only bloom-POSITIVE rows pay the exact
 # digest anti-join backstop, so per-ingest cost is O(batch) + O(fp
 # rate x table digests) instead of a full table-digest scan per
-# batch. Idempotent by construction (a replayed batch's digests all
-# hit the bloom AND the backstop). The stream is run TWICE against
+# batch. Idempotent including the crash window: the sidecar records
+# the table file inventory it covers, and a mismatch (crash between
+# append and sidecar write) demotes the whole batch to the exact
+# anti-join, so bloom-negatives are only ever trusted when the bloom
+# provably covers every appended digest. The stream is run TWICE against
 # one checkpoint: the second run consumes zero new files (source-side
 # exactly-once), and the oracle value-matching a single batch replay
 # of the curation proves the double-run added no duplicates.
@@ -2936,69 +2939,23 @@ def q_stream_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from xsarsea_spark.sources.sinks import write_zordered
-
-    from xsarsea_spark.operators.sketch import bloom_build, bloom_mark
+    from xsarsea_spark.pipeline.ingest import ingest_curated_batch
 
     base = ("/tmp/xsarsea_stream_curated_"
             + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
     shutil.rmtree(base, ignore_errors=True)
     table_dir = os.path.join(base, "table")
     bloom_path = os.path.join(base, "bloom.parquet")
+    marker_path = os.path.join(base, "bloom_sync.txt")
     ckpt_dir = os.path.join(base, "ckpt")
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    from pyspark.sql.window import Window
 
     def ingest(df: DataFrame, batch_id: int) -> None:
-        wmd5 = Window.partitionBy("digest").orderBy("doc_id")
-        batch = (
-            df.filter(F.expr(f"text IS NOT NULL"
-                             f" AND n_chars >= {_CUR_MINCHARS}"))
-            .withColumn("digest", F.expr("md5(text)"))
-            .withColumn("__rn", F.row_number().over(wmd5))
-            .filter("__rn = 1")
-            .select("doc_id", "lang", "n_chars", "digest")
-        )
-        has_table = os.path.isdir(table_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(table_dir))
-        if has_table and os.path.exists(bloom_path):
-            bloom = spark.read.parquet(bloom_path)
-            marked = bloom_mark(batch, bloom, "digest",
-                                m_bits=_ING_BLOOM_BITS,
-                                k=_ING_BLOOM_K)
-            fresh = marked.filter("NOT __maybe").drop("__maybe")
-            maybe = marked.filter("__maybe").drop("__maybe")
-            existing = spark.read.parquet(table_dir).select("digest")
-            checked = maybe.join(existing, on="digest", how="left_anti")
-            batch = fresh.unionByName(checked)
-        elif has_table:
-            existing = spark.read.parquet(table_dir).select("digest")
-            batch = batch.join(existing, on="digest", how="left_anti")
-        # materialize so the delta-bloom build and the table append
-        # see the identical row set (and the bloom/table reads in the
-        # lineage aren't replayed against post-append state)
-        from xsarsea_spark.engine import materialize
-        batch = materialize(batch)
-        delta = bloom_build(batch.select("digest"), "digest",
-                            m_bits=_ING_BLOOM_BITS,
-                            k=_ING_BLOOM_K).collect()
-        write_zordered(batch, table_dir, ["n_chars", "doc_id"],
-                       bits=_CUR_BITS, n_files=4, mode="append")
-        # incremental sidecar update: OR the APPENDED digests' words
-        # into the persisted filter — O(batch) work, never a table
-        # rescan. Merged driver-side (O(m_bits/63) rows, ~2k) because
-        # parquet can't overwrite a path its own lineage reads.
-        words: dict[int, int] = {}
-        if os.path.exists(bloom_path):
-            for r in spark.read.parquet(bloom_path).collect():
-                words[int(r["word"])] = int(r["bits"])
-        for r in delta:
-            w = int(r["word"])
-            words[w] = words.get(w, 0) | int(r["bits"])
-        spark.createDataFrame(sorted(words.items()),
-                              "word int, bits bigint") \
-            .coalesce(1).write.mode("overwrite").parquet(bloom_path)
+        ingest_curated_batch(
+            spark, df, table_dir, bloom_path, marker_path,
+            min_chars=_CUR_MINCHARS, zcols=["n_chars", "doc_id"],
+            zbits=_CUR_BITS, m_bits=_ING_BLOOM_BITS, k=_ING_BLOOM_K)
 
     def run_stream() -> None:
         src = (spark.readStream.schema(schema)
@@ -3284,13 +3241,16 @@ SELECT * FROM (
          ELSE len(string_split(text, ' ')) END) AS BIGINT) FROM s1
   UNION ALL
   SELECT 2, 'near_dedup', COUNT(*),
-    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM s2
+    CAST(SUM(CASE WHEN text IS NULL THEN 0
+         ELSE len(string_split(text, ' ')) END) AS BIGINT) FROM s2
   UNION ALL
   SELECT 3, 'quality_gate', COUNT(*),
-    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM s3
+    CAST(SUM(CASE WHEN text IS NULL THEN 0
+         ELSE len(string_split(text, ' ')) END) AS BIGINT) FROM s3
   UNION ALL
   SELECT 4, 'gopher_gate', COUNT(*),
-    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM s4)
+    CAST(SUM(CASE WHEN text IS NULL THEN 0
+         ELSE len(string_split(text, ' ')) END) AS BIGINT) FROM s4)
 """
 
 
@@ -3327,11 +3287,13 @@ def q_pipeline_curation_report(spark: SparkSession,
     s4 = s3.join(gq, on="doc_id").filter("gopher_keep") \
         .drop("gopher_keep")
 
-    def agg(df, stage, name, null_safe):
+    def agg(df, stage, name):
+        # null-safe everywhere: Spark's legacy sizeOfNull makes
+        # size(split(NULL)) = -1, which a plain SUM would count while
+        # the DuckDB oracle's SUM skips NULLs — a NULL-text doc
+        # surviving a stage would silently desync engine vs oracle
         tok = ("CAST(SUM(CASE WHEN text IS NULL THEN 0"
-               " ELSE size(split(text, ' ')) END) AS BIGINT)"
-               if null_safe else
-               "CAST(SUM(size(split(text, ' '))) AS BIGINT)")
+               " ELSE size(split(text, ' ')) END) AS BIGINT)")
         return df.selectExpr(
             f"CAST({stage} AS INT) AS stage",
             f"'{name}' AS stage_name", "text").groupBy(
@@ -3339,11 +3301,11 @@ def q_pipeline_curation_report(spark: SparkSession,
             F.count(F.lit(1)).alias("n_docs"),
             F.expr(tok).alias("n_tokens"))
 
-    return (agg(docs, 0, "raw", True)
-            .unionByName(agg(s1, 1, "exact_dedup", True))
-            .unionByName(agg(s2, 2, "near_dedup", False))
-            .unionByName(agg(s3, 3, "quality_gate", False))
-            .unionByName(agg(s4, 4, "gopher_gate", False)))
+    return (agg(docs, 0, "raw")
+            .unionByName(agg(s1, 1, "exact_dedup"))
+            .unionByName(agg(s2, 2, "near_dedup"))
+            .unionByName(agg(s3, 3, "quality_gate"))
+            .unionByName(agg(s4, 4, "gopher_gate")))
 
 
 # ----------------------------------------------------------------------
