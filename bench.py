@@ -166,6 +166,40 @@ def main() -> None:
         ok = [v for v in vals if v >= 0]
         return round(statistics.median(ok), 3) if ok else -1.0
 
+    # sub-2s queries swing +-45% across reps on this host (the
+    # round-5 pca_topk false alarm: samples [1.81, 2.01, 1.10]), so
+    # their medians get extra passes until they rest on
+    # SPARK_GRAFT_BENCH_SMALL_REPS samples — cheap by definition,
+    # and it turns round-over-round deltas on small queries into
+    # signal instead of co-tenant noise. Budget-guarded like the
+    # main loop.
+    small_reps = max(reps, int(os.environ.get(
+        "SPARK_GRAFT_BENCH_SMALL_REPS", "5")))
+    small = sorted(n for n, v in samples.items()
+                   if 0 <= robust(v) < 2.0)
+    while small and reps_done > 0:
+        done = min(len(samples[n]) for n in small)
+        if done >= small_reps:
+            break
+        elapsed = time.perf_counter() - wall0
+        est = 1.5 * sum(robust(samples[n]) for n in small)
+        if elapsed + est > budget:
+            print(f"bench: skipping small-query extra pass "
+                  f"({elapsed:.0f}s elapsed, budget {budget:.0f}s)",
+                  file=sys.stderr)
+            break
+        for name in small:
+            t0 = time.perf_counter()
+            try:
+                REGISTRY[name].spark(spark, sf_dir).write.format(
+                    "noop").mode("overwrite").save()
+            except Exception as exc:
+                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+                samples[name].append(-1.0)
+                continue
+            samples[name].append(time.perf_counter() - t0)
+            release_query_state()
+
     timings = {n: robust(v) for n, v in samples.items()}
 
     # BASELINE.md "Engine baseline plan" throughput metrics: LUT

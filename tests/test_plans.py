@@ -170,3 +170,51 @@ def test_curated_maintain_no_forced_osf_broadcast(audit_spark):
     df = REGISTRY["curated_table_maintain"].spark(audit_spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert not _broadcast_scans(plan)
+
+
+def test_weighted_sample_collapses_to_takeordered(spark):
+    """The Efraimidis-Spirakis top-k must prune per-partition: the
+    plan's global window may only ever see the k survivors of a
+    TakeOrderedAndProject — a regression to a full global sort of
+    the corpus would pass the oracle but die at 100 TB."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["doc_weighted_sample"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    lines = plan.splitlines()
+    w = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    assert any("TakeOrderedAndProject(limit=50" in ln
+               for ln in lines[w:]), \
+        "per-partition top-k must feed the rank window"
+
+
+def _assert_all_windows_pid_partitioned(plan: str) -> None:
+    for ln in plan.splitlines():
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            assert "__pid" in ln, \
+                f"corpus-wide unpartitioned window in plan: {ln}"
+
+
+def test_curriculum_has_no_global_window(spark):
+    """doc_quality_curriculum's quartiles ride the distributed
+    two-pass rank; every Window node must be __pid-partitioned (or
+    the cluster-sized offsets window ordered by __pid) — never a
+    single-task sort of the corpus."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["doc_quality_curriculum"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    _assert_all_windows_pid_partitioned(plan)
+
+
+def test_setsim_vocab_rank_has_no_global_window(spark):
+    """The prefix-filter rarity rank (shared by doc_setsim_join,
+    doc_containment_join, dup_graph_kcore) must rank the vocabulary
+    with the distributed two-pass rank, not one unpartitioned
+    row_number window."""
+    from xsarsea_spark.suite import REGISTRY
+
+    for name in ("doc_setsim_join", "doc_containment_join"):
+        plan = (REGISTRY[name].spark(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        _assert_all_windows_pid_partitioned(plan)

@@ -1,0 +1,62 @@
+"""Distributed exact rank / ntile (`operators/rank.py`) must be
+value-identical to the single-partition window functions they
+replace, for any partition count — and never plan a corpus-wide
+unpartitioned window."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from xsarsea_spark.operators.rank import global_rank, ntile_distributed
+
+
+def _frame(spark, n=997):
+    # heavy ties on the score column; id is the tie-break
+    return spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 7).cast("double").alias("score"))
+
+
+@pytest.mark.parametrize("parts", [1, 3, 32])
+def test_global_rank_matches_row_number(spark, parts):
+    df = _frame(spark)
+    order = [F.col("score").desc(), F.col("id").asc()]
+    got = {r["id"]: r["__rank"]
+           for r in global_rank(df, order, partitions=parts).collect()}
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    want = {r["id"]: r["rn"]
+            for r in df.withColumn("rn", F.row_number().over(w)).collect()}
+    assert got == want
+
+
+@pytest.mark.parametrize("n,nrows", [(4, 997), (4, 3), (7, 1000),
+                                     (5, 5), (3, 1001)])
+def test_ntile_matches_window_ntile(spark, n, nrows):
+    df = _frame(spark, nrows)
+    order = [F.col("score").desc(), F.col("id").asc()]
+    got = {r["id"]: r["bin"]
+           for r in ntile_distributed(df, n, order,
+                                      partitions=5).collect()}
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    want = {r["id"]: r["nt"]
+            for r in df.withColumn("nt", F.ntile(n).over(w)).collect()}
+    assert got == want
+
+
+def test_rank_plan_has_no_unpartitioned_corpus_window(spark):
+    """Every Window node in the rank plan must either carry a
+    partition spec or sit above an aggregation (the cluster-sized
+    offsets frame) — never sort the input corpus on one task."""
+    df = _frame(spark)
+    out = global_rank(df, [F.col("score").asc(), F.col("id").asc()],
+                      partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert win_lines, "expected window nodes in the rank plan"
+    for ln in win_lines:
+        # local rank partitions by __pid; the offsets window orders
+        # by __pid over the cluster-sized counts frame — any Window
+        # without __pid would be a corpus-wide single-task sort
+        assert "__pid" in ln, f"corpus-wide window in plan: {ln}"

@@ -24,9 +24,12 @@ from xsarsea_spark.pipeline.text import HASH40_SQL
 __all__ = [
     "shingle",
     "minhash_signatures",
+    "lsh_bands",
+    "lsh_probe",
     "lsh_candidates",
     "jaccard_verify",
     "minhash_lsh_dedup",
+    "minhash_lsh_incremental",
     "simhash",
     "MINHASH_P",
 ]
@@ -87,13 +90,13 @@ def minhash_signatures(sh: DataFrame, k: int = 16,
     )
 
 
-def lsh_candidates(sig: DataFrame, bands: int = 8,
-                   id_col: str = "doc_id") -> DataFrame:
-    """Banded LSH candidate pairs (id_a < id_b): band hash combines the
-    2 signature rows of each band; pairs come from a bucket self-join,
-    never an all-pairs cross join."""
+def lsh_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Banded signature table (id, band, bandhash) — the persistable
+    LSH state: each band hash combines the 2 signature rows of the
+    band. This is the table an incremental ingest keeps on disk and
+    probes new batches against."""
     rows_per_band = 2
-    b = (
+    return (
         sig.withColumn("band",
                        F.expr(f"CAST(FLOOR(k / {rows_per_band}) AS INT)"))
         .withColumn("slot", F.expr(f"k % {rows_per_band}"))
@@ -105,6 +108,36 @@ def lsh_candidates(sig: DataFrame, bands: int = 8,
             ).alias("bandhash")
         )
     )
+
+
+def lsh_probe(batch_bands: DataFrame, state_bands: DataFrame,
+              id_col: str = "doc_id") -> DataFrame:
+    """Candidate (id_a=state, id_b=batch) pairs: the batch's band
+    table probed against a persisted band table on (band, bandhash)
+    equality — the incremental analog of the ``lsh_candidates``
+    self-join, O(batch bands) join work against the state table."""
+    l = state_bands.alias("l")
+    r = batch_bands.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bandhash") == F.col("r.bandhash")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def lsh_candidates(sig: DataFrame, bands: int = 8,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Banded LSH candidate pairs (id_a < id_b): band hash combines the
+    2 signature rows of each band; pairs come from a bucket self-join,
+    never an all-pairs cross join."""
+    b = lsh_bands(sig, id_col=id_col)
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(
@@ -173,6 +206,68 @@ def minhash_lsh_dedup(docs: DataFrame, n: int = 3, k: int = 16,
     cand = lsh_candidates(sig, bands=bands, id_col=id_col)
     ver = jaccard_verify(cand, sh, id_col=id_col)
     return ver.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_lsh_incremental(batch_docs: DataFrame,
+                            state_bands: DataFrame,
+                            hist_docs: DataFrame,
+                            n: int = 3, k: int = 16,
+                            threshold: float = 0.5,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Incremental near-dup maintenance: one NEW batch against a
+    PERSISTED band table — the MinHash-LSH analog of the digest
+    anti-join in exact incremental dedup.
+
+    Per-ingest cost is O(batch) shingling/signatures/banding, one
+    equality join of the batch's bands against the state table, a
+    within-batch band self-join, and exact Jaccard verification of
+    candidates only. Historical shingle sets are re-derived from the
+    doc store ONLY for the historical docs that appear in candidates
+    (semi-join pruning) — the state table itself stays KB-per-doc.
+
+    Returns verified pairs (id_a, id_b, jaccard, from_history);
+    ``id_a < id_b`` always (historical ids precede batch ids). The
+    result is replay-equivalent to a full recompute restricted to
+    pairs whose right side is in the batch — the property the suite
+    oracle certifies.
+    """
+    sh_b = shingle(batch_docs, n=n, text_col=text_col, id_col=id_col)
+    sig_b = minhash_signatures(sh_b, k=k, id_col=id_col)
+    bands_b = lsh_bands(sig_b, id_col=id_col)
+
+    cand_hist = lsh_probe(bands_b, state_bands, id_col=id_col)
+    l, r = bands_b.alias("l"), bands_b.alias("r")
+    cand_batch = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bandhash") == F.col("r.bandhash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    cand = cand_hist.unionByName(cand_batch).distinct()
+
+    hist_needed = cand.select(F.col("id_a").alias(id_col)).distinct()
+    sh_h = shingle(
+        hist_docs.join(hist_needed, on=id_col, how="left_semi"),
+        n=n, text_col=text_col, id_col=id_col)
+    sh = sh_b.unionByName(sh_h)
+    ver = jaccard_verify(cand, sh, id_col=id_col)
+    # plain (AQE-sized) join: batch_ids is O(batch), never forced
+    # into a broadcast
+    batch_ids = batch_docs.selectExpr(f"{id_col} AS id_a",
+                                      "true AS __in_batch").distinct()
+    return (
+        ver.filter(F.col("jaccard") >= threshold)
+        .join(batch_ids, on="id_a", how="left")
+        .withColumn("from_history",
+                    F.expr("NOT coalesce(__in_batch, false)"))
+        .drop("__in_batch")
+    )
 
 
 def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text",

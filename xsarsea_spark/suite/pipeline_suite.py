@@ -300,6 +300,61 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Incremental MinHash-LSH maintenance — the near-dup analog of
+# exact_dedup_incremental (and what a real 100-TB ingest runs): a NEW
+# batch (top 20% of doc_ids) is shingled/signed/banded in O(batch)
+# and its bands are PROBED against the persisted band table of the
+# historical corpus, plus a within-batch band self-join. Historical
+# shingle sets are re-derived only for candidate docs (semi-join
+# pruned). The oracle is replay equivalence: the full-corpus MinHash
+# recompute restricted to pairs whose right side is in the batch —
+# the value match certifies the incremental path finds exactly the
+# pairs a from-scratch run would.
+# ----------------------------------------------------------------------
+
+
+def _minhash_incremental_oracle() -> str:
+    pairs_sql = _minhash_oracle().strip()
+    return f"""
+WITH pairs AS ({pairs_sql}),
+cut AS (SELECT CAST(CEIL(MAX(doc_id) * {_INC_FRAC}) AS BIGINT) AS c
+        FROM documents)
+SELECT p.id_a, p.id_b, p.jaccard, p.id_a < cut.c AS from_history
+FROM pairs p, cut
+WHERE p.id_b >= cut.c
+"""
+
+
+@spec(
+    "minhash_incremental",
+    _minhash_incremental_oracle(),
+    description="Incremental MinHash-LSH maintenance: new batch "
+                "banded in O(batch) and probed against the persisted "
+                "historical band table + within-batch self-join; "
+                "exact Jaccard verify on candidates only — value-"
+                "equal to a full recompute restricted to batch pairs",
+    tags=("pipeline", "dedup", "incremental"),
+)
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.dedup import (lsh_bands,
+                                              minhash_lsh_incremental,
+                                              minhash_signatures,
+                                              shingle)
+
+    docs = load(spark, sf_dir, "documents")
+    cut = docs.agg(F.expr(
+        f"CAST(CEIL(MAX(doc_id) * {_INC_FRAC}) AS BIGINT)").alias("c"))
+    d = docs.crossJoin(F.broadcast(cut))
+    hist = d.filter("doc_id < c").drop("c")
+    batch = d.filter("doc_id >= c").drop("c")
+    # the persisted state of a production ingest, built once here
+    state = lsh_bands(
+        minhash_signatures(shingle(hist, n=_MH_N), k=_MH_K))
+    return minhash_lsh_incremental(
+        batch, state, hist, n=_MH_N, k=_MH_K, threshold=_MH_T)
+
+
+# ----------------------------------------------------------------------
 # SimHash fingerprints
 # ----------------------------------------------------------------------
 
@@ -2665,9 +2720,10 @@ def q_doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 # Curriculum binning: quality-quartile assignment + per-bin token
 # budgets (the mixture table a curriculum/annealing schedule consumes).
-# ntile rides ONE window over (quality DESC, doc_id) — deterministic
-# tie-break, so bin membership is engine-identical even at equal
-# scores. The window orders O(docs) rows; the output is 4 rows.
+# Quartiles are EXACT NTILE(4) semantics over (quality DESC, doc_id)
+# — deterministic tie-break, so bin membership is engine-identical
+# even at equal scores — computed with the distributed two-pass rank
+# (operators/rank.py), never a corpus-wide unpartitioned window.
 # ----------------------------------------------------------------------
 
 _CURR_QUALITY = """LEAST(GREATEST(
@@ -2704,14 +2760,15 @@ FROM b GROUP BY bin
 )
 def q_quality_curriculum(spark: SparkSession,
                          sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    from xsarsea_spark.operators.rank import ntile_distributed
     from xsarsea_spark.pipeline.text import quality_score
 
     q = quality_score(load(spark, sf_dir, "documents")).select(
         "doc_id", "n_tokens", "quality")
-    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
-    b = q.withColumn("bin", F.ntile(4).over(w))
+    # exact NTILE(4) via the distributed two-pass rank — a global
+    # ntile window would single-task-sort the whole corpus at scale
+    b = ntile_distributed(
+        q, 4, [F.col("quality").desc(), F.col("doc_id").asc()])
     return (
         b.groupBy("bin")
         .agg(
@@ -3045,9 +3102,19 @@ def q_doc_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _setsim_pairs(spark, sf_dir)
 
 
-def _setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+def _rarity_rank(toks: DataFrame) -> DataFrame:
+    """Global token rarity rank (document-frequency asc, token asc)
+    — the standard prefix-filter order — via the distributed two-pass
+    rank: a web-scale vocabulary (10^9 distinct tokens once typos and
+    UUIDs are in) must not funnel through one unpartitioned window."""
+    from xsarsea_spark.operators.rank import global_rank
 
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    return global_rank(
+        freq, [F.asc("__df"), F.asc("tok")], rank_col="__rk")
+
+
+def _setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sets = (
         docs.filter(f"text IS NOT NULL AND length(text) > 0"
@@ -3057,13 +3124,7 @@ def _setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.expr("size(s)"))
     )
     toks = sets.select("doc_id", F.explode("s").alias("tok"))
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
-    # global rarity order (count asc, token asc). The single-partition
-    # window is over the VOCABULARY (the df-table shape BM25 already
-    # uses), not the corpus.
-    rank = freq.withColumn(
-        "__rk", F.row_number().over(
-            Window.orderBy(F.asc("__df"), F.asc("tok"))))
+    rank = _rarity_rank(toks)
     ranked = (
         toks.join(rank.select("tok", "__rk"), on="tok")
         .groupBy("doc_id")
@@ -3356,8 +3417,6 @@ WHERE CAST(n_common AS DOUBLE)
     tags=("pipeline", "dedup", "join"),
 )
 def q_doc_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     docs = load(spark, sf_dir, "documents")
     sets = (
         docs.filter(f"text IS NOT NULL AND length(text) > 0"
@@ -3366,10 +3425,7 @@ def q_doc_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.expr("size(s)"))
     )
     toks = sets.select("doc_id", F.explode("s").alias("tok"))
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
-    rank = freq.withColumn(
-        "__rk", F.row_number().over(
-            Window.orderBy(F.asc("__df"), F.asc("tok"))))
+    rank = _rarity_rank(toks)
     ranked = (
         toks.join(rank.select("tok", "__rk"), on="tok")
         .groupBy("doc_id")
