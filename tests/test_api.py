@@ -111,3 +111,23 @@ def test_scd2_collapses_and_closes(spark):
     assert out[(1, 10)].valid_to == 30      # the ts=20 repeat merged
     assert out[(1, 40)].is_current and out[(1, 40)].valid_to is None
     assert out[(2, 10)].is_current
+
+
+def test_doc_totals_match_registry():
+    """COVERAGE.md / README.md query totals must track len(REGISTRY)
+    — they drifted twice in round 5; this pins them."""
+    import re
+
+    from xsarsea_spark.suite import REGISTRY
+
+    n = len(REGISTRY)
+    cov = open("/root/repo/COVERAGE.md").read()
+    m = re.search(r"Totals: (\d+) suite queries — (\d+) exact DuckDB"
+                  r" oracles, (\d+) rows-only", cov)
+    assert m, "COVERAGE.md totals line missing"
+    n_oracle = sum(1 for q in REGISTRY.values() if q.oracle is not None)
+    assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == \
+        (n, n_oracle, n - n_oracle)
+    readme = open("/root/repo/README.md").read()
+    m2 = re.search(r"suite/\s+(\d+) registered queries", readme)
+    assert m2 and int(m2.group(1)) == n

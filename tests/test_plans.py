@@ -218,3 +218,19 @@ def test_setsim_vocab_rank_has_no_global_window(spark):
         plan = (REGISTRY[name].spark(spark, SF)
                 ._jdf.queryExecution().executedPlan().toString())
         _assert_all_windows_pid_partitioned(plan)
+
+
+def test_pareto_and_battery_have_no_global_window(spark):
+    """q_supplier_pareto's rank+cumsum and q_window_battery's global
+    percent_rank ride the distributed two-pass rank — no Window node
+    without a partition spec (__pid or a per-customer key) may
+    remain."""
+    from xsarsea_spark.suite import REGISTRY
+
+    for name in ("q_supplier_pareto", "q_window_battery"):
+        plan = (REGISTRY[name].spark(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        for ln in plan.splitlines():
+            if "Window" in ln and "WindowGroupLimit" not in ln:
+                assert "__pid" in ln or "o_custkey" in ln, (
+                    f"{name}: corpus-wide window in plan: {ln}")

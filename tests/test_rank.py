@@ -60,3 +60,26 @@ def test_rank_plan_has_no_unpartitioned_corpus_window(spark):
         # by __pid over the cluster-sized counts frame — any Window
         # without __pid would be a corpus-wide single-task sort
         assert "__pid" in ln, f"corpus-wide window in plan: {ln}"
+
+
+@pytest.mark.parametrize("parts", [1, 4, 16])
+def test_global_rank_running_sums_match_window(spark, parts):
+    """Exact (DECIMAL/integer) running totals from the two-pass rank
+    must equal the single-partition cumulative window."""
+    df = spark.range(501).select(
+        F.col("id"),
+        (F.col("id") % 13).cast("double").alias("score"),
+        F.expr("CAST(id * 37 % 1000 AS DECIMAL(38,6))").alias("d"),
+        (F.col("id") % 97).cast("long").alias("v"))
+    order = [F.col("score").desc(), F.col("id").asc()]
+    got = {r["id"]: (r["cd"], r["cv"])
+           for r in global_rank(df, order, partitions=parts,
+                                running_sums={"cd": "d", "cv": "v"})
+           .collect()}
+    w = (Window.orderBy(F.col("score").desc(), F.col("id").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    want = {r["id"]: (r["cd"], r["cv"])
+            for r in df.select(
+                "id", F.sum("d").over(w).alias("cd"),
+                F.sum("v").over(w).alias("cv")).collect()}
+    assert got == want

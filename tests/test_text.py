@@ -124,3 +124,59 @@ def test_duplicate_spans_split_runs(spark):
         (r["doc_id"], r["span_start"], r["span_end"])
         for r in duplicate_spans(docs, n=5).collect())
     assert spans == [(1, 0, 4), (1, 10, 14), (2, 0, 4), (2, 10, 14)]
+
+
+def test_duplicate_spans_maximal_within_doc_repeat(spark):
+    """A passage repeated WITHIN one document is invisible to the
+    cross-doc variant (distinct-doc count = 1) but is exactly what
+    the Lee et al. total-occurrence path must cut."""
+    from xsarsea_spark.pipeline.text import (duplicate_spans,
+                                             duplicate_spans_maximal)
+
+    rep = " ".join(f"r{i}" for i in range(6))       # 6-token passage
+    filler = " ".join(f"f{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, rep + " " + filler + " " + rep),
+         (2, " ".join(f"z{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    assert duplicate_spans(docs, n=4).count() == 0
+    rows = sorted((r["doc_id"], r["span_start"], r["span_end"],
+                   r["n_dup_grams"])
+                  for r in duplicate_spans_maximal(docs, n=4).collect())
+    # both copies: 3 duplicated 4-gram starts each (offsets 0-2 and
+    # 14-16), extents merge into the two 6-token passages
+    assert rows == [(1, 0, 5, 3), (1, 14, 19, 3)]
+
+
+def test_duplicate_spans_maximal_interval_union(spark):
+    """Hits with a start gap <= n have touching extents and must fuse
+    into ONE maximal span (the islands variant emits two overlapping
+    spans here)."""
+    from xsarsea_spark.pipeline.text import (duplicate_spans,
+                                             duplicate_spans_maximal)
+
+    g1 = " ".join(f"a{i}" for i in range(4))        # dup 4-gram #1
+    g2 = " ".join(f"b{i}" for i in range(4))        # dup 4-gram #2
+    # fillers are unique PER DOC so boundary-crossing grams are never
+    # accidentally duplicated
+    docs = spark.createDataFrame(
+        [
+            # hits at p=0 and p=7: gap 7 > n=4 -> two separate spans
+            (1, g1 + " u1 u2 u3 " + g2),
+            # adjacent g1 g2: hits at p=0 and p=4, gap 4 <= n=4 ->
+            # extents [0,3] + [4,7] touch -> ONE maximal span
+            (2, g1 + " " + g2),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted((r["doc_id"], r["span_start"], r["span_end"])
+                 for r in duplicate_spans_maximal(docs, n=4).collect())
+    assert got == [(1, 0, 3), (1, 7, 10), (2, 0, 7)]
+    # the islands (cross-doc, consecutive-run) variant splits doc 2's
+    # non-consecutive hits into two overlapping spans — the exact
+    # behavior the maximal variant fixes
+    old = sorted((r["doc_id"], r["span_start"], r["span_end"])
+                 for r in duplicate_spans(docs, n=4).collect()
+                 if r["doc_id"] == 2)
+    assert old == [(2, 0, 3), (2, 4, 7)]

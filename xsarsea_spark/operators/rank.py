@@ -44,32 +44,53 @@ CONF_RANK_PARTITIONS = "spark.xsarsea.rank.partitions"
 
 def global_rank(df: DataFrame, order_by: list[Column],
                 rank_col: str = "__rank",
-                partitions: int | None = None) -> DataFrame:
+                partitions: int | None = None,
+                running_sums: dict[str, str] | None = None) -> DataFrame:
     """``df`` + ``rank_col`` = 1-based dense row_number under the
     TOTAL order ``order_by`` (callers must pass a tie-broken, i.e.
-    unique, key), computed without any corpus-wide window."""
+    unique, key), computed without any corpus-wide window.
+
+    ``running_sums`` maps output column -> input column to accumulate
+    as an inclusive running total under the same order (the classic
+    cumulative-sum window, distributed the same two-pass way:
+    per-partition totals + broadcast offsets + local cumsum). Input
+    columns MUST be exact types (DECIMAL / integer) — double partial
+    sums are not associative, so a double running sum could differ
+    from the single-partition window by rounding order.
+    """
     spark = df.sparkSession
     n = partitions or get_conf_int(
         spark, CONF_RANK_PARTITIONS,
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    sums = running_sums or {}
     ranged = materialize(
         df.repartitionByRange(n, *order_by)
         .withColumn("__pid", F.spark_partition_id()))
-    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    counts = ranged.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        *[F.sum(src).alias(f"__t_{out}") for out, src in sums.items()])
     # cumulative offsets: a window over <= n rows (cluster-sized)
     w_off = (Window.orderBy("__pid")
              .rowsBetween(Window.unboundedPreceding, -1))
     offsets = counts.select(
         "__pid",
-        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"))
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        *[F.sum(f"__t_{out}").over(w_off).alias(f"__o_{out}")
+          for out in sums])
     w_local = Window.partitionBy("__pid").orderBy(*order_by)
-    return (
+    w_run = w_local.rowsBetween(Window.unboundedPreceding, 0)
+    out = (
         ranged.withColumn("__lr", F.row_number().over(w_local))
         .join(F.broadcast(offsets), on="__pid")
         .withColumn(rank_col,
                     (F.col("__off") + F.col("__lr")).cast("long"))
-        .drop("__pid", "__lr", "__off")
     )
+    for o, src in sums.items():
+        out = out.withColumn(
+            o, F.coalesce(F.col(f"__o_{o}"), F.lit(0))
+            + F.sum(src).over(w_run))
+    return out.drop("__pid", "__lr", "__off",
+                    *[f"__o_{o}" for o in sums])
 
 
 def ntile_distributed(df: DataFrame, n: int, order_by: list[Column],

@@ -501,3 +501,76 @@ def duplicate_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
         )
         .drop("__grp")
     )
+
+
+def duplicate_spans_maximal(docs: DataFrame, n: int = 8,
+                            min_count: int = 2,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """FULL Lee et al. 2021 maximal-match span semantics: maximal
+    contiguous token ranges covered by some duplicated substring of
+    length >= ``n`` tokens, where "duplicated" counts TOTAL corpus
+    occurrences (>= ``min_count``) — including repeats WITHIN one
+    document, which the cross-document variant
+    (:func:`duplicate_spans`) deliberately ignores.
+
+    Why this equals the paper's suffix-array output: any duplicated
+    substring of length >= n is a union of duplicated n-grams, and an
+    n-gram occurring >= 2 times IS a duplicated substring of length
+    n; so the positions the paper would cut are exactly the union of
+    extents [p, p+n-1] over duplicated n-gram starts p. Two extents
+    with start gap <= n produce contiguous coverage, so the merge
+    condition is ``p - lag(p) > n`` starts a new span — an interval
+    union, strictly wider than the consecutive-run (gap = 1) islands
+    of the cross-doc variant, which can emit overlapping spans when
+    hits are close but not consecutive.
+
+    Scale: identical wire shape to :func:`duplicate_spans` — only
+    (doc_id, pos, hash40) triples shuffle, the occurrence count and
+    the join exchange on the hash key, and the merge windows
+    partition by doc_id (per-document state only).
+    """
+    gram = (
+        f"transform(sequence(1, size(__toks) - {n - 1}),"
+        f" i -> {HASH40_SQL.format(x=_GRAM_CONCAT.format(n=n))})"
+    )
+    grams = (
+        docs.withColumn("__toks", F.split(F.col(text_col), " "))
+        .filter(F.expr(f"size(__toks) >= {n}"))
+        .select(id_col,
+                F.posexplode(F.expr(gram)).alias("__p", "__h"))
+    )
+    dup = (
+        grams.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__nc"))
+        .filter(F.col("__nc") >= min_count)
+        .select("__h")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("__p")
+    hits = grams.join(dup, on="__h").select(id_col, "__p")
+    marked = hits.withColumn(
+        "__new",
+        F.when(F.lag("__p").over(w).isNull()
+               | (F.col("__p") - F.lag("__p").over(w) > n),
+               F.lit(1)).otherwise(F.lit(0)))
+    grp = marked.withColumn(
+        "__grp",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        grp.groupBy(id_col, "__grp")
+        .agg(
+            F.min("__p").cast("bigint").alias("span_start"),
+            (F.max("__p") + F.lit(n - 1)).cast("bigint")
+            .alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .withColumn(
+            "span_tokens",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("bigint"),
+        )
+        .drop("__grp")
+    )

@@ -1199,6 +1199,10 @@ FROM scored GROUP BY doc_id
     tags=("pipeline", "text", "lm"),
 )
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bigram_ll(spark, sf_dir)
+
+
+def _bigram_ll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xsarsea_spark.pipeline.text import bigrams
 
     docs = load(spark, sf_dir, "documents")
@@ -1220,6 +1224,55 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE)"
                " / COUNT(*)").alias("avg_ll"),
     )
+
+
+# ----------------------------------------------------------------------
+# CCNet-style perplexity bucketing: documents split into head /
+# middle / tail terciles by LM perplexity (CCNet, Wenzek et al.
+# 2020 — the standard web-corpus quality partition a pretraining
+# mixture samples from). Perplexity is monotone in -avg_ll, so the
+# terciles bucket directly on the bigram LM's avg_ll (DECIMAL-exact
+# cross-engine, no exp() ulp hazard) with doc_id as the
+# deterministic tie-break; the tercile assignment is EXACT NTILE(3)
+# semantics computed by the distributed two-pass rank — never a
+# corpus-wide window.
+# ----------------------------------------------------------------------
+
+_PPL_ORACLE = f"""
+WITH scored AS ({{bigram}}),
+b AS (
+  SELECT doc_id, n_bigrams, avg_ll,
+    NTILE(3) OVER (ORDER BY avg_ll DESC, doc_id) AS bucket
+  FROM scored)
+SELECT doc_id, n_bigrams, avg_ll, bucket,
+  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+    ELSE 'tail' END AS tier
+FROM b
+"""
+
+
+@spec(
+    "doc_perplexity_buckets",
+    _PPL_ORACLE.format(
+        bigram=_BIGRAM_ORACLE.format(term=_bigram_term()).strip()),
+    description="CCNet head/middle/tail perplexity terciles over the "
+                "bigram LM score (exact DECIMAL arithmetic, "
+                "distributed NTILE) — the standard pretraining "
+                "quality partition",
+    tags=("pipeline", "text", "lm", "sampling"),
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.rank import ntile_distributed
+
+    scored = _bigram_ll(spark, sf_dir).select(
+        "doc_id", "n_bigrams", "avg_ll")
+    b = ntile_distributed(
+        scored, 3, [F.col("avg_ll").desc(), F.col("doc_id").asc()],
+        bin_col="bucket")
+    return b.selectExpr(
+        "doc_id", "n_bigrams", "avg_ll", "bucket",
+        "CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'"
+        " ELSE 'tail' END AS tier")
 
 
 _PQ_M, _PQ_K, _PQ_ITERS = 8, 16, 3
@@ -1897,6 +1950,65 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return duplicate_spans(load(spark, sf_dir, "documents"),
                            n=_SPAN_N)
+
+
+# ----------------------------------------------------------------------
+# FULL Lee et al. maximal-match substring dedup: total-occurrence
+# duplicated n-grams (within-document repeats count, unlike the
+# cross-doc variant above) with interval-UNION span merging — hits
+# whose extents [p, p+n-1] touch (start gap <= n) fuse into one
+# maximal span, matching the positions a corpus suffix array would
+# cut, where the consecutive-run islands of doc_substring_dedup can
+# emit overlapping spans. Wire shape unchanged: hash-only shuffles,
+# per-document merge windows.
+# ----------------------------------------------------------------------
+
+_SPANMAX_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+g AS (
+  SELECT doc_id, l, unnest(range(0, len(l) - {_SPAN_N} + 1)) AS p
+  FROM t WHERE len(l) >= {_SPAN_N}),
+gh AS (
+  SELECT doc_id, p, {_H40_DUCK.format(
+      x=f"array_to_string(l[p + 1:p + {_SPAN_N}], ' ')")} AS h
+  FROM g),
+d AS (SELECT h FROM gh GROUP BY h HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, p FROM gh JOIN d USING (h)),
+m AS (
+  SELECT doc_id, p,
+    CASE WHEN LAG(p) OVER w IS NULL
+           OR p - LAG(p) OVER w > {_SPAN_N} THEN 1 ELSE 0 END
+      AS new_span
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+grp AS (
+  SELECT doc_id, p, SUM(new_span) OVER
+    (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS grp
+  FROM m)
+SELECT doc_id,
+  CAST(MIN(p) AS BIGINT) AS span_start,
+  CAST(MAX(p) + {_SPAN_N} - 1 AS BIGINT) AS span_end,
+  COUNT(*) AS n_dup_grams,
+  CAST(MAX(p) + {_SPAN_N} - 1 - MIN(p) + 1 AS BIGINT) AS span_tokens
+FROM grp GROUP BY doc_id, grp
+"""
+
+
+@spec(
+    "doc_substring_dedup_maximal",
+    _SPANMAX_ORACLE,
+    description="Full Lee et al. maximal-match substring dedup: "
+                "total-occurrence duplicated 8-grams (within-doc "
+                "repeats included) merged by interval union — the "
+                "exact positions a corpus suffix array would cut",
+    tags=("pipeline", "dedup", "text"),
+)
+def q_substring_dedup_maximal(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.text import duplicate_spans_maximal
+
+    return duplicate_spans_maximal(load(spark, sf_dir, "documents"),
+                                   n=_SPAN_N)
 
 
 # ----------------------------------------------------------------------

@@ -696,7 +696,7 @@ FROM w, t
     tags=("relational", "window"),
 )
 def q_supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from xsarsea_spark.operators.rank import global_rank
 
     li = load(spark, sf_dir, "lineitem")
     r = li.groupBy("l_suppkey").agg(
@@ -705,14 +705,13 @@ def q_supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"SUM(CAST(({_REV}) AS DECIMAL(38,6)))").alias("__d"),
     )
     t = r.agg(F.expr("CAST(SUM(__d) AS DOUBLE)").alias("total"))
-    w = Window.orderBy(F.desc("revenue"), F.asc("l_suppkey"))
-    cw = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # rank + cumulative DECIMAL revenue via the distributed two-pass
+    # rank: the supplier aggregate is O(suppliers) — small here, a
+    # billion rows at warehouse scale, so no single-task window
+    g = global_rank(r, [F.desc("revenue"), F.asc("l_suppkey")],
+                    rank_col="rnk", running_sums={"__cum": "__d"})
     return (
-        r.withColumn("rnk", F.row_number().over(w))
-        .withColumn("cum_rev",
-                    F.expr("CAST(SUM(__d) OVER (ORDER BY revenue DESC,"
-                           " l_suppkey ROWS BETWEEN UNBOUNDED"
-                           " PRECEDING AND CURRENT ROW) AS DOUBLE)"))
+        g.withColumn("cum_rev", F.expr("CAST(__cum AS DOUBLE)"))
         .crossJoin(F.broadcast(t))
         .select(
             "l_suppkey", "revenue", "rnk",

@@ -556,6 +556,8 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 def q_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from xsarsea_spark.operators.rank import global_rank
+
     orders = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate",
                                                 "o_orderkey")
@@ -563,11 +565,10 @@ def q_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                  "o_orderkey")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wtrail = w.rowsBetween(-2, Window.currentRow)
-    wg = Window.orderBy("o_totalprice", "o_orderkey")
     day_us = 86400000000
     dsum = "SUM(CAST(o_totalprice AS DECIMAL(38,6)))"
-    return orders.select(
-        "o_orderkey", "o_custkey",
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
         F.row_number().over(w).alias("rn"),
         F.expr(f"(unix_micros(CAST(o_orderdate AS TIMESTAMP))"
                f" - unix_micros(CAST(LAG(o_orderdate) OVER"
@@ -584,7 +585,23 @@ def q_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(dsum).over(wtrail).cast("double")
         .alias("trailing3_spend"),
         F.first("o_orderkey").over(w).alias("first_order"),
-        F.percent_rank().over(wg).alias("global_price_pctrank"),
+    )
+    # PERCENT_RANK over ALL orders = (rank - 1) / (N - 1) on the
+    # unique (o_totalprice, o_orderkey) key — the one corpus-wide
+    # window of the battery, replaced by the distributed two-pass
+    # rank + a broadcast 1-row count (identical value: one integer
+    # subtraction and one IEEE division per row in both forms)
+    n = orders.groupBy().agg(F.count(F.lit(1)).alias("__N"))
+    g = global_rank(base, [F.asc("o_totalprice"), F.asc("o_orderkey")],
+                    rank_col="__gr")
+    return (
+        g.crossJoin(F.broadcast(n))
+        .withColumn(
+            "global_price_pctrank",
+            F.expr("CASE WHEN __N = 1 THEN 0e0 ELSE"
+                   " CAST(__gr - 1 AS DOUBLE)"
+                   " / CAST(__N - 1 AS DOUBLE) END"))
+        .drop("__gr", "__N", "o_totalprice")
     )
 
 
