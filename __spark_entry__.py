@@ -67,7 +67,7 @@ _PRIORITY = [
     "multimodal_wav_segments",
     # (b) round-6 additions
     "minhash_incremental", "doc_perplexity_buckets",
-    "doc_substring_dedup_maximal",
+    "doc_substring_dedup_maximal", "ivf_incremental",
     # (c) queries touched by round-6 changes
     "doc_quality_curriculum", "doc_setsim_join", "dup_graph_kcore",
     "pipeline_curation_report", "stream_curated_ingest",
@@ -76,7 +76,7 @@ _PRIORITY = [
     "exact_dedup_incremental",
     # (d) sentinels: relational
     "q01_pricing_summary", "q03_shipping_priority",
-    "q09_product_profit", "q18_large_volume_customer",
+    "q18_large_volume_customer",
     "q_window_battery", "q_skyline_parts", "q_market_basket",
     # sentinels: science chain
     "inversion_dualpol", "inversion_crosspol", "gradient_histogram",

@@ -686,13 +686,17 @@ def _ddot(a: str, b: str) -> str:
             f" i -> {a}[i] * {b}[i]), (s, t) -> s + t)")
 
 
-def _ivf_oracle() -> str:
+def _ivf_train_parts(train_where: str = "") -> list[str]:
+    """Chained CTEs replicating ``train_ivf`` bit-for-bit on
+    ``embeddings [train_where]`` — ends at ``kf`` (the final
+    norm-guarded centroids). Shared by the full-index and the
+    incremental-maintenance oracles."""
     from xsarsea_spark.pipeline.ivf import IVF_SCALE
 
     parts = [
-        "v AS (SELECT vec_id,"
-        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
-        " FROM embeddings)",
+        f"v AS (SELECT vec_id,"
+        f" list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        f" FROM embeddings {train_where})",
         # zero-guarded norms for the similarity stages (kernel guard)
         f"nv AS (SELECT vec_id, e,"
         f" CASE WHEN nr = 0 THEN 1.0 ELSE nr END AS vn FROM"
@@ -736,11 +740,18 @@ def _ivf_oracle() -> str:
             f" ON m.cell = o.cell AND m.d = o.d GROUP BY o.cell)"
         )
     rf = _IVF_ITERS
-    parts += [
+    parts.append(
         f"kf AS (SELECT cell, cent,"
         f" CASE WHEN nr = 0 THEN 1.0 ELSE nr END AS cn FROM"
         f" (SELECT cell, cent, sqrt({_ddot('cent', 'cent')}) AS nr"
-        f" FROM c{rf}))",
+        f" FROM c{rf}))")
+    return parts
+
+
+def _ivf_oracle() -> str:
+    parts = _ivf_train_parts()
+    sim = f"({_ddot('nv.e', 'k.cent')} / nv.vn) / k.cn"
+    parts += [
         # the index: every corpus vector's final cell
         f"af AS (SELECT nv.vec_id, k.cell"
         f" FROM nv CROSS JOIN kf k"
@@ -793,6 +804,87 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _KNN_NQ)
     return ivf_search(queries, indexed, centroids, k=_KNN_K,
                       n_probe=_IVF_PROBE)
+
+
+# ----------------------------------------------------------------------
+# Incremental IVF index maintenance — what an embedding store at
+# 100 TB actually runs per ingest: the coarse quantizer stays FROZEN
+# (trained once on the historical corpus; retraining would invalidate
+# every persisted posting), and a new batch is assigned to cells in
+# one O(batch x n_centroids) Arrow pass with zero touch of the
+# historical postings. The oracle replays the history-only training
+# chain (shared CTE builder with ivf_ann) and assigns ALL vectors
+# with the frozen centroids — value equality certifies the
+# incremental assignment lands every batch vector exactly where a
+# from-scratch assignment against the same quantizer would.
+# ----------------------------------------------------------------------
+
+
+def _ivf_incremental_oracle() -> str:
+    parts = [
+        f"cut AS (SELECT CAST(CEIL(MAX(vec_id) * {_INC_FRAC})"
+        f" AS BIGINT) AS c FROM embeddings)",
+    ] + _ivf_train_parts("WHERE vec_id < (SELECT c FROM cut)") + [
+        "vall AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        " FROM embeddings)",
+        f"nvall AS (SELECT vec_id, e,"
+        f" CASE WHEN nr = 0 THEN 1.0 ELSE nr END AS vn FROM"
+        f" (SELECT vec_id, e, sqrt({_ddot('e', 'e')}) AS nr"
+        f" FROM vall))",
+        f"af AS (SELECT nvall.vec_id, k.cell"
+        f" FROM nvall CROSS JOIN kf k"
+        f" QUALIFY ROW_NUMBER() OVER (PARTITION BY nvall.vec_id"
+        f" ORDER BY ({_ddot('nvall.e', 'k.cent')} / nvall.vn) / k.cn"
+        f" DESC, k.cell) = 1)",
+    ]
+    return ("WITH " + ",\n".join(parts) + """
+SELECT CAST(cell AS BIGINT) AS cell,
+  CAST(SUM(CASE WHEN vec_id < (SELECT c FROM cut)
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_hist,
+  CAST(SUM(CASE WHEN vec_id >= (SELECT c FROM cut)
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+  COUNT(*) AS n_total,
+  MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+FROM af GROUP BY cell""")
+
+
+@spec(
+    "ivf_incremental",
+    _ivf_incremental_oracle(),
+    description="Incremental IVF maintenance: frozen history-trained "
+                "quantizer, new batch assigned in one O(batch x k) "
+                "Arrow pass, postings merged — per-cell census "
+                "value-equal to a from-scratch assignment against "
+                "the same quantizer",
+    tags=("pipeline", "similarity", "incremental"),
+)
+def q_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.ivf import assign_cells, train_ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    cut = emb.agg(F.expr(
+        f"CAST(CEIL(MAX(vec_id) * {_INC_FRAC}) AS BIGINT)").alias("c"))
+    d = emb.crossJoin(F.broadcast(cut))
+    hist = d.filter("vec_id < c").drop("c")
+    batch = d.filter("vec_id >= c").drop("c")
+    # the persisted quantizer of a production index, trained once
+    centroids = train_ivf(hist, n_centroids=_IVF_NC, iters=_IVF_ITERS)
+    idx_hist = assign_cells(hist, centroids) \
+        .withColumn("__new", F.lit(False))
+    idx_new = assign_cells(batch, centroids) \
+        .withColumn("__new", F.lit(True))
+    merged = idx_hist.unionByName(idx_new)
+    return merged.groupBy(F.col("cell").cast("bigint").alias("cell")) \
+        .agg(
+            F.expr("CAST(SUM(CASE WHEN __new THEN 0 ELSE 1 END)"
+                   " AS BIGINT)").alias("n_hist"),
+            F.expr("CAST(SUM(CASE WHEN __new THEN 1 ELSE 0 END)"
+                   " AS BIGINT)").alias("n_new"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.min("vec_id").alias("min_vec"),
+            F.max("vec_id").alias("max_vec"),
+        )
 
 
 # ----------------------------------------------------------------------
