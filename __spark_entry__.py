@@ -68,6 +68,7 @@ _PRIORITY = [
     # (b) round-6 additions
     "minhash_incremental", "doc_perplexity_buckets",
     "doc_substring_dedup_maximal", "ivf_incremental",
+    "stream_neardup_ingest",
     # (c) queries touched by round-6 changes
     "doc_quality_curriculum", "doc_setsim_join", "dup_graph_kcore",
     "pipeline_curation_report", "stream_curated_ingest",
@@ -75,7 +76,7 @@ _PRIORITY = [
     "dup_cluster_components", "doc_substring_dedup",
     "exact_dedup_incremental",
     # (d) sentinels: relational
-    "q01_pricing_summary", "q03_shipping_priority",
+    "q01_pricing_summary",
     "q18_large_volume_customer",
     "q_window_battery", "q_skyline_parts", "q_market_basket",
     # sentinels: science chain

@@ -105,3 +105,78 @@ def test_happy_path_uses_bloom_and_stays_exact(spark, tmp_path):
     ingest_curated_batch(spark, docs, table_dir, bloom_path,
                          marker_path, **_KW)
     assert _digest_counts(spark, table_dir) == before
+
+
+_ND_KW = dict(n=3, k=16, threshold=0.2)     # suite _MH_N/_MH_K/_MH_T
+
+
+def _nd_paths(tmp_path):
+    base = str(tmp_path)
+    return (os.path.join(base, "seen"), os.path.join(base, "bands"),
+            os.path.join(base, "bands_sync.txt"))
+
+
+def _accepted(spark, seen_dir):
+    return {r["doc_id"] for r in spark.read.parquet(seen_dir)
+            .filter("accepted").select("doc_id").collect()}
+
+
+def _oneshot_accept(spark):
+    from pyspark.sql import functions as F
+
+    from xsarsea_spark.pipeline.dedup import minhash_lsh_dedup
+
+    docs = _docs(spark)
+    pairs = minhash_lsh_dedup(docs, **{"n": 3, "k": 16,
+                                       "threshold": 0.2})
+    drops = {r["id_b"] for r in pairs.select("id_b").collect()}
+    return {r["doc_id"] for r in docs.select("doc_id").collect()} - drops
+
+
+def test_neardup_ingest_batched_equals_oneshot(spark, tmp_path):
+    """Ingesting in two id-ordered batches must accept exactly the
+    docs the one-shot full-corpus near-dedup keeps (drop-id_b
+    precedence), and a replayed batch must be a no-op."""
+    from xsarsea_spark.pipeline.ingest import ingest_neardup_batch
+
+    seen_dir, bands_dir, marker = _nd_paths(tmp_path)
+    docs = _docs(spark)
+    cut = int(docs.agg({"doc_id": "max"}).collect()[0][0] * 0.6)
+    b1 = docs.filter(f"doc_id < {cut}")
+    b2 = docs.filter(f"doc_id >= {cut}")
+
+    ingest_neardup_batch(spark, b1, seen_dir, bands_dir, marker,
+                         **_ND_KW)
+    ingest_neardup_batch(spark, b2, seen_dir, bands_dir, marker,
+                         **_ND_KW)
+    got = _accepted(spark, seen_dir)
+    assert got == _oneshot_accept(spark)
+
+    # replay of batch 2: id anti-join backstop makes it a no-op
+    before = spark.read.parquet(seen_dir).count()
+    ingest_neardup_batch(spark, b2, seen_dir, bands_dir, marker,
+                         **_ND_KW)
+    assert spark.read.parquet(seen_dir).count() == before
+    assert _accepted(spark, seen_dir) == got
+
+
+def test_neardup_ingest_self_heals_lost_bands(spark, tmp_path):
+    """Crash between the seen append and the band append loses index
+    entries; the next ingest must rebuild them from the doc store
+    (marker mismatch -> anti-join -> re-band) and still converge to
+    the one-shot answer."""
+    import shutil
+
+    from xsarsea_spark.pipeline.ingest import ingest_neardup_batch
+
+    seen_dir, bands_dir, marker = _nd_paths(tmp_path)
+    docs = _docs(spark)
+    cut = int(docs.agg({"doc_id": "max"}).collect()[0][0] * 0.6)
+    ingest_neardup_batch(spark, docs.filter(f"doc_id < {cut}"),
+                         seen_dir, bands_dir, marker, **_ND_KW)
+    # simulate the crash window: band table and marker gone, seen kept
+    shutil.rmtree(bands_dir)
+    os.remove(marker)
+    ingest_neardup_batch(spark, docs.filter(f"doc_id >= {cut}"),
+                         seen_dir, bands_dir, marker, **_ND_KW)
+    assert _accepted(spark, seen_dir) == _oneshot_accept(spark)

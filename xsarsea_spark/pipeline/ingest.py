@@ -37,7 +37,7 @@ from xsarsea_spark.engine import materialize
 from xsarsea_spark.operators.sketch import bloom_build, bloom_mark
 from xsarsea_spark.sources.sinks import write_zordered
 
-__all__ = ["ingest_curated_batch"]
+__all__ = ["ingest_curated_batch", "ingest_neardup_batch"]
 
 
 def _table_files(table_dir: str) -> list[str]:
@@ -116,3 +116,133 @@ def ingest_curated_batch(
         .coalesce(1).write.mode("overwrite").parquet(bloom_path)
     with open(marker_path, "w") as fh:
         fh.write("\n".join(_table_files(table_dir)))
+
+
+def _parquet_files(d: str) -> list[str]:
+    if not os.path.isdir(d):
+        return []
+    return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+
+def ingest_neardup_batch(
+    spark: SparkSession,
+    df: DataFrame,
+    seen_dir: str,
+    bands_dir: str,
+    marker_path: str,
+    *,
+    n: int = 3,
+    k: int = 16,
+    threshold: float = 0.5,
+) -> None:
+    """Exactly-once NEAR-DUP ingest: one micro-batch of ``documents``
+    rows deduplicated by MinHash-LSH against everything already seen,
+    with the band table as the only persisted index.
+
+    Persisted state (both under the stream's control):
+
+    - ``seen_dir``: every batch row ever processed (accepted flag
+      included) — the doc store candidates re-shingle from;
+    - ``bands_dir``: the LSH band table for every seen doc — what new
+      batches probe in O(batch bands).
+
+    Precedence: a batch doc is DROPPED if a verified pair connects it
+    to any already-seen doc (seen = arrived earlier) or to a
+    lower-id doc within its own batch — with batches arriving in
+    doc_id order this is exactly the one-shot "drop id_b of every
+    verified pair" semantics (the suite oracle); for unordered
+    streams arrival order is the documented tie-break. A dropped
+    doc's bands STAY in the index (near-dup is not transitive: a
+    later doc can be a duplicate of a dropped doc without being a
+    duplicate of its keeper, and the one-shot semantics drop it).
+
+    Crash-window design (the band table is CORRECTNESS state here,
+    not an optimization like the curated ingest's bloom): appends go
+    seen-table first, band-table second, sync marker (recording the
+    seen-table file inventory the bands cover) last. On any mismatch
+    the next ingest SELF-HEALS: seen ids anti-joined against band ids
+    yields exactly the docs whose bands are missing; they are
+    re-shingled and appended before the batch proceeds. Replays are
+    idempotent via an id anti-join against the seen table.
+    """
+    from xsarsea_spark.pipeline.dedup import (jaccard_verify, lsh_bands,
+                                              lsh_probe,
+                                              minhash_signatures,
+                                              shingle)
+
+    has_seen = bool(_parquet_files(seen_dir))
+    seen = spark.read.parquet(seen_dir) if has_seen else None
+
+    # self-heal: if the marker doesn't prove the band table covers the
+    # current seen inventory (crash between the two appends), rebuild
+    # the missing docs' bands from the doc store before probing
+    if has_seen:
+        in_sync = (os.path.exists(marker_path)
+                   and open(marker_path).read()
+                   == "\n".join(_parquet_files(seen_dir)))
+        if not in_sync:
+            band_ids = (spark.read.parquet(bands_dir)
+                        .select("doc_id").distinct()
+                        if _parquet_files(bands_dir) else None)
+            missing = seen.select("doc_id", "text")
+            if band_ids is not None:
+                missing = missing.join(band_ids, on="doc_id",
+                                       how="left_anti")
+            heal = lsh_bands(minhash_signatures(
+                shingle(missing, n=n), k=k))
+            heal = materialize(heal)
+            if heal.limit(1).count():
+                heal.write.mode("append").parquet(bands_dir)
+            with open(marker_path, "w") as fh:
+                fh.write("\n".join(_parquet_files(seen_dir)))
+
+    # replay backstop: only genuinely-new ids enter the batch
+    batch = df
+    if has_seen:
+        batch = batch.join(seen.select("doc_id"), on="doc_id",
+                           how="left_anti")
+    batch = materialize(batch)
+
+    sh_b = shingle(batch, n=n)
+    bands_b = lsh_bands(minhash_signatures(sh_b, k=k))
+
+    state_bands = (spark.read.parquet(bands_dir)
+                   if _parquet_files(bands_dir) else None)
+    if state_bands is not None:
+        cand_hist = lsh_probe(bands_b, state_bands)
+    else:
+        cand_hist = None
+    l, r = bands_b.alias("l"), bands_b.alias("r")
+    cand_batch = (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.bandhash") == F.col("r.bandhash"))
+               & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("id_a"),
+                F.col("r.doc_id").alias("id_b"))
+        .distinct()
+    )
+    cand = (cand_batch if cand_hist is None
+            else cand_hist.unionByName(cand_batch).distinct())
+
+    sh = sh_b
+    if cand_hist is not None:
+        hist_needed = cand.select(
+            F.col("id_a").alias("doc_id")).distinct()
+        sh_h = shingle(
+            seen.select("doc_id", "text")
+            .join(hist_needed, on="doc_id", how="left_semi"), n=n)
+        sh = sh.unionByName(sh_h)
+    drops = (
+        jaccard_verify(cand, sh)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias("doc_id")).distinct()
+    )
+    out = materialize(
+        batch.join(drops.withColumn("__dup", F.lit(True)),
+                   on="doc_id", how="left")
+        .withColumn("accepted", F.expr("NOT coalesce(__dup, false)"))
+        .drop("__dup"))
+    out.write.mode("append").parquet(seen_dir)
+    materialize(bands_b).write.mode("append").parquet(bands_dir)
+    with open(marker_path, "w") as fh:
+        fh.write("\n".join(_parquet_files(seen_dir)))

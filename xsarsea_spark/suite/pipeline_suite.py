@@ -3241,6 +3241,90 @@ def q_stream_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# STREAMING near-dup ingest — the MinHash-LSH twin of
+# stream_curated_ingest: per-micro-batch MinHash banding, probe of
+# the PERSISTED band table (the only index state), exact Jaccard
+# verify of candidates, accept/drop by the one-shot drop-id_b
+# precedence, exactly-once via checkpoint + id anti-join backstop,
+# self-healing band index on crash (see pipeline/ingest.py). The
+# oracle is the full-corpus one-shot near-dedup — value equality
+# proves the batched, double-run stream converges to exactly the
+# from-scratch answer.
+# ----------------------------------------------------------------------
+
+
+def _stream_neardup_oracle() -> str:
+    pairs_sql = _minhash_oracle().strip()
+    return f"""
+WITH pairs AS ({pairs_sql}),
+drops AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+kept AS (SELECT d.* FROM documents d
+         LEFT JOIN drops ON drops.doc_id = d.doc_id
+         WHERE drops.doc_id IS NULL)
+SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
+  MAX(doc_id) AS max_doc, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM kept GROUP BY lang
+"""
+
+
+@spec(
+    "stream_neardup_ingest",
+    _stream_neardup_oracle(),
+    description="Structured-Streaming exactly-once MinHash-LSH "
+                "near-dup ingest: persisted band-table index probed "
+                "per micro-batch, exact Jaccard verify, self-healing "
+                "crash recovery; accepted set value-equal to the "
+                "one-shot full-corpus near-dedup",
+    tags=("pipeline", "streaming", "dedup", "incremental"),
+)
+def q_stream_neardup_ingest(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from xsarsea_spark.pipeline.ingest import ingest_neardup_batch
+
+    base = ("/tmp/xsarsea_stream_neardup_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    seen_dir = os.path.join(base, "seen")
+    bands_dir = os.path.join(base, "bands")
+    marker_path = os.path.join(base, "bands_sync.txt")
+    ckpt_dir = os.path.join(base, "ckpt")
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+
+    def ingest(df: DataFrame, batch_id: int) -> None:
+        ingest_neardup_batch(
+            spark, df.select("doc_id", "lang", "n_chars", "text"),
+            seen_dir, bands_dir, marker_path,
+            n=_MH_N, k=_MH_K, threshold=_MH_T)
+
+    def run_stream() -> None:
+        src = (spark.readStream.schema(schema)
+               .option("pathGlobFilter", "documents.parquet")
+               .parquet(sf_dir))
+        q = (src.writeStream.foreachBatch(ingest)
+             .option("checkpointLocation", ckpt_dir)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    run_stream()
+    run_stream()    # second run: zero new files -> no-op (exactly-once)
+
+    back = spark.read.parquet(seen_dir).filter("accepted")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("sum_chars"),
+    )
+
+
+# ----------------------------------------------------------------------
 # EXACT set-similarity self-join (prefix-filtering / PPJoin family):
 # all document pairs with token-set Jaccard >= t, NO approximation —
 # the exact counterpart of minhash_lsh_neardup. Scale shape: tokens
