@@ -69,6 +69,7 @@ _PRIORITY = [
     "minhash_incremental", "doc_perplexity_buckets",
     "doc_substring_dedup_maximal", "ivf_incremental",
     "stream_neardup_ingest",
+    "documents_jsonl_roundtrip", "documents_csv_roundtrip",
     # (c) queries touched by round-6 changes
     "doc_quality_curriculum", "doc_setsim_join", "dup_graph_kcore",
     "pipeline_curation_report", "stream_curated_ingest",
@@ -80,13 +81,13 @@ _PRIORITY = [
     "q18_large_volume_customer",
     "q_window_battery", "q_skyline_parts", "q_market_basket",
     # sentinels: science chain
-    "inversion_dualpol", "inversion_crosspol", "gradient_histogram",
+    "inversion_dualpol", "gradient_histogram",
     "streaks_full", "lut_interp", "lut_regrid", "sigma0_detrend",
     "rain_mask_filtering", "nesz_flattening", "available_models",
     # sentinels: events + streaming
     "events_sessionize", "events_asof_join",
     "events_stream_sessionize", "events_stream_user_stats",
-    "events_scd2_history", "events_dd_quantiles",
+    "events_scd2_history",
     # sentinels: embeddings
     "embedding_kmeans", "embedding_semdedup", "ivf_ann",
     "embedding_knn",

@@ -837,3 +837,91 @@ def q_multimodal_wav_segments(spark: SparkSession,
         F.expr(f"SUM(CASE WHEN act = 1 THEN run_len ELSE 0 END)"
                f" / CAST({_WAV_N} AS DOUBLE)").alias("activity_ratio"),
     )
+
+
+# ----------------------------------------------------------------------
+# Source-format round trips: the documents table written to JSONL /
+# CSV with Spark's native writers and read back with an EXPLICIT
+# schema (inference is banned — nondeterministic and a full extra
+# scan at 100 TB), then profiled per language with a content-hash
+# sum so the oracle certifies byte fidelity through the format, not
+# just row counts. Newlines/quotes/delimiters in text ride the
+# formats' own escaping (CSV: RFC quote-escape + multiLine read;
+# nulls round-trip via an explicit nullValue sentinel).
+# ----------------------------------------------------------------------
+
+_H40_DUCK = "CAST('0x' || substr(md5({x}), 1, 10) AS BIGINT)"
+_H40_SPARK = "CAST(conv(substring(md5({x}), 1, 10), 16, 10) AS BIGINT)"
+
+_RT_ORACLE = f"""
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  CAST(SUM(CASE WHEN text IS NULL THEN 0
+       ELSE {_H40_DUCK.format(x='text')} END) AS BIGINT)
+    AS sum_text_hash,
+  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents GROUP BY lang
+"""
+
+
+def _roundtrip_profile(df: DataFrame) -> DataFrame:
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("sum_chars"),
+        F.expr(f"CAST(SUM(CASE WHEN text IS NULL THEN 0 ELSE "
+               f"{_H40_SPARK.format(x='text')} END) AS BIGINT)")
+        .alias("sum_text_hash"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def _rt_base(sf_dir: str, fmt: str) -> str:
+    import hashlib
+    return ("/tmp/xsarsea_docs_rt_" + fmt + "_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+
+
+@spec(
+    "documents_jsonl_roundtrip",
+    _RT_ORACLE,
+    description="JSONL source round trip: documents written with the "
+                "native JSON writer, read back with an explicit "
+                "schema, per-lang profile with a content-hash sum "
+                "certifying byte fidelity through the format",
+    tags=("sources", "formats"),
+)
+def q_documents_jsonl_roundtrip(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    base = _rt_base(sf_dir, "jsonl")
+    docs.write.mode("overwrite").json(base)
+    back = spark.read.schema(docs.schema).json(base)
+    return _roundtrip_profile(back)
+
+
+@spec(
+    "documents_csv_roundtrip",
+    _RT_ORACLE,
+    description="CSV source round trip: RFC quote-escaping, "
+                "multiLine read, explicit null sentinel and schema "
+                "— per-lang profile with a content-hash sum "
+                "certifying byte fidelity through the format",
+    tags=("sources", "formats"),
+)
+def q_documents_csv_roundtrip(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    base = _rt_base(sf_dir, "csv")
+    (docs.write.mode("overwrite")
+     .option("header", "true")
+     .option("quote", '"').option("escape", '"')
+     .option("nullValue", "\\N")
+     .csv(base))
+    back = (spark.read.schema(docs.schema)
+            .option("header", "true")
+            .option("quote", '"').option("escape", '"')
+            .option("nullValue", "\\N")
+            .option("multiLine", "true")
+            .csv(base))
+    return _roundtrip_profile(back)
