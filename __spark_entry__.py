@@ -70,6 +70,7 @@ _PRIORITY = [
     "doc_substring_dedup_maximal", "ivf_incremental",
     "stream_neardup_ingest",
     "documents_jsonl_roundtrip", "documents_csv_roundtrip",
+    "documents_orc_roundtrip",
     # (c) queries touched by round-6 changes
     "doc_quality_curriculum", "doc_setsim_join", "dup_graph_kcore",
     "pipeline_curation_report", "stream_curated_ingest",
@@ -82,7 +83,7 @@ _PRIORITY = [
     "q_window_battery", "q_skyline_parts", "q_market_basket",
     # sentinels: science chain
     "inversion_dualpol", "gradient_histogram",
-    "streaks_full", "lut_interp", "lut_regrid", "sigma0_detrend",
+    "streaks_full", "lut_interp", "sigma0_detrend",
     "rain_mask_filtering", "nesz_flattening", "available_models",
     # sentinels: events + streaming
     "events_sessionize", "events_asof_join",

@@ -537,3 +537,37 @@ def test_skyline2d_matches_bruteforce(spark):
         pts, "id long, x double, y long").repartition(7)
     got = {r["id"] for r in skyline2d(df, "x", "y").collect()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=400),
+    mod=st.integers(min_value=1, max_value=19),
+    parts=st.integers(min_value=1, max_value=9),
+    nbins=st.integers(min_value=1, max_value=7),
+)
+def test_global_rank_and_ntile_property(n, mod, parts, nbins):
+    """For arbitrary sizes, tie densities, partition counts and bin
+    counts, the distributed rank/ntile must equal the window
+    functions — including the empty frame and n < bins edges."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from xsarsea_spark.operators.rank import global_rank, ntile_distributed
+    from xsarsea_spark.session import get_session
+
+    spark = get_session()
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") % mod).cast("double").alias("s"))
+    order = [F.col("s").desc(), F.col("id").asc()]
+    got_r = {r["id"]: r["__rank"]
+             for r in global_rank(df, order, partitions=parts).collect()}
+    got_b = {r["id"]: r["bin"]
+             for r in ntile_distributed(df, nbins, order,
+                                        partitions=parts).collect()}
+    w = Window.orderBy(F.col("s").desc(), F.col("id").asc())
+    want = {r["id"]: (r["rn"], r["nt"]) for r in df.select(
+        "id", F.row_number().over(w).alias("rn"),
+        F.ntile(nbins).over(w).alias("nt")).collect()}
+    assert got_r == {k: v[0] for k, v in want.items()}
+    assert got_b == {k: v[1] for k, v in want.items()}

@@ -925,3 +925,20 @@ def q_documents_csv_roundtrip(spark: SparkSession,
             .option("multiLine", "true")
             .csv(base))
     return _roundtrip_profile(back)
+
+
+@spec(
+    "documents_orc_roundtrip",
+    _RT_ORACLE,
+    description="ORC source round trip: native columnar writer + "
+                "explicit-schema read, same byte-fidelity profile "
+                "as the JSONL/CSV trips",
+    tags=("sources", "formats"),
+)
+def q_documents_orc_roundtrip(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    base = _rt_base(sf_dir, "orc")
+    docs.write.mode("overwrite").orc(base)
+    back = spark.read.schema(docs.schema).orc(base)
+    return _roundtrip_profile(back)
