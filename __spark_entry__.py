@@ -76,7 +76,7 @@ _PRIORITY = [
     "pipeline_curation_report", "stream_curated_ingest",
     "doc_bigram_lm", "doc_weighted_sample", "minhash_lsh_neardup",
     "dup_cluster_components", "doc_substring_dedup",
-    "exact_dedup_incremental",
+    "exact_dedup_incremental", "doc_sequence_packing",
     # (d) sentinels: relational
     "q01_pricing_summary",
     "q18_large_volume_customer",
@@ -88,7 +88,6 @@ _PRIORITY = [
     # sentinels: events + streaming
     "events_sessionize", "events_asof_join",
     "events_stream_sessionize", "events_stream_user_stats",
-    "events_scd2_history",
     # sentinels: embeddings
     "embedding_kmeans", "embedding_semdedup", "ivf_ann",
     "embedding_knn",

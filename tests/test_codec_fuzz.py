@@ -192,3 +192,30 @@ def test_gif_disposal2_uses_global_table_for_background():
     np.testing.assert_array_equal(frames[0], pal[idx])
     np.testing.assert_array_equal(
         frames[1], np.broadcast_to(lct[0], (4, 4, 3)))
+
+
+def test_ppm_bmp_fuzz_raise_cleanly_or_decode():
+    """PPM/BMP decoders under truncation + bit flips: clean codec
+    contract (ValueError) or a successful decode, never a raw
+    numpy/struct error escaping the parser."""
+    from tests.test_multimodal import _encode_bmp, _encode_ppm
+    from xsarsea_spark.pipeline.multimodal import decode_bmp, decode_ppm
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    for enc, dec in ((_encode_ppm(img), decode_ppm),
+                     (_encode_bmp(img), decode_bmp),
+                     (_encode_bmp(img, top_down=True), decode_bmp)):
+        for cut in range(1, len(enc), max(1, len(enc) // 50)):
+            try:
+                dec(enc[:cut])
+            except ValueError:
+                pass
+        for _ in range(250):
+            b = bytearray(enc)
+            i = int(rng.integers(0, len(b)))
+            b[i] ^= 1 << int(rng.integers(0, 8))
+            try:
+                dec(bytes(b))
+            except ValueError:
+                pass

@@ -234,3 +234,21 @@ def test_pareto_and_battery_have_no_global_window(spark):
             if "Window" in ln and "WindowGroupLimit" not in ln:
                 assert "__pid" in ln or "o_custkey" in ln, (
                     f"{name}: corpus-wide window in plan: {ln}")
+
+
+def test_packing_and_bm25_have_no_global_window(spark):
+    """doc_sequence_packing's token cumsum rides the two-level
+    distributed scan (no corpus-wide Window); doc_bm25_topk's rank
+    window must sit above a per-partition TakeOrderedAndProject."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["doc_sequence_packing"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    _assert_all_windows_pid_partitioned(plan)
+
+    plan = (REGISTRY["doc_bm25_topk"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    lines = plan.splitlines()
+    w = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    assert any("TakeOrderedAndProject" in ln for ln in lines[w:]), \
+        "BM25 rank window must only see the per-partition top-k"

@@ -11,10 +11,11 @@ utilization (vs per-sequence greedy packing's padding waste).
 source at per-source rates — the "data mixture" step of a training
 run, reproducible across runs and engines (no RNG state).
 
-Scale: packing is one window pass ordered by the document key; at
-100 TB the global cumsum becomes per-shard cumsums plus one tiny
-shard-offset prefix sum (the classic two-level scan), which preserves
-the same output contract.
+Scale: the global token cumsum IS the classic two-level scan —
+per-range-partition cumsums plus a broadcast partition-offset prefix
+sum (``operators/rank.py:global_rank`` with ``running_sums``), so no
+corpus-wide single-task window exists at any size; integer sums make
+the distributed result bit-identical to the one-window form.
 """
 
 from __future__ import annotations
@@ -38,18 +39,20 @@ def pack_sequences(docs: DataFrame, seq_len: int,
     ``max_span`` bounds how many sequences one document may cross
     (validate ``seq_len`` against the longest document upstream).
     """
-    from pyspark.sql import Window
+    from xsarsea_spark.operators.rank import global_rank
 
-    w = Window.orderBy(id_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
     toks = docs.select(
         id_col,
         F.expr(f"size(split({text_col}, ' '))").cast("long")
         .alias("__n"),
     )
-    laid = toks.withColumn(
-        "__cum_end", F.sum("__n").over(w)
-    ).withColumn("__cum_before", F.col("__cum_end") - F.col("__n"))
+    # inclusive running token total via the distributed two-level
+    # scan — exact (integer sums), no corpus-wide window
+    laid = global_rank(
+        toks, [F.asc(id_col)], rank_col="__rk",
+        running_sums={"__cum_end": "__n"},
+    ).drop("__rk").withColumn(
+        "__cum_before", F.col("__cum_end") - F.col("__n"))
     spans = docs.sparkSession.range(max_span).select(
         F.col("id").cast("long").alias("__k"))
     out = (
