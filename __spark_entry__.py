@@ -51,12 +51,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # surface. Rounds 1-5 drove 157 of the then-162 registry queries
 # through that window with zero failures. Round 6's window: (a) the 5
 # round-5 additions that exceeded round 5's window (after this round
-# EVERY registry query has a driver row), (b) the 3 round-6 additions
-# (minhash_incremental, doc_perplexity_buckets,
-# doc_substring_dedup_maximal), (c) every query whose code changed
-# this round (distributed rank/ntile rewiring, null-safe curation
-# sums, stream-ingest crash-window fix, LSH banding refactor, bigram
-# LM factoring), and (d) cross-round sentinels, one per operator
+# EVERY registry query has a driver row), (b) the 8 round-6 additions
+# (incremental MinHash-LSH + IVF maintenance, perplexity buckets,
+# maximal substring dedup, streaming near-dup ingest, and the
+# JSONL/CSV/ORC byte-fidelity round trips), (c) every query whose
+# code changed this round (distributed rank/ntile/running-sum
+# rewiring of curriculum, the setsim-family vocab rank, pareto,
+# window battery and sequence packing; null-safe curation sums;
+# stream-ingest crash-window fix; LSH banding refactor; bigram LM
+# factoring), and (d) cross-round sentinels, one per operator
 # family, each driver-green in a prior round. Every window entry is
 # green on the local strict DuckDB compare, re-run in window order as
 # a final pre-flight.
@@ -77,6 +80,7 @@ _PRIORITY = [
     "doc_bigram_lm", "doc_weighted_sample", "minhash_lsh_neardup",
     "dup_cluster_components", "doc_substring_dedup",
     "exact_dedup_incremental", "doc_sequence_packing",
+    "q_supplier_pareto",
     # (d) sentinels: relational
     "q01_pricing_summary",
     "q18_large_volume_customer",
@@ -86,7 +90,7 @@ _PRIORITY = [
     "streaks_full", "lut_interp", "sigma0_detrend",
     "rain_mask_filtering", "nesz_flattening", "available_models",
     # sentinels: events + streaming
-    "events_sessionize", "events_asof_join",
+    "events_asof_join",
     "events_stream_sessionize", "events_stream_user_stats",
     # sentinels: embeddings
     "embedding_kmeans", "embedding_semdedup", "ivf_ann",
