@@ -35,7 +35,8 @@ _ADV_DOCS = [
 ]
 
 _DOC_TAGS = {"text", "quality", "dedup", "multimodal", "sampling",
-             "packing", "lm", "chunking", "index", "pipeline"}
+             "packing", "lm", "chunking", "index", "pipeline",
+             "formats"}
 
 
 @pytest.fixture(scope="module")

@@ -913,16 +913,23 @@ def q_documents_csv_roundtrip(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     base = _rt_base(sf_dir, "csv")
+    # ignore*WhiteSpace default TRUE on both sides of Spark's CSV and
+    # silently trims padded text — byte fidelity requires turning it
+    # off explicitly (caught by the adversarial-corpus drift gate)
+    ws = {"ignoreLeadingWhiteSpace": "false",
+          "ignoreTrailingWhiteSpace": "false"}
     (docs.write.mode("overwrite")
      .option("header", "true")
      .option("quote", '"').option("escape", '"')
      .option("nullValue", "\\N")
+     .options(**ws)
      .csv(base))
     back = (spark.read.schema(docs.schema)
             .option("header", "true")
             .option("quote", '"').option("escape", '"')
             .option("nullValue", "\\N")
             .option("multiLine", "true")
+            .options(**ws)
             .csv(base))
     return _roundtrip_profile(back)
 
