@@ -88,6 +88,18 @@ def test_replay_after_crash_window_adds_no_duplicates(spark, tmp_path):
               .select(F.expr("md5(text)").alias("d")).distinct().count())
     assert len(full) == expect
 
+    # the recovered sidecar must COVER the crash-window digests, not
+    # just carry a fresh marker: re-ingest batch B's texts under new
+    # doc_ids (same md5 digests). A bloom with holes would call them
+    # bloom-NEGATIVE ("definitely new") and append duplicates.
+    batch_b_reworded = batch_b.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000))
+    ingest_curated_batch(spark, batch_b_reworded, table_dir, bloom_path,
+                         marker_path, **_KW)
+    again = _digest_counts(spark, table_dir)
+    assert again == full, \
+        "post-recovery bloom has holes: crash-window digests re-appended"
+
 
 def test_happy_path_uses_bloom_and_stays_exact(spark, tmp_path):
     """No crash: second ingest of the same batch is a no-op and the

@@ -119,18 +119,36 @@ def test_substring_dedup_shuffles_hashes_only(spark):
             assert "array_join" not in ln and "slice" not in ln
 
 
-def test_skyline_prefilter_precedes_global_window(spark):
+def test_skyline_exact_pass_has_no_global_window(spark):
+    """The exact pass's ordered prefix-max rides the distributed
+    two-pass prefix_max: every Window in the final plan must be
+    __pid-scoped (the prefix_max materialize truncates lineage, so
+    the plan shown is exactly the exact-pass stage). The Arrow
+    prefilter is checked separately below — it must feed the grouped
+    frame prefix_max ranges over."""
     from xsarsea_spark.suite import REGISTRY
 
     df = REGISTRY["q_skyline_parts"].spark(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the Arrow local-skyline kernel must sit below the single-
-    # reducer global window, so the global sort only ever sees the
-    # pruned survivors
-    lines = plan.splitlines()
-    w = next(i for i, ln in enumerate(lines) if "Window" in ln)
-    assert any("MapInPandas" in ln for ln in lines[w:]), \
-        "local prefilter must appear beneath the global window"
+    _assert_all_windows_pid_partitioned(plan)
+
+
+def test_skyline_prefilter_is_zero_exchange(spark):
+    """Phase 1 (the Arrow local-skyline kernel the exact pass ranges
+    over) must plan as scan -> mapInPandas with no Exchange — the
+    pruning that makes the global stage O(frontier) costs no
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    from xsarsea_spark.operators.skyline import _local_prefilter
+
+    df = spark.read.parquet(f"{SF}/part.parquet").select(
+        "p_partkey", F.col("p_retailprice").alias("x"),
+        F.col("p_size").cast("double").alias("y"))
+    plan = (_local_prefilter(df, "x", "y")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "mapInPandas" in plan or "MapInPandas" in plan
 
 
 def test_market_basket_broadcasts_only_the_count_row(audit_spark):

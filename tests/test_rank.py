@@ -9,7 +9,8 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from xsarsea_spark.operators.rank import global_rank, ntile_distributed
+from xsarsea_spark.operators.rank import (global_rank, ntile_distributed,
+                                          prefix_max)
 
 
 def _frame(spark, n=997):
@@ -59,6 +60,37 @@ def test_rank_plan_has_no_unpartitioned_corpus_window(spark):
         # local rank partitions by __pid; the offsets window orders
         # by __pid over the cluster-sized counts frame — any Window
         # without __pid would be a corpus-wide single-task sort
+        assert "__pid" in ln, f"corpus-wide window in plan: {ln}"
+
+
+@pytest.mark.parametrize("parts", [1, 3, 16])
+def test_prefix_max_matches_exclusive_window(spark, parts):
+    """Two-pass exclusive running max == the single-partition
+    max OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING TO -1) window,
+    including the NULL for the globally-first row."""
+    df = spark.range(499).select(
+        F.col("id"),
+        # non-monotone values so the running max actually plateaus
+        ((F.col("id") * 37) % 101).cast("double").alias("v"))
+    got = {r["id"]: r["pm"]
+           for r in prefix_max(df, [F.col("id").asc()], "v", "pm",
+                               partitions=parts).collect()}
+    w = (Window.orderBy(F.col("id").asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    want = {r["id"]: r["pm"] for r in df.withColumn(
+        "pm", F.max("v").over(w)).collect()}
+    assert got == want
+    assert want[0] is None
+
+
+def test_prefix_max_plan_has_no_unpartitioned_corpus_window(spark):
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 9).cast("double").alias("v"))
+    out = prefix_max(df, [F.col("id").asc()], "v", "pm", partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert win_lines
+    for ln in win_lines:
         assert "__pid" in ln, f"corpus-wide window in plan: {ln}"
 
 

@@ -141,7 +141,11 @@ def local_gradients_numpy(sigma0: np.ndarray) -> dict:
     """Full-image reference chain (gradients.py:588-634 + i2/ampl of
     Gradients2D, gradients.py:132-140). Returns /4-resolution arrays."""
     i2 = _r2(sigma0)
-    ampl = np.sqrt(i2)
+    # R2 output can go negative under NaN propagation; sqrt(neg) -> NaN
+    # is the wanted semantics — scope the errstate so the expected NaNs
+    # don't spam RuntimeWarnings into the bench stdout tail
+    with np.errstate(invalid="ignore"):
+        ampl = np.sqrt(i2)
     # cv2.Scharr uses BORDER_REFLECT_101 ('reflect' in np.pad terms)
     gx = _correlate2(ampl, SCHARR_X, "reflect")
     gy = _correlate2(ampl, SCHARR_Y, "reflect")

@@ -37,7 +37,7 @@ from pyspark.sql.window import Window
 
 from xsarsea_spark.engine import get_conf_int, materialize
 
-__all__ = ["global_rank", "ntile_distributed"]
+__all__ = ["global_rank", "ntile_distributed", "prefix_max"]
 
 CONF_RANK_PARTITIONS = "spark.xsarsea.rank.partitions"
 
@@ -93,6 +93,40 @@ def global_rank(df: DataFrame, order_by: list[Column],
                     *[f"__o_{o}" for o in sums])
 
 
+def prefix_max(df: DataFrame, order_by: list[Column], src: str,
+               out_col: str,
+               partitions: int | None = None) -> DataFrame:
+    """``df`` + ``out_col`` = EXCLUSIVE running max of ``src`` under
+    the total order ``order_by`` (the ``max(src) OVER (ORDER BY ...
+    ROWS UNBOUNDED PRECEDING TO -1)`` window), distributed with the
+    same two-pass shape as :func:`global_rank` — per-range-partition
+    maxima + a cluster-sized offsets window + a local exclusive
+    running max. NULL for the globally-first row. Order keys must be
+    unique (max, unlike sum, is order-insensitive, but ties crossing
+    a range boundary would make the EXCLUSIVE frame ambiguous)."""
+    spark = df.sparkSession
+    n = partitions or get_conf_int(
+        spark, CONF_RANK_PARTITIONS,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    ranged = materialize(
+        df.repartitionByRange(n, *order_by)
+        .withColumn("__pid", F.spark_partition_id()))
+    w_off = (Window.orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (ranged.groupBy("__pid").agg(F.max(src).alias("__m"))
+               .select("__pid",
+                       F.max("__m").over(w_off).alias("__pm")))
+    w_excl = (Window.partitionBy("__pid").orderBy(*order_by)
+              .rowsBetween(Window.unboundedPreceding, -1))
+    return (ranged.join(F.broadcast(offsets), on="__pid")
+            # greatest() skips NULLs: first row of a partition takes
+            # the previous partitions' max; the globally-first row
+            # gets NULL from both sides
+            .withColumn(out_col, F.greatest(
+                F.col("__pm"), F.max(src).over(w_excl)))
+            .drop("__pid", "__pm"))
+
+
 def ntile_distributed(df: DataFrame, n: int, order_by: list[Column],
                       bin_col: str = "bin",
                       partitions: int | None = None) -> DataFrame:
@@ -102,16 +136,18 @@ def ntile_distributed(df: DataFrame, n: int, order_by: list[Column],
     ranked = global_rank(df, order_by, rank_col="__gr",
                          partitions=partitions)
     total = ranked.groupBy().agg(F.count(F.lit(1)).alias("__N"))
-    r, N = F.col("__gr"), F.col("__N")
-    base = (N / n).cast("long")          # floor(N / n)
-    rem = N % n
-    big = base + F.lit(1)
-    in_big = r <= rem * big
-    bin_expr = F.when(
-        in_big, ((r - 1) / big).cast("long") + 1
-    ).otherwise(
-        rem + ((r - rem * big - 1) / base).cast("long") + 1
-    )
+    # integral `div` throughout: double division is exact only below
+    # 2^53 ranks — floating point must not decide exact cross-engine
+    # values at the design scale. CASE short-circuits, so the
+    # `div __base` branch never runs when base = 0 (N < n: every row
+    # lands in a big bucket).
+    bin_expr = F.expr(
+        f"CAST(CASE WHEN __gr <= (__N % {n}) * ((__N div {n}) + 1) "
+        f"THEN (__gr - 1) div ((__N div {n}) + 1) + 1 "
+        f"ELSE (__N % {n}) "
+        f"  + (__gr - (__N % {n}) * ((__N div {n}) + 1) - 1) "
+        f"    div (__N div {n}) + 1 "
+        f"END AS int)")
     return (ranked.crossJoin(F.broadcast(total))
-            .withColumn(bin_col, bin_expr.cast("int"))
+            .withColumn(bin_col, bin_expr)
             .drop("__gr", "__N"))

@@ -8,16 +8,18 @@ formulation is linear: in an ``x``-sorted stream a row is dominated
 iff the running max of ``y`` over STRICTLY smaller ``x`` reaches its
 ``y``, or an equal-``x`` row strictly exceeds its ``y``.
 
-Scale design: the exact sorted pass is a GLOBAL (unpartitioned)
-window — a single-reducer sort. So phase 1 prunes first, with zero
-exchange: an Arrow ``mapInPandas`` kernel computes each batch's local
-skyline in vectorized NumPy (sort by (x asc, y desc), group-max +
-running-max masks). This is valid because dominance is transitive —
-skyline(S) = skyline(union of per-batch skylines): any globally
-dominated row is dominated by some row that survives its own batch.
-Phase 2 then runs the exact built-in window pass over survivors only,
-which for real distributions is O(frontier), not O(n). The result
-set is invariant to the (nondeterministic) batching.
+Scale design: phase 1 prunes with zero exchange — an Arrow
+``mapInPandas`` kernel computes each batch's local skyline in
+vectorized NumPy (sort by (x asc, y desc), group-max + running-max
+masks). This is valid because dominance is transitive — skyline(S) =
+skyline(union of per-batch skylines): any globally dominated row is
+dominated by some row that survives its own batch. Phase 2 runs the
+exact sorted pass over survivors only, and its ordered prefix-max
+rides the distributed two-pass ``operators.rank.prefix_max`` (range
+partition + cluster-sized offsets window + local window) — no
+single-reducer sort anywhere, even when |distinct x| approaches row
+count on a continuous key. The result set is invariant to the
+(nondeterministic) batching.
 
 The Python kernel is a prefilter, not the semantics: correctness
 never depends on it keeping the minimal set, and the final pass is
@@ -26,28 +28,26 @@ pure JVM-side window/join logic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from xsarsea_spark.operators.rank import prefix_max
 
 __all__ = ["skyline2d"]
 
 
 def _exact_pass(df: DataFrame, x: str, y: str) -> DataFrame:
-    """Exact skyline via one ordered window over distinct ``x``
+    """Exact skyline via an ordered prefix-max over distinct ``x``
     groups: keep rows that (a) hold their own x-group's max y and
     (b) strictly exceed every strictly-smaller-x group's max y.
     Equal (x, y) duplicates do not dominate each other, so all
-    survive."""
-    grp = (
-        df.groupBy(x)
-        .agg(F.max(y).alias("__gmax"))
-        .withColumn(
-            "__pmax",
-            F.max("__gmax").over(
-                Window.orderBy(x)
-                .rowsBetween(Window.unboundedPreceding, -1)),
-        )
-    )
+    survive. The prefix-max is the distributed two-pass
+    :func:`prefix_max` (keys are distinct by the groupBy, as it
+    requires) — |distinct x| can approach row count on a continuous
+    key, so no single-partition window is safe here."""
+    grp = prefix_max(
+        df.groupBy(x).agg(F.max(y).alias("__gmax")),
+        [F.col(x)], "__gmax", "__pmax")
     return (
         df.join(grp, on=x)
         .filter(
@@ -58,13 +58,9 @@ def _exact_pass(df: DataFrame, x: str, y: str) -> DataFrame:
     )
 
 
-def skyline2d(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
-    """Pareto frontier minimizing ``minimize`` and maximizing
-    ``maximize``; all other columns pass through. Inputs must be
-    non-NULL in both skyline columns."""
+def _local_prefilter(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Phase 1: each Arrow batch's local skyline, zero exchange."""
     import numpy as np
-
-    x, y = minimize, maximize
 
     def _local(batches):
         for pdf in batches:
@@ -83,5 +79,12 @@ def skyline2d(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
             keep = (yo == gmax) & (yo > prev)
             yield pdf.iloc[order[keep]]
 
-    local = df.mapInPandas(_local, schema=df.schema)
-    return _exact_pass(local, x, y)
+    return df.mapInPandas(_local, schema=df.schema)
+
+
+def skyline2d(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
+    """Pareto frontier minimizing ``minimize`` and maximizing
+    ``maximize``; all other columns pass through. Inputs must be
+    non-NULL in both skyline columns."""
+    return _exact_pass(_local_prefilter(df, minimize, maximize),
+                       minimize, maximize)

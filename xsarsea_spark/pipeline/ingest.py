@@ -40,11 +40,10 @@ from xsarsea_spark.sources.sinks import write_zordered
 __all__ = ["ingest_curated_batch", "ingest_neardup_batch"]
 
 
-def _table_files(table_dir: str) -> list[str]:
-    if not os.path.isdir(table_dir):
+def _parquet_files(d: str) -> list[str]:
+    if not os.path.isdir(d):
         return []
-    return sorted(f for f in os.listdir(table_dir)
-                  if f.endswith(".parquet"))
+    return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
 
 
 def ingest_curated_batch(
@@ -75,11 +74,11 @@ def ingest_curated_batch(
         .select("doc_id", "lang", "n_chars", "digest")
     )
 
-    has_table = bool(_table_files(table_dir))
+    has_table = bool(_parquet_files(table_dir))
     bloom_in_sync = False
     if os.path.exists(bloom_path) and os.path.exists(marker_path):
         with open(marker_path) as fh:
-            bloom_in_sync = fh.read() == "\n".join(_table_files(table_dir))
+            bloom_in_sync = fh.read() == "\n".join(_parquet_files(table_dir))
 
     if has_table and bloom_in_sync:
         bloom = spark.read.parquet(bloom_path)
@@ -102,11 +101,25 @@ def ingest_curated_batch(
     write_zordered(batch, table_dir, zcols, bits=zbits,
                    n_files=n_files, mode="append")
     # incremental sidecar update: OR the APPENDED digests' words into
-    # the persisted filter — O(batch) work, never a table rescan.
+    # the persisted filter — O(batch) work on the happy path.
     # Merged driver-side (O(m_bits/63) rows, ~2k) because parquet
     # can't overwrite a path its own lineage reads.
+    #
+    # DEMOTED path exception: a stale-or-missing sidecar may have
+    # holes for digests appended during the crash window, and writing
+    # the sync marker below would certify those holes as coverage —
+    # every later batch would trust bloom-NEGATIVES that are actually
+    # in the table. Re-certify by rebuilding the word map from the
+    # FULL table (post-append, so it covers this batch too): the
+    # one-time table rescan is the honest cost of crash recovery.
     words: dict[int, int] = {}
-    if os.path.exists(bloom_path):
+    if has_table and not bloom_in_sync:
+        rebuilt = bloom_build(
+            spark.read.parquet(table_dir).select("digest"),
+            "digest", m_bits=m_bits, k=k).collect()
+        for r in rebuilt:
+            words[int(r["word"])] = int(r["bits"])
+    elif os.path.exists(bloom_path):
         for r in spark.read.parquet(bloom_path).collect():
             words[int(r["word"])] = int(r["bits"])
     for r in delta:
@@ -115,13 +128,7 @@ def ingest_curated_batch(
     spark.createDataFrame(sorted(words.items()), "word int, bits bigint") \
         .coalesce(1).write.mode("overwrite").parquet(bloom_path)
     with open(marker_path, "w") as fh:
-        fh.write("\n".join(_table_files(table_dir)))
-
-
-def _parquet_files(d: str) -> list[str]:
-    if not os.path.isdir(d):
-        return []
-    return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        fh.write("\n".join(_parquet_files(table_dir)))
 
 
 def ingest_neardup_batch(

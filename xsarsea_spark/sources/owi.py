@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 __all__ = ["read_owi_scene", "assign_integer_coords", "owi_nc_to_parquet"]
 
@@ -62,14 +61,17 @@ def assign_integer_coords(px: DataFrame, line_col: str = "line",
     """Rebase raster coords to dense 0..n-1 integers (the
     ``assign_coords(line=arange, sample=arange)`` analog,
     detrend.py:89-91) — a rank join per dim over the DISTINCT
-    coordinate values (small), never a global sort of the pixels."""
+    coordinate values, ranked by the distributed two-pass
+    ``global_rank`` (axis lengths are small today, but nothing in the
+    repo should own a single-partition sort)."""
+    from xsarsea_spark.operators.rank import global_rank
+
     out = px
     for c in (line_col, sample_col):
         vals = px.select(c).distinct()
-        ranked = vals.withColumn(
-            f"__new_{c}",
-            F.row_number().over(Window.orderBy(F.col(c))) - 1,
-        )
+        ranked = global_rank(vals, [F.col(c)], rank_col=f"__new_{c}") \
+            .withColumn(f"__new_{c}",
+                        (F.col(f"__new_{c}") - 1).cast("int"))
         out = (
             out.join(F.broadcast(ranked), on=c, how="inner")
             .drop(c)
