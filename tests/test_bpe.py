@@ -158,6 +158,160 @@ def test_encode_pairless_corpus_matches_oracle(spark, tmp_path):
     assert res.ok, res.detail
 
 
+# ----------------------------------------------------------------------
+# GPT-2-style byte-level BPE: pure-Python reference (hand-rolled
+# scanner emulating the shared Java/RE2 pattern's leftmost-first
+# alternation, hex-pair byte symbols, same merge loop) vs the Spark
+# implementation, on adversarial unicode.
+# ----------------------------------------------------------------------
+
+
+def _ref_pretokenize(text: str) -> list[str]:
+    """Scanner twin of bpe.GPT2_PRETOKEN_PAT (no \\x0b in inputs —
+    the one char where Java and RE2 \\s disagree)."""
+    import unicodedata
+
+    sp = "\t\n\f\r "
+
+    def is_l(c):
+        return unicodedata.category(c).startswith("L")
+
+    def is_n(c):
+        return unicodedata.category(c).startswith("N")
+
+    def is_s(c):
+        return c in sp
+
+    def is_o(c):
+        return not (is_s(c) or is_l(c) or is_n(c))
+
+    out, i, n = [], 0, len(text)
+    while i < n:
+        hit = next((c for c in ("'s", "'t", "'re", "'ve", "'m",
+                                "'ll", "'d")
+                    if text.startswith(c, i)), None)
+        if hit:
+            out.append(hit)
+            i += len(hit)
+            continue
+        matched = False
+        for pred in (is_l, is_n, is_o):
+            j = i
+            if text[i] == " " and i + 1 < n and pred(text[i + 1]):
+                j = i + 1
+            if j < n and pred(text[j]):
+                k = j + 1
+                while k < n and pred(text[k]):
+                    k += 1
+                out.append(text[i:k])
+                i = k
+                matched = True
+                break
+        if matched:
+            continue
+        k = i
+        while k < n and is_s(text[k]):
+            k += 1
+        out.append(text[i:k])
+        i = k
+    return out
+
+
+def _ref_bytelevel(texts: list[str], n_merges: int) -> list[list[list[str]]]:
+    """Per doc: list of pre-tokens, each a list of merged symbols."""
+    def syms(tok):
+        h = tok.encode("utf-8").hex().upper()
+        return [h[2 * i:2 * i + 2] for i in range(len(h) // 2)]
+
+    docs = [[syms(t) for t in _ref_pretokenize(x)] for x in texts]
+    for _ in range(n_merges):
+        counts: Counter = Counter()
+        for doc in docs:
+            for d in doc:
+                for x, y in zip(d, d[1:]):
+                    counts[(x, y)] += 1
+        if not counts:
+            break
+        (a, b), _n = min(counts.items(),
+                         key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        for doc in docs:
+            for idx, d in enumerate(doc):
+                out, i = [], 0
+                while i < len(d):
+                    if i + 1 < len(d) and d[i] == a and d[i + 1] == b:
+                        out.append(d[i] + " " + d[i + 1])
+                        i += 2
+                    else:
+                        out.append(d[i])
+                        i += 1
+                doc[idx] = out
+    return docs
+
+
+_ADVERSARIAL = [
+    "Hello's wörld 123!",
+    "naïve café — résumé's tëst 4⁵?",
+    "中文分词 没有空格也要正确",
+    "emoji 🎉🎉🎉 and 👩 zwj ‍ seq",
+    "combining éé marks",
+    "I'll we've they're can't it's o'clock",
+    "a  b\tc\nd   e",
+    "abc123def 12.5% x2",
+    "!!!",
+    " leading and trailing ",
+    "Ωμέγα ΣΙΓΜΑ ß ẞ",
+]
+
+
+def test_bytelevel_matches_python_reference(spark):
+    import hashlib
+
+    from xsarsea_spark.pipeline.bpe import bpe_bytelevel_encode
+
+    want_docs = _ref_bytelevel(_ADVERSARIAL, 5)
+    want = {}
+    for i, doc in enumerate(want_docs):
+        n_pt = len(doc)
+        n_bytes = sum(len(s.split(" ")) for d in doc for s in d)
+        n_enc = sum(len(d) for d in doc)
+        digest = hashlib.md5("\x1e".join(
+            "\x1f".join(d) for d in doc).encode()).hexdigest()
+        want[i] = (n_pt, n_bytes, n_enc, digest)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_ADVERSARIAL)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_pretokens"], r["n_bytes"],
+                         r["n_tokens_encoded"], r["encoded_md5"])
+           for r in bpe_bytelevel_encode(df, n_merges=5).collect()}
+    assert got == want
+    # byte fallback: the byte count IS the UTF-8 length — nothing is
+    # ever out-of-vocabulary
+    for i, t in enumerate(_ADVERSARIAL):
+        assert got[i][1] == len(t.encode("utf-8"))
+
+
+def test_bytelevel_pretokens_match_scanner(spark):
+    """The shared Java-regex pattern must pre-tokenize exactly like
+    the reference scanner (count + reassembled text per doc)."""
+    from pyspark.sql import functions as F
+
+    from xsarsea_spark.pipeline.bpe import GPT2_PRETOKEN_PAT
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_ADVERSARIAL)],
+        "doc_id long, text string")
+    rows = df.select(
+        "doc_id",
+        F.regexp_extract_all(F.col("text"),
+                             F.lit(GPT2_PRETOKEN_PAT),
+                             F.lit(0)).alias("pts")).collect()
+    for r in rows:
+        want = _ref_pretokenize(_ADVERSARIAL[r["doc_id"]])
+        assert list(r["pts"]) == want
+        # pre-tokenization is a partition of the text: lossless
+        assert "".join(r["pts"]) == _ADVERSARIAL[r["doc_id"]]
+
+
 def test_sample_frac_one_is_exact(spark):
     """frac=1.0 must take the exact code path: merges identical to the
     default (and so to the Python reference)."""

@@ -43,7 +43,22 @@ from pyspark.sql import functions as F
 
 from xsarsea_spark.engine import materialize
 
-__all__ = ["bpe_train", "bpe_encode", "apply_merge_expr"]
+__all__ = ["bpe_train", "bpe_encode", "bpe_bytelevel_encode",
+           "bytelevel_pretokens", "apply_merge_expr",
+           "GPT2_PRETOKEN_PAT"]
+
+# GPT-2-style pre-tokenization pattern (Radford et al. 2019), with one
+# documented deviation: the original's `\s+(?!\S)` trailing-whitespace
+# alternative uses a negative lookahead, which RE2 (DuckDB) does not
+# support — so runs of 2+ spaces become ONE whitespace pre-token here
+# instead of splitting the last space onto the following word. The
+# pattern below is valid and IDENTICAL in Java regex (Spark), RE2
+# (DuckDB) and the pure-Python scanner the parity test ships:
+# contractions, optional-leading-space letter/number/other runs,
+# whitespace runs. (\s differs across engines only on \x0B — excluded
+# from the corpus and the adversarial tests.)
+GPT2_PRETOKEN_PAT = (r"'s|'t|'re|'ve|'m|'ll|'d"
+                     r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
 
 
 def _lit(s: str) -> str:
@@ -115,6 +130,17 @@ def _bpe_rounds(docs: DataFrame, n_merges: int, text_col: str,
         .selectExpr(id_col, f"split({text_col}, ' ') AS __t")
         .filter("size(__t) >= 1")
     )
+    return _merge_rounds(cur, n_merges, [id_col], apply_last,
+                         sample_frac)
+
+
+def _merge_rounds(cur: DataFrame, n_merges: int, keys: list[str],
+                  apply_last: bool, sample_frac: float,
+                  ) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
+    """The engine-agnostic merge loop: ``cur`` carries ``keys`` +
+    ``__t`` (a token array per row; word-level rows are documents,
+    byte-level rows are pre-tokens — merges never cross a row, which
+    is exactly the no-merges-across-pre-token-boundaries rule)."""
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         src = cur
@@ -137,7 +163,7 @@ def _bpe_rounds(docs: DataFrame, n_merges: int, text_col: str,
         merges.append((rank, a, b, int(n)))
         if rank < n_merges - 1 or apply_last:
             cur = materialize(cur.select(
-                id_col,
+                *keys,
                 F.expr(apply_merge_expr("__t", a, b)).alias("__t"),
             ))
     return cur, merges
@@ -190,3 +216,85 @@ def bpe_encode(docs: DataFrame, n_merges: int = 4,
         F.expr("n_tokens_raw / CAST(n_tokens_encoded AS DOUBLE)"),
     ).select(id_col, "n_tokens_raw", "n_tokens_encoded",
              "compression", "encoded_md5")
+
+
+def bytelevel_pretokens(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """GPT-2-style byte-level pre-tokenization: one row per pre-token
+    with its 1-based position and the byte-symbol array.
+
+    Byte fallback: each pre-token becomes its UTF-8 bytes, one symbol
+    per byte — so NO text is ever out-of-vocabulary, the property the
+    GPT-2 byte-level design exists for. The symbol alphabet is the
+    byte's two-char uppercase hex ("E2", "80", ...) rather than
+    GPT-2's printable-unicode remap table: an equivalent injective
+    byte naming that both engines derive with ``hex(encode(tok))``
+    (bit-identical cross-engine), keeping the plumbing table-free.
+    """
+    pat = F.lit(GPT2_PRETOKEN_PAT)
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(id_col,
+                F.regexp_extract_all(F.col(text_col), pat, F.lit(0))
+                .alias("__pts"))
+        .select(id_col, F.posexplode("__pts").alias("__pt", "__tok"))
+        # posexplode is 0-based; oracle lists are 1-based
+        .selectExpr(
+            id_col, "__pt + 1 AS __pt",
+            "transform(sequence(1, length(hex(encode(__tok, 'UTF-8')))"
+            " div 2), i -> substr(hex(encode(__tok, 'UTF-8')),"
+            " 2 * i - 1, 2)) AS __t")
+    )
+
+
+def bpe_bytelevel_encode(docs: DataFrame, n_merges: int = 4,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         sample_frac: float | None = None) -> DataFrame:
+    """GPT-2-style byte-level BPE: regex pre-tokenization (merges
+    never cross pre-token boundaries), byte-fallback symbols, then
+    the same distributed merge loop as word-level BPE — the tokenizer
+    shape every production LLM data pipeline actually ships.
+
+    Per document: pre-token count, UTF-8 byte count, encoded token
+    count, compression, and an injective digest of the encoded stream
+    (symbols joined by chr(31) within a pre-token, pre-tokens by
+    chr(30) — neither occurs in hex-pair symbols or merge separators).
+
+    Scale: pre-tokenization + byte mapping is a zero-exchange per-row
+    projection; the explode to pre-token rows enforces the boundary
+    rule with NO extra bookkeeping (a merge can only see one row);
+    pair counting stays one map-side-combined hash agg per round over
+    (lhs, rhs) — the exchange carries distinct symbol pairs, never
+    positions; merge application is the run-parity closed form, per
+    row, zero exchange; the final per-doc rollup is one hash agg.
+    ``sample_frac`` (or ``spark.xsarsea.bpe.sampleFrac``) samples the
+    pair counts after round 1 exactly as word-level does.
+    """
+    if sample_frac is None:
+        from xsarsea_spark.engine import get_conf
+        sample_frac = float(get_conf(
+            docs.sparkSession, "spark.xsarsea.bpe.sampleFrac", "1.0"))
+    pts = bytelevel_pretokens(docs, text_col=text_col, id_col=id_col)
+    cur, _ = _merge_rounds(pts, n_merges, [id_col, "__pt"],
+                           apply_last=True, sample_frac=sample_frac)
+    return (
+        cur.groupBy(id_col)
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_pretokens"),
+            F.expr("CAST(SUM(aggregate(__t, 0L, (a, x) ->"
+                   " a + size(split(x, ' ')))) AS BIGINT)")
+            .alias("n_bytes"),
+            F.expr("CAST(SUM(size(__t)) AS BIGINT)")
+            .alias("n_tokens_encoded"),
+            F.expr("md5(array_join(transform(array_sort("
+                   "collect_list(named_struct('pt', __pt, 's',"
+                   " array_join(__t, char(31))))), e -> e.s),"
+                   " char(30)))").alias("encoded_md5"),
+        )
+        .withColumn("compression",
+                    F.expr("n_bytes / CAST(n_tokens_encoded"
+                           " AS DOUBLE)"))
+        .select(id_col, "n_pretokens", "n_bytes", "n_tokens_encoded",
+                "compression", "encoded_md5")
+    )

@@ -30,6 +30,7 @@ __all__ = [
     "jaccard_verify",
     "minhash_lsh_dedup",
     "minhash_lsh_incremental",
+    "minhash_lsh_cross_snapshot",
     "simhash",
     "MINHASH_P",
 ]
@@ -267,6 +268,62 @@ def minhash_lsh_incremental(batch_docs: DataFrame,
         .withColumn("from_history",
                     F.expr("NOT coalesce(__in_batch, false)"))
         .drop("__in_batch")
+    )
+
+
+def minhash_lsh_cross_snapshot(batch_docs: DataFrame,
+                               snapshot_bands: DataFrame,
+                               snapshot_docs: DataFrame,
+                               n: int = 3, k: int = 16,
+                               threshold: float = 0.5,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               snapshot_col: str = "snapshot",
+                               batch_snapshot: int | None = None
+                               ) -> DataFrame:
+    """Cross-snapshot near-dup dedup: one NEW crawl/batch probed
+    against N PRIOR snapshots' persisted band tables at once — the
+    CommonCrawl-style "dedup this week's crawl against every prior
+    crawl" a production 100-TB pipeline runs weekly.
+
+    ``snapshot_bands`` is the union of the N per-snapshot band tables
+    (``lsh_bands`` output) with a ``snapshot_col`` provenance tag —
+    on disk, one parquet root partitioned by snapshot, so a probe
+    restricted to recent crawls prunes partitions for free.
+    ``snapshot_docs`` is the matching union of the doc stores (only
+    candidate docs are ever re-shingled from it — semi-join pruned).
+
+    The probe itself is exactly the single-table incremental path
+    (one (band, bandhash) equality join — bands from different
+    snapshots are just more rows of the same distributed table);
+    what cross-snapshot adds is provenance: each verified pair
+    reports WHICH snapshot its historical side lives in (pairs whose
+    both sides are in the batch get ``batch_snapshot``). Result is
+    replay-equivalent to a full recompute over (all snapshots +
+    batch) restricted to pairs whose right side is in the batch,
+    provided the snapshots partition the history — the suite oracle
+    certifies exactly that.
+
+    Returns (id_a, id_b, jaccard, ``snapshot_col``).
+    """
+    pairs = minhash_lsh_incremental(
+        batch_docs,
+        snapshot_bands.drop(snapshot_col),
+        snapshot_docs.drop(snapshot_col),
+        n=n, k=k, threshold=threshold,
+        text_col=text_col, id_col=id_col,
+    )
+    # provenance from the band tables' tags (already persisted state;
+    # pairs are output-sized, so AQE sizes this join)
+    prov = (snapshot_bands
+            .select(F.col(id_col).alias("id_a"), F.col(snapshot_col))
+            .distinct())
+    return (
+        pairs.join(prov, on="id_a", how="left")
+        .withColumn(snapshot_col,
+                    F.coalesce(F.col(snapshot_col),
+                               F.lit(batch_snapshot)))
+        .select("id_a", "id_b", "jaccard", snapshot_col)
     )
 
 

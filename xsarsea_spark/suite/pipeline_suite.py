@@ -355,6 +355,87 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Cross-snapshot MinHash-LSH — the CommonCrawl shape: the history is
+# N separately-persisted crawl snapshots (here 3 doc_id-range slices),
+# each with its own band table; the new batch (top 20%) probes the
+# tagged UNION of all N band tables in one equality join and every
+# verified pair carries the snapshot its historical side lives in.
+# Oracle: the full-corpus recompute restricted to batch right-sides,
+# with provenance mapped from the same doc_id cuts — certifying the
+# N-table probe finds exactly what a from-scratch run would.
+# ----------------------------------------------------------------------
+
+_XSNAP_FRACS = (0.3, 0.55)   # history snapshot cuts; batch cut = _INC_FRAC
+
+
+def _minhash_cross_snapshot_oracle() -> str:
+    pairs_sql = _minhash_oracle().strip()
+    return f"""
+WITH pairs AS ({pairs_sql}),
+cut AS (SELECT CAST(CEIL(MAX(doc_id) * {_INC_FRAC}) AS BIGINT) AS c,
+               CAST(CEIL(MAX(doc_id) * {_XSNAP_FRACS[0]}) AS BIGINT) AS c0,
+               CAST(CEIL(MAX(doc_id) * {_XSNAP_FRACS[1]}) AS BIGINT) AS c1
+        FROM documents)
+SELECT p.id_a, p.id_b, p.jaccard,
+  CAST(CASE WHEN p.id_a >= cut.c THEN 3
+            WHEN p.id_a >= cut.c1 THEN 2
+            WHEN p.id_a >= cut.c0 THEN 1
+            ELSE 0 END AS INT) AS snapshot
+FROM pairs p, cut
+WHERE p.id_b >= cut.c
+"""
+
+
+@spec(
+    "minhash_cross_snapshot",
+    _minhash_cross_snapshot_oracle(),
+    description="Cross-snapshot near-dup dedup: new crawl probed "
+                "against the tagged union of 3 prior snapshots' "
+                "persisted band tables in one equality join; verified "
+                "pairs carry snapshot provenance — value-equal to a "
+                "full recompute restricted to batch pairs",
+    tags=("pipeline", "dedup", "incremental"),
+)
+def q_minhash_cross_snapshot(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.dedup import (lsh_bands,
+                                              minhash_lsh_cross_snapshot,
+                                              minhash_signatures,
+                                              shingle)
+
+    docs = load(spark, sf_dir, "documents")
+    cuts = docs.agg(
+        F.expr(f"CAST(CEIL(MAX(doc_id) * {_INC_FRAC}) AS BIGINT)")
+        .alias("c"),
+        F.expr(f"CAST(CEIL(MAX(doc_id) * {_XSNAP_FRACS[0]}) AS BIGINT)")
+        .alias("c0"),
+        F.expr(f"CAST(CEIL(MAX(doc_id) * {_XSNAP_FRACS[1]}) AS BIGINT)")
+        .alias("c1"))
+    d = docs.crossJoin(F.broadcast(cuts))
+    batch = d.filter("doc_id >= c").drop("c", "c0", "c1")
+    snaps = [d.filter("doc_id < c0"),
+             d.filter("doc_id >= c0 AND doc_id < c1"),
+             d.filter("doc_id >= c1 AND doc_id < c")]
+    snaps = [s.drop("c", "c0", "c1").withColumn(
+        "snapshot", F.lit(i).cast("int")) for i, s in enumerate(snaps)]
+    # each snapshot's band table is persisted state built at its own
+    # ingest time; the probe sees only their tagged union
+    parts = [
+        lsh_bands(minhash_signatures(shingle(s, n=_MH_N), k=_MH_K))
+        .withColumn("snapshot", F.lit(i).cast("int"))
+        for i, s in enumerate(snaps)]
+    tagged_bands = parts[0]
+    for p in parts[1:]:
+        tagged_bands = tagged_bands.unionByName(p)
+    snap_docs = snaps[0]
+    for s in snaps[1:]:
+        snap_docs = snap_docs.unionByName(s)
+    return minhash_lsh_cross_snapshot(
+        batch, tagged_bands, snap_docs,
+        n=_MH_N, k=_MH_K, threshold=_MH_T, batch_snapshot=3)
+
+
+# ----------------------------------------------------------------------
 # SimHash fingerprints
 # ----------------------------------------------------------------------
 
@@ -2919,6 +3000,85 @@ def q_doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bpe_encode(load(spark, sf_dir, "documents"),
                       n_merges=_BPE_MERGES)
+
+
+# ----------------------------------------------------------------------
+# GPT-2-style byte-level BPE: regex pre-tokenization (RE2/Java-shared
+# pattern, merges never cross pre-token boundaries) + byte-fallback
+# hex-pair symbols + the same merge loop, replayed round-by-round in
+# chained DuckDB CTEs — argmaxes included, nothing smuggled across.
+# ----------------------------------------------------------------------
+
+
+def _bpe_bytelevel_ctes() -> list[str]:
+    from xsarsea_spark.pipeline.bpe import GPT2_PRETOKEN_PAT
+    pat = GPT2_PRETOKEN_PAT.replace("'", "''")
+    parts = [
+        f"bl_d AS (SELECT doc_id,"
+        f" regexp_extract_all(text, '{pat}', 0) AS pts"
+        f" FROM documents WHERE text IS NOT NULL)",
+        "bl_p AS (SELECT doc_id, s.pt AS pt, s.tok AS tok FROM ("
+        "SELECT doc_id, unnest(list_transform(range(1, len(pts) + 1),"
+        " i -> struct_pack(pt := i, tok := pts[i]))) AS s FROM bl_d))",
+        "t0 AS (SELECT doc_id, pt,"
+        " list_transform(range(1, CAST(len(hex(encode(tok))) // 2"
+        " AS INT) + 1), i -> substr(hex(encode(tok)), 2 * i - 1, 2))"
+        " AS t FROM bl_p)",
+    ]
+    for r in range(_BPE_MERGES):
+        o, kk, rebuild = _bpe_apply_duck("t", "top.lhs", "top.rhs")
+        parts.append(
+            f"pr{r} AS (SELECT"
+            f" unnest(list_transform(range(1, len(t)),"
+            f" i -> struct_pack(lhs := t[i], rhs := t[i + 1]))) AS s"
+            f" FROM t{r} WHERE len(t) >= 2)")
+        parts.append(
+            f"top{r} AS (SELECT s.lhs AS lhs, s.rhs AS rhs,"
+            f" COUNT(*) AS n FROM pr{r}"
+            f" GROUP BY 1, 2 ORDER BY n DESC, lhs, rhs LIMIT 1)")
+        parts.append(
+            f"a{r} AS (SELECT doc_id, pt, t, {o} AS o"
+            f" FROM t{r} LEFT JOIN top{r} top ON TRUE)")
+        parts.append(
+            f"b{r} AS (SELECT doc_id, pt, t, o, {kk} AS kk FROM a{r})")
+        parts.append(
+            f"t{r + 1} AS (SELECT doc_id, pt, {rebuild} AS t"
+            f" FROM b{r})")
+    return parts
+
+
+def _bpe_bytelevel_oracle() -> str:
+    final = f"""
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+  CAST(SUM(list_reduce(list_transform(t,
+    x -> len(string_split(x, ' '))), (a, b) -> a + b)) AS BIGINT)
+    AS n_bytes,
+  CAST(SUM(len(t)) AS BIGINT) AS n_tokens_encoded,
+  CAST(SUM(list_reduce(list_transform(t,
+    x -> len(string_split(x, ' '))), (a, b) -> a + b)) AS BIGINT)
+    / CAST(SUM(len(t)) AS DOUBLE) AS compression,
+  md5(array_to_string(list(array_to_string(t, chr(31)) ORDER BY pt),
+      chr(30))) AS encoded_md5
+FROM t{_BPE_MERGES} GROUP BY doc_id"""
+    return "WITH " + ",\n".join(_bpe_bytelevel_ctes()) + final
+
+
+@spec(
+    "doc_bpe_bytelevel",
+    _bpe_bytelevel_oracle(),
+    description="GPT-2-style byte-level BPE: regex pre-tokenization "
+                "(merges never cross pre-token boundaries) + UTF-8 "
+                "byte-fallback symbols + the distributed merge loop; "
+                "per-doc byte/token counts, compression and encoded "
+                "digest — value-exact vs a full chained-CTE replay",
+    tags=("pipeline", "text", "iterative"),
+)
+def q_doc_bpe_bytelevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.bpe import bpe_bytelevel_encode
+
+    return bpe_bytelevel_encode(load(spark, sf_dir, "documents"),
+                                n_merges=_BPE_MERGES)
 
 
 # ----------------------------------------------------------------------
