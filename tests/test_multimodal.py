@@ -101,3 +101,43 @@ def test_ahash_planted_patterns(spark):
            for r in ahash_features(df).collect()}
     assert got[1] == 0
     assert got[2] == want_half
+
+
+def test_phash_planted_transforms(spark):
+    """The DCT pHash's exact integer invariances: a uniform
+    brightness shift moves only the (excluded) DC coefficient, and a
+    positive contrast scale multiplies AC coefficients and median
+    alike — both must leave the hash EXACTLY unchanged, while a
+    different image must not collide."""
+    from xsarsea_spark.pipeline.multimodal import phash_features
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(40, 80, size=(8, 16, 3)).astype(np.uint8)
+    brighter = (base.astype(np.int64) + 25).astype(np.uint8)   # <= 104
+    contrast = (base.astype(np.int64) * 2).astype(np.uint8)    # <= 158
+    other = rng.integers(0, 256, size=(8, 16, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(_encode_ppm(base))),
+         (2, bytearray(_encode_ppm(brighter))),
+         (3, bytearray(_encode_bmp(contrast))),
+         (4, bytearray(_encode_ppm(other)))],
+        "doc_id long, payload binary")
+    got = {r["doc_id"]: r["phash"]
+           for r in phash_features(df).collect()}
+    assert got[2] == got[1], "brightness shift must not move the pHash"
+    assert got[3] == got[1], "contrast scale must not move the pHash"
+    assert got[4] != got[1], "distinct images must not collide"
+    # bit 0 (the DC position) is never set; hash fits in 32 bits
+    assert all(0 <= v < (1 << 32) and v % 2 == 0 for v in got.values())
+
+
+def test_phash_dct_rows_cancel():
+    """The rounded fixed-point DCT matrices keep the exact AC-row
+    zero sums the brightness invariance proof relies on."""
+    from xsarsea_spark.pipeline.multimodal import dct_int
+
+    for n in (4, 8):
+        c = dct_int(n)
+        assert (c[1:].sum(axis=1) == 0).all()
+        # DC row is the constant row: all entries equal and positive
+        assert len(set(c[0].tolist())) == 1 and c[0, 0] > 0

@@ -28,7 +28,8 @@ from pyspark.sql import types as T
 
 __all__ = ["attach_payload", "extract_features", "decode_image",
            "decode_ppm", "decode_bmp", "attach_image_payload",
-           "decode_features", "ahash_features"]
+           "decode_features", "ahash_features", "phash_features",
+           "dct_int"]
 
 
 def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -377,3 +378,97 @@ def ahash_features(mm: DataFrame, grid_w: int = 8,
 
     return mm.select("doc_id", "payload").mapInPandas(
         gen, schema=_AHASH_SCHEMA)
+
+
+PHASH_SCALE = 1 << 14
+
+
+def dct_int(n: int) -> np.ndarray:
+    """Fixed-point orthonormal n-point DCT-II matrix:
+    ``round(C * 2**14)`` as int64 — the libjpeg-islow idea of running
+    the DCT in scaled-integer arithmetic, so every coefficient
+    downstream is an EXACT int64 a SQL oracle re-derives bit-for-bit
+    (float DCTs would make hash bits depend on accumulation order).
+    For n=8 this quantizes the JPEG codec's own DCT basis
+    (``pipeline.jpeg._C``).
+
+    Rounding preserves the cancellation that matters: every AC row of
+    the DCT-II matrix is a set of equal-magnitude +/- cosine pairs,
+    so the ROUNDED rows still sum to exactly zero — which is what
+    makes the pHash provably invariant under uniform brightness
+    shifts (only the DC coefficient moves, and it is excluded).
+    """
+    if n == 8:
+        from xsarsea_spark.pipeline.jpeg import _C
+        c = _C
+    else:
+        c = np.array([
+            [(np.sqrt(1 / n) if u == 0 else np.sqrt(2 / n))
+             * np.cos((2 * x + 1) * u * np.pi / (2 * n))
+             for x in range(n)]
+            for u in range(n)])
+    return np.rint(c * PHASH_SCALE).astype(np.int64)
+
+
+_PHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("phash", T.LongType()),
+])
+
+
+def phash_features(mm: DataFrame, grid_w: int = 8,
+                   grid_h: int = 4) -> DataFrame:
+    """DCT perceptual hash (pHash) over REAL decoded images, entirely
+    in exact int64 arithmetic — the image-dedup fingerprint used at
+    scale, robust where aHash is weak (uniform brightness shifts and
+    positive contrast scaling leave it EXACTLY unchanged, see below).
+
+    Pipeline per image: integer gray block sums on the (grid_h x
+    grid_w) partition (as aHash), then a 2-D fixed-point DCT
+    ``X = C_gh @ B @ C_gw.T`` (:func:`dct_int` int64 matrices —
+    integer matmul, order-independent, no floats anywhere), drop the
+    DC coefficient, median = the 16th-smallest of the 31 AC
+    coefficients (odd count -> a single exact order statistic), and
+    bit k = ``X[k] > median`` packed LSB-first at positions 1..31.
+
+    Exact invariances (integer proofs, pytest-pinned): a uniform
+    brightness shift moves only the DC coefficient (rounded AC rows
+    of the DCT matrix sum to zero — ``dct_int`` docstring), and a
+    positive contrast scale multiplies every AC coefficient AND the
+    median by the same factor, so all comparisons are unchanged.
+
+    Reference parity: the reference engine has no image surface; this
+    extends the engine-brief multimodal family next to
+    :func:`ahash_features`. Same grid-divisibility contract as aHash.
+    """
+    c_h = dct_int(grid_h)
+    c_w = dct_int(grid_w)
+    n_ac = grid_h * grid_w - 1
+    shifts = np.arange(1, n_ac + 1, dtype=np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                h, w = img.shape[:2]
+                if h % grid_h or w % grid_w:
+                    raise ValueError(
+                        f"image {w}x{h} not divisible by grid "
+                        f"{grid_w}x{grid_h}")
+                g = img.astype(np.int64).sum(axis=2)
+                bh, bw = h // grid_h, w // grid_w
+                blocks = g.reshape(grid_h, bh, grid_w, bw) \
+                    .sum(axis=(1, 3))
+                x = (c_h @ blocks @ c_w.T).reshape(-1)
+                ac = x[1:]
+                med = int(np.sort(ac)[n_ac // 2])
+                ph = int(((ac > med).astype(np.int64) << shifts).sum())
+                rows.append((int(doc_id), int(w), int(h), ph))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _PHASH_SCHEMA])
+
+    return mm.select("doc_id", "payload").mapInPandas(
+        gen, schema=_PHASH_SCHEMA)

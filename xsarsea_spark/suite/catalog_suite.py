@@ -314,6 +314,93 @@ def q_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# DCT perceptual hash (pHash) — the scale image-dedup fingerprint
+# (robust to brightness/contrast where aHash is not). Fixed-point
+# int64 DCT (round(C * 2^14), libjpeg-islow idea) so the SQL oracle
+# re-derives every coefficient, the 16th-of-31 AC median, and the
+# packed hash bit-for-bit from the source bytes: coefficients are a
+# SUM over the 32 block sums joined with two DCT-constant VALUES
+# tables — integer arithmetic end to end, no accumulation-order risk.
+# ----------------------------------------------------------------------
+
+
+def _mm_phash_oracle() -> str:
+    from xsarsea_spark.pipeline.multimodal import _IMG_H, _IMG_W, dct_int
+
+    full = _IMG_W * _IMG_H * 3
+    gw, gh = 8, 4
+    c_h, c_w = dct_int(gh), dct_int(gw)
+    vals_h = ", ".join(f"({i}, {u}, {int(c_h[i, u])})"
+                       for i in range(gh) for u in range(gh))
+    vals_w = ", ".join(f"({j}, {v}, {int(c_w[j, v])})"
+                       for j in range(gw) for v in range(gw))
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 2 THEN {full // 2} ELSE {full} END AS nby,
+    CASE WHEN doc_id % 3 = 2 THEN {_IMG_H // 2}
+         ELSE {_IMG_H} END AS hh,
+    text
+  FROM documents WHERE length(text) >= {full}),
+b AS (SELECT doc_id, hh, nby,
+        list_transform(range(1, nby + 1),
+          i -> ascii(substr(text, i, 1))) AS by
+      FROM d),
+px AS (
+  SELECT doc_id, hh,
+    unnest(range(0, nby // 3)) AS p, by
+  FROM b),
+g AS (
+  SELECT doc_id, hh,
+    ((p // {_IMG_W}) // (hh // {gh})) AS r,
+    ((p % {_IMG_W}) // {_IMG_W // gw}) AS c,
+    by[3 * p + 1] + by[3 * p + 2] + by[3 * p + 3] AS gray
+  FROM px),
+blk AS (
+  SELECT doc_id, hh, r, c, SUM(gray) AS bsum
+  FROM g GROUP BY doc_id, hh, r, c),
+ch(i, u, cv) AS (SELECT * FROM (VALUES {vals_h})),
+cw(j, v, cv) AS (SELECT * FROM (VALUES {vals_w})),
+coef AS (
+  SELECT blk.doc_id, blk.hh, ch.i AS i, cw.j AS j,
+    SUM(ch.cv * cw.cv * blk.bsum) AS x
+  FROM blk JOIN ch ON ch.u = blk.r JOIN cw ON cw.v = blk.c
+  GROUP BY blk.doc_id, blk.hh, ch.i, cw.j),
+ranked AS (
+  SELECT doc_id, hh, i, j, x,
+    row_number() OVER (PARTITION BY doc_id ORDER BY x, i, j) AS rk
+  FROM coef WHERE NOT (i = 0 AND j = 0)),
+med AS (SELECT doc_id, x AS m FROM ranked WHERE rk = 16)
+SELECT r.doc_id,
+  CAST({_IMG_W} AS BIGINT) AS width,
+  CAST(r.hh AS BIGINT) AS height,
+  CAST(SUM(CASE WHEN r.x > med.m
+       THEN (CAST(1 AS BIGINT) << (r.i * {gw} + r.j)) ELSE 0 END)
+       AS BIGINT) AS phash
+FROM ranked r JOIN med ON med.doc_id = r.doc_id
+GROUP BY r.doc_id, r.hh
+"""
+
+
+@spec(
+    "multimodal_phash",
+    _mm_phash_oracle(),
+    description="DCT perceptual hash of decoded images in exact "
+                "fixed-point int64 arithmetic (round(C*2^14) DCT, "
+                "16th-of-31 AC median threshold) — the 31-bit hash "
+                "re-derived bit-exactly by the SQL oracle from the "
+                "source bytes via DCT-constant VALUES joins",
+    tags=("pipeline", "multimodal"),
+)
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.multimodal import (attach_image_payload,
+                                                   phash_features)
+
+    docs = load(spark, sf_dir, "documents")
+    return phash_features(attach_image_payload(docs))
+
+
+# ----------------------------------------------------------------------
 # JPEG codec end-to-end under the driver gate: the Arrow kernel builds
 # a deterministic smooth image per doc (dims and knobs derived from
 # doc_id), round-trips it through the dependency-free baseline JPEG
