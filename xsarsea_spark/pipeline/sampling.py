@@ -22,8 +22,8 @@ from pyspark.sql import functions as F
 from xsarsea_spark.engine import get_conf_int, materialize
 from xsarsea_spark.pipeline.dedup import shingle
 
-__all__ = ["stratified_sample", "contamination_report",
-           "dup_components"]
+__all__ = ["stratified_sample", "source_token_cap",
+           "contamination_report", "dup_components"]
 
 
 def stratified_sample(docs: DataFrame, n_per_stratum: int,
@@ -42,6 +42,47 @@ def stratified_sample(docs: DataFrame, n_per_stratum: int,
         docs.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
+    )
+
+
+def source_token_cap(docs: DataFrame, budget: int,
+                     source_col: str = "source",
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-source TOKEN-budget cap — the RefinedWeb/FineWeb-style
+    "no domain dominates the training mix" curation stage: within
+    each source, docs are taken in deterministic hash-priority order
+    until the cumulative whitespace-token count exceeds ``budget``
+    (the first doc of a source is always kept, so no source is
+    silenced entirely).
+
+    Returns the per-doc decision frame: (id, source, n_tokens, rk,
+    cum_tokens, kept). Hash order (md5 of the id) is uniform but
+    fixed, so re-runs and other engines pick the identical subset —
+    the same reproducibility contract as :func:`stratified_sample`.
+
+    Scale: one cumulative window per source partition — frames are
+    domain-bounded, the same class as the accepted per-customer
+    windows; a pathological single-domain corpus would route the
+    cumsum through ``operators.rank.global_rank`` running sums
+    instead. Integer token sums, so no accumulation-order risk.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(id_col, source_col,
+                F.expr(f"size(split({text_col}, ' '))")
+                .alias("n_tokens"))
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("cum_tokens",
+                    F.sum("n_tokens").over(
+                        w.rowsBetween(Window.unboundedPreceding, 0))
+                    .cast("long"))
+        .withColumn("kept",
+                    F.expr(f"cum_tokens <= {budget} OR rk = 1"))
     )
 
 

@@ -3003,6 +3003,72 @@ def q_doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Per-source token-budget cap — the "no domain dominates the mix"
+# curation stage (RefinedWeb/FineWeb shape): within each source, docs
+# are taken in deterministic hash-priority order until the cumulative
+# token count exceeds the budget. The oracle replays the cumulative
+# window and pins exact kept-set membership via a doc-id digest.
+# ----------------------------------------------------------------------
+
+_SRC_CAP_TOKENS = 600
+
+_SOURCE_CAP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS ntok,
+    md5(CAST(doc_id AS VARCHAR)) AS pr
+  FROM documents WHERE text IS NOT NULL),
+c AS (
+  SELECT *, row_number() OVER
+      (PARTITION BY source ORDER BY pr, doc_id) AS rk,
+    SUM(ntok) OVER (PARTITION BY source ORDER BY pr, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t),
+k AS (SELECT *, (cum <= {_SRC_CAP_TOKENS} OR rk = 1) AS kept FROM c)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(ntok) AS BIGINT) AS tokens_total,
+  CAST(SUM(CASE WHEN kept THEN ntok ELSE 0 END) AS BIGINT)
+    AS tokens_kept,
+  md5(array_to_string(list(doc_id ORDER BY doc_id)
+      FILTER (WHERE kept), ',')) AS kept_ids_digest
+FROM k GROUP BY source
+"""
+
+
+@spec(
+    "doc_source_cap",
+    _SOURCE_CAP_ORACLE,
+    description="Per-source token-budget cap (RefinedWeb-style domain "
+                "balancing): deterministic hash-priority order, "
+                "cumulative token window per source, first doc always "
+                "kept — kept-set membership pinned by a doc-id digest",
+    tags=("pipeline", "curation"),
+)
+def q_doc_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.sampling import source_token_cap
+
+    d = source_token_cap(load(spark, sf_dir, "documents"),
+                         budget=_SRC_CAP_TOKENS)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END)"
+                   " AS BIGINT)").alias("n_kept"),
+            F.expr("CAST(SUM(n_tokens) AS BIGINT)")
+            .alias("tokens_total"),
+            F.expr("CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END)"
+                   " AS BIGINT)").alias("tokens_kept"),
+            F.expr("md5(array_join(transform(array_sort("
+                   "collect_list(CASE WHEN kept THEN doc_id END)),"
+                   " x -> CAST(x AS STRING)), ','))")
+            .alias("kept_ids_digest"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
 # GPT-2-style byte-level BPE: regex pre-tokenization (RE2/Java-shared
 # pattern, merges never cross pre-token boundaries) + byte-fallback
 # hex-pair symbols + the same merge loop, replayed round-by-round in
