@@ -1453,56 +1453,74 @@ _PQ_SUB = _CND_DIM // _PQ_M
 _PQ_SHORT = 10 * _KNN_K
 
 
-def _pq_oracle() -> str:
+def _pq_sqd(sub: int) -> str:
+    """Fold-ordered subspace squared-L2 between sv (vector slice) and
+    bc (codebook row) — the pq._seq_sqdist twin. Expects the FROM
+    aliases ``sv`` and ``b``."""
+    return (f"list_reduce(list_transform(range(1, {sub} + 1),"
+            f" i -> (sv.sv[i] - b.bc[i]) * (sv.sv[i] - b.bc[i])),"
+            f" (p, t) -> p + t)")
+
+
+def _pq_lloyd_ctes(pfx: str, src: str, m: int, kq: int, iters: int,
+                   sub: int) -> list[str]:
+    """Chained-CTE replay of the deterministic PQ Lloyd loop over the
+    source CTE ``src`` (vec_id, e): emits ``{pfx}ss``/``{pfx}sv``
+    (subspace slices) and ``{pfx}b0..b{iters}`` (codebooks). With
+    m=1 and sub=dim this is plain L2 k-means — the IVF-PQ coarse
+    quantizer rides the same builder as the PQ codebooks."""
     from xsarsea_spark.pipeline.pq import PQ_SCALE
 
-    sub = _PQ_SUB
-    # fold-ordered subspace squared-L2 between sv (vector slice) and
-    # bc (codebook row) — the _seq_sqdist twin
-    sqd = (f"list_reduce(list_transform(range(1, {sub} + 1),"
-           f" i -> (sv.sv[i] - b.bc[i]) * (sv.sv[i] - b.bc[i])),"
-           f" (p, t) -> p + t)")
+    sqd = _pq_sqd(sub)
     parts = [
-        "v AS (SELECT vec_id,"
-        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
-        " FROM embeddings)",
-        f"ss AS (SELECT unnest(range({_PQ_M})) AS s)",
-        f"sv AS (SELECT vec_id, s,"
+        f"{pfx}ss AS (SELECT unnest(range({m})) AS s)",
+        f"{pfx}sv AS (SELECT vec_id, s,"
         f" list_slice(e, s * {sub} + 1, s * {sub} + {sub}) AS sv"
-        f" FROM v CROSS JOIN ss)",
-        f"b0 AS (SELECT s, cell,"
+        f" FROM {src} CROSS JOIN {pfx}ss)",
+        f"{pfx}b0 AS (SELECT s, cell,"
         f" list_slice(e, s * {sub} + 1, s * {sub} + {sub}) AS bc FROM"
         f" (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, e"
-        f" FROM v ORDER BY vec_id LIMIT {_PQ_K}) CROSS JOIN ss)",
+        f" FROM {src} ORDER BY vec_id LIMIT {kq}) CROSS JOIN {pfx}ss)",
     ]
-    for r in range(_PQ_ITERS):
+    for r in range(iters):
         parts.append(
-            f"a{r} AS (SELECT sv.vec_id, sv.s, sv.sv, b.cell"
-            f" FROM sv JOIN b{r} b ON b.s = sv.s"
+            f"{pfx}a{r} AS (SELECT sv.vec_id, sv.s, sv.sv, b.cell"
+            f" FROM {pfx}sv sv JOIN {pfx}b{r} b ON b.s = sv.s"
             f" QUALIFY ROW_NUMBER() OVER (PARTITION BY sv.vec_id,"
             f" sv.s ORDER BY {sqd} ASC, b.cell) = 1)"
         )
         parts.append(
-            f"x{r} AS (SELECT s, cell,"
+            f"{pfx}x{r} AS (SELECT s, cell,"
             f" unnest(range(1, {sub} + 1)) AS d, unnest(sv) AS x"
-            f" FROM a{r})"
+            f" FROM {pfx}a{r})"
         )
         parts.append(
-            f"m{r} AS (SELECT s, cell, d,"
+            f"{pfx}m{r} AS (SELECT s, cell, d,"
             f" CAST(SUM(CAST(x AS DECIMAL(38,{PQ_SCALE}))) AS DOUBLE)"
-            f" / COUNT(x) AS m FROM x{r} GROUP BY s, cell, d)"
+            f" / COUNT(x) AS m FROM {pfx}x{r} GROUP BY s, cell, d)"
         )
         parts.append(
-            f"o{r} AS (SELECT s, cell,"
+            f"{pfx}o{r} AS (SELECT s, cell,"
             f" unnest(range(1, {sub} + 1)) AS d, unnest(bc) AS oc"
-            f" FROM b{r})"
+            f" FROM {pfx}b{r})"
         )
         parts.append(
-            f"b{r + 1} AS (SELECT o.s, o.cell,"
+            f"{pfx}b{r + 1} AS (SELECT o.s, o.cell,"
             f" list(COALESCE(m.m, o.oc) ORDER BY o.d) AS bc"
-            f" FROM o{r} o LEFT JOIN m{r} m ON m.s = o.s"
+            f" FROM {pfx}o{r} o LEFT JOIN {pfx}m{r} m ON m.s = o.s"
             f" AND m.cell = o.cell AND m.d = o.d GROUP BY o.s, o.cell)"
         )
+    return parts
+
+
+def _pq_oracle() -> str:
+    sub = _PQ_SUB
+    sqd = _pq_sqd(sub)
+    parts = [
+        "v AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        " FROM embeddings)",
+    ] + _pq_lloyd_ctes("", "v", _PQ_M, _PQ_K, _PQ_ITERS, sub)
     bf = _PQ_ITERS
     ex = ("list_reduce(list_transform(range(1, len(q.embedding) + 1),"
           " i -> CAST(q.embedding[i] - c.embedding[i] AS DOUBLE)"
@@ -1563,6 +1581,124 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _KNN_NQ)
     return pq_search(queries, codes, books, k=_KNN_K, corpus=emb,
                      shortlist=_PQ_SHORT)
+
+
+# ----------------------------------------------------------------------
+# IVF-PQ: the FAISS IndexIVFPQ shape — coarse L2 quantizer (the same
+# Lloyd chain with m=1), residuals v - centroid[cell], shared PQ
+# codebooks over the residuals, cell-probed ADC search with
+# per-(query, probed-cell) residual tables, exact-rerank refine. The
+# whole chain (both Lloyd trains, residual algebra, probing, ADC,
+# refine) replays in one chained-CTE oracle via _pq_lloyd_ctes.
+# ----------------------------------------------------------------------
+
+_IVFPQ_NC, _IVFPQ_ITERS, _IVFPQ_PROBE = 8, 2, 3
+
+
+def _ivfpq_oracle() -> str:
+    dim, sub = _CND_DIM, _PQ_SUB
+    it, npr = _IVFPQ_ITERS, _IVFPQ_PROBE
+    sqd_full = _pq_sqd(dim)
+    sqd_sub = _pq_sqd(sub)
+    parts = [
+        "v AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        " FROM embeddings)",
+    ]
+    # coarse quantizer: one subspace spanning the full dimension
+    parts += _pq_lloyd_ctes("c", "v", 1, _IVFPQ_NC, it, dim)
+    parts += [
+        # coarse assignment (argmin fold-ordered L2, ties -> lowest)
+        f"cells AS (SELECT sv.vec_id, b.cell"
+        f" FROM csv sv JOIN cb{it} b ON b.s = sv.s"
+        f" QUALIFY ROW_NUMBER() OVER (PARTITION BY sv.vec_id"
+        f" ORDER BY {sqd_full} ASC, b.cell) = 1)",
+        # exact double residuals v - centroid[cell]
+        f"rsrc AS (SELECT c.vec_id,"
+        f" list_transform(range(1, {dim} + 1),"
+        f" i -> v.e[i] - b.bc[i]) AS e"
+        f" FROM cells c JOIN v ON v.vec_id = c.vec_id"
+        f" JOIN cb{it} b ON b.s = 0 AND b.cell = c.cell)",
+    ]
+    # shared PQ codebooks trained on the residuals
+    parts += _pq_lloyd_ctes("r", "rsrc", _PQ_M, _PQ_K, it, sub)
+    parts += [
+        # encode: per (vector, subspace) nearest residual code + cell
+        f"enc0 AS (SELECT sv.vec_id, sv.s, b.cell AS code"
+        f" FROM rsv sv JOIN rb{it} b ON b.s = sv.s"
+        f" QUALIFY ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.s"
+        f" ORDER BY {sqd_sub} ASC, b.cell) = 1)",
+        "enc AS (SELECT e.vec_id, e.s, e.code, c.cell"
+        " FROM enc0 e JOIN cells c ON c.vec_id = e.vec_id)",
+        # per query: the n_probe nearest coarse cells
+        f"qcell AS (SELECT sv.vec_id AS query_id, b.cell"
+        f" FROM csv sv JOIN cb{it} b ON b.s = sv.s"
+        f" WHERE sv.vec_id < {_KNN_NQ}"
+        f" QUALIFY ROW_NUMBER() OVER (PARTITION BY sv.vec_id"
+        f" ORDER BY {sqd_full} ASC, b.cell) <= {npr})",
+        # residual query per (query, probed cell)
+        f"rq AS (SELECT q.query_id, q.cell,"
+        f" list_transform(range(1, {dim} + 1),"
+        f" i -> v.e[i] - b.bc[i]) AS re"
+        f" FROM qcell q JOIN v ON v.vec_id = q.query_id"
+        f" JOIN cb{it} b ON b.s = 0 AND b.cell = q.cell)",
+        f"rqs AS (SELECT query_id, cell, s,"
+        f" list_slice(re, s * {sub} + 1, s * {sub} + {sub}) AS sv"
+        f" FROM rq CROSS JOIN rss)",
+        # per-(query, cell) ADC tables over the residual codebooks
+        f"qt AS (SELECT sv.query_id, sv.cell, sv.s, b.cell AS code,"
+        f" {sqd_sub} AS td FROM rqs sv JOIN rb{it} b ON b.s = sv.s)",
+        # ADC: only codes in a query's probed cells join; fold the m
+        # lookups ascending s (the kernel's zero-init accumulation)
+        "adc AS (SELECT qt.query_id, e.vec_id AS neighbor_id,"
+        " list_reduce(list(qt.td ORDER BY qt.s), (p, t) -> p + t)"
+        " AS adc FROM enc e JOIN qt ON qt.cell = e.cell"
+        " AND qt.s = e.s AND qt.code = e.code"
+        " GROUP BY qt.query_id, e.vec_id)",
+        f"short AS (SELECT query_id, neighbor_id FROM (SELECT"
+        f" query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY"
+        f" query_id ORDER BY adc ASC, neighbor_id ASC) AS rn"
+        f" FROM adc) WHERE rn <= {_PQ_SHORT})",
+        "ex AS (SELECT s.query_id, s.neighbor_id,"
+        " list_reduce(list_transform(range(1, len(q.embedding) + 1),"
+        " i -> CAST(q.embedding[i] - c.embedding[i] AS DOUBLE)"
+        " * CAST(q.embedding[i] - c.embedding[i] AS DOUBLE)),"
+        " (p, t) -> p + t) AS adc_dist"
+        " FROM short s JOIN embeddings q ON q.vec_id = s.query_id"
+        " JOIN embeddings c ON c.vec_id = s.neighbor_id)",
+    ]
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT query_id, rank, neighbor_id, adc_dist FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM ex)
+WHERE rank <= {_KNN_K}""")
+
+
+@spec(
+    "ivfpq_ann",
+    _ivfpq_oracle(),
+    description="IVF-PQ ANN (the FAISS IndexIVFPQ shape): coarse L2 "
+                "quantizer + product-quantized residuals + cell-probed "
+                "ADC with per-(query, cell) residual tables + exact "
+                "rerank — both Lloyd trains, the residual algebra, "
+                "probing, ADC and refine all value-checked by one "
+                "chained-CTE oracle",
+    tags=("pipeline", "similarity", "iterative"),
+)
+def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.ivfpq import (encode_ivfpq,
+                                              ivfpq_search, train_ivfpq)
+
+    emb = load(spark, sf_dir, "embeddings")
+    coarse, books = train_ivfpq(emb, n_cells=_IVFPQ_NC, m=_PQ_M,
+                                k=_PQ_K, iters=_IVFPQ_ITERS)
+    idx = encode_ivfpq(emb, coarse, books)
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ)
+    return ivfpq_search(queries, idx, coarse, books, k=_KNN_K,
+                        n_probe=_IVFPQ_PROBE, corpus=emb,
+                        shortlist=_PQ_SHORT)
 
 
 # ----------------------------------------------------------------------
