@@ -23,6 +23,7 @@ __all__ = [
     "exact_dedup",
     "doc_fingerprint",
     "pii_signals",
+    "line_dedup",
     "HASH40_SQL",
     "PII_PATTERNS",
 ]
@@ -234,6 +235,48 @@ def pii_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "has_pii",
         (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0
     ).withColumn("redacted", red)
+
+
+def line_dedup(docs: DataFrame, line_words: int = 10,
+               min_count: int = 3, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """C4-style line-level dedup: any line occurring at least
+    ``min_count`` times ACROSS THE CORPUS (within-doc repeats count)
+    is removed from every document — the boilerplate-removal stage of
+    the C4 pipeline (nav bars, cookie banners, license footers).
+
+    The synthetic corpus has no newlines, so "lines" are consecutive
+    ``line_words``-token windows (the splitter a real corpus would
+    replace with ``split(text, '\\n')`` — the counting/removal
+    machinery is identical). Returns one row per line:
+    (id, line_no, line, n_occurrences, removed).
+
+    Scale: the global count shuffles the 40-bit line HASH, never the
+    line strings (the crossdup wire discipline); the join back to
+    lines is hash-equality; rebuild order rides the line_no already
+    carried. Collisions of the 40-bit hash are deterministic and
+    engine-identical (both sides group by the same hash).
+    """
+    w = line_words
+    h40 = HASH40_SQL.format(x="line")
+    lines = (
+        docs.filter(F.col(text_col).isNotNull())
+        .selectExpr(id_col, f"split({text_col}, ' ') AS __l")
+        .selectExpr(
+            id_col,
+            f"posexplode(transform(sequence(0, (size(__l) - 1)"
+            f" div {w}), j -> array_join(slice(__l, j * {w} + 1,"
+            f" {w}), ' '))) AS (line_no, line)")
+        .withColumn("__h", F.expr(h40))
+    )
+    counts = lines.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("n_occurrences"))
+    return (
+        lines.join(counts, on="__h")
+        .withColumn("removed",
+                    F.col("n_occurrences") >= F.lit(min_count))
+        .drop("__h")
+    )
 
 
 def bigrams(docs: DataFrame, text_col: str = "text",

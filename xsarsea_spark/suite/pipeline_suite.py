@@ -3146,6 +3146,74 @@ def q_doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# C4-style line-level dedup: any line occurring >= 3 times across the
+# corpus is removed from every document (the boilerplate-removal
+# stage — nav bars, footers). Lines are 10-token windows here (the
+# corpus has no newlines; a real corpus swaps the splitter). The
+# oracle replays the hash count + rebuild and pins per-doc retained
+# text by digest.
+# ----------------------------------------------------------------------
+
+_LD_W, _LD_MIN = 10, 3
+
+_LINE_DEDUP_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+           FROM documents WHERE text IS NOT NULL),
+ln AS (SELECT doc_id, s.j AS line_no, s.line AS line FROM (
+  SELECT doc_id, unnest(list_transform(
+    range(0, (len(l) - 1) // {_LD_W} + 1),
+    j -> struct_pack(j := j, line := array_to_string(
+      l[j * {_LD_W} + 1 : j * {_LD_W} + {_LD_W}], ' ')))) AS s
+  FROM t)),
+h AS (SELECT *, {_H40_DUCK.format(x='line')} AS hh FROM ln),
+c AS (SELECT hh, count(*) AS n FROM h GROUP BY hh),
+k AS (SELECT h.*, c.n >= {_LD_MIN} AS removed
+      FROM h JOIN c ON c.hh = h.hh)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_removed,
+  CAST(SUM(CASE WHEN removed THEN 0
+       ELSE len(string_split(line, ' ')) END) AS BIGINT)
+    AS retained_tokens,
+  md5(array_to_string(list(line ORDER BY line_no)
+      FILTER (WHERE NOT removed), chr(30))) AS retained_digest
+FROM k GROUP BY doc_id
+"""
+
+
+@spec(
+    "doc_line_dedup",
+    _LINE_DEDUP_ORACLE,
+    description="C4-style line dedup: lines occurring >= 3 times "
+                "across the corpus removed from every doc (40-bit "
+                "hash shuffle, never line strings); per-doc retained "
+                "text pinned by an order-preserving digest",
+    tags=("pipeline", "dedup"),
+)
+def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.text import line_dedup
+
+    d = line_dedup(load(spark, sf_dir, "documents"),
+                   line_words=_LD_W, min_count=_LD_MIN)
+    return (
+        d.groupBy("doc_id")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_lines"),
+            F.expr("CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END)"
+                   " AS BIGINT)").alias("n_removed"),
+            F.expr("CAST(SUM(CASE WHEN removed THEN 0"
+                   " ELSE size(split(line, ' ')) END) AS BIGINT)")
+            .alias("retained_tokens"),
+            F.expr("md5(array_join(transform(array_sort("
+                   "collect_list(CASE WHEN NOT removed THEN"
+                   " named_struct('j', line_no, 's', line) END)),"
+                   " e -> e.s), char(30)))").alias("retained_digest"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
 # Per-source token-budget cap — the "no domain dominates the mix"
 # curation stage (RefinedWeb/FineWeb shape): within each source, docs
 # are taken in deterministic hash-priority order until the cumulative
