@@ -249,12 +249,14 @@ def line_dedup(docs: DataFrame, line_words: int = 10,
     ``line_words``-token windows (the splitter a real corpus would
     replace with ``split(text, '\\n')`` — the counting/removal
     machinery is identical). Returns one row per line:
-    (id, line_no, line, n_occurrences, removed).
+    (id, line_no, line, removed).
 
-    Scale: the global count shuffles the 40-bit line HASH, never the
-    line strings (the crossdup wire discipline); the join back to
-    lines is hash-equality; rebuild order rides the line_no already
-    carried. Collisions of the 40-bit hash are deterministic and
+    Scale: the global count shuffles ONLY the 40-bit line hash (the
+    crossdup wire discipline), and the corpus-sized line stream never
+    shuffles at all — it left-joins the FILTERED repeated-hash set
+    (distinct boilerplate lines, orders of magnitude below the
+    corpus; AQE broadcasts it), so removal marking is map-side.
+    Collisions of the 40-bit hash are deterministic and
     engine-identical (both sides group by the same hash).
     """
     w = line_words
@@ -269,13 +271,16 @@ def line_dedup(docs: DataFrame, line_words: int = 10,
             f" {w}), ' '))) AS (line_no, line)")
         .withColumn("__h", F.expr(h40))
     )
-    counts = lines.groupBy("__h").agg(
-        F.count(F.lit(1)).alias("n_occurrences"))
+    repeated = (
+        lines.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= F.lit(min_count))
+        .select("__h", F.lit(True).alias("__rm"))
+    )
     return (
-        lines.join(counts, on="__h")
-        .withColumn("removed",
-                    F.col("n_occurrences") >= F.lit(min_count))
-        .drop("__h")
+        lines.join(repeated, on="__h", how="left")
+        .withColumn("removed", F.expr("coalesce(__rm, false)"))
+        .drop("__h", "__rm")
     )
 
 
