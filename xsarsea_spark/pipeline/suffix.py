@@ -1,0 +1,192 @@
+"""Distributed generalized suffix array (prefix doubling over TOKEN
+positions) + LCP + longest duplicated token span — the true
+arbitrary-length counterpart of the fixed-n substring-dedup family
+(Lee et al. 2022 §4 use suffix arrays for exactly this; the fixed-n
+interval union matches their REMOVAL semantics, but only a suffix
+array can report the longest duplicated span itself).
+
+Suffixes start at WORD boundaries — the unit the whole text-dedup
+family (shingles, gram spans, line dedup) already uses, and it cuts
+the doubling depth to ceil(log2(max words per doc)).
+
+Algorithm (Manber-Myers prefix doubling, distributed):
+
+- positions are (doc_id, p) over every token; the round-0 rank is
+  the token's 40-bit content hash — both engines derive the same
+  integer, and ANY consistent total order works for suffix grouping
+  (lexicographic order is not needed for LCP/adjacency semantics; a
+  40-bit collision would merely merge two words, with probability
+  ~vocab^2/2^41, and both engines would agree even then);
+- round k rank = DENSE RANK of (rank_{k-1}(p), rank_{k-1}(p + 2^(k-1))
+  or 0 past the end) — after ceil(log2(max_words)) rounds, ranks
+  order all suffixes (equal cross-doc suffixes share a rank; a
+  (doc, p) tie-break totalizes);
+- the dense rank is the scale-safe composition: DISTINCT pairs ->
+  ``operators.rank.global_rank`` (two-pass, no corpus-wide window)
+  -> hash-join back; every round materializes (the self-join in the
+  next round references it twice — iterative lineage);
+- LCP of SA-adjacent suffixes by the standard rank-table walk: for k
+  from high to low, if rank_k(a + l) = rank_k(b + l) (both present)
+  then l += 2^k. The walk is a LINEAR join chain over the already-
+  materialized rank tables, so it runs as one plan with no
+  per-round barrier. The result is clamped to the remaining suffix
+  lengths (rank equality on end-padded blocks can overshoot exactly
+  when the suffixes are entirely equal).
+- longest duplicated span touching a doc = max clamped LCP over
+  adjacent pairs involving the doc (a span is duplicated iff it
+  prefixes two distinct suffixes, and the SA puts the closest such
+  pair adjacent).
+
+Everything is INTEGER (hashes, dense ranks, lengths) — no float
+hazard — so the DuckDB oracle replays the same rounds with window
+DENSE_RANK and matches bit-for-bit.
+
+Scale: each round shuffles (doc, pos, rank) triples — O(corpus
+tokens) wire volume, same as one substring-dedup round; the retained
+per-round tables (log(max_words) of them) feed the walk; nothing is
+quadratic and no unpartitioned window exists (rank.py plan tests).
+The round count is data-independent, so at test scale the cost is
+fixed scheduler overhead (~2 jobs/round) — callers cap the corpus
+slice (the suite takes every 10th doc, the _SSJ_CAP precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xsarsea_spark.engine import materialize
+from xsarsea_spark.operators.rank import global_rank
+from xsarsea_spark.pipeline.text import HASH40_SQL
+
+__all__ = ["suffix_rank_tables", "sa_adjacent_pairs", "adjacent_lcp",
+           "longest_dup_span"]
+
+
+def _dense_rank(df: DataFrame, keys: list[str],
+                out: str) -> DataFrame:
+    """Dense rank of ``keys`` = row_number over the DISTINCT key
+    frame (unique by construction, as global_rank requires), joined
+    back — no corpus-wide window."""
+    uniq = df.select(*keys).distinct()
+    ranked = global_rank(uniq, [F.col(k).asc() for k in keys],
+                         rank_col=out)
+    return df.join(ranked, on=keys)
+
+
+def suffix_rank_tables(docs: DataFrame, rounds: int,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> list[DataFrame]:
+    """Rank tables [t_0 .. t_rounds], each (id, p, r): t_k ranks
+    token-suffixes by their first 2^k tokens (end-padded). Documents
+    longer than 2^rounds tokens would leave ranks unrefined —
+    callers pick ``rounds`` >= log2(max tokens per doc)."""
+    h40 = HASH40_SQL.format(x="__w")
+    toks = materialize(
+        docs.filter(F.col(text_col).isNotNull())
+        .selectExpr(id_col,
+                    f"posexplode(split({text_col}, ' '))"
+                    " AS (__p0, __w)")
+        .selectExpr(id_col, "__p0 + 1 AS p", f"{h40} AS r"))
+    tables = [toks]
+    cur = toks
+    for k in range(1, rounds + 1):
+        h = 1 << (k - 1)
+        nxt = (
+            cur
+            .join(cur.selectExpr(f"{id_col}", f"p - {h} AS p",
+                                 "r AS __r2"),
+                  on=[id_col, "p"], how="left")
+            .selectExpr(id_col, "p", "r AS __r1",
+                        "coalesce(__r2, 0) AS __r2")
+        )
+        cur = materialize(
+            _dense_rank(nxt, ["__r1", "__r2"], "r")
+            .select(id_col, "p", "r"))
+        tables.append(cur)
+    return tables
+
+
+def sa_adjacent_pairs(final_ranks: DataFrame,
+                      id_col: str = "doc_id") -> DataFrame:
+    """SA-adjacent position pairs (da, pa, db, pb): the total suffix
+    order is (rank, id, p) — unique — ranked by global_rank; pair row
+    n with row n+1."""
+    ordered = global_rank(
+        final_ranks,
+        [F.col("r").asc(), F.col(id_col).asc(), F.col("p").asc()],
+        rank_col="__n")
+    a = ordered.selectExpr(f"{id_col} AS da", "p AS pa",
+                           "__n + 1 AS __n")
+    b = ordered.selectExpr(f"{id_col} AS db", "p AS pb", "__n")
+    return a.join(b, on="__n").drop("__n")
+
+
+def adjacent_lcp(pairs: DataFrame, tables: list[DataFrame],
+                 doc_lens: DataFrame,
+                 id_col: str = "doc_id") -> DataFrame:
+    """(da, pa, db, pb, lcp): rank-table walk from the highest round
+    down — one linear join chain over the materialized tables (no
+    barrier needed) — then clamp to the remaining suffix lengths."""
+    cur = pairs.withColumn("l", F.lit(0).cast("long"))
+    for k in range(len(tables) - 1, -1, -1):
+        h = 1 << k
+        tk = tables[k]
+        ta = tk.selectExpr(f"{id_col} AS da", "p AS __qa",
+                           "r AS __ra")
+        tb = tk.selectExpr(f"{id_col} AS db", "p AS __qb",
+                           "r AS __rb")
+        cur = (
+            cur.withColumn("__qa", F.expr("pa + l"))
+            .withColumn("__qb", F.expr("pb + l"))
+            .join(ta, on=["da", "__qa"], how="left")
+            .join(tb, on=["db", "__qb"], how="left")
+            .withColumn(
+                "l",
+                F.expr("CASE WHEN __ra IS NOT NULL AND __rb IS NOT"
+                       f" NULL AND __ra = __rb THEN l + {h}"
+                       " ELSE l END"))
+            .drop("__qa", "__qb", "__ra", "__rb"))
+    la = doc_lens.selectExpr(f"{id_col} AS da", "__len AS __la")
+    lb = doc_lens.selectExpr(f"{id_col} AS db", "__len AS __lb")
+    return (
+        cur.join(la, on="da").join(lb, on="db")
+        .withColumn("lcp", F.expr(
+            "least(l, __la - pa + 1, __lb - pb + 1)"))
+        .drop("l", "__la", "__lb")
+    )
+
+
+def longest_dup_span(docs: DataFrame, rounds: int = 7,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per document: the token length and text of the longest token
+    span that also occurs elsewhere in the corpus (any other
+    position, any doc — within-doc repeats count). Ties resolve to
+    the smallest starting position. Docs whose every position has
+    LCP 0 report (0, '')."""
+    from pyspark.sql.window import Window
+
+    lens = docs.filter(F.col(text_col).isNotNull()).selectExpr(
+        id_col, f"size(split({text_col}, ' ')) AS __len")
+    tables = suffix_rank_tables(docs, rounds, text_col=text_col,
+                                id_col=id_col)
+    pairs = sa_adjacent_pairs(tables[-1], id_col=id_col)
+    lcps = adjacent_lcp(pairs, tables, lens, id_col=id_col)
+    contrib = (
+        lcps.selectExpr(f"da AS {id_col}", "pa AS pos", "lcp")
+        .unionByName(
+            lcps.selectExpr(f"db AS {id_col}", "pb AS pos", "lcp"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("lcp").desc(), F.col("pos").asc())
+    best = (contrib.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1").drop("__rn"))
+    return (
+        best.join(docs.select(id_col, text_col), on=id_col)
+        .selectExpr(
+            id_col,
+            "CAST(lcp AS BIGINT) AS longest_dup_tokens",
+            f"array_join(slice(split({text_col}, ' '), CAST(pos AS"
+            " INT), CAST(lcp AS INT)), ' ') AS dup_text")
+    )

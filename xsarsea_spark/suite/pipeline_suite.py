@@ -3146,6 +3146,95 @@ def q_doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Generalized suffix array by distributed prefix doubling + LCP walk
+# -> per-doc longest duplicated substring (true arbitrary length — the
+# capability fixed-n gram dedup cannot provide; Lee et al. 2022 §4).
+# All-integer (code points, dense ranks, lengths): the oracle replays
+# every doubling round with window DENSE_RANK and matches bit-exactly.
+# Superlinear-constant operator -> capped slice (every 10th doc), the
+# _SSJ_CAP precedent, in query AND oracle.
+# ----------------------------------------------------------------------
+
+_SFX_MOD, _SFX_ROUNDS = 10, 7     # 2^7 covers max tokens per doc (100)
+
+
+def _sfx_oracle() -> str:
+    h40 = _H40_DUCK.format(x="l[CAST(p AS INT)]")
+    parts = [
+        f"sl AS (SELECT doc_id, text, string_split(text, ' ') AS l,"
+        f" len(string_split(text, ' ')) AS ln"
+        f" FROM documents WHERE text IS NOT NULL"
+        f" AND doc_id % {_SFX_MOD} = 0)",
+        f"t0 AS (SELECT doc_id, p, {h40} AS r FROM"
+        " (SELECT doc_id, unnest(range(1, ln + 1)) AS p, l"
+        " FROM sl))",
+    ]
+    for k in range(1, _SFX_ROUNDS + 1):
+        h = 1 << (k - 1)
+        parts.append(
+            f"t{k} AS MATERIALIZED (SELECT a.doc_id, a.p, DENSE_RANK() OVER"
+            f" (ORDER BY a.r, COALESCE(b.r, 0)) AS r"
+            f" FROM t{k - 1} a LEFT JOIN t{k - 1} b"
+            f" ON b.doc_id = a.doc_id AND b.p = a.p + {h})")
+    parts += [
+        f"ord AS MATERIALIZED (SELECT doc_id, p, ROW_NUMBER() OVER"
+        f" (ORDER BY r, doc_id, p) AS n FROM t{_SFX_ROUNDS})",
+        "w0 AS MATERIALIZED (SELECT a.doc_id AS da, a.p AS pa, b.doc_id AS db,"
+        " b.p AS pb, CAST(0 AS BIGINT) AS l"
+        " FROM ord a JOIN ord b ON b.n = a.n + 1)",
+    ]
+    j = 0
+    for k in range(_SFX_ROUNDS, -1, -1):
+        h = 1 << k
+        j += 1
+        parts.append(
+            f"w{j} AS MATERIALIZED (SELECT q.da, q.pa, q.db, q.pb,"
+            f" CASE WHEN ta.r IS NOT NULL AND tb.r IS NOT NULL"
+            f" AND ta.r = tb.r THEN q.l + {h} ELSE q.l END AS l"
+            f" FROM w{j - 1} q"
+            f" LEFT JOIN t{k} ta ON ta.doc_id = q.da"
+            f" AND ta.p = q.pa + q.l"
+            f" LEFT JOIN t{k} tb ON tb.doc_id = q.db"
+            f" AND tb.p = q.pb + q.l)")
+    parts += [
+        f"lc AS (SELECT q.da, q.pa, q.db, q.pb,"
+        f" LEAST(q.l, sa.ln - q.pa + 1, sb.ln - q.pb + 1) AS lcp"
+        f" FROM w{j} q JOIN sl sa ON sa.doc_id = q.da"
+        f" JOIN sl sb ON sb.doc_id = q.db)",
+        "contrib AS (SELECT da AS doc_id, pa AS pos, lcp FROM lc"
+        " UNION ALL SELECT db AS doc_id, pb AS pos, lcp FROM lc)",
+        "best AS (SELECT doc_id, pos, lcp, ROW_NUMBER() OVER"
+        " (PARTITION BY doc_id ORDER BY lcp DESC, pos ASC) AS rn"
+        " FROM contrib)",
+    ]
+    return ("WITH " + ",\n".join(parts) + """
+SELECT b.doc_id, CAST(b.lcp AS BIGINT) AS longest_dup_tokens,
+  array_to_string(s.l[CAST(b.pos AS INT) :
+                      CAST(b.pos + b.lcp - 1 AS INT)], ' ') AS dup_text
+FROM best b JOIN sl s ON s.doc_id = b.doc_id WHERE b.rn = 1""")
+
+
+@spec(
+    "doc_longest_dup_span",
+    _sfx_oracle(),
+    description="Generalized suffix array by distributed prefix "
+                "doubling over token positions (dense rank = distinct "
+                "keys -> two-pass global_rank -> join back; no "
+                "corpus-wide window) + rank-table LCP walk: per-doc "
+                "longest token span occurring anywhere else in the "
+                "corpus — all-integer, bit-exact vs a full "
+                "chained-CTE replay",
+    tags=("pipeline", "dedup", "iterative"),
+)
+def q_doc_longest_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.suffix import longest_dup_span
+
+    docs = load(spark, sf_dir, "documents").filter(
+        f"text IS NOT NULL AND doc_id % {_SFX_MOD} = 0")
+    return longest_dup_span(docs, rounds=_SFX_ROUNDS)
+
+
+# ----------------------------------------------------------------------
 # C4-style line-level dedup: any line occurring >= 3 times across the
 # corpus is removed from every document (the boilerplate-removal
 # stage — nav bars, footers). Lines are 10-token windows here (the
