@@ -254,6 +254,22 @@ def test_pareto_and_battery_have_no_global_window(spark):
                     f"{name}: corpus-wide window in plan: {ln}")
 
 
+def test_suffix_array_has_no_global_window(spark):
+    """doc_longest_dup_span composes distinct->global_rank->join for
+    every doubling round and a doc-partitioned best-row window at the
+    end — no Window node anywhere may sort the corpus on one task
+    (the rank internals are __pid-scoped; the materializes truncate
+    lineage, so the final plan shows the walk + selection stage)."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["doc_longest_dup_span"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    for ln in plan.splitlines():
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            assert "__pid" in ln or "doc_id" in ln, \
+                f"corpus-wide window in suffix plan: {ln}"
+
+
 def test_packing_and_bm25_have_no_global_window(spark):
     """doc_sequence_packing's token cumsum rides the two-level
     distributed scan (no corpus-wide Window); doc_bm25_topk's rank
