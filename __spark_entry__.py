@@ -65,7 +65,7 @@ _PRIORITY = [
     # (a) round-7 additions
     "minhash_cross_snapshot", "doc_bpe_bytelevel",
     "multimodal_phash", "doc_source_cap", "ivfpq_ann",
-    "doc_line_dedup", "doc_longest_dup_span",
+    "doc_line_dedup", "doc_longest_dup_span", "doc_mixture_schedule",
     # (b) queries touched by round-7 changes
     "q_skyline_parts", "doc_quality_curriculum",
     "doc_perplexity_buckets", "stream_curated_ingest",
@@ -86,7 +86,7 @@ _PRIORITY = [
     "stacked_histogram_mean", "wind_vector_ops",
     # oldest round-3 sentinels to fill the window
     "ancillary_wind_join", "gmf_eval_family", "inversion_crosspol",
-    "lut_regrid", "scene_crop_subsample", "streak_direction",
+    "lut_regrid", "streak_direction",
 ]
 
 

@@ -3146,6 +3146,75 @@ def q_doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Deterministic weighted mixture schedule — the training-order
+# interleave a data-mixture config compiles to (oversample
+# high-weight sources with low-discrepancy stride scheduling, the
+# classic weighted-round-robin). All-integer: weight w_s from the
+# source's content hash, stride K_s = 840/w_s (840 = lcm(1..4) scale
+# so strides are exact integers), doc key = per-source hash-order
+# rank * K_s, global position = the distributed two-pass rank over
+# (key, source, doc_id). A real scheduler streams this order out;
+# the global total order is exactly what global_rank exists for.
+# ----------------------------------------------------------------------
+
+_MIX_SCALE = 840
+
+
+def _mix_oracle() -> str:
+    h40 = _H40_DUCK.format(x="source")
+    return f"""
+WITH d AS (SELECT doc_id, source FROM documents
+           WHERE text IS NOT NULL),
+w AS (SELECT doc_id, source,
+        1 + ({h40}) % 4 AS w FROM d),
+r AS (SELECT doc_id, source, w,
+        ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+      FROM w),
+k AS (SELECT doc_id, source, w, r,
+        r * ({_MIX_SCALE} // w) AS stride_key FROM r)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY stride_key, source, doc_id)
+            AS BIGINT) AS position,
+  doc_id, source, CAST(w AS INT) AS w, CAST(r AS BIGINT) AS r
+FROM k
+"""
+
+
+@spec(
+    "doc_mixture_schedule",
+    _mix_oracle(),
+    description="Deterministic weighted mixture schedule: per-source "
+                "hash-order rank, integer stride key rank*(840/w), "
+                "global training position via the distributed "
+                "two-pass rank — the low-discrepancy interleave a "
+                "mixture config compiles to, bit-exact in integers",
+    tags=("pipeline", "curation"),
+)
+def q_doc_mixture_schedule(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from xsarsea_spark.operators.rank import global_rank
+    from xsarsea_spark.pipeline.text import HASH40_SQL
+
+    h40 = HASH40_SQL.format(x="source")
+    d = (load(spark, sf_dir, "documents")
+         .filter("text IS NOT NULL")
+         .selectExpr("doc_id", "source",
+                     f"CAST(1 + ({h40}) % 4 AS INT) AS w"))
+    wsrc = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    k = (d.withColumn("r", F.row_number().over(wsrc).cast("long"))
+         .withColumn("stride_key",
+                     F.expr(f"r * ({_MIX_SCALE} div w)")))
+    out = global_rank(
+        k, [F.col("stride_key").asc(), F.col("source").asc(),
+            F.col("doc_id").asc()], rank_col="position")
+    return out.selectExpr("CAST(position AS BIGINT) AS position",
+                          "doc_id", "source", "w", "r")
+
+
+# ----------------------------------------------------------------------
 # Generalized suffix array by distributed prefix doubling + LCP walk
 # -> per-doc longest duplicated substring (true arbitrary length — the
 # capability fixed-n gram dedup cannot provide; Lee et al. 2022 §4).
