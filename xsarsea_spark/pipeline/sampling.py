@@ -12,6 +12,10 @@ Scale design:
 - component resolution iterates bounded min-label propagation rounds
   over the (sparse) near-dup edge list; only a convergence scalar
   reaches the driver per round, like Lloyd's in pipeline.ivf.
+
+Parity: the reference engine (umr-lops/xsarsea) has no curation
+surface; this module is part of the LLM-data-pipeline extension the
+engine brief mandates.
 """
 
 from __future__ import annotations

@@ -48,6 +48,10 @@ quadratic and no unpartitioned window exists (rank.py plan tests).
 The round count is data-independent, so at test scale the cost is
 fixed scheduler overhead (~2 jobs/round) — callers cap the corpus
 slice (the suite takes every 10th doc, the _SSJ_CAP precedent).
+
+Parity: the reference engine (umr-lops/xsarsea) has no text surface;
+this module is part of the LLM-data-pipeline extension the engine
+brief mandates (dedup family).
 """
 
 from __future__ import annotations
