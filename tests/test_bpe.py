@@ -312,6 +312,39 @@ def test_bytelevel_pretokens_match_scanner(spark):
         assert "".join(r["pts"]) == _ADVERSARIAL[r["doc_id"]]
 
 
+def test_bytelevel_pretokens_fuzz(spark):
+    """Hypothesis fuzz of the Java-regex vs scanner parity over a
+    Unicode-version-stable alphabet (JVM and CPython may ship
+    different Unicode tables, so exotic/unassigned code points are
+    excluded by construction — as is \\x0b, the one ASCII char where
+    Java and RE2 \\s disagree)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from xsarsea_spark.pipeline.bpe import GPT2_PRETOKEN_PAT
+
+    alphabet = (
+        "abcXYZ019 '\t\n.,!?-_#@"          # ASCII incl. contractions
+        "äöüßéñÅ中文日本語카ы"                # stable BMP letters
+        "²½٣"                               # No / Nd beyond ASCII
+        "́‍🎉"                    # combining, ZWJ, emoji
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.text(alphabet=alphabet, min_size=0, max_size=60))
+    def check(text):
+        got = (spark.range(1)
+               .select(F.regexp_extract_all(
+                   F.lit(text), F.lit(GPT2_PRETOKEN_PAT), F.lit(0))
+                   .alias("p"))
+               .collect()[0]["p"])
+        assert list(got) == _ref_pretokenize(text)
+        assert "".join(got) == text
+
+    check()
+
+
 def test_sample_frac_one_is_exact(spark):
     """frac=1.0 must take the exact code path: merges identical to the
     default (and so to the Python reference)."""
