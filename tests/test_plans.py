@@ -286,3 +286,18 @@ def test_packing_and_bm25_have_no_global_window(spark):
     w = next(i for i, ln in enumerate(lines) if "Window" in ln)
     assert any("TakeOrderedAndProject" in ln for ln in lines[w:]), \
         "BM25 rank window must only see the per-partition top-k"
+
+
+def test_bpe_artifact_applier_is_zero_exchange(spark):
+    """Applying a persisted merge artifact must stay a single Arrow
+    pass over the corpus: scan -> MapInPandas -> project, with NO
+    exchange anywhere (training pays per-round jobs; the artifact's
+    whole point is that encode never does)."""
+    from xsarsea_spark.pipeline.bpe import bpe_apply, bpe_train
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = bpe_train(docs, n_merges=2)
+    plan = bpe_apply(docs, merges) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan

@@ -45,7 +45,8 @@ from xsarsea_spark.engine import materialize
 
 __all__ = ["bpe_train", "bpe_encode", "bpe_bytelevel_encode",
            "bytelevel_pretokens", "apply_merge_expr",
-           "GPT2_PRETOKEN_PAT"]
+           "GPT2_PRETOKEN_PAT", "bpe_save_merges", "bpe_load_merges",
+           "bpe_apply", "bpe_apply_bytelevel", "bpe_bytelevel_train"]
 
 # GPT-2-style pre-tokenization pattern (Radford et al. 2019), with one
 # documented deviation: the original's `\s+(?!\S)` trailing-whitespace
@@ -218,6 +219,139 @@ def bpe_encode(docs: DataFrame, n_merges: int = 4,
              "compression", "encoded_md5")
 
 
+def bpe_save_merges(merges: DataFrame, path: str) -> None:
+    """Persist a trained merge table as the tokenizer artifact.
+
+    The merge table is the ENTIRE learned state of the tokenizer
+    (k-means-centroid precedent: bounded rows, corpus-independent),
+    so one single-file parquet — written once, broadcast-read by
+    every downstream encode job — is the production artifact shape
+    (train once on a corpus sample, encode everywhere forever).
+    """
+    merges.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def bpe_load_merges(spark, path: str) -> DataFrame:
+    """Load a persisted merge table (see ``bpe_save_merges``)."""
+    return spark.read.parquet(path)
+
+
+def _collect_merges(merges: DataFrame) -> list[tuple[str, str]]:
+    """Bounded collect of the rank-ordered (lhs, rhs) merge list —
+    the artifact is k rows by construction, never corpus-sized."""
+    rows = merges.select("merge_rank", "lhs", "rhs").collect()
+    return [(r["lhs"], r["rhs"])
+            for r in sorted(rows, key=lambda r: r["merge_rank"])]
+
+
+def _greedy_merge_pass(toks: list[str], a: str, b: str) -> list[str]:
+    """One greedy-leftmost merge pass — the sequential-scan twin of
+    ``apply_merge_expr``'s run-parity closed form. A consumed pair
+    advances the scan by 2, so within a run of equal tokens exactly
+    the even-offset occurrences merge: identical output by
+    construction, pinned bit-equal by tests/test_bpe_artifact.py.
+    """
+    out: list[str] = []
+    i, n = 0, len(toks)
+    while i < n:
+        if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+            out.append(a + " " + b)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def _apply_merges_kernel(merges: list[tuple[str, str]]):
+    """mapInPandas kernel: apply the full rank-ordered merge list to
+    every ``__t`` token array in ONE Arrow-batched pass — the encode
+    fast path a persisted artifact buys. Training pays k jobs (each
+    round's pair count needs the previous round's corpus); applying
+    a known artifact pays zero extra jobs and zero exchanges: k
+    in-memory passes per row, all other columns carried through.
+    """
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf):
+                col = []
+                for toks in pdf["__t"]:
+                    toks = list(toks)
+                    for a, b in merges:
+                        toks = _greedy_merge_pass(toks, a, b)
+                    col.append(toks)
+                pdf = pdf.copy()
+                pdf["__t"] = col
+            yield pdf
+
+    return kernel
+
+
+def bpe_apply(docs: DataFrame, merges: DataFrame,
+              text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Encode the corpus with an already-trained (typically
+    ``bpe_load_merges``-loaded) merge table — NO retraining, no pair
+    counting, no per-round jobs: the merge list is collected (bounded
+    artifact) and applied in one zero-exchange Arrow pass per row.
+    Output schema and values are identical to ``bpe_encode`` run with
+    the same merges (tests pin digest equality on the full corpus).
+    """
+    cur = (
+        docs.filter(F.col(text_col).isNotNull())
+        .selectExpr(id_col, f"split({text_col}, ' ') AS __t")
+        .filter("size(__t) >= 1")
+    )
+    enc = cur.mapInPandas(_apply_merges_kernel(_collect_merges(merges)),
+                          schema=cur.schema)
+    return enc.select(
+        id_col,
+        F.expr("CAST(aggregate(__t, 0L,"
+               " (a, x) -> a + size(split(x, ' '))) AS BIGINT)")
+        .alias("n_tokens_raw"),
+        F.expr("CAST(size(__t) AS BIGINT)").alias("n_tokens_encoded"),
+        F.expr("md5(array_join(__t, char(31)))").alias("encoded_md5"),
+    ).withColumn(
+        "compression",
+        F.expr("n_tokens_raw / CAST(n_tokens_encoded AS DOUBLE)"),
+    ).select(id_col, "n_tokens_raw", "n_tokens_encoded",
+             "compression", "encoded_md5")
+
+
+def bpe_apply_bytelevel(docs: DataFrame, merges: DataFrame,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Byte-level twin of ``bpe_apply``: GPT-2-style pre-tokenization
+    + byte-fallback symbols, then the persisted merge list in one
+    Arrow pass per pre-token row. Same output schema and values as
+    ``bpe_bytelevel_encode`` with the same merges.
+    """
+    pts = bytelevel_pretokens(docs, text_col=text_col, id_col=id_col)
+    enc = pts.mapInPandas(_apply_merges_kernel(_collect_merges(merges)),
+                          schema=pts.schema)
+    return (
+        enc.groupBy(id_col)
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_pretokens"),
+            F.expr("CAST(SUM(aggregate(__t, 0L, (a, x) ->"
+                   " a + size(split(x, ' ')))) AS BIGINT)")
+            .alias("n_bytes"),
+            F.expr("CAST(SUM(size(__t)) AS BIGINT)")
+            .alias("n_tokens_encoded"),
+            F.expr("md5(array_join(transform(array_sort("
+                   "collect_list(named_struct('pt', __pt, 's',"
+                   " array_join(__t, char(31))))), e -> e.s),"
+                   " char(30)))").alias("encoded_md5"),
+        )
+        .withColumn("compression",
+                    F.expr("n_bytes / CAST(n_tokens_encoded"
+                           " AS DOUBLE)"))
+        .select(id_col, "n_pretokens", "n_bytes", "n_tokens_encoded",
+                "compression", "encoded_md5")
+    )
+
+
 def bytelevel_pretokens(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:
     """GPT-2-style byte-level pre-tokenization: one row per pre-token
@@ -245,6 +379,27 @@ def bytelevel_pretokens(docs: DataFrame, text_col: str = "text",
             " div 2), i -> substr(hex(encode(__tok, 'UTF-8')),"
             " 2 * i - 1, 2)) AS __t")
     )
+
+
+def bpe_bytelevel_train(docs: DataFrame, n_merges: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        sample_frac: float | None = None) -> DataFrame:
+    """Learn ``n_merges`` byte-level merges (GPT-2 pre-tokenization +
+    byte-fallback symbols); returns the same (merge_rank, lhs, rhs,
+    pair_count) artifact shape as ``bpe_train`` — persist it with
+    ``bpe_save_merges`` and encode with ``bpe_apply_bytelevel``."""
+    if sample_frac is None:
+        from xsarsea_spark.engine import get_conf
+        sample_frac = float(get_conf(
+            docs.sparkSession, "spark.xsarsea.bpe.sampleFrac", "1.0"))
+    pts = bytelevel_pretokens(docs, text_col=text_col, id_col=id_col)
+    _, merges = _merge_rounds(pts, n_merges, [id_col, "__pt"],
+                              apply_last=False, sample_frac=sample_frac)
+    return docs.sparkSession.createDataFrame(
+        merges,
+        schema="merge_rank int, lhs string, rhs string,"
+               " pair_count bigint")
 
 
 def bpe_bytelevel_encode(docs: DataFrame, n_merges: int = 4,

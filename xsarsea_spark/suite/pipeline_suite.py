@@ -1602,7 +1602,7 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVFPQ_NC, _IVFPQ_ITERS, _IVFPQ_PROBE = 8, 2, 3
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(k: int = _KNN_K) -> str:
     dim, sub = _CND_DIM, _PQ_SUB
     it, npr = _IVFPQ_ITERS, _IVFPQ_PROBE
     sqd_full = _pq_sqd(dim)
@@ -1680,7 +1680,7 @@ SELECT query_id, rank, neighbor_id, adc_dist FROM (
     ROW_NUMBER() OVER (PARTITION BY query_id
                        ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
   FROM ex)
-WHERE rank <= {_KNN_K}""")
+WHERE rank <= {k}""")
 
 
 @spec(
@@ -1706,6 +1706,93 @@ def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_search(queries, idx, coarse, books, k=_KNN_K,
                         n_probe=_IVFPQ_PROBE, corpus=emb,
                         shortlist=_PQ_SHORT)
+
+
+# ----------------------------------------------------------------------
+# IVF-PQ recall@k against the brute-force ground truth — the third
+# row of the ANN eval family (LSH: embedding_ann_recall; truncation:
+# embedding_matryoshka_recall). The refined IVF-PQ ranking includes
+# the query itself (exact L2 distance 0), so the search runs at
+# k + 1 and drops the self row before the top-k cut in BOTH engines;
+# the exact side already excludes self.
+# ----------------------------------------------------------------------
+
+
+def _ivfpq_recall_oracle() -> str:
+    return f"""
+WITH ex AS ({_KNN_ORACLE}),
+ap0 AS ({_ivfpq_oracle(k=_KNN_K + 1)}),
+ap AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY rank ASC) AS rn
+    FROM ap0 WHERE neighbor_id <> query_id)
+  WHERE rn <= {_KNN_K}),
+m AS (
+  SELECT ex.query_id, COUNT(*) AS n_matched
+  FROM ex JOIN ap ON ap.query_id = ex.query_id
+                 AND ap.neighbor_id = ex.neighbor_id
+  GROUP BY ex.query_id),
+nq AS (SELECT query_id, COUNT(*) AS n_exact FROM ex
+       GROUP BY query_id)
+SELECT nq.query_id, CAST(nq.n_exact AS BIGINT) AS n_exact,
+  CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+  COALESCE(m.n_matched, 0) / CAST(nq.n_exact AS DOUBLE) AS recall
+FROM nq LEFT JOIN m USING (query_id)
+"""
+
+
+@spec(
+    "ivfpq_ann_recall",
+    _ivfpq_recall_oracle(),
+    description="Recall@k of IVF-PQ ANN (coarse quantize + residual "
+                "PQ + ADC + exact rerank) against brute-force ground "
+                "truth — the full index build, search and both "
+                "rankings replayed by one chained-CTE oracle, so the "
+                "recall numbers themselves are value-exact",
+    tags=("pipeline", "similarity", "iterative"),
+)
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from xsarsea_spark.pipeline.ivfpq import (encode_ivfpq,
+                                              ivfpq_search, train_ivfpq)
+
+    emb = load(spark, sf_dir, "embeddings")
+    coarse, books = train_ivfpq(emb, n_cells=_IVFPQ_NC, m=_PQ_M,
+                                k=_PQ_K, iters=_IVFPQ_ITERS)
+    idx = encode_ivfpq(emb, coarse, books)
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ)
+    ap0 = ivfpq_search(queries, idx, coarse, books, k=_KNN_K + 1,
+                       n_probe=_IVFPQ_PROBE, corpus=emb,
+                       shortlist=_PQ_SHORT)
+    ap = (
+        ap0.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.asc("rank"))))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("query_id", "neighbor_id")
+    )
+    ex = q_knn(spark, sf_dir).select("query_id", "neighbor_id")
+    m = (
+        ex.join(ap, on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    nq = ex.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"))
+    return (
+        nq.join(m, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.expr("CAST(coalesce(n_matched, 0) AS BIGINT)")
+            .alias("n_matched"),
+            F.expr("coalesce(n_matched, 0)"
+                   " / CAST(n_exact AS DOUBLE)").alias("recall"),
+        )
+    )
 
 
 # ----------------------------------------------------------------------
@@ -3143,6 +3230,46 @@ def q_doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bpe_encode(load(spark, sf_dir, "documents"),
                       n_merges=_BPE_MERGES)
+
+
+# ----------------------------------------------------------------------
+# Tokenizer artifact persistence: train once -> persist the merge
+# table (the ENTIRE learned state, bounded rows) -> reload -> encode
+# with the loaded artifact in one zero-exchange Arrow pass (no
+# retraining, no per-round jobs). The production tokenizer lifecycle:
+# at 100 TB the trainer runs once on a corpus sample and every
+# encode job forever after broadcast-reads the artifact. The oracle
+# is the full train+encode replay — values can only match if the
+# save -> load -> greedy-apply path reproduces the training loop's
+# encode bit-for-bit (the greedy-scan/run-parity equivalence is
+# additionally pinned by tests/test_bpe_artifact.py).
+# ----------------------------------------------------------------------
+
+
+@spec(
+    "doc_bpe_artifact_encode",
+    _bpe_encode_oracle(),
+    description="BPE tokenizer artifact round trip: train -> persist "
+                "merge table to parquet -> reload -> encode via the "
+                "single-pass Arrow applier — value-identical to the "
+                "in-loop encode (same chained-CTE oracle), proving "
+                "the persisted artifact is the tokenizer",
+    tags=("pipeline", "text", "iterative"),
+)
+def q_doc_bpe_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    from xsarsea_spark.pipeline.bpe import (bpe_apply, bpe_load_merges,
+                                            bpe_save_merges, bpe_train)
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=_BPE_MERGES)
+    path = ("/tmp/xsarsea_bpe_artifact_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    shutil.rmtree(path, ignore_errors=True)
+    bpe_save_merges(merges, path)
+    return bpe_apply(docs, bpe_load_merges(spark, path))
 
 
 # ----------------------------------------------------------------------
