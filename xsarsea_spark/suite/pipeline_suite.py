@@ -3107,6 +3107,94 @@ def q_embedding_pca_outliers(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
+# Incremental PCA: persisted exact-integer RAW-moment state
+# (S1, S2, n as int64 quantum sums — order-independent, so
+# state(batch_1) + ... + state(batch_k) == state(union) bit-for-bit),
+# maintained across 3 versioned ingest batches; the eigensolve runs
+# off the FINAL persisted state alone. The oracle computes the same
+# raw-moment covariance C = S2/n - mu mu^T from the full corpus in
+# one shot — values can only match if the batch/persist/merge cycle
+# is exactly replay-equivalent (pipeline/incpca.py; ivf_incremental
+# precedent). Estimator note: raw moments trade the centered path's
+# cancellation safety for mergeability — the covariance values
+# differ from embedding_pca_power's centered grid in the last grid
+# digits by design (different, equally documented, quantization).
+# ----------------------------------------------------------------------
+
+
+def _pca_incremental_oracle() -> str:
+    from xsarsea_spark.pipeline.linalg import G_SCALE, MU_SCALE
+
+    d = _PCA_D
+    gram = f"""
+f AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+  WHERE len(embedding) = {d}
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0),
+dx AS (SELECT e, unnest(range(1, {d + 1})) AS d FROM f),
+m AS (SELECT d,
+        CAST(SUM(CAST(e[d] AS DECIMAL(38,{MU_SCALE}))) AS DOUBLE)
+          / COUNT(e[d]) AS mu
+      FROM dx GROUP BY d),
+ml AS (SELECT list(mu ORDER BY d) AS mu FROM m),
+pr AS (SELECT i, j, e[i] * e[j] AS p
+       FROM f,
+            (SELECT unnest(range(1, {d + 1})) AS i),
+            (SELECT unnest(range(1, {d + 1})) AS j)),
+g2 AS (SELECT i, j,
+         CAST(SUM(CAST(p AS DECIMAL(38,{G_SCALE}))) AS DOUBLE)
+           / COUNT(p) AS ms2
+       FROM pr GROUP BY i, j),
+g AS (SELECT g2.i, g2.j, g2.ms2 - ml.mu[g2.i] * ml.mu[g2.j] AS g
+      FROM g2, ml),
+gr AS (SELECT i, list(g ORDER BY j) AS row FROM g GROUP BY i),
+gm AS (SELECT CASE WHEN COUNT(*) = {d} THEN list(row ORDER BY i) END
+         AS G FROM gr)"""
+    body = gram + ",\n" + ",\n".join(_pca_iter_ctes("gm", ""))
+    return f"""
+WITH {body}
+SELECT k AS dim, v[k] AS loading, ev AS eigval
+FROM it, (SELECT unnest(range(1, {d + 1})) AS k) t
+"""
+
+
+@spec(
+    "embedding_pca_incremental",
+    _pca_incremental_oracle(),
+    description="Incremental PCA: exact-integer raw-moment state "
+                "persisted and merged across 3 ingest batches "
+                "(int64 quantum sums — batch merge is bit-exact by "
+                "order-independence), eigensolve off the final state "
+                "only — value-equal to a one-shot raw-moment PCA of "
+                "the union, replayed by the oracle",
+    tags=("pipeline", "similarity", "iterative"),
+)
+def q_embedding_pca_incremental(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    from xsarsea_spark.pipeline.incpca import (moment_merge,
+                                               moment_state,
+                                               pca_from_moments)
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = ("/tmp/xsarsea_pca_state_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    shutil.rmtree(base, ignore_errors=True)
+    prev = None
+    for b in range(3):
+        batch = emb.filter(F.expr(f"vec_id % 3 = {b}"))
+        part = moment_state(batch, d=_PCA_D)
+        cur = part if prev is None else moment_merge([prev, part])
+        path = f"{base}/v{b}"
+        cur.write.mode("overwrite").parquet(path)
+        prev = spark.read.parquet(path)
+    return pca_from_moments(prev, d=_PCA_D, rounds=_PCA_ROUNDS)
+
+
+# ----------------------------------------------------------------------
 # Distributed BPE merge training (Sennrich et al. 2016, word-level):
 # k rounds of (pair-count hash agg -> top-1 -> zero-exchange greedy
 # merge application). The oracle recomputes every round in chained
