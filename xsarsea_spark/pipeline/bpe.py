@@ -227,8 +227,13 @@ def bpe_save_merges(merges: DataFrame, path: str) -> None:
     so one single-file parquet — written once, broadcast-read by
     every downstream encode job — is the production artifact shape
     (train once on a corpus sample, encode everywhere forever).
+
+    ``repartition(1)``, not ``coalesce(1)``: on this Spark build a
+    coalesced single-task write of a local-relation frame stalls ~6 s
+    in scheduling while the tiny round-robin exchange costs <1 s —
+    same one-file output either way (measured; see docs/PLANS.md).
     """
-    merges.coalesce(1).write.mode("overwrite").parquet(path)
+    merges.repartition(1).write.mode("overwrite").parquet(path)
 
 
 def bpe_load_merges(spark, path: str) -> DataFrame:

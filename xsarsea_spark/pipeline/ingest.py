@@ -125,8 +125,12 @@ def ingest_curated_batch(
     for r in delta:
         w = int(r["word"])
         words[w] = words.get(w, 0) | int(r["bits"])
+    # repartition(1), not coalesce(1): a coalesced single-task write
+    # of a local-relation frame stalls ~6 s in scheduling on this
+    # Spark build; the tiny round-robin exchange is <1 s (same
+    # one-file sidecar either way — see docs/PLANS.md)
     spark.createDataFrame(sorted(words.items()), "word int, bits bigint") \
-        .coalesce(1).write.mode("overwrite").parquet(bloom_path)
+        .repartition(1).write.mode("overwrite").parquet(bloom_path)
     with open(marker_path, "w") as fh:
         fh.write("\n".join(_parquet_files(table_dir)))
 
