@@ -66,6 +66,8 @@ _PRIORITY = [
     "minhash_cross_snapshot", "doc_bpe_bytelevel",
     "multimodal_phash", "doc_source_cap", "ivfpq_ann",
     "doc_line_dedup", "doc_longest_dup_span", "doc_mixture_schedule",
+    "ivfpq_ann_recall", "doc_bpe_artifact_encode",
+    "embedding_pca_incremental", "embedding_drift_monitor",
     # (b) queries touched by round-7 changes
     "q_skyline_parts", "doc_quality_curriculum",
     "doc_perplexity_buckets", "stream_curated_ingest",
@@ -84,9 +86,11 @@ _PRIORITY = [
     "q_customer_running_total", "q_monthly_orders",
     "q_price_quantiles", "q_region_revenue_share", "q_zorder_profile",
     "stacked_histogram_mean", "wind_vector_ops",
-    # oldest round-3 sentinels to fill the window
-    "ancillary_wind_join", "gmf_eval_family", "inversion_crosspol",
-    "lut_regrid", "streak_direction",
+    # oldest round-3 sentinel to fill the window (gmf_eval_family,
+    # inversion_crosspol, lut_regrid, ancillary_wind_join rotated out
+    # to hold the 50 cap when the four late round-7 additions took
+    # slots — they stay r3-green and lead the round-8 rotation queue)
+    "streak_direction",
 ]
 
 

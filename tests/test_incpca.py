@@ -50,3 +50,37 @@ def test_empty_corpus_yields_no_rows(spark):
         f"{SF_DIR_SMALL}/embeddings.parquet").filter("vec_id < 0")
     out = pca_from_moments(moment_state(emb, d=64), d=64, rounds=12)
     assert out.count() == 0
+
+
+def test_planted_drift_is_flagged(spark):
+    """A batch mean-shifted in one dimension must trip the |z| > 3
+    gate in that dimension and nowhere else (same-distribution dims
+    stay within noise)."""
+    from pyspark.sql import functions as F
+
+    from xsarsea_spark.pipeline.incpca import moment_state, moment_stats
+
+    d = 8
+    rows = []
+    for vid in range(3000):
+        vec = [(((vid * 37 + k * 11) % 97) / 97.0) - 0.5
+               for k in range(d)]
+        rows.append((vid, vec))
+    hist = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    batch = hist.withColumn("embedding", F.expr(
+        "transform(embedding, (x, k) ->"
+        " CASE WHEN k = 3 THEN x + 0.5 ELSE x END)"))
+    h = moment_stats(moment_state(hist, d=d)).select(
+        "i", F.col("mu").alias("mu_h"), F.col("var").alias("var_h"))
+    b = moment_stats(moment_state(batch, d=d)).select(
+        "i", F.col("mu").alias("mu_b"), F.col("n").alias("n_b"))
+    z = {r["i"]: (r["mu_b"] - r["mu_h"])
+         / ((r["var_h"] / r["n_b"]) ** 0.5)
+         for r in h.join(b, on="i").collect()}
+    assert len(z) == d
+    for i, v in z.items():
+        if i == 4:          # 1-based dim of the planted k = 3 shift
+            assert abs(v) > 3
+        else:
+            assert abs(v) <= 3

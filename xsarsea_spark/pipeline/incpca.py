@@ -50,7 +50,8 @@ from xsarsea_spark.pipeline.linalg import (G_SCALE, MU_SCALE,
                                            _power_iter_kernel,
                                            _valid_vectors)
 
-__all__ = ["moment_state", "moment_merge", "pca_from_moments"]
+__all__ = ["moment_state", "moment_merge", "pca_from_moments",
+           "moment_stats"]
 
 
 def _moment_partials(d: int, mu_scale: int, g_scale: int):
@@ -151,6 +152,22 @@ def moment_merge(states: list[DataFrame]) -> DataFrame:
 def _recomb(scale: int) -> str:
     return (f"((CAST(q AS DOUBLE) * {1 << 20}e0 + CAST(r AS DOUBLE))"
             f" / 1e{scale}) / nullif(n, 0)")
+
+
+def moment_stats(state: DataFrame) -> DataFrame:
+    """Per-dimension (i, mu, var, n) marginals of a raw-moment state
+    — mean from the j = 0 rows, variance from the DIAGONAL second
+    moments (``var = ms2 - mu * mu``), all in the documented
+    recombination op order. This is the broadcast-sized summary a
+    drift monitor compares batches against: no corpus access, just
+    the bounded state table.
+    """
+    mu = state.filter("j = 0").select(
+        "i", F.expr(_recomb(MU_SCALE)).alias("mu"), "n")
+    diag = state.filter("j = i").select(
+        "i", F.expr(_recomb(G_SCALE)).alias("__ms2"))
+    return mu.join(diag, on="i").select(
+        "i", "mu", F.expr("__ms2 - mu * mu").alias("var"), "n")
 
 
 def pca_from_moments(state: DataFrame, d: int = 64,

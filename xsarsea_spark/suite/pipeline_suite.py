@@ -3195,6 +3195,89 @@ def q_embedding_pca_incremental(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
+# Embedding drift monitor: the per-dim marginals (mean, variance) of
+# the HISTORICAL raw-moment state vs an incoming batch's state — the
+# data-drift gate a production embedding ingest runs before accepting
+# a batch. Reads ONLY the two bounded moment states (no corpus
+# rescan); the standardized shift z = (mu_b - mu_h) / sqrt(var_h /
+# n_b) and the |z| > 3 flag are value-exact (DECIMAL-grid means, one
+# IEEE sqrt, fixed op order).
+# ----------------------------------------------------------------------
+
+
+def _drift_oracle() -> str:
+    from xsarsea_spark.pipeline.linalg import G_SCALE, MU_SCALE
+
+    d = _PCA_D
+    return f"""
+WITH f AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+  WHERE len(embedding) = {d}
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0),
+hx AS (SELECT e, unnest(range(1, {d + 1})) AS dd FROM f
+       WHERE vec_id % 3 < 2),
+h AS (SELECT dd,
+        CAST(SUM(CAST(e[dd] AS DECIMAL(38,{MU_SCALE}))) AS DOUBLE)
+          / COUNT(e[dd]) AS mu_hist,
+        CAST(SUM(CAST(e[dd] * e[dd] AS DECIMAL(38,{G_SCALE})))
+             AS DOUBLE) / COUNT(e[dd]) AS ms2
+      FROM hx GROUP BY dd),
+bx AS (SELECT e, unnest(range(1, {d + 1})) AS dd FROM f
+       WHERE vec_id % 3 = 2),
+b AS (SELECT dd,
+        CAST(SUM(CAST(e[dd] AS DECIMAL(38,{MU_SCALE}))) AS DOUBLE)
+          / COUNT(e[dd]) AS mu_batch,
+        COUNT(e[dd]) AS n_batch
+      FROM bx GROUP BY dd),
+j AS (SELECT h.dd, h.mu_hist, b.mu_batch, b.n_batch,
+        h.ms2 - h.mu_hist * h.mu_hist AS var_hist
+      FROM h JOIN b ON b.dd = h.dd)
+SELECT dd AS dim, mu_hist, mu_batch, var_hist,
+  CAST(n_batch AS BIGINT) AS n_batch,
+  mu_batch - mu_hist AS shift,
+  CASE WHEN var_hist > 0 THEN (mu_batch - mu_hist)
+    / sqrt(var_hist / CAST(n_batch AS DOUBLE)) END AS z_shift,
+  abs(CASE WHEN var_hist > 0 THEN (mu_batch - mu_hist)
+    / sqrt(var_hist / CAST(n_batch AS DOUBLE)) END) > 3.0 AS drifted
+FROM j
+"""
+
+
+@spec(
+    "embedding_drift_monitor",
+    _drift_oracle(),
+    description="Per-dimension embedding drift gate: historical "
+                "raw-moment state marginals vs an incoming batch — "
+                "standardized mean shift and |z| > 3 flag from the "
+                "two bounded state tables alone, value-exact",
+    tags=("pipeline", "similarity"),
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.incpca import moment_state, moment_stats
+
+    emb = load(spark, sf_dir, "embeddings")
+    h = moment_stats(moment_state(
+        emb.filter("vec_id % 3 < 2"), d=_PCA_D)).select(
+        "i", F.col("mu").alias("mu_hist"), F.col("var").alias("var_hist"))
+    b = moment_stats(moment_state(
+        emb.filter("vec_id % 3 = 2"), d=_PCA_D)).select(
+        "i", F.col("mu").alias("mu_batch"), F.col("n").alias("n_batch"))
+    return h.join(b, on="i").select(
+        F.col("i").cast("bigint").alias("dim"),
+        "mu_hist", "mu_batch", "var_hist",
+        F.col("n_batch").cast("bigint").alias("n_batch"),
+        F.expr("mu_batch - mu_hist").alias("shift"),
+        F.expr("CASE WHEN var_hist > 0 THEN (mu_batch - mu_hist)"
+               " / sqrt(var_hist / CAST(n_batch AS DOUBLE)) END")
+        .alias("z_shift"),
+        F.expr("abs(CASE WHEN var_hist > 0 THEN (mu_batch - mu_hist)"
+               " / sqrt(var_hist / CAST(n_batch AS DOUBLE)) END)"
+               " > 3.0D").alias("drifted"),
+    )
+
+
+# ----------------------------------------------------------------------
 # Distributed BPE merge training (Sennrich et al. 2016, word-level):
 # k rounds of (pair-count hash agg -> top-1 -> zero-exchange greedy
 # merge application). The oracle recomputes every round in chained
