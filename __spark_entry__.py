@@ -68,6 +68,7 @@ _PRIORITY = [
     "doc_line_dedup", "doc_longest_dup_span", "doc_mixture_schedule",
     "ivfpq_ann_recall", "doc_bpe_artifact_encode",
     "embedding_pca_incremental", "embedding_drift_monitor",
+    "neardup_quality_keeper",
     # (b) queries touched by round-7 changes
     "q_skyline_parts", "doc_quality_curriculum",
     "doc_perplexity_buckets", "stream_curated_ingest",
@@ -86,11 +87,10 @@ _PRIORITY = [
     "q_customer_running_total", "q_monthly_orders",
     "q_price_quantiles", "q_region_revenue_share", "q_zorder_profile",
     "stacked_histogram_mean", "wind_vector_ops",
-    # oldest round-3 sentinel to fill the window (gmf_eval_family,
-    # inversion_crosspol, lut_regrid, ancillary_wind_join rotated out
-    # to hold the 50 cap when the four late round-7 additions took
-    # slots — they stay r3-green and lead the round-8 rotation queue)
-    "streak_direction",
+    # (the five r3 sentinels — gmf_eval_family, inversion_crosspol,
+    # lut_regrid, ancillary_wind_join, streak_direction — rotated out
+    # to hold the 50 cap when the five late round-7 additions took
+    # slots; they stay r3-green and lead the round-8 rotation queue)
 ]
 
 

@@ -1174,6 +1174,74 @@ def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Quality-aware canonical selection: within each near-dup cluster,
+# keep ONE document — the longest (token count), ties to the lowest
+# doc_id — and mark the rest for removal. This is the keeper-election
+# step every production dedup actually runs after clustering (Dolma/
+# FineWeb shape: dedup should discard the WORSE copy, not an
+# arbitrary one). The per-cluster window is cluster-bounded (near-dup
+# clusters are tiny after LSH + Jaccard), never corpus-wide.
+# ----------------------------------------------------------------------
+
+
+def _keeper_oracle() -> str:
+    pairs_sql = _minhash_oracle().strip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+  FROM reach GROUP BY src),
+t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents)
+SELECT c.doc_id, c.component, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+  (ROW_NUMBER() OVER (PARTITION BY c.component
+                      ORDER BY t.n_tokens DESC, c.doc_id ASC)) = 1
+    AS is_keeper
+FROM comp c JOIN t ON t.doc_id = c.doc_id
+"""
+
+
+@spec(
+    "neardup_quality_keeper",
+    _keeper_oracle(),
+    description="Canonical selection in near-dup clusters: elect the "
+                "longest member (ties to lowest id) as keeper, flag "
+                "the rest as the removal set — LSH pairs, clustering "
+                "and the election all replayed by the oracle",
+    tags=("pipeline", "dedup", "iterative"),
+)
+def q_neardup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from xsarsea_spark.pipeline.dedup import minhash_lsh_dedup
+    from xsarsea_spark.pipeline.sampling import dup_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(docs, n=_MH_N, k=_MH_K, threshold=_MH_T)
+    comp = dup_components(pairs)
+    t = docs.select(
+        "doc_id", F.expr("size(split(text, ' '))").alias("n_tokens"))
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id"))
+    return (
+        comp.join(t, on="doc_id")
+        .select(
+            "doc_id", "component",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.row_number().over(w) == F.lit(1)).alias("is_keeper"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
 # TF-IDF top terms per document. Ranking happens on the QUANTIZED
 # score so rank and emitted value share the same cross-engine
 # barrier; (tf, df) ties produce bit-identical scores in both
