@@ -68,11 +68,14 @@ _PRIORITY = [
     "doc_line_dedup", "doc_longest_dup_span", "doc_mixture_schedule",
     "ivfpq_ann_recall", "doc_bpe_artifact_encode",
     "embedding_pca_incremental", "embedding_drift_monitor",
-    "neardup_quality_keeper",
+    "neardup_quality_keeper", "doc_tokenizer_fertility",
     # (b) queries touched by round-7 changes
     "q_skyline_parts", "doc_quality_curriculum",
     "doc_perplexity_buckets", "stream_curated_ingest",
-    "stream_neardup_ingest", "doc_bpe_train", "doc_bpe_encode",
+    # (doc_bpe_train yielded its slot to doc_tokenizer_fertility:
+    # the training loop and its argmax merges are replayed verbatim
+    # inside three windowed queries — encode, artifact, fertility)
+    "stream_neardup_ingest", "doc_bpe_encode",
     "minhash_incremental", "local_gradients_pyramid",
     # (c) stalest: every query whose latest driver row is round 2
     "angle_conventions", "dsig_weights", "lineitem_dq_gate",

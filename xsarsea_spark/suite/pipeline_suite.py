@@ -3472,6 +3472,74 @@ def q_doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Tokenizer fertility: the per-language compression/fertility report
+# every tokenizer evaluation ships (chars per token, raw-per-encoded
+# ratio by language bucket) — the encode loop's per-doc counts rolled
+# up against the corpus language column. Integer sums are exact
+# BIGINTs; the two ratios are single double divisions of those.
+# ----------------------------------------------------------------------
+
+
+def _fertility_oracle() -> str:
+    return ("WITH " + ",\n".join(_bpe_ctes(True)) + f""",
+enc AS (SELECT doc_id,
+  list_reduce(list_transform(t, x -> len(string_split(x, ' '))),
+    (a, b) -> a + b) AS n_raw,
+  len(t) AS n_enc FROM t{_BPE_MERGES}),
+j AS (SELECT d.lang, length(d.text) AS n_chars, e.n_raw, e.n_enc
+      FROM enc e JOIN documents d ON d.doc_id = e.doc_id),
+g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        CAST(SUM(n_raw) AS BIGINT) AS n_tokens_raw,
+        CAST(SUM(n_enc) AS BIGINT) AS n_tokens_encoded
+      FROM j GROUP BY lang)
+SELECT lang, n_docs, n_chars, n_tokens_raw, n_tokens_encoded,
+  CAST(n_chars AS DOUBLE) / CAST(n_tokens_encoded AS DOUBLE)
+    AS chars_per_token,
+  CAST(n_tokens_raw AS DOUBLE) / CAST(n_tokens_encoded AS DOUBLE)
+    AS compression
+FROM g""")
+
+
+@spec(
+    "doc_tokenizer_fertility",
+    _fertility_oracle(),
+    description="Per-language tokenizer fertility report: exact "
+                "BIGINT char/token sums from the BPE encode loop "
+                "rolled up by language, chars-per-token and "
+                "compression as single double divisions — the whole "
+                "train+encode+rollup replayed by the oracle",
+    tags=("pipeline", "text", "iterative"),
+)
+def q_doc_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.bpe import bpe_encode
+
+    docs = load(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, n_merges=_BPE_MERGES).select(
+        "doc_id", "n_tokens_raw", "n_tokens_encoded")
+    j = enc.join(
+        docs.select("doc_id", "lang",
+                    F.expr("length(text)").alias("__chars")),
+        on="doc_id")
+    g = j.groupBy("lang").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(SUM(__chars) AS BIGINT)").alias("n_chars"),
+        F.expr("CAST(SUM(n_tokens_raw) AS BIGINT)")
+        .alias("n_tokens_raw"),
+        F.expr("CAST(SUM(n_tokens_encoded) AS BIGINT)")
+        .alias("n_tokens_encoded"))
+    return g.select(
+        "lang", "n_docs", "n_chars", "n_tokens_raw",
+        "n_tokens_encoded",
+        F.expr("CAST(n_chars AS DOUBLE)"
+               " / CAST(n_tokens_encoded AS DOUBLE)")
+        .alias("chars_per_token"),
+        F.expr("CAST(n_tokens_raw AS DOUBLE)"
+               " / CAST(n_tokens_encoded AS DOUBLE)")
+        .alias("compression"))
+
+
+# ----------------------------------------------------------------------
 # Tokenizer artifact persistence: train once -> persist the merge
 # table (the ENTIRE learned state, bounded rows) -> reload -> encode
 # with the loaded artifact in one zero-exchange Arrow pass (no
