@@ -69,9 +69,12 @@ _PRIORITY = [
     "ivfpq_ann_recall", "doc_bpe_artifact_encode",
     "embedding_pca_incremental", "embedding_drift_monitor",
     "neardup_quality_keeper", "doc_tokenizer_fertility",
+    "doc_length_psi",
     # (b) queries touched by round-7 changes
+    # (doc_perplexity_buckets ceded its slot to doc_length_psi —
+    # doc_quality_curriculum keeps the ntile_distributed coverage)
     "q_skyline_parts", "doc_quality_curriculum",
-    "doc_perplexity_buckets", "stream_curated_ingest",
+    "stream_curated_ingest",
     # (doc_bpe_train yielded its slot to doc_tokenizer_fertility:
     # the training loop and its argmax merges are replayed verbatim
     # inside three windowed queries — encode, artifact, fertility)

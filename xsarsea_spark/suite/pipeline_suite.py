@@ -17,7 +17,7 @@ from xsarsea_spark.engine import materialize
 from xsarsea_spark.pipeline.clustering import KM_SCALE
 from xsarsea_spark.pipeline.dedup import MINHASH_P, _BAND_MULT, _perm_params
 from xsarsea_spark.sources.tables import load
-from xsarsea_spark.suite.base import spec
+from xsarsea_spark.suite.base import QTRUNC, spec
 
 # DuckDB spelling of pipeline.text.HASH40_SQL (same value)
 _H40_DUCK = "CAST('0x' || substr(md5({x}), 1, 10) AS BIGINT)"
@@ -3469,6 +3469,132 @@ def q_doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bpe_encode(load(spark, sf_dir, "documents"),
                       n_merges=_BPE_MERGES)
+
+
+# ----------------------------------------------------------------------
+# Population stability index (PSI) of the batch token-length
+# distribution vs historical decile buckets — the other standard
+# drift gate (distribution shape, complementing the moment-state
+# z-gate). Decile boundaries come from the HISTORICAL split under a
+# tie-broken total order (value at rank ceil(i*c/10), i = 1..9) via
+# the distributed two-pass global_rank — no corpus-wide window; both
+# splits bucket against the same value boundaries (9-row broadcast),
+# counts are exact integers, probabilities are +0.5/+5 smoothed so
+# empty buckets stay finite, and the single ln() crosses engines
+# through the QTRUNC barrier.
+# ----------------------------------------------------------------------
+
+
+def _psi_oracle() -> str:
+    psi = QTRUNC("(p_batch - p_hist) * ln(p_batch / p_hist)", 12)
+    return f"""
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+           FROM documents WHERE text IS NOT NULL),
+h AS (SELECT * FROM t WHERE doc_id % 3 < 2),
+b AS (SELECT * FROM t WHERE doc_id % 3 = 2),
+cnt AS (SELECT COUNT(*) AS c FROM h),
+rk AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n, doc_id) AS rn FROM h),
+spine AS (SELECT unnest(range(1, 10)) AS i),
+bnd AS (SELECT s.i, r.n AS ub
+        FROM spine s CROSS JOIN cnt CROSS JOIN rk r
+        WHERE r.rn = CAST(ceil(s.i * cnt.c / 1e1) AS BIGINT)),
+hb0 AS (SELECT h.doc_id, COALESCE(MIN(bd.i), 10) AS bucket
+        FROM h LEFT JOIN bnd bd ON h.n <= bd.ub GROUP BY h.doc_id),
+hb AS (SELECT bucket, COUNT(*) AS c FROM hb0 GROUP BY bucket),
+bb0 AS (SELECT b.doc_id, COALESCE(MIN(bd.i), 10) AS bucket
+        FROM b LEFT JOIN bnd bd ON b.n <= bd.ub GROUP BY b.doc_id),
+bb AS (SELECT bucket, COUNT(*) AS c FROM bb0 GROUP BY bucket),
+th AS (SELECT COUNT(*) AS t FROM h),
+tb AS (SELECT COUNT(*) AS t FROM b),
+spine10 AS (SELECT unnest(range(1, 11)) AS bucket),
+j AS (
+  SELECT s.bucket, CAST(bd.ub AS BIGINT) AS ub,
+    CAST(COALESCE(hb.c, 0) AS BIGINT) AS n_hist,
+    CAST(COALESCE(bb.c, 0) AS BIGINT) AS n_batch,
+    (CAST(COALESCE(hb.c, 0) AS DOUBLE) + 0.5e0)
+      / (CAST(th.t AS DOUBLE) + 5e0) AS p_hist,
+    (CAST(COALESCE(bb.c, 0) AS DOUBLE) + 0.5e0)
+      / (CAST(tb.t AS DOUBLE) + 5e0) AS p_batch
+  FROM spine10 s
+  CROSS JOIN th CROSS JOIN tb
+  LEFT JOIN bnd bd ON bd.i = s.bucket
+  LEFT JOIN hb ON hb.bucket = s.bucket
+  LEFT JOIN bb ON bb.bucket = s.bucket)
+SELECT bucket, ub, n_hist, n_batch, p_hist, p_batch,
+  {psi} AS psi_term
+FROM j
+"""
+
+
+@spec(
+    "doc_length_psi",
+    _psi_oracle(),
+    description="Population stability index of batch vs historical "
+                "token-length deciles: boundaries via the two-pass "
+                "distributed rank, smoothed probabilities, one "
+                "QTRUNC-barriered ln — the distribution-shape drift "
+                "gate, value-exact per bucket",
+    tags=("pipeline", "text"),
+)
+def q_doc_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.rank import global_rank
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.expr("size(split(text, ' '))").alias("n"))
+    h = t.filter("doc_id % 3 < 2")
+    b = t.filter("doc_id % 3 = 2")
+    cnt = h.agg(F.count(F.lit(1)).alias("c"))
+    rk = global_rank(h, [F.asc("n"), F.asc("doc_id")], rank_col="rn")
+    spine = spark.range(1, 10).select(F.col("id").alias("i"))
+    bnd = (
+        rk.join(F.broadcast(
+            spine.crossJoin(cnt).select(
+                "i",
+                F.expr("CAST(ceil(i * c / 1e1) AS BIGINT)")
+                .alias("__target"))),
+            on=F.col("rn") == F.col("__target"))
+        .select("i", F.col("n").alias("ub"))
+    )
+
+    def bucketize(df):
+        return (
+            df.join(F.broadcast(bnd), on=F.col("n") <= F.col("ub"),
+                    how="left")
+            .groupBy("doc_id")
+            .agg(F.expr("COALESCE(MIN(i), 10)").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    hb = bucketize(h)
+    bb = bucketize(b)
+    th = h.agg(F.count(F.lit(1)).alias("t"))
+    tb = b.agg(F.count(F.lit(1)).alias("t"))
+    spine10 = spark.range(1, 11).select(F.col("id").alias("bucket"))
+    j = (
+        spine10.crossJoin(F.broadcast(th))
+        .crossJoin(F.broadcast(tb.withColumnRenamed("t", "tbat")))
+        .join(F.broadcast(bnd.withColumnRenamed("i", "bucket")),
+              on="bucket", how="left")
+        .join(F.broadcast(hb.withColumnRenamed("c", "ch")),
+              on="bucket", how="left")
+        .join(F.broadcast(bb.withColumnRenamed("c", "cb")),
+              on="bucket", how="left")
+        .select(
+            "bucket",
+            F.col("ub").cast("bigint").alias("ub"),
+            F.expr("CAST(COALESCE(ch, 0) AS BIGINT)").alias("n_hist"),
+            F.expr("CAST(COALESCE(cb, 0) AS BIGINT)").alias("n_batch"),
+            F.expr("(CAST(COALESCE(ch, 0) AS DOUBLE) + 0.5e0)"
+                   " / (CAST(t AS DOUBLE) + 5e0)").alias("p_hist"),
+            F.expr("(CAST(COALESCE(cb, 0) AS DOUBLE) + 0.5e0)"
+                   " / (CAST(tbat AS DOUBLE) + 5e0)").alias("p_batch"),
+        )
+    )
+    return j.withColumn(
+        "psi_term",
+        F.expr(QTRUNC("(p_batch - p_hist) * ln(p_batch / p_hist)", 12)))
 
 
 # ----------------------------------------------------------------------
