@@ -65,6 +65,51 @@ def test_ivfpq_recall_floor_and_determinism(spark):
         sorted(map(tuple, got_rows), key=lambda t: (t[0], t[1]))
 
 
+def test_ivfpq_incremental_matches_oneshot_search(spark):
+    """The persisted cell-partitioned postings + O(batch) append must
+    be search-indistinguishable from a one-shot encode with the same
+    frozen quantizers — catches dtype/partition drift through the
+    parquet round trip (the `ivfpq_incremental` maintenance path)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from xsarsea_spark.pipeline.ivfpq import (encode_ivfpq,
+                                              ivfpq_search, train_ivfpq)
+
+    emb = _emb(spark)
+    hist = emb.filter("vec_id < 80")
+    batch = emb.filter("vec_id >= 80")
+    coarse, books = train_ivfpq(hist, **_KW)
+
+    base = tempfile.mkdtemp(prefix="ivfpq_inc_")
+    try:
+        encode_ivfpq(hist, coarse, books) \
+            .write.mode("overwrite").partitionBy("cell").parquet(base)
+        idx_hist = (spark.read.parquet(base)
+                    .withColumn("cell", F.col("cell").cast("int"))
+                    .select("vec_id", "cell", "codes"))
+        idx_inc = idx_hist.unionByName(
+            encode_ivfpq(batch, coarse, books)
+            .select("vec_id", "cell", "codes"))
+        idx_one = encode_ivfpq(emb, coarse, books) \
+            .select("vec_id", "cell", "codes")
+
+        q = emb.filter("vec_id < 10")
+        key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+        got_inc = sorted(ivfpq_search(
+            q, idx_inc, coarse, books, k=5, n_probe=3).collect(),
+            key=key)
+        got_one = sorted(ivfpq_search(
+            q, idx_one, coarse, books, k=5, n_probe=3).collect(),
+            key=key)
+        assert [tuple(r) for r in got_inc] == [tuple(r) for r in got_one]
+        assert len(got_inc) == 50
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_ivfpq_index_shape(spark):
     from xsarsea_spark.pipeline.ivfpq import encode_ivfpq, train_ivfpq
 

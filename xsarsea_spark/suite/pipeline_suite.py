@@ -1864,6 +1864,143 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Incremental IVF-PQ index maintenance — the PQ-coded twin of
+# ivf_incremental, completing the incremental family (exact dedup,
+# MinHash-LSH, IVF, PCA, IVF-PQ): BOTH quantizers (coarse centroids
+# and residual codebooks) are trained once on the historical corpus
+# and FROZEN — retraining either would invalidate every persisted
+# code. The historical postings are written as a cell-partitioned
+# parquet table (a probe reads only its cells' files); a new batch is
+# encoded in one O(batch) Arrow pass against the frozen quantizers
+# and appended without touching historical postings. The census
+# output carries per-cell history/new counts AND the exact BIGINT sum
+# of every PQ code in the cell — value equality with the oracle's
+# from-scratch frozen-quantizer encode of the union certifies every
+# cell assignment and every code byte across the persisted round
+# trip.
+# ----------------------------------------------------------------------
+
+
+def _ivfpq_incremental_oracle() -> str:
+    dim, sub = _CND_DIM, _PQ_SUB
+    it = _IVFPQ_ITERS
+    sqd_full = _pq_sqd(dim)
+    sqd_sub = _pq_sqd(sub)
+    parts = [
+        f"cut AS (SELECT CAST(CEIL(MAX(vec_id) * {_INC_FRAC})"
+        f" AS BIGINT) AS c FROM embeddings)",
+        # training source: the historical slice only
+        "hv AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        " FROM embeddings WHERE vec_id < (SELECT c FROM cut))",
+    ]
+    # frozen coarse quantizer: Lloyd over history (m=1 over full dim)
+    parts += _pq_lloyd_ctes("c", "hv", 1, _IVFPQ_NC, it, dim)
+    parts += [
+        "vall AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        " FROM embeddings)",
+        # coarse assignment of ALL vectors against the frozen cells
+        "casv AS (SELECT vec_id, 0 AS s, e AS sv FROM vall)",
+        f"cells AS (SELECT sv.vec_id, b.cell"
+        f" FROM casv sv JOIN cb{it} b ON b.s = sv.s"
+        f" QUALIFY ROW_NUMBER() OVER (PARTITION BY sv.vec_id"
+        f" ORDER BY {sqd_full} ASC, b.cell) = 1)",
+        # exact double residuals v - centroid[cell] for ALL vectors
+        f"rall AS (SELECT c.vec_id,"
+        f" list_transform(range(1, {dim} + 1),"
+        f" i -> v.e[i] - b.bc[i]) AS e"
+        f" FROM cells c JOIN vall v ON v.vec_id = c.vec_id"
+        f" JOIN cb{it} b ON b.s = 0 AND b.cell = c.cell)",
+        # frozen residual codebooks: Lloyd over HISTORY residuals only
+        "rhist AS (SELECT vec_id, e FROM rall"
+        " WHERE vec_id < (SELECT c FROM cut))",
+    ]
+    parts += _pq_lloyd_ctes("r", "rhist", _PQ_M, _PQ_K, it, sub)
+    parts += [
+        # encode ALL residuals with the frozen codebooks
+        f"rasv AS (SELECT vec_id, s,"
+        f" list_slice(e, s * {sub} + 1, s * {sub} + {sub}) AS sv"
+        f" FROM rall CROSS JOIN rss)",
+        f"enc0 AS (SELECT sv.vec_id, sv.s, b.cell AS code"
+        f" FROM rasv sv JOIN rb{it} b ON b.s = sv.s"
+        f" QUALIFY ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.s"
+        f" ORDER BY {sqd_sub} ASC, b.cell) = 1)",
+        "pc AS (SELECT vec_id, SUM(code) AS csum FROM enc0"
+        " GROUP BY vec_id)",
+        "idx AS (SELECT c.vec_id, c.cell, p.csum"
+        " FROM cells c JOIN pc p ON p.vec_id = c.vec_id)",
+    ]
+    return ("WITH " + ",\n".join(parts) + """
+SELECT CAST(cell AS BIGINT) AS cell,
+  CAST(SUM(CASE WHEN vec_id < (SELECT c FROM cut)
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_hist,
+  CAST(SUM(CASE WHEN vec_id >= (SELECT c FROM cut)
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+  COUNT(*) AS n_total,
+  CAST(SUM(csum) AS BIGINT) AS code_sum,
+  MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+FROM idx GROUP BY cell""")
+
+
+@spec(
+    "ivfpq_incremental",
+    _ivfpq_incremental_oracle(),
+    description="Incremental IVF-PQ maintenance: coarse centroids and "
+                "residual codebooks frozen from history training, "
+                "historical postings persisted cell-partitioned, new "
+                "batch encoded O(batch) and appended — per-cell census "
+                "with exact code checksums value-equal to a "
+                "from-scratch frozen-quantizer encode of the union",
+    tags=("pipeline", "similarity", "incremental", "iterative"),
+)
+def q_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+
+    from xsarsea_spark.pipeline.ivfpq import encode_ivfpq, train_ivfpq
+
+    emb = load(spark, sf_dir, "embeddings")
+    cut = emb.agg(F.expr(
+        f"CAST(CEIL(MAX(vec_id) * {_INC_FRAC}) AS BIGINT)").alias("c"))
+    d = emb.crossJoin(F.broadcast(cut))
+    hist = d.filter("vec_id < c").drop("c")
+    batch = d.filter("vec_id >= c").drop("c")
+    # both quantizers of a production index, trained once on history
+    coarse, books = train_ivfpq(hist, n_cells=_IVFPQ_NC, m=_PQ_M,
+                                k=_PQ_K, iters=_IVFPQ_ITERS)
+    # persisted postings, partitioned by cell: a probe reads only its
+    # cells' files at 100 TB
+    base = ("/tmp/xsarsea_ivfpq_idx_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    shutil.rmtree(base, ignore_errors=True)
+    encode_ivfpq(hist, coarse, books) \
+        .write.partitionBy("cell").parquet(base)
+    idx_hist = (
+        spark.read.parquet(base)
+        .withColumn("cell", F.col("cell").cast("int"))
+        .withColumn("__new", F.lit(False))
+    )
+    # the O(batch) increment: encode against the FROZEN quantizers
+    idx_new = encode_ivfpq(batch, coarse, books) \
+        .withColumn("__new", F.lit(True))
+    merged = idx_hist.unionByName(idx_new)
+    return merged.groupBy(F.col("cell").cast("bigint").alias("cell")) \
+        .agg(
+            F.expr("CAST(SUM(CASE WHEN __new THEN 0 ELSE 1 END)"
+                   " AS BIGINT)").alias("n_hist"),
+            F.expr("CAST(SUM(CASE WHEN __new THEN 1 ELSE 0 END)"
+                   " AS BIGINT)").alias("n_new"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.expr("CAST(SUM(aggregate(codes, 0L,"
+                   " (a, x) -> a + CAST(x AS BIGINT))) AS BIGINT)")
+            .alias("code_sum"),
+            F.min("vec_id").alias("min_vec"),
+            F.max("vec_id").alias("max_vec"),
+        )
+
+
+# ----------------------------------------------------------------------
 # Edit-distance verification of LSH candidate pairs. Levenshtein is
 # integer-exact and byte==char on this corpus (pure ASCII — DuckDB
 # computes byte-wise, Spark char-wise, identical for ASCII; the
