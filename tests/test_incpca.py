@@ -84,3 +84,42 @@ def test_planted_drift_is_flagged(spark):
             assert abs(v) > 3
         else:
             assert abs(v) <= 3
+
+
+def test_stream_absorb_versioning_is_replay_safe(spark, tmp_path):
+    """The stream_drift_gate foreachBatch protocol: batch N builds
+    state version v{N} from v{N-1} plus its own rows. A crash-replay
+    of a batch (same batch_id re-delivered) must rebuild the SAME
+    version — never double-count by merging onto its own output — and
+    the final version must equal the one-shot state bit-for-bit."""
+    import os
+
+    from xsarsea_spark.pipeline.incpca import moment_merge, moment_state
+
+    emb = spark.read.parquet(f"{SF_DIR_SMALL}/embeddings.parquet")
+    state_dir = str(tmp_path / "state")
+
+    def absorb(df, batch_id):
+        part = moment_state(df, d=64)
+        vers = ([int(v[1:]) for v in os.listdir(state_dir)]
+                if os.path.isdir(state_dir) else [])
+        prev = [v for v in sorted(vers) if v < batch_id]
+        if prev:
+            cur = moment_merge([
+                spark.read.parquet(
+                    os.path.join(state_dir, f"v{prev[-1]}")),
+                part])
+        else:
+            cur = part
+        cur.repartition(1).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id}"))
+
+    b0 = emb.filter("vec_id % 2 = 0")
+    b1 = emb.filter("vec_id % 2 = 1")
+    absorb(b0, 0)
+    absorb(b1, 1)
+    absorb(b1, 1)    # crash-replay of batch 1: must be a no-op rebuild
+
+    final = spark.read.parquet(os.path.join(state_dir, "v1"))
+    oneshot = moment_state(emb, d=64)
+    assert _state_rows(final) == _state_rows(oneshot)

@@ -51,7 +51,7 @@ from xsarsea_spark.pipeline.linalg import (G_SCALE, MU_SCALE,
                                            _valid_vectors)
 
 __all__ = ["moment_state", "moment_merge", "pca_from_moments",
-           "moment_stats"]
+           "moment_stats", "drift_report"]
 
 
 def _moment_partials(d: int, mu_scale: int, g_scale: int):
@@ -168,6 +168,35 @@ def moment_stats(state: DataFrame) -> DataFrame:
         "i", F.expr(_recomb(G_SCALE)).alias("__ms2"))
     return mu.join(diag, on="i").select(
         "i", "mu", F.expr("__ms2 - mu * mu").alias("var"), "n")
+
+
+def drift_report(hist_state: DataFrame,
+                 batch_state: DataFrame) -> DataFrame:
+    """Per-dimension drift gate between two raw-moment states: the
+    standardized mean shift ``z = (mu_b - mu_h) / sqrt(var_h / n_b)``
+    and the ``|z| > 3`` flag, computed from the two bounded state
+    tables alone (never a corpus rescan). Value-exact cross-engine:
+    DECIMAL-grid means, one IEEE sqrt, fixed op order. Shared by the
+    batch monitor (``embedding_drift_monitor``) and the streaming
+    gate (``stream_drift_gate``)."""
+    h = moment_stats(hist_state).select(
+        "i", F.col("mu").alias("mu_hist"),
+        F.col("var").alias("var_hist"))
+    b = moment_stats(batch_state).select(
+        "i", F.col("mu").alias("mu_batch"),
+        F.col("n").alias("n_batch"))
+    return h.join(b, on="i").select(
+        F.col("i").cast("bigint").alias("dim"),
+        "mu_hist", "mu_batch", "var_hist",
+        F.col("n_batch").cast("bigint").alias("n_batch"),
+        F.expr("mu_batch - mu_hist").alias("shift"),
+        F.expr("CASE WHEN var_hist > 0 THEN (mu_batch - mu_hist)"
+               " / sqrt(var_hist / CAST(n_batch AS DOUBLE)) END")
+        .alias("z_shift"),
+        F.expr("abs(CASE WHEN var_hist > 0 THEN (mu_batch - mu_hist)"
+               " / sqrt(var_hist / CAST(n_batch AS DOUBLE)) END)"
+               " > 3.0D").alias("drifted"),
+    )
 
 
 def pca_from_moments(state: DataFrame, d: int = 64,

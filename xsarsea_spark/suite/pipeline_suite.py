@@ -3459,27 +3459,99 @@ FROM j
     tags=("pipeline", "similarity"),
 )
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from xsarsea_spark.pipeline.incpca import moment_state, moment_stats
+    from xsarsea_spark.pipeline.incpca import drift_report, moment_state
 
     emb = load(spark, sf_dir, "embeddings")
-    h = moment_stats(moment_state(
-        emb.filter("vec_id % 3 < 2"), d=_PCA_D)).select(
-        "i", F.col("mu").alias("mu_hist"), F.col("var").alias("var_hist"))
-    b = moment_stats(moment_state(
-        emb.filter("vec_id % 3 = 2"), d=_PCA_D)).select(
-        "i", F.col("mu").alias("mu_batch"), F.col("n").alias("n_batch"))
-    return h.join(b, on="i").select(
-        F.col("i").cast("bigint").alias("dim"),
-        "mu_hist", "mu_batch", "var_hist",
-        F.col("n_batch").cast("bigint").alias("n_batch"),
-        F.expr("mu_batch - mu_hist").alias("shift"),
-        F.expr("CASE WHEN var_hist > 0 THEN (mu_batch - mu_hist)"
-               " / sqrt(var_hist / CAST(n_batch AS DOUBLE)) END")
-        .alias("z_shift"),
-        F.expr("abs(CASE WHEN var_hist > 0 THEN (mu_batch - mu_hist)"
-               " / sqrt(var_hist / CAST(n_batch AS DOUBLE)) END)"
-               " > 3.0D").alias("drifted"),
-    )
+    return drift_report(
+        moment_state(emb.filter("vec_id % 3 < 2"), d=_PCA_D),
+        moment_state(emb.filter("vec_id % 3 = 2"), d=_PCA_D))
+
+
+# ----------------------------------------------------------------------
+# STREAMING drift gate — the Structured-Streaming twin of
+# embedding_drift_monitor: the historical moment state is persisted
+# once; the incoming embedding stream (availableNow) maintains a
+# cumulative batch moment state through foreachBatch, merging each
+# micro-batch's O(batch) Arrow-scanned partial into the persisted
+# state by pure int64 addition. Because the int64 quantum sums are
+# order-independent, the streamed state is bit-identical to a one-shot
+# batch state REGARDLESS of micro-batch boundaries — so the final
+# z-gate report shares the exact batch-twin oracle. Crash-replay
+# idempotence: batch N always rebuilds version v{N} from v{N-1} plus
+# its own rows (never from its own partial output), and the stream is
+# run twice against one checkpoint (second run consumes zero files).
+# ----------------------------------------------------------------------
+
+
+@spec(
+    "stream_drift_gate",
+    _drift_oracle(),
+    description="Structured-Streaming drift gate: cumulative raw-"
+                "moment state maintained per micro-batch via "
+                "foreachBatch int64 merges (order-independent, so "
+                "streamed state == one-shot state bit-for-bit), "
+                "z-gate report vs the persisted historical state — "
+                "value-equal to the batch drift monitor",
+    tags=("pipeline", "streaming", "similarity", "incremental"),
+)
+def q_stream_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from xsarsea_spark.pipeline.incpca import (drift_report,
+                                               moment_merge,
+                                               moment_state)
+
+    base = ("/tmp/xsarsea_stream_drift_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    shutil.rmtree(base, ignore_errors=True)
+    hist_path = os.path.join(base, "hist")
+    state_dir = os.path.join(base, "state")
+    ckpt_dir = os.path.join(base, "ckpt")
+
+    emb = load(spark, sf_dir, "embeddings")
+    # the baseline a production gate compares against, persisted once
+    moment_state(emb.filter("vec_id % 3 < 2"), d=_PCA_D) \
+        .repartition(1).write.parquet(hist_path)
+
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+
+    def absorb(df: DataFrame, batch_id: int) -> None:
+        part = moment_state(df.filter("vec_id % 3 = 2"), d=_PCA_D)
+        # merge onto the latest state version STRICTLY BELOW this
+        # batch id: a crash-replay of batch N rebuilds v{N} from
+        # v{N-1} + its own rows, never from its own partial output
+        vers = ([int(v[1:]) for v in os.listdir(state_dir)]
+                if os.path.isdir(state_dir) else [])
+        prev = [v for v in sorted(vers) if v < batch_id]
+        if prev:
+            cur = moment_merge([
+                spark.read.parquet(
+                    os.path.join(state_dir, f"v{prev[-1]}")),
+                part])
+        else:
+            cur = part
+        cur.repartition(1).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id}"))
+
+    def run_stream() -> None:
+        src = (spark.readStream.schema(schema)
+               .option("pathGlobFilter", "embeddings.parquet")
+               .parquet(sf_dir))
+        q = (src.writeStream.foreachBatch(absorb)
+             .option("checkpointLocation", ckpt_dir)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    run_stream()
+    run_stream()    # second run: zero new files -> no-op (exactly-once)
+
+    vers = sorted(int(v[1:]) for v in os.listdir(state_dir))
+    final = spark.read.parquet(
+        os.path.join(state_dir, f"v{vers[-1]}"))
+    return drift_report(spark.read.parquet(hist_path), final)
 
 
 # ----------------------------------------------------------------------
