@@ -339,6 +339,39 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
     )
 
 
+def chunk_dedup(docs: DataFrame, chunk_tokens: int = 64,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Chunk-level exact dedup — the RAG-index ingest step: cut every
+    document into NON-overlapping fixed-token chunks, hash each
+    chunk's content, and keep one canonical copy per hash (lowest
+    (doc, chunk) wins). Returns the per-document report
+    (id, n_chunks, n_dup_chunks, dup_frac): how much of each document
+    is redundant at chunk granularity across the whole corpus.
+
+    Scale: one chunk explode + a hash-partitioned precedence window
+    (bounded by per-hash duplicate multiplicity, never corpus-wide)
+    + one per-doc hash agg. No pairwise work anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    ch = chunk_documents(docs, chunk_tokens=chunk_tokens,
+                         stride=chunk_tokens, text_col=text_col,
+                         id_col=id_col)
+    h = ch.select(id_col, "chunk_id",
+                  F.md5(F.col("chunk_text")).alias("__h"))
+    w = Window.partitionBy("__h").orderBy(id_col, "chunk_id")
+    flagged = h.withColumn("__rn", F.row_number().over(w))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.expr("CAST(SUM(CASE WHEN __rn > 1 THEN 1 ELSE 0 END)"
+               " AS BIGINT)").alias("n_dup_chunks"),
+        F.expr("CAST(SUM(CASE WHEN __rn > 1 THEN 1 ELSE 0 END)"
+               " AS DOUBLE) / CAST(COUNT(1) AS DOUBLE)")
+        .alias("dup_frac"),
+    )
+
+
 def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher/C4-style repetition quality signals, adapted to the
     whitespace-token corpus: top-unigram fraction, top-bigram

@@ -2169,26 +2169,34 @@ def q_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CH_TOK, _CH_STRIDE = 64, 48
 
-_CHUNK_ORACLE = f"""
+
+def _chunk_sql(tok: int, stride: int) -> str:
+    """DuckDB twin of ``text.chunk_documents(tok, stride)`` — shared
+    by the chunking query (overlapping windows) and the chunk-dedup
+    query (non-overlapping windows)."""
+    return f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
            FROM documents),
 st AS (
   SELECT doc_id, l,
-    range(0, CAST(CEIL(CAST(GREATEST(len(l) - {_CH_TOK}, 0)
-      AS DOUBLE) / {_CH_STRIDE}) AS INT) + 1) AS starts
+    range(0, CAST(CEIL(CAST(GREATEST(len(l) - {tok}, 0)
+      AS DOUBLE) / {stride}) AS INT) + 1) AS starts
   FROM t),
 ex AS (
   SELECT doc_id,
     unnest(starts) AS chunk_id,
     unnest(list_transform(starts,
-      s -> l[s * {_CH_STRIDE} + 1 :
-             LEAST(s * {_CH_STRIDE} + {_CH_TOK}, len(l))]))
+      s -> l[s * {stride} + 1 :
+             LEAST(s * {stride} + {tok}, len(l))]))
       AS chunk
   FROM st)
 SELECT doc_id, chunk_id, len(chunk) AS n_tokens,
   array_to_string(chunk, ' ') AS chunk_text
 FROM ex WHERE len(chunk) > 0
 """
+
+
+_CHUNK_ORACLE = _chunk_sql(_CH_TOK, _CH_STRIDE)
 
 
 @spec(
@@ -2205,6 +2213,49 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return chunk_documents(docs, chunk_tokens=_CH_TOK,
                            stride=_CH_STRIDE)
+
+
+# ----------------------------------------------------------------------
+# Chunk-level exact dedup — the RAG-index ingest step after chunking:
+# non-overlapping fixed-token chunks, one canonical copy per content
+# hash (lowest (doc, chunk) precedence), per-document redundancy
+# report. The precedence window is hash-partitioned (bounded by
+# per-hash duplicate multiplicity), never corpus-wide; everything
+# else is hash aggs.
+# ----------------------------------------------------------------------
+
+
+def _chunk_dedup_oracle() -> str:
+    return f"""
+WITH ch AS ({_chunk_sql(_CH_TOK, _CH_TOK).strip()}),
+h AS (SELECT doc_id, chunk_id, md5(chunk_text) AS h FROM ch),
+r AS (SELECT doc_id, chunk_id, h,
+        ROW_NUMBER() OVER (PARTITION BY h
+                           ORDER BY doc_id, chunk_id) AS rn
+      FROM h)
+SELECT doc_id, COUNT(*) AS n_chunks,
+  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_chunks,
+  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+FROM r GROUP BY doc_id
+"""
+
+
+@spec(
+    "doc_chunk_dedup",
+    _chunk_dedup_oracle(),
+    description="Chunk-level exact dedup for RAG ingest: "
+                "non-overlapping 64-token chunks, canonical copy per "
+                "content hash, per-document redundancy fractions — "
+                "hash-bounded precedence window, no pairwise work",
+    tags=("pipeline", "text", "chunking", "dedup"),
+)
+def q_doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.text import chunk_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_dedup(docs, chunk_tokens=_CH_TOK)
 
 
 # ----------------------------------------------------------------------
@@ -4137,6 +4188,73 @@ def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    " named_struct('j', line_no, 's', line) END)),"
                    " e -> e.s), char(30)))").alias("retained_digest"),
         )
+    )
+
+
+# ----------------------------------------------------------------------
+# Per-source boilerplate report — which sources/domains are dominated
+# by repeated lines (nav bars, footers): the line-dedup hash counts
+# rolled up per source. The production use: a curation pipeline drops
+# or down-weights sources whose boilerplate fraction is pathological
+# before paying any per-document quality scoring. Hash-only shuffles
+# (the 40-bit line hash, never line strings), one corpus-to-corpus
+# equi-join for source attribution, hash aggs only.
+# ----------------------------------------------------------------------
+
+_SRC_BOILER_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+           FROM documents WHERE text IS NOT NULL),
+ln AS (SELECT doc_id, s.j AS line_no, s.line AS line FROM (
+  SELECT doc_id, unnest(list_transform(
+    range(0, (len(l) - 1) // {_LD_W} + 1),
+    j -> struct_pack(j := j, line := array_to_string(
+      l[j * {_LD_W} + 1 : j * {_LD_W} + {_LD_W}], ' ')))) AS s
+  FROM t)),
+h AS (SELECT *, {_H40_DUCK.format(x='line')} AS hh FROM ln),
+c AS (SELECT hh, count(*) AS n FROM h GROUP BY hh),
+k AS (SELECT h.*, c.n >= {_LD_MIN} AS removed
+      FROM h JOIN c ON c.hh = h.hh),
+j AS (SELECT k.*, d.source FROM k
+      JOIN documents d ON d.doc_id = k.doc_id)
+SELECT source,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_boiler_lines,
+  CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS boiler_frac,
+  CAST(SUM(CASE WHEN removed THEN len(string_split(line, ' '))
+       ELSE 0 END) AS BIGINT) AS boiler_tokens
+FROM j GROUP BY source
+"""
+
+
+@spec(
+    "doc_source_boilerplate",
+    _SRC_BOILER_ORACLE,
+    description="Per-source boilerplate report: fraction of lines "
+                "repeated >= 3 times corpus-wide, rolled up by "
+                "source — the drop-pathological-domains curation "
+                "signal; hash-only shuffles, hash aggs only",
+    tags=("pipeline", "dedup", "text"),
+)
+def q_doc_source_boilerplate(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.text import line_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    d = line_dedup(docs, line_words=_LD_W, min_count=_LD_MIN)
+    j = d.join(docs.select("doc_id", "source"), on="doc_id")
+    return j.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_lines"),
+        F.expr("CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END)"
+               " AS BIGINT)").alias("n_boiler_lines"),
+        F.expr("CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END)"
+               " AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")
+        .alias("boiler_frac"),
+        F.expr("CAST(SUM(CASE WHEN removed THEN size(split(line, ' '))"
+               " ELSE 0 END) AS BIGINT)").alias("boiler_tokens"),
     )
 
 
