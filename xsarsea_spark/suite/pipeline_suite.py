@@ -5238,6 +5238,97 @@ def q_doc_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Binary (1-bit sign) quantization eval — the extreme point of the
+# quantized-retrieval family next to PQ/IVF-PQ: pack each vector's
+# sign bitmap into dim/32 BIGINT words, rank by xor+popcount Hamming
+# distance (ties -> lowest id), and measure recall@k against the
+# exact cosine ground truth. Everything is integer (comparisons,
+# shifts, popcounts), so codes, rankings AND recall values are
+# bit-identical cross-engine. At 100 TB the packed-code scan is 32x
+# smaller than the float vectors and the per-pair cost is two
+# xor+popcount ops — the memory-bound rerank-candidate generator
+# production binary-embedding serving uses.
+# ----------------------------------------------------------------------
+
+
+def _binary_quant_oracle() -> str:
+    def word(off: int) -> str:
+        return (f"list_reduce(list_transform(range(0, 32),"
+                f" b -> CASE WHEN embedding[{off} + b + 1] > 0"
+                f" THEN (1::BIGINT << CAST(b AS INT))"
+                f" ELSE 0::BIGINT END), (a, x) -> a + x)")
+
+    nw = _CND_DIM // 32
+    words = ", ".join(f"{word(w * 32)} AS w{w}" for w in range(nw))
+    ham = " + ".join(
+        f"CAST(bit_count(xor(q.q{w}, c.w{w})) AS BIGINT)"
+        for w in range(nw))
+    qsel = ", ".join(f"w{w} AS q{w}" for w in range(nw))
+    return f"""
+WITH ex AS ({_KNN_ORACLE}),
+c AS (SELECT vec_id, {words} FROM embeddings),
+q AS (SELECT vec_id AS query_id, {qsel} FROM c
+      WHERE vec_id < {_KNN_NQ}),
+s AS (SELECT q.query_id, c.vec_id AS neighbor_id, {ham} AS hamming
+      FROM q JOIN c ON c.vec_id <> q.query_id),
+bt AS (SELECT query_id, neighbor_id FROM (
+         SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY hamming ASC, neighbor_id ASC) AS rank
+         FROM s)
+       WHERE rank <= {_KNN_K}),
+m AS (SELECT ex.query_id, COUNT(*) AS n_matched
+      FROM ex JOIN bt ON bt.query_id = ex.query_id
+                     AND bt.neighbor_id = ex.neighbor_id
+      GROUP BY ex.query_id),
+nq AS (SELECT query_id, COUNT(*) AS n_exact FROM ex
+       GROUP BY query_id)
+SELECT nq.query_id, CAST(nq.n_exact AS BIGINT) AS n_exact,
+  CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+  coalesce(m.n_matched, 0) / CAST(nq.n_exact AS DOUBLE) AS recall
+FROM nq LEFT JOIN m ON m.query_id = nq.query_id
+"""
+
+
+@spec(
+    "embedding_binary_quant_recall",
+    _binary_quant_oracle(),
+    description="Recall@k of 1-bit sign-quantized Hamming retrieval "
+                "(dim/32 packed BIGINT words, xor+popcount ranking) "
+                "vs exact cosine ground truth — all-integer codes and "
+                "rankings, recall values bit-exact cross-engine",
+    tags=("pipeline", "similarity", "eval"),
+)
+def q_embedding_binary_quant(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.similarity import (cosine_topk,
+                                                   hamming_topk)
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_NQ)
+    ex = cosine_topk(queries, emb, k=_KNN_K) \
+        .select("query_id", "neighbor_id")
+    bt = hamming_topk(queries, emb, k=_KNN_K, dim=_CND_DIM) \
+        .select("query_id", "neighbor_id")
+    m = (ex.join(bt, on=["query_id", "neighbor_id"])
+         .groupBy("query_id")
+         .agg(F.count(F.lit(1)).alias("n_matched")))
+    nq = ex.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"))
+    return (
+        nq.join(m, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.expr("CAST(coalesce(n_matched, 0) AS BIGINT)")
+            .alias("n_matched"),
+            F.expr("coalesce(n_matched, 0)"
+                   " / CAST(n_exact AS DOUBLE)").alias("recall"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
 # Matryoshka truncation eval: how much exact top-k retrieval quality
 # survives when vectors are truncated to their leading dims (the MRL
 # deployment question — serve 16 of 64 dims at 4x less memory/IO).
