@@ -2560,6 +2560,62 @@ def q_ngram_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Benchmark decontamination — the eval-overlap gate (GPT-3/PaLM
+# appendix protocol, n-gram form): training docs sharing any 8-gram
+# with the held-out eval split are flagged before training. The eval
+# split is a deterministic doc_id slice standing in for a benchmark
+# suite; only 40-bit gram hashes shuffle, and the eval side collapses
+# to DISTINCT hashes (broadcast-sized in production — benchmarks are
+# tiny against a 100 TB corpus).
+# ----------------------------------------------------------------------
+
+_DECON_N, _DECON_MOD, _DECON_RES = 8, 23, 7
+
+_DECON_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+           FROM documents),
+g AS (SELECT doc_id, l, unnest(range(0, len(l) - {_DECON_N} + 1)) AS p
+      FROM t WHERE len(l) >= {_DECON_N}),
+gh AS (SELECT doc_id, {_H40_DUCK.format(
+    x=f"array_to_string(l[p + 1:p + {_DECON_N}], ' ')")} AS h
+       FROM g),
+ev AS (SELECT DISTINCT h FROM gh
+       WHERE doc_id % {_DECON_MOD} = {_DECON_RES}),
+tr AS (SELECT doc_id, h FROM gh
+       WHERE doc_id % {_DECON_MOD} <> {_DECON_RES}),
+tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM tr GROUP BY doc_id),
+c AS (SELECT tr.doc_id, COUNT(*) AS nc
+      FROM tr JOIN ev USING (h) GROUP BY tr.doc_id)
+SELECT tot.doc_id,
+  CAST(tot.n_grams AS BIGINT) AS n_grams,
+  CAST(COALESCE(c.nc, 0) AS BIGINT) AS n_contaminated,
+  CAST(COALESCE(c.nc, 0) AS DOUBLE) / CAST(tot.n_grams AS DOUBLE)
+    AS contaminated_frac,
+  COALESCE(c.nc, 0) > 0 AS is_contaminated
+FROM tot LEFT JOIN c ON c.doc_id = tot.doc_id
+"""
+
+
+@spec(
+    "doc_decontamination",
+    _DECON_ORACLE,
+    description="Benchmark decontamination: training docs sharing any "
+                "8-gram with the deterministic eval split are flagged "
+                "(GPT-3/PaLM protocol) — hash-only shuffles, eval side "
+                "collapsed to distinct broadcast-sized hashes",
+    tags=("pipeline", "dedup", "text"),
+)
+def q_doc_decontamination(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.text import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(f"doc_id % {_DECON_MOD} = {_DECON_RES}")
+    tr = docs.filter(f"doc_id % {_DECON_MOD} <> {_DECON_RES}")
+    return decontaminate(tr, ev, n=_DECON_N)
+
+
+# ----------------------------------------------------------------------
 # Exact duplicated-span extraction (Lee et al. 2021 substring dedup):
 # duplicated n-gram positions merged to maximal spans via
 # gaps-and-islands — pos - row_number() is constant on consecutive
@@ -5311,6 +5367,128 @@ def q_embedding_binary_quant(spark: SparkSession,
     bt = hamming_topk(queries, emb, k=_KNN_K, dim=_CND_DIM) \
         .select("query_id", "neighbor_id")
     m = (ex.join(bt, on=["query_id", "neighbor_id"])
+         .groupBy("query_id")
+         .agg(F.count(F.lit(1)).alias("n_matched")))
+    nq = ex.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"))
+    return (
+        nq.join(m, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.expr("CAST(coalesce(n_matched, 0) AS BIGINT)")
+            .alias("n_matched"),
+            F.expr("coalesce(n_matched, 0)"
+                   " / CAST(n_exact AS DOUBLE)").alias("recall"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# Int8 scalar quantization (SQ8) eval — the 4x tier of the
+# quantization ladder (float32 -> SQ8 -> PQ -> 1-bit): per-dimension
+# min/max learned from the corpus in one map-side-combined agg (a
+# bounded 2 x dim summary, broadcast once), codes are HALF_UP-rounded
+# 0..255 levels via the exact floor(y + 0.5) construction (identical
+# IEEE op order in both engines — CAST double->int truncation
+# semantics differ cross-engine, floor does not), ranking is exact
+# integer squared-L2 over codes (order-independent BIGINT sums), and
+# recall@k is measured against the exact cosine ground truth.
+# ----------------------------------------------------------------------
+
+
+def _sq8_oracle() -> str:
+    d = _CND_DIM
+    code = (f"list_transform(range(1, {d + 1}), d ->"
+            f" CASE WHEN mm.mx[d] > mm.mn[d]"
+            f" THEN CAST(FLOOR((CAST(embedding[d] AS DOUBLE)"
+            f" - mm.mn[d]) * (255.0 / (mm.mx[d] - mm.mn[d]))"
+            f" + 0.5) AS INT) ELSE 0 END)")
+    dist = (f"list_reduce(list_transform(range(1, {d + 1}),"
+            f" i -> CAST((q.code[i] - c.code[i])"
+            f" * (q.code[i] - c.code[i]) AS BIGINT)),"
+            f" (a, x) -> a + x)")
+    return f"""
+WITH ex AS ({_KNN_ORACLE}),
+mm AS (SELECT list(mn ORDER BY d) AS mn, list(mx ORDER BY d) AS mx
+       FROM (SELECT d, CAST(MIN(embedding[d]) AS DOUBLE) AS mn,
+                    CAST(MAX(embedding[d]) AS DOUBLE) AS mx
+             FROM embeddings, (SELECT unnest(range(1, {d + 1})) AS d)
+             GROUP BY d)),
+c AS (SELECT vec_id, {code} AS code FROM embeddings, mm),
+q AS (SELECT vec_id AS query_id, code FROM c
+      WHERE vec_id < {_KNN_NQ}),
+s AS (SELECT q.query_id, c.vec_id AS neighbor_id, {dist} AS d2
+      FROM q JOIN c ON c.vec_id <> q.query_id),
+st AS (SELECT query_id, neighbor_id FROM (
+         SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY d2 ASC, neighbor_id ASC) AS rank
+         FROM s)
+       WHERE rank <= {_KNN_K}),
+m AS (SELECT ex.query_id, COUNT(*) AS n_matched
+      FROM ex JOIN st ON st.query_id = ex.query_id
+                     AND st.neighbor_id = ex.neighbor_id
+      GROUP BY ex.query_id),
+nq AS (SELECT query_id, COUNT(*) AS n_exact FROM ex
+       GROUP BY query_id)
+SELECT nq.query_id, CAST(nq.n_exact AS BIGINT) AS n_exact,
+  CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+  coalesce(m.n_matched, 0) / CAST(nq.n_exact AS DOUBLE) AS recall
+FROM nq LEFT JOIN m ON m.query_id = nq.query_id
+"""
+
+
+@spec(
+    "embedding_sq8_recall",
+    _sq8_oracle(),
+    description="Recall@k of int8 scalar-quantized retrieval: per-dim "
+                "min/max levels, HALF_UP floor(y+0.5) codes, exact "
+                "integer squared-L2 ranking vs exact cosine ground "
+                "truth — codes, rankings and recall all value-exact",
+    tags=("pipeline", "similarity", "eval"),
+)
+def q_embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.similarity import cosine_topk
+    from pyspark.sql.window import Window
+
+    d = _CND_DIM
+    emb = load(spark, sf_dir, "embeddings")
+    mm = emb.agg(
+        F.array(*[
+            F.expr(f"CAST(MIN(element_at(embedding, {i})) AS DOUBLE)")
+            for i in range(1, d + 1)]).alias("__mn"),
+        F.array(*[
+            F.expr(f"CAST(MAX(element_at(embedding, {i})) AS DOUBLE)")
+            for i in range(1, d + 1)]).alias("__mx"),
+    )
+    code = (f"transform(sequence(1, {d}), d ->"
+            f" CASE WHEN element_at(__mx, d) > element_at(__mn, d)"
+            f" THEN CAST(FLOOR((CAST(element_at(embedding, d)"
+            f" AS DOUBLE) - element_at(__mn, d)) * (CAST(255.0 AS"
+            f" DOUBLE) / (element_at(__mx, d) - element_at(__mn, d)))"
+            f" + 0.5D) AS INT) ELSE 0 END)")
+    c = (emb.crossJoin(F.broadcast(mm))
+         .select("vec_id", F.expr(code).alias("code")))
+    q = c.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("__qc"))
+    dist = ("aggregate(zip_with(__qc, code, (a, b) ->"
+            " CAST((a - b) * (a - b) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    scored = (
+        c.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(q),
+              F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("d2", F.expr(dist))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc())
+    st = (scored.withColumn("rank", F.row_number().over(w))
+          .filter(F.col("rank") <= _KNN_K)
+          .select("query_id", "neighbor_id"))
+    ex = cosine_topk(emb.filter(F.col("vec_id") < _KNN_NQ), emb,
+                     k=_KNN_K).select("query_id", "neighbor_id")
+    m = (ex.join(st, on=["query_id", "neighbor_id"])
          .groupBy("query_id")
          .agg(F.count(F.lit(1)).alias("n_matched")))
     nq = ex.groupBy("query_id").agg(
