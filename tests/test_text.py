@@ -180,3 +180,32 @@ def test_duplicate_spans_maximal_interval_union(spark):
                  for r in duplicate_spans(docs, n=4).collect()
                  if r["doc_id"] == 2)
     assert old == [(2, 0, 3), (2, 4, 7)]
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing theorem: two docs sharing a token run of length
+    >= w + k - 1 MUST share a fingerprint hash; and selection density
+    is bounded (at most one fingerprint per window position)."""
+    from xsarsea_spark.pipeline.text import winnow_fingerprints
+
+    k, w = 5, 4
+    shared = " ".join(f"s{i}" for i in range(w + k - 1))  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 a4 " + shared + " a5 a6 a7 a8"),
+            (2, "b1 b2 " + shared + " b3 b4 b5 b6 b7 b8 b9"),
+            (3, " ".join(f"c{i}" for i in range(20))),  # no overlap
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, k=k, w=w).collect()
+    by_doc: dict[int, set] = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert by_doc[1] & by_doc[2], "shared 8-token run must share a fp"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # density: never more fingerprints than valid window positions
+    n_tokens = 4 + (w + k - 1) + 4
+    n_windows = (n_tokens - k + 1) - (w - 1)
+    assert len([r for r in fp if r["doc_id"] == 1]) <= n_windows

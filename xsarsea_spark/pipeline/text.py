@@ -515,6 +515,61 @@ def crossdoc_ngram_dup(docs: DataFrame, n: int = 8,
 _GRAM_CONCAT = ("array_join(slice(__toks, i, {n}), ' ')")
 
 
+def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    the MOSS algorithm): hash every k-token gram, slide a w-hash
+    window, select each window's RIGHTMOST minimal hash — the
+    selected (position, hash) set is a provably bounded-density
+    subset that still catches every match of length >= w + k - 1.
+    The index a plagiarism/near-dup system stores is these
+    fingerprints, ~1/w the size of the full gram table.
+
+    Determinism: the rightmost-min tie-break is encoded INTO the
+    ordering key — ``key = h * B + (B - 1 - p)`` with ``B = 2^20 >
+    doc length`` — so window keys are unique, ``min(key)`` identifies
+    one gram, and BOTH engines decode (pos, hash) from the same
+    integer (no argmin-by-tuple semantics to align). Docs with fewer
+    than w grams yield no fingerprints (documented; the guarantee
+    needs a full window).
+
+    Scale: per-doc trailing-window min — the frame is doc-bounded,
+    never corpus-wide; output is DISTINCT decoded fingerprints.
+    Returns (id, pos, fp_hash).
+    """
+    from pyspark.sql.window import Window
+
+    B = 1 << 20
+    gram_h = HASH40_SQL.format(
+        x=f"array_join(slice(__toks, p + 1, {k}), ' ')")
+    g = (
+        docs.withColumn("__toks", F.split(F.col(text_col), " "))
+        .filter(F.expr(f"size(__toks) >= {k}"
+                       f" AND size(__toks) < {B}"))
+        .select(id_col, "__toks",
+                F.explode(F.expr(
+                    f"sequence(0, size(__toks) - {k})")).alias("p"))
+        .select(id_col, "p",
+                F.expr(f"({gram_h}) * {B}L"
+                       f" + ({B} - 1 - p)").alias("__key"))
+    )
+    win = Window.partitionBy(id_col).orderBy("p") \
+        .rowsBetween(-(w - 1), 0)
+    sel = (
+        g.withColumn("__fp", F.min("__key").over(win))
+        .filter(F.col("p") >= w - 1)
+        .select(
+            id_col,
+            F.expr(f"CAST({B} - 1 - (__fp % {B}) AS BIGINT)")
+            .alias("pos"),
+            F.expr(f"__fp div {B}").alias("fp_hash"),
+        )
+        .distinct()
+    )
+    return sel
+
+
 def decontaminate(train_docs: DataFrame, eval_docs: DataFrame,
                   n: int = 8, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:

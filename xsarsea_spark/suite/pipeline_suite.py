@@ -2560,6 +2560,55 @@ def q_ngram_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Winnowing fingerprints (the MOSS algorithm): per-doc sliding-window
+# rightmost-min selection over k-gram hashes — the bounded-density
+# fingerprint index that still catches every match of length
+# >= w + k - 1. The rightmost tie-break is encoded into a unique
+# integer key (h * B + (B - 1 - p)), so both engines decode the
+# selected (pos, hash) from the same window MIN — no argmin-by-tuple
+# semantics to align. Per-doc frames only, never corpus-wide.
+# ----------------------------------------------------------------------
+
+_WIN_K, _WIN_W, _WIN_B = 5, 4, 1 << 20
+
+_WINNOW_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+           FROM documents),
+g AS (SELECT doc_id, l, unnest(range(0, len(l) - {_WIN_K} + 1)) AS p
+      FROM t WHERE len(l) >= {_WIN_K} AND len(l) < {_WIN_B}),
+kx AS (SELECT doc_id, p,
+         ({_H40_DUCK.format(
+             x=f"array_to_string(l[p + 1:p + {_WIN_K}], ' ')")})
+           * {_WIN_B} + ({_WIN_B} - 1 - p) AS key
+       FROM g),
+wm AS (SELECT doc_id, p,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW) AS fp
+       FROM kx)
+SELECT DISTINCT doc_id,
+  CAST({_WIN_B} - 1 - (fp % {_WIN_B}) AS BIGINT) AS pos,
+  fp // {_WIN_B} AS fp_hash
+FROM wm WHERE p >= {_WIN_W - 1}
+"""
+
+
+@spec(
+    "doc_winnowing",
+    _WINNOW_ORACLE,
+    description="Winnowing (MOSS) fingerprints: rightmost-min of "
+                "k-gram hashes per w-window via a unique packed "
+                "integer key, decoded identically in both engines — "
+                "the bounded-density dedup index, per-doc frames only",
+    tags=("pipeline", "dedup", "text"),
+)
+def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.text import winnow_fingerprints
+
+    return winnow_fingerprints(load(spark, sf_dir, "documents"),
+                               k=_WIN_K, w=_WIN_W)
+
+
+# ----------------------------------------------------------------------
 # Benchmark decontamination — the eval-overlap gate (GPT-3/PaLM
 # appendix protocol, n-gram form): training docs sharing any 8-gram
 # with the held-out eval split are flagged before training. The eval
