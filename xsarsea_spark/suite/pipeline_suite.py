@@ -2560,6 +2560,59 @@ def q_ngram_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Reproducible global shuffle + sharding — the "shuffle the corpus
+# and cut it into N training shards" op every training run performs:
+# the permutation is the md5-of-id order (deterministic, seedless,
+# uniform), the global position comes from the two-pass distributed
+# global_rank (no corpus-wide window), and shards are round-robin by
+# position (balanced to within one doc by construction). Per-doc
+# (shard, offset) assignments are value-exact vs the oracle's
+# ROW_NUMBER replay.
+# ----------------------------------------------------------------------
+
+_SHARD_N = 8
+
+_SHARD_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, ROW_NUMBER() OVER (
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+SELECT doc_id,
+  CAST((rk - 1) % {_SHARD_N} AS BIGINT) AS shard,
+  CAST((rk - 1) // {_SHARD_N} AS BIGINT) AS offset
+FROM r
+"""
+
+
+@spec(
+    "doc_shard_assignment",
+    _SHARD_ORACLE,
+    description="Reproducible global shuffle into N balanced training "
+                "shards: md5-of-id permutation ranked by the two-pass "
+                "distributed global_rank (no corpus-wide window), "
+                "round-robin shard + offset per document",
+    tags=("pipeline", "sampling", "layout"),
+)
+def q_doc_shard_assignment(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.rank import global_rank
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("__pr"))
+    r = global_rank(
+        docs, [F.col("__pr").asc(), F.col("doc_id").asc()],
+        rank_col="__rk")
+    return r.select(
+        "doc_id",
+        F.expr(f"CAST((__rk - 1) % {_SHARD_N} AS BIGINT)")
+        .alias("shard"),
+        F.expr(f"CAST((__rk - 1) div {_SHARD_N} AS BIGINT)")
+        .alias("offset"),
+    )
+
+
+# ----------------------------------------------------------------------
 # Winnowing fingerprints (the MOSS algorithm): per-doc sliding-window
 # rightmost-min selection over k-gram hashes — the bounded-density
 # fingerprint index that still catches every match of length
@@ -2606,6 +2659,80 @@ def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return winnow_fingerprints(load(spark, sf_dir, "documents"),
                                k=_WIN_K, w=_WIN_W)
+
+
+# ----------------------------------------------------------------------
+# Winnowing candidate pairs — the retrieval side of the MOSS index:
+# documents sharing >= 2 selected fingerprints become candidate
+# near-dup pairs, scored by shared-fingerprint count and the
+# containment-style overlap ratio shared / min(|fpA|, |fpB|). The
+# join key is the fingerprint hash (bucket sizes are bounded by the
+# winnowing density guarantee — each doc contributes ~1/w of its
+# grams), so pair generation is an equality bucket join over a table
+# ~w times smaller than the full gram index, never all-pairs.
+# ----------------------------------------------------------------------
+
+_WN_MIN_SHARED = 2
+
+_WINNOW_PAIRS_ORACLE = f"""
+WITH fps AS ({_WINNOW_ORACLE.strip()}),
+fp AS (SELECT DISTINCT doc_id, fp_hash FROM fps),
+n AS (SELECT doc_id, COUNT(*) AS nf FROM fp GROUP BY doc_id),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        COUNT(*) AS shared
+      FROM fp a JOIN fp b ON b.fp_hash = a.fp_hash
+                         AND b.doc_id > a.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= {_WN_MIN_SHARED})
+SELECT p.id_a, p.id_b, CAST(p.shared AS BIGINT) AS shared,
+  CAST(na.nf AS BIGINT) AS nf_a, CAST(nb.nf AS BIGINT) AS nf_b,
+  CAST(p.shared AS DOUBLE) / CAST(LEAST(na.nf, nb.nf) AS DOUBLE)
+    AS overlap
+FROM p JOIN n na ON na.doc_id = p.id_a
+       JOIN n nb ON nb.doc_id = p.id_b
+"""
+
+
+@spec(
+    "doc_winnow_neardup",
+    _WINNOW_PAIRS_ORACLE,
+    description="Winnowing candidate pairs: docs sharing >= 2 MOSS "
+                "fingerprints, scored by shared count and "
+                "shared/min(|fp|) overlap — bucket join over the "
+                "1/w-density fingerprint index, never all-pairs",
+    tags=("pipeline", "dedup", "text"),
+)
+def q_doc_winnow_neardup(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.text import winnow_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs, k=_WIN_K, w=_WIN_W) \
+        .select("doc_id", "fp_hash").distinct()
+    n = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    a = fp.select(F.col("doc_id").alias("id_a"), "fp_hash")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fp_hash")
+    p = (a.join(b, on="fp_hash")
+         .filter(F.col("id_b") > F.col("id_a"))
+         .groupBy("id_a", "id_b")
+         .agg(F.count(F.lit(1)).alias("shared"))
+         .filter(F.col("shared") >= _WN_MIN_SHARED))
+    na = n.select(F.col("doc_id").alias("id_a"),
+                  F.col("nf").alias("nf_a"))
+    nb = n.select(F.col("doc_id").alias("id_b"),
+                  F.col("nf").alias("nf_b"))
+    return (
+        p.join(na, on="id_a").join(nb, on="id_b")
+        .select(
+            "id_a", "id_b",
+            F.col("shared").cast("bigint").alias("shared"),
+            F.col("nf_a").cast("bigint").alias("nf_a"),
+            F.col("nf_b").cast("bigint").alias("nf_b"),
+            F.expr("CAST(shared AS DOUBLE)"
+                   " / CAST(LEAST(nf_a, nf_b) AS DOUBLE)")
+            .alias("overlap"),
+        )
+    )
 
 
 # ----------------------------------------------------------------------
