@@ -570,57 +570,6 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
     return sel
 
 
-def decontaminate(train_docs: DataFrame, eval_docs: DataFrame,
-                  n: int = 8, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
-    """Benchmark decontamination — the eval-overlap filter every LLM
-    training pipeline runs before training: a training document is
-    contaminated if it shares any n-gram with the held-out eval set
-    (the GPT-3/PaLM appendix protocol, n-gram form). Returns the
-    per-training-doc report (id, n_grams, n_contaminated,
-    contaminated_frac, is_contaminated); docs shorter than n tokens
-    carry no n-grams and are absent, like the crossdup family.
-
-    Plan shape: only 40-bit gram hashes shuffle (8 bytes/position at
-    any corpus size); the eval side collapses to DISTINCT hashes —
-    benchmarks are tiny relative to a 100 TB corpus, so that side is
-    broadcast-sized in production and the probe is one equi-join, not
-    an all-pairs scan.
-    """
-    gram = (
-        f"transform(sequence(1, size(__toks) - {n - 1}),"
-        f" i -> {HASH40_SQL.format(x=_GRAM_CONCAT)})"
-    )
-
-    def grams(d: DataFrame) -> DataFrame:
-        return (
-            d.withColumn("__toks", F.split(F.col(text_col), " "))
-            .filter(F.expr(f"size(__toks) >= {n}"))
-            .select(id_col,
-                    F.explode(F.expr(gram.format(n=n))).alias("__h"))
-        )
-
-    tr = grams(train_docs)
-    ev = grams(eval_docs).select("__h").distinct()
-    tot = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    cont = (tr.join(ev, on="__h")
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("__nc")))
-    return (
-        tot.join(cont, on=id_col, how="left")
-        .select(
-            id_col,
-            F.col("n_grams").cast("bigint").alias("n_grams"),
-            F.expr("CAST(coalesce(__nc, 0) AS BIGINT)")
-            .alias("n_contaminated"),
-            F.expr("CAST(coalesce(__nc, 0) AS DOUBLE)"
-                   " / CAST(n_grams AS DOUBLE)")
-            .alias("contaminated_frac"),
-            F.expr("coalesce(__nc, 0) > 0").alias("is_contaminated"),
-        )
-    )
-
-
 def duplicate_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
                     text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:

@@ -2736,62 +2736,6 @@ def q_doc_winnow_neardup(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
-# Benchmark decontamination — the eval-overlap gate (GPT-3/PaLM
-# appendix protocol, n-gram form): training docs sharing any 8-gram
-# with the held-out eval split are flagged before training. The eval
-# split is a deterministic doc_id slice standing in for a benchmark
-# suite; only 40-bit gram hashes shuffle, and the eval side collapses
-# to DISTINCT hashes (broadcast-sized in production — benchmarks are
-# tiny against a 100 TB corpus).
-# ----------------------------------------------------------------------
-
-_DECON_N, _DECON_MOD, _DECON_RES = 8, 23, 7
-
-_DECON_ORACLE = f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
-           FROM documents),
-g AS (SELECT doc_id, l, unnest(range(0, len(l) - {_DECON_N} + 1)) AS p
-      FROM t WHERE len(l) >= {_DECON_N}),
-gh AS (SELECT doc_id, {_H40_DUCK.format(
-    x=f"array_to_string(l[p + 1:p + {_DECON_N}], ' ')")} AS h
-       FROM g),
-ev AS (SELECT DISTINCT h FROM gh
-       WHERE doc_id % {_DECON_MOD} = {_DECON_RES}),
-tr AS (SELECT doc_id, h FROM gh
-       WHERE doc_id % {_DECON_MOD} <> {_DECON_RES}),
-tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM tr GROUP BY doc_id),
-c AS (SELECT tr.doc_id, COUNT(*) AS nc
-      FROM tr JOIN ev USING (h) GROUP BY tr.doc_id)
-SELECT tot.doc_id,
-  CAST(tot.n_grams AS BIGINT) AS n_grams,
-  CAST(COALESCE(c.nc, 0) AS BIGINT) AS n_contaminated,
-  CAST(COALESCE(c.nc, 0) AS DOUBLE) / CAST(tot.n_grams AS DOUBLE)
-    AS contaminated_frac,
-  COALESCE(c.nc, 0) > 0 AS is_contaminated
-FROM tot LEFT JOIN c ON c.doc_id = tot.doc_id
-"""
-
-
-@spec(
-    "doc_decontamination",
-    _DECON_ORACLE,
-    description="Benchmark decontamination: training docs sharing any "
-                "8-gram with the deterministic eval split are flagged "
-                "(GPT-3/PaLM protocol) — hash-only shuffles, eval side "
-                "collapsed to distinct broadcast-sized hashes",
-    tags=("pipeline", "dedup", "text"),
-)
-def q_doc_decontamination(spark: SparkSession,
-                          sf_dir: str) -> DataFrame:
-    from xsarsea_spark.pipeline.text import decontaminate
-
-    docs = load(spark, sf_dir, "documents")
-    ev = docs.filter(f"doc_id % {_DECON_MOD} = {_DECON_RES}")
-    tr = docs.filter(f"doc_id % {_DECON_MOD} <> {_DECON_RES}")
-    return decontaminate(tr, ev, n=_DECON_N)
-
-
-# ----------------------------------------------------------------------
 # Exact duplicated-span extraction (Lee et al. 2021 substring dedup):
 # duplicated n-gram positions merged to maximal spans via
 # gaps-and-islands — pos - row_number() is constant on consecutive
