@@ -62,7 +62,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # sentinels up to 50. Every window entry is green on the local strict
 # DuckDB compare, re-run in window order as a final pre-flight.
 _PRIORITY = [
-    # (a) round-7 additions
+    # (a) round-7 additions, sessions 1-2
     "minhash_cross_snapshot", "doc_bpe_bytelevel",
     "multimodal_phash", "doc_source_cap", "ivfpq_ann",
     "doc_line_dedup", "doc_longest_dup_span", "doc_mixture_schedule",
@@ -70,33 +70,35 @@ _PRIORITY = [
     "embedding_pca_incremental", "embedding_drift_monitor",
     "neardup_quality_keeper", "doc_tokenizer_fertility",
     "doc_length_psi",
+    # (a') round-7 additions, session 3
+    "ivfpq_incremental", "stream_drift_gate", "doc_chunk_dedup",
+    "doc_source_boilerplate", "embedding_binary_quant_recall",
+    "embedding_sq8_recall", "doc_winnowing", "doc_winnow_neardup",
+    "doc_shard_assignment",
     # (b) queries touched by round-7 changes
     # (doc_perplexity_buckets ceded its slot to doc_length_psi —
-    # doc_quality_curriculum keeps the ntile_distributed coverage)
-    "q_skyline_parts", "doc_quality_curriculum",
-    "stream_curated_ingest",
-    # (doc_bpe_train yielded its slot to doc_tokenizer_fertility:
+    # doc_quality_curriculum keeps the ntile_distributed coverage;
+    # doc_bpe_train yielded its slot to doc_tokenizer_fertility:
     # the training loop and its argmax merges are replayed verbatim
     # inside three windowed queries — encode, artifact, fertility)
+    "q_skyline_parts", "doc_quality_curriculum",
+    "stream_curated_ingest",
     "stream_neardup_ingest", "doc_bpe_encode",
     "minhash_incremental", "local_gradients_pyramid",
-    # (c) stalest: every query whose latest driver row is round 2
+    # (c) stalest: latest driver row round 2. Nine r2 sentinels
+    # (q05/q08/q13/q14/q16/q19/q20/q21/q22 — plain single-join
+    # aggregations with no shared-infra exposure) ceded their slots
+    # to the session-3 additions; they lead the round-8 queue with
+    # the five r3 sentinels (gmf_eval_family, inversion_crosspol,
+    # lut_regrid, ancillary_wind_join, streak_direction).
     "angle_conventions", "dsig_weights", "lineitem_dq_gate",
     "q02_min_cost_supplier", "q04_order_priority",
-    "q05_local_supplier_volume", "q07_volume_shipping",
-    "q08_market_share", "q10_returned_items", "q11_important_parts",
-    "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_part_count", "q17_small_quantity",
-    "q19_discounted_revenue", "q20_promotion_suppliers",
-    "q21_waiting_supplier", "q22_customers_without_orders",
+    "q07_volume_shipping", "q10_returned_items", "q11_important_parts",
+    "q15_top_supplier", "q17_small_quantity",
     "q_brand_top_parts", "q_cube_order_stats",
     "q_customer_running_total", "q_monthly_orders",
     "q_price_quantiles", "q_region_revenue_share", "q_zorder_profile",
     "stacked_histogram_mean", "wind_vector_ops",
-    # (the five r3 sentinels — gmf_eval_family, inversion_crosspol,
-    # lut_regrid, ancillary_wind_join, streak_direction — rotated out
-    # to hold the 50 cap when the five late round-7 additions took
-    # slots; they stay r3-green and lead the round-8 rotation queue)
 ]
 
 

@@ -5506,7 +5506,10 @@ def q_embedding_binary_quant(spark: SparkSession,
 
 # ----------------------------------------------------------------------
 # Int8 scalar quantization (SQ8) eval — the 4x tier of the
-# quantization ladder (float32 -> SQ8 -> PQ -> 1-bit): per-dimension
+# quantization ladder (float32 -> SQ8 -> PQ -> 1-bit). Distinct from
+# embedding_int8_quant (per-VECTOR max-abs storage quantization,
+# reconstruction-error report): this is the RETRIEVAL eval —
+# per-dimension
 # min/max learned from the corpus in one map-side-combined agg (a
 # bounded 2 x dim summary, broadcast once), codes are HALF_UP-rounded
 # 0..255 levels via the exact floor(y + 0.5) construction (identical
