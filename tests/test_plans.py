@@ -301,3 +301,51 @@ def test_bpe_artifact_applier_is_zero_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "Exchange" not in plan
+
+
+def test_shard_assignment_has_no_global_window(spark):
+    """doc_shard_assignment ranks the md5 permutation through the
+    two-pass global_rank — no Window node may sort the corpus on one
+    task (rank internals are __pid-scoped)."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["doc_shard_assignment"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    for ln in plan.splitlines():
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            assert "__pid" in ln, \
+                f"corpus-wide window in shard plan: {ln}"
+
+
+def test_winnowing_windows_are_doc_scoped(spark):
+    """Winnowing's sliding-window min and the pair query's aggregates
+    must keep every Window node partitioned by doc_id — the frame is
+    doc-bounded by design, never corpus-wide."""
+    from xsarsea_spark.suite import REGISTRY
+
+    for name in ("doc_winnowing", "doc_winnow_neardup"):
+        plan = (REGISTRY[name].spark(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        for ln in plan.splitlines():
+            if "Window" in ln and "WindowGroupLimit" not in ln:
+                assert "doc_id" in ln, \
+                    f"{name}: corpus-wide window: {ln}"
+
+
+def test_sq8_and_binary_quant_plans_have_no_explode(spark):
+    """The SQ8 min/max levels come from ONE map-side-combined agg and
+    the binary packing is per-row transform/aggregate — neither eval
+    may explode the corpus per-dimension (64x row inflation at scale).
+    Windows are query-scoped (the per-query top-k)."""
+    from xsarsea_spark.suite import REGISTRY
+
+    for name in ("embedding_sq8_recall",
+                 "embedding_binary_quant_recall"):
+        plan = (REGISTRY[name].spark(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Generate" not in plan, \
+            f"{name}: per-dimension explode in plan"
+        for ln in plan.splitlines():
+            if "Window" in ln and "WindowGroupLimit" not in ln:
+                assert "query_id" in ln, \
+                    f"{name}: corpus-wide window: {ln}"
