@@ -75,6 +75,8 @@ _PRIORITY = [
     "doc_source_boilerplate", "embedding_binary_quant_recall",
     "embedding_sq8_recall", "doc_winnowing", "doc_winnow_neardup",
     "doc_shard_assignment",
+    # (a'') round-7 additions, session 4
+    "doc_quality_classifier",
     # (b) queries touched by round-7 changes
     # (doc_perplexity_buckets ceded its slot to doc_length_psi —
     # doc_quality_curriculum keeps the ntile_distributed coverage;
@@ -94,7 +96,9 @@ _PRIORITY = [
     "angle_conventions", "dsig_weights", "lineitem_dq_gate",
     "q02_min_cost_supplier", "q04_order_priority",
     "q07_volume_shipping", "q10_returned_items", "q11_important_parts",
-    "q15_top_supplier", "q17_small_quantity",
+    # (q17_small_quantity — same plain-single-join class as the nine
+    # ceded r2 sentinels — yielded its slot to doc_quality_classifier)
+    "q15_top_supplier",
     "q_brand_top_parts", "q_cube_order_stats",
     "q_customer_running_total", "q_monthly_orders",
     "q_price_quantiles", "q_region_revenue_share", "q_zorder_profile",

@@ -1,0 +1,119 @@
+"""Distributed logistic-regression training — the trainable quality
+classifier a curation pipeline ships (the linear core of the
+fastText/DCLM-style filters), as a Spark-first full-batch gradient
+descent:
+
+    z_i  = fold_d  w_d * x_{i,d}            (ascending-d double fold)
+    p_i  = QTRUNC(sigmoid(z_i), 12)         (libm barrier: exp differs
+                                             by 1 ulp cross-engine)
+    g_d  = DSUM(QTRUNC((p_i - y_i) * x_{i,d})) / n   (terms floored
+                                             onto the decimal grid,
+                                             then exact DECIMAL sums)
+    w'_d = w_d - lr * g_d
+
+Scale design (100 TB): each round is ONE map-side-combined
+aggregation over the corpus — d partial DECIMAL sums per partition,
+a 1-row result, no explode, no shuffle beyond the keyless agg. The
+driver state is the d-double weight vector per round (the bounded
+collect precedent of ``pq.train_pq``'s centroids). Rounds are
+data-independent in count, so the whole train is R corpus scans.
+
+Determinism and oracle parity: features and labels are pure integer/
+division arithmetic; the only libm call (exp) sits behind the QTRUNC
+barrier; gradient sums ride the exact DECIMAL grid (order-
+independent); the weight update is the same IEEE op order in the
+Python driver fold and the oracle's chained-CTE replay, so the final
+weights, predictions AND accuracy are value-exact cross-engine.
+
+Reference parity: the reference engine has no ML surface; this is
+part of the LLM-data-pipeline extension (engine brief), next to
+k-means (`clustering.py`), PCA (`linalg.py`, `incpca.py`) and BPE
+(`bpe.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["doc_features", "train_logreg", "N_FEATURES",
+           "LABEL_MIN_CHARS"]
+
+N_FEATURES = 5
+LABEL_MIN_CHARS = 300
+
+
+def doc_features(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(id, x array<double>, y double): the classic length/diversity/
+    stopword feature block (x0 = bias), label = long-document gate.
+    All features are integer counts and single double divisions —
+    no libm, exactly reproducible in SQL."""
+    ntok = f"CAST(size(split({text_col}, ' ')) AS DOUBLE)"
+    return (
+        docs.filter(f"{text_col} IS NOT NULL AND n_chars IS NOT NULL")
+        .selectExpr(
+            id_col,
+            f"array(CAST(1.0 AS DOUBLE),"
+            f" {ntok} / CAST(100.0 AS DOUBLE),"
+            f" CAST(size(array_distinct(split({text_col}, ' ')))"
+            f" AS DOUBLE) / {ntok},"
+            f" CAST(size(filter(split({text_col}, ' '),"
+            f" x -> x = 'a' OR x = 'the')) AS DOUBLE) / {ntok},"
+            f" CAST(n_chars AS DOUBLE) / CAST(1000.0 AS DOUBLE))"
+            f" AS x",
+            f"CASE WHEN n_chars >= {LABEL_MIN_CHARS}"
+            f" THEN CAST(1.0 AS DOUBLE)"
+            f" ELSE CAST(0.0 AS DOUBLE) END AS y",
+        )
+    )
+
+
+def _w_lit(w: list[float]) -> str:
+    """Weight vector as an exact SQL literal array — Python float
+    repr is the shortest round-tripping decimal, so the parsed
+    double is bit-identical to the driver value."""
+    return ("array(" + ", ".join(
+        f"CAST({x!r} AS DOUBLE)" for x in w) + ")")
+
+
+def z_expr(w: list[float]) -> str:
+    """The ascending-d zero-init dot-product fold (bit-equal to the
+    oracle's list_reduce over per-dim products: 0.0 + a == a)."""
+    return (f"aggregate(zip_with({_w_lit(w)}, x, (a, b) -> a * b),"
+            f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def train_logreg(xy: DataFrame, rounds: int = 4, lr: float = 1.0,
+                 qk: int = 12, scale: int = 12) -> list[float]:
+    """Full-batch GD from w = 0. Returns the final weight vector.
+    One keyless map-side-combined aggregation per round; the per-dim
+    gradient components are exact DECIMAL-grid sums of the quantized
+    residual times the feature."""
+    # deferred: suite/__init__ imports pipeline_suite which imports
+    # this module — a top-level suite.base import would be circular
+    # whenever classifier is imported before the suite package
+    from xsarsea_spark.suite.base import DSUM, QTRUNC
+
+    w = [0.0] * N_FEATURES
+    for _ in range(rounds):
+        p = QTRUNC(
+            f"CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+            f" + exp(-({z_expr(w)})))", qk)
+        # QTRUNC each term BEFORE the DECIMAL cast: the raw product
+        # is an arbitrary double whose decimal tail can straddle the
+        # cast's rounding boundary differently across engines; the
+        # floor grid is pure IEEE arithmetic, so both engines cast an
+        # identical on-grid double (then the cast is unambiguous).
+        row = xy.agg(
+            *[F.expr(DSUM(QTRUNC(
+                f"(({p}) - y) * element_at(x, {d + 1})", scale),
+                scale)).alias(f"g{d}")
+              for d in range(N_FEATURES)],
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        n = row["n"]
+        # same op order as the oracle: grid-sum -> double -> / n,
+        # * lr, subtract
+        w = [w[d] - lr * (row[f"g{d}"] / n) for d in range(N_FEATURES)]
+    return w

@@ -2613,6 +2613,124 @@ def q_doc_shard_assignment(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
+# Distributed logistic-regression quality classifier — the trainable
+# curation filter (fastText/DCLM linear core) as full-batch GD: one
+# map-side-combined keyless aggregation per round (d DECIMAL-grid
+# gradient sums, no explode, no shuffle), driver state = the d-double
+# weight vector (train_pq centroid precedent). The only libm call
+# (exp in the sigmoid) sits behind the QTRUNC barrier; everything
+# else is exact integer/division arithmetic, so the oracle's
+# chained-CTE replay of every round matches weights, predictions AND
+# accuracy value-exactly.
+# ----------------------------------------------------------------------
+
+_LOGREG_ROUNDS, _LOGREG_LR = 8, 1.0
+_LOGREG_QK, _LOGREG_SCALE = 12, 12
+
+
+def _logreg_oracle() -> str:
+    from xsarsea_spark.pipeline.classifier import (LABEL_MIN_CHARS,
+                                                   N_FEATURES)
+    from xsarsea_spark.suite.base import DSUM, QTRUNC
+
+    nf = N_FEATURES
+    ntok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    parts = [
+        f"t AS (SELECT doc_id,"
+        f" [CAST(1.0 AS DOUBLE),"
+        f" {ntok} / CAST(100.0 AS DOUBLE),"
+        f" CAST(len(list_distinct(string_split(text, ' ')))"
+        f" AS DOUBLE) / {ntok},"
+        f" CAST(len(list_filter(string_split(text, ' '),"
+        f" x -> x = 'a' OR x = 'the')) AS DOUBLE) / {ntok},"
+        f" CAST(n_chars AS DOUBLE) / CAST(1000.0 AS DOUBLE)] AS x,"
+        f" CASE WHEN n_chars >= {LABEL_MIN_CHARS}"
+        f" THEN CAST(1.0 AS DOUBLE)"
+        f" ELSE CAST(0.0 AS DOUBLE) END AS y"
+        f" FROM documents"
+        f" WHERE text IS NOT NULL AND n_chars IS NOT NULL)",
+        "w0 AS (SELECT ["
+        + ", ".join("CAST(0.0 AS DOUBLE)" for _ in range(nf))
+        + "] AS w)",
+    ]
+    zfold = (f"list_reduce(list_transform(range(1, {nf + 1}),"
+             f" i -> w[i] * x[i]), (a, b) -> a + b)")
+    for r in range(_LOGREG_ROUNDS):
+        p = QTRUNC(
+            f"CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+            f" + exp(-(z)))", _LOGREG_QK)
+        gdims = ", ".join(
+            DSUM(QTRUNC(f"(({p}) - y) * x[{d + 1}]", _LOGREG_SCALE),
+                 _LOGREG_SCALE)
+            + " / COUNT(*)"
+            for d in range(nf))
+        # MATERIALIZED: DuckDB inlines plain CTEs at every reference;
+        # w{r} is referenced twice per round, so an 8-round plain-CTE
+        # ladder expands exponentially (repo landmine, suffix-array
+        # oracle precedent)
+        parts.append(
+            f"z{r} AS MATERIALIZED"
+            f" (SELECT x, y, {zfold} AS z FROM t, w{r})")
+        parts.append(
+            f"g{r} AS MATERIALIZED (SELECT [{gdims}] AS g FROM z{r})")
+        parts.append(
+            f"w{r + 1} AS MATERIALIZED"
+            f" (SELECT list_transform(range(1, {nf + 1}),"
+            f" i -> w[i] - CAST({_LOGREG_LR!r} AS DOUBLE) * (g[i]))"
+            f" AS w FROM w{r}, g{r})")
+    rf = _LOGREG_ROUNDS
+    parts += [
+        f"zf AS (SELECT y, {zfold} AS z FROM t, w{rf})",
+        "acc AS (SELECT CAST(SUM(CASE WHEN (z >= CAST(0.0 AS DOUBLE))"
+        " = (y = CAST(1.0 AS DOUBLE)) THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_correct, COUNT(*) AS n FROM zf)",
+    ]
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT CAST(i AS BIGINT) AS feature, w[i] AS weight,
+  acc.n_correct, acc.n,
+  CAST(acc.n_correct AS DOUBLE) / CAST(acc.n AS DOUBLE) AS accuracy
+FROM w{rf}, acc, (SELECT unnest(range(1, {nf + 1})) AS i)""")
+
+
+@spec(
+    "doc_quality_classifier",
+    _logreg_oracle(),
+    description="Trainable quality classifier: full-batch logistic "
+                "regression, one map-side-combined gradient agg per "
+                "round, QTRUNC sigmoid barrier, exact DECIMAL-grid "
+                "gradient sums — weights and training accuracy "
+                "value-exact vs a chained-CTE replay of every round",
+    tags=("pipeline", "text", "quality", "iterative"),
+)
+def q_doc_quality_classifier(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.classifier import (N_FEATURES,
+                                                   doc_features,
+                                                   train_logreg,
+                                                   z_expr)
+
+    docs = load(spark, sf_dir, "documents")
+    xy = doc_features(docs)
+    w = train_logreg(xy, rounds=_LOGREG_ROUNDS, lr=_LOGREG_LR,
+                     qk=_LOGREG_QK, scale=_LOGREG_SCALE)
+    acc = xy.select("y", F.expr(z_expr(w)).alias("z")).agg(
+        F.expr("CAST(SUM(CASE WHEN (z >= CAST(0.0 AS DOUBLE))"
+               " = (y = CAST(1.0 AS DOUBLE)) THEN 1 ELSE 0 END)"
+               " AS BIGINT)").alias("n_correct"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    wdf = spark.createDataFrame(
+        [(d + 1, w[d]) for d in range(N_FEATURES)],
+        "feature bigint, weight double")
+    return (
+        wdf.crossJoin(F.broadcast(acc))
+        .withColumn("accuracy",
+                    F.expr("CAST(n_correct AS DOUBLE)"
+                           " / CAST(n AS DOUBLE)"))
+    )
+
+
+# ----------------------------------------------------------------------
 # Winnowing fingerprints (the MOSS algorithm): per-doc sliding-window
 # rightmost-min selection over k-gram hashes — the bounded-density
 # fingerprint index that still catches every match of length
