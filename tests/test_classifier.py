@@ -54,6 +54,55 @@ def test_train_learns_the_label_gate(spark):
     assert acc_row["acc"] >= max(0.85, base)
 
 
+def test_weights_artifact_roundtrip_bitexact(spark, tmp_path):
+    from xsarsea_spark.pipeline.classifier import (doc_features,
+                                                   load_weights,
+                                                   save_weights,
+                                                   train_logreg)
+
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    w = train_logreg(doc_features(docs), rounds=3)
+    path = str(tmp_path / "clf_weights")
+    save_weights(spark, w, path)
+    # parquet doubles round-trip bit-exactly: the loaded model IS
+    # the trained model
+    assert load_weights(spark, path) == w
+
+
+def test_auc_matches_bruteforce_pairwise(spark):
+    # pins the Mann-Whitney tie-midpoint reduction: the distributed
+    # integer 2U formula must equal the O(n^2) definition
+    #   AUC = (#(pos>neg) + 0.5*#(pos==neg)) / (n_pos*n_neg)
+    from fractions import Fraction
+
+    from xsarsea_spark.suite.pipeline_suite import (_CLF_BATCH_WHERE,
+                                                    _CLF_TRAIN_WHERE,
+                                                    _LOGREG_ROUNDS)
+    from xsarsea_spark.pipeline.classifier import (doc_features,
+                                                   train_logreg,
+                                                   z_expr)
+    from xsarsea_spark.suite import REGISTRY
+
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    xy = doc_features(docs)
+    w = train_logreg(xy.filter(_CLF_TRAIN_WHERE),
+                     rounds=_LOGREG_ROUNDS)
+    rows = (xy.filter(_CLF_BATCH_WHERE)
+            .select("y", F.expr(z_expr(w)).alias("z")).collect())
+    pos = [r["z"] for r in rows if r["y"] == 1.0]
+    neg = [r["z"] for r in rows if r["y"] == 0.0]
+    wins = sum(1 for p in pos for q in neg if p > q)
+    ties = sum(1 for p in pos for q in neg if p == q)
+    brute = Fraction(2 * wins + ties, 2 * len(pos) * len(neg))
+
+    out = REGISTRY["doc_classifier_auc"].spark(
+        spark, SF_DIR_SMALL).collect()[0]
+    assert out["n_pos"] == len(pos) and out["n_neg"] == len(neg)
+    assert Fraction(out["u2"],
+                    2 * out["n_pos"] * out["n_neg"]) == brute
+    assert abs(out["auc"] - float(brute)) < 1e-15
+
+
 def test_train_is_deterministic(spark):
     from xsarsea_spark.pipeline.classifier import (doc_features,
                                                    train_logreg)

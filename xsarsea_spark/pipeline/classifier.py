@@ -33,10 +33,11 @@ k-means (`clustering.py`), PCA (`linalg.py`, `incpca.py`) and BPE
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["doc_features", "train_logreg", "N_FEATURES",
+__all__ = ["doc_features", "train_logreg", "score_docs",
+           "save_weights", "load_weights", "N_FEATURES",
            "LABEL_MIN_CHARS"]
 
 N_FEATURES = 5
@@ -117,3 +118,44 @@ def train_logreg(xy: DataFrame, rounds: int = 4, lr: float = 1.0,
         # * lr, subtract
         w = [w[d] - lr * (row[f"g{d}"] / n) for d in range(N_FEATURES)]
     return w
+
+
+def save_weights(spark: SparkSession, w: list[float],
+                 path: str) -> None:
+    """Persist the trained weight vector as a parquet artifact —
+    parquet doubles round-trip bit-exactly, so the loaded model
+    scores identically to the in-memory one. repartition(1), never
+    coalesce(1): coalesce of a local-relation frame stalls ~6 s in
+    task scheduling on this Spark build."""
+    spark.createDataFrame(
+        [(d + 1, w[d]) for d in range(len(w))],
+        "feature bigint, weight double",
+    ).repartition(1).write.mode("overwrite").parquet(path)
+
+
+def load_weights(spark: SparkSession, path: str) -> list[float]:
+    """Reload a :func:`save_weights` artifact (bounded: one row per
+    feature dimension)."""
+    rows = spark.read.parquet(path).orderBy("feature").collect()
+    return [r["weight"] for r in rows]
+
+
+def score_docs(xy: DataFrame, w: list[float],
+               qk: int = 12) -> DataFrame:
+    """O(batch) model application — the deploy half of the
+    train-once/score-everywhere lifecycle: one scan, the weight
+    vector inlined as exact double literals (broadcast-by-
+    construction), no training jobs. Returns (doc_id, score, prob,
+    keep): score is the raw pure-IEEE dot product, prob the
+    QTRUNC-quantized sigmoid, keep the 0-threshold decision."""
+    from xsarsea_spark.suite.base import QTRUNC  # deferred: circular
+
+    return xy.select(
+        "doc_id",
+        F.expr(z_expr(w)).alias("score"),
+    ).selectExpr(
+        "doc_id", "score",
+        QTRUNC("CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+               " + exp(-(score)))", qk) + " AS prob",
+        "score >= CAST(0.0 AS DOUBLE) AS keep",
+    )

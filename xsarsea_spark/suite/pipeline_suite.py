@@ -2628,7 +2628,12 @@ _LOGREG_ROUNDS, _LOGREG_LR = 8, 1.0
 _LOGREG_QK, _LOGREG_SCALE = 12, 12
 
 
-def _logreg_oracle() -> str:
+def _logreg_train_ctes(train_where: str = "TRUE") -> tuple[list, str]:
+    """(CTE parts ``t`` .. ``w{R}``, the w·x fold expression): the
+    chained-CTE replay of the full training loop, with ``t`` holding
+    features for ALL docs and each gradient round restricted to
+    ``train_where`` — so score/eval queries can apply the trained
+    weights to the complement (held-out) slice from the same ``t``."""
     from xsarsea_spark.pipeline.classifier import (LABEL_MIN_CHARS,
                                                    N_FEATURES)
     from xsarsea_spark.suite.base import DSUM, QTRUNC
@@ -2670,7 +2675,8 @@ def _logreg_oracle() -> str:
         # oracle precedent)
         parts.append(
             f"z{r} AS MATERIALIZED"
-            f" (SELECT x, y, {zfold} AS z FROM t, w{r})")
+            f" (SELECT x, y, {zfold} AS z FROM t, w{r}"
+            f" WHERE {train_where})")
         parts.append(
             f"g{r} AS MATERIALIZED (SELECT [{gdims}] AS g FROM z{r})")
         parts.append(
@@ -2678,6 +2684,14 @@ def _logreg_oracle() -> str:
             f" (SELECT list_transform(range(1, {nf + 1}),"
             f" i -> w[i] - CAST({_LOGREG_LR!r} AS DOUBLE) * (g[i]))"
             f" AS w FROM w{r}, g{r})")
+    return parts, zfold
+
+
+def _logreg_oracle() -> str:
+    from xsarsea_spark.pipeline.classifier import N_FEATURES
+
+    nf = N_FEATURES
+    parts, zfold = _logreg_train_ctes()
     rf = _LOGREG_ROUNDS
     parts += [
         f"zf AS (SELECT y, {zfold} AS z FROM t, w{rf})",
@@ -2728,6 +2742,154 @@ def q_doc_quality_classifier(spark: SparkSession,
                     F.expr("CAST(n_correct AS DOUBLE)"
                            " / CAST(n AS DOUBLE)"))
     )
+
+
+# ----------------------------------------------------------------------
+# Classifier deploy half: train on the historical slice (doc_id%4!=0),
+# persist the weight vector to a parquet artifact, reload it, and
+# score the incoming batch (doc_id%4=0) in ONE O(batch) scan — no
+# training jobs in the batch path, the production train-once/
+# score-everywhere lifecycle (BPE artifact precedent). Parquet
+# doubles round-trip bit-exactly, so the oracle's full train+score
+# replay can only match if the saved artifact IS the model.
+# ----------------------------------------------------------------------
+
+_CLF_TRAIN_WHERE = "doc_id % 4 != 0"
+_CLF_BATCH_WHERE = "doc_id % 4 = 0"
+
+
+def _clf_score_oracle() -> str:
+    from xsarsea_spark.suite.base import QTRUNC
+
+    parts, zfold = _logreg_train_ctes(_CLF_TRAIN_WHERE)
+    rf = _LOGREG_ROUNDS
+    parts.append(
+        f"sb AS (SELECT doc_id, {zfold} AS score FROM t, w{rf}"
+        f" WHERE {_CLF_BATCH_WHERE})")
+    prob = QTRUNC(
+        "CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        " + exp(-(score)))", _LOGREG_QK)
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT doc_id, score, {prob} AS prob,
+  score >= CAST(0.0 AS DOUBLE) AS keep
+FROM sb""")
+
+
+@spec(
+    "doc_classifier_score",
+    _clf_score_oracle(),
+    description="Classifier artifact round trip: train on the "
+                "historical slice -> persist weights to parquet -> "
+                "reload -> score the new batch in one O(batch) scan "
+                "(no training jobs in the batch path) — scores, "
+                "probabilities and keep decisions value-identical to "
+                "the oracle's full train+score replay",
+    tags=("pipeline", "text", "quality", "iterative"),
+)
+def q_doc_classifier_score(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from xsarsea_spark.pipeline.classifier import (doc_features,
+                                                   load_weights,
+                                                   save_weights,
+                                                   score_docs,
+                                                   train_logreg)
+
+    docs = load(spark, sf_dir, "documents")
+    xy = doc_features(docs)
+    w = train_logreg(xy.filter(_CLF_TRAIN_WHERE),
+                     rounds=_LOGREG_ROUNDS, lr=_LOGREG_LR,
+                     qk=_LOGREG_QK, scale=_LOGREG_SCALE)
+    path = ("/tmp/xsarsea_clf_weights_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    save_weights(spark, w, path)
+    return score_docs(xy.filter(_CLF_BATCH_WHERE),
+                      load_weights(spark, path), qk=_LOGREG_QK)
+
+
+# ----------------------------------------------------------------------
+# Exact held-out ROC-AUC for the trained classifier — the eval a
+# quality-filter deployment gates on. AUC is the Mann-Whitney rank
+# statistic; with ties handled by score-group midpoints it reduces
+# to pure integers: group the held-out docs by score, running-count
+# the negatives below each group (global_rank's exact distributed
+# running_sums — no corpus-wide window), then
+#     2U  = SUM(np_g * (2 * cumneg_below_g + nn_g))
+#     AUC = 2U / (2 * n_pos * n_neg)
+# Everything up to the single final division is BIGINT arithmetic,
+# so the value is exact at any scale and order-independent.
+# ----------------------------------------------------------------------
+
+
+def _clf_auc_oracle() -> str:
+    parts, zfold = _logreg_train_ctes(_CLF_TRAIN_WHERE)
+    rf = _LOGREG_ROUNDS
+    parts += [
+        f"h AS (SELECT y, {zfold} AS z FROM t, w{rf}"
+        f" WHERE {_CLF_BATCH_WHERE})",
+        "g AS (SELECT z,"
+        " CAST(SUM(CASE WHEN y = CAST(1.0 AS DOUBLE)"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS np,"
+        " CAST(SUM(CASE WHEN y = CAST(1.0 AS DOUBLE)"
+        " THEN 0 ELSE 1 END) AS BIGINT) AS nn"
+        " FROM h GROUP BY z)",
+        "c AS (SELECT np, nn,"
+        " CAST(SUM(nn) OVER (ORDER BY z ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM g)",
+        "s AS (SELECT"
+        " CAST(SUM(np * (2 * (cum - nn) + nn)) AS BIGINT) AS u2,"
+        " CAST(SUM(np) AS BIGINT) AS n_pos,"
+        " CAST(SUM(nn) AS BIGINT) AS n_neg FROM c)",
+    ]
+    return ("WITH " + ",\n".join(parts) + """
+SELECT n_pos, n_neg, u2,
+  CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+FROM s""")
+
+
+@spec(
+    "doc_classifier_auc",
+    _clf_auc_oracle(),
+    description="Exact held-out ROC-AUC via the Mann-Whitney rank "
+                "statistic with tie midpoints: score-group counts + "
+                "global_rank's distributed exact running sum of "
+                "negatives-below — all-BIGINT numerator, one final "
+                "double division, no corpus-wide window",
+    tags=("pipeline", "text", "quality", "iterative"),
+)
+def q_doc_classifier_auc(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.rank import global_rank
+    from xsarsea_spark.pipeline.classifier import (doc_features,
+                                                   train_logreg,
+                                                   z_expr)
+
+    docs = load(spark, sf_dir, "documents")
+    xy = doc_features(docs)
+    w = train_logreg(xy.filter(_CLF_TRAIN_WHERE),
+                     rounds=_LOGREG_ROUNDS, lr=_LOGREG_LR,
+                     qk=_LOGREG_QK, scale=_LOGREG_SCALE)
+    h = (xy.filter(_CLF_BATCH_WHERE)
+         .select("y", F.expr(z_expr(w)).alias("z")))
+    g = h.groupBy("z").agg(
+        F.expr("CAST(SUM(CASE WHEN y = CAST(1.0 AS DOUBLE)"
+               " THEN 1 ELSE 0 END) AS BIGINT)").alias("np"),
+        F.expr("CAST(SUM(CASE WHEN y = CAST(1.0 AS DOUBLE)"
+               " THEN 0 ELSE 1 END) AS BIGINT)").alias("nn"))
+    # scores are grouped (unique), so z is a valid total order; the
+    # running negative count distributes two-pass, BIGINT-exact
+    c = global_rank(g, [F.col("z").asc()], rank_col="__zr",
+                    running_sums={"cum": "nn"})
+    s = c.agg(
+        F.expr("CAST(SUM(np * (2 * (cum - nn) + nn)) AS BIGINT)")
+        .alias("u2"),
+        F.expr("CAST(SUM(np) AS BIGINT)").alias("n_pos"),
+        F.expr("CAST(SUM(nn) AS BIGINT)").alias("n_neg"))
+    return s.selectExpr(
+        "n_pos", "n_neg", "u2",
+        "CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE)"
+        " AS auc")
 
 
 # ----------------------------------------------------------------------
