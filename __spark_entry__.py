@@ -77,7 +77,7 @@ _PRIORITY = [
     "doc_shard_assignment",
     # (a'') round-7 additions, session 4
     "doc_quality_classifier", "doc_classifier_score",
-    "doc_classifier_auc",
+    "doc_classifier_auc", "doc_classifier_calibration",
     # (b) queries touched by round-7 changes
     # (doc_perplexity_buckets ceded its slot to doc_length_psi —
     # doc_quality_curriculum keeps the ntile_distributed coverage;
@@ -96,10 +96,11 @@ _PRIORITY = [
     # lut_regrid, ancillary_wind_join, streak_direction).
     "angle_conventions", "dsig_weights", "lineitem_dq_gate",
     "q02_min_cost_supplier",
-    "q10_returned_items", "q11_important_parts",
-    # (q17_small_quantity / q04_order_priority / q07_volume_shipping —
-    # same plain-single-join class as the nine ceded r2 sentinels —
-    # yielded their slots to the session-4 classifier queries)
+    "q11_important_parts",
+    # (q17_small_quantity / q04_order_priority / q07_volume_shipping /
+    # q10_returned_items — same plain-single-join class as the nine
+    # ceded r2 sentinels — yielded their slots to the session-4
+    # classifier lifecycle queries)
     "q15_top_supplier",
     "q_brand_top_parts", "q_cube_order_stats",
     "q_customer_running_total", "q_monthly_orders",

@@ -2893,6 +2893,93 @@ def q_doc_classifier_auc(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
+# Calibration (reliability) report for the deployed classifier —
+# fixed-decile probability bins over the held-out slice: per bin the
+# doc count, positive count, mean predicted probability (exact
+# DECIMAL sum of the 1e-12-grid QTRUNC'd sigmoid) and empirical
+# positive rate, plus the bin's |gap| (the per-bin term an expected-
+# calibration-error roll-up weights by n/N). One hash agg over <= 10
+# keys; probabilities are on the QTRUNC grid, so floor(prob*10)
+# binning is engine-exact.
+# ----------------------------------------------------------------------
+
+
+def _clf_prob_sql() -> str:
+    from xsarsea_spark.suite.base import QTRUNC
+
+    return QTRUNC(
+        "CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        " + exp(-(z)))", _LOGREG_QK)
+
+
+def _clf_calibration_oracle() -> str:
+    from xsarsea_spark.suite.base import DSUM
+
+    parts, zfold = _logreg_train_ctes(_CLF_TRAIN_WHERE)
+    rf = _LOGREG_ROUNDS
+    parts += [
+        f"h AS (SELECT y, {zfold} AS z FROM t, w{rf}"
+        f" WHERE {_CLF_BATCH_WHERE})",
+        f"pr AS (SELECT y, {_clf_prob_sql()} AS prob FROM h)",
+        "g AS (SELECT CAST(floor(prob * CAST(10.0 AS DOUBLE))"
+        " AS INT) AS bin,"
+        " CAST(COUNT(*) AS BIGINT) AS n,"
+        " CAST(SUM(CASE WHEN y = CAST(1.0 AS DOUBLE)"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,"
+        f" {DSUM('prob', 12)} AS sp"
+        " FROM pr GROUP BY 1)",
+    ]
+    return ("WITH " + ",\n".join(parts) + """
+SELECT bin, n, n_pos,
+  sp / CAST(n AS DOUBLE) AS mean_prob,
+  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+  abs(sp / CAST(n AS DOUBLE)
+      - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) AS gap
+FROM g""")
+
+
+@spec(
+    "doc_classifier_calibration",
+    _clf_calibration_oracle(),
+    description="Classifier reliability report: decile bins of the "
+                "QTRUNC-grid predicted probability on the held-out "
+                "slice, per-bin exact counts + DECIMAL-sum mean "
+                "probability vs empirical positive rate and the "
+                "|gap| ECE term — one hash agg over <= 10 keys",
+    tags=("pipeline", "text", "quality", "iterative"),
+)
+def q_doc_classifier_calibration(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.classifier import (doc_features,
+                                                   train_logreg,
+                                                   z_expr)
+    from xsarsea_spark.suite.base import DSUM
+
+    docs = load(spark, sf_dir, "documents")
+    xy = doc_features(docs)
+    w = train_logreg(xy.filter(_CLF_TRAIN_WHERE),
+                     rounds=_LOGREG_ROUNDS, lr=_LOGREG_LR,
+                     qk=_LOGREG_QK, scale=_LOGREG_SCALE)
+    pr = (xy.filter(_CLF_BATCH_WHERE)
+          .select("y", F.expr(z_expr(w)).alias("z"))
+          .selectExpr("y", _clf_prob_sql() + " AS prob"))
+    g = pr.groupBy(
+        F.expr("CAST(floor(prob * CAST(10.0 AS DOUBLE)) AS INT)")
+        .alias("bin")
+    ).agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(SUM(CASE WHEN y = CAST(1.0 AS DOUBLE)"
+               " THEN 1 ELSE 0 END) AS BIGINT)").alias("n_pos"),
+        F.expr(DSUM("prob", 12)).alias("sp"))
+    return g.selectExpr(
+        "bin", "n", "n_pos",
+        "sp / CAST(n AS DOUBLE) AS mean_prob",
+        "CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos",
+        "abs(sp / CAST(n AS DOUBLE)"
+        " - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) AS gap")
+
+
+# ----------------------------------------------------------------------
 # Winnowing fingerprints (the MOSS algorithm): per-doc sliding-window
 # rightmost-min selection over k-gram hashes — the bounded-density
 # fingerprint index that still catches every match of length
