@@ -349,3 +349,44 @@ def test_sq8_and_binary_quant_plans_have_no_explode(spark):
             if "Window" in ln and "WindowGroupLimit" not in ln:
                 assert "query_id" in ln, \
                     f"{name}: corpus-wide window: {ln}"
+
+
+def test_classifier_plans_are_scale_safe(spark):
+    """The classifier lifecycle's scale claims: training's per-round
+    gradient pass is ONE keyless map-side-combined aggregation (its
+    only exchange carries one partial row per partition), artifact
+    scoring is a zero-exchange projection over the batch, and the AUC
+    running negative count rides the __pid-scoped two-pass rank — no
+    corpus-wide window anywhere."""
+    from pyspark.sql import functions as F
+
+    from xsarsea_spark.pipeline.classifier import (doc_features,
+                                                   score_docs)
+    from xsarsea_spark.suite import REGISTRY
+    from xsarsea_spark.suite.base import DSUM, QTRUNC
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    xy = doc_features(docs)
+
+    # (a) one training round's gradient aggregation
+    grad = xy.agg(*[F.expr(DSUM(QTRUNC(
+        f"(0.5 - y) * element_at(x, {d + 1})", 12), 12)).alias(f"g{d}")
+        for d in range(5)], F.count(F.lit(1)).alias("n"))
+    plan = grad._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1 and "SinglePartition" in plan, \
+        "gradient agg must be one partial-agg exchange"
+    assert "Window" not in plan and "Generate" not in plan
+
+    # (b) artifact scoring: pure projection, no exchange
+    plan = (score_docs(xy, [0.1, -0.2, 0.3, 0.0, 0.05])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Window" not in plan, \
+        "score_docs must be a zero-exchange projection"
+
+    # (c) the AUC query's windows are all __pid-scoped (global_rank
+    # internals; the offsets window is over <= n_partitions rows)
+    plan = (REGISTRY["doc_classifier_auc"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    for ln in plan.splitlines():
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            assert "__pid" in ln, f"corpus-wide window in AUC: {ln}"
