@@ -78,6 +78,7 @@ _PRIORITY = [
     # (a'') round-7 additions, session 4
     "doc_quality_classifier", "doc_classifier_score",
     "doc_classifier_auc", "doc_classifier_calibration",
+    "doc_classifier_select",
     # (b) queries touched by round-7 changes
     # (doc_perplexity_buckets ceded its slot to doc_length_psi —
     # doc_quality_curriculum keeps the ntile_distributed coverage;
@@ -98,10 +99,9 @@ _PRIORITY = [
     "q02_min_cost_supplier",
     "q11_important_parts",
     # (q17_small_quantity / q04_order_priority / q07_volume_shipping /
-    # q10_returned_items — same plain-single-join class as the nine
-    # ceded r2 sentinels — yielded their slots to the session-4
-    # classifier lifecycle queries)
-    "q15_top_supplier",
+    # q10_returned_items / q15_top_supplier — same plain-single-join
+    # class as the nine ceded r2 sentinels — yielded their slots to
+    # the session-4 classifier lifecycle queries)
     "q_brand_top_parts", "q_cube_order_stats",
     "q_customer_running_total", "q_monthly_orders",
     "q_price_quantiles", "q_region_revenue_share", "q_zorder_profile",

@@ -2980,6 +2980,90 @@ def q_doc_classifier_calibration(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
+# Classifier-driven data selection — what the trained filter is FOR:
+# score the whole corpus, keep the top quartile by predicted quality
+# (exact NTILE over the unique (score desc, doc_id) order via the
+# distributed two-pass rank — no corpus-wide window), and report the
+# per-source keep rate the mixture owner reads to see which sources
+# the model up/down-weights. Scores are pure-IEEE dot products and
+# the quartile cut is integer NTILE arithmetic, so membership is
+# engine-exact; the kept-slice mean probability rides the QTRUNC
+# grid + DECIMAL sums.
+# ----------------------------------------------------------------------
+
+
+def _clf_select_oracle() -> str:
+    from xsarsea_spark.suite.base import DSUM
+
+    parts, zfold = _logreg_train_ctes(_CLF_TRAIN_WHERE)
+    rf = _LOGREG_ROUNDS
+    parts += [
+        f"sc AS (SELECT doc_id, {zfold} AS z FROM t, w{rf})",
+        f"pp AS (SELECT doc_id, z,"
+        f" {_clf_prob_sql()} AS prob FROM sc)",
+        "qt AS (SELECT doc_id, prob,"
+        " NTILE(4) OVER (ORDER BY z DESC, doc_id) AS q FROM pp)",
+        "j AS (SELECT d.source, qt.prob, qt.q = 1 AS kept"
+        " FROM qt JOIN documents d ON d.doc_id = qt.doc_id)",
+        "g AS (SELECT source,"
+        " CAST(COUNT(*) AS BIGINT) AS n_docs,"
+        " CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_kept,"
+        f" {DSUM('CASE WHEN kept THEN prob ELSE NULL END', 12)} AS sp"
+        " FROM j GROUP BY source)",
+    ]
+    return ("WITH " + ",\n".join(parts) + """
+SELECT source, n_docs, n_kept,
+  CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE) AS keep_rate,
+  sp / CAST(n_kept AS DOUBLE) AS mean_prob_kept
+FROM g""")
+
+
+@spec(
+    "doc_classifier_select",
+    _clf_select_oracle(),
+    description="Classifier-driven corpus selection: top quartile by "
+                "predicted quality via exact distributed NTILE over "
+                "the unique (score desc, doc_id) order, rolled up to "
+                "per-source keep rates and kept-slice mean "
+                "probability — the DCLM-style model-filtered "
+                "curation cut",
+    tags=("pipeline", "text", "quality", "curation", "iterative"),
+)
+def q_doc_classifier_select(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.rank import ntile_distributed
+    from xsarsea_spark.pipeline.classifier import (doc_features,
+                                                   train_logreg,
+                                                   z_expr)
+    from xsarsea_spark.suite.base import DSUM
+
+    docs = load(spark, sf_dir, "documents")
+    xy = doc_features(docs)
+    w = train_logreg(xy.filter(_CLF_TRAIN_WHERE),
+                     rounds=_LOGREG_ROUNDS, lr=_LOGREG_LR,
+                     qk=_LOGREG_QK, scale=_LOGREG_SCALE)
+    pp = (xy.select("doc_id", F.expr(z_expr(w)).alias("z"))
+          .selectExpr("doc_id", "z", _clf_prob_sql() + " AS prob"))
+    qt = ntile_distributed(
+        pp, 4, [F.col("z").desc(), F.col("doc_id").asc()],
+        bin_col="q")
+    j = qt.selectExpr("doc_id", "prob", "q = 1 AS kept").join(
+        docs.select("doc_id", "source"), on="doc_id")
+    g = j.groupBy("source").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END)"
+               " AS BIGINT)").alias("n_kept"),
+        F.expr(DSUM("CASE WHEN kept THEN prob ELSE NULL END", 12))
+        .alias("sp"))
+    return g.selectExpr(
+        "source", "n_docs", "n_kept",
+        "CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+        " AS keep_rate",
+        "sp / CAST(n_kept AS DOUBLE) AS mean_prob_kept")
+
+
+# ----------------------------------------------------------------------
 # Winnowing fingerprints (the MOSS algorithm): per-doc sliding-window
 # rightmost-min selection over k-gram hashes — the bounded-density
 # fingerprint index that still catches every match of length
