@@ -96,28 +96,40 @@ def train_logreg(xy: DataFrame, rounds: int = 4, lr: float = 1.0,
     # whenever classifier is imported before the suite package
     from xsarsea_spark.suite.base import DSUM, QTRUNC
 
-    w = [0.0] * N_FEATURES
-    for _ in range(rounds):
-        p = QTRUNC(
-            f"CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
-            f" + exp(-({z_expr(w)})))", qk)
-        # QTRUNC each term BEFORE the DECIMAL cast: the raw product
-        # is an arbitrary double whose decimal tail can straddle the
-        # cast's rounding boundary differently across engines; the
-        # floor grid is pure IEEE arithmetic, so both engines cast an
-        # identical on-grid double (then the cast is unambiguous).
-        row = xy.agg(
-            *[F.expr(DSUM(QTRUNC(
-                f"(({p}) - y) * element_at(x, {d + 1})", scale),
-                scale)).alias(f"g{d}")
-              for d in range(N_FEATURES)],
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
-        n = row["n"]
-        # same op order as the oracle: grid-sum -> double -> / n,
-        # * lr, subtract
-        w = [w[d] - lr * (row[f"g{d}"] / n) for d in range(N_FEATURES)]
-    return w
+    # cache the (x, y) projection across rounds: features drop the
+    # raw text, so the cached frame is a few doubles per doc (~1% of
+    # the corpus bytes — cacheable even at the 100-TB design point),
+    # and rounds 2..R skip the parquet scan + the split()-heavy
+    # feature recompute. Values are unchanged — persistence is a
+    # storage hint, never a semantics change.
+    txy = xy.select("x", "y").persist()
+    try:
+        w = [0.0] * N_FEATURES
+        for _ in range(rounds):
+            p = QTRUNC(
+                f"CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+                f" + exp(-({z_expr(w)})))", qk)
+            # QTRUNC each term BEFORE the DECIMAL cast: the raw
+            # product is an arbitrary double whose decimal tail can
+            # straddle the cast's rounding boundary differently
+            # across engines; the floor grid is pure IEEE
+            # arithmetic, so both engines cast an identical on-grid
+            # double (then the cast is unambiguous).
+            row = txy.agg(
+                *[F.expr(DSUM(QTRUNC(
+                    f"(({p}) - y) * element_at(x, {d + 1})", scale),
+                    scale)).alias(f"g{d}")
+                  for d in range(N_FEATURES)],
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            n = row["n"]
+            # same op order as the oracle: grid-sum -> double ->
+            # / n, * lr, subtract
+            w = [w[d] - lr * (row[f"g{d}"] / n)
+                 for d in range(N_FEATURES)]
+        return w
+    finally:
+        txy.unpersist()
 
 
 def save_weights(spark: SparkSession, w: list[float],
