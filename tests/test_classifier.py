@@ -103,6 +103,23 @@ def test_auc_matches_bruteforce_pairwise(spark):
     assert abs(out["auc"] - float(brute)) < 1e-15
 
 
+def test_grouped_train_matches_solo_per_group(spark):
+    # the shared-scan fleet must produce EXACTLY the weights solo
+    # training on each language slice produces — the grouped agg is
+    # a pure batching of the per-group arithmetic
+    from xsarsea_spark.pipeline.classifier import (doc_features,
+                                                   train_logreg,
+                                                   train_logreg_grouped)
+
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    xy = doc_features(docs, extra=("lang",))
+    wmap = train_logreg_grouped(xy, "lang", rounds=3)
+    assert len(wmap) >= 2
+    for g in list(wmap)[:2]:
+        solo = train_logreg(xy.filter(F.col("lang") == g), rounds=3)
+        assert wmap[g] == solo, g
+
+
 def test_train_is_deterministic(spark):
     from xsarsea_spark.pipeline.classifier import (doc_features,
                                                    train_logreg)

@@ -36,25 +36,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["doc_features", "train_logreg", "score_docs",
-           "save_weights", "load_weights", "N_FEATURES",
-           "LABEL_MIN_CHARS"]
+__all__ = ["doc_features", "train_logreg", "train_logreg_grouped",
+           "score_docs", "save_weights", "load_weights",
+           "GROUPED_Z_SQL", "N_FEATURES", "LABEL_MIN_CHARS"]
 
 N_FEATURES = 5
 LABEL_MIN_CHARS = 300
 
 
 def doc_features(docs: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
-    """(id, x array<double>, y double): the classic length/diversity/
-    stopword feature block (x0 = bias), label = long-document gate.
-    All features are integer counts and single double divisions —
-    no libm, exactly reproducible in SQL."""
+                 id_col: str = "doc_id",
+                 extra: tuple[str, ...] = ()) -> DataFrame:
+    """(id, *extra, x array<double>, y double): the classic length/
+    diversity/stopword feature block (x0 = bias), label =
+    long-document gate. All features are integer counts and single
+    double divisions — no libm, exactly reproducible in SQL.
+    ``extra`` columns (e.g. a grouping key) pass through untouched."""
     ntok = f"CAST(size(split({text_col}, ' ')) AS DOUBLE)"
     return (
         docs.filter(f"{text_col} IS NOT NULL AND n_chars IS NOT NULL")
         .selectExpr(
-            id_col,
+            id_col, *extra,
             f"array(CAST(1.0 AS DOUBLE),"
             f" {ntok} / CAST(100.0 AS DOUBLE),"
             f" CAST(size(array_distinct(split({text_col}, ' ')))"
@@ -127,6 +129,59 @@ def train_logreg(xy: DataFrame, rounds: int = 4, lr: float = 1.0,
             # / n, * lr, subtract
             w = [w[d] - lr * (row[f"g{d}"] / n)
                  for d in range(N_FEATURES)]
+        return w
+    finally:
+        txy.unpersist()
+
+
+GROUPED_Z_SQL = ("aggregate(zip_with(w, x, (a, b) -> a * b),"
+                 " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def train_logreg_grouped(xy: DataFrame, group_col: str = "lang",
+                         rounds: int = 4, lr: float = 1.0,
+                         qk: int = 12, scale: int = 12,
+                         ) -> dict[str, list[float]]:
+    """Train ONE model PER GROUP in shared corpus scans — the
+    per-domain/per-language filter fleet a multilingual curation
+    pipeline ships, without multiplying passes: each round is a
+    single grouped map-side-combined aggregation carrying every
+    group's d DECIMAL-grid gradient sums at once, and the per-round
+    weight state is a broadcast (group, w) table joined back onto
+    the cached feature frame. Driver state is |groups| * d doubles
+    (groups are bounded — languages/domains, not documents). The
+    arithmetic per group is identical to :func:`train_logreg`, so
+    the same chained-CTE oracle ladder replays it with a GROUP BY.
+    """
+    from xsarsea_spark.suite.base import DSUM, QTRUNC  # deferred
+
+    spark = xy.sparkSession
+    txy = xy.select(group_col, "x", "y").persist()
+    try:
+        groups = sorted(
+            r[0] for r in txy.select(group_col).distinct().collect()
+            if r[0] is not None)
+        w = {g: [0.0] * N_FEATURES for g in groups}
+        p = QTRUNC(
+            f"CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+            f" + exp(-({GROUPED_Z_SQL})))", qk)
+        for _ in range(rounds):
+            wdf = spark.createDataFrame(
+                [(g, w[g]) for g in groups],
+                f"{group_col} string, w array<double>")
+            rows = (
+                txy.join(F.broadcast(wdf), group_col)
+                .groupBy(group_col)
+                .agg(*[F.expr(DSUM(QTRUNC(
+                    f"(({p}) - y) * element_at(x, {d + 1})", scale),
+                    scale)).alias(f"g{d}")
+                    for d in range(N_FEATURES)],
+                    F.count(F.lit(1)).alias("n"))
+            ).collect()
+            for r in rows:
+                g, n = r[group_col], r["n"]
+                w[g] = [w[g][d] - lr * (r[f"g{d}"] / n)
+                        for d in range(N_FEATURES)]
         return w
     finally:
         txy.unpersist()

@@ -2641,7 +2641,7 @@ def _logreg_train_ctes(train_where: str = "TRUE") -> tuple[list, str]:
     nf = N_FEATURES
     ntok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
     parts = [
-        f"t AS (SELECT doc_id,"
+        f"t AS (SELECT doc_id, lang,"
         f" [CAST(1.0 AS DOUBLE),"
         f" {ntok} / CAST(100.0 AS DOUBLE),"
         f" CAST(len(list_distinct(string_split(text, ' ')))"
@@ -3061,6 +3061,115 @@ def q_doc_classifier_select(spark: SparkSession,
         "CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE)"
         " AS keep_rate",
         "sp / CAST(n_kept AS DOUBLE) AS mean_prob_kept")
+
+
+# ----------------------------------------------------------------------
+# Per-language classifier fleet — one model PER GROUP trained in
+# SHARED corpus scans: each round is a single grouped map-side-
+# combined aggregation carrying every language's d DECIMAL-grid
+# gradient sums at once, with the round's weight state a broadcast
+# (lang, w) table joined back onto the cached features. |groups| * d
+# doubles of driver state; never one pass per model. The oracle
+# replays the identical ladder with GROUP BY lang and reports each
+# language's weights + held-out accuracy.
+# ----------------------------------------------------------------------
+
+
+def _clf_perlang_oracle() -> str:
+    from xsarsea_spark.pipeline.classifier import N_FEATURES
+    from xsarsea_spark.suite.base import DSUM, QTRUNC
+
+    nf = N_FEATURES
+    base, zfold = _logreg_train_ctes(_CLF_TRAIN_WHERE)
+    parts = [
+        base[0],  # the shared feature CTE `t`
+        f"v0 AS (SELECT DISTINCT lang, ["
+        + ", ".join("CAST(0.0 AS DOUBLE)" for _ in range(nf))
+        + f"] AS w FROM t WHERE ({_CLF_TRAIN_WHERE})"
+        f" AND lang IS NOT NULL)",
+    ]
+    for r in range(_LOGREG_ROUNDS):
+        p = QTRUNC(
+            f"CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+            f" + exp(-(z)))", _LOGREG_QK)
+        gdims = ", ".join(
+            DSUM(QTRUNC(f"(({p}) - y) * x[{d + 1}]", _LOGREG_SCALE),
+                 _LOGREG_SCALE)
+            + " / COUNT(*)"
+            for d in range(nf))
+        parts.append(
+            f"z{r} AS MATERIALIZED (SELECT lang, x, y, {zfold} AS z"
+            f" FROM t JOIN v{r} USING (lang)"
+            f" WHERE {_CLF_TRAIN_WHERE})")
+        parts.append(
+            f"g{r} AS MATERIALIZED (SELECT lang, [{gdims}] AS g"
+            f" FROM z{r} GROUP BY lang)")
+        parts.append(
+            f"v{r + 1} AS MATERIALIZED"
+            f" (SELECT lang, list_transform(range(1, {nf + 1}),"
+            f" i -> w[i] - CAST({_LOGREG_LR!r} AS DOUBLE) * (g[i]))"
+            f" AS w FROM v{r} JOIN g{r} USING (lang))")
+    rf = _LOGREG_ROUNDS
+    parts += [
+        f"zf AS (SELECT lang, y, {zfold} AS z FROM t"
+        f" JOIN v{rf} USING (lang) WHERE {_CLF_BATCH_WHERE})",
+        "acc AS (SELECT lang,"
+        " CAST(SUM(CASE WHEN (z >= CAST(0.0 AS DOUBLE))"
+        " = (y = CAST(1.0 AS DOUBLE)) THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_correct, COUNT(*) AS n FROM zf GROUP BY lang)",
+    ]
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT v.lang, CAST(i AS BIGINT) AS feature, v.w[i] AS weight,
+  acc.n_correct, acc.n,
+  CAST(acc.n_correct AS DOUBLE) / CAST(acc.n AS DOUBLE) AS accuracy
+FROM v{rf} v JOIN acc ON acc.lang = v.lang
+CROSS JOIN (SELECT unnest(range(1, {nf + 1})) AS i)""")
+
+
+@spec(
+    "doc_classifier_perlang",
+    _clf_perlang_oracle(),
+    description="Per-language classifier fleet trained in shared "
+                "corpus scans: one grouped gradient aggregation per "
+                "round carries every language's DECIMAL-grid sums, "
+                "broadcast (lang, w) state joined back each round — "
+                "per-language weights and held-out accuracy "
+                "value-exact vs the GROUP BY chained-CTE replay",
+    tags=("pipeline", "text", "quality", "iterative"),
+)
+def q_doc_classifier_perlang(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.classifier import (GROUPED_Z_SQL,
+                                                   N_FEATURES,
+                                                   doc_features,
+                                                   train_logreg_grouped)
+
+    docs = load(spark, sf_dir, "documents")
+    xy = doc_features(docs, extra=("lang",))
+    wmap = train_logreg_grouped(
+        xy.filter(_CLF_TRAIN_WHERE), "lang",
+        rounds=_LOGREG_ROUNDS, lr=_LOGREG_LR,
+        qk=_LOGREG_QK, scale=_LOGREG_SCALE)
+    groups = sorted(wmap)
+    wdf = spark.createDataFrame(
+        [(g, wmap[g]) for g in groups],
+        "lang string, w array<double>")
+    h = (xy.filter(_CLF_BATCH_WHERE)
+         .join(F.broadcast(wdf), "lang")
+         .selectExpr("lang", "y", GROUPED_Z_SQL + " AS z"))
+    acc = h.groupBy("lang").agg(
+        F.expr("CAST(SUM(CASE WHEN (z >= CAST(0.0 AS DOUBLE))"
+               " = (y = CAST(1.0 AS DOUBLE)) THEN 1 ELSE 0 END)"
+               " AS BIGINT)").alias("n_correct"),
+        F.count(F.lit(1)).alias("n"))
+    weights = spark.createDataFrame(
+        [(g, d + 1, wmap[g][d])
+         for g in groups for d in range(N_FEATURES)],
+        "lang string, feature bigint, weight double")
+    return (weights.join(acc, "lang")
+            .withColumn("accuracy",
+                        F.expr("CAST(n_correct AS DOUBLE)"
+                               " / CAST(n AS DOUBLE)")))
 
 
 # ----------------------------------------------------------------------
