@@ -120,6 +120,39 @@ def test_grouped_train_matches_solo_per_group(spark):
         assert wmap[g] == solo, g
 
 
+def test_sgd_step_replay_is_idempotent(spark, tmp_path):
+    # the streaming ingest's crash window: foreachBatch wrote v{N}
+    # but the checkpoint commit didn't land, so the batch replays.
+    # The rebuild must read the version STRICTLY BELOW the batch id
+    # (v{N-1}) even though its own v{N} now exists — replaying twice
+    # yields bit-identical weights, never compounding.
+    import os
+
+    from xsarsea_spark.pipeline.classifier import (N_FEATURES,
+                                                   doc_features,
+                                                   gd_step,
+                                                   load_weights,
+                                                   save_weights)
+
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    xy0 = doc_features(docs.filter("doc_id % 3 = 0"))
+    xy1 = doc_features(docs.filter("doc_id % 3 = 1"))
+    save_weights(spark, gd_step(xy0, [0.0] * N_FEATURES),
+                 str(tmp_path / "v0"))
+
+    def replay_batch_1():
+        vers = sorted(int(v[1:]) for v in os.listdir(tmp_path))
+        prev = [v for v in vers if v < 1]
+        w = load_weights(spark, str(tmp_path / f"v{prev[-1]}"))
+        w2 = gd_step(xy1, w)
+        save_weights(spark, w2, str(tmp_path / "v1"))
+        return w2
+
+    first = replay_batch_1()
+    # second replay runs WITH v1 already on disk — must ignore it
+    assert replay_batch_1() == first
+
+
 def test_train_is_deterministic(spark):
     from xsarsea_spark.pipeline.classifier import (doc_features,
                                                    train_logreg)

@@ -36,9 +36,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["doc_features", "train_logreg", "train_logreg_grouped",
-           "score_docs", "save_weights", "load_weights",
-           "GROUPED_Z_SQL", "N_FEATURES", "LABEL_MIN_CHARS"]
+__all__ = ["doc_features", "gd_step", "train_logreg",
+           "train_logreg_grouped", "score_docs", "save_weights",
+           "load_weights", "GROUPED_Z_SQL", "N_FEATURES",
+           "LABEL_MIN_CHARS"]
 
 N_FEATURES = 5
 LABEL_MIN_CHARS = 300
@@ -87,17 +88,42 @@ def z_expr(w: list[float]) -> str:
             f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
 
 
-def train_logreg(xy: DataFrame, rounds: int = 4, lr: float = 1.0,
-                 qk: int = 12, scale: int = 12) -> list[float]:
-    """Full-batch GD from w = 0. Returns the final weight vector.
-    One keyless map-side-combined aggregation per round; the per-dim
-    gradient components are exact DECIMAL-grid sums of the quantized
-    residual times the feature."""
+def gd_step(xy: DataFrame, w: list[float], lr: float = 1.0,
+            qk: int = 12, scale: int = 12) -> list[float]:
+    """ONE full gradient step of logistic regression over ``xy``:
+    a single keyless map-side-combined aggregation whose per-dim
+    components are exact DECIMAL-grid sums of the quantized residual
+    times the feature. The batch unit of both the full-batch trainer
+    (:func:`train_logreg`) and the streaming SGD ingest."""
     # deferred: suite/__init__ imports pipeline_suite which imports
     # this module — a top-level suite.base import would be circular
     # whenever classifier is imported before the suite package
     from xsarsea_spark.suite.base import DSUM, QTRUNC
 
+    p = QTRUNC(
+        f"CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        f" + exp(-({z_expr(w)})))", qk)
+    # QTRUNC each term BEFORE the DECIMAL cast: the raw product is
+    # an arbitrary double whose decimal tail can straddle the cast's
+    # rounding boundary differently across engines; the floor grid
+    # is pure IEEE arithmetic, so both engines cast an identical
+    # on-grid double (then the cast is unambiguous).
+    row = xy.agg(
+        *[F.expr(DSUM(QTRUNC(
+            f"(({p}) - y) * element_at(x, {d + 1})", scale),
+            scale)).alias(f"g{d}")
+          for d in range(N_FEATURES)],
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n = row["n"]
+    # same op order as the oracle: grid-sum -> double -> / n, * lr,
+    # subtract
+    return [w[d] - lr * (row[f"g{d}"] / n) for d in range(N_FEATURES)]
+
+
+def train_logreg(xy: DataFrame, rounds: int = 4, lr: float = 1.0,
+                 qk: int = 12, scale: int = 12) -> list[float]:
+    """Full-batch GD from w = 0. Returns the final weight vector."""
     # cache the (x, y) projection across rounds: features drop the
     # raw text, so the cached frame is a few doubles per doc (~1% of
     # the corpus bytes — cacheable even at the 100-TB design point),
@@ -108,27 +134,7 @@ def train_logreg(xy: DataFrame, rounds: int = 4, lr: float = 1.0,
     try:
         w = [0.0] * N_FEATURES
         for _ in range(rounds):
-            p = QTRUNC(
-                f"CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
-                f" + exp(-({z_expr(w)})))", qk)
-            # QTRUNC each term BEFORE the DECIMAL cast: the raw
-            # product is an arbitrary double whose decimal tail can
-            # straddle the cast's rounding boundary differently
-            # across engines; the floor grid is pure IEEE
-            # arithmetic, so both engines cast an identical on-grid
-            # double (then the cast is unambiguous).
-            row = txy.agg(
-                *[F.expr(DSUM(QTRUNC(
-                    f"(({p}) - y) * element_at(x, {d + 1})", scale),
-                    scale)).alias(f"g{d}")
-                  for d in range(N_FEATURES)],
-                F.count(F.lit(1)).alias("n"),
-            ).collect()[0]
-            n = row["n"]
-            # same op order as the oracle: grid-sum -> double ->
-            # / n, * lr, subtract
-            w = [w[d] - lr * (row[f"g{d}"] / n)
-                 for d in range(N_FEATURES)]
+            w = gd_step(txy, w, lr=lr, qk=qk, scale=scale)
         return w
     finally:
         txy.unpersist()

@@ -2628,12 +2628,17 @@ _LOGREG_ROUNDS, _LOGREG_LR = 8, 1.0
 _LOGREG_QK, _LOGREG_SCALE = 12, 12
 
 
-def _logreg_train_ctes(train_where: str = "TRUE") -> tuple[list, str]:
+def _logreg_train_ctes(train_where: str = "TRUE",
+                       round_wheres: list | None = None
+                       ) -> tuple[list, str]:
     """(CTE parts ``t`` .. ``w{R}``, the w·x fold expression): the
     chained-CTE replay of the full training loop, with ``t`` holding
     features for ALL docs and each gradient round restricted to
     ``train_where`` — so score/eval queries can apply the trained
-    weights to the complement (held-out) slice from the same ``t``."""
+    weights to the complement (held-out) slice from the same ``t``.
+    ``round_wheres`` (one predicate PER ROUND) replaces the uniform
+    ``train_where`` for SGD-style replays where each step sees a
+    different arrival slice; R = len(round_wheres) then."""
     from xsarsea_spark.pipeline.classifier import (LABEL_MIN_CHARS,
                                                    N_FEATURES)
     from xsarsea_spark.suite.base import DSUM, QTRUNC
@@ -2660,7 +2665,9 @@ def _logreg_train_ctes(train_where: str = "TRUE") -> tuple[list, str]:
     ]
     zfold = (f"list_reduce(list_transform(range(1, {nf + 1}),"
              f" i -> w[i] * x[i]), (a, b) -> a + b)")
-    for r in range(_LOGREG_ROUNDS):
+    wheres = (round_wheres if round_wheres is not None
+              else [train_where] * _LOGREG_ROUNDS)
+    for r, rw in enumerate(wheres):
         p = QTRUNC(
             f"CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
             f" + exp(-(z)))", _LOGREG_QK)
@@ -2676,7 +2683,7 @@ def _logreg_train_ctes(train_where: str = "TRUE") -> tuple[list, str]:
         parts.append(
             f"z{r} AS MATERIALIZED"
             f" (SELECT x, y, {zfold} AS z FROM t, w{r}"
-            f" WHERE {train_where})")
+            f" WHERE {rw})")
         parts.append(
             f"g{r} AS MATERIALIZED (SELECT [{gdims}] AS g FROM z{r})")
         parts.append(
@@ -3167,6 +3174,132 @@ def q_doc_classifier_perlang(spark: SparkSession,
          for g in groups for d in range(N_FEATURES)],
         "lang string, feature bigint, weight double")
     return (weights.join(acc, "lang")
+            .withColumn("accuracy",
+                        F.expr("CAST(n_correct AS DOUBLE)"
+                               " / CAST(n AS DOUBLE)")))
+
+
+# ----------------------------------------------------------------------
+# STREAMING SGD classifier ingest — continual training as data
+# arrives: each file arrival becomes one foreachBatch micro-batch
+# that takes ONE exact gradient step (gd_step: a single map-side-
+# combined O(batch) aggregation) from the latest persisted weight
+# version STRICTLY BELOW its batch id, then persists v{batch_id} —
+# so a crash-replay of batch N rebuilds v{N} from v{N-1} + its own
+# rows, never compounding, and the checkpoint pins the batch order
+# that SGD (order-dependent, unlike the drift gate's int64 moments)
+# needs for determinism. A fourth no-new-files run proves the
+# exactly-once no-op. The oracle replays the three arrival-slice
+# steps as chained CTEs and the full-corpus accuracy of the final
+# weights.
+# ----------------------------------------------------------------------
+
+_SGD_ARRIVALS = 3
+
+
+def _stream_sgd_oracle() -> str:
+    from xsarsea_spark.pipeline.classifier import N_FEATURES
+
+    nf = N_FEATURES
+    wheres = [f"doc_id % {_SGD_ARRIVALS} = {k}"
+              for k in range(_SGD_ARRIVALS)]
+    parts, zfold = _logreg_train_ctes(round_wheres=wheres)
+    rf = _SGD_ARRIVALS
+    parts += [
+        f"zf AS (SELECT y, {zfold} AS z FROM t, w{rf})",
+        "acc AS (SELECT CAST(SUM(CASE WHEN (z >= CAST(0.0 AS DOUBLE))"
+        " = (y = CAST(1.0 AS DOUBLE)) THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_correct, COUNT(*) AS n FROM zf)",
+    ]
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT CAST(i AS BIGINT) AS feature, w[i] AS weight,
+  acc.n_correct, acc.n,
+  CAST(acc.n_correct AS DOUBLE) / CAST(acc.n AS DOUBLE) AS accuracy
+FROM w{rf}, acc, (SELECT unnest(range(1, {nf + 1})) AS i)""")
+
+
+@spec(
+    "stream_classifier_train",
+    _stream_sgd_oracle(),
+    description="Structured-Streaming SGD ingest: one exact gradient "
+                "step per file-arrival micro-batch, versioned weight "
+                "state rebuilt from strictly-below versions (crash-"
+                "replay safe), checkpoint-pinned batch order, no-op "
+                "on replay — final weights + full-corpus accuracy "
+                "value-exact vs the chained-CTE arrival replay",
+    tags=("pipeline", "text", "quality", "streaming", "incremental"),
+)
+def q_stream_classifier_train(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from xsarsea_spark.pipeline.classifier import (N_FEATURES,
+                                                   doc_features,
+                                                   gd_step,
+                                                   load_weights,
+                                                   save_weights,
+                                                   z_expr)
+
+    base = ("/tmp/xsarsea_stream_clf_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    shutil.rmtree(base, ignore_errors=True)
+    watch = os.path.join(base, "incoming")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(watch)
+
+    docs = load(spark, sf_dir, "documents")
+    # stage the arrival slices OUTSIDE the watched directory
+    for k in range(_SGD_ARRIVALS):
+        (docs.filter(f"doc_id % {_SGD_ARRIVALS} = {k}")
+         .repartition(1)
+         .write.parquet(os.path.join(base, f"arrival_{k}")))
+    schema = spark.read.parquet(
+        f"{sf_dir}/documents.parquet").schema
+
+    def step(df: DataFrame, batch_id: int) -> None:
+        vers = (sorted(int(v[1:]) for v in os.listdir(state))
+                if os.path.isdir(state) else [])
+        prev = [v for v in vers if v < batch_id]
+        w = (load_weights(spark, os.path.join(state, f"v{prev[-1]}"))
+             if prev else [0.0] * N_FEATURES)
+        w2 = gd_step(doc_features(df), w, lr=_LOGREG_LR,
+                     qk=_LOGREG_QK, scale=_LOGREG_SCALE)
+        save_weights(spark, w2, os.path.join(state, f"v{batch_id}"))
+
+    def run_stream() -> None:
+        src = spark.readStream.schema(schema).parquet(watch)
+        q = (src.writeStream.foreachBatch(step)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    for k in range(_SGD_ARRIVALS):
+        adir = os.path.join(base, f"arrival_{k}")
+        for fn in os.listdir(adir):
+            if fn.endswith(".parquet"):
+                shutil.copy(os.path.join(adir, fn),
+                            os.path.join(watch, f"a{k}_{fn}"))
+        run_stream()
+    run_stream()   # no new files -> no-op (exactly-once)
+
+    vers = sorted(int(v[1:]) for v in os.listdir(state))
+    assert len(vers) == _SGD_ARRIVALS, vers
+    w = load_weights(spark, os.path.join(state, f"v{vers[-1]}"))
+    acc = (doc_features(docs)
+           .select("y", F.expr(z_expr(w)).alias("z"))
+           .agg(F.expr("CAST(SUM(CASE WHEN (z >= CAST(0.0 AS"
+                       " DOUBLE)) = (y = CAST(1.0 AS DOUBLE))"
+                       " THEN 1 ELSE 0 END) AS BIGINT)")
+                .alias("n_correct"),
+                F.count(F.lit(1)).alias("n")))
+    wdf = spark.createDataFrame(
+        [(d + 1, w[d]) for d in range(N_FEATURES)],
+        "feature bigint, weight double")
+    return (wdf.crossJoin(F.broadcast(acc))
             .withColumn("accuracy",
                         F.expr("CAST(n_correct AS DOUBLE)"
                                " / CAST(n AS DOUBLE)")))
