@@ -360,7 +360,8 @@ def test_classifier_plans_are_scale_safe(spark):
     corpus-wide window anywhere."""
     from pyspark.sql import functions as F
 
-    from xsarsea_spark.pipeline.classifier import (doc_features,
+    from xsarsea_spark.pipeline.classifier import (N_FEATURES,
+                                                   doc_features,
                                                    score_docs)
     from xsarsea_spark.suite import REGISTRY
     from xsarsea_spark.suite.base import DSUM, QTRUNC
@@ -371,14 +372,14 @@ def test_classifier_plans_are_scale_safe(spark):
     # (a) one training round's gradient aggregation
     grad = xy.agg(*[F.expr(DSUM(QTRUNC(
         f"(0.5 - y) * element_at(x, {d + 1})", 12), 12)).alias(f"g{d}")
-        for d in range(5)], F.count(F.lit(1)).alias("n"))
+        for d in range(N_FEATURES)], F.count(F.lit(1)).alias("n"))
     plan = grad._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1 and "SinglePartition" in plan, \
         "gradient agg must be one partial-agg exchange"
     assert "Window" not in plan and "Generate" not in plan
 
     # (b) artifact scoring: pure projection, no exchange
-    plan = (score_docs(xy, [0.1, -0.2, 0.3, 0.0, 0.05])
+    plan = (score_docs(xy, [0.01 * (d + 1) for d in range(N_FEATURES)])
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Window" not in plan, \
         "score_docs must be a zero-exchange projection"

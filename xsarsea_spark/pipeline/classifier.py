@@ -116,6 +116,11 @@ def gd_step(xy: DataFrame, w: list[float], lr: float = 1.0,
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     n = row["n"]
+    if n == 0:
+        # an empty batch (e.g. a streaming micro-batch whose rows all
+        # failed the feature filter) is a no-op step, not a crash —
+        # NULL gradients / zero division must never poison the weights
+        return list(w)
     # same op order as the oracle: grid-sum -> double -> / n, * lr,
     # subtract
     return [w[d] - lr * (row[f"g{d}"] / n) for d in range(N_FEATURES)]
@@ -213,21 +218,21 @@ def load_weights(spark: SparkSession, path: str) -> list[float]:
     return [r["weight"] for r in rows]
 
 
-def score_docs(xy: DataFrame, w: list[float],
-               qk: int = 12) -> DataFrame:
+def score_docs(xy: DataFrame, w: list[float], qk: int = 12,
+               id_col: str = "doc_id") -> DataFrame:
     """O(batch) model application — the deploy half of the
     train-once/score-everywhere lifecycle: one scan, the weight
     vector inlined as exact double literals (broadcast-by-
-    construction), no training jobs. Returns (doc_id, score, prob,
+    construction), no training jobs. Returns (id, score, prob,
     keep): score is the raw pure-IEEE dot product, prob the
     QTRUNC-quantized sigmoid, keep the 0-threshold decision."""
     from xsarsea_spark.suite.base import QTRUNC  # deferred: circular
 
     return xy.select(
-        "doc_id",
+        id_col,
         F.expr(z_expr(w)).alias("score"),
     ).selectExpr(
-        "doc_id", "score",
+        id_col, "score",
         QTRUNC("CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
                " + exp(-(score)))", qk) + " AS prob",
         "score >= CAST(0.0 AS DOUBLE) AS keep",

@@ -2823,9 +2823,13 @@ def q_doc_classifier_score(spark: SparkSession,
 # the negatives below each group (global_rank's exact distributed
 # running_sums — no corpus-wide window), then
 #     2U  = SUM(np_g * (2 * cumneg_below_g + nn_g))
-#     AUC = 2U / (2 * n_pos * n_neg)
-# Everything up to the single final division is BIGINT arithmetic,
-# so the value is exact at any scale and order-independent.
+#     AUC = 2U / (2.0 * n_pos * n_neg)
+# Everything up to the single final division is BIGINT arithmetic —
+# order-independent, and exact while the eval slice has < 2^62
+# pos x neg PAIRS (~2.1e9 positives x 2.1e9 negatives; a larger
+# corpus samples or shards its eval slice, so the bound is an eval-
+# design constraint, not a corpus one). The denominator multiplies
+# in DOUBLE so it can never wrap int64 silently.
 # ----------------------------------------------------------------------
 
 
@@ -2851,7 +2855,8 @@ def _clf_auc_oracle() -> str:
     ]
     return ("WITH " + ",\n".join(parts) + """
 SELECT n_pos, n_neg, u2,
-  CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+  CAST(u2 AS DOUBLE) / (CAST(2.0 AS DOUBLE)
+    * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
 FROM s""")
 
 
@@ -2895,8 +2900,8 @@ def q_doc_classifier_auc(spark: SparkSession,
         F.expr("CAST(SUM(nn) AS BIGINT)").alias("n_neg"))
     return s.selectExpr(
         "n_pos", "n_neg", "u2",
-        "CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE)"
-        " AS auc")
+        "CAST(u2 AS DOUBLE) / (CAST(2.0 AS DOUBLE)"
+        " * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc")
 
 
 # ----------------------------------------------------------------------
@@ -3287,7 +3292,10 @@ def q_stream_classifier_train(spark: SparkSession,
     run_stream()   # no new files -> no-op (exactly-once)
 
     vers = sorted(int(v[1:]) for v in os.listdir(state))
-    assert len(vers) == _SGD_ARRIVALS, vers
+    if len(vers) != _SGD_ARRIVALS:   # not a bare assert: -O strips it
+        raise RuntimeError(
+            f"expected {_SGD_ARRIVALS} weight versions, got {vers} — "
+            f"an arrival batch was skipped or duplicated")
     w = load_weights(spark, os.path.join(state, f"v{vers[-1]}"))
     acc = (doc_features(docs)
            .select("y", F.expr(z_expr(w)).alias("z"))
