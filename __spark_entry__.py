@@ -79,7 +79,7 @@ _PRIORITY = [
     "doc_quality_classifier", "doc_classifier_score",
     "doc_classifier_auc", "doc_classifier_calibration",
     "doc_classifier_select", "doc_classifier_perlang",
-    "stream_classifier_train",
+    "stream_classifier_train", "doc_source_crossdup_matrix",
     # (b) queries touched by round-7 changes
     # (doc_perplexity_buckets ceded its slot to doc_length_psi —
     # doc_quality_curriculum keeps the ntile_distributed coverage;
@@ -103,11 +103,12 @@ _PRIORITY = [
     # q10_returned_items / q15_top_supplier — same plain-single-join
     # class as the nine ceded r2 sentinels — yielded their slots to
     # the session-4 classifier lifecycle queries)
-    "q_cube_order_stats",
     "q_customer_running_total",
     # (q_monthly_orders — plain date-trunc group-by — ceded to
     # doc_classifier_perlang; q_brand_top_parts — per-brand top-k,
-    # the q18 class — ceded to stream_classifier_train)
+    # the q18 class — ceded to stream_classifier_train;
+    # q_cube_order_stats — GROUPING SETS, the q_rollup_revenue
+    # class — ceded to doc_source_crossdup_matrix)
     "q_price_quantiles", "q_region_revenue_share", "q_zorder_profile",
     "stacked_histogram_mean", "wind_vector_ops",
 ]

@@ -4924,10 +4924,15 @@ def q_doc_mixture_schedule(spark: SparkSession,
 _SFX_MOD, _SFX_ROUNDS = 10, 7     # 2^7 covers max tokens per doc (100)
 
 
-def _sfx_oracle() -> str:
+def _sfx_lcp_ctes() -> list:
+    """Shared chained-CTE replay of the suffix machinery up to the
+    clamped adjacent-pair LCPs (``lc``): the slice (``sl``, carrying
+    source for the provenance roll-up), the prefix-doubling rank
+    ladder, the SA order, and the rank-table walk."""
     h40 = _H40_DUCK.format(x="l[CAST(p AS INT)]")
     parts = [
-        f"sl AS (SELECT doc_id, text, string_split(text, ' ') AS l,"
+        f"sl AS (SELECT doc_id, source, text,"
+        f" string_split(text, ' ') AS l,"
         f" len(string_split(text, ' ')) AS ln"
         f" FROM documents WHERE text IS NOT NULL"
         f" AND doc_id % {_SFX_MOD} = 0)",
@@ -4962,11 +4967,17 @@ def _sfx_oracle() -> str:
             f" AND ta.p = q.pa + q.l"
             f" LEFT JOIN t{k} tb ON tb.doc_id = q.db"
             f" AND tb.p = q.pb + q.l)")
-    parts += [
+    parts.append(
         f"lc AS (SELECT q.da, q.pa, q.db, q.pb,"
         f" LEAST(q.l, sa.ln - q.pa + 1, sb.ln - q.pb + 1) AS lcp"
         f" FROM w{j} q JOIN sl sa ON sa.doc_id = q.da"
-        f" JOIN sl sb ON sb.doc_id = q.db)",
+        f" JOIN sl sb ON sb.doc_id = q.db)")
+    return parts
+
+
+def _sfx_oracle() -> str:
+    parts = _sfx_lcp_ctes()
+    parts += [
         "contrib AS (SELECT da AS doc_id, pa AS pos, lcp FROM lc"
         " UNION ALL SELECT db AS doc_id, pb AS pos, lcp FROM lc)",
         "best AS (SELECT doc_id, pos, lcp, ROW_NUMBER() OVER"
@@ -4998,6 +5009,83 @@ def q_doc_longest_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(
         f"text IS NOT NULL AND doc_id % {_SFX_MOD} = 0")
     return longest_dup_span(docs, rounds=_SFX_ROUNDS)
+
+
+# ----------------------------------------------------------------------
+# Source-pair substring-sharing matrix — the provenance-level signal
+# ("which source pairs carry copied content") from the SAME suffix
+# machinery: statistics over SA-adjacent suffix pairs whose two
+# suffixes come from DIFFERENT documents, keyed by the unordered
+# source pair. Any token span shared across documents puts at least
+# one cross-document adjacent pair with LCP >= its length inside its
+# suffix block (the block is contiguous and mixes the docs), so a
+# corpus with cross-source copying cannot hide from this profile;
+# the per-pair counts/max/mean are statistics OF the adjacent-pair
+# population, the standard suffix-array dedup unit (Lee et al. §4).
+# All-integer until the final mean division.
+# ----------------------------------------------------------------------
+
+_SXP_MIN = 5    # tokens: adjacency LCP >= this counts as shared
+
+
+def _sfx_source_oracle() -> str:
+    parts = _sfx_lcp_ctes()
+    parts += [
+        "xd AS (SELECT LEAST(sa.source, sb.source) AS source_a,"
+        " GREATEST(sa.source, sb.source) AS source_b, lc.lcp"
+        " FROM lc JOIN sl sa ON sa.doc_id = lc.da"
+        " JOIN sl sb ON sb.doc_id = lc.db WHERE lc.da != lc.db)",
+    ]
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT source_a, source_b,
+  CAST(COUNT(*) AS BIGINT) AS n_adj_pairs,
+  CAST(SUM(CASE WHEN lcp >= {_SXP_MIN} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_shared_pairs,
+  CAST(MAX(lcp) AS BIGINT) AS max_lcp,
+  CAST(SUM(lcp) AS BIGINT) AS sum_lcp,
+  CAST(SUM(lcp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_lcp
+FROM xd GROUP BY source_a, source_b""")
+
+
+@spec(
+    "doc_source_crossdup_matrix",
+    _sfx_source_oracle(),
+    description="Source-pair substring-sharing matrix: cross-document "
+                "SA-adjacent LCP statistics per unordered source pair "
+                "from the distributed suffix array — counts, shared "
+                "pairs >= 5 tokens, max/sum/mean LCP; the provenance "
+                "signal of which source pairs carry copied content, "
+                "all-integer until the final mean",
+    tags=("pipeline", "dedup", "curation", "iterative"),
+)
+def q_doc_source_crossdup(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.suffix import (adjacent_lcp,
+                                               sa_adjacent_pairs,
+                                               suffix_rank_tables)
+
+    docs = load(spark, sf_dir, "documents").filter(
+        f"text IS NOT NULL AND doc_id % {_SFX_MOD} = 0")
+    lens = docs.selectExpr("doc_id", "size(split(text, ' ')) AS __len")
+    tables = suffix_rank_tables(docs, _SFX_ROUNDS)
+    pairs = sa_adjacent_pairs(tables[-1])
+    lcps = adjacent_lcp(pairs, tables, lens).filter("da != db")
+    src = docs.select("doc_id", "source")
+    xd = (lcps
+          .join(src.selectExpr("doc_id AS da", "source AS __sa"),
+                on="da")
+          .join(src.selectExpr("doc_id AS db", "source AS __sb"),
+                on="db")
+          .selectExpr("least(__sa, __sb) AS source_a",
+                      "greatest(__sa, __sb) AS source_b", "lcp"))
+    return xd.groupBy("source_a", "source_b").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_adj_pairs"),
+        F.expr(f"CAST(SUM(CASE WHEN lcp >= {_SXP_MIN} THEN 1 ELSE 0"
+               f" END) AS BIGINT)").alias("n_shared_pairs"),
+        F.expr("CAST(MAX(lcp) AS BIGINT)").alias("max_lcp"),
+        F.expr("CAST(SUM(lcp) AS BIGINT)").alias("sum_lcp"),
+        F.expr("CAST(SUM(lcp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")
+        .alias("mean_lcp"))
 
 
 # ----------------------------------------------------------------------
