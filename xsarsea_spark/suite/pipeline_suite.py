@@ -4924,18 +4924,21 @@ def q_doc_mixture_schedule(spark: SparkSession,
 _SFX_MOD, _SFX_ROUNDS = 10, 7     # 2^7 covers max tokens per doc (100)
 
 
-def _sfx_lcp_ctes() -> list:
+def _sfx_lcp_ctes(mod: int = _SFX_MOD) -> list:
     """Shared chained-CTE replay of the suffix machinery up to the
     clamped adjacent-pair LCPs (``lc``): the slice (``sl``, carrying
     source for the provenance roll-up), the prefix-doubling rank
-    ladder, the SA order, and the rank-table walk."""
+    ladder, the SA order, and the rank-table walk. ``mod`` picks the
+    doc_id slice — the provenance matrix uses one COPRIME to the
+    synthetic source cycle (source = src{doc_id % 20}), because a
+    mod-10 slice would collapse the corpus to two sources."""
     h40 = _H40_DUCK.format(x="l[CAST(p AS INT)]")
     parts = [
         f"sl AS (SELECT doc_id, source, text,"
         f" string_split(text, ' ') AS l,"
         f" len(string_split(text, ' ')) AS ln"
         f" FROM documents WHERE text IS NOT NULL"
-        f" AND doc_id % {_SFX_MOD} = 0)",
+        f" AND doc_id % {mod} = 0)",
         f"t0 AS (SELECT doc_id, p, {h40} AS r FROM"
         " (SELECT doc_id, unnest(range(1, ln + 1)) AS p, l"
         " FROM sl))",
@@ -5026,10 +5029,11 @@ def q_doc_longest_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 
 _SXP_MIN = 5    # tokens: adjacency LCP >= this counts as shared
+_SXP_MOD = 7    # coprime to the 20-source cycle -> all sources
 
 
 def _sfx_source_oracle() -> str:
-    parts = _sfx_lcp_ctes()
+    parts = _sfx_lcp_ctes(mod=_SXP_MOD)
     parts += [
         "xd AS (SELECT LEAST(sa.source, sb.source) AS source_a,"
         " GREATEST(sa.source, sb.source) AS source_b, lc.lcp"
@@ -5065,7 +5069,7 @@ def q_doc_source_crossdup(spark: SparkSession,
                                                suffix_rank_tables)
 
     docs = load(spark, sf_dir, "documents").filter(
-        f"text IS NOT NULL AND doc_id % {_SFX_MOD} = 0")
+        f"text IS NOT NULL AND doc_id % {_SXP_MOD} = 0")
     lens = docs.selectExpr("doc_id", "size(split(text, ' ')) AS __len")
     tables = suffix_rank_tables(docs, _SFX_ROUNDS)
     pairs = sa_adjacent_pairs(tables[-1])
