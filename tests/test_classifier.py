@@ -153,6 +153,49 @@ def test_sgd_step_replay_is_idempotent(spark, tmp_path):
     assert replay_batch_1() == first
 
 
+def test_doc_features_cross_engine_adversarial(spark, tmp_path):
+    # every classifier oracle hinges on split()-based feature parity
+    # between Spark and DuckDB; the synthetic corpus is clean
+    # single-space text, so pin the contract on adversarial inputs —
+    # empty strings, empty tokens from double/leading/trailing
+    # spaces, unicode, tabs inside tokens, NULL text / NULL n_chars
+    import duckdb
+
+    from xsarsea_spark.pipeline.classifier import doc_features
+    from xsarsea_spark.suite.pipeline_suite import _logreg_train_ctes
+
+    rows = [
+        (1, "", "en", "s", 0),
+        (2, " ", "en", "s", 1),
+        (3, "a", "en", "s", 1),
+        (4, "a the a", "en", "s", 7),
+        (5, "the  the", "en", "s", 8),
+        (6, "héllo wörld the", "fr", "s", 15),
+        (7, "a ", "en", "s", 2),
+        (8, " a", "en", "s", 2),
+        (9, "tab\tin token the a", "en", "s", 18),
+        (10, "x " * 200, "en", "s", 400),
+        (11, None, "en", "s", 5),
+        (12, "ok", "en", "s", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string,"
+              " source string, n_chars long")
+    path = str(tmp_path / "adv")
+    df.repartition(1).write.parquet(path)
+    got = {r["doc_id"]: (list(r["x"]), r["y"])
+           for r in doc_features(spark.read.parquet(path)).collect()}
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS"
+            f" SELECT * FROM '{path}/*.parquet'")
+    t_cte = _logreg_train_ctes()[0][0]
+    want = {r[0]: (list(r[1]), r[2]) for r in con.sql(
+        "WITH " + t_cte + " SELECT doc_id, x, y FROM t").fetchall()}
+    assert sorted(got) == sorted(want) == list(range(1, 11))
+    assert got == want
+
+
 def test_train_is_deterministic(spark):
     from xsarsea_spark.pipeline.classifier import (doc_features,
                                                    train_logreg)
