@@ -196,6 +196,41 @@ def test_doc_features_cross_engine_adversarial(spark, tmp_path):
     assert got == want
 
 
+def test_doc_features_cross_engine_random(spark, tmp_path):
+    # seeded-random batch over a space/unicode/punct-heavy alphabet —
+    # the statistical complement of the hand-picked adversarial cases
+    import random
+
+    import duckdb
+
+    from xsarsea_spark.pipeline.classifier import doc_features
+    from xsarsea_spark.suite.pipeline_suite import _logreg_train_ctes
+
+    rng = random.Random(20260815)
+    alphabet = "a the  x é光 ,.!?  \t-"
+    rows = []
+    for i in range(200):
+        text = "".join(rng.choice(alphabet)
+                       for _ in range(rng.randrange(0, 120)))
+        rows.append((i, text, "en", "s", rng.randrange(0, 600)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string,"
+              " source string, n_chars long")
+    path = str(tmp_path / "rnd")
+    df.repartition(1).write.parquet(path)
+    got = {r["doc_id"]: (list(r["x"]), r["y"])
+           for r in doc_features(spark.read.parquet(path)).collect()}
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS"
+            f" SELECT * FROM '{path}/*.parquet'")
+    t_cte = _logreg_train_ctes()[0][0]
+    want = {r[0]: (list(r[1]), r[2]) for r in con.sql(
+        "WITH " + t_cte + " SELECT doc_id, x, y FROM t").fetchall()}
+    assert len(got) == len(want) == 200
+    assert got == want
+
+
 def test_train_is_deterministic(spark):
     from xsarsea_spark.pipeline.classifier import (doc_features,
                                                    train_logreg)
