@@ -62,55 +62,42 @@ def entry(spark: SparkSession) -> DataFrame:
 # sentinels up to 50. Every window entry is green on the local strict
 # DuckDB compare, re-run in window order as a final pre-flight.
 _PRIORITY = [
-    # (a) round-7 additions, sessions 1-2
-    "minhash_cross_snapshot", "doc_bpe_bytelevel",
-    "multimodal_phash", "doc_source_cap", "ivfpq_ann",
-    "doc_line_dedup", "doc_longest_dup_span", "doc_mixture_schedule",
-    "ivfpq_ann_recall", "doc_bpe_artifact_encode",
-    "embedding_pca_incremental", "embedding_drift_monitor",
-    "neardup_quality_keeper", "doc_tokenizer_fertility",
-    "doc_length_psi",
-    # (a') round-7 additions, session 3
-    "ivfpq_incremental", "stream_drift_gate", "doc_chunk_dedup",
-    "doc_source_boilerplate", "embedding_binary_quant_recall",
-    "embedding_sq8_recall", "doc_winnowing", "doc_winnow_neardup",
-    "doc_shard_assignment",
-    # (a'') round-7 additions, session 4
-    "doc_quality_classifier", "doc_classifier_score",
-    "doc_classifier_auc", "doc_classifier_calibration",
-    "doc_classifier_select", "doc_classifier_perlang",
-    "stream_classifier_train", "doc_source_crossdup_matrix",
-    # (b) queries touched by round-7 changes
-    # (doc_perplexity_buckets ceded its slot to doc_length_psi —
-    # doc_quality_curriculum keeps the ntile_distributed coverage;
-    # doc_bpe_train yielded its slot to doc_tokenizer_fertility:
-    # the training loop and its argmax merges are replayed verbatim
-    # inside three windowed queries — encode, artifact, fertility)
-    "q_skyline_parts", "doc_quality_curriculum",
-    "stream_curated_ingest",
-    "stream_neardup_ingest", "doc_bpe_encode",
-    "minhash_incremental", "local_gradients_pyramid",
-    # (c) stalest: latest driver row round 2. Nine r2 sentinels
-    # (q05/q08/q13/q14/q16/q19/q20/q21/q22 — plain single-join
-    # aggregations with no shared-infra exposure) ceded their slots
-    # to the session-3 additions; they lead the round-8 queue with
-    # the five r3 sentinels (gmf_eval_family, inversion_crosspol,
-    # lut_regrid, ancillary_wind_join, streak_direction).
-    "angle_conventions", "dsig_weights", "lineitem_dq_gate",
-    "q02_min_cost_supplier",
-    "q11_important_parts",
-    # (q17_small_quantity / q04_order_priority / q07_volume_shipping /
-    # q10_returned_items / q15_top_supplier — same plain-single-join
-    # class as the nine ceded r2 sentinels — yielded their slots to
-    # the session-4 classifier lifecycle queries)
-    "q_customer_running_total",
-    # (q_monthly_orders — plain date-trunc group-by — ceded to
-    # doc_classifier_perlang; q_brand_top_parts — per-brand top-k,
-    # the q18 class — ceded to stream_classifier_train;
-    # q_cube_order_stats — GROUPING SETS, the q_rollup_revenue
-    # class — ceded to doc_source_crossdup_matrix)
-    "q_price_quantiles", "q_region_revenue_share", "q_zorder_profile",
-    "stacked_histogram_mean", "wind_vector_ops",
+    # Round-8 window. (a) the 23-deferred-sentinel rotation VERDICT
+    # r7 asked for — latest driver rows round 2/3, all preflighted
+    # green at sf0.01 in round 7:
+    "q04_order_priority", "q05_local_supplier_volume",
+    "q07_volume_shipping", "q08_market_share", "q10_returned_items",
+    "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_count", "q17_small_quantity",
+    "q19_discounted_revenue", "q20_promotion_suppliers",
+    "q21_waiting_supplier", "q22_customers_without_orders",
+    "q_monthly_orders", "q_brand_top_parts", "q_cube_order_stats",
+    "gmf_eval_family", "inversion_crosspol", "lut_regrid",
+    "ancillary_wind_join", "streak_direction",
+    "embedding_cosine_neardup", "exact_dedup",
+    # (b) round-8 additions and behavior-touched queries:
+    # doc_crossdup_exact is new (block range-min exact cross-doc
+    # LCP); the drift pair's `drifted` is now a concrete boolean;
+    # the winnow pair gained the in-plan oversize-cap raise; the
+    # suffix pair rides the enforced rounds guard + n-threaded
+    # oracle ladder; the ANN family's search probe is now a
+    # distributed Arrow pass + JVM ADC fold (no driver collect);
+    # the rest moved onto the spark.xsarsea.scratch.dir conf root.
+    "doc_crossdup_exact",
+    "embedding_drift_monitor", "stream_drift_gate",
+    "doc_winnowing", "doc_winnow_neardup",
+    "doc_longest_dup_span", "doc_source_crossdup_matrix",
+    "pq_ann", "ivfpq_ann", "ivfpq_ann_recall", "ivfpq_incremental",
+    "doc_classifier_score", "stream_classifier_train",
+    "embedding_pca_incremental", "doc_bpe_artifact_encode",
+    "curated_table_maintain", "stream_curated_ingest",
+    "stream_neardup_ingest", "documents_jsonl_roundtrip",
+    "documents_csv_roundtrip", "documents_orc_roundtrip",
+    # (c) the 5 perf-suspect queries from VERDICT r7 (plans audited
+    # clean; quiet-host re-probed this round) — green rows double as
+    # regression insurance while their timings are re-attributed:
+    "embedding_pca_whiten", "embedding_pca_project", "doc_bigram_lm",
+    "benchmark_contamination", "ivf_ann",
 ]
 
 

@@ -126,3 +126,18 @@ def test_gradients_tile_conf_round_trip(spark):
         spark.conf.unset("spark.xsarsea.gradients.tile")
         spark.conf.unset("spark.xsarsea.gradients.halo")
     assert got == want
+
+
+def test_scratch_path_respects_conf_and_isolates_keys(spark):
+    from xsarsea_spark.engine import scratch_path
+
+    default = scratch_path(spark, "idx", "/data/a")
+    assert default.startswith("/tmp/xsarsea_idx_")
+    assert default != scratch_path(spark, "idx", "/data/b")
+    spark.conf.set("spark.xsarsea.scratch.dir", "/tmp/sessA/")
+    try:
+        moved = scratch_path(spark, "idx", "/data/a")
+        assert moved.startswith("/tmp/sessA/xsarsea_idx_")
+        assert moved.rsplit("_", 1)[1] == default.rsplit("_", 1)[1]
+    finally:
+        spark.conf.unset("spark.xsarsea.scratch.dir")

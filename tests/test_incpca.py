@@ -123,3 +123,35 @@ def test_stream_absorb_versioning_is_replay_safe(spark, tmp_path):
     final = spark.read.parquet(os.path.join(state_dir, "v1"))
     oneshot = moment_state(emb, d=64)
     assert _state_rows(final) == _state_rows(oneshot)
+
+
+def test_zero_variance_dim_with_shift_is_drifted_not_null(spark):
+    """A historically-constant dimension whose batch mean moved must
+    flag drifted=true (z_shift stays NULL — nothing to standardize
+    by), and one that did NOT move must flag false: `drifted` is a
+    concrete boolean everywhere so filter(drifted) never silently
+    skips a dimension."""
+    from pyspark.sql import functions as F
+
+    from xsarsea_spark.pipeline.incpca import drift_report, moment_state
+
+    d = 4
+    # dims 1..4 (1-based): dim 1 constant->shifted, dim 2 constant->
+    # constant same value, dims 3-4 varying, dim 4 shifted hard
+    hist = spark.range(2000).select(
+        F.col("id").alias("vec_id"),
+        F.expr("array(0.25D, -1.0D,"
+               " ((id * 37) % 97) / 97.0D,"
+               " ((id * 11) % 89) / 89.0D)").alias("embedding"))
+    batch = spark.range(2000, 2500).select(
+        F.col("id").alias("vec_id"),
+        F.expr("array(0.75D, -1.0D,"
+               " ((id * 37) % 97) / 97.0D,"
+               " ((id * 11) % 89) / 89.0D + 9.0D)").alias("embedding"))
+    rep = {r["dim"]: r for r in drift_report(
+        moment_state(hist, d=d), moment_state(batch, d=d)).collect()}
+    assert rep[1]["z_shift"] is None and rep[1]["drifted"] is True
+    assert rep[2]["z_shift"] is None and rep[2]["drifted"] is False
+    assert rep[4]["drifted"] is True
+    for r in rep.values():
+        assert r["drifted"] is not None

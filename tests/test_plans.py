@@ -391,3 +391,43 @@ def test_classifier_plans_are_scale_safe(spark):
     for ln in plan.splitlines():
         if "Window" in ln and "WindowGroupLimit" not in ln:
             assert "__pid" in ln, f"corpus-wide window in AUC: {ln}"
+
+
+def test_ann_search_probe_is_distributed_not_collected(spark):
+    """pq_search / ivfpq_search deploy shape: the per-query ADC
+    tables are a distributed Arrow pass (MapInPandas in-plan) joined
+    against the codes — never a driver collect of the query batch —
+    the ADC fold runs JVM-side (no Python node on the corpus-scan
+    side), and the top-k rank filter collapses to WindowGroupLimit
+    so each scan partition ships at most k candidates per query."""
+    import numpy as np
+
+    from xsarsea_spark.pipeline.ivfpq import (encode_ivfpq,
+                                              ivfpq_search,
+                                              train_ivfpq)
+    from xsarsea_spark.pipeline.pq import encode_pq, pq_search, train_pq
+
+    from xsarsea_spark.engine import materialize
+
+    emb = (spark.read.parquet(f"{SF}/embeddings.parquet")
+           .filter("vec_id < 200"))
+    q = emb.filter("vec_id < 5")
+
+    # materialize the encoded index, as a deploy persists postings —
+    # the encoder's own Arrow pass must not count against the search
+    books = train_pq(emb, m=4, k=4, iters=1)
+    flat = pq_search(q, materialize(encode_pq(emb, books)), books, k=3)
+    coarse, rbooks = train_ivfpq(emb, n_cells=4, m=4, k=4, iters=1)
+    ivf = ivfpq_search(q, materialize(encode_ivfpq(emb, coarse, rbooks)),
+                       coarse, rbooks, k=3, n_probe=2)
+    for df in (flat, ivf):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan, "probe tables must be in-plan"
+        assert "WindowGroupLimit" in plan, \
+            "top-k must prune map-side before the exchange"
+        assert "BroadcastNestedLoopJoin" in plan \
+            or "BroadcastHashJoin" in plan, \
+            "probe tables should broadcast by default"
+        # the lone Python node is the O(batch) query-side probe; the
+        # corpus/codes side must stay whole-stage JVM
+        assert plan.count("MapInPandas") == 1

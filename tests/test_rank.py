@@ -115,3 +115,23 @@ def test_global_rank_running_sums_match_window(spark, parts):
                 "id", F.sum("d").over(w).alias("cd"),
                 F.sum("v").over(w).alias("cv")).collect()}
     assert got == want
+
+
+def test_prefix_max_debug_check_rejects_duplicate_keys(spark):
+    """spark.xsarsea.debug.checks=true turns the documented
+    unique-keys contract into a loud failure: ties straddling a
+    range-partition boundary would corrupt the exclusive frame, so a
+    caller with duplicate keys must not get silent wrong maxima."""
+    dup = spark.range(200).select(
+        (F.col("id") % 50).alias("k"),
+        F.col("id").cast("double").alias("v"))
+    uniq = spark.range(200).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"))
+    spark.conf.set("spark.xsarsea.debug.checks", "true")
+    try:
+        with pytest.raises(ValueError, match="not unique"):
+            prefix_max(dup, [F.col("k")], "v", "pm", partitions=8)
+        out = prefix_max(uniq, [F.col("k")], "v", "pm", partitions=8)
+        assert out.count() == 200
+    finally:
+        spark.conf.set("spark.xsarsea.debug.checks", "false")

@@ -1,0 +1,105 @@
+"""Suffix-array contract guards."""
+from __future__ import annotations
+
+import pytest
+
+
+def test_rounds_too_small_for_corpus_raises(spark):
+    """2^rounds < max tokens per doc leaves final ranks unrefined —
+    the SA adjacency could miss the true max-LCP pair — so the
+    contract raises instead of silently underreporting."""
+    from xsarsea_spark.pipeline.suffix import suffix_rank_tables
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20))), (2, "a b c")],
+        "doc_id long, text string")
+    with pytest.raises(ValueError, match="rounds=3"):
+        suffix_rank_tables(docs, rounds=3)
+    # 2^5 = 32 >= 20: fine
+    tables = suffix_rank_tables(docs, rounds=5)
+    assert len(tables) == 6
+
+
+def test_longest_dup_span_finds_planted_repeat(spark):
+    """A 6-token span planted in two docs is reported verbatim for
+    both, and a doc with no repeated token reports (0, '')."""
+    from xsarsea_spark.pipeline.suffix import longest_dup_span
+
+    span = "the quick brown fox jumps high"
+    docs = spark.createDataFrame(
+        [(1, f"alpha {span} beta gamma"),
+         (2, f"delta epsilon {span} zeta"),
+         (3, "unique tokens only here now")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["longest_dup_tokens"], r["dup_text"])
+           for r in longest_dup_span(docs, rounds=4).collect()}
+    assert got[1] == (6, span)
+    assert got[2] == (6, span)
+    assert got[3] == (0, "")
+
+
+def _brute_cross_lcp(corpus: dict[int, list[str]]) -> dict:
+    """Exact per-position cross-doc LCP by brute force."""
+    out = {}
+    for d, toks in corpus.items():
+        for p in range(len(toks)):
+            best = 0
+            for e, other in corpus.items():
+                if e == d:
+                    continue
+                for q in range(len(other)):
+                    ln = 0
+                    while (p + ln < len(toks) and q + ln < len(other)
+                           and toks[p + ln] == other[q + ln]):
+                        ln += 1
+                    best = max(best, ln)
+            out[(d, p + 1)] = best
+    return out
+
+
+def test_cross_doc_lcp_matches_brute_force(spark):
+    """Per-position exact cross-document LCP == brute force over all
+    (position, foreign position) pairs — including positions the SA
+    adjacency alone would score 0 (no foreign neighbor), which is
+    exactly what the block range-min upgrade buys."""
+    from xsarsea_spark.pipeline.suffix import (adjacent_lcp,
+                                               cross_doc_lcp,
+                                               sa_adjacent_pairs,
+                                               suffix_rank_tables)
+    from pyspark.sql import functions as F
+
+    texts = {
+        1: "x x q w e r t y x x",
+        2: "a b q w e r z a b",
+        3: "m n o p q w m n",
+        4: "zz yy xx ww vv",          # shares nothing
+        5: "x x q w e r t y x x",     # full duplicate of doc 1
+        # five 'k1 k2 *' suffixes + ONE foreign 'k1 k2' suffix: the
+        # SA block has a same-doc run of >= 3, whose middle entries
+        # sit in no cross-doc adjacent pair — adjacency scores them
+        # 0, the range-min scores them 2
+        6: "k1 k2 a1 k1 k2 b1 k1 k2 c1 k1 k2 d1 k1 k2 e1",
+        7: "k1 k2 z9",
+    }
+    corpus = {d: t.split(" ") for d, t in texts.items()}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string")
+    got = {(r["doc_id"], r["pos"]): r["cross_lcp"]
+           for r in cross_doc_lcp(docs, rounds=4).collect()}
+    want = _brute_cross_lcp(corpus)
+    assert got == want
+
+    # and the adjacency-only score is a (sometimes strict) lower
+    # bound per position: the upgrade must dominate it somewhere
+    lens = docs.selectExpr("doc_id",
+                           "size(split(text, ' ')) AS __len")
+    tables = suffix_rank_tables(docs, 4)
+    lcps = (adjacent_lcp(sa_adjacent_pairs(tables[-1]), tables, lens)
+            .filter("da != db").collect())
+    adj = {k: 0 for k in want}
+    for r in lcps:
+        adj[(r["da"], r["pa"])] = max(adj[(r["da"], r["pa"])], r["lcp"])
+        adj[(r["db"], r["pb"])] = max(adj[(r["db"], r["pb"])], r["lcp"])
+    assert all(adj[k] <= want[k] for k in want)
+    assert any(adj[k] < want[k] for k in want), \
+        "corpus should exercise positions adjacency alone misses"

@@ -209,3 +209,34 @@ def test_winnowing_guarantee_and_density(spark):
     n_tokens = 4 + (w + k - 1) + 4
     n_windows = (n_tokens - k + 1) - (w - 1)
     assert len([r for r in fp if r["doc_id"] == 1]) <= n_windows
+
+
+def test_winnow_oversize_doc_raises_not_silently_dropped(spark):
+    """A document past the 2^20-token position-encoding cap must
+    RAISE in-plan — an unindexable doc that silently emits zero
+    fingerprints could never match anything and the pipeline would
+    read that as 'unique'."""
+    import pytest
+
+    from xsarsea_spark.pipeline.text import winnow_fingerprints
+
+    big = " ".join(f"t{i % 7}" for i in range((1 << 20) + 4))
+    docs = spark.createDataFrame(
+        [(1, big)], "doc_id long, text string")
+    with pytest.raises(Exception, match="position-encoding cap"):
+        winnow_fingerprints(docs, k=5, w=4).collect()
+
+
+def test_winnow_cap_is_free_for_normal_docs(spark):
+    from xsarsea_spark.pipeline.text import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string")
+    fp = winnow_fingerprints(docs, k=3, w=3).collect()
+    assert fp
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(
+            (r["pos"], r["fp_hash"]))
+    assert by_doc[1] == by_doc[2]

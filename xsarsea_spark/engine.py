@@ -28,7 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["materialize", "get_conf", "get_conf_int", "CONF_CHECKPOINT_DIR"]
+__all__ = ["materialize", "get_conf", "get_conf_int", "CONF_CHECKPOINT_DIR",
+           "scratch_path", "CONF_SCRATCH_DIR"]
 
 CONF_CHECKPOINT_DIR = "spark.xsarsea.checkpoint.dir"
 
@@ -93,3 +94,24 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
             sc.setCheckpointDir(ckpt_dir)
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+CONF_SCRATCH_DIR = "spark.xsarsea.scratch.dir"
+
+
+def scratch_path(spark: SparkSession, name: str, key: str) -> str:
+    """Scratch directory for persisted operator state (indexes, weight
+    artifacts, streaming checkpoints built by the suite).
+
+    Root comes from ``spark.xsarsea.scratch.dir`` (default ``/tmp``) so
+    a deployment — or two sessions sharing one host — can isolate their
+    state without code edits; on a cluster point it at a DFS path.
+    ``key`` (usually the dataset directory) is hashed into the leaf so
+    runs against different datasets never collide even under the
+    default shared root.
+    """
+    import hashlib
+
+    root = get_conf(spark, CONF_SCRATCH_DIR, "/tmp").rstrip("/")
+    digest = hashlib.md5(key.encode()).hexdigest()[:12]
+    return f"{root}/xsarsea_{name}_{digest}"

@@ -35,11 +35,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from xsarsea_spark.engine import get_conf_int, materialize
+from xsarsea_spark.engine import get_conf, get_conf_int, materialize
 
 __all__ = ["global_rank", "ntile_distributed", "prefix_max"]
 
 CONF_RANK_PARTITIONS = "spark.xsarsea.rank.partitions"
+CONF_DEBUG_CHECKS = "spark.xsarsea.debug.checks"
 
 
 def global_rank(df: DataFrame, order_by: list[Column],
@@ -103,8 +104,24 @@ def prefix_max(df: DataFrame, order_by: list[Column], src: str,
     maxima + a cluster-sized offsets window + a local exclusive
     running max. NULL for the globally-first row. Order keys must be
     unique (max, unlike sum, is order-insensitive, but ties crossing
-    a range boundary would make the EXCLUSIVE frame ambiguous)."""
+    a range boundary would make the EXCLUSIVE frame ambiguous). The
+    contract is checked — not just documented — when
+    ``spark.xsarsea.debug.checks=true``: one count-vs-countDistinct
+    agg over the keys, raising on duplicates so a future caller
+    fails loudly instead of getting wrong running maxima (the check
+    needs plain ascending Columns, not ``.asc()`` sort orders — all
+    current callers comply)."""
     spark = df.sparkSession
+    if get_conf(spark, CONF_DEBUG_CHECKS, "false").lower() == "true":
+        chk = df.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.countDistinct(F.struct(*order_by)).alias("__d")).first()
+        if chk["__n"] != chk["__d"]:
+            raise ValueError(
+                "prefix_max: order_by keys are not unique "
+                f"({chk['__n']} rows, {chk['__d']} distinct keys) — "
+                "ties straddling a range-partition boundary make the "
+                "exclusive frame ambiguous; add a tie-breaking key")
     n = partitions or get_conf_int(
         spark, CONF_RANK_PARTITIONS,
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")))

@@ -178,7 +178,16 @@ def drift_report(hist_state: DataFrame,
     tables alone (never a corpus rescan). Value-exact cross-engine:
     DECIMAL-grid means, one IEEE sqrt, fixed op order. Shared by the
     batch monitor (``embedding_drift_monitor``) and the streaming
-    gate (``stream_drift_gate``)."""
+    gate (``stream_drift_gate``).
+
+    ``drifted`` is always a concrete boolean — downstream
+    ``filter(drifted)`` gates must never silently skip a dimension
+    because of a NULL. ``z_shift`` stays NULL when ``var_hist <= 0``
+    (no scale to standardize by), but such a dimension with ANY mean
+    shift is flagged drifted: a historically-constant dimension that
+    moved is the strongest drift signal there is, not a blind spot.
+    The means compare exactly — both engines recombine the
+    DECIMAL-grid sums in the same op order."""
     h = moment_stats(hist_state).select(
         "i", F.col("mu").alias("mu_hist"),
         F.col("var").alias("var_hist"))
@@ -193,9 +202,10 @@ def drift_report(hist_state: DataFrame,
         F.expr("CASE WHEN var_hist > 0 THEN (mu_batch - mu_hist)"
                " / sqrt(var_hist / CAST(n_batch AS DOUBLE)) END")
         .alias("z_shift"),
-        F.expr("abs(CASE WHEN var_hist > 0 THEN (mu_batch - mu_hist)"
-               " / sqrt(var_hist / CAST(n_batch AS DOUBLE)) END)"
-               " > 3.0D").alias("drifted"),
+        F.expr("CASE WHEN var_hist > 0 THEN"
+               " abs((mu_batch - mu_hist)"
+               " / sqrt(var_hist / CAST(n_batch AS DOUBLE))) > 3.0D"
+               " ELSE mu_batch <> mu_hist END").alias("drifted"),
     )
 
 

@@ -13,11 +13,16 @@ residual codebooks are ``pq.train_pq`` over the residual frame.
 
 Scale design (100 TB): the index is two small columns on the corpus
 (``cell`` int + ``codes`` m bytes); ``cell`` becomes the partition/
-bucket key so a probe reads only its cells' files; search broadcasts
-per-(query, probed-cell) ADC tables (n_q * n_probe * m * K doubles —
-corpus-independent), streams the probed codes once, and reduces
-per-partition top-k candidates. Training driver state is centroids +
-codebooks only. The exact-refine stage joins original vectors back
+bucket key so a probe reads only its cells' files. Search builds the
+per-(query, probed-cell) residual ADC tables (m * K doubles each —
+corpus-independent) in one O(batch) Arrow pass over the DISTRIBUTED
+query frame, equi-joins them on ``cell`` against the postings
+(broadcast by default; a batch too big to broadcast shuffle-joins
+co-partitioned with the cell-partitioned index), and evaluates the m
+lookups as a JVM-side ``aggregate`` fold whose top-k rank filter
+collapses to WindowGroupLimit. Training driver state is centroids +
+codebooks only — neither the corpus nor the query batch ever lands
+on the driver. The exact-refine stage joins original vectors back
 for the shortlist only (n_q * shortlist rows).
 
 Determinism and oracle parity: every float reduction is the
@@ -102,22 +107,28 @@ def ivfpq_search(queries: DataFrame, index: DataFrame,
                  k: int = 5, n_probe: int = 3,
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  corpus: DataFrame | None = None,
-                 shortlist: int | None = None) -> DataFrame:
+                 shortlist: int | None = None,
+                 broadcast_queries: bool = True) -> DataFrame:
     """Cell-probed ADC top-k over the (cell, codes) index.
 
     Per query: the ``n_probe`` nearest coarse cells (fold-ordered L2,
     ties -> lowest cell), one (m x K) ADC table per probed cell built
     from the RESIDUAL query ``q - centroid[cell]``, then every code
-    row in a probed cell costs m table lookups. With ``corpus``
-    given, the FAISS-style refine reranks the ``shortlist`` (default
-    10*k) by exact squared L2 on the original vectors. Returns
+    row in a probed cell costs m table lookups. The probe tables are
+    built by a distributed O(batch) Arrow pass and equi-joined on
+    ``cell`` — the query batch never lands on the driver (set
+    ``broadcast_queries=False`` to shuffle-join a huge batch instead
+    of broadcasting the tables). With ``corpus`` given, the
+    FAISS-style refine reranks the ``shortlist`` (default 10*k) by
+    exact squared L2 on the original vectors. Returns
     (query_id, rank, neighbor_id, adc_dist).
     """
     if corpus is not None:
         r = shortlist or 10 * k
         cand = ivfpq_search(queries, index, coarse, books, k=r,
                             n_probe=n_probe, vec_col=vec_col,
-                            id_col=id_col)
+                            id_col=id_col,
+                            broadcast_queries=broadcast_queries)
         qv = queries.select(F.col(id_col).alias("query_id"),
                             F.col(vec_col).alias("__qv"))
         cv = corpus.select(F.col(id_col).alias("neighbor_id"),
@@ -140,65 +151,68 @@ def ivfpq_search(queries: DataFrame, index: DataFrame,
             .select("query_id", "rank", "neighbor_id", "adc_dist")
         )
 
-    spark = queries.sparkSession
     m, kk, sub = books.shape
-    q_rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    qv = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    d2c = _seq_sqdist(qv, np.ascontiguousarray(coarse))
-    # ascending stable argsort: a tie keeps the lowest cell, matching
-    # the oracle's ORDER BY d2 ASC, cell ASC
-    probed = np.argsort(d2c, axis=1, kind="stable")[:, :n_probe]
-    tabs = np.empty((len(q_ids), n_probe, m, kk))
-    for j in range(n_probe):
-        r = qv - coarse[probed[:, j]]
-        for s_i in range(m):
-            sl = slice(s_i * sub, (s_i + 1) * sub)
-            tabs[:, j, s_i, :] = _seq_sqdist(r[:, sl], books[s_i])
-    bc = spark.sparkContext.broadcast((q_ids, probed, tabs))
+    co = np.ascontiguousarray(coarse)
 
-    out_schema = T.StructType([
+    tab_schema = T.StructType([
         T.StructField("query_id", T.LongType()),
-        T.StructField("neighbor_id", T.LongType()),
-        T.StructField("adc_dist", T.DoubleType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("__tab", T.ArrayType(T.DoubleType())),
     ])
-    take = k
 
-    def gen(batches):
-        ids, prb, tb = bc.value
-        # cell -> [(query row, probe slot)] — which queries probe it
-        by_cell: dict[int, list] = {}
-        for qi in range(len(ids)):
-            for j in range(prb.shape[1]):
-                by_cell.setdefault(int(prb[qi, j]), []).append((qi, j))
+    def q_tables(batches):
+        # per (query, probed cell) ONE flattened (m * K) RESIDUAL
+        # distance table — O(batch * n_probe) work, corpus-
+        # independent; the query batch never lands on the driver
+        # (only the coarse centroids + codebooks are shipped, and
+        # those are bounded by the index config, not the data)
         for pdf in batches:
-            rows = []
-            cells = pdf["cell"].to_numpy()
-            nid = pdf[id_col].to_numpy()
-            codes = np.stack([np.asarray(x, dtype=np.int64)
-                              for x in pdf["codes"]])
-            for c in np.unique(cells):
-                hits = by_cell.get(int(c))
-                if not hits:
-                    continue
-                msk = cells == c
-                cc, nn = codes[msk], nid[msk]
-                for qi, j in hits:
-                    # ascending-s zero-init accumulation — the SQL
-                    # list_reduce(list(td ORDER BY s)) fold
-                    dist = np.zeros(cc.shape[0])
-                    for s_i in range(m):
-                        dist += tb[qi, j, s_i, cc[:, s_i]]
-                    # per-partition preselect; ties must order by
-                    # neighbor_id (lexsort) like the global rank
-                    part = np.lexsort((nn, dist))[:min(take, len(nn))]
-                    rows.extend(
-                        (int(ids[qi]), int(nn[xi]), float(dist[xi]))
-                        for xi in part)
-            yield pd.DataFrame(
-                rows, columns=["query_id", "neighbor_id", "adc_dist"])
+            if len(pdf) == 0:
+                continue
+            qv = np.stack([np.asarray(x, dtype=np.float64)
+                           for x in pdf[vec_col]])
+            qid = pdf[id_col].to_numpy()
+            d2c = _seq_sqdist(qv, co)
+            # ascending stable argsort: a tie keeps the lowest cell,
+            # matching the oracle's ORDER BY d2 ASC, cell ASC
+            probed = np.argsort(d2c, axis=1, kind="stable")[:, :n_probe]
+            out_q, out_c, out_t = [], [], []
+            for j in range(n_probe):
+                r = qv - co[probed[:, j]]
+                tabs = np.empty((len(qid), m, kk))
+                for s_i in range(m):
+                    sl = slice(s_i * sub, (s_i + 1) * sub)
+                    tabs[:, s_i, :] = _seq_sqdist(r[:, sl], books[s_i])
+                out_q.append(qid)
+                out_c.append(probed[:, j].astype(np.int32))
+                out_t.extend(tabs.reshape(len(qid), m * kk))
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "cell": np.concatenate(out_c),
+                "__tab": out_t,
+            })
 
-    cand = index.mapInPandas(gen, schema=out_schema)
+    qtab = queries.select(id_col, vec_col).mapInPandas(
+        q_tables, schema=tab_schema)
+    qtab = F.broadcast(qtab) if broadcast_queries else qtab
+    # equi-join on cell: a posting row meets exactly the queries that
+    # probe its cell — the IVF pruning IS the join key, so with
+    # cell-partitioned postings a probe reads only its cells' files.
+    # JVM-side ADC: m lookups folded ascending-s with a 0d init (the
+    # oracle's list_reduce order, bit-equal to the old Arrow kernel);
+    # the codes never cross into Python.
+    adc = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0d, (acc, s) -> acc"
+        f" + element_at(__tab, CAST(s * {kk}"
+        " + element_at(codes, s + 1) + 1 AS INT)))")
+    cand = (index.withColumn("cell", F.col("cell").cast("int"))
+            .join(qtab, on="cell")
+            .select("query_id",
+                    F.col(id_col).alias("neighbor_id"),
+                    adc.alias("adc_dist")))
+    # rank <= k collapses to WindowGroupLimit: each probed partition
+    # pre-selects its own top-k per query map-side (ties resolved by
+    # neighbor_id), bounding the exchange like the old preselect
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc())
     return (

@@ -12,10 +12,13 @@ lookups — no float math against the corpus at all.
 Scale design (100 TB): training folds map-side partial sums through
 one bounded (M*K*sub) reduction per Lloyd round (same shape as
 pipeline.ivf.train_ivf); encoding is one mapInPandas pass; search
-broadcasts only the per-query distance TABLES (n_q * M * K doubles —
-independent of corpus size), streams the codes table once, and
-reduces per-partition top-k candidates. Everything driver-side is
-bounded by the codebook, never the corpus.
+builds the per-query distance TABLES (M * K doubles each —
+independent of corpus size) in one O(batch) Arrow pass over the
+DISTRIBUTED query frame, broadcast-joins them against the codes
+table, and evaluates the M lookups as a JVM-side ``aggregate`` fold
+whose top-k rank filter collapses to WindowGroupLimit (map-side k
+per query per partition). Driver state is the codebook, never the
+corpus OR the query batch.
 
 Determinism and oracle parity: centroid init is the first K vectors
 in id order; every subspace distance accumulates left-to-right over
@@ -164,14 +167,23 @@ def pq_search(queries: DataFrame, codes: DataFrame, books: np.ndarray,
               k: int = 5, vec_col: str = "embedding",
               id_col: str = "vec_id",
               corpus: DataFrame | None = None,
-              shortlist: int | None = None) -> DataFrame:
+              shortlist: int | None = None,
+              broadcast_queries: bool = True) -> DataFrame:
     """ADC top-k: per query one exact (m x K) subspace distance table,
     corpus distances are m integer-indexed lookups into it.
 
     Returns (query_id, rank, neighbor_id, adc_dist) — approximate
-    squared L2. The query table block is collected (bounded: the query
-    set is the small side by contract, as in embedding_knn) and
-    broadcast; per-partition top-k bounds the reduce input.
+    squared L2. Deploy shape: the distance tables are built by ONE
+    O(batch) Arrow pass over the DISTRIBUTED query frame (the query
+    batch never lands on the driver — only the codebook, which is
+    corpus- and batch-independent, is broadcast to it), then
+    broadcast-joined against the codes table with the m lookups as a
+    JVM-side ``aggregate`` fold — the corpus codes never cross into
+    Python. The top-k rank filter collapses to WindowGroupLimit, so
+    each scan partition ships at most k candidates per query into
+    the final exchange. For a query batch too big to broadcast, pass
+    ``broadcast_queries=False`` and the same plan runs as a shuffle
+    join.
 
     With ``corpus`` given, runs the FAISS-style refine stage: ADC
     produces a ``shortlist`` (default 10*k) per query, the original
@@ -185,7 +197,8 @@ def pq_search(queries: DataFrame, codes: DataFrame, books: np.ndarray,
     if corpus is not None:
         r = shortlist or 10 * k
         cand = pq_search(queries, codes, books, k=r, vec_col=vec_col,
-                         id_col=id_col)
+                         id_col=id_col,
+                         broadcast_queries=broadcast_queries)
         qv = queries.select(F.col(id_col).alias("query_id"),
                             F.col(vec_col).alias("__qv"))
         cv = corpus.select(F.col(id_col).alias("neighbor_id"),
@@ -207,50 +220,49 @@ def pq_search(queries: DataFrame, codes: DataFrame, books: np.ndarray,
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "adc_dist")
         )
-    spark = queries.sparkSession
     m, kk, sub = books.shape
-    q_rows = queries.select(id_col, vec_col).orderBy(id_col).collect()
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    qv = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    # (n_q, m, K) distance tables — independent of corpus size
-    tables = np.empty((len(q_ids), m, kk))
-    for s_i in range(m):
-        sl = slice(s_i * sub, (s_i + 1) * sub)
-        tables[:, s_i, :] = _seq_sqdist(qv[:, sl], books[s_i])
-    bc = spark.sparkContext.broadcast((q_ids, tables))
 
-    out_schema = T.StructType([
+    tab_schema = T.StructType([
         T.StructField("query_id", T.LongType()),
-        T.StructField("neighbor_id", T.LongType()),
-        T.StructField("adc_dist", T.DoubleType()),
+        T.StructField("__tab", T.ArrayType(T.DoubleType())),
     ])
 
-    def gen(batches):
-        ids, tabs = bc.value
+    def q_tables(batches):
+        # per query ONE flattened (m * K) table of exact fold-ordered
+        # subspace distances — O(batch) work, corpus-independent
         for pdf in batches:
-            c = np.stack([np.asarray(x, dtype=np.int64)
-                          for x in pdf["codes"]])       # (n, m)
-            nid = pdf[id_col].to_numpy()
-            # dist[q, x] = sum_s tabs[q, s, c[x, s]]
-            dist = np.zeros((len(ids), c.shape[0]))
+            if len(pdf) == 0:
+                continue
+            qv = np.stack([np.asarray(x, dtype=np.float64)
+                           for x in pdf[vec_col]])
+            tabs = np.empty((len(pdf), m, kk))
             for s_i in range(m):
-                dist += tabs[:, s_i, c[:, s_i]]
-            # per-partition top-k per query bounds shuffle volume.
-            # Shared codes make exact ADC ties STRUCTURAL, so the
-            # preselection must order ties by neighbor_id (lexsort)
-            # or a boundary tie could evict the row the global
-            # (adc_dist, neighbor_id) rank keeps.
-            take = min(k, c.shape[0])
-            rows = []
-            for qi in range(len(ids)):
-                part = np.lexsort((nid, dist[qi]))[:take]
-                for xi in part:
-                    rows.append((int(ids[qi]), int(nid[xi]),
-                                 float(dist[qi, xi])))
-            yield pd.DataFrame(
-                rows, columns=["query_id", "neighbor_id", "adc_dist"])
+                sl = slice(s_i * sub, (s_i + 1) * sub)
+                tabs[:, s_i, :] = _seq_sqdist(qv[:, sl], books[s_i])
+            yield pd.DataFrame({
+                "query_id": pdf[id_col].to_numpy(),
+                "__tab": list(tabs.reshape(len(pdf), m * kk)),
+            })
 
-    cand = codes.mapInPandas(gen, schema=out_schema)
+    qtab = queries.select(id_col, vec_col).mapInPandas(
+        q_tables, schema=tab_schema)
+    qtab = F.broadcast(qtab) if broadcast_queries else qtab
+    # JVM-side ADC: m table lookups folded ascending-s with a 0d
+    # init — the same add order as the oracle's list_reduce and the
+    # old Arrow kernel, so values are bit-identical. The codes table
+    # itself never crosses into Python.
+    adc = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0d, (acc, s) -> acc"
+        f" + element_at(__tab, CAST(s * {kk}"
+        " + element_at(codes, s + 1) + 1 AS INT)))")
+    cand = (codes.crossJoin(qtab)
+            .select("query_id",
+                    F.col(id_col).alias("neighbor_id"),
+                    adc.alias("adc_dist")))
+    # rank <= k collapses to WindowGroupLimit: each scan partition
+    # pre-selects its own top-k per query map-side (ties resolved by
+    # neighbor_id), bounding the exchange to k rows per (query,
+    # partition) — the same bound the old Python preselect enforced
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc())
     return (

@@ -64,7 +64,7 @@ from xsarsea_spark.operators.rank import global_rank
 from xsarsea_spark.pipeline.text import HASH40_SQL
 
 __all__ = ["suffix_rank_tables", "sa_adjacent_pairs", "adjacent_lcp",
-           "longest_dup_span"]
+           "longest_dup_span", "cross_doc_lcp"]
 
 
 def _dense_rank(df: DataFrame, keys: list[str],
@@ -83,8 +83,13 @@ def suffix_rank_tables(docs: DataFrame, rounds: int,
                        id_col: str = "doc_id") -> list[DataFrame]:
     """Rank tables [t_0 .. t_rounds], each (id, p, r): t_k ranks
     token-suffixes by their first 2^k tokens (end-padded). Documents
-    longer than 2^rounds tokens would leave ranks unrefined —
-    callers pick ``rounds`` >= log2(max tokens per doc)."""
+    longer than 2^rounds tokens would leave ranks unrefined — the
+    SA adjacency could then miss the true max-LCP pair — so the
+    contract is ENFORCED: a corpus whose longest document exceeds
+    2^rounds tokens raises (one map-side max over the already-
+    materialized token table; callers pick ``rounds`` >=
+    ceil(log2(max tokens per doc)) — auto-raising instead would
+    silently desync callers' fixed-round replay oracles)."""
     h40 = HASH40_SQL.format(x="__w")
     toks = materialize(
         docs.filter(F.col(text_col).isNotNull())
@@ -92,6 +97,15 @@ def suffix_rank_tables(docs: DataFrame, rounds: int,
                     f"posexplode(split({text_col}, ' '))"
                     " AS (__p0, __w)")
         .selectExpr(id_col, "__p0 + 1 AS p", f"{h40} AS r"))
+    row = toks.groupBy().agg(F.max("p").alias("__mx")).first()
+    max_p = (row["__mx"] or 0) if row is not None else 0
+    if (1 << rounds) < max_p:
+        raise ValueError(
+            f"suffix_rank_tables: rounds={rounds} refines suffixes "
+            f"only to 2^{rounds}={1 << rounds} tokens but the longest "
+            f"document has {max_p}; pass rounds >= "
+            "ceil(log2(max tokens per doc)) so the final ranks order "
+            "all suffixes")
     tables = [toks]
     cur = toks
     for k in range(1, rounds + 1):
@@ -193,4 +207,81 @@ def longest_dup_span(docs: DataFrame, rounds: int = 7,
             "CAST(lcp AS BIGINT) AS longest_dup_tokens",
             f"array_join(slice(split({text_col}, ' '), CAST(pos AS"
             " INT), CAST(lcp AS INT)), ' ') AS dup_text")
+    )
+
+
+def cross_doc_lcp(docs: DataFrame, rounds: int,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, pos, cross_lcp): for EVERY token position, the EXACT
+    length of the longest prefix its suffix shares with a suffix of
+    a DIFFERENT document — the block range-min over the adjacent-LCP
+    array, distributed. This upgrades the SA-adjacent-pair statistic
+    (``doc_source_crossdup_matrix``) to exact per-position values:
+    adjacency alone only scores positions that happen to sit next to
+    a foreign suffix in SA order; the range-min scores all of them,
+    which is what cross-document duplication COVERAGE needs.
+
+    Construction (the classic nearest-different-document argument):
+    in SA order, maximal same-document runs partition the entries.
+    For an entry, the nearest foreign suffix on each side sits just
+    past its run boundary, and LCP(entry, that suffix) = min of the
+    adjacent-pair LCPs between them — LCP is the range-min of the
+    adjacent-LCP array. So ONE forward running min (from the left
+    boundary pair, inclusive) and ONE backward running min (to the
+    right boundary pair) per run give the exact value at every
+    position; nearest beats farther because adding pairs to the
+    range can only lower the min. A missing boundary (the corpus'
+    first/last run) carries a -1 sentinel through the min; the
+    result floors at 0 (a doc alone in the corpus shares nothing).
+
+    Scale: run ids ride :func:`global_rank`'s distributed running
+    sum (no corpus-wide window); the two running-min windows
+    partition by run, and a run is at most one document's token
+    count — the bound every per-doc window in the engine already
+    relies on. Everything is integer, so the DuckDB oracle replays
+    it bit-exactly.
+    """
+    from pyspark.sql.window import Window
+
+    lens = docs.filter(F.col(text_col).isNotNull()).selectExpr(
+        id_col, f"size(split({text_col}, ' ')) AS __len")
+    tables = suffix_rank_tables(docs, rounds, text_col=text_col,
+                                id_col=id_col)
+    ordered = global_rank(
+        tables[-1],
+        [F.col("r").asc(), F.col(id_col).asc(), F.col("p").asc()],
+        rank_col="__n")
+    # pair j spans SA entries (j, j+1); __n rides through the walk
+    a = ordered.selectExpr(f"{id_col} AS da", "p AS pa", "__n")
+    b = ordered.selectExpr(f"{id_col} AS db", "p AS pb",
+                           "__n - 1 AS __n")
+    lcps = adjacent_lcp(a.join(b, on="__n"), tables, lens,
+                        id_col=id_col)
+    prev = lcps.selectExpr("__n + 1 AS __n", "da AS __prev_doc",
+                           "lcp AS __lcp_prev")
+    nxt = lcps.selectExpr("__n", "lcp AS __lcp_next")
+    ent = (
+        ordered.select(id_col, "p", "__n")
+        .join(prev, on="__n", how="left")
+        .join(nxt, on="__n", how="left")
+        .withColumn("__chg", F.expr(
+            "CASE WHEN __prev_doc IS NULL"
+            f" OR __prev_doc != {id_col} THEN 1 ELSE 0 END"))
+    )
+    ent = global_rank(ent, [F.col("__n").asc()], rank_col="__nn",
+                      running_sums={"__run": "__chg"})
+    wb = (Window.partitionBy("__run").orderBy("__n")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy("__run").orderBy("__n")
+          .rowsBetween(0, Window.unboundedFollowing))
+    return (
+        ent
+        .withColumn("__b", F.min(F.expr("coalesce(__lcp_prev, -1L)"))
+                    .over(wb))
+        .withColumn("__f", F.min(F.expr("coalesce(__lcp_next, -1L)"))
+                    .over(wf))
+        .selectExpr(id_col, "p AS pos",
+                    "CAST(greatest(__b, __f, 0L) AS BIGINT)"
+                    " AS cross_lcp")
     )

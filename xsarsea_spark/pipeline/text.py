@@ -532,7 +532,11 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
     one gram, and BOTH engines decode (pos, hash) from the same
     integer (no argmin-by-tuple semantics to align). Docs with fewer
     than w grams yield no fingerprints (documented; the guarantee
-    needs a full window).
+    needs a full window). Docs with >= 2^20 tokens exceed the
+    position-encoding cap and RAISE in-plan (``raise_error``, zero
+    cost when absent) rather than silently emitting no fingerprints
+    — an unindexable doc must be visible, not quietly unmatchable;
+    pre-chunk oversize documents before fingerprinting.
 
     Scale: per-doc trailing-window min — the frame is doc-bounded,
     never corpus-wide; output is DISTINCT decoded fingerprints.
@@ -545,14 +549,18 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
         x=f"array_join(slice(__toks, p + 1, {k}), ' ')")
     g = (
         docs.withColumn("__toks", F.split(F.col(text_col), " "))
-        .filter(F.expr(f"size(__toks) >= {k}"
-                       f" AND size(__toks) < {B}"))
+        .filter(F.expr(f"size(__toks) >= {k}"))
         .select(id_col, "__toks",
                 F.explode(F.expr(
                     f"sequence(0, size(__toks) - {k})")).alias("p"))
         .select(id_col, "p",
-                F.expr(f"({gram_h}) * {B}L"
-                       f" + ({B} - 1 - p)").alias("__key"))
+                F.expr(f"CASE WHEN size(__toks) < {B}"
+                       f" THEN ({gram_h}) * {B}L"
+                       f" + ({B} - 1 - p)"
+                       " ELSE raise_error('winnow_fingerprints:"
+                       " document exceeds the 2^20-token"
+                       " position-encoding cap; pre-chunk oversize"
+                       " documents') END").alias("__key"))
     )
     win = Window.partitionBy(id_col).orderBy("p") \
         .rowsBetween(-(w - 1), 0)

@@ -963,10 +963,9 @@ def _roundtrip_profile(df: DataFrame) -> DataFrame:
     )
 
 
-def _rt_base(sf_dir: str, fmt: str) -> str:
-    import hashlib
-    return ("/tmp/xsarsea_docs_rt_" + fmt + "_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+def _rt_base(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    from xsarsea_spark.engine import scratch_path
+    return scratch_path(spark, "docs_rt_" + fmt, sf_dir)
 
 
 @spec(
@@ -981,7 +980,7 @@ def _rt_base(sf_dir: str, fmt: str) -> str:
 def q_documents_jsonl_roundtrip(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    base = _rt_base(sf_dir, "jsonl")
+    base = _rt_base(spark, sf_dir, "jsonl")
     docs.write.mode("overwrite").json(base)
     back = spark.read.schema(docs.schema).json(base)
     return _roundtrip_profile(back)
@@ -999,7 +998,7 @@ def q_documents_jsonl_roundtrip(spark: SparkSession,
 def q_documents_csv_roundtrip(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    base = _rt_base(sf_dir, "csv")
+    base = _rt_base(spark, sf_dir, "csv")
     # ignore*WhiteSpace default TRUE on both sides of Spark's CSV and
     # silently trims padded text — byte fidelity requires turning it
     # off explicitly (caught by the adversarial-corpus drift gate)
@@ -1032,7 +1031,7 @@ def q_documents_csv_roundtrip(spark: SparkSession,
 def q_documents_orc_roundtrip(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    base = _rt_base(sf_dir, "orc")
+    base = _rt_base(spark, sf_dir, "orc")
     docs.write.mode("overwrite").orc(base)
     back = spark.read.schema(docs.schema).orc(base)
     return _roundtrip_profile(back)

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from xsarsea_spark.engine import materialize
+from xsarsea_spark.engine import materialize, scratch_path
 from xsarsea_spark.pipeline.clustering import KM_SCALE
 from xsarsea_spark.pipeline.dedup import MINHASH_P, _BAND_MULT, _perm_params
 from xsarsea_spark.sources.tables import load
@@ -1971,8 +1971,7 @@ def q_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 k=_PQ_K, iters=_IVFPQ_ITERS)
     # persisted postings, partitioned by cell: a probe reads only its
     # cells' files at 100 TB
-    base = ("/tmp/xsarsea_ivfpq_idx_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    base = scratch_path(spark, "ivfpq_idx", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     encode_ivfpq(hist, coarse, books) \
         .write.partitionBy("cell").parquet(base)
@@ -2808,8 +2807,7 @@ def q_doc_classifier_score(spark: SparkSession,
     w = train_logreg(xy.filter(_CLF_TRAIN_WHERE),
                      rounds=_LOGREG_ROUNDS, lr=_LOGREG_LR,
                      qk=_LOGREG_QK, scale=_LOGREG_SCALE)
-    path = ("/tmp/xsarsea_clf_weights_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    path = scratch_path(spark, "clf_weights", sf_dir)
     save_weights(spark, w, path)
     return score_docs(xy.filter(_CLF_BATCH_WHERE),
                       load_weights(spark, path), qk=_LOGREG_QK)
@@ -3247,8 +3245,7 @@ def q_stream_classifier_train(spark: SparkSession,
                                                    save_weights,
                                                    z_expr)
 
-    base = ("/tmp/xsarsea_stream_clf_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    base = scratch_path(spark, "stream_clf", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     watch = os.path.join(base, "incoming")
     state = os.path.join(base, "state")
@@ -4313,8 +4310,7 @@ def q_embedding_pca_incremental(spark: SparkSession,
                                                pca_from_moments)
 
     emb = load(spark, sf_dir, "embeddings")
-    base = ("/tmp/xsarsea_pca_state_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    base = scratch_path(spark, "pca_state", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     prev = None
     for b in range(3):
@@ -4371,8 +4367,9 @@ SELECT dd AS dim, mu_hist, mu_batch, var_hist,
   mu_batch - mu_hist AS shift,
   CASE WHEN var_hist > 0 THEN (mu_batch - mu_hist)
     / sqrt(var_hist / CAST(n_batch AS DOUBLE)) END AS z_shift,
-  abs(CASE WHEN var_hist > 0 THEN (mu_batch - mu_hist)
-    / sqrt(var_hist / CAST(n_batch AS DOUBLE)) END) > 3.0 AS drifted
+  CASE WHEN var_hist > 0 THEN abs((mu_batch - mu_hist)
+    / sqrt(var_hist / CAST(n_batch AS DOUBLE))) > 3.0
+    ELSE mu_batch <> mu_hist END AS drifted
 FROM j
 """
 
@@ -4431,8 +4428,7 @@ def q_stream_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                moment_merge,
                                                moment_state)
 
-    base = ("/tmp/xsarsea_stream_drift_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    base = scratch_path(spark, "stream_drift", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     hist_path = os.path.join(base, "hist")
     state_dir = os.path.join(base, "state")
@@ -4835,8 +4831,7 @@ def q_doc_bpe_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     merges = bpe_train(docs, n_merges=_BPE_MERGES)
-    path = ("/tmp/xsarsea_bpe_artifact_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    path = scratch_path(spark, "bpe_artifact", sf_dir)
     shutil.rmtree(path, ignore_errors=True)
     bpe_save_merges(merges, path)
     return bpe_apply(docs, bpe_load_merges(spark, path))
@@ -4953,7 +4948,8 @@ def _sfx_lcp_ctes(mod: int = _SFX_MOD) -> list:
     parts += [
         f"ord AS MATERIALIZED (SELECT doc_id, p, ROW_NUMBER() OVER"
         f" (ORDER BY r, doc_id, p) AS n FROM t{_SFX_ROUNDS})",
-        "w0 AS MATERIALIZED (SELECT a.doc_id AS da, a.p AS pa, b.doc_id AS db,"
+        "w0 AS MATERIALIZED (SELECT a.n, a.doc_id AS da, a.p AS pa,"
+        " b.doc_id AS db,"
         " b.p AS pb, CAST(0 AS BIGINT) AS l"
         " FROM ord a JOIN ord b ON b.n = a.n + 1)",
     ]
@@ -4962,7 +4958,7 @@ def _sfx_lcp_ctes(mod: int = _SFX_MOD) -> list:
         h = 1 << k
         j += 1
         parts.append(
-            f"w{j} AS MATERIALIZED (SELECT q.da, q.pa, q.db, q.pb,"
+            f"w{j} AS MATERIALIZED (SELECT q.n, q.da, q.pa, q.db, q.pb,"
             f" CASE WHEN ta.r IS NOT NULL AND tb.r IS NOT NULL"
             f" AND ta.r = tb.r THEN q.l + {h} ELSE q.l END AS l"
             f" FROM w{j - 1} q"
@@ -4971,7 +4967,7 @@ def _sfx_lcp_ctes(mod: int = _SFX_MOD) -> list:
             f" LEFT JOIN t{k} tb ON tb.doc_id = q.db"
             f" AND tb.p = q.pb + q.l)")
     parts.append(
-        f"lc AS (SELECT q.da, q.pa, q.db, q.pb,"
+        f"lc AS (SELECT q.n, q.da, q.pa, q.db, q.pb,"
         f" LEAST(q.l, sa.ln - q.pa + 1, sb.ln - q.pb + 1) AS lcp"
         f" FROM w{j} q JOIN sl sa ON sa.doc_id = q.da"
         f" JOIN sl sb ON sb.doc_id = q.db)")
@@ -5090,6 +5086,92 @@ def q_doc_source_crossdup(spark: SparkSession,
         F.expr("CAST(SUM(lcp) AS BIGINT)").alias("sum_lcp"),
         F.expr("CAST(SUM(lcp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")
         .alias("mean_lcp"))
+
+
+# ----------------------------------------------------------------------
+# EXACT per-document cross-document duplication — the block range-min
+# upgrade over the SA-adjacent statistic: for EVERY token position,
+# the exact longest prefix its suffix shares with a DIFFERENT
+# document (nearest foreign suffix per side = run boundary; LCP =
+# range-min of adjacent LCPs, computed as two per-run running mins).
+# Adjacency alone scores only positions that happen to border a
+# foreign suffix in SA order; this scores all of them, giving true
+# cross-doc duplication COVERAGE per document. All-integer until the
+# final coverage division.
+# ----------------------------------------------------------------------
+
+
+def _sfx_cross_oracle() -> str:
+    parts = _sfx_lcp_ctes()
+    parts += [
+        # entry n picks up its boundary-adjacent pair LCPs: pair
+        # n-1 spans (n-1, n) — its da is the PREVIOUS entry's doc —
+        # and pair n spans (n, n+1)
+        "ent AS (SELECT o.doc_id, o.p, o.n,"
+        " lp.lcp AS lcp_prev, lp.da AS prev_doc, lq.lcp AS lcp_next"
+        " FROM ord o LEFT JOIN lc lp ON lp.n = o.n - 1"
+        " LEFT JOIN lc lq ON lq.n = o.n)",
+        "runs AS (SELECT *, SUM(CASE WHEN prev_doc IS NULL"
+        " OR prev_doc != doc_id THEN 1 ELSE 0 END)"
+        " OVER (ORDER BY n ROWS UNBOUNDED PRECEDING) AS run_id"
+        " FROM ent)",
+        "cx AS (SELECT doc_id, p, GREATEST("
+        " MIN(COALESCE(lcp_prev, -1)) OVER (PARTITION BY run_id"
+        " ORDER BY n ROWS UNBOUNDED PRECEDING),"
+        " MIN(COALESCE(lcp_next, -1)) OVER (PARTITION BY run_id"
+        " ORDER BY n ROWS BETWEEN CURRENT ROW AND UNBOUNDED"
+        " FOLLOWING), 0) AS cross_lcp FROM runs)",
+        "agg AS (SELECT doc_id,"
+        " CAST(MAX(cross_lcp) AS BIGINT) AS max_cross_tokens,"
+        " CAST(COUNT(*) AS BIGINT) AS n_pos,"
+        f" CAST(SUM(CASE WHEN cross_lcp >= {_SXP_MIN} THEN 1 ELSE 0"
+        " END) AS BIGINT) AS n_covered FROM cx GROUP BY doc_id)",
+        "best AS (SELECT c.doc_id, CAST(MIN(c.p) AS BIGINT)"
+        " AS best_pos FROM cx c JOIN agg a ON a.doc_id = c.doc_id"
+        " AND c.cross_lcp = a.max_cross_tokens GROUP BY c.doc_id)",
+    ]
+    return ("WITH " + ",\n".join(parts) + """
+SELECT a.doc_id, a.max_cross_tokens, b.best_pos, a.n_pos, a.n_covered,
+  CAST(a.n_covered AS DOUBLE) / CAST(a.n_pos AS DOUBLE) AS coverage
+FROM agg a JOIN best b ON b.doc_id = a.doc_id""")
+
+
+@spec(
+    "doc_crossdup_exact",
+    _sfx_cross_oracle(),
+    description="Exact per-document cross-document duplication via "
+                "block range-min over the suffix-array adjacent-LCP "
+                "array: per position the exact longest span shared "
+                "with a DIFFERENT document (two per-run running mins "
+                "— runs are doc-bounded), rolled up to per-doc max, "
+                "argmax position and >= 5-token coverage — the exact "
+                "value the SA-adjacency statistic only lower-bounds "
+                "per position",
+    tags=("pipeline", "dedup", "curation", "iterative"),
+)
+def q_doc_crossdup_exact(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.suffix import cross_doc_lcp
+
+    docs = load(spark, sf_dir, "documents").filter(
+        f"text IS NOT NULL AND doc_id % {_SFX_MOD} = 0")
+    cx = cross_doc_lcp(docs, rounds=_SFX_ROUNDS)
+    agg = cx.groupBy("doc_id").agg(
+        F.expr("CAST(MAX(cross_lcp) AS BIGINT)")
+        .alias("max_cross_tokens"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_pos"),
+        F.expr(f"CAST(SUM(CASE WHEN cross_lcp >= {_SXP_MIN} THEN 1"
+               " ELSE 0 END) AS BIGINT)").alias("n_covered"))
+    best = (cx.join(agg.selectExpr("doc_id",
+                                   "max_cross_tokens AS __mx"),
+                    on="doc_id")
+            .filter("cross_lcp = __mx").groupBy("doc_id")
+            .agg(F.expr("CAST(MIN(pos) AS BIGINT)").alias("best_pos")))
+    return (agg.join(best, on="doc_id")
+            .selectExpr("doc_id", "max_cross_tokens", "best_pos",
+                        "n_pos", "n_covered",
+                        "CAST(n_covered AS DOUBLE)"
+                        " / CAST(n_pos AS DOUBLE) AS coverage"))
 
 
 # ----------------------------------------------------------------------
@@ -5566,8 +5648,7 @@ def q_curated_table_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("__rn = 1")
         .select("doc_id", "lang", "n_chars")
     )
-    base = ("/tmp/xsarsea_curated_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    base = scratch_path(spark, "curated", sf_dir)
     shutil.rmtree(base, ignore_errors=True)  # fresh maintenance cycle
     zcols = ["n_chars", "doc_id"]
     # batch 1: two thirds of the corpus; batch 2: the full curated set,
@@ -5653,8 +5734,7 @@ def q_stream_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from xsarsea_spark.pipeline.ingest import ingest_curated_batch
 
-    base = ("/tmp/xsarsea_stream_curated_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    base = scratch_path(spark, "stream_curated", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     table_dir = os.path.join(base, "table")
     bloom_path = os.path.join(base, "bloom.parquet")
@@ -5736,8 +5816,7 @@ def q_stream_neardup_ingest(spark: SparkSession,
 
     from xsarsea_spark.pipeline.ingest import ingest_neardup_batch
 
-    base = ("/tmp/xsarsea_stream_neardup_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    base = scratch_path(spark, "stream_neardup", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     seen_dir = os.path.join(base, "seen")
