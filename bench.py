@@ -134,23 +134,39 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     # wall budget: stop starting new reps once the next rep would
-    # likely blow it (estimated from the mean completed-rep time), so
-    # a driver-side timeout truncates to fewer FULL passes rather
-    # than killing bench mid-rep with no output at all
+    # likely blow it (estimated from the last completed rep), so a
+    # driver-side timeout truncates to fewer FULL passes rather than
+    # killing bench mid-rep with no output at all
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
+    # Slow-family tiering: medians-of-2 are really minima-of-2, so
+    # regressions on the majority were unattributable once the suite
+    # outgrew budget/3 per rep. One full pass covers EVERY query;
+    # queries whose first-pass time exceeds SLOW_SEC then bench at a
+    # single rep — explicitly reported below, never silently — which
+    # buys the attributable majority its 3+ reps back. The slow
+    # family is job-count-bound iterative work (BPE rounds, k-core
+    # peeling, suffix-array doubling) whose timings are the suite's
+    # most stable to begin with.
+    slow_cut = float(os.environ.get("SPARK_GRAFT_BENCH_SLOW_SEC",
+                                    "4.5"))
     wall0 = time.perf_counter()
     samples: dict[str, list[float]] = {n: [] for n in REGISTRY}
+    slow_1rep: set[str] = set()
+    rep_durs: list[float] = []
     reps_done = 0
     for rep in range(reps):
         if rep > 0:
             elapsed = time.perf_counter() - wall0
-            if elapsed + (elapsed / rep) > budget:
+            if elapsed + rep_durs[-1] > budget:
                 print(f"bench: stopping after {rep} reps "
                       f"({elapsed:.0f}s elapsed, budget {budget:.0f}s)",
                       file=sys.stderr)
                 break
         reps_done += 1
+        t_rep = time.perf_counter()
         for name, qs in sorted(REGISTRY.items()):
+            if rep > 0 and name in slow_1rep:
+                continue
             t0 = time.perf_counter()
             try:
                 df = qs.spark(spark, sf_dir)
@@ -161,6 +177,15 @@ def main() -> None:
                 continue
             samples[name].append(time.perf_counter() - t0)
             release_query_state()
+        rep_durs.append(time.perf_counter() - t_rep)
+        if rep == 0:
+            slow_1rep = {n for n, v in samples.items()
+                         if v and v[0] > slow_cut}
+            if slow_1rep:
+                print(f"bench: {len(slow_1rep)} slow queries "
+                      f"(> {slow_cut:.1f}s first pass) benched at "
+                      "1 rep: " + " ".join(sorted(slow_1rep)),
+                      file=sys.stderr)
 
     def robust(vals: list[float]) -> float:
         ok = [v for v in vals if v >= 0]
@@ -237,6 +262,8 @@ def main() -> None:
         json.dump({"metric": "suite_total", "value": total,
                    "unit": "sec", "queries": timings, "sf": sf_val,
                    "n_queries": len(timings), "reps": reps_done,
+                   "n_slow_1rep": len(slow_1rep),
+                   "slow_1rep": sorted(slow_1rep),
                    "wall_sec": wall_sec,
                    "samples": {n: [round(v, 3) for v in vs]
                                for n, vs in samples.items()},
@@ -256,6 +283,7 @@ def main() -> None:
             "queries": {n: round(timings[n], 2) for n in order[:k]},
             "n_queries": len(timings),
             "reps": reps_done,
+            "n_slow_1rep": len(slow_1rep),
             "wall_sec": wall_sec,
             "throughput": throughput,
             "sf": sf_val,

@@ -240,3 +240,22 @@ def test_winnow_cap_is_free_for_normal_docs(spark):
         by_doc.setdefault(r["doc_id"], set()).add(
             (r["pos"], r["fp_hash"]))
     assert by_doc[1] == by_doc[2]
+
+
+def test_mixture_reweight_semantics(spark):
+    """DoReMi-tilt invariants on the real suite query: weights form
+    a distribution, and the tilt is monotone — a source with larger
+    excess loss gets a strictly larger weight-to-baseline ratio
+    (that ratio IS exp(eta * excess) up to the shared normalizer)."""
+    from xsarsea_spark.suite import REGISTRY
+
+    rows = REGISTRY["doc_mixture_reweight"].spark(
+        spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) >= 2
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-9
+    assert all(r["weight"] > 0 for r in rows)
+    assert abs(sum(r["base_frac"] for r in rows) - 1.0) < 1e-9
+    by_excess = sorted(rows, key=lambda r: r["excess"])
+    ratios = [r["weight"] / r["base_frac"] for r in by_excess]
+    assert all(a < b + 1e-12 for a, b in zip(ratios, ratios[1:])), \
+        "tilt must be monotone in excess loss"

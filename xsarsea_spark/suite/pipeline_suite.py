@@ -4838,6 +4838,135 @@ def q_doc_bpe_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# DoReMi-style mixture reweighting (Xie et al. 2023, simplified to
+# one proxy signal): per-source EXCESS loss under the corpus bigram
+# LM — sources whose text the reference model finds harder than
+# average get exponentially upweighted from their baseline token
+# share (w_s ∝ base_frac_s * exp(eta * excess_s), normalized). This
+# computes the WEIGHTS the mixture queries consume
+# (doc_mixture_schedule turns weights into a training order,
+# doc_mixture_sample into keep rates).
+#
+# Determinism: per-source log-likelihoods are DECIMAL sums of the
+# QTRUNC'd bigram terms (order-independent); every rate/excess is a
+# fixed chain of single IEEE ops on identical inputs; exp passes the
+# QTRUNC barrier; and the normalization rides an INTEGER grid —
+# floor(raw * 1e12) to BIGINT, exact BIGINT total, one final
+# division — so the ~20-row sum can't disagree by add order.
+# Scale: the heavy part is the corpus bigram scoring already proven
+# by doc_bigram_lm; everything after is a sources-sized frame.
+# ----------------------------------------------------------------------
+
+_DRM_ETA = "4e0"
+_DRM_GRID = 12
+
+
+def _reweight_oracle() -> str:
+    from xsarsea_spark.suite.base import QTRUNC
+
+    g = QTRUNC(f"exp({_DRM_ETA} * excess)", 9)
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  WHERE len(string_split(text, ' ')) >= 2),
+bg AS (
+  SELECT doc_id, unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
+  FROM t),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+vocab AS (
+  SELECT COUNT(DISTINCT x) AS v
+  FROM (SELECT unnest(string_split(text, ' ')) AS x FROM documents)),
+scored AS (
+  SELECT doc_id, {{term}} AS term
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab),
+s AS (
+  SELECT d.source,
+    CAST(COUNT(DISTINCT sc.doc_id) AS BIGINT) AS n_docs,
+    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    SUM(CAST(sc.term AS DECIMAL(38,9))) AS ll
+  FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id
+  GROUP BY d.source),
+tot AS (SELECT SUM(n_tokens) AS tt, SUM(ll) AS tl FROM s),
+j AS (
+  SELECT source, n_docs, n_tokens,
+    CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE) AS base_frac,
+    -(CAST(ll AS DOUBLE)) / CAST(n_tokens AS DOUBLE) AS nll_rate,
+    (-(CAST(ll AS DOUBLE)) / CAST(n_tokens AS DOUBLE))
+      - (-(CAST(tl AS DOUBLE)) / CAST(tt AS DOUBLE)) AS excess
+  FROM s CROSS JOIN tot),
+k AS (
+  SELECT *, CAST(FLOOR(base_frac * {g} * 1e{_DRM_GRID}) AS BIGINT)
+    AS wq FROM j),
+den AS (SELECT SUM(wq) AS dd FROM k)
+SELECT source, n_docs, n_tokens, base_frac, nll_rate, excess,
+  CAST(wq AS DOUBLE) / CAST(dd AS DOUBLE) AS weight
+FROM k CROSS JOIN den
+"""
+
+
+@spec(
+    "doc_mixture_reweight",
+    _reweight_oracle().format(term=_bigram_term()),
+    description="DoReMi-style mixture reweighting: per-source excess "
+                "bigram-LM loss vs the corpus rate, exponentially "
+                "tilted from the baseline token share and normalized "
+                "on an integer grid — the weight vector the mixture "
+                "schedule/sample queries consume; DECIMAL "
+                "log-likelihood sums, QTRUNC'd exp, order-independent "
+                "normalization",
+    tags=("pipeline", "text", "lm", "sampling"),
+)
+def q_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.text import bigrams
+    from xsarsea_spark.suite.base import QTRUNC
+
+    docs = load(spark, sf_dir, "documents")
+    bg = bigrams(docs)
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = docs.selectExpr("explode(split(text, ' ')) AS x").agg(
+        F.countDistinct("x").alias("v"))
+    scored = (
+        bg.join(c12, on=["w1", "w2"])
+        .join(c1, on="w1")
+        .crossJoin(F.broadcast(vocab))
+        .selectExpr("doc_id", f"{_bigram_term()} AS term")
+    )
+    s = (
+        scored.join(docs.select("doc_id", "source"), on="doc_id")
+        .groupBy("source").agg(
+            F.expr("CAST(COUNT(DISTINCT doc_id) AS BIGINT)")
+            .alias("n_docs"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_tokens"),
+            F.expr("SUM(CAST(term AS DECIMAL(38,9)))").alias("__ll"))
+    )
+    tot = s.groupBy().agg(F.expr("SUM(n_tokens)").alias("__tt"),
+                          F.expr("SUM(__ll)").alias("__tl"))
+    g = QTRUNC(f"exp({_DRM_ETA} * excess)", 9)
+    j = (
+        s.crossJoin(F.broadcast(tot))
+        .withColumn("base_frac", F.expr(
+            "CAST(n_tokens AS DOUBLE) / CAST(__tt AS DOUBLE)"))
+        .withColumn("nll_rate", F.expr(
+            "-(CAST(__ll AS DOUBLE)) / CAST(n_tokens AS DOUBLE)"))
+        .withColumn("excess", F.expr(
+            "nll_rate - (-(CAST(__tl AS DOUBLE))"
+            " / CAST(__tt AS DOUBLE))"))
+        .withColumn("__wq", F.expr(
+            f"CAST(FLOOR(base_frac * {g} * 1e{_DRM_GRID}) AS BIGINT)"))
+    )
+    den = j.groupBy().agg(F.expr("SUM(__wq)").alias("__dd"))
+    return (
+        j.crossJoin(F.broadcast(den))
+        .selectExpr("source", "n_docs", "n_tokens", "base_frac",
+                    "nll_rate", "excess",
+                    "CAST(__wq AS DOUBLE) / CAST(__dd AS DOUBLE)"
+                    " AS weight")
+    )
+
+
+# ----------------------------------------------------------------------
 # Deterministic weighted mixture schedule — the training-order
 # interleave a data-mixture config compiles to (oversample
 # high-weight sources with low-discrepancy stride scheduling, the
