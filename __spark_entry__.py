@@ -84,6 +84,7 @@ _PRIORITY = [
     # distributed Arrow pass + JVM ADC fold (no driver collect);
     # the rest moved onto the spark.xsarsea.scratch.dir conf root.
     "doc_crossdup_exact", "doc_mixture_reweight",
+    "multimodal_phash_neardup", "minhash_band_sweep",
     "embedding_drift_monitor", "stream_drift_gate",
     "doc_winnowing", "doc_winnow_neardup",
     "doc_longest_dup_span", "doc_source_crossdup_matrix",
@@ -96,11 +97,11 @@ _PRIORITY = [
     # (c) the 5 perf-suspect queries from VERDICT r7 (plans audited
     # clean; quiet-host re-probed this round) — green rows double as
     # regression insurance while their timings are re-attributed:
-    # (benchmark_contamination ceded its slot to
-    # doc_mixture_reweight — cleared by the quiet-host probe like
-    # the rest, see BENCH_NOTES.md)
-    "embedding_pca_whiten", "embedding_pca_project", "doc_bigram_lm",
-    "ivf_ann",
+    # (benchmark_contamination / embedding_pca_whiten /
+    # embedding_pca_project ceded their slots to the round-8
+    # additions — all cleared by the quiet-host probe, see
+    # BENCH_NOTES.md)
+    "doc_bigram_lm", "ivf_ann",
 ]
 
 

@@ -91,23 +91,30 @@ def minhash_signatures(sh: DataFrame, k: int = 16,
     )
 
 
-def lsh_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_bands(sig: DataFrame, id_col: str = "doc_id",
+              rows_per_band: int = 2) -> DataFrame:
     """Banded signature table (id, band, bandhash) — the persistable
-    LSH state: each band hash combines the 2 signature rows of the
-    band. This is the table an incremental ingest keeps on disk and
-    probes new batches against."""
-    rows_per_band = 2
+    LSH state: each band hash combines the ``rows_per_band``
+    signature rows of the band (the r in the (b, r) S-curve; fewer
+    rows per band = more bands = higher recall, lower precision).
+    This is the table an incremental ingest keeps on disk and probes
+    new batches against.
+
+    The fold is a per-step-mod Horner chain, so any r stays inside
+    BIGINT ((P-1) * MULT + P < 2^61); at the default r=2 it is
+    bit-identical to the historical single-step hash every persisted
+    band table was written with."""
+    slots = [f"max(CASE WHEN slot = {s} THEN minh END)"
+             for s in range(rows_per_band)]
+    fold = slots[0]
+    for nxt in slots[1:]:
+        fold = f"(({fold}) * {_BAND_MULT} + {nxt}) % {MINHASH_P}"
     return (
         sig.withColumn("band",
                        F.expr(f"CAST(FLOOR(k / {rows_per_band}) AS INT)"))
         .withColumn("slot", F.expr(f"k % {rows_per_band}"))
         .groupBy(id_col, "band")
-        .agg(
-            F.expr(
-                f"(max(CASE WHEN slot = 0 THEN minh END) * {_BAND_MULT}"
-                f" + max(CASE WHEN slot = 1 THEN minh END)) % {MINHASH_P}"
-            ).alias("bandhash")
-        )
+        .agg(F.expr(fold).alias("bandhash"))
     )
 
 
@@ -134,11 +141,12 @@ def lsh_probe(batch_bands: DataFrame, state_bands: DataFrame,
 
 
 def lsh_candidates(sig: DataFrame, bands: int = 8,
-                   id_col: str = "doc_id") -> DataFrame:
-    """Banded LSH candidate pairs (id_a < id_b): band hash combines the
-    2 signature rows of each band; pairs come from a bucket self-join,
-    never an all-pairs cross join."""
-    b = lsh_bands(sig, id_col=id_col)
+                   id_col: str = "doc_id",
+                   rows_per_band: int = 2) -> DataFrame:
+    """Banded LSH candidate pairs (id_a < id_b): band hash combines
+    ``rows_per_band`` signature rows of each band; pairs come from a
+    bucket self-join, never an all-pairs cross join."""
+    b = lsh_bands(sig, id_col=id_col, rows_per_band=rows_per_band)
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(

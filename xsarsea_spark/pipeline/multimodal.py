@@ -29,7 +29,7 @@ from pyspark.sql import types as T
 __all__ = ["attach_payload", "extract_features", "decode_image",
            "decode_ppm", "decode_bmp", "attach_image_payload",
            "decode_features", "ahash_features", "phash_features",
-           "dct_int"]
+           "dct_int", "phash_neardup"]
 
 
 def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -472,3 +472,54 @@ def phash_features(mm: DataFrame, grid_w: int = 8,
 
     return mm.select("doc_id", "payload").mapInPandas(
         gen, schema=_PHASH_SCHEMA)
+
+
+def phash_neardup(ph: DataFrame, n_bands: int = 4,
+                  band_bits: int = 8,
+                  max_hamming: int = 3,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-image near-duplicate profile from a pHash frame
+    (``phash_features`` output): banded Hamming candidate join +
+    exact verify — the image twin of the MinHash-LSH text path.
+
+    The hash splits into ``n_bands`` contiguous ``band_bits``-bit
+    bands; candidate pairs share at least one band VALUE (an
+    equality join on (band, key) — never all-pairs). Pigeonhole
+    guarantees recall: ``max_hamming`` < n_bands differing bits
+    cannot dirty every band, so every pair within the threshold is a
+    candidate. Hamming distance is ``bit_count(a ^ b)`` on the
+    candidates only.
+
+    Returns one row per input image: (id, phash, n_candidates,
+    n_neardups, min_hamming) with min_hamming = -1 when the image
+    shares no band with anything — all BIGINT, bit-replicable.
+
+    Scale: the band table is n_images * n_bands rows of (band, key);
+    the join is hash-partitioned on the band key like every LSH
+    probe in the engine; verification touches candidates only.
+    """
+    bands = ph.select(
+        id_col, "phash",
+        F.explode(F.expr(f"sequence(0, {n_bands - 1})")).alias("b"))
+    k = bands.withColumn(
+        "key", F.expr(f"shiftright(phash, {band_bits} * b)"
+                      f" & {(1 << band_bits) - 1}"))
+    a = k.selectExpr("b", "key", f"{id_col} AS da", "phash AS pa")
+    x = k.selectExpr("b", "key", f"{id_col} AS db", "phash AS pb")
+    cand = (a.join(x, on=["b", "key"])
+            .filter("da != db")
+            .select("da", "db", "pa", "pb").distinct())
+    agg = cand.groupBy("da").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_candidates"),
+        F.expr(f"CAST(SUM(CASE WHEN bit_count(pa ^ pb)"
+               f" <= {max_hamming} THEN 1 ELSE 0 END) AS BIGINT)")
+        .alias("n_neardups"),
+        F.expr("CAST(MIN(bit_count(pa ^ pb)) AS BIGINT)")
+        .alias("min_hamming"))
+    return (ph.select(id_col, "phash")
+            .join(agg.withColumnRenamed("da", id_col),
+                  on=id_col, how="left")
+            .selectExpr(id_col, "phash",
+                        "COALESCE(n_candidates, 0L) AS n_candidates",
+                        "COALESCE(n_neardups, 0L) AS n_neardups",
+                        "COALESCE(min_hamming, -1L) AS min_hamming"))

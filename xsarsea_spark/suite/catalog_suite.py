@@ -401,6 +401,67 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# pHash near-duplicate profile — the image twin of the MinHash-LSH
+# text path: banded Hamming candidate join over the DCT hash (4 x
+# 8-bit bands; pigeonhole makes <= 3-bit recall exact), bit_count
+# verification on candidates only, per-image candidate/near-dup
+# counts and min Hamming. All-integer.
+# ----------------------------------------------------------------------
+
+_PND_BANDS, _PND_BITS, _PND_MAXH = 4, 8, 3
+
+
+def _mm_phash_neardup_oracle() -> str:
+    return f"""
+WITH ph AS ({_mm_phash_oracle()}),
+bands AS (SELECT doc_id, phash,
+            unnest(range(0, {_PND_BANDS})) AS b FROM ph),
+k AS (SELECT doc_id, phash, b,
+        (phash >> ({_PND_BITS} * b)) & {(1 << _PND_BITS) - 1} AS key
+      FROM bands),
+cand AS (SELECT DISTINCT a.doc_id AS da, x.doc_id AS db,
+           a.phash AS pa, x.phash AS pb
+         FROM k a JOIN k x ON x.b = a.b AND x.key = a.key
+           AND x.doc_id != a.doc_id),
+agg AS (SELECT da,
+    CAST(COUNT(*) AS BIGINT) AS n_candidates,
+    CAST(SUM(CASE WHEN bit_count(xor(pa, pb)) <= {_PND_MAXH}
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_neardups,
+    CAST(MIN(bit_count(xor(pa, pb))) AS BIGINT) AS min_hamming
+  FROM cand GROUP BY da)
+SELECT p.doc_id, p.phash,
+  COALESCE(a.n_candidates, 0) AS n_candidates,
+  COALESCE(a.n_neardups, 0) AS n_neardups,
+  COALESCE(a.min_hamming, -1) AS min_hamming
+FROM ph p LEFT JOIN agg a ON a.da = p.doc_id
+"""
+
+
+@spec(
+    "multimodal_phash_neardup",
+    _mm_phash_neardup_oracle(),
+    description="Image near-duplicate profile: banded Hamming "
+                "candidate join over the exact DCT pHash (4 x 8-bit "
+                "bands, pigeonhole-exact recall at <= 3 bits), "
+                "bit_count verify on candidates only — per-image "
+                "candidate/near-dup counts and min Hamming, the "
+                "image twin of the MinHash-LSH path",
+    tags=("pipeline", "multimodal", "dedup"),
+)
+def q_multimodal_phash_neardup(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.multimodal import (attach_image_payload,
+                                                   phash_features,
+                                                   phash_neardup)
+
+    docs = load(spark, sf_dir, "documents")
+    ph = phash_features(attach_image_payload(docs)).select(
+        "doc_id", "phash")
+    return phash_neardup(ph, n_bands=_PND_BANDS,
+                         band_bits=_PND_BITS, max_hamming=_PND_MAXH)
+
+
+# ----------------------------------------------------------------------
 # JPEG codec end-to-end under the driver gate: the Arrow kernel builds
 # a deterministic smooth image per doc (dims and knobs derived from
 # doc_id), round-trips it through the dependency-free baseline JPEG

@@ -443,6 +443,168 @@ def q_minhash_cross_snapshot(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
+# LSH band-parameter sweep — the S-curve tuning eval a production
+# near-dup pipeline runs before fixing (bands, rows): candidate
+# precision/recall of three band shapes over ONE shared signature
+# table, against exact-Jaccard ground truth. Truth = every pair
+# sharing >= 1 shingle scored exactly (a >= threshold pair MUST
+# share a shingle, so the equi-join is complete); the slice cap
+# bounds the genuinely quadratic truth set on this homogeneous
+# corpus (_SSJ_CAP precedent). All counts integer; the two ratios
+# are single divisions of exact integers.
+# ----------------------------------------------------------------------
+
+_BSW_MOD = 3          # doc_id slice cap for the exact-truth join
+_BSW_ROWS = (1, 2, 4)  # rows per band -> 16 / 8 / 4 bands
+
+
+def _band_fold_sql(r: int) -> str:
+    slots = [f"max(CASE WHEN k % {r} = {s} THEN minh END)"
+             for s in range(r)]
+    fold = slots[0]
+    for nxt in slots[1:]:
+        fold = f"(({fold}) * {_BAND_MULT} + {nxt}) % {MINHASH_P}"
+    return fold
+
+
+def _band_sweep_oracle() -> str:
+    perms = ", ".join(f"({k}, {a}, {b})" for k, (a, b) in
+                      ((k, _perm_params(k)) for k in range(_MH_K)))
+    h40 = _H40_DUCK.format(x="shingle")
+    parts = [
+        f"t AS (SELECT doc_id, string_split(text, ' ') AS l"
+        f" FROM documents WHERE text IS NOT NULL"
+        f" AND doc_id % {_BSW_MOD} = 0)",
+        f"""sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(len(l) - {_MH_N - 1}),
+      i -> l[i + 1] || ' ' || l[i + 2] || ' ' || l[i + 3])) AS shingle
+  FROM t)""",
+        f"perms AS (SELECT * FROM (VALUES {perms}) p(k, a, b))",
+        f"""sig AS (
+  SELECT doc_id, k, min((a * ({h40}) + b) % {MINHASH_P}) AS minh
+  FROM sh CROSS JOIN perms GROUP BY doc_id, k)""",
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh"
+        " GROUP BY doc_id)",
+        """pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON b.shingle = a.shingle
+    AND b.doc_id > a.doc_id
+  GROUP BY 1, 2)""",
+        f"""truth AS (
+  SELECT p.id_a, p.id_b FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.id_a
+  JOIN sizes sb ON sb.doc_id = p.id_b
+  WHERE p.n_inter / CAST(sa.n + sb.n - p.n_inter AS DOUBLE)
+    >= {_MH_T!r})""",
+        "nt AS (SELECT count(*) AS n_true FROM truth)",
+    ]
+    metrics = []
+    for r in _BSW_ROWS:
+        parts.append(
+            f"""bands{r} AS (
+  SELECT doc_id, CAST(FLOOR(k / {r}) AS INT) AS band,
+    {_band_fold_sql(r)} AS bandhash
+  FROM sig GROUP BY doc_id, CAST(FLOOR(k / {r}) AS INT))""")
+        parts.append(
+            f"""cand{r} AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands{r} l JOIN bands{r} r ON l.band = r.band
+    AND l.bandhash = r.bandhash AND l.doc_id < r.doc_id)""")
+        parts.append(
+            f"""m{r} AS (
+  SELECT CAST({r} AS BIGINT) AS rows_per_band,
+    CAST({_MH_K // r} AS BIGINT) AS n_bands,
+    CAST(COUNT(*) AS BIGINT) AS n_candidates,
+    CAST(COALESCE(SUM(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0
+         END), 0) AS BIGINT) AS n_hits
+  FROM cand{r} c LEFT JOIN truth t
+    ON t.id_a = c.id_a AND t.id_b = c.id_b)""")
+        metrics.append(f"SELECT * FROM m{r}")
+    u = " UNION ALL ".join(metrics)
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT rows_per_band, n_bands, n_candidates,
+  CAST(n_true AS BIGINT) AS n_true_pairs, n_hits,
+  CASE WHEN n_candidates = 0 THEN 0e0
+    ELSE CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE) END
+    AS precision,
+  CASE WHEN n_true = 0 THEN 0e0
+    ELSE CAST(n_hits AS DOUBLE) / CAST(n_true AS DOUBLE) END
+    AS recall
+FROM ({u}) CROSS JOIN nt""")
+
+
+@spec(
+    "minhash_band_sweep",
+    _band_sweep_oracle(),
+    description="LSH S-curve tuning eval: candidate precision/recall "
+                "of three band shapes (16x1, 8x2, 4x4) over one "
+                "shared MinHash signature table vs exact-Jaccard "
+                "ground truth on a capped slice — the parameter "
+                "sweep run before fixing (bands, rows) in a "
+                "production near-dup pipeline",
+    tags=("pipeline", "dedup", "eval"),
+)
+def q_minhash_band_sweep(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.dedup import (lsh_candidates,
+                                              minhash_signatures,
+                                              shingle)
+
+    docs = load(spark, sf_dir, "documents").filter(
+        f"text IS NOT NULL AND doc_id % {_BSW_MOD} = 0")
+    sh = shingle(docs, n=_MH_N)
+    sig = materialize(minhash_signatures(sh, k=_MH_K))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        sh.selectExpr("doc_id AS id_a", "shingle")
+        .join(sh.selectExpr("doc_id AS id_b", "shingle"), on="shingle")
+        .filter("id_b > id_a")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    truth = materialize(
+        pairs
+        .join(sizes.selectExpr("doc_id AS id_a", "n AS n_a"), on="id_a")
+        .join(sizes.selectExpr("doc_id AS id_b", "n AS n_b"), on="id_b")
+        .filter(f"n_inter / CAST(n_a + n_b - n_inter AS DOUBLE)"
+                f" >= {_MH_T!r}")
+        .select("id_a", "id_b"))
+    nt = truth.groupBy().agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_true_pairs"))
+    outs = []
+    for r in _BSW_ROWS:
+        cand = lsh_candidates(sig, rows_per_band=r)
+        outs.append(
+            cand.join(truth.withColumn("__hit", F.lit(1)),
+                      on=["id_a", "id_b"], how="left")
+            .groupBy()
+            .agg(F.expr("CAST(COUNT(*) AS BIGINT)")
+                 .alias("n_candidates"),
+                 F.expr("CAST(COALESCE(SUM(COALESCE(__hit, 0)), 0)"
+                        " AS BIGINT)")
+                 .alias("n_hits"))
+            .selectExpr(f"CAST({r} AS BIGINT) AS rows_per_band",
+                        f"CAST({_MH_K // r} AS BIGINT) AS n_bands",
+                        "n_candidates", "n_hits"))
+    swept = outs[0]
+    for o in outs[1:]:
+        swept = swept.unionByName(o)
+    return (
+        swept.crossJoin(F.broadcast(nt))
+        .selectExpr(
+            "rows_per_band", "n_bands", "n_candidates",
+            "n_true_pairs", "n_hits",
+            "CASE WHEN n_candidates = 0 THEN 0e0 ELSE"
+            " CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE)"
+            " END AS precision",
+            "CASE WHEN n_true_pairs = 0 THEN 0e0 ELSE"
+            " CAST(n_hits AS DOUBLE) / CAST(n_true_pairs AS DOUBLE)"
+            " END AS recall")
+    )
+
+
+# ----------------------------------------------------------------------
 # SimHash fingerprints
 # ----------------------------------------------------------------------
 
