@@ -259,3 +259,75 @@ def test_mixture_reweight_semantics(spark):
     ratios = [r["weight"] / r["base_frac"] for r in by_excess]
     assert all(a < b + 1e-12 for a, b in zip(ratios, ratios[1:])), \
         "tilt must be monotone in excess loss"
+
+
+def test_kn_heldout_lm_matches_hand_formula(spark):
+    """Interpolated KN on a tiny corpus == the formula computed by
+    hand from train counts: discounted ML + backoff weight *
+    continuation for seen histories, pure (floored) continuation for
+    unseen ones."""
+    import math
+
+    from xsarsea_spark.suite import REGISTRY
+    from xsarsea_spark.sources.tables import TABLES  # noqa: F401
+
+    # train = even ids, heldout = odd ids
+    rows = [
+        (0, "a b a b a c"),          # train
+        (2, "a b c a"),              # train
+        (1, "a b zz c"),             # heldout: seen, OOV-history, ...
+    ]
+    import pandas as pd
+    docs = spark.createDataFrame(
+        [(i, t, "src0", "en") for i, t in rows],
+        "doc_id long, text string, source string, lang string")
+
+    # replicate the suite query on this frame via its machinery
+    from xsarsea_spark.suite.pipeline_suite import _kn_term
+    from xsarsea_spark.pipeline.text import bigrams
+    from pyspark.sql import functions as F
+
+    train = docs.filter("doc_id % 2 = 0")
+    held = docs.filter("doc_id % 2 = 1")
+    tbg = bigrams(train)
+    c12 = tbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = tbg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"),
+                               F.countDistinct("w2").alias("n1w1"))
+    nc2 = tbg.groupBy("w2").agg(F.countDistinct("w1").alias("nc2"))
+    tots = (c12.groupBy().agg(F.count(F.lit(1)).alias("nctot"))
+            .crossJoin(train.selectExpr("explode(split(text, ' '))"
+                                        " AS x")
+                       .agg(F.countDistinct("x").alias("vtrain"))))
+    got = (bigrams(held)
+           .join(c12, on=["w1", "w2"], how="left")
+           .join(c1, on="w1", how="left")
+           .join(nc2, on="w2", how="left")
+           .crossJoin(F.broadcast(tots))
+           .selectExpr("w1", "w2", f"{_kn_term()} AS term").collect())
+
+    # hand model from train "a b a b a c" + "a b c a":
+    # bigrams: (a,b)x3 (b,a)x2 (a,c)x1 (b,c)x1 (c,a)x1
+    # -> c1: a=4, b=3, c=1; n1w1: a->{b,c}=2, b->{a,c}=2, c->{a}=1
+    # nc2: b<-{a}=1, a<-{b,c}=2, c<-{a,b}=2; nctot=5, vtrain=3
+    D, nctot, v = 0.75, 5, 3
+
+    def pcont(nc):
+        return (nc + 1) / (nctot + v)
+
+    def full(c12_, c1_, n1, nc):
+        return math.log(max(c12_ - D, 0) / c1_
+                        + D * n1 / c1_ * pcont(nc))
+
+    def q9(x):
+        return math.floor(x * 1e9) / 1e9
+
+    want = {
+        ("a", "b"): q9(full(3, 4, 2, 1)),
+        ("b", "zz"): q9(full(0, 3, 2, 0)),      # unseen pair, seen w1
+        ("zz", "c"): q9(math.log(pcont(2))),    # unseen history
+    }
+    got_map = {(r["w1"], r["w2"]): r["term"] for r in got}
+    assert set(got_map) == set(want)
+    for k in want:
+        assert abs(got_map[k] - want[k]) < 1e-12, (k, got_map[k],
+                                                   want[k])

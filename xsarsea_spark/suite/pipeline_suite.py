@@ -1637,6 +1637,122 @@ def _bigram_ll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM on a HELD-OUT split — the
+# smoother KenLM actually uses (modified KN; single-discount
+# interpolated form here), with proper train/test separation: counts
+# come from the even-doc_id half, scoring covers the odd half, so
+# the score is an honest generalization signal rather than training
+# recall (the add-one doc_bigram_lm scores in-sample by design).
+# Unseen histories back off to the continuation distribution; the
+# continuation distribution itself is add-one floored so OOV words
+# keep ln() finite.
+#
+# Determinism: every count is integer; the per-bigram term is ONE
+# shared expression string evaluated by both engines (identical
+# IEEE op order), passed through the QTRUNC barrier after ln, and
+# summed on the DECIMAL grid.
+# ----------------------------------------------------------------------
+
+_KN_D = "0.75e0"      # absolute discount
+
+
+def _kn_term() -> str:
+    from xsarsea_spark.suite.base import QTRUNC
+
+    pcont = ("(CAST(COALESCE(nc2, 0) + 1 AS DOUBLE)"
+             " / CAST(nctot + vtrain AS DOUBLE))")
+    full = (f"ln(greatest(CAST(COALESCE(c12, 0) AS DOUBLE)"
+            f" - {_KN_D}, 0e0) / CAST(c1 AS DOUBLE)"
+            f" + ({_KN_D} * CAST(n1w1 AS DOUBLE)"
+            f" / CAST(c1 AS DOUBLE)) * {pcont})")
+    cont_only = f"ln({pcont})"
+    return QTRUNC(f"CASE WHEN c1 IS NULL THEN {cont_only}"
+                  f" ELSE {full} END", 9)
+
+
+_KN_ORACLE = f"""
+WITH tr AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  WHERE doc_id % 2 = 0 AND len(string_split(text, ' ')) >= 2),
+ho AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  WHERE doc_id % 2 = 1 AND len(string_split(text, ' ')) >= 2),
+tbg AS (
+  SELECT doc_id, unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
+  FROM tr),
+hbg AS (
+  SELECT doc_id, unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
+  FROM ho),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM tbg GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS c1,
+         COUNT(DISTINCT w2) AS n1w1 FROM tbg GROUP BY 1),
+nc2 AS (SELECT w2, COUNT(DISTINCT w1) AS nc2 FROM tbg GROUP BY 1),
+tots AS (
+  SELECT (SELECT COUNT(*) FROM c12) AS nctot,
+    (SELECT COUNT(DISTINCT x) FROM
+      (SELECT unnest(l) AS x FROM tr)) AS vtrain),
+scored AS (
+  SELECT h.doc_id, {{term}} AS term
+  FROM hbg h
+  LEFT JOIN c12 ON c12.w1 = h.w1 AND c12.w2 = h.w2
+  LEFT JOIN c1 ON c1.w1 = h.w1
+  LEFT JOIN nc2 ON nc2.w2 = h.w2
+  CROSS JOIN tots)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+  CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE) AS ll,
+  CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS avg_ll
+FROM scored GROUP BY doc_id
+"""
+
+
+@spec(
+    "doc_kn_heldout_lm",
+    _KN_ORACLE.format(term=_kn_term()),
+    description="Interpolated Kneser-Ney bigram LM (KenLM's smoother "
+                "class, D=0.75) trained on the even-doc half and "
+                "scored on the held-out odd half — honest "
+                "generalization signal with continuation backoff for "
+                "unseen histories and an add-one continuation floor "
+                "for OOV words; one shared term expression, QTRUNC'd "
+                "ln, DECIMAL sums",
+    tags=("pipeline", "text", "lm"),
+)
+def q_kn_heldout_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.text import bigrams
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter("doc_id % 2 = 0")
+    held = docs.filter("doc_id % 2 = 1")
+    tbg = bigrams(train)
+    hbg = bigrams(held)
+    c12 = tbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = tbg.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1"),
+        F.countDistinct("w2").alias("n1w1"))
+    nc2 = tbg.groupBy("w2").agg(F.countDistinct("w1").alias("nc2"))
+    nctot = c12.groupBy().agg(F.count(F.lit(1)).alias("nctot"))
+    vtrain = (train.filter("text IS NOT NULL")
+              .filter("size(split(text, ' ')) >= 2")
+              .selectExpr("explode(split(text, ' ')) AS x")
+              .agg(F.countDistinct("x").alias("vtrain")))
+    tots = nctot.crossJoin(vtrain)
+    scored = (
+        hbg.join(c12, on=["w1", "w2"], how="left")
+        .join(c1, on="w1", how="left")
+        .join(nc2, on="w2", how="left")
+        .crossJoin(F.broadcast(tots))
+        .selectExpr("doc_id", f"{_kn_term()} AS term")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE)")
+        .alias("ll"),
+        F.expr("CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE)"
+               " / COUNT(*)").alias("avg_ll"),
+    )
+
+
+# ----------------------------------------------------------------------
 # CCNet-style perplexity bucketing: documents split into head /
 # middle / tail terciles by LM perplexity (CCNet, Wenzek et al.
 # 2020 — the standard web-corpus quality partition a pretraining
