@@ -85,7 +85,7 @@ _PRIORITY = [
     # the rest moved onto the spark.xsarsea.scratch.dir conf root.
     "doc_crossdup_exact", "doc_mixture_reweight",
     "multimodal_phash_neardup", "minhash_band_sweep",
-    "doc_kn_heldout_lm",
+    "doc_kn_heldout_lm", "doc_token_budget_select",
     "embedding_drift_monitor", "stream_drift_gate",
     "doc_winnowing", "doc_winnow_neardup",
     "doc_longest_dup_span", "doc_source_crossdup_matrix",
@@ -102,7 +102,6 @@ _PRIORITY = [
     # embedding_pca_project ceded their slots to the round-8
     # additions — all cleared by the quiet-host probe, see
     # BENCH_NOTES.md)
-    "ivf_ann",
 ]
 
 

@@ -431,3 +431,33 @@ def test_ann_search_probe_is_distributed_not_collected(spark):
         # the lone Python node is the O(batch) query-side probe; the
         # corpus/codes side must stay whole-stage JVM
         assert plan.count("MapInPandas") == 1
+
+
+def test_cross_doc_lcp_windows_are_run_partitioned(spark):
+    """doc_crossdup_exact's running-min windows partition by the
+    same-doc run id (doc-bounded) and its rank passes ride the
+    two-pass global_rank — no corpus-wide unpartitioned window may
+    appear in the plan."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["doc_crossdup_exact"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    for ln in plan.splitlines():
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            assert "__run" in ln or "__pid" in ln, \
+                f"corpus-wide window in plan: {ln}"
+
+
+def test_band_sweep_and_kn_lm_join_shapes(spark):
+    """minhash_band_sweep / doc_kn_heldout_lm scale shapes: the only
+    cross joins are broadcast singletons (totals rows); candidate
+    and scoring joins are hash equi-joins."""
+    from xsarsea_spark.suite import REGISTRY
+
+    for name in ("minhash_band_sweep", "doc_kn_heldout_lm"):
+        plan = (REGISTRY[name].spark(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan, name
+        for ln in plan.splitlines():
+            if "NestedLoopJoin" in ln:
+                assert "Broadcast" in ln, f"{name}: {ln}"

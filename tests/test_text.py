@@ -331,3 +331,40 @@ def test_kn_heldout_lm_matches_hand_formula(spark):
     for k in want:
         assert abs(got_map[k] - want[k]) < 1e-12, (k, got_map[k],
                                                    want[k])
+
+
+def test_token_budget_select_fill_rule(spark):
+    """Budget-fill invariants on the real suite query: a
+    non-exhausted source overshoots its budget by LESS than one
+    document (the crossing doc is included, nothing after it), an
+    exhausted source selected everything it had, and the whole
+    report is deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from xsarsea_spark.suite import REGISTRY
+
+    SF = "/root/testdata/sf0.001"
+    out = {r["source"]: r
+           for r in REGISTRY["doc_token_budget_select"]
+           .spark(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .filter("text IS NOT NULL") \
+        .selectExpr("source", "size(split(text, ' ')) AS n")
+    stats = {r["source"]: (r["mx"], r["tot"])
+             for r in docs.groupBy("source")
+             .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
+             .collect()}
+    assert set(out) == set(stats)
+    for src, r in out.items():
+        mx, tot = stats[src]
+        if r["exhausted"]:
+            assert r["tokens_selected"] == tot < r["budget_tokens"]
+        elif r["n_selected"] > 0:
+            over = r["tokens_selected"] - r["budget_tokens"]
+            assert 0 <= over < mx, (src, over, mx)
+        else:
+            assert r["budget_tokens"] == 0
+    again = {r["source"]: tuple(r)
+             for r in REGISTRY["doc_token_budget_select"]
+             .spark(spark, SF).collect()}
+    assert again == {s: tuple(r) for s, r in out.items()}

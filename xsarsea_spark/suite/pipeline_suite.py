@@ -5245,6 +5245,125 @@ def q_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Token-budget mixture selection — the step that MATERIALIZES a
+# mixture: given per-source integer weights and a total token
+# budget, take each source's docs in deterministic hash-permutation
+# order until the source's budget share is crossed (the crossing doc
+# included, the standard fill rule; a source that runs out of tokens
+# is reported exhausted). All-integer end to end.
+#
+# Scale shape: the per-source cumulative token count does NOT use a
+# per-source window (a 100-TB source = one window partition = one
+# task). It rides global_rank's distributed running sum over the
+# (source, perm, doc) total order, then subtracts a per-source
+# offset computed from the 20-row source-totals frame — the same
+# two-pass trick rank.py itself uses.
+# ----------------------------------------------------------------------
+
+_TBS_DIV = 4      # total budget = corpus tokens div 4
+
+
+def _token_budget_oracle() -> str:
+    h40 = _H40_DUCK.format(x="source")
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(1 + ({h40}) % 4 AS BIGINT) AS w
+  FROM documents WHERE text IS NOT NULL),
+r AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY source
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ROWS UNBOUNDED PRECEDING) AS cum_in
+  FROM d),
+stot AS (SELECT source, w, SUM(n_tokens) AS tok_s
+         FROM d GROUP BY 1, 2),
+wtot AS (SELECT SUM(w) AS tw, SUM(tok_s) AS tt FROM stot),
+bud AS (SELECT source, w,
+          ((tt // {_TBS_DIV}) * w) // tw AS budget_tokens
+        FROM stot CROSS JOIN wtot),
+sel AS (
+  SELECT r.source, r.n_tokens FROM r JOIN bud USING (source)
+  WHERE r.cum_in - r.n_tokens < bud.budget_tokens),
+agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_selected,
+          CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected
+        FROM sel GROUP BY 1)
+SELECT b.source, CAST(b.w AS BIGINT) AS w,
+  CAST(b.budget_tokens AS BIGINT) AS budget_tokens,
+  COALESCE(a.n_selected, 0) AS n_selected,
+  COALESCE(a.tokens_selected, 0) AS tokens_selected,
+  COALESCE(a.tokens_selected, 0) < b.budget_tokens AS exhausted
+FROM bud b LEFT JOIN agg a USING (source)
+"""
+
+
+@spec(
+    "doc_token_budget_select",
+    _token_budget_oracle(),
+    description="Token-budget mixture materialization: per-source "
+                "integer budget shares (hash weights, exact integer "
+                "splits), docs taken in deterministic hash-"
+                "permutation order until the share is crossed — the "
+                "per-source cumulative rides global_rank's "
+                "distributed running sum plus a 20-row offset frame, "
+                "never a per-source window; exhaustion reported",
+    tags=("pipeline", "curation", "sampling"),
+)
+def q_token_budget_select(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from xsarsea_spark.operators.rank import global_rank
+    from xsarsea_spark.pipeline.text import HASH40_SQL
+
+    h40 = HASH40_SQL.format(x="source")
+    d = (load(spark, sf_dir, "documents")
+         .filter("text IS NOT NULL")
+         .selectExpr("doc_id", "source",
+                     "CAST(size(split(text, ' ')) AS BIGINT)"
+                     " AS n_tokens",
+                     f"CAST(1 + ({h40}) % 4 AS BIGINT) AS w"))
+    ranked = global_rank(
+        d,
+        [F.col("source").asc(),
+         F.md5(F.col("doc_id").cast("string")).asc(),
+         F.col("doc_id").asc()],
+        rank_col="__gr", running_sums={"cum": "n_tokens"})
+    stot = d.groupBy("source", "w").agg(
+        F.sum("n_tokens").alias("tok_s"))
+    wtot = stot.groupBy().agg(F.sum("w").alias("tw"),
+                              F.sum("tok_s").alias("tt"))
+    # exclusive prefix over the sources frame (one row per source —
+    # cluster-sized, the rank.py offsets-window pattern)
+    w_off = (Window.orderBy("source")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    bud = (stot
+           .select("source", "w", "tok_s",
+                   F.coalesce(F.sum("tok_s").over(w_off),
+                              F.lit(0)).alias("__off"))
+           .crossJoin(F.broadcast(wtot))
+           .withColumn("budget_tokens", F.expr(
+               f"((tt div {_TBS_DIV}) * w) div tw")))
+    sel = (ranked
+           .join(F.broadcast(bud.select("source", "__off",
+                                        "budget_tokens")),
+                 on="source")
+           .filter("cum - __off - n_tokens < budget_tokens"))
+    agg = sel.groupBy("source").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_selected"),
+        F.expr("CAST(SUM(n_tokens) AS BIGINT)")
+        .alias("tokens_selected"))
+    return (bud.join(agg, on="source", how="left")
+            .selectExpr(
+                "source", "CAST(w AS BIGINT) AS w",
+                "CAST(budget_tokens AS BIGINT) AS budget_tokens",
+                "COALESCE(n_selected, 0L) AS n_selected",
+                "COALESCE(tokens_selected, 0L) AS tokens_selected",
+                "COALESCE(tokens_selected, 0L) < budget_tokens"
+                " AS exhausted"))
+
+
+# ----------------------------------------------------------------------
 # Deterministic weighted mixture schedule — the training-order
 # interleave a data-mixture config compiles to (oversample
 # high-weight sources with low-discrepancy stride scheduling, the
