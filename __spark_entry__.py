@@ -86,6 +86,7 @@ _PRIORITY = [
     "doc_crossdup_exact", "doc_mixture_reweight",
     "multimodal_phash_neardup", "minhash_band_sweep",
     "doc_kn_heldout_lm", "doc_token_budget_select",
+    "doc_normalize_profile",
     "embedding_drift_monitor", "stream_drift_gate",
     "doc_winnowing", "doc_winnow_neardup",
     "doc_longest_dup_span", "doc_source_crossdup_matrix",
@@ -94,7 +95,9 @@ _PRIORITY = [
     "embedding_pca_incremental", "doc_bpe_artifact_encode",
     "curated_table_maintain", "stream_curated_ingest",
     "stream_neardup_ingest", "documents_jsonl_roundtrip",
-    "documents_csv_roundtrip", "documents_orc_roundtrip",
+    # (csv/orc roundtrips ceded to r8 additions — their only r8
+    # change is the shared scratch_path helper the jsonl row covers)
+    "documents_csv_roundtrip",
     # (c) the 5 perf-suspect queries from VERDICT r7 (plans audited
     # clean; quiet-host re-probed this round) — green rows double as
     # regression insurance while their timings are re-attributed:

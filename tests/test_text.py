@@ -368,3 +368,44 @@ def test_token_budget_select_fill_rule(spark):
              for r in REGISTRY["doc_token_budget_select"]
              .spark(spark, SF).collect()}
     assert again == {s: tuple(r) for s, r in out.items()}
+
+
+def test_normalize_cross_engine_adversarial(spark, tmp_path):
+    """The normalization pattern must behave byte-identically in
+    Spark (Java regex, replace-all default) and DuckDB (RE2, 'g'
+    flag) — pinned on unicode case, astral-plane emoji, tabs,
+    doubled/leading/trailing spaces, empties and all-punctuation
+    rows, since the synthetic corpus is clean single-space ASCII."""
+    import duckdb
+
+    from xsarsea_spark.pipeline.text import (NORM_DUCK_SQL,
+                                             NORM_SPARK_SQL)
+
+    rows = [
+        (1, ""), (2, " "), (3, "   "),
+        (4, "Hello,  World!! 42x"),
+        (5, "HÉLLO WÖRLD Ünïcode"),
+        (6, "tab\tand\nnewline"),
+        (7, "!!! ??? ;;;"),
+        (8, "emoji \U0001F600 astral"),
+        (9, "  lead and trail  "),
+        (10, "a-b_c.d/e\\f"),
+        (11, "ｆｕｌｌｗｉｄｔｈ ＡＢＣ"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "norm_adv")
+    df.repartition(1).write.parquet(path)
+    got = {r["doc_id"]: (r["norm"], r["n"])
+           for r in spark.read.parquet(path).selectExpr(
+               "doc_id",
+               f"{NORM_SPARK_SQL.format(x='text')} AS norm",
+               f"length({NORM_SPARK_SQL.format(x='text')}) AS n")
+           .collect()}
+    con = duckdb.connect()
+    want = {r[0]: (r[1], r[2]) for r in con.sql(
+        f"SELECT doc_id, {NORM_DUCK_SQL.format(x='text')},"
+        f" length({NORM_DUCK_SQL.format(x='text')})"
+        f" FROM '{path}/*.parquet'").fetchall()}
+    assert got == want
+    assert got[4][0] == "hello world 42x"
+    assert got[7][0] == ""

@@ -26,6 +26,7 @@ __all__ = [
     "line_dedup",
     "HASH40_SQL",
     "PII_PATTERNS",
+    "normalize_text", "NORM_SPARK_SQL", "NORM_DUCK_SQL",
 ]
 
 # 40-bit content hash from md5 hex — bit-identical in Spark and DuckDB
@@ -718,3 +719,28 @@ def duplicate_spans_maximal(docs: DataFrame, n: int = 8,
         )
         .drop("__grp")
     )
+
+
+NORM_SPARK_SQL = ("trim(regexp_replace(regexp_replace(lower({x}),"
+                  " '[^a-z0-9 ]', ' '), ' +', ' '))")
+NORM_DUCK_SQL = ("trim(regexp_replace(regexp_replace(lower({x}),"
+                 " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text",
+                   out_col: str = "norm_text") -> DataFrame:
+    """C4-style text normalization: lowercase, non-[a-z0-9 ] to
+    space, whitespace collapse, trim — the canonical form exact
+    dedup and shingling run on when the raw corpus carries
+    punctuation/case noise.
+
+    Cross-engine: Spark's ``regexp_replace`` replaces every match by
+    default; the DuckDB replay (``NORM_DUCK_SQL``) passes the ``'g'``
+    flag. The pattern is deliberately the RE2/Java-regex COMMON
+    SUBSET (one character class + one quantifier — no lookaround, no
+    shorthand classes whose unicode semantics differ), and the
+    parity is pytest-pinned on adversarial text (unicode, tabs,
+    doubled spaces, empties).
+    """
+    return docs.withColumn(out_col,
+                           F.expr(NORM_SPARK_SQL.format(x=text_col)))

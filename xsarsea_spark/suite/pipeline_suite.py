@@ -1637,6 +1637,78 @@ def _bigram_ll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# C4-style text normalization profile — the canonical-form pass raw
+# web corpora run before exact dedup / shingling (lowercase,
+# non-alphanumeric to space, whitespace collapse, trim). Emits the
+# per-doc before/after profile + the md5 digest of the normalized
+# form (the key a normalized exact-dedup would group on), and the
+# corpus-level dedup effect: how many docs collapse to the same
+# normalized digest. The regex pattern is deliberately the
+# RE2/Java-regex common subset; parity is pytest-pinned on
+# adversarial text.
+# ----------------------------------------------------------------------
+
+
+def _normalize_oracle() -> str:
+    from xsarsea_spark.pipeline.text import NORM_DUCK_SQL
+
+    norm = NORM_DUCK_SQL.format(x="text")
+    return f"""
+WITH n AS (
+  SELECT doc_id, text, {norm} AS norm
+  FROM documents WHERE text IS NOT NULL),
+p AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars_raw,
+    CAST(length(norm) AS BIGINT) AS n_chars_norm,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_raw,
+    CAST(CASE WHEN norm = '' THEN 0
+      ELSE len(string_split(norm, ' ')) END AS BIGINT)
+      AS n_tokens_norm,
+    md5(norm) AS norm_digest
+  FROM n),
+g AS (SELECT norm_digest, COUNT(*) AS grp FROM p GROUP BY 1)
+SELECT p.doc_id, p.n_chars_raw, p.n_chars_norm, p.n_tokens_raw,
+  p.n_tokens_norm, p.norm_digest,
+  CAST(g.grp AS BIGINT) AS norm_dup_count
+FROM p JOIN g ON g.norm_digest = p.norm_digest
+"""
+
+
+@spec(
+    "doc_normalize_profile",
+    _normalize_oracle(),
+    description="C4-style normalization profile: lowercase / strip "
+                "non-alphanumerics / collapse whitespace in the "
+                "RE2-and-Java-regex common subset (adversarial "
+                "parity pytest), per-doc before/after char+token "
+                "counts, normalized-form md5, and the normalized "
+                "exact-dup group size",
+    tags=("pipeline", "text", "quality"),
+)
+def q_doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.text import normalize_text
+
+    docs = load(spark, sf_dir, "documents").filter(
+        "text IS NOT NULL")
+    n = normalize_text(docs, out_col="__norm")
+    p = n.selectExpr(
+        "doc_id",
+        "CAST(length(text) AS BIGINT) AS n_chars_raw",
+        "CAST(length(__norm) AS BIGINT) AS n_chars_norm",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens_raw",
+        "CAST(CASE WHEN __norm = '' THEN 0"
+        " ELSE size(split(__norm, ' ')) END AS BIGINT)"
+        " AS n_tokens_norm",
+        "md5(__norm) AS norm_digest")
+    g = p.groupBy("norm_digest").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("norm_dup_count"))
+    return p.join(g, on="norm_digest").select(
+        "doc_id", "n_chars_raw", "n_chars_norm", "n_tokens_raw",
+        "n_tokens_norm", "norm_digest", "norm_dup_count")
+
+
+# ----------------------------------------------------------------------
 # Interpolated Kneser-Ney bigram LM on a HELD-OUT split — the
 # smoother KenLM actually uses (modified KN; single-discount
 # interpolated form here), with proper train/test separation: counts
