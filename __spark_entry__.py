@@ -86,7 +86,7 @@ _PRIORITY = [
     "doc_crossdup_exact", "doc_mixture_reweight",
     "multimodal_phash_neardup", "minhash_band_sweep",
     "doc_kn_heldout_lm", "doc_token_budget_select",
-    "doc_normalize_profile",
+    "doc_normalize_profile", "events_interval_overlap",
     "embedding_drift_monitor", "stream_drift_gate",
     "doc_winnowing", "doc_winnow_neardup",
     "doc_longest_dup_span", "doc_source_crossdup_matrix",
@@ -97,7 +97,6 @@ _PRIORITY = [
     "stream_neardup_ingest", "documents_jsonl_roundtrip",
     # (csv/orc roundtrips ceded to r8 additions — their only r8
     # change is the shared scratch_path helper the jsonl row covers)
-    "documents_csv_roundtrip",
     # (c) the 5 perf-suspect queries from VERDICT r7 (plans audited
     # clean; quiet-host re-probed this round) — green rows double as
     # regression insurance while their timings are re-attributed:

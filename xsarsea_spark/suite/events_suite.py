@@ -1999,3 +1999,80 @@ def q_events_seasonal_profile(spark: SparkSession,
                         " AS mean_value",
                         "CAST(n_events AS DOUBLE)"
                         " / CAST(__nt AS DOUBLE) AS dow_share"))
+
+
+# ----------------------------------------------------------------------
+# Batch interval-overlap join — the range-join class (room bookings,
+# session collisions, sensor validity windows). Intervals derive
+# deterministically from events ([ts, ts + value seconds), FLOOR to
+# integer microseconds — CAST alone rounds in DuckDB but truncates
+# in Spark). The Spark plan is the scale shape: intervals explode to
+# the 10-minute buckets they cover, candidates meet in a bucket
+# EQUI-join (hash-partitioned, AQE-skew-splittable — never an
+# unbounded theta join), each overlapping pair is counted exactly
+# once at the bucket holding the later start, then verified with the
+# exact half-open predicate. The DuckDB oracle runs the native
+# inequality join (IEJoin) instead — algorithmically independent,
+# so a bucket-logic bug cannot hide.
+# ----------------------------------------------------------------------
+
+_IVO_B = 600_000_000        # bucket = 10 min of microseconds
+
+
+_INTERVAL_OVERLAP_ORACLE = f"""
+WITH i AS (
+  SELECT event_id, {_US_DUCK} AS s_us,
+    {_US_DUCK} + CAST(FLOOR(value * 1e6) AS BIGINT) AS e_us
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)),
+p AS (
+  SELECT a.event_id, COUNT(*) AS n_overlaps
+  FROM i a JOIN i b
+    ON a.event_id != b.event_id
+   AND a.s_us < b.e_us AND b.s_us < a.e_us
+  GROUP BY a.event_id)
+SELECT i.event_id, i.s_us, i.e_us,
+  CAST(COALESCE(p.n_overlaps, 0) AS BIGINT) AS n_overlaps
+FROM i LEFT JOIN p ON p.event_id = i.event_id
+"""
+
+
+@spec(
+    "events_interval_overlap",
+    _INTERVAL_OVERLAP_ORACLE,
+    description="Batch interval-overlap join: per event the number "
+                "of concurrent intervals — Spark covers each "
+                "interval with 10-minute buckets and meets "
+                "candidates in a hash equi-join (first-shared-bucket "
+                "dedup, exact half-open verify); the oracle replays "
+                "it as DuckDB's native IEJoin, an algorithmically "
+                "independent check",
+    tags=("events", "timeseries", "joins"),
+)
+def q_events_interval_overlap(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    i = (ev.filter("ts IS NOT NULL AND value IS NOT NULL"
+                   " AND NOT isnan(value)")
+         .selectExpr("event_id", f"{_US_SPARK} AS s_us",
+                     f"({_US_SPARK})"
+                     " + CAST(FLOOR(value * 1e6) AS BIGINT) AS e_us"))
+    a = i.selectExpr(
+        "event_id", "s_us", "e_us",
+        f"explode(sequence(s_us div {_IVO_B}, e_us div {_IVO_B}))"
+        " AS bkt")
+    b = a.selectExpr("event_id AS eb", "s_us AS sb", "e_us AS eb_us",
+                     "bkt")
+    pairs = (
+        a.join(b, on="bkt")
+        .filter("event_id != eb AND s_us < eb_us AND sb < e_us"
+                # count each pair exactly once: only in the bucket
+                # holding the later of the two starts (an overlapping
+                # pair always shares it)
+                f" AND bkt = greatest(s_us, sb) div {_IVO_B}")
+    )
+    deg = pairs.groupBy("event_id").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_overlaps"))
+    return (i.join(deg, on="event_id", how="left")
+            .selectExpr("event_id", "s_us", "e_us",
+                        "COALESCE(n_overlaps, 0L) AS n_overlaps"))
