@@ -87,8 +87,9 @@ _PRIORITY = [
     "multimodal_phash_neardup", "minhash_band_sweep",
     "doc_kn_heldout_lm", "doc_token_budget_select",
     "doc_normalize_profile", "events_interval_overlap",
+    "multimodal_wav_fingerprint",
     "embedding_drift_monitor", "stream_drift_gate",
-    "doc_winnowing", "doc_winnow_neardup",
+    "doc_winnowing",
     "doc_longest_dup_span", "doc_source_crossdup_matrix",
     "pq_ann", "ivfpq_ann", "ivfpq_ann_recall", "ivfpq_incremental",
     "doc_classifier_score", "stream_classifier_train",

@@ -141,3 +141,27 @@ def test_phash_dct_rows_cancel():
         assert (c[1:].sum(axis=1) == 0).all()
         # DC row is the constant row: all entries equal and positive
         assert len(set(c[0].tolist())) == 1 and c[0, 0] > 0
+
+
+def test_audio_fingerprint_invariances():
+    """Amplitude scaling by a positive integer scales every band
+    energy by its square, so no comparison bit can flip; distinct
+    spectral content must produce distinct fingerprints; and the
+    value stays inside the 60-bit budget (bit 63 never set)."""
+    import numpy as np
+
+    from xsarsea_spark.pipeline.audio import audio_fingerprint
+
+    base = ((np.arange(256) * 37) % 101 - 50).astype(np.int64) * 100
+    f = audio_fingerprint(base)
+    assert f == audio_fingerprint(base * 3)
+    assert f == audio_fingerprint(base * 7)
+    assert 0 <= f < (1 << 60)
+    # a pure low-frequency tone vs a high-frequency one: different
+    # band-energy ladders -> different hashes
+    i = np.arange(256)
+    lo = np.round(3000 * np.sin(2 * np.pi * 2 * i / 64)).astype(
+        np.int64)
+    hi = np.round(3000 * np.sin(2 * np.pi * 13 * i / 64)).astype(
+        np.int64)
+    assert audio_fingerprint(lo) != audio_fingerprint(hi)

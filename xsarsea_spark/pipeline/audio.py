@@ -27,7 +27,8 @@ import numpy as np
 
 from xsarsea_spark.pipeline._codec import normalize_corrupt
 
-__all__ = ["decode_wav", "encode_wav"]
+__all__ = ["decode_wav", "encode_wav", "trig_int",
+           "audio_fingerprint", "AFP_FRAME", "AFP_BANDS", "AFP_SCALE"]
 
 
 @normalize_corrupt("WAV")
@@ -86,3 +87,50 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+AFP_FRAME = 64          # samples per analysis frame
+AFP_BANDS = 16          # DFT bins k = 1..16 -> 15 comparison bits
+AFP_SCALE = 128         # trig fixed-point scale (2^7)
+
+
+def trig_int(frame: int = AFP_FRAME, bands: int = AFP_BANDS,
+             scale: int = AFP_SCALE) -> "tuple":
+    """Fixed-point DFT basis: int64 matrices C[k-1, i] =
+    round(cos(2*pi*k*i/frame) * scale) and the matching sine matrix,
+    k = 1..bands. Integer matmuls against int16 samples are EXACT
+    and order-independent (the dct_int precedent), so both engines
+    derive identical band energies: |sum| <= frame * 2^15 * scale =
+    2^28 at the defaults, squares sum below 2^57 — no overflow."""
+    import numpy as np
+
+    i = np.arange(frame)
+    k = np.arange(1, bands + 1)[:, None]
+    ang = 2.0 * np.pi * k * i / frame
+    c = np.round(np.cos(ang) * scale).astype(np.int64)
+    s = np.round(np.sin(ang) * scale).astype(np.int64)
+    return c, s
+
+
+def audio_fingerprint(samples: "object") -> int:
+    """Chromaprint-style spectral fingerprint of a PCM16 stream:
+    4 frames of AFP_FRAME samples, per frame the integer-DFT band
+    energies E_k = re^2 + im^2 (k = 1..16), bit b set iff
+    E_{b+1} > E_{b+2} — 15 bits per frame packed LSB-first into a
+    60-bit int. Exact invariance: scaling all samples by a positive
+    integer multiplies every energy by its square, so every
+    comparison — hence the fingerprint — is unchanged."""
+    import numpy as np
+
+    c, s = trig_int()
+    v = np.asarray(samples, dtype=np.int64)
+    afp = 0
+    for f in range(4):
+        fr = v[f * AFP_FRAME:(f + 1) * AFP_FRAME]
+        re = c @ fr
+        im = s @ fr
+        e = re * re + im * im
+        for b in range(AFP_BANDS - 1):
+            if e[b] > e[b + 1]:
+                afp |= 1 << (f * (AFP_BANDS - 1) + b)
+    return afp

@@ -895,6 +895,106 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Audio spectral fingerprint — the audio twin of the DCT pHash
+# (chromaprint's shape): 4 frames x integer-DFT band energies, bit b
+# = E_b > E_{b+1}, 15 bits per frame packed into a 60-bit BIGINT.
+# All int64 (trig matrices are round(cos * 2^7) constants), so the
+# SQL oracle re-derives the hash bit-for-bit from the source bytes
+# via a (k, i, cos, sin) VALUES join — and an integer amplitude
+# scaling provably cannot change a single bit (energies scale by the
+# square; comparisons invariant — pytest-pinned).
+# ----------------------------------------------------------------------
+
+
+def _wav_afp_oracle() -> str:
+    from xsarsea_spark.pipeline.audio import (AFP_BANDS, AFP_FRAME,
+                                              trig_int)
+
+    c, sn = trig_int()
+    vals = ", ".join(
+        f"({k + 1}, {i}, {int(c[k, i])}, {int(sn[k, i])})"
+        for k in range(AFP_BANDS) for i in range(AFP_FRAME))
+    need = 2 * _WAV_N
+    s = (f"list_transform(range(0, {_WAV_N}),"
+         f" i -> (ascii(substr(text, 2 * i + 1, 1))"
+         f" + 256 * ascii(substr(text, 2 * i + 2, 1))) - {_WAV_BIAS})")
+    nb = AFP_BANDS - 1
+    return f"""
+WITH d AS (
+  SELECT doc_id, {s} AS s
+  FROM documents WHERE length(text) >= {need}),
+u AS (SELECT doc_id, unnest(range(0, {_WAV_N})) AS p, s FROM d),
+x AS (SELECT doc_id, p // {AFP_FRAME} AS f, p % {AFP_FRAME} AS i,
+        CAST(s[p + 1] AS BIGINT) AS v FROM u),
+cs(k, i, c, sn) AS (SELECT * FROM (VALUES {vals})),
+e AS (
+  SELECT x.doc_id, x.f, cs.k,
+    SUM(x.v * cs.c) AS re, SUM(x.v * cs.sn) AS im
+  FROM x JOIN cs ON cs.i = x.i GROUP BY x.doc_id, x.f, cs.k),
+en AS (SELECT doc_id, f, k, re * re + im * im AS e FROM e),
+bits AS (
+  SELECT a.doc_id, a.f, a.k - 1 AS b,
+    CASE WHEN a.e > n.e THEN 1 ELSE 0 END AS bit
+  FROM en a JOIN en n ON n.doc_id = a.doc_id AND n.f = a.f
+    AND n.k = a.k + 1
+  WHERE a.k <= {nb})
+SELECT doc_id,
+  CAST(SUM(bit * (CAST(1 AS BIGINT) << (f * {nb} + b)))
+       AS BIGINT) AS afp
+FROM bits GROUP BY doc_id
+"""
+
+
+@spec(
+    "multimodal_wav_fingerprint",
+    _wav_afp_oracle(),
+    description="Audio spectral fingerprint (chromaprint shape): "
+                "integer-DFT band energies over 4 frames through the "
+                "real WAV codec round trip, adjacent-band comparison "
+                "bits packed into a 60-bit hash — re-derived "
+                "bit-for-bit by the SQL oracle via trig-constant "
+                "VALUES joins; amplitude-scale invariance "
+                "pytest-pinned",
+    tags=("pipeline", "multimodal", "audio", "dedup"),
+)
+def q_multimodal_wav_afp(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("afp", T.LongType()),
+    ])
+    need = 2 * _WAV_N
+
+    def kernel(batches):
+        import numpy as np
+
+        from xsarsea_spark.pipeline.audio import (audio_fingerprint,
+                                                  decode_wav,
+                                                  encode_wav)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("ascii")[:need]
+                raw = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                samples = ((raw[0::2] + 256 * raw[1::2])
+                           - _WAV_BIAS).astype(np.int16)
+                wav = encode_wav(samples, rate=_WAV_RATE)
+                dec, _rate = decode_wav(wav)
+                rows.append((int(doc_id),
+                             audio_fingerprint(dec[:, 0])))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in schema])
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length("text") >= need).select("doc_id", "text")
+    return docs.mapInPandas(kernel, schema)
+
+
+# ----------------------------------------------------------------------
 # Audio activity segmentation (the audio analog of text chunking):
 # threshold the absolute sample stream into activity/silence runs and
 # report per-doc segment statistics — pure gaps-and-islands on
