@@ -87,7 +87,7 @@ _PRIORITY = [
     "multimodal_phash_neardup", "minhash_band_sweep",
     "doc_kn_heldout_lm", "doc_token_budget_select",
     "doc_normalize_profile", "events_interval_overlap",
-    "multimodal_wav_fingerprint",
+    "multimodal_wav_fingerprint", "stream_mixture_monitor",
     "embedding_drift_monitor", "stream_drift_gate",
     "doc_winnowing",
     "doc_longest_dup_span", "doc_source_crossdup_matrix",
@@ -95,7 +95,7 @@ _PRIORITY = [
     "doc_classifier_score", "stream_classifier_train",
     "embedding_pca_incremental", "doc_bpe_artifact_encode",
     "curated_table_maintain", "stream_curated_ingest",
-    "stream_neardup_ingest", "documents_jsonl_roundtrip",
+    "documents_jsonl_roundtrip",
     # (csv/orc roundtrips ceded to r8 additions — their only r8
     # change is the shared scratch_path helper the jsonl row covers)
     # (c) the 5 perf-suspect queries from VERDICT r7 (plans audited

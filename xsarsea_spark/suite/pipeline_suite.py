@@ -4829,6 +4829,141 @@ def q_stream_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Streaming mixture-share monitor — the ingestion-side twin of the
+# embedding drift gate: per-source token counts absorbed per
+# micro-batch into versioned BIGINT state (order-independent sums,
+# so streamed state == one-shot bit-for-bit; strictly-below version
+# merge makes crash replays rebuild instead of double-count), then a
+# per-source share report vs the persisted historical mixture with
+# add-one-smoothed PSI terms — the alarm a pipeline raises when a
+# source's share of arriving tokens drifts from the design mixture.
+# ----------------------------------------------------------------------
+
+
+def _mixshare_oracle() -> str:
+    from xsarsea_spark.suite.base import QTRUNC
+
+    lnq = QTRUNC("ln(share_batch / share_hist)", 9)
+    return f"""
+WITH h AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+    AS nh
+  FROM documents WHERE text IS NOT NULL AND doc_id % 3 < 2
+  GROUP BY source),
+b AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+    AS nb
+  FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 2
+  GROUP BY source),
+s AS (
+  SELECT COALESCE(h.source, b.source) AS source,
+    COALESCE(h.nh, 0) AS nh, COALESCE(b.nb, 0) AS nb
+  FROM h FULL JOIN b ON b.source = h.source),
+t AS (SELECT SUM(nh) AS th, SUM(nb) AS tb, COUNT(*) AS ns FROM s),
+j AS (
+  SELECT source, nh AS n_tokens_hist, nb AS n_tokens_batch,
+    CAST(nh + 1 AS DOUBLE) / CAST(th + ns AS DOUBLE) AS share_hist,
+    CAST(nb + 1 AS DOUBLE) / CAST(tb + ns AS DOUBLE) AS share_batch
+  FROM s CROSS JOIN t)
+SELECT source, n_tokens_hist, n_tokens_batch, share_hist,
+  share_batch,
+  (share_batch - share_hist) * {lnq} AS psi_term
+FROM j
+"""
+
+
+@spec(
+    "stream_mixture_monitor",
+    _mixshare_oracle(),
+    description="Structured-Streaming mixture-share monitor: "
+                "per-source token counts absorbed per micro-batch "
+                "into versioned BIGINT state (crash-replay-safe "
+                "strictly-below merges; streamed == one-shot "
+                "bit-for-bit), reported as smoothed shares + PSI "
+                "terms vs the persisted historical mixture",
+    tags=("pipeline", "streaming", "curation", "incremental"),
+)
+def q_stream_mixture_monitor(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from xsarsea_spark.suite.base import QTRUNC
+
+    base = scratch_path(spark, "stream_mixshare", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    hist_path = os.path.join(base, "hist")
+    state_dir = os.path.join(base, "state")
+    ckpt_dir = os.path.join(base, "ckpt")
+
+    def counts(df: DataFrame) -> DataFrame:
+        return (df.filter("text IS NOT NULL")
+                .groupBy("source")
+                .agg(F.expr("CAST(SUM(size(split(text, ' ')))"
+                            " AS BIGINT)").alias("n_tokens")))
+
+    docs = load(spark, sf_dir, "documents")
+    counts(docs.filter("doc_id % 3 < 2"))         .repartition(1).write.parquet(hist_path)
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+
+    def absorb(df: DataFrame, batch_id: int) -> None:
+        part = counts(df.filter("doc_id % 3 = 2"))
+        vers = ([int(v[1:]) for v in os.listdir(state_dir)]
+                if os.path.isdir(state_dir) else [])
+        prev = [v for v in sorted(vers) if v < batch_id]
+        if prev:
+            cur = (spark.read.parquet(
+                       os.path.join(state_dir, f"v{prev[-1]}"))
+                   .unionByName(part)
+                   .groupBy("source")
+                   .agg(F.expr("CAST(SUM(n_tokens) AS BIGINT)")
+                        .alias("n_tokens")))
+        else:
+            cur = part
+        cur.repartition(1).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id}"))
+
+    def run_stream() -> None:
+        src = (spark.readStream.schema(schema)
+               .option("pathGlobFilter", "documents.parquet")
+               .parquet(sf_dir))
+        q = (src.writeStream.foreachBatch(absorb)
+             .option("checkpointLocation", ckpt_dir)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    run_stream()
+    run_stream()    # zero new files -> no-op (exactly-once)
+
+    vers = sorted(int(v[1:]) for v in os.listdir(state_dir))
+    batch = spark.read.parquet(os.path.join(state_dir, f"v{vers[-1]}"))
+    hist = spark.read.parquet(hist_path)
+    s = (hist.selectExpr("source", "n_tokens AS nh")
+         .join(batch.selectExpr("source", "n_tokens AS nb"),
+               on="source", how="full")
+         .selectExpr("source", "COALESCE(nh, 0L) AS nh",
+                     "COALESCE(nb, 0L) AS nb"))
+    t = s.groupBy().agg(F.expr("SUM(nh)").alias("th"),
+                        F.expr("SUM(nb)").alias("tb"),
+                        F.expr("COUNT(*)").alias("ns"))
+    lnq = QTRUNC("ln(share_batch / share_hist)", 9)
+    return (s.crossJoin(F.broadcast(t))
+            .selectExpr(
+                "source", "nh AS n_tokens_hist",
+                "nb AS n_tokens_batch",
+                "CAST(nh + 1 AS DOUBLE) / CAST(th + ns AS DOUBLE)"
+                " AS share_hist",
+                "CAST(nb + 1 AS DOUBLE) / CAST(tb + ns AS DOUBLE)"
+                " AS share_batch")
+            .selectExpr("source", "n_tokens_hist", "n_tokens_batch",
+                        "share_hist", "share_batch",
+                        f"(share_batch - share_hist) * {lnq}"
+                        " AS psi_term"))
+
+
+# ----------------------------------------------------------------------
 # Distributed BPE merge training (Sennrich et al. 2016, word-level):
 # k rounds of (pair-count hash agg -> top-1 -> zero-exchange greedy
 # merge application). The oracle recomputes every round in chained
