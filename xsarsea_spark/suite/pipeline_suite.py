@@ -1807,7 +1807,7 @@ def q_kn_heldout_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter("size(split(text, ' ')) >= 2")
               .selectExpr("explode(split(text, ' ')) AS x")
               .agg(F.countDistinct("x").alias("vtrain")))
-    tots = nctot.crossJoin(vtrain)
+    tots = nctot.crossJoin(F.broadcast(vtrain))
     scored = (
         hbg.join(c12, on=["w1", "w2"], how="left")
         .join(c1, on="w1", how="left")
