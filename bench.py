@@ -153,13 +153,18 @@ def main() -> None:
     samples: dict[str, list[float]] = {n: [] for n in REGISTRY}
     slow_1rep: set[str] = set()
     rep_durs: list[float] = []
+    fast_est: float | None = None   # expected cost of a TIERED rep
     reps_done = 0
     for rep in range(reps):
         if rep > 0:
             elapsed = time.perf_counter() - wall0
-            if elapsed + rep_durs[-1] > budget:
+            # a repeat rep runs only the fast tier — estimate THAT,
+            # not the full first pass, or a hot host loses its reps
+            est = rep_durs[-1] if fast_est is None else fast_est
+            if elapsed + est > budget:
                 print(f"bench: stopping after {rep} reps "
-                      f"({elapsed:.0f}s elapsed, budget {budget:.0f}s)",
+                      f"({elapsed:.0f}s elapsed, est next "
+                      f"{est:.0f}s, budget {budget:.0f}s)",
                       file=sys.stderr)
                 break
         reps_done += 1
@@ -178,13 +183,30 @@ def main() -> None:
             samples[name].append(time.perf_counter() - t0)
             release_query_state()
         rep_durs.append(time.perf_counter() - t_rep)
-        if rep == 0:
+        if rep == 0 and reps > 1:
+            # ADAPTIVE tier threshold: the static cut alone still
+            # lost a rep on hot hosts (rep 1 of a 212-query suite can
+            # eat half the budget). Size the fast set from what the
+            # REMAINING budget actually buys: admit queries cheapest-
+            # first until a repeat pass no longer fits the per-rep
+            # share (with 10% headroom), capped at slow_cut.
+            rem = budget - (time.perf_counter() - wall0)
+            per_rep = max(0.0, rem / (reps - 1) * 0.9)
+            acc, thr = 0.0, 0.0
+            for v in sorted(v0[0] for v0 in samples.values()
+                            if v0 and v0[0] >= 0):
+                if v > slow_cut or acc + v > per_rep:
+                    break
+                acc += v
+                thr = v
+            fast_est = acc * 1.15   # scheduler-overhead headroom
             slow_1rep = {n for n, v in samples.items()
-                         if v and v[0] > slow_cut}
+                         if v and v[0] > thr}
             if slow_1rep:
                 print(f"bench: {len(slow_1rep)} slow queries "
-                      f"(> {slow_cut:.1f}s first pass) benched at "
-                      "1 rep: " + " ".join(sorted(slow_1rep)),
+                      f"(first pass > {thr:.2f}s adaptive tier, "
+                      f"cap {slow_cut:.1f}s) benched at 1 rep: "
+                      + " ".join(sorted(slow_1rep)),
                       file=sys.stderr)
 
     def robust(vals: list[float]) -> float:
