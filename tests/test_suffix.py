@@ -103,3 +103,51 @@ def test_cross_doc_lcp_matches_brute_force(spark):
     assert all(adj[k] <= want[k] for k in want)
     assert any(adj[k] < want[k] for k in want), \
         "corpus should exercise positions adjacency alone misses"
+
+
+def test_ladder_cache_reuse_and_invalidation(spark, monkeypatch,
+                                             tmp_path):
+    """The content-keyed persisted ladder cache builds once per
+    (corpus, rounds), returns the same tables on a hit, and a corpus
+    change moves the key (rebuild) — with values identical to the
+    uncached build."""
+    import xsarsea_spark.pipeline.suffix as sfx
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "x y a b c"), (4, "p q r")],
+        "doc_id long, text string")
+    calls = {"n": 0}
+    real = sfx.suffix_rank_tables
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sfx, "suffix_rank_tables", counting)
+    spark.conf.set("spark.xsarsea.scratch.dir", str(tmp_path))
+    try:
+        t1 = sfx.suffix_rank_tables_cached(docs, 4)
+        assert calls["n"] == 1
+        t2 = sfx.suffix_rank_tables_cached(docs, 4)
+        assert calls["n"] == 1, "second call must hit the cache"
+        # different rounds -> different key -> rebuild
+        sfx.suffix_rank_tables_cached(docs, 5)
+        assert calls["n"] == 2
+        # corpus change -> different fingerprint -> rebuild
+        docs2 = docs.union(spark.createDataFrame(
+            [(5, "a b")], "doc_id long, text string"))
+        sfx.suffix_rank_tables_cached(docs2, 4)
+        assert calls["n"] == 3
+        # hit values == uncached build values, every table
+        base = real(docs, 4)
+        for got, want in zip(t2, base):
+            assert sorted(map(tuple, got.collect())) \
+                == sorted(map(tuple, want.collect()))
+        assert len(t1) == len(t2) == 5
+        # conf off routes straight to the uncached builder
+        spark.conf.set("spark.xsarsea.suffix.cache", "false")
+        sfx.suffix_rank_tables_cached(docs, 4)
+        assert calls["n"] == 4
+    finally:
+        spark.conf.unset("spark.xsarsea.suffix.cache")
+        spark.conf.unset("spark.xsarsea.scratch.dir")

@@ -105,7 +105,11 @@ def scratch_path(spark: SparkSession, name: str, key: str) -> str:
 
     Root comes from ``spark.xsarsea.scratch.dir`` (default ``/tmp``) so
     a deployment — or two sessions sharing one host — can isolate their
-    state without code edits; on a cluster point it at a DFS path.
+    state without code edits. The root must be a LOCAL filesystem path:
+    suite-side maintenance walks it with ``os``/``shutil`` (listing,
+    cleanup), which do not speak ``hdfs://``/``s3://`` URIs. On a
+    cluster, point it at a shared mount (NFS/FUSE) or route the
+    consumers through Hadoop FS APIs first.
     ``key`` (usually the dataset directory) is hashed into the leaf so
     runs against different datasets never collide even under the
     default shared root.

@@ -111,6 +111,11 @@ def _nearest_idx(x: np.ndarray, x0: float, step: float, n: int) -> np.ndarray:
     """Nearest regular-grid index via floor(t + 0.5) — the same closed
     form the SQL oracle uses, so both engines bucket identically."""
     i = np.floor((x - x0) / step + 0.5)
+    # NaN pixels are masked downstream by the NaN guard, but the int
+    # cast itself must not see them (numpy emits "invalid value
+    # encountered in cast"): park them on index 0 first — the guard
+    # overwrites those lanes with NaN regardless of the index used.
+    i = np.where(np.isnan(i), 0.0, i)
     return np.clip(i, 0, n - 1).astype(np.int64)
 
 

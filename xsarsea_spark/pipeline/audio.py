@@ -114,18 +114,21 @@ def trig_int(frame: int = AFP_FRAME, bands: int = AFP_BANDS,
 
 def audio_fingerprint(samples: "object") -> int:
     """Chromaprint-style spectral fingerprint of a PCM16 stream:
-    4 frames of AFP_FRAME samples, per frame the integer-DFT band
-    energies E_k = re^2 + im^2 (k = 1..16), bit b set iff
-    E_{b+1} > E_{b+2} — 15 bits per frame packed LSB-first into a
-    60-bit int. Exact invariance: scaling all samples by a positive
-    integer multiplies every energy by its square, so every
-    comparison — hence the fingerprint — is unchanged."""
+    ``len(samples) // AFP_FRAME`` frames of AFP_FRAME samples, per
+    frame the integer-DFT band energies E_k = re^2 + im^2
+    (k = 1..16), bit b set iff E_{b+1} > E_{b+2} — 15 bits per frame
+    packed LSB-first (60-bit int at the suite's 256-sample docs).
+    Exact invariance: scaling all samples by a positive integer
+    multiplies every energy by its square, so every comparison —
+    hence the fingerprint — is unchanged. The frame count is derived
+    from the input (the SQL oracle derives it as _WAV_N // AFP_FRAME)
+    so the two can't silently desync if the doc length changes."""
     import numpy as np
 
     c, s = trig_int()
     v = np.asarray(samples, dtype=np.int64)
     afp = 0
-    for f in range(4):
+    for f in range(len(v) // AFP_FRAME):
         fr = v[f * AFP_FRAME:(f + 1) * AFP_FRAME]
         re = c @ fr
         im = s @ fr

@@ -59,12 +59,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from xsarsea_spark.engine import materialize
+from xsarsea_spark.engine import get_conf, materialize, scratch_path
 from xsarsea_spark.operators.rank import global_rank
 from xsarsea_spark.pipeline.text import HASH40_SQL
 
-__all__ = ["suffix_rank_tables", "sa_adjacent_pairs", "adjacent_lcp",
+__all__ = ["suffix_rank_tables", "suffix_rank_tables_cached",
+           "sa_adjacent_pairs", "adjacent_lcp",
            "longest_dup_span", "cross_doc_lcp"]
+
+CONF_SFX_CACHE = "spark.xsarsea.suffix.cache"
+# Bump when the ladder construction changes: the cache key must not
+# survive an algorithm change the content fingerprint can't see.
+_SFX_CACHE_VERSION = 1
 
 
 def _dense_rank(df: DataFrame, keys: list[str],
@@ -125,6 +131,64 @@ def suffix_rank_tables(docs: DataFrame, rounds: int,
     return tables
 
 
+def suffix_rank_tables_cached(docs: DataFrame, rounds: int,
+                              text_col: str = "text",
+                              id_col: str = "doc_id"
+                              ) -> list[DataFrame]:
+    """:func:`suffix_rank_tables` behind a content-keyed persisted
+    cache — the materialized-view pattern the engine already uses for
+    LUTs (precompute-coarse, SURVEY §4), applied to the suffix-array
+    ladder so every consumer of one corpus slice (longest-dup-span,
+    exact cross-doc LCP, repeated benchmark passes) pays the
+    ~2-jobs-per-round build ONCE.
+
+    The cache key is (algorithm version, rounds, columns, corpus
+    fingerprint) where the fingerprint is ``(count, sum(hash(id,
+    text)))`` — one cheap aggregation job. A corpus change moves the
+    key, so invalidation is by construction; stale entries are just
+    unreferenced scratch directories. Writes go to a temp directory
+    renamed into place after a ``_SFX_DONE`` marker lands, so a
+    crashed build is never read back as complete. Disable with
+    ``spark.xsarsea.suffix.cache=false`` (the uncached path is
+    byte-identical — the tables are all-integer and deterministic).
+
+    Cache hits also skip the builder's eager max-token guard: the
+    persisted ladder already passed it at build time for this exact
+    corpus + rounds.
+    """
+    import os
+    import shutil
+
+    spark = docs.sparkSession
+    if get_conf(spark, CONF_SFX_CACHE, "true").strip().lower() \
+            != "true":
+        return suffix_rank_tables(docs, rounds, text_col=text_col,
+                                  id_col=id_col)
+    fp = (docs.filter(F.col(text_col).isNotNull())
+          .agg(F.count("*").alias("__c"),
+               F.sum(F.hash(F.col(id_col), F.col(text_col))
+                     .cast("long")).alias("__s"))
+          .first())
+    key = (f"v{_SFX_CACHE_VERSION}_r{rounds}_{id_col}_{text_col}"
+           f"_{fp['__c']}_{fp['__s']}")
+    root = scratch_path(spark, "sfx_ladder", key)
+    marker = os.path.join(root, "_SFX_DONE")
+    if not os.path.exists(marker):
+        tables = suffix_rank_tables(docs, rounds, text_col=text_col,
+                                    id_col=id_col)
+        tmp = root + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        for k, t in enumerate(tables):
+            t.write.mode("overwrite").parquet(
+                os.path.join(tmp, f"t{k}"))
+        with open(os.path.join(tmp, "_SFX_DONE"), "w") as f:
+            f.write("ok\n")
+        shutil.rmtree(root, ignore_errors=True)
+        os.rename(tmp, root)
+    return [spark.read.parquet(os.path.join(root, f"t{k}"))
+            for k in range(rounds + 1)]
+
+
 def sa_adjacent_pairs(final_ranks: DataFrame,
                       id_col: str = "doc_id") -> DataFrame:
     """SA-adjacent position pairs (da, pa, db, pb): the total suffix
@@ -177,18 +241,21 @@ def adjacent_lcp(pairs: DataFrame, tables: list[DataFrame],
 
 def longest_dup_span(docs: DataFrame, rounds: int = 7,
                      text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     cached: bool = False) -> DataFrame:
     """Per document: the token length and text of the longest token
     span that also occurs elsewhere in the corpus (any other
     position, any doc — within-doc repeats count). Ties resolve to
     the smallest starting position. Docs whose every position has
-    LCP 0 report (0, '')."""
+    LCP 0 report (0, ''). ``cached=True`` routes the rank-table
+    build through the content-keyed persisted ladder cache."""
     from pyspark.sql.window import Window
 
     lens = docs.filter(F.col(text_col).isNotNull()).selectExpr(
         id_col, f"size(split({text_col}, ' ')) AS __len")
-    tables = suffix_rank_tables(docs, rounds, text_col=text_col,
-                                id_col=id_col)
+    build = suffix_rank_tables_cached if cached \
+        else suffix_rank_tables
+    tables = build(docs, rounds, text_col=text_col, id_col=id_col)
     pairs = sa_adjacent_pairs(tables[-1], id_col=id_col)
     lcps = adjacent_lcp(pairs, tables, lens, id_col=id_col)
     contrib = (
@@ -212,7 +279,8 @@ def longest_dup_span(docs: DataFrame, rounds: int = 7,
 
 def cross_doc_lcp(docs: DataFrame, rounds: int,
                   text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  cached: bool = False) -> DataFrame:
     """(id, pos, cross_lcp): for EVERY token position, the EXACT
     length of the longest prefix its suffix shares with a suffix of
     a DIFFERENT document — the block range-min over the adjacent-LCP
@@ -246,8 +314,9 @@ def cross_doc_lcp(docs: DataFrame, rounds: int,
 
     lens = docs.filter(F.col(text_col).isNotNull()).selectExpr(
         id_col, f"size(split({text_col}, ' ')) AS __len")
-    tables = suffix_rank_tables(docs, rounds, text_col=text_col,
-                                id_col=id_col)
+    build = suffix_rank_tables_cached if cached \
+        else suffix_rank_tables
+    tables = build(docs, rounds, text_col=text_col, id_col=id_col)
     ordered = global_rank(
         tables[-1],
         [F.col("r").asc(), F.col(id_col).asc(), F.col("p").asc()],
