@@ -1938,19 +1938,38 @@ def _pq_lloyd_ctes(pfx: str, src: str, m: int, kq: int, iters: int,
     return parts
 
 
-def _pq_oracle() -> str:
+def _pq_oracle(k: int = _KNN_K, prelude: list | None = None,
+               src: str = "v") -> str:
+    """Chained-CTE replay of the full PQ chain over the vector source
+    CTE ``src`` (vec_id, e as list<double>). The default source is the
+    raw embeddings table; ``prelude``/``src`` let a variant (the OPQ
+    allocation row) swap in a derived vector space — the refine stage
+    then reranks in THAT space, mirroring pq_search's use of the
+    queries' own vectors."""
     sub = _PQ_SUB
     sqd = _pq_sqd(sub)
-    parts = [
+    parts = list(prelude) if prelude is not None else [
         "v AS (SELECT vec_id,"
         " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
         " FROM embeddings)",
-    ] + _pq_lloyd_ctes("", "v", _PQ_M, _PQ_K, _PQ_ITERS, sub)
+    ]
+    parts += _pq_lloyd_ctes("", src, _PQ_M, _PQ_K, _PQ_ITERS, sub)
     bf = _PQ_ITERS
-    ex = ("list_reduce(list_transform(range(1, len(q.embedding) + 1),"
-          " i -> CAST(q.embedding[i] - c.embedding[i] AS DOUBLE)"
-          " * CAST(q.embedding[i] - c.embedding[i] AS DOUBLE)),"
-          " (p, t) -> p + t)")
+    if src == "v":
+        ex = ("list_reduce(list_transform("
+              "range(1, len(q.embedding) + 1),"
+              " i -> CAST(q.embedding[i] - c.embedding[i] AS DOUBLE)"
+              " * CAST(q.embedding[i] - c.embedding[i] AS DOUBLE)),"
+              " (p, t) -> p + t)")
+        ex_q, ex_c = "embeddings q", "embeddings c"
+    else:
+        # derived source: e is already DOUBLE, the subtraction is
+        # double in both engines (Spark's zip_with over the
+        # double-cast permuted arrays)
+        ex = (f"list_reduce(list_transform(range(1, {_CND_DIM} + 1),"
+              " i -> (q.e[i] - c.e[i]) * (q.e[i] - c.e[i])),"
+              " (p, t) -> p + t)")
+        ex_q, ex_c = f"{src} q", f"{src} c"
     parts += [
         # encode every corpus vector: per-subspace nearest code
         f"enc AS (SELECT sv.vec_id, sv.s, b.cell"
@@ -1974,8 +1993,8 @@ def _pq_oracle() -> str:
         # FAISS-style refine: exact squared L2 on the shortlist only;
         # float subtraction then double product, the zip_with twin
         f"ex AS (SELECT s.query_id, s.neighbor_id, {ex} AS adc_dist"
-        f" FROM short s JOIN embeddings q ON q.vec_id = s.query_id"
-        f" JOIN embeddings c ON c.vec_id = s.neighbor_id)",
+        f" FROM short s JOIN {ex_q} ON q.vec_id = s.query_id"
+        f" JOIN {ex_c} ON c.vec_id = s.neighbor_id)",
     ]
     return ("WITH " + ",\n".join(parts) + f"""
 SELECT query_id, rank, neighbor_id, adc_dist FROM (
@@ -1983,7 +2002,7 @@ SELECT query_id, rank, neighbor_id, adc_dist FROM (
     ROW_NUMBER() OVER (PARTITION BY query_id
                        ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
   FROM ex)
-WHERE rank <= {_KNN_K}""")
+WHERE rank <= {k}""")
 
 
 @spec(
@@ -2006,6 +2025,132 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _KNN_NQ)
     return pq_search(queries, codes, books, k=_KNN_K, corpus=emb,
                      shortlist=_PQ_SHORT)
+
+
+# ----------------------------------------------------------------------
+# OPQ dimension allocation (Ge et al. CVPR 2013, the parametric
+# eigenvalue/variance-allocation step, rotation restricted to the
+# permutation subgroup so the whole chain stays bit-replayable):
+# per-dim exact integer variance keys -> serpentine deal to the m
+# subspaces -> standard PQ in the permuted layout. The row is the
+# recall-vs-plain-PQ eval: same code budget (m, K, iters, shortlist),
+# same ground truth, two full train->encode->ADC->refine chains.
+# ----------------------------------------------------------------------
+
+
+def _opq_prelude() -> list:
+    from xsarsea_spark.pipeline.opq import ALLOC_SCALE
+
+    g, m = 10 ** ALLOC_SCALE, _PQ_M
+    return [
+        "v AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        " FROM embeddings)",
+        f"xd AS (SELECT vec_id, unnest(range(1, {_CND_DIM} + 1))"
+        f" AS d, unnest(e) AS x FROM v)",
+        # scale-9 grid sums: BIGINT-safe (|x| O(1), <=2^31 rows);
+        # the key products ride HUGEINT so n*sx2 and sx^2 are exact
+        f"vk AS (SELECT d,"
+        f" SUM(CAST(FLOOR(x * {g}) AS BIGINT)) AS sx,"
+        f" SUM(CAST(FLOOR(x * x * {g}) AS BIGINT)) AS sx2,"
+        f" COUNT(*) AS n FROM xd GROUP BY d)",
+        # q(x^2) carries one grid factor, q(x)^2 two: rebalance by g
+        f"rk AS (SELECT d, ROW_NUMBER() OVER (ORDER BY"
+        f" (CAST(n AS HUGEINT) * {g} * CAST(sx2 AS HUGEINT)"
+        f" - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)) DESC,"
+        f" d ASC) - 1 AS r FROM vk)",
+        f"al AS (SELECT d, CASE WHEN (r // {m}) % 2 = 0"
+        f" THEN r % {m} ELSE {m} - 1 - (r % {m}) END AS s,"
+        f" r // {m} AS slot FROM rk)",
+        "pv AS (SELECT x.vec_id, list(x.x ORDER BY a.s, a.slot)"
+        " AS e FROM xd x JOIN al a ON a.d = x.d GROUP BY x.vec_id)",
+    ]
+
+
+def _opq_recall_oracle() -> str:
+    def pick(src: str) -> str:
+        return (f"SELECT query_id, neighbor_id FROM (SELECT query_id,"
+                f" neighbor_id, ROW_NUMBER() OVER (PARTITION BY"
+                f" query_id ORDER BY rank ASC) AS rn FROM {src}"
+                f" WHERE neighbor_id <> query_id) WHERE rn <= {_KNN_K}")
+
+    return f"""
+WITH ex AS ({_KNN_ORACLE}),
+p0 AS ({_pq_oracle(k=_KNN_K + 1)}),
+o0 AS ({_pq_oracle(k=_KNN_K + 1, prelude=_opq_prelude(), src="pv")}),
+pp AS ({pick("p0")}),
+oo AS ({pick("o0")}),
+m AS (
+  SELECT 'pq' AS variant, COUNT(*) AS n_matched
+  FROM ex JOIN pp USING (query_id, neighbor_id)
+  UNION ALL
+  SELECT 'opq_alloc' AS variant, COUNT(*) AS n_matched
+  FROM ex JOIN oo USING (query_id, neighbor_id)),
+t AS (SELECT COUNT(*) AS n_exact,
+             COUNT(DISTINCT query_id) AS n_queries FROM ex)
+SELECT m.variant, CAST(t.n_queries AS BIGINT) AS n_queries,
+  CAST(m.n_matched AS BIGINT) AS n_matched,
+  CAST(t.n_exact AS BIGINT) AS n_exact,
+  m.n_matched / CAST(t.n_exact AS DOUBLE) AS recall
+FROM m CROSS JOIN t"""
+
+
+@spec(
+    "opq_alloc_recall",
+    _opq_recall_oracle(),
+    description="OPQ dimension allocation vs plain PQ at equal code "
+                "budget: serpentine variance-balanced permutation "
+                "(exact integer variance keys, one aggregation pass, "
+                "frozen d-int state) ahead of the standard PQ chain; "
+                "recall@k of both variants against the brute-force "
+                "ground truth, both full chains replayed by one "
+                "chained-CTE oracle",
+    tags=("pipeline", "similarity", "iterative"),
+)
+def q_opq_alloc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from xsarsea_spark.pipeline.opq import (apply_allocation,
+                                            train_allocation)
+    from xsarsea_spark.pipeline.pq import encode_pq, pq_search, train_pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    ex = q_knn(spark, sf_dir).select("query_id", "neighbor_id")
+
+    def topk(src: DataFrame) -> DataFrame:
+        books = train_pq(src, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+        codes = encode_pq(src, books)
+        qs = src.filter(F.col("vec_id") < _KNN_NQ)
+        ap0 = pq_search(qs, codes, books, k=_KNN_K + 1, corpus=src,
+                        shortlist=_PQ_SHORT)
+        return (
+            ap0.filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.asc("rank"))))
+            .filter(F.col("rn") <= _KNN_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    perm = train_allocation(emb, m=_PQ_M)
+    variants = [("pq", topk(emb)),
+                ("opq_alloc", topk(apply_allocation(emb, perm)))]
+    t = ex.agg(F.count(F.lit(1)).alias("n_exact"),
+               F.countDistinct("query_id").alias("n_queries"))
+    out = None
+    for name, ap in variants:
+        mm = (ex.join(ap, on=["query_id", "neighbor_id"])
+              .agg(F.count(F.lit(1)).alias("n_matched"))
+              .withColumn("variant", F.lit(name)))
+        out = mm if out is None else out.unionByName(mm)
+    return (
+        out.crossJoin(F.broadcast(t))
+        .select("variant",
+                F.col("n_queries").cast("bigint").alias("n_queries"),
+                F.col("n_matched").cast("bigint").alias("n_matched"),
+                F.col("n_exact").cast("bigint").alias("n_exact"),
+                F.expr("n_matched / CAST(n_exact AS DOUBLE)")
+                .alias("recall"))
+    )
 
 
 # ----------------------------------------------------------------------
@@ -5740,7 +5885,7 @@ def q_doc_longest_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").filter(
         f"text IS NOT NULL AND doc_id % {_SFX_MOD} = 0")
-    return longest_dup_span(docs, rounds=_SFX_ROUNDS)
+    return longest_dup_span(docs, rounds=_SFX_ROUNDS, cached=True)
 
 
 # ----------------------------------------------------------------------
@@ -5793,14 +5938,15 @@ FROM xd GROUP BY source_a, source_b""")
 )
 def q_doc_source_crossdup(spark: SparkSession,
                           sf_dir: str) -> DataFrame:
-    from xsarsea_spark.pipeline.suffix import (adjacent_lcp,
-                                               sa_adjacent_pairs,
-                                               suffix_rank_tables)
+    from xsarsea_spark.pipeline.suffix import (
+        adjacent_lcp, sa_adjacent_pairs, suffix_rank_tables_cached)
 
     docs = load(spark, sf_dir, "documents").filter(
         f"text IS NOT NULL AND doc_id % {_SXP_MOD} = 0")
     lens = docs.selectExpr("doc_id", "size(split(text, ' ')) AS __len")
-    tables = suffix_rank_tables(docs, _SFX_ROUNDS)
+    # mod-7 slice: a DIFFERENT ladder from the mod-10 pair (the cache
+    # is content-keyed, so the two coexist); repeat passes still hit
+    tables = suffix_rank_tables_cached(docs, _SFX_ROUNDS)
     pairs = sa_adjacent_pairs(tables[-1])
     lcps = adjacent_lcp(pairs, tables, lens).filter("da != db")
     src = docs.select("doc_id", "source")
@@ -5888,7 +6034,7 @@ def q_doc_crossdup_exact(spark: SparkSession,
 
     docs = load(spark, sf_dir, "documents").filter(
         f"text IS NOT NULL AND doc_id % {_SFX_MOD} = 0")
-    cx = cross_doc_lcp(docs, rounds=_SFX_ROUNDS)
+    cx = cross_doc_lcp(docs, rounds=_SFX_ROUNDS, cached=True)
     agg = cx.groupBy("doc_id").agg(
         F.expr("CAST(MAX(cross_lcp) AS BIGINT)")
         .alias("max_cross_tokens"),
