@@ -135,3 +135,24 @@ def test_prefix_max_debug_check_rejects_duplicate_keys(spark):
         assert out.count() == 200
     finally:
         spark.conf.set("spark.xsarsea.debug.checks", "false")
+
+
+@pytest.mark.parametrize("n,nrows,ngroups", [(3, 500, 5), (4, 97, 3),
+                                             (7, 60, 11), (3, 6, 2)])
+def test_ntile_grouped_matches_partitioned_window(spark, n, nrows,
+                                                  ngroups):
+    """ntile_grouped == NTILE(n) OVER (PARTITION BY g ORDER BY ...),
+    including groups smaller than n (every row in a big bucket)."""
+    from xsarsea_spark.operators.rank import ntile_grouped
+
+    df = _frame(spark, nrows).withColumn(
+        "g", (F.col("id") % ngroups).cast("int"))
+    order = [F.col("score").desc(), F.col("id").asc()]
+    got = {r["id"]: r["bin"]
+           for r in ntile_grouped(df, n, ["g"], order,
+                                  partitions=5).collect()}
+    w = Window.partitionBy("g").orderBy(
+        F.col("score").desc(), F.col("id").asc())
+    want = {r["id"]: r["nt"]
+            for r in df.withColumn("nt", F.ntile(n).over(w)).collect()}
+    assert got == want

@@ -37,7 +37,8 @@ from pyspark.sql.window import Window
 
 from xsarsea_spark.engine import get_conf, get_conf_int, materialize
 
-__all__ = ["global_rank", "ntile_distributed", "prefix_max"]
+__all__ = ["global_rank", "ntile_distributed", "ntile_grouped",
+           "prefix_max"]
 
 CONF_RANK_PARTITIONS = "spark.xsarsea.rank.partitions"
 CONF_DEBUG_CHECKS = "spark.xsarsea.debug.checks"
@@ -144,6 +145,23 @@ def prefix_max(df: DataFrame, order_by: list[Column], src: str,
             .drop("__pid", "__pm"))
 
 
+def _ntile_expr(rank_col: str, total_col: str, n: int):
+    """Exact NTILE(``n``) bucket from a 1-based rank and a group
+    total. Integral `div` throughout: double division is exact only
+    below 2^53 ranks — floating point must not decide exact
+    cross-engine values at the design scale. CASE short-circuits, so
+    the `div base` branch never runs when base = 0 (N < n: every row
+    lands in a big bucket)."""
+    r, N = rank_col, total_col
+    return F.expr(
+        f"CAST(CASE WHEN {r} <= ({N} % {n}) * (({N} div {n}) + 1) "
+        f"THEN ({r} - 1) div (({N} div {n}) + 1) + 1 "
+        f"ELSE ({N} % {n}) "
+        f"  + ({r} - ({N} % {n}) * (({N} div {n}) + 1) - 1) "
+        f"    div ({N} div {n}) + 1 "
+        f"END AS int)")
+
+
 def ntile_distributed(df: DataFrame, n: int, order_by: list[Column],
                       bin_col: str = "bin",
                       partitions: int | None = None) -> DataFrame:
@@ -153,18 +171,30 @@ def ntile_distributed(df: DataFrame, n: int, order_by: list[Column],
     ranked = global_rank(df, order_by, rank_col="__gr",
                          partitions=partitions)
     total = ranked.groupBy().agg(F.count(F.lit(1)).alias("__N"))
-    # integral `div` throughout: double division is exact only below
-    # 2^53 ranks — floating point must not decide exact cross-engine
-    # values at the design scale. CASE short-circuits, so the
-    # `div __base` branch never runs when base = 0 (N < n: every row
-    # lands in a big bucket).
-    bin_expr = F.expr(
-        f"CAST(CASE WHEN __gr <= (__N % {n}) * ((__N div {n}) + 1) "
-        f"THEN (__gr - 1) div ((__N div {n}) + 1) + 1 "
-        f"ELSE (__N % {n}) "
-        f"  + (__gr - (__N % {n}) * ((__N div {n}) + 1) - 1) "
-        f"    div (__N div {n}) + 1 "
-        f"END AS int)")
     return (ranked.crossJoin(F.broadcast(total))
-            .withColumn(bin_col, bin_expr)
+            .withColumn(bin_col, _ntile_expr("__gr", "__N", n))
             .drop("__gr", "__N"))
+
+
+def ntile_grouped(df: DataFrame, n: int, group_cols: list[str],
+                  order_by: list[Column], bin_col: str = "bin",
+                  partitions: int | None = None) -> DataFrame:
+    """Per-group NTILE(``n``) — value-identical to ``NTILE(n) OVER
+    (PARTITION BY group ORDER BY ...)`` — without a per-group window:
+    ONE :func:`global_rank` over (group, order), then each group's
+    (first rank, count) joined back to convert global ranks into
+    in-group ranks. No assumption that a group fits in a partition
+    (a language or source can be arbitrarily large); the per-group
+    stats frame has one row per group and is broadcast, so the
+    GROUP COUNT must be broadcast-sized — languages, sources,
+    shards, not document ids."""
+    keys = [F.col(c).asc() for c in group_cols]
+    ranked = global_rank(df, keys + list(order_by), rank_col="__gr",
+                         partitions=partitions)
+    stats = ranked.groupBy(*group_cols).agg(
+        F.min("__gr").alias("__g0"),
+        F.count(F.lit(1)).alias("__N"))
+    return (ranked.join(F.broadcast(stats), on=list(group_cols))
+            .withColumn("__r", F.expr("__gr - __g0 + 1"))
+            .withColumn(bin_col, _ntile_expr("__r", "__N", n))
+            .drop("__gr", "__g0", "__N", "__r"))

@@ -1873,6 +1873,126 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE 'tail' END AS tier")
 
 
+# ----------------------------------------------------------------------
+# CCNet proper (Wenzek et al. 2020): ONE LM PER LANGUAGE, trained on
+# that language's half of the corpus, scoring that language's
+# held-out half, and head/middle/tail terciles assigned WITHIN each
+# language — the global-tercile variant above would let an
+# easy-to-model language swallow every head slot. Composes the
+# held-out Kneser-Ney machinery (all count tables gain a lang key;
+# the per-language totals frame is languages-sized and broadcast)
+# with per-group exact NTILE via operators.rank.ntile_grouped (one
+# global_rank over (lang, score, id) + per-lang offsets — no
+# per-language window, no corpus-wide window). A held-out doc whose
+# language has no trained LM is dropped (inner totals join) in both
+# engines — CCNet cannot score without a model.
+# ----------------------------------------------------------------------
+
+_CCNET_ORACLE = f"""
+WITH tr AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents
+  WHERE doc_id % 2 = 0 AND len(string_split(text, ' ')) >= 2),
+ho AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents
+  WHERE doc_id % 2 = 1 AND len(string_split(text, ' ')) >= 2),
+tbg AS (
+  SELECT doc_id, lang, unnest(l[1:len(l)-1]) AS w1,
+    unnest(l[2:len(l)]) AS w2 FROM tr),
+hbg AS (
+  SELECT doc_id, lang, unnest(l[1:len(l)-1]) AS w1,
+    unnest(l[2:len(l)]) AS w2 FROM ho),
+c12 AS (SELECT lang, w1, w2, COUNT(*) AS c12 FROM tbg
+        GROUP BY 1, 2, 3),
+c1 AS (SELECT lang, w1, COUNT(*) AS c1,
+         COUNT(DISTINCT w2) AS n1w1 FROM tbg GROUP BY 1, 2),
+nc2 AS (SELECT lang, w2, COUNT(DISTINCT w1) AS nc2 FROM tbg
+        GROUP BY 1, 2),
+nct AS (SELECT lang, COUNT(*) AS nctot FROM c12 GROUP BY 1),
+vt AS (SELECT lang, COUNT(DISTINCT x) AS vtrain FROM
+         (SELECT lang, unnest(l) AS x FROM tr) GROUP BY 1),
+tots AS (SELECT nct.lang, nct.nctot, vt.vtrain
+         FROM nct JOIN vt ON vt.lang = nct.lang),
+scored AS (
+  SELECT h.doc_id, h.lang, {{term}} AS term
+  FROM hbg h
+  LEFT JOIN c12 ON c12.lang = h.lang AND c12.w1 = h.w1
+                AND c12.w2 = h.w2
+  LEFT JOIN c1 ON c1.lang = h.lang AND c1.w1 = h.w1
+  LEFT JOIN nc2 ON nc2.lang = h.lang AND nc2.w2 = h.w2
+  JOIN tots ON tots.lang = h.lang),
+d AS (
+  SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+    CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)
+      AS avg_ll
+  FROM scored GROUP BY 1, 2),
+b AS (
+  SELECT doc_id, lang, n_bigrams, avg_ll,
+    NTILE(3) OVER (PARTITION BY lang
+                   ORDER BY avg_ll DESC, doc_id) AS bucket
+  FROM d)
+SELECT doc_id, lang, n_bigrams, avg_ll, bucket,
+  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+    ELSE 'tail' END AS tier
+FROM b
+"""
+
+
+@spec(
+    "doc_ccnet_perlang_buckets",
+    _CCNET_ORACLE.format(term=_kn_term()),
+    description="CCNet per-language perplexity bucketing: one "
+                "held-out interpolated Kneser-Ney bigram LM per "
+                "language (lang-keyed count tables, one shared scan "
+                "per statistic), head/middle/tail terciles WITHIN "
+                "each language via grouped exact NTILE (global_rank "
+                "+ per-lang offsets — no per-language window)",
+    tags=("pipeline", "text", "lm", "sampling"),
+)
+def q_ccnet_perlang_buckets(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.rank import ntile_grouped
+    from xsarsea_spark.pipeline.text import bigrams
+
+    docs = load(spark, sf_dir, "documents")
+    langs = docs.select("doc_id", "lang")
+    train = docs.filter("doc_id % 2 = 0")
+    held = docs.filter("doc_id % 2 = 1")
+    tbg = bigrams(train).join(langs, on="doc_id")
+    hbg = bigrams(held).join(langs, on="doc_id")
+    c12 = tbg.groupBy("lang", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12"))
+    c1 = tbg.groupBy("lang", "w1").agg(
+        F.count(F.lit(1)).alias("c1"),
+        F.countDistinct("w2").alias("n1w1"))
+    nc2 = tbg.groupBy("lang", "w2").agg(
+        F.countDistinct("w1").alias("nc2"))
+    nct = c12.groupBy("lang").agg(F.count(F.lit(1)).alias("nctot"))
+    vt = (train.filter("text IS NOT NULL")
+          .filter("size(split(text, ' ')) >= 2")
+          .selectExpr("lang", "explode(split(text, ' ')) AS x")
+          .groupBy("lang").agg(F.countDistinct("x").alias("vtrain")))
+    tots = nct.join(vt, on="lang")
+    scored = (
+        hbg.join(c12, on=["lang", "w1", "w2"], how="left")
+        .join(c1, on=["lang", "w1"], how="left")
+        .join(nc2, on=["lang", "w2"], how="left")
+        .join(F.broadcast(tots), on="lang")
+        .selectExpr("doc_id", "lang", f"{_kn_term()} AS term")
+    )
+    d = scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE)"
+               " / COUNT(*)").alias("avg_ll"))
+    b = ntile_grouped(
+        d, 3, ["lang"],
+        [F.col("avg_ll").desc(), F.col("doc_id").asc()],
+        bin_col="bucket")
+    return b.selectExpr(
+        "doc_id", "lang", "n_bigrams", "avg_ll", "bucket",
+        "CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'"
+        " ELSE 'tail' END AS tier")
+
+
 _PQ_M, _PQ_K, _PQ_ITERS = 8, 16, 3
 _PQ_SUB = _CND_DIM // _PQ_M
 _PQ_SHORT = 10 * _KNN_K
