@@ -1,0 +1,91 @@
+"""URL canonicalization: cross-engine byte parity + semantics."""
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+ADVERSARIAL = [
+    "HTTPS://WWW.Example.CO.UK:443/a/b/?utm_source=x&b=2&a=1#frag",
+    "https://example.co.uk/a/b?a=1&b=2",
+    "http://example.co.uk:80/a/b/",
+    "http://example.co.uk:8080/a/b",      # non-default port kept
+    "https://sub.deep.example.com/",
+    "http://EXAMPLE.com/?utm_a=1&utm_b=2",  # params all tracking
+    "https://one-label/x",                  # single-label host
+    "http://a.org.uk/p?z=1&y=1&z=0",        # dup param names sort
+    "not a url at all",
+    "ftp://odd.net:443/f",                  # :443 not ftp default
+]
+
+_COLS = ["url_norm", "dup_key", "domain"]
+
+
+def _spark_rows(spark):
+    from xsarsea_spark.pipeline.urls import url_norm_steps
+
+    df = spark.createDataFrame([(i, u) for i, u in
+                                enumerate(ADVERSARIAL)],
+                               "i long, url string")
+    for col, expr in url_norm_steps("spark"):
+        df = df.withColumn(col, F.expr(expr))
+    return {r["i"]: tuple(r[c] for c in _COLS)
+            for r in df.select("i", *_COLS).collect()}
+
+
+def _duck_rows():
+    from xsarsea_spark.pipeline.urls import url_norm_steps
+
+    vals = ", ".join(f"({i}, '{u}')"
+                     for i, u in enumerate(ADVERSARIAL))
+    parts = [f"s0 AS (SELECT * FROM (VALUES {vals}) t(i, url))"]
+    prev = "s0"
+    for k, (col, expr) in enumerate(url_norm_steps("duck"), 1):
+        parts.append(f"s{k} AS (SELECT *, {expr} AS {col}"
+                     f" FROM {prev})")
+        prev = f"s{k}"
+    sql = ("WITH " + ", ".join(parts)
+           + f" SELECT i, {', '.join(_COLS)} FROM {prev}")
+    return {r[0]: tuple(r[1:]) for r in duckdb.sql(sql).fetchall()}
+
+
+def test_cross_engine_byte_parity(spark):
+    got_s = _spark_rows(spark)
+    got_d = _duck_rows()
+    for i, u in enumerate(ADVERSARIAL):
+        assert got_s[i] == got_d[i], (u, got_s[i], got_d[i])
+
+
+def test_canonicalization_semantics(spark):
+    rows = _spark_rows(spark)
+    by_url = {ADVERSARIAL[i]: r for i, r in rows.items()}
+    # the noisy variant (scheme case + www + default port + utm +
+    # trailing slash + fragment) and the already-clean form share one
+    # scheme-insensitive dup key
+    k0 = by_url[ADVERSARIAL[0]][1]
+    assert by_url[ADVERSARIAL[1]][1] == k0
+    # same path but NO query = a different resource; default :80 and
+    # the trailing slash still canonicalize away
+    assert by_url[ADVERSARIAL[2]][1] != k0
+    assert by_url[ADVERSARIAL[2]][0] == "http://example.co.uk/a/b"
+    # and their params are sorted with utm_* gone
+    assert by_url[ADVERSARIAL[0]][0] == \
+        "https://example.co.uk/a/b?a=1&b=2"
+    # non-default port splits the group and survives in the display
+    # form, but not in the registrable domain
+    assert by_url[ADVERSARIAL[3]][1] != k0
+    assert ":8080" in by_url[ADVERSARIAL[3]][0]
+    assert by_url[ADVERSARIAL[3]][2] == "example.co.uk"
+    # multi-label public suffix -> 3-label registrable domain;
+    # deep subdomains still collapse to 2 labels on .com
+    assert by_url[ADVERSARIAL[0]][2] == "example.co.uk"
+    assert by_url[ADVERSARIAL[4]][2] == "example.com"
+    # all-tracking query canonicalizes to no query at all
+    assert by_url[ADVERSARIAL[5]][0] == "http://example.com"
+    # single-label host is its own domain
+    assert by_url[ADVERSARIAL[6]][2] == "one-label"
+    # duplicate param names sort deterministically (z=0 before z=1)
+    assert by_url[ADVERSARIAL[7]][0] == \
+        "http://a.org.uk/p?y=1&z=0&z=1"
+    assert by_url[ADVERSARIAL[7]][2] == "a.org.uk"
+    # :443 is NOT stripped for a non-https scheme
+    assert ":443" in by_url[ADVERSARIAL[9]][0]

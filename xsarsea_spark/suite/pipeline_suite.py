@@ -1709,6 +1709,114 @@ def q_doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# URL canonicalization + domain-level dedup — the first dedup pass of
+# every web-corpus pipeline (CCNet §3.1 / C4 dedup by URL before any
+# content hashing). The documents table carries no URL column, so a
+# deterministic synthetic URL is derived per doc (same SQL expression
+# in both engines) with planted variation across every axis the
+# canonicalizer must collapse: scheme case + http/https, www prefix,
+# mixed-case host/suffix, default vs non-default ports, trailing
+# slash, tracking params, parameter order, fragments. The
+# canonicalization itself is pipeline.urls.url_norm_steps — one
+# in-plan expression chain, RE2 ∩ Java-regex subset, no UDFs.
+# ----------------------------------------------------------------------
+
+# deterministic synthetic URL (dialect-shared SQL): %21 hits only
+# https docs (21 = 3*7) so ':443' is always a default port; %9 = 1
+# implies %3 != 0 so ':8080' lands on http docs and must be KEPT
+_URL_SYNTH = (
+    "concat("
+    "CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END, '://',"
+    " CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END,"
+    " source,"
+    " CASE doc_id % 5 WHEN 0 THEN '.CO.UK' WHEN 1 THEN '.com'"
+    " WHEN 2 THEN '.ORG' WHEN 3 THEN '.io' ELSE '.net' END,"
+    " CASE WHEN doc_id % 21 = 0 THEN ':443'"
+    " WHEN doc_id % 9 = 1 THEN ':8080' ELSE '' END,"
+    " '/p/', doc_id % 50,"
+    " CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,"
+    " '?',"
+    " CASE WHEN doc_id % 2 = 0 THEN"
+    " concat('id=', doc_id % 10, '&utm_campaign=spring')"
+    " ELSE concat('utm_campaign=spring&id=', doc_id % 10) END,"
+    " CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)"
+)
+
+
+def _url_dedup_oracle() -> str:
+    from xsarsea_spark.pipeline.urls import url_norm_steps
+
+    parts = [f"s0 AS (SELECT doc_id, {_URL_SYNTH} AS url"
+             f" FROM documents)"]
+    prev = "s0"
+    for i, (col, expr) in enumerate(url_norm_steps("duck"), 1):
+        parts.append(f"s{i} AS (SELECT *, {expr} AS {col}"
+                     f" FROM {prev})")
+        prev = f"s{i}"
+    parts += [
+        f"per AS (SELECT doc_id, url_norm, dup_key, domain"
+        f" FROM {prev})",
+        "g AS (SELECT dup_key, COUNT(*) AS n_dup,"
+        " MIN(doc_id) AS canon FROM per GROUP BY 1)",
+        "dd AS (SELECT domain, COUNT(*) AS domain_docs,"
+        " COUNT(DISTINCT dup_key) AS domain_unique"
+        " FROM per GROUP BY 1)",
+    ]
+    return ("WITH " + ",\n".join(parts) + """
+SELECT p.doc_id, p.url_norm, p.domain,
+  CAST(g.n_dup AS BIGINT) AS n_dup,
+  p.doc_id = g.canon AS is_canonical,
+  CAST(dd.domain_docs AS BIGINT) AS domain_docs,
+  CAST(dd.domain_unique AS BIGINT) AS domain_unique
+FROM per p JOIN g ON g.dup_key = p.dup_key
+JOIN dd ON dd.domain = p.domain""")
+
+
+@spec(
+    "doc_url_dedup",
+    _url_dedup_oracle(),
+    description="URL canonicalization + domain-level dedup: "
+                "lowercase scheme/host, default-port and www strip, "
+                "fragment/trailing-slash drop, utm_* removal with "
+                "sorted surviving params, scheme-insensitive dup "
+                "key, registrable domain via embedded public-suffix "
+                "subset; per-URL-group size + canonical pick and "
+                "per-domain doc/unique counts — one in-plan "
+                "expression chain, byte-identical across engines",
+    tags=("pipeline", "dedup", "text"),
+)
+def q_doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.urls import url_norm_steps
+
+    df = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_URL_SYNTH} AS url")
+    for col, expr in url_norm_steps("spark"):
+        df = df.withColumn(col, F.expr(expr))
+    # materialize the slim canonical frame: CollapseProject inlines
+    # the synth-URL + 13-step chain into one projection whose
+    # generated evaluator tops the JVM's 64 KB method limit (codegen
+    # falls back to the interpreter for the whole stage); the barrier
+    # keeps the canonicalization inside codegen and the two group-bys
+    # + joins below re-scan 4 narrow columns instead of re-deriving
+    # the chain three times
+    per = materialize(
+        df.select("doc_id", "url_norm", "dup_key", "domain"))
+    g = per.groupBy("dup_key").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_dup"),
+        F.min("doc_id").alias("__canon"))
+    dd = per.groupBy("domain").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("domain_docs"),
+        F.expr("CAST(COUNT(DISTINCT dup_key) AS BIGINT)")
+        .alias("domain_unique"))
+    return (
+        per.join(g, on="dup_key").join(dd, on="domain")
+        .selectExpr("doc_id", "url_norm", "domain", "n_dup",
+                    "doc_id = __canon AS is_canonical",
+                    "domain_docs", "domain_unique")
+    )
+
+
+# ----------------------------------------------------------------------
 # Interpolated Kneser-Ney bigram LM on a HELD-OUT split — the
 # smoother KenLM actually uses (modified KN; single-discount
 # interpolated form here), with proper train/test separation: counts
