@@ -461,3 +461,24 @@ def test_band_sweep_and_kn_lm_join_shapes(spark):
         for ln in plan.splitlines():
             if "NestedLoopJoin" in ln:
                 assert "Broadcast" in ln, f"{name}: {ln}"
+
+
+def test_ccnet_and_opq_and_url_plans_are_scale_safe(spark):
+    """Round-9 rows: doc_ccnet_perlang_buckets terciles ride the
+    grouped two-pass rank (every Window __pid-partitioned, never a
+    per-language single-task sort); opq_alloc_recall and
+    doc_url_dedup plan no cartesian product and only broadcast
+    nested-loop joins (the 1-row totals / 2-row variant frames)."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["doc_ccnet_perlang_buckets"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    _assert_all_windows_pid_partitioned(plan)
+    for name in ("doc_ccnet_perlang_buckets", "opq_alloc_recall",
+                 "doc_url_dedup"):
+        plan = (REGISTRY[name].spark(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan, name
+        for ln in plan.splitlines():
+            if "NestedLoopJoin" in ln:
+                assert "Broadcast" in ln, f"{name}: {ln}"
