@@ -248,21 +248,27 @@ def main() -> None:
                  and first[n] / prev[n] >= delta_min),
                 key=lambda n: first[n] / prev[n],
                 reverse=True)[:delta_n]
-            order = suspects + sorted(
-                (n for n in first if n not in set(suspects)),
-                key=lambda n: first[n])
+            # suspects bypass the slow cap but get only a bounded
+            # SHARE of the repeat budget — otherwise two big jumps
+            # could eat the whole per-rep allowance and starve the
+            # other ~200 queries back down to 1 rep
+            sus_budget = per_rep * float(os.environ.get(
+                "SPARK_GRAFT_BENCH_DELTA_SHARE", "0.4"))
             admitted: set[str] = set()
             acc = 0.0
-            for n in order:
+            for n in suspects:
                 v = first[n]
-                if n not in suspects and v > slow_cut:
+                if acc + v > sus_budget:
+                    continue
+                acc += v
+                admitted.add(n)
+            for n in sorted((n for n in first
+                             if n not in admitted),
+                            key=lambda n: first[n]):
+                v = first[n]
+                if v > slow_cut or acc + v > per_rep:
                     break   # the fill is time-sorted: nothing
                     # cheaper remains past the cap
-                if acc + v > per_rep:
-                    if n in suspects:
-                        continue   # over-budget suspect; the
-                        # cheap fill can still fit
-                    break
                 acc += v
                 admitted.add(n)
             fast_est = acc * 1.15   # scheduler-overhead headroom
