@@ -46,10 +46,17 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["train_allocation", "apply_allocation", "ALLOC_SCALE"]
+__all__ = ["train_allocation", "apply_allocation", "ALLOC_SCALE",
+           "ALLOC_MAX_ABS"]
 
 # Variance-key grid (matches the k-means / PCA scale-9 convention).
 ALLOC_SCALE = 9
+# Input domain for the variance statistics (the linalg convention:
+# embedding coordinates are O(1)). Rows with a non-finite or
+# out-of-domain coordinate are DROPPED from the stats — and the
+# bound keeps floor(x*x*g) inside int64 (9e8 * 1e9 = 9e17 < 2^63),
+# while the sums ride DECIMAL(38,0) so no corpus size overflows.
+ALLOC_MAX_ABS = 3e4
 
 
 def train_allocation(corpus: DataFrame, m: int,
@@ -65,14 +72,27 @@ def train_allocation(corpus: DataFrame, m: int,
     g = 10 ** ALLOC_SCALE
     stats = (
         corpus.filter(F.col(vec_col).isNotNull())
+        # stats-input contract: finite O(1) coordinates (rows with a
+        # NaN/NULL/huge coordinate are dropped from the statistics —
+        # they still get encoded, the permutation just isn't steered
+        # by them); keeps the per-value floor inside int64
+        .filter(F.expr(
+            f"size(filter({vec_col}, x -> x IS NULL OR isnan(x)"
+            f" OR abs(x) > {ALLOC_MAX_ABS}d)) = 0"))
         .selectExpr(f"posexplode({vec_col}) AS (__d0, __xf)")
         .selectExpr("__d0", "CAST(__xf AS DOUBLE) AS __x")
         .groupBy("__d0")
-        .agg(F.sum(F.expr(f"floor(__x * {g}d)")).alias("__sx"),
-             F.sum(F.expr(f"floor(__x * __x * {g}d)")).alias("__sx2"),
+        .agg(F.sum(F.expr(f"CAST(floor(__x * {g}d)"
+                          f" AS DECIMAL(38,0))")).alias("__sx"),
+             F.sum(F.expr(f"CAST(floor(__x * __x * {g}d)"
+                          f" AS DECIMAL(38,0))")).alias("__sx2"),
              F.count(F.lit(1)).alias("__n"))
         .collect()
     )
+    if not stats:
+        raise ValueError(
+            "train_allocation: no vector passed the finite "
+            f"O(1)-coordinate stats contract (|x| <= {ALLOC_MAX_ABS})")
     dim = len(stats)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")

@@ -2267,7 +2267,7 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _opq_prelude() -> list:
-    from xsarsea_spark.pipeline.opq import ALLOC_SCALE
+    from xsarsea_spark.pipeline.opq import ALLOC_MAX_ABS, ALLOC_SCALE
 
     g, m = 10 ** ALLOC_SCALE, _PQ_M
     return [
@@ -2276,12 +2276,18 @@ def _opq_prelude() -> list:
         " FROM embeddings)",
         f"xd AS (SELECT vec_id, unnest(range(1, {_CND_DIM} + 1))"
         f" AS d, unnest(e) AS x FROM v)",
-        # scale-9 grid sums: BIGINT-safe (|x| O(1), <=2^31 rows);
-        # the key products ride HUGEINT so n*sx2 and sx^2 are exact
+        # stats-input contract (mirrors train_allocation): rows with
+        # a non-finite or out-of-domain coordinate are dropped from
+        # the variance statistics; per-value floors stay in int64,
+        # sums ride HUGEINT so no corpus size overflows
+        f"xok AS (SELECT vec_id FROM v WHERE len(list_filter(e,"
+        f" x -> x IS NULL OR isnan(x)"
+        f" OR abs(x) > {ALLOC_MAX_ABS})) = 0)",
         f"vk AS (SELECT d,"
-        f" SUM(CAST(FLOOR(x * {g}) AS BIGINT)) AS sx,"
-        f" SUM(CAST(FLOOR(x * x * {g}) AS BIGINT)) AS sx2,"
-        f" COUNT(*) AS n FROM xd GROUP BY d)",
+        f" SUM(CAST(FLOOR(x * {g}) AS HUGEINT)) AS sx,"
+        f" SUM(CAST(FLOOR(x * x * {g}) AS HUGEINT)) AS sx2,"
+        f" COUNT(*) AS n FROM xd JOIN xok USING (vec_id)"
+        f" GROUP BY d)",
         # q(x^2) carries one grid factor, q(x)^2 two: rebalance by g
         f"rk AS (SELECT d, ROW_NUMBER() OVER (ORDER BY"
         f" (CAST(n AS HUGEINT) * {g} * CAST(sx2 AS HUGEINT)"
