@@ -69,8 +69,9 @@ _PRIORITY = [
     "q12_late_shipping", "q_rollup_revenue", "scene_crop_subsample",
     "sigma0_resample", "simhash_fingerprint", "token_count_bpe",
     # (b) round-9 additions (OPQ allocation eval, CCNet per-language
-    # KN-LM terciles, URL/domain dedup):
+    # KN-LM terciles, URL/domain dedup, URL-dedup streaming ingest):
     "opq_alloc_recall", "doc_ccnet_perlang_buckets", "doc_url_dedup",
+    "stream_url_ingest",
     # (c) queries whose lineage changed this round: the three SA
     # queries ride the content-keyed persisted ladder cache; the
     # inversion pair rides the NaN-masked _nearest_idx; pq_ann's
@@ -89,7 +90,6 @@ _PRIORITY = [
     "doc_ngram_crossdup", "doc_pii_redact", "doc_rolling_hash",
     "embedding_hof_battery", "embedding_int8_quant",
     "events_band_join", "events_bloom_prefilter", "events_countmin",
-    "events_dd_quantiles",
 ]
 
 

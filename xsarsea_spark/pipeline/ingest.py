@@ -59,19 +59,36 @@ def ingest_curated_batch(
     m_bits: int,
     k: int,
     n_files: int = 4,
+    prep=None,
 ) -> None:
     """Curate one micro-batch of ``documents`` rows and append the
     new digests to the z-ordered table at ``table_dir``, exactly
-    once, updating the bloom sidecar + sync marker."""
+    once, updating the bloom sidecar + sync marker.
+
+    ``prep`` (optional) maps the raw micro-batch to the curated frame
+    BEFORE dedup: it must emit a ``digest`` column (the dedup key)
+    and ``doc_id`` (the within-batch precedence order); all its
+    columns land in the table. Default: the content-digest curation
+    (length gate + md5(text)). The URL-keyed ingest passes the
+    canonicalized dup-key digest here — same two-tier bloom/anti-join
+    core, different identity of "duplicate"."""
     from pyspark.sql.window import Window
 
+    if prep is None:
+        curated = (
+            df.filter(F.expr(
+                f"text IS NOT NULL AND n_chars >= {min_chars}"))
+            .withColumn("digest", F.expr("md5(text)"))
+            .select("doc_id", "lang", "n_chars", "digest")
+        )
+    else:
+        curated = prep(df)
     wmd5 = Window.partitionBy("digest").orderBy("doc_id")
     batch = (
-        df.filter(F.expr(f"text IS NOT NULL AND n_chars >= {min_chars}"))
-        .withColumn("digest", F.expr("md5(text)"))
+        curated
         .withColumn("__rn", F.row_number().over(wmd5))
         .filter("__rn = 1")
-        .select("doc_id", "lang", "n_chars", "digest")
+        .select(*curated.columns)
     )
 
     has_table = bool(_parquet_files(table_dir))

@@ -6885,6 +6885,109 @@ def q_stream_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# STREAMING URL-dedup ingest — the CCNet/C4 ingest order made
+# streaming: URL-level dedup happens AT INGEST, before any content
+# hashing. Same exactly-once two-tier core as stream_curated_ingest
+# (persisted bloom sidecar + exact anti-join backstop + crash-window
+# demotion), but the identity of "duplicate" is the canonical URL
+# dup key (pipeline/urls.py) instead of the content digest — http/
+# https recrawls, www/port/fragment/tracking-param variants of one
+# resource all collapse to a single table row, canonical = lowest
+# doc_id. The oracle is the one-shot batch replay of the same
+# canonicalization + first-per-key pick.
+# ----------------------------------------------------------------------
+
+
+def _stream_url_oracle() -> str:
+    from xsarsea_spark.pipeline.urls import url_norm_steps
+
+    parts = [f"s0 AS (SELECT doc_id, n_chars, {_URL_SYNTH} AS url"
+             f" FROM documents)"]
+    prev = "s0"
+    for i, (col, expr) in enumerate(url_norm_steps("duck"), 1):
+        parts.append(f"s{i} AS (SELECT *, {expr} AS {col}"
+                     f" FROM {prev})")
+        prev = f"s{i}"
+    parts += [
+        f"per AS (SELECT doc_id, n_chars, url_norm, domain,"
+        f" md5(dup_key) AS digest FROM {prev})",
+        "kept AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER"
+        " (PARTITION BY digest ORDER BY doc_id) AS rn FROM per)"
+        " WHERE rn = 1)",
+    ]
+    return ("WITH " + ",\n".join(parts) + """
+SELECT domain, COUNT(*) AS n_urls,
+  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM kept GROUP BY domain""")
+
+
+@spec(
+    "stream_url_ingest",
+    _stream_url_oracle(),
+    description="Structured-Streaming exactly-once URL-dedup ingest "
+                "(the CCNet/C4 ingest order): per-micro-batch URL "
+                "canonicalization, dup-key digest dedup against the "
+                "persisted bloom sidecar + exact anti-join backstop, "
+                "z-clustered append, double availableNow run over "
+                "one checkpoint; final table value-equal to a "
+                "one-shot batch replay",
+    tags=("pipeline", "streaming", "dedup", "sink"),
+)
+def q_stream_url_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from xsarsea_spark.pipeline.ingest import ingest_curated_batch
+    from xsarsea_spark.pipeline.urls import url_norm_steps
+
+    base = scratch_path(spark, "stream_url", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    table_dir = os.path.join(base, "table")
+    bloom_path = os.path.join(base, "bloom.parquet")
+    marker_path = os.path.join(base, "bloom_sync.txt")
+    ckpt_dir = os.path.join(base, "ckpt")
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+
+    def url_prep(df: DataFrame) -> DataFrame:
+        x = df.selectExpr("doc_id", "n_chars",
+                          f"{_URL_SYNTH} AS url")
+        for col, expr in url_norm_steps("spark"):
+            x = x.withColumn(col, F.expr(expr))
+        return x.selectExpr("doc_id", "n_chars", "url_norm",
+                            "domain", "md5(dup_key) AS digest")
+
+    def ingest(df: DataFrame, batch_id: int) -> None:
+        ingest_curated_batch(
+            spark, df, table_dir, bloom_path, marker_path,
+            min_chars=0, zcols=["n_chars", "doc_id"],
+            zbits=_CUR_BITS, m_bits=_ING_BLOOM_BITS,
+            k=_ING_BLOOM_K, prep=url_prep)
+
+    def run_stream() -> None:
+        src = (spark.readStream.schema(schema)
+               .option("pathGlobFilter", "documents.parquet")
+               .parquet(sf_dir))
+        q = (src.writeStream.foreachBatch(ingest)
+             .option("checkpointLocation", ckpt_dir)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    run_stream()
+    run_stream()    # second run: zero new files -> no-op
+
+    back = spark.read.parquet(table_dir)
+    return back.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("sum_chars"),
+    )
+
+
+# ----------------------------------------------------------------------
 # STREAMING near-dup ingest — the MinHash-LSH twin of
 # stream_curated_ingest: per-micro-batch MinHash banding, probe of
 # the PERSISTED band table (the only index state), exact Jaccard
