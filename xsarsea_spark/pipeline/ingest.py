@@ -85,7 +85,10 @@ def ingest_curated_batch(
         curated = prep(df)
     wmd5 = Window.partitionBy("digest").orderBy("doc_id")
     batch = (
-        curated
+        # a row whose digest is NULL has no dedup identity (e.g. a
+        # URL that could not be derived) — it cannot be ingested
+        # exactly-once, so it is dropped, never grouped-by-NULL
+        curated.filter(F.col("digest").isNotNull())
         .withColumn("__rn", F.row_number().over(wmd5))
         .filter("__rn = 1")
         .select(*curated.columns)

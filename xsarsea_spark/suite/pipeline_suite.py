@@ -6909,8 +6909,12 @@ def _stream_url_oracle() -> str:
                      f" FROM {prev})")
         prev = f"s{i}"
     parts += [
-        f"per AS (SELECT doc_id, n_chars, url_norm, domain,"
-        f" md5(dup_key) AS digest FROM {prev})",
+        # rows with no derivable URL identity are not ingested
+        # (NULL-digest drop in the batch kernel); no-op on the clean
+        # corpus, stated here so the semantics match by construction
+        f"per AS (SELECT doc_id, COALESCE(n_chars, 0) AS n_chars,"
+        f" url_norm, domain, md5(dup_key) AS digest FROM {prev}"
+        f" WHERE dup_key IS NOT NULL)",
         "kept AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER"
         " (PARTITION BY digest ORDER BY doc_id) AS rn FROM per)"
         " WHERE rn = 1)",
@@ -6955,8 +6959,10 @@ def q_stream_url_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                           f"{_URL_SYNTH} AS url")
         for col, expr in url_norm_steps("spark"):
             x = x.withColumn(col, F.expr(expr))
-        return x.selectExpr("doc_id", "n_chars", "url_norm",
-                            "domain", "md5(dup_key) AS digest")
+        return x.selectExpr("doc_id",
+                            "coalesce(n_chars, 0L) AS n_chars",
+                            "url_norm", "domain",
+                            "md5(dup_key) AS digest")
 
     def ingest(df: DataFrame, batch_id: int) -> None:
         ingest_curated_batch(
