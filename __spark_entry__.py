@@ -83,13 +83,13 @@ _PRIORITY = [
     "doc_source_crossdup_matrix", "inversion_dualpol",
     "inversion_crosspol", "pq_ann", "multimodal_wav_fingerprint",
     "doc_perplexity_buckets", "doc_classifier_select",
-    "doc_quality_curriculum",
+    "doc_quality_curriculum", "stream_curated_ingest",
     # (d) fill to 50 with the stalest remaining rows (round 4):
     "doc_bm25_topk", "doc_chunking", "doc_editdist_verify",
     "doc_fingerprint", "doc_inverted_index", "doc_mixture_sample",
     "doc_ngram_crossdup", "doc_pii_redact", "doc_rolling_hash",
     "embedding_hof_battery", "embedding_int8_quant",
-    "events_band_join", "events_bloom_prefilter", "events_countmin",
+    "events_band_join", "events_bloom_prefilter",
 ]
 
 
