@@ -71,7 +71,7 @@ _PRIORITY = [
     # (b) round-9 additions (OPQ allocation eval, CCNet per-language
     # KN-LM terciles, URL/domain dedup, URL-dedup streaming ingest):
     "opq_alloc_recall", "doc_ccnet_perlang_buckets", "doc_url_dedup",
-    "stream_url_ingest",
+    "stream_url_ingest", "domain_quality_block",
     # (c) queries whose lineage changed this round: the three SA
     # queries ride the content-keyed persisted ladder cache; the
     # inversion pair rides the NaN-masked _nearest_idx; pq_ann's
@@ -89,7 +89,7 @@ _PRIORITY = [
     "doc_fingerprint", "doc_inverted_index", "doc_mixture_sample",
     "doc_ngram_crossdup", "doc_pii_redact", "doc_rolling_hash",
     "embedding_hof_battery", "embedding_int8_quant",
-    "events_band_join", "events_bloom_prefilter",
+    "events_band_join",
 ]
 
 

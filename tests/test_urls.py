@@ -89,3 +89,58 @@ def test_canonicalization_semantics(spark):
     assert by_url[ADVERSARIAL[7]][2] == "a.org.uk"
     # :443 is NOT stripped for a non-https scheme
     assert ":443" in by_url[ADVERSARIAL[9]][0]
+
+
+def test_canonicalization_is_idempotent():
+    """The defining property of a canonical form: re-canonicalizing
+    url_norm is a fixpoint (checked in DuckDB — the same expressions
+    the byte-parity test pins against Spark). Hypothesis builds
+    URL-ish strings from canonicalization-relevant parts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from xsarsea_spark.pipeline.urls import url_norm_steps
+
+    label = st.text(alphabet="abcXYZ09-", min_size=1, max_size=6)
+    param = st.text(alphabet="abz19=_", min_size=1, max_size=6)
+
+    @st.composite
+    def urlish(draw):
+        scheme = draw(st.sampled_from(
+            ["http", "HTTPS", "https", "ftp", ""]))
+        host = ".".join(draw(st.lists(label, min_size=1, max_size=3)))
+        www = draw(st.sampled_from(["", "www.", "WWW."]))
+        port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+        path = "".join("/" + draw(label)
+                       for _ in range(draw(st.integers(0, 2))))
+        slash = draw(st.sampled_from(["", "/", "//"]))
+        params = draw(st.lists(param, max_size=3))
+        utm = draw(st.sampled_from(["", "utm_a=1"]))
+        q = "&".join(x for x in params + [utm] if x)
+        frag = draw(st.sampled_from(["", "#f", "#x?y=1"]))
+        pre = f"{scheme}://" if scheme else ""
+        return (f"{pre}{www}{host}{port}{path}{slash}"
+                + (f"?{q}" if q else "") + frag)
+
+    def norm_many(urls):
+        import duckdb
+        vals = ", ".join(
+            f"({i}, '{u}')" for i, u in enumerate(urls))
+        parts = [f"s0 AS (SELECT * FROM (VALUES {vals}) t(i, url))"]
+        prev = "s0"
+        for k, (col, expr) in enumerate(url_norm_steps("duck"), 1):
+            parts.append(f"s{k} AS (SELECT *, {expr} AS {col}"
+                         f" FROM {prev})")
+            prev = f"s{k}"
+        sql = ("WITH " + ", ".join(parts)
+               + f" SELECT i, url_norm FROM {prev} ORDER BY i")
+        return [r[1] for r in duckdb.sql(sql).fetchall()]
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(urlish(), min_size=1, max_size=8))
+    def check(urls):
+        once = norm_many(urls)
+        twice = norm_many(once)
+        assert twice == once, (urls, once, twice)
+
+    check()

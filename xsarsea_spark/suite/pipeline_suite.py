@@ -1817,6 +1817,97 @@ def q_doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Domain-level quality aggregation + blocklist — the RefinedWeb /
+# FineWeb step AFTER URL canonicalization: per-doc quality gates
+# roll up to the registrable domain, and a domain whose bad-doc
+# fraction exceeds the corpus rate is blocked wholesale (domain
+# blocklists are how web pipelines kill content farms without
+# scoring every page). Gates are exact-integer / single-division
+# signals (token count, mean word length, char count), the block
+# threshold is the corpus-wide bad fraction (data-adaptive,
+# deterministic, a 1-row broadcast join), and the domain comes from
+# the same canonicalization chain doc_url_dedup pins.
+# ----------------------------------------------------------------------
+
+# per-doc gate fragments: {nt} = token count expression
+_DQB_BAD = ("CASE WHEN {nt} < 20 OR n_chars < 150"
+            " OR (CAST(n_chars - ({nt} - 1) AS DOUBLE)"
+            " / CAST({nt} AS DOUBLE)) < 2.5"
+            " OR (CAST(n_chars - ({nt} - 1) AS DOUBLE)"
+            " / CAST({nt} AS DOUBLE)) > 12.0"
+            " THEN 1 ELSE 0 END")
+
+
+def _domain_quality_oracle() -> str:
+    from xsarsea_spark.pipeline.urls import url_norm_steps
+
+    parts = [f"s0 AS (SELECT doc_id, n_chars, text,"
+             f" {_URL_SYNTH} AS url FROM documents"
+             f" WHERE text IS NOT NULL)"]
+    prev = "s0"
+    for i, (col, expr) in enumerate(url_norm_steps("duck"), 1):
+        parts.append(f"s{i} AS (SELECT *, {expr} AS {col}"
+                     f" FROM {prev})")
+        prev = f"s{i}"
+    bad = _DQB_BAD.format(nt="len(string_split(text, ' '))")
+    parts += [
+        f"per AS (SELECT doc_id, domain, n_chars,"
+        f" {bad} AS bad FROM {prev})",
+        "d AS (SELECT domain, COUNT(*) AS n_docs,"
+        " CAST(SUM(bad) AS BIGINT) AS n_bad,"
+        " CAST(SUM(bad) AS DOUBLE) / COUNT(*) AS bad_frac,"
+        " CAST(SUM(n_chars) AS BIGINT) AS sum_chars"
+        " FROM per GROUP BY domain)",
+        "t AS (SELECT CAST(SUM(bad) AS DOUBLE) / COUNT(*)"
+        " AS corpus_frac FROM per)",
+    ]
+    return ("WITH " + ",\n".join(parts) + """
+SELECT d.domain, d.n_docs, d.n_bad, d.bad_frac, d.sum_chars,
+  t.corpus_frac, d.bad_frac > t.corpus_frac AS blocked
+FROM d CROSS JOIN t""")
+
+
+@spec(
+    "domain_quality_block",
+    _domain_quality_oracle(),
+    description="Domain-level quality blocklist (the RefinedWeb/"
+                "FineWeb post-URL step): exact-integer per-doc gates "
+                "(token count, mean word length, char count) rolled "
+                "up to the registrable domain; a domain is blocked "
+                "when its bad-doc fraction exceeds the corpus rate "
+                "(1-row broadcast threshold)",
+    tags=("pipeline", "quality", "dedup"),
+)
+def q_domain_quality_block(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.urls import url_norm_steps
+
+    df = (load(spark, sf_dir, "documents")
+          .filter("text IS NOT NULL")
+          .selectExpr("doc_id", "n_chars", "text",
+                      f"{_URL_SYNTH} AS url"))
+    for col, expr in url_norm_steps("spark"):
+        df = df.withColumn(col, F.expr(expr))
+    bad = _DQB_BAD.format(nt="size(split(text, ' '))")
+    # same codegen barrier as doc_url_dedup: the synth+chain
+    # projection is consumed by two aggregations below
+    per = materialize(df.selectExpr(
+        "doc_id", "domain", "n_chars", f"{bad} AS bad"))
+    d = per.groupBy("domain").agg(
+        F.expr("COUNT(*)").alias("n_docs"),
+        F.expr("CAST(SUM(bad) AS BIGINT)").alias("n_bad"),
+        F.expr("CAST(SUM(bad) AS DOUBLE) / COUNT(*)")
+        .alias("bad_frac"),
+        F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("sum_chars"))
+    t = per.agg(F.expr("CAST(SUM(bad) AS DOUBLE) / COUNT(*)")
+                .alias("corpus_frac"))
+    return (d.crossJoin(F.broadcast(t))
+            .selectExpr("domain", "n_docs", "n_bad", "bad_frac",
+                        "sum_chars", "corpus_frac",
+                        "bad_frac > corpus_frac AS blocked"))
+
+
+# ----------------------------------------------------------------------
 # Interpolated Kneser-Ney bigram LM on a HELD-OUT split — the
 # smoother KenLM actually uses (modified KN; single-discount
 # interpolated form here), with proper train/test separation: counts
