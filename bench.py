@@ -202,6 +202,17 @@ def main() -> None:
         for name, qs in sorted(REGISTRY.items()):
             if rep > 0 and name in slow_1rep:
                 continue
+            # mid-rep hard stop: the rep-start estimate is blind to
+            # load arriving DURING the rep (measured +108 s overrun
+            # when co-tenant load rose mid-pass); a partial repeat
+            # rep is harmless — medians are per-query — while an
+            # unbounded overrun risks the driver killing bench
+            # before the JSON line prints. Never cuts rep 0 (every
+            # query must get its one guaranteed sample).
+            if rep > 0 and time.perf_counter() - wall0 > budget:
+                print(f"bench: budget hit mid-rep {rep}; stopping",
+                      file=sys.stderr)
+                break
             t0 = time.perf_counter()
             try:
                 df = qs.spark(spark, sf_dir)
@@ -319,6 +330,8 @@ def main() -> None:
                   file=sys.stderr)
             break
         for name in small:
+            if time.perf_counter() - wall0 > budget:
+                break   # same mid-pass hard stop as the rep loop
             t0 = time.perf_counter()
             try:
                 REGISTRY[name].spark(spark, sf_dir).write.format(
