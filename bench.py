@@ -104,9 +104,18 @@ def _prev_medians(sf: float) -> dict[str, float]:
                 d = json.load(f)
         except Exception:
             continue
-        if abs(float(d.get("sf", -1)) - sf) > 1e-9:
+        # driver-written BENCH_r*.json wraps the bench line under
+        # 'parsed' ({'n','rc','sf','tail','parsed': {...}});
+        # BENCH_detail.json is the bench line itself
+        inner = d.get("parsed") if isinstance(d.get("parsed"),
+                                              dict) else d
+        sf_here = inner.get("sf", d.get("sf", -1))
+        try:
+            if abs(float(sf_here) - sf) > 1e-9:
+                continue
+        except (TypeError, ValueError):
             continue
-        q = d.get("queries") or {}
+        q = inner.get("queries") or {}
         out = {k: float(v) for k, v in q.items()
                if isinstance(v, (int, float)) and v > 0}
         if out:
@@ -283,7 +292,13 @@ def main() -> None:
                 acc += v
                 admitted.add(n)
             fast_est = acc * 1.15   # scheduler-overhead headroom
-            slow_1rep = set(samples) - admitted
+            # rep-0 FAILURES are not consigned to the 1-rep tier:
+            # a transient failure (co-tenant OOM, scratch collision)
+            # deserves its retries, or the round reports FAILED off
+            # one bad sample (the pre-delta tiering retried them too)
+            failed = {n for n, v in samples.items()
+                      if v and v[0] < 0}
+            slow_1rep = set(samples) - admitted - failed
             if not admitted:
                 # rep 0 consumed the whole budget: each later rep
                 # would be an empty pass that still bumps reps_done,
@@ -291,10 +306,16 @@ def main() -> None:
                 print("bench: budget exhausted by rep 0; "
                       "stopping at 1 rep", file=sys.stderr)
                 break
-            if suspects:
+            sus_in = [n for n in suspects if n in admitted]
+            if sus_in:
                 print("bench: delta-first repeat-tier admits: "
                       + " ".join(f"{n}({first[n] / prev[n]:.1f}x)"
-                                 for n in suspects),
+                                 for n in sus_in),
+                      file=sys.stderr)
+            sus_out = [n for n in suspects if n not in admitted]
+            if sus_out:
+                print("bench: suspects over the share budget, "
+                      "benched at 1 rep: " + " ".join(sus_out),
                       file=sys.stderr)
             if slow_1rep:
                 print(f"bench: {len(slow_1rep)} queries "

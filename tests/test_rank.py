@@ -156,3 +156,21 @@ def test_ntile_grouped_matches_partitioned_window(spark, n, nrows,
     want = {r["id"]: r["nt"]
             for r in df.withColumn("nt", F.ntile(n).over(w)).collect()}
     assert got == want
+
+
+def test_ntile_grouped_null_group_guard(spark):
+    """NULL group keys would be silently dropped by the offsets
+    join; the debug conf turns the documented non-null contract into
+    a loud failure."""
+    from xsarsea_spark.operators.rank import ntile_grouped
+
+    df = spark.range(10).selectExpr(
+        "CASE WHEN id < 2 THEN NULL ELSE CAST(id % 3 AS INT) END"
+        " AS g", "CAST(id AS DOUBLE) AS score", "id")
+    spark.conf.set("spark.xsarsea.debug.checks", "true")
+    try:
+        with pytest.raises(ValueError, match="NULL group key"):
+            ntile_grouped(df, 3, ["g"],
+                          [F.col("score").asc(), F.col("id").asc()])
+    finally:
+        spark.conf.set("spark.xsarsea.debug.checks", "false")

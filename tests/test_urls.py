@@ -33,16 +33,12 @@ def _spark_rows(spark):
 
 
 def _duck_rows():
-    from xsarsea_spark.pipeline.urls import url_norm_steps
+    from xsarsea_spark.pipeline.urls import url_cte_chain
 
     vals = ", ".join(f"({i}, '{u}')"
                      for i, u in enumerate(ADVERSARIAL))
-    parts = [f"s0 AS (SELECT * FROM (VALUES {vals}) t(i, url))"]
-    prev = "s0"
-    for k, (col, expr) in enumerate(url_norm_steps("duck"), 1):
-        parts.append(f"s{k} AS (SELECT *, {expr} AS {col}"
-                     f" FROM {prev})")
-        prev = f"s{k}"
+    parts, prev = url_cte_chain(
+        f"SELECT * FROM (VALUES {vals}) t(i, url)")
     sql = ("WITH " + ", ".join(parts)
            + f" SELECT i, {', '.join(_COLS)} FROM {prev}")
     return {r[0]: tuple(r[1:]) for r in duckdb.sql(sql).fetchall()}
@@ -99,8 +95,6 @@ def test_canonicalization_is_idempotent():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    from xsarsea_spark.pipeline.urls import url_norm_steps
-
     label = st.text(alphabet="abcXYZ09-", min_size=1, max_size=6)
     param = st.text(alphabet="abz19=_", min_size=1, max_size=6)
 
@@ -124,14 +118,12 @@ def test_canonicalization_is_idempotent():
 
     def norm_many(urls):
         import duckdb
+
+        from xsarsea_spark.pipeline.urls import url_cte_chain
         vals = ", ".join(
             f"({i}, '{u}')" for i, u in enumerate(urls))
-        parts = [f"s0 AS (SELECT * FROM (VALUES {vals}) t(i, url))"]
-        prev = "s0"
-        for k, (col, expr) in enumerate(url_norm_steps("duck"), 1):
-            parts.append(f"s{k} AS (SELECT *, {expr} AS {col}"
-                         f" FROM {prev})")
-            prev = f"s{k}"
+        parts, prev = url_cte_chain(
+            f"SELECT * FROM (VALUES {vals}) t(i, url)")
         sql = ("WITH " + ", ".join(parts)
                + f" SELECT i, url_norm FROM {prev} ORDER BY i")
         return [r[1] for r in duckdb.sql(sql).fetchall()]

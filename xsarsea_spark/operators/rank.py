@@ -187,7 +187,22 @@ def ntile_grouped(df: DataFrame, n: int, group_cols: list[str],
     (a language or source can be arbitrarily large); the per-group
     stats frame has one row per group and is broadcast, so the
     GROUP COUNT must be broadcast-sized — languages, sources,
-    shards, not document ids."""
+    shards, not document ids.
+
+    Contract: group keys must be NON-NULL — the offsets join back is
+    null-unsafe equality, so a NULL-group row would be silently
+    DROPPED (where the window function would bucket the NULL
+    partition). Filter or coalesce NULL keys first. With
+    ``spark.xsarsea.debug.checks=true`` a NULL group key raises."""
+    if get_conf(df.sparkSession, CONF_DEBUG_CHECKS,
+                "false").strip().lower() == "true":
+        bad = df.filter(" OR ".join(
+            f"{c} IS NULL" for c in group_cols)).limit(1).count()
+        if bad:
+            raise ValueError(
+                "ntile_grouped: NULL group key (rows would be "
+                "silently dropped by the offsets join) — filter or "
+                f"coalesce {group_cols} first")
     keys = [F.col(c).asc() for c in group_cols]
     ranked = global_rank(df, keys + list(order_by), rank_col="__gr",
                          partitions=partitions)

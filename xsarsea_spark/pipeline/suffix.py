@@ -176,15 +176,33 @@ def suffix_rank_tables_cached(docs: DataFrame, rounds: int,
     if not os.path.exists(marker):
         tables = suffix_rank_tables(docs, rounds, text_col=text_col,
                                     id_col=id_col)
-        tmp = root + ".tmp"
+        # per-process staging dir: two sessions sharing one scratch
+        # root (a supported config) may race on a cold key — each
+        # builds in its own tmp, and whoever renames first wins; the
+        # loser discards its build and reads the winner's
+        tmp = f"{root}.tmp.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         for k, t in enumerate(tables):
             t.write.mode("overwrite").parquet(
                 os.path.join(tmp, f"t{k}"))
         with open(os.path.join(tmp, "_SFX_DONE"), "w") as f:
             f.write("ok\n")
-        shutil.rmtree(root, ignore_errors=True)
-        os.rename(tmp, root)
+        if os.path.exists(marker):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            if os.path.isdir(root):
+                # marker-less root: a crashed pre-rename build from
+                # an older layout — clear it
+                shutil.rmtree(root, ignore_errors=True)
+            try:
+                os.rename(tmp, root)
+            except OSError:
+                # another builder landed between the check and the
+                # rename; its completed cache is equivalent (the
+                # tables are deterministic) — use it
+                shutil.rmtree(tmp, ignore_errors=True)
+                if not os.path.exists(marker):
+                    raise
     return [spark.read.parquet(os.path.join(root, f"t{k}"))
             for k in range(rounds + 1)]
 

@@ -36,11 +36,27 @@ extension — dedup family).
 
 from __future__ import annotations
 
-__all__ = ["url_norm_steps", "TWO_LEVEL_SUFFIXES"]
+__all__ = ["url_norm_steps", "url_cte_chain", "TWO_LEVEL_SUFFIXES"]
 
 # Embedded public-suffix subset: tails that make the registrable
 # domain three labels instead of two.
 TWO_LEVEL_SUFFIXES = ("co.uk", "org.uk", "com.au", "co.jp")
+
+
+def url_cte_chain(select0: str) -> tuple:
+    """DuckDB chained-CTE form of the canonicalization: ``s0`` is
+    ``select0`` (which must emit a ``url`` column), each later CTE
+    adds one step's column. Returns ``(parts, last_name)`` for the
+    caller's WITH clause — the single builder every oracle (and the
+    parity tests) share, so the chain's shape can't drift between
+    consumers."""
+    parts = [f"s0 AS ({select0})"]
+    prev = "s0"
+    for i, (col, expr) in enumerate(url_norm_steps("duck"), 1):
+        parts.append(f"s{i} AS (SELECT *, {expr} AS {col}"
+                     f" FROM {prev})")
+        prev = f"s{i}"
+    return parts, prev
 
 
 def url_norm_steps(dialect: str) -> list:

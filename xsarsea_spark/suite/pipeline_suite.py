@@ -1744,15 +1744,10 @@ _URL_SYNTH = (
 
 
 def _url_dedup_oracle() -> str:
-    from xsarsea_spark.pipeline.urls import url_norm_steps
+    from xsarsea_spark.pipeline.urls import url_cte_chain
 
-    parts = [f"s0 AS (SELECT doc_id, {_URL_SYNTH} AS url"
-             f" FROM documents)"]
-    prev = "s0"
-    for i, (col, expr) in enumerate(url_norm_steps("duck"), 1):
-        parts.append(f"s{i} AS (SELECT *, {expr} AS {col}"
-                     f" FROM {prev})")
-        prev = f"s{i}"
+    parts, prev = url_cte_chain(
+        f"SELECT doc_id, {_URL_SYNTH} AS url FROM documents")
     parts += [
         f"per AS (SELECT doc_id, url_norm, dup_key, domain"
         f" FROM {prev})",
@@ -1839,16 +1834,11 @@ _DQB_BAD = ("CASE WHEN {nt} < 20 OR n_chars < 150"
 
 
 def _domain_quality_oracle() -> str:
-    from xsarsea_spark.pipeline.urls import url_norm_steps
+    from xsarsea_spark.pipeline.urls import url_cte_chain
 
-    parts = [f"s0 AS (SELECT doc_id, n_chars, text,"
-             f" {_URL_SYNTH} AS url FROM documents"
-             f" WHERE text IS NOT NULL)"]
-    prev = "s0"
-    for i, (col, expr) in enumerate(url_norm_steps("duck"), 1):
-        parts.append(f"s{i} AS (SELECT *, {expr} AS {col}"
-                     f" FROM {prev})")
-        prev = f"s{i}"
+    parts, prev = url_cte_chain(
+        f"SELECT doc_id, n_chars, text, {_URL_SYNTH} AS url"
+        f" FROM documents WHERE text IS NOT NULL")
     bad = _DQB_BAD.format(nt="len(string_split(text, ' '))")
     parts += [
         f"per AS (SELECT doc_id, domain, n_chars,"
@@ -2440,7 +2430,12 @@ def q_opq_alloc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xsarsea_spark.pipeline.pq import encode_pq, pq_search, train_pq
 
     emb = load(spark, sf_dir, "embeddings")
-    ex = q_knn(spark, sf_dir).select("query_id", "neighbor_id")
+    # materialize: the brute-force exact-KNN frame feeds THREE
+    # consumers (the totals agg and one match-join per variant) —
+    # without the barrier each plan re-runs the full queries x
+    # corpus scan (the doc_url_dedup shared-consumer precedent)
+    ex = materialize(
+        q_knn(spark, sf_dir).select("query_id", "neighbor_id"))
 
     def topk(src: DataFrame) -> DataFrame:
         books = train_pq(src, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
@@ -6990,15 +6985,11 @@ def q_stream_curated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_url_oracle() -> str:
-    from xsarsea_spark.pipeline.urls import url_norm_steps
+    from xsarsea_spark.pipeline.urls import url_cte_chain
 
-    parts = [f"s0 AS (SELECT doc_id, n_chars, {_URL_SYNTH} AS url"
-             f" FROM documents)"]
-    prev = "s0"
-    for i, (col, expr) in enumerate(url_norm_steps("duck"), 1):
-        parts.append(f"s{i} AS (SELECT *, {expr} AS {col}"
-                     f" FROM {prev})")
-        prev = f"s{i}"
+    parts, prev = url_cte_chain(
+        f"SELECT doc_id, n_chars, {_URL_SYNTH} AS url"
+        f" FROM documents")
     parts += [
         # rows with no derivable URL identity are not ingested
         # (NULL-digest drop in the batch kernel); no-op on the clean
