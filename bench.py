@@ -94,6 +94,13 @@ def _prev_medians(sf: float) -> dict[str, float]:
     against sf0.01 medians would flag everything as a ~10x suspect."""
     import glob
 
+    # an unparseable CURRENT sf (the -1.0 sentinel) must disable
+    # delta admission entirely: a file that also lacks an 'sf' field
+    # would otherwise default to the same sentinel and "match",
+    # ranking suspects against medians from an unknown scale factor —
+    # the exact ~10x false-suspect mode the sf check exists to stop
+    if sf < 0:
+        return {}
     here = os.path.dirname(os.path.abspath(__file__))
     paths = [os.path.join(here, "BENCH_detail.json")]
     paths += sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
@@ -109,9 +116,9 @@ def _prev_medians(sf: float) -> dict[str, float]:
         # BENCH_detail.json is the bench line itself
         inner = d.get("parsed") if isinstance(d.get("parsed"),
                                               dict) else d
-        sf_here = inner.get("sf", d.get("sf", -1))
+        sf_here = inner.get("sf", d.get("sf"))
         try:
-            if abs(float(sf_here) - sf) > 1e-9:
+            if sf_here is None or abs(float(sf_here) - sf) > 1e-9:
                 continue
         except (TypeError, ValueError):
             continue
@@ -189,6 +196,20 @@ def main() -> None:
     slow_cut = float(os.environ.get("SPARK_GRAFT_BENCH_SLOW_SEC",
                                     "4.5"))
     wall0 = time.perf_counter()
+    # First science-throughput sample RIGHT AFTER warmup: three
+    # consecutive recorded rounds landed the throughput tail in a
+    # co-tenant load window at the END of the run (driver-recorded
+    # inversion 8.66 s/Mpx vs 4.70 quiet same day), so the headline
+    # inherited the worst sample of the run. Leading with one pass
+    # pins an early-window sample; the remaining reps still run at
+    # the end and the median spans both windows. Counted against the
+    # wall budget (it is ~15-20 s of real work).
+    tp_samples: list[dict[str, float]] = []
+    try:
+        tp_samples.append(science_throughput(spark))
+    except Exception as exc:
+        print(f"bench: leading throughput pass FAILED: {exc}",
+              file=sys.stderr)
     samples: dict[str, list[float]] = {n: [] for n in REGISTRY}
     slow_1rep: set[str] = set()
     rep_durs: list[float] = []
@@ -299,12 +320,18 @@ def main() -> None:
             failed = {n for n, v in samples.items()
                       if v and v[0] < 0}
             slow_1rep = set(samples) - admitted - failed
-            if not admitted:
-                # rep 0 consumed the whole budget: each later rep
-                # would be an empty pass that still bumps reps_done,
-                # inflating the reported rep count with no samples.
-                print("bench: budget exhausted by rep 0; "
-                      "stopping at 1 rep", file=sys.stderr)
+            if not admitted and not failed:
+                # nothing to run in later reps (no query fit the
+                # repeat budget and no failure needs a retry): each
+                # later rep would be an empty pass that still bumps
+                # reps_done, inflating the reported rep count with no
+                # samples. When `failed` is non-empty the loop
+                # continues — transient failures (co-tenant OOM,
+                # scratch collision) get their retries even when the
+                # repeat tier is empty; the mid-rep hard stop bounds
+                # the cost.
+                print("bench: empty repeat tier and no failures to "
+                      "retry; stopping at 1 rep", file=sys.stderr)
                 break
             sus_in = [n for n in suspects if n in admitted]
             if sus_in:
@@ -369,18 +396,25 @@ def main() -> None:
     # BASELINE.md "Engine baseline plan" throughput metrics: LUT
     # generation, inversion sec/Mpx, gradients sec/Mpx — measured on
     # fixed-size synthetic workloads so they are SF-independent.
-    # Same median-of-reps treatment as the suite queries.
+    # Median over temporally-SPREAD samples: one taken right after
+    # warmup (above), the rest here at the end, so a load window at
+    # either edge of the run can't own the median.
     throughput: dict[str, float] = {}
     try:
-        tp_samples: list[dict[str, float]] = [
-            science_throughput(spark) for _ in range(reps_done)
-        ]
+        while len(tp_samples) < max(reps_done, 2):
+            tp_samples.append(science_throughput(spark))
         throughput = {
             k: round(statistics.median(s[k] for s in tp_samples), 3)
             for k in tp_samples[0]
         }
     except Exception as exc:
         print(f"bench: throughput section FAILED: {exc}", file=sys.stderr)
+        if tp_samples:
+            throughput = {
+                k: round(statistics.median(s[k] for s in tp_samples),
+                         3)
+                for k in tp_samples[0]
+            }
 
     wall_sec = round(time.perf_counter() - wall0, 3)
     total = round(sum(t for t in timings.values() if t >= 0), 3)

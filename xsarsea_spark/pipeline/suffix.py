@@ -47,7 +47,7 @@ per-round tables (log(max_words) of them) feed the walk; nothing is
 quadratic and no unpartitioned window exists (rank.py plan tests).
 The round count is data-independent, so at test scale the cost is
 fixed scheduler overhead (~2 jobs/round) — callers cap the corpus
-slice (the suite takes every 10th doc, the _SSJ_CAP precedent).
+slice (the suite takes every 7th doc, the _SSJ_CAP precedent).
 
 Parity: the reference engine (umr-lops/xsarsea) has no text surface;
 this module is part of the LLM-data-pipeline extension the engine
@@ -70,7 +70,7 @@ __all__ = ["suffix_rank_tables", "suffix_rank_tables_cached",
 CONF_SFX_CACHE = "spark.xsarsea.suffix.cache"
 # Bump when the ladder construction changes: the cache key must not
 # survive an algorithm change the content fingerprint can't see.
-_SFX_CACHE_VERSION = 1
+_SFX_CACHE_VERSION = 2
 
 
 def _dense_rank(df: DataFrame, keys: list[str],
@@ -143,8 +143,11 @@ def suffix_rank_tables_cached(docs: DataFrame, rounds: int,
     ~2-jobs-per-round build ONCE.
 
     The cache key is (algorithm version, rounds, columns, corpus
-    fingerprint) where the fingerprint is ``(count, sum(hash(id,
-    text)))`` — one cheap aggregation job. A corpus change moves the
+    fingerprint) where the fingerprint is ``(count, sum(murmur3),
+    sum(xxhash64), min(xxhash64))`` over the per-row (id, text)
+    hashes — one cheap aggregation job, and a silent key collision
+    now needs two independent hash families plus an order statistic
+    to agree at once. A corpus change moves the
     key, so invalidation is by construction; stale entries are just
     unreferenced scratch directories. Writes go to a temp directory
     renamed into place after a ``_SFX_DONE`` marker lands, so a
@@ -164,13 +167,25 @@ def suffix_rank_tables_cached(docs: DataFrame, rounds: int,
             != "true":
         return suffix_rank_tables(docs, rounds, text_col=text_col,
                                   id_col=id_col)
+    # fingerprint = four independent statistics of the per-row hash
+    # stream (count, sum of 32-bit murmur3, sum of xxhash64, min of
+    # xxhash64): a silent collision — two different corpus slices
+    # mapping to the same key and reusing the wrong persisted ladder
+    # with no error signal — now requires SIMULTANEOUS agreement of
+    # two unrelated hash families plus an order statistic, not one
+    # 64-bit sum
+    h32 = F.hash(F.col(id_col), F.col(text_col)).cast("long")
+    h64 = F.xxhash64(F.col(id_col), F.col(text_col))
     fp = (docs.filter(F.col(text_col).isNotNull())
           .agg(F.count("*").alias("__c"),
-               F.sum(F.hash(F.col(id_col), F.col(text_col))
-                     .cast("long")).alias("__s"))
+               F.sum(h32).alias("__s"),
+               # full-width 64-bit values: sum on the DECIMAL(38,0)
+               # grid so ANSI mode can't overflow-abort at 2 rows
+               F.sum(h64.cast("decimal(38,0)")).alias("__x"),
+               F.min(h64).alias("__m"))
           .first())
     key = (f"v{_SFX_CACHE_VERSION}_r{rounds}_{id_col}_{text_col}"
-           f"_{fp['__c']}_{fp['__s']}")
+           f"_{fp['__c']}_{fp['__s']}_{fp['__x']}_{fp['__m']}")
     root = scratch_path(spark, "sfx_ladder", key)
     marker = os.path.join(root, "_SFX_DONE")
     if not os.path.exists(marker):

@@ -1723,12 +1723,17 @@ def q_doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # deterministic synthetic URL (dialect-shared SQL): %21 hits only
 # https docs (21 = 3*7) so ':443' is always a default port; %9 = 1
-# implies %3 != 0 so ':8080' lands on http docs and must be KEPT
+# implies %3 != 0 so ':8080' lands on http docs and must be KEPT.
+# `source` is coalesced to '' because Spark's concat is
+# NULL-propagating while DuckDB's treats NULL args as '' — without
+# the guard a NULL source yields url=NULL in Spark (row silently
+# dropped by the null-unsafe dup_key/domain joins) but a non-NULL
+# URL in DuckDB, diverging cross-engine on uncontrolled input
 _URL_SYNTH = (
     "concat("
     "CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END, '://',"
     " CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END,"
-    " source,"
+    " coalesce(source, ''),"
     " CASE doc_id % 5 WHEN 0 THEN '.CO.UK' WHEN 1 THEN '.com'"
     " WHEN 2 THEN '.ORG' WHEN 3 THEN '.io' ELSE '.net' END,"
     " CASE WHEN doc_id % 21 = 0 THEN ':443'"
@@ -2360,7 +2365,13 @@ def _opq_prelude() -> list:
         # stats-input contract (mirrors train_allocation): rows with
         # a non-finite or out-of-domain coordinate are dropped from
         # the variance statistics; per-value floors stay in int64,
-        # sums ride HUGEINT so no corpus size overflows
+        # sums ride HUGEINT so no corpus size overflows THE SUMS.
+        # The composite rank key below (n*g*sx2 - sx*sx) is bounded
+        # by ~9e26 * n^2, so the ORACLE holds inside HUGEINT
+        # (1.7e38) only up to n ~ 4e5 vectors; past that DuckDB
+        # fails LOUDLY (overflow error, never a silent divergence)
+        # while the Spark/Python side stays exact on unbounded ints.
+        # Test corpora are ~1e4 vectors — 40x inside the bound.
         f"xok AS (SELECT vec_id FROM v WHERE len(list_filter(e,"
         f" x -> x IS NULL OR isnan(x)"
         f" OR abs(x) > {ALLOC_MAX_ABS})) = 0)",
@@ -6110,11 +6121,17 @@ def q_doc_mixture_schedule(spark: SparkSession,
 # capability fixed-n gram dedup cannot provide; Lee et al. 2022 §4).
 # All-integer (code points, dense ranks, lengths): the oracle replays
 # every doubling round with window DENSE_RANK and matches bit-exactly.
-# Superlinear-constant operator -> capped slice (every 10th doc), the
+# Superlinear-constant operator -> capped slice (every 7th doc), the
 # _SSJ_CAP precedent, in query AND oracle.
 # ----------------------------------------------------------------------
 
-_SFX_MOD, _SFX_ROUNDS = 10, 7     # 2^7 covers max tokens per doc (100)
+# ONE corpus slice for the whole suffix family (longest-dup-span,
+# exact cross-doc LCP, source matrix) so all three consumers share a
+# single cached rank-table ladder instead of paying two cold builds.
+# mod-7 because the provenance matrix needs a slice COPRIME to the
+# synthetic 20-source cycle (source = src{doc_id % 20}); a mod-10
+# slice would collapse the corpus to two sources.
+_SFX_MOD, _SFX_ROUNDS = 7, 7      # 2^7 covers max tokens per doc (100)
 
 
 def _sfx_lcp_ctes(mod: int = _SFX_MOD) -> list:
@@ -6223,7 +6240,7 @@ def q_doc_longest_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 
 _SXP_MIN = 5    # tokens: adjacency LCP >= this counts as shared
-_SXP_MOD = 7    # coprime to the 20-source cycle -> all sources
+_SXP_MOD = _SFX_MOD    # shared slice -> shared cached ladder
 
 
 def _sfx_source_oracle() -> str:
@@ -6264,8 +6281,6 @@ def q_doc_source_crossdup(spark: SparkSession,
     docs = load(spark, sf_dir, "documents").filter(
         f"text IS NOT NULL AND doc_id % {_SXP_MOD} = 0")
     lens = docs.selectExpr("doc_id", "size(split(text, ' ')) AS __len")
-    # mod-7 slice: a DIFFERENT ladder from the mod-10 pair (the cache
-    # is content-keyed, so the two coexist); repeat passes still hit
     tables = suffix_rank_tables_cached(docs, _SFX_ROUNDS)
     pairs = sa_adjacent_pairs(tables[-1])
     lcps = adjacent_lcp(pairs, tables, lens).filter("da != db")
