@@ -19,9 +19,14 @@ crawler-frontier conventions):
   scheme.
 
 Registrable domain: last two host labels, or last three when the
-two-label tail is a known multi-label public suffix (a small
-embedded subset of the Mozilla Public Suffix List — the full list
-is data, not code, and plugs into the same expression).
+two-label tail is a known multi-label public suffix. The suffix set
+is DATA from :mod:`xsarsea_spark.pipeline.psl` (the exact 2-label
+rules of the PSL snapshot there, or of the authoritative
+``public_suffix_list.dat`` when ``spark.xsarsea.psl.path`` points at
+one) — this expression chain handles the exact-2-label majority
+in-plan with zero joins; hosts needing the FULL algorithm (3+-label
+rules, wildcards, exceptions) go through ``psl.with_psl_domain``,
+the broadcast-join operator.
 
 Everything is ONE in-plan expression chain per engine — regexes in
 the RE2 ∩ java.util.regex common subset (the doc_normalize_profile
@@ -38,9 +43,13 @@ from __future__ import annotations
 
 __all__ = ["url_norm_steps", "url_cte_chain", "TWO_LEVEL_SUFFIXES"]
 
-# Embedded public-suffix subset: tails that make the registrable
-# domain three labels instead of two.
-TWO_LEVEL_SUFFIXES = ("co.uk", "org.uk", "com.au", "co.jp")
+# Public-suffix tails that make the registrable domain three labels
+# instead of two: the exact 2-label rules of the PSL data module
+# (historically a 4-entry inline tuple; now the full snapshot set —
+# .com.br / .co.in / .ne.jp-class hosts group correctly).
+from xsarsea_spark.pipeline.psl import exact_two_level_suffixes
+
+TWO_LEVEL_SUFFIXES = exact_two_level_suffixes()
 
 
 def url_cte_chain(select0: str) -> tuple:

@@ -1903,6 +1903,85 @@ def q_domain_quality_block(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
+# Full Public Suffix List registrable-domain extraction — the
+# algorithmic upgrade over the expression chain's exact-2-label
+# shortcut: wildcard rules (*.kawasaki.jp), exception rules
+# (!city.kawasaki.jp, !www.ck), 3-label private suffixes
+# (s3.amazonaws.com), and hosts that ARE a public suffix (no
+# registrable domain) all resolve per the publicsuffix.org matching
+# spec. K broadcast joins against the PSL data table (pipeline/psl.py
+# snapshot; spark.xsarsea.psl.path loads the authoritative file) —
+# no shuffle, no UDF; the synthetic hosts plant every rule class.
+# ----------------------------------------------------------------------
+
+# deterministic synthetic host covering each PSL rule class; source
+# coalesced for the same NULL-propagation reason as _URL_SYNTH
+_PSL_HOST = (
+    "CASE CAST(doc_id % 12 AS INT)"
+    " WHEN 0 THEN concat(coalesce(source, ''), '.com.br')"
+    " WHEN 1 THEN concat('a.b.', coalesce(source, ''), '.co.in')"
+    " WHEN 2 THEN concat(coalesce(source, ''), '.blogspot.com')"
+    " WHEN 3 THEN 'blogspot.com'"
+    " WHEN 4 THEN concat(coalesce(source, ''), '.kawasaki.jp')"
+    " WHEN 5 THEN concat('x.', coalesce(source, ''), '.kawasaki.jp')"
+    " WHEN 6 THEN 'city.kawasaki.jp'"
+    " WHEN 7 THEN concat(coalesce(source, ''), '.city.kawasaki.jp')"
+    " WHEN 8 THEN 'www.ck'"
+    " WHEN 9 THEN concat(coalesce(source, ''), '.ck')"
+    " WHEN 10 THEN concat('deep.', coalesce(source, ''), '.xyzzy')"
+    " ELSE concat(coalesce(source, ''), '.co.uk') END"
+)
+
+
+def _psl_domain_oracle() -> str:
+    from xsarsea_spark.pipeline.psl import (PSL_SNAPSHOT,
+                                            parse_psl_rules,
+                                            psl_oracle_ctes)
+
+    rows = parse_psl_rules(PSL_SNAPSHOT.splitlines())
+    parts, prev = psl_oracle_ctes(
+        f"SELECT doc_id, {_PSL_HOST} AS host FROM documents", rows)
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT coalesce(psl_domain, '<public-suffix>') AS domain,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+  MIN(doc_id) AS min_doc
+FROM {prev} GROUP BY 1""")
+
+
+@spec(
+    "doc_psl_domain",
+    _psl_domain_oracle(),
+    description="Full Public Suffix List registrable-domain "
+                "extraction (publicsuffix.org matching spec: longest "
+                "rule wins, wildcard rules consume one extra label, "
+                "exception rules override, no-match falls back to "
+                "the implicit * rule, a host that IS a public suffix "
+                "has no registrable domain): K broadcast joins "
+                "against the PSL data table — no shuffle, no UDF — "
+                "rolled up to per-domain doc/host counts",
+    tags=("pipeline", "dedup", "text"),
+)
+def q_doc_psl_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.psl import (PSL_SNAPSHOT, psl_rules,
+                                            with_psl_domain)
+
+    # pinned to the snapshot (not the conf-overridable loader): the
+    # oracle above bakes the same rows in, and the suite row must
+    # stay deterministic under any deployment conf
+    rules_df, rows = psl_rules(spark, PSL_SNAPSHOT.splitlines())
+    df = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_PSL_HOST} AS host")
+    out = with_psl_domain(df, "host", rules_df, rows)
+    return (out.groupBy(F.expr("coalesce(psl_domain,"
+                               " '<public-suffix>')").alias("domain"))
+            .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+                 F.expr("CAST(COUNT(DISTINCT host) AS BIGINT)")
+                 .alias("n_hosts"),
+                 F.min("doc_id").alias("min_doc")))
+
+
+# ----------------------------------------------------------------------
 # Interpolated Kneser-Ney bigram LM on a HELD-OUT split — the
 # smoother KenLM actually uses (modified KN; single-discount
 # interpolated form here), with proper train/test separation: counts
