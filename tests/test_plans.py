@@ -482,3 +482,22 @@ def test_ccnet_and_opq_and_url_plans_are_scale_safe(spark):
         for ln in plan.splitlines():
             if "NestedLoopJoin" in ln:
                 assert "Broadcast" in ln, f"{name}: {ln}"
+
+
+def test_dsir_unimax_urlxsnap_plans_are_scale_safe(spark):
+    """Round-10 rows: doc_dsir_select's rank and doc_unimax_cap's
+    running sum ride the two-pass global rank (every Window
+    __pid-partitioned, never a corpus-wide sort); all three plans
+    have no cartesian product and only broadcast nested-loop joins
+    (the 1-row totals / L-row language frames)."""
+    from xsarsea_spark.suite import REGISTRY
+
+    for name in ("doc_dsir_select", "doc_unimax_cap",
+                 "doc_url_cross_snapshot"):
+        plan = (REGISTRY[name].spark(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan, name
+        _assert_all_windows_pid_partitioned(plan)
+        for ln in plan.splitlines():
+            if "NestedLoopJoin" in ln:
+                assert "Broadcast" in ln, f"{name}: {ln}"

@@ -1,0 +1,92 @@
+"""UniMax water-filling semantics + DSIR weight sanity."""
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _waterfill_reference(avails: list[int], budget: int) -> int:
+    """Brute-force max integer v with sum(min(a, v)) <= budget."""
+    hi = max(avails + [budget])
+    v = 0
+    for cand in range(0, hi + 1):
+        if sum(min(a, cand) for a in avails) <= budget:
+            v = cand
+    return v
+
+
+@given(st.lists(st.integers(min_value=1, max_value=40),
+                min_size=1, max_size=6),
+       st.integers(min_value=0, max_value=200))
+@settings(max_examples=100, deadline=None)
+def test_waterfill_candidate_formula_matches_bruteforce(avails,
+                                                        budget):
+    """The candidate-level formula the operator and oracle share —
+    v = max feasible c_k, c_k = (B - sum smaller) // (ranks >= k),
+    negatives clamped — yields the same per-language ALLOCATION as
+    the brute-force maximal level. (The levels themselves differ
+    only when the budget saturates the corpus, where every level
+    past max(avail) allocates identically.)"""
+    s = sorted(avails)
+    L = len(s)
+    cands = []
+    for k in range(1, L + 1):
+        sk = sum(s[:k - 1])
+        cands.append(max(budget - sk, 0) // (L - k + 1))
+    feas = [c for c in cands
+            if sum(min(a, c) for a in s) <= budget]
+    assert feas, (avails, budget)
+    v = max(feas)
+    v_ref = _waterfill_reference(s, budget)
+    assert [min(a, v) for a in s] == [min(a, v_ref) for a in s]
+
+
+def test_unimax_operator_semantics(spark):
+    from xsarsea_spark.pipeline.sampling import unimax_language_cap
+
+    rows = [(i, lang, n) for i, (lang, n) in enumerate([
+        ("en", 50), ("en", 60), ("en", 70),     # avail 180
+        ("de", 20), ("de", 25),                 # avail 45
+        ("fr", 5),                              # avail 5
+    ])]
+    pd = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_tokens long")
+    # budget 100: v = max integer with min(5,v)+min(45,v)+min(180,v)
+    # <= 100 -> v = 50 (5 + 45 + 50 = 100 exactly); caps: en 50,
+    # de 45, fr 5
+    out = unimax_language_cap(pd, budget=100).collect()
+    caps = {r["lang"]: r["lang_cap"] for r in out}
+    assert caps == {"en": 50, "de": 45, "fr": 5}
+    kept = {r["doc_id"]: r["kept"] for r in out}
+    # de and fr fit fully; en keeps exactly its first doc in hash
+    # order (any two en docs already exceed the 50-token cap)
+    assert all(kept[i] for i in (3, 4, 5))
+    assert sum(1 for i in (0, 1, 2) if kept[i]) == 1
+    # budget beyond total -> everything kept
+    out2 = unimax_language_cap(pd, budget=10_000).collect()
+    assert all(r["kept"] for r in out2)
+    assert {r["lang"]: r["lang_cap"] for r in out2} == \
+        {"en": 180, "de": 45, "fr": 5}
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Docs sharing the target subset's n-grams must outscore docs
+    made of raw-only n-grams."""
+    from pyspark.sql import functions as F
+
+    from xsarsea_spark.pipeline.dsir import dsir_logweights
+
+    rows = (
+        [(i, "alpha beta gamma delta", True) for i in range(8)]
+        + [(100 + i, "alpha beta gamma delta", False)
+           for i in range(2)]
+        + [(200 + i, "zig zag zog zug", False) for i in range(8)]
+    )
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, is_target boolean")
+    got = {r["doc_id"]: float(r["logw"])
+           for r in dsir_logweights(d).collect()}
+    # target-like raw docs score higher than raw-only docs
+    assert got[100] > got[200]
+    # identical text -> identical weight regardless of membership
+    assert got[0] == got[100]

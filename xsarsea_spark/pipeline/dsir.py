@@ -1,0 +1,142 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al.
+2023, arXiv:2302.03169): select raw-corpus documents whose hashed
+n-gram feature distribution looks like a TARGET domain, the
+data-selection operator modern LLM curation stacks run between
+dedup and mixture sampling.
+
+Method (the paper's, deterministic variant):
+
+- features(x) = word unigrams + bigrams, hashed into ``b`` buckets
+  (the paper's "hashed n-gram" generative features — bucket counts
+  are unigram bag-of-hashed-ngrams statistics);
+- fit two multinomials over buckets with add-one smoothing:
+  ``p_target`` from the target subset's feature counts, ``p_raw``
+  from the whole corpus;
+- per-doc log importance weight
+  ``log w(x) = sum_f [ln p_target(f) - ln p_raw(f)]``;
+- resample: the paper draws Gumbel-top-k; this implementation takes
+  the DETERMINISTIC top-k by weight (tie-broken by doc id) so the
+  selection is an exact, replayable set — the variance-reduction
+  variant the paper's appendix evaluates.
+
+Determinism (the engine's KN-LM conventions): all counts are
+integer; the per-bucket term is ONE shared expression string both
+engines evaluate (identical IEEE op order), QTRUNC'd after ln, and
+per-doc sums ride the DECIMAL(38,9) grid — order-independent, so
+the DuckDB oracle hash-matches.
+
+Scale: the bucket table is ``b`` rows (256 default) — counts are two
+map-side-combined aggregations, the score join is a BROADCAST of the
+bucket table back onto the feature stream, and the top-k selection
+rides ``operators.rank.global_rank`` (two-pass, no corpus-wide
+window). Nothing is quadratic; the feature explode is the same
+O(corpus tokens) volume every n-gram operator here already pays.
+
+Parity: reference repo has no text surface (engine-brief extension —
+curation family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xsarsea_spark.operators.rank import global_rank
+from xsarsea_spark.pipeline.text import HASH40_SQL
+
+__all__ = ["DSIR_B", "DSIR_FRAC", "dsir_term_sql", "dsir_features",
+           "dsir_logweights", "dsir_select"]
+
+DSIR_B = 256        # hashed feature buckets
+DSIR_FRAC = 0.25    # selected fraction of scored docs
+
+# feature array: unigrams + space-joined bigrams of the token list
+# {l}; shared across dialects (concat/transform/sequence exist in
+# Spark; the oracle builder emits the DuckDB spelling)
+_FEATS_SPARK = (
+    "concat({l}, CASE WHEN size({l}) >= 2 THEN"
+    " transform(sequence(1, size({l}) - 1),"
+    " i -> concat(element_at({l}, i), ' ', element_at({l}, i + 1)))"
+    " ELSE array() END)"
+)
+
+
+def dsir_term_sql(b: int = DSIR_B) -> str:
+    """Per-bucket log-ratio term ``ln p_target - ln p_raw`` with
+    add-one smoothing, as ONE expression string over columns
+    ``ct`` (target count, NULLable), ``cr`` (raw count), ``nt``/``nr``
+    (total target/raw feature counts) — QTRUNC'd so both engines land
+    on the identical 9-decimal grid."""
+    # deferred import: suite.base loads the whole suite package,
+    # whose specs import this module back at registration time
+    from xsarsea_spark.suite.base import QTRUNC
+
+    return QTRUNC(
+        f"ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)"
+        f" / CAST(nt + {b} AS DOUBLE))"
+        f" - ln(CAST(cr + 1 AS DOUBLE)"
+        f" / CAST(nr + {b} AS DOUBLE))", 9)
+
+
+def dsir_features(docs: DataFrame, b: int = DSIR_B,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  target_col: str = "is_target") -> DataFrame:
+    """(id, is_target, bucket) hashed-feature rows: one explode of
+    the unigram+bigram array, bucket = 40-bit content hash mod ``b``
+    (non-negative in both engines, so ``%`` agrees)."""
+    feats = _FEATS_SPARK.format(l="__l")
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .selectExpr(id_col, target_col,
+                    f"split({text_col}, ' ') AS __l")
+        .selectExpr(id_col, target_col,
+                    f"explode({feats}) AS __f")
+        .selectExpr(id_col, target_col,
+                    f"{HASH40_SQL.format(x='__f')} % {b} AS bucket"))
+
+
+def dsir_logweights(docs: DataFrame, b: int = DSIR_B,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    target_col: str = "is_target") -> DataFrame:
+    """Per-doc DSIR log importance weight: (id, n_feats,
+    logw DECIMAL(38,9)). ``target_col`` is a boolean column on
+    ``docs`` marking the target-domain subset."""
+    from xsarsea_spark.engine import materialize
+
+    # three consumers (raw counts, target counts, the score join)
+    # would each replay the explode without the barrier
+    feats = materialize(
+        dsir_features(docs, b=b, text_col=text_col,
+                      id_col=id_col, target_col=target_col))
+    cr = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"))
+    ct = (feats.filter(F.col(target_col))
+          .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct")))
+    tots = cr.join(ct, on="bucket", how="left").agg(
+        F.expr("CAST(SUM(cr) AS BIGINT)").alias("nr"),
+        F.expr("CAST(SUM(COALESCE(ct, 0)) AS BIGINT)").alias("nt"))
+    terms = (cr.join(ct, on="bucket", how="left")
+             .crossJoin(F.broadcast(tots))
+             .selectExpr("bucket",
+                         f"CAST({dsir_term_sql(b)} AS"
+                         f" DECIMAL(38,9)) AS __term"))
+    return (feats.join(F.broadcast(terms), on="bucket")
+            .groupBy(id_col)
+            .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_feats"),
+                 F.expr("SUM(__term)").alias("logw")))
+
+
+def dsir_select(scored: DataFrame, frac: float = DSIR_FRAC,
+                id_col: str = "doc_id",
+                weight_col: str = "logw") -> DataFrame:
+    """Top-``frac`` selection by (weight DESC, id ASC) — exact
+    deterministic resampling via the distributed two-pass rank; adds
+    ``sel_rank`` and keeps only selected rows. k = ceil(frac * n)."""
+    k = scored.agg(F.expr(
+        f"CAST(CEIL(COUNT(*) * {frac!r}) AS BIGINT)").alias("__k"))
+    ranked = global_rank(
+        scored,
+        [F.col(weight_col).desc(), F.col(id_col).asc()],
+        rank_col="sel_rank")
+    return (ranked.crossJoin(F.broadcast(k))
+            .filter("sel_rank <= __k").drop("__k"))

@@ -27,7 +27,8 @@ from xsarsea_spark.engine import get_conf_int, materialize
 from xsarsea_spark.pipeline.dedup import shingle
 
 __all__ = ["stratified_sample", "source_token_cap",
-           "contamination_report", "dup_components"]
+           "unimax_language_cap", "contamination_report",
+           "dup_components"]
 
 
 def stratified_sample(docs: DataFrame, n_per_stratum: int,
@@ -88,6 +89,100 @@ def source_token_cap(docs: DataFrame, budget: int,
         .withColumn("kept",
                     F.expr(f"cum_tokens <= {budget} OR rk = 1"))
     )
+
+
+def unimax_language_cap(per_doc: DataFrame, budget: int,
+                        lang_col: str = "lang",
+                        token_col: str = "n_tokens",
+                        id_col: str = "doc_id") -> DataFrame:
+    """UniMax per-language budget capping (Chung et al. 2023,
+    arXiv:2304.09151): split a TOTAL token budget across languages by
+    water-filling — every language below the water level ``v``
+    contributes all its tokens, every language above is capped at
+    ``v``, and ``v`` is the largest integer with
+    ``sum_l min(avail_l, v) <= budget``. This is the paper's
+    uniform-up-to-epoch-cap allocation (epoch cap = 1 pass), the
+    alternative to proportional sampling that stops high-resource
+    languages from dominating a multilingual mix.
+
+    ``per_doc`` must carry (id, lang, token count). Returns the
+    per-doc decision frame (id, lang, n_tokens, cum_tokens,
+    lang_cap, kept): within a language, docs enter in deterministic
+    hash-priority order until the language's cap; the first doc of a
+    language is always kept (no language is silenced — the same
+    contract as :func:`source_token_cap`).
+
+    Everything is INTEGER (token counts, floor-divided levels), so
+    the SQL replay is bit-exact.
+
+    Scale: the language frame is L rows (a few hundred at most) —
+    the water level comes from two L x L broadcast triangular joins
+    (candidate levels + feasibility check), never a window. The
+    per-doc cumulative sum rides ONE :func:`operators.rank.
+    global_rank` running sum over (lang, priority) order with
+    broadcast per-language offsets — no per-language window, so a
+    10-TB single-language corpus cannot pin one task.
+    """
+    from xsarsea_spark.operators.rank import global_rank
+
+    pd = per_doc.selectExpr(
+        f"{id_col}", f"{lang_col} AS __lang",
+        f"CAST({token_col} AS BIGINT) AS __ntok",
+        f"md5(CAST({id_col} AS STRING)) AS __pr")
+    langs = pd.groupBy("__lang").agg(
+        F.expr("CAST(SUM(__ntok) AS BIGINT)").alias("__avail"))
+    # candidate water levels: for each k under (avail, lang) order,
+    # c_k = (B - sum of smaller avails) div (#ranks >= k) — the max
+    # integer level if exactly the k-1 smaller languages fit fully
+    lb = langs.selectExpr("__lang AS __lb", "__avail AS __ab")
+    cand = (langs.join(
+        F.broadcast(lb),
+        F.expr("__ab < __avail OR (__ab = __avail"
+               " AND __lb <= __lang)"), "left")
+        .groupBy("__lang", "__avail")
+        .agg(F.expr("COUNT(__lb)").alias("__rn"),
+             F.expr("CAST(SUM(__ab) AS BIGINT)").alias("__cum")))
+    ltot = langs.agg(F.expr("COUNT(*)").alias("__L"))
+    # numerator clamped at 0: Spark's div truncates toward zero
+    # while DuckDB's // floors, so a negative intermediate would
+    # diverge cross-engine (a negative level is never the max
+    # feasible one anyway)
+    cand = (cand.crossJoin(F.broadcast(ltot))
+            .selectExpr(
+                f"GREATEST({budget} - (__cum - __avail), 0)"
+                f" div (__L - __rn + 1) AS __c"))
+    # feasibility: keep candidates with sum_l min(avail_l, c) <= B;
+    # the water level is the largest feasible candidate
+    lvl = (cand.crossJoin(F.broadcast(lb))
+           .groupBy("__c")
+           .agg(F.expr("CAST(SUM(LEAST(__ab, __c)) AS BIGINT)")
+                .alias("__f"))
+           .filter(f"__f <= {budget}")
+           .agg(F.expr("CAST(MAX(__c) AS BIGINT)").alias("__v")))
+    caps = (langs.crossJoin(F.broadcast(lvl))
+            .selectExpr("__lang",
+                        "CAST(LEAST(__avail, __v) AS BIGINT)"
+                        " AS lang_cap"))
+    # per-doc cumulative tokens inside the language WITHOUT a
+    # per-language window: one global running sum over (lang,
+    # priority, id) order minus the language's start offset
+    ranked = global_rank(
+        pd,
+        [F.col("__lang").asc(), F.col("__pr").asc(),
+         F.col(id_col).asc()],
+        rank_col="__gr", running_sums={"__gcum": "__ntok"})
+    offs = ranked.groupBy("__lang").agg(
+        F.expr("CAST(MIN(__gcum - __ntok) AS BIGINT)").alias("__off"))
+    return (ranked
+            .join(F.broadcast(offs), on="__lang")
+            .join(F.broadcast(caps), on="__lang")
+            .selectExpr(
+                f"{id_col}", "__lang AS lang",
+                "__ntok AS n_tokens",
+                "CAST(__gcum - __off AS BIGINT) AS cum_tokens",
+                "lang_cap",
+                "__gcum - __off <= lang_cap"
+                " OR __gcum - __off = __ntok AS kept"))
 
 
 def contamination_report(docs: DataFrame, benchmark: DataFrame,

@@ -1982,6 +1982,284 @@ def q_doc_psl_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+# hashed unigram+bigram features, add-one-smoothed target/raw bucket
+# multinomials, per-doc log importance weight, deterministic top-k
+# selection. Target domain = the docs passing the exact-integer
+# quality gates (the _DQB_BAD battery domain_quality_block pins), so
+# the operator composes the engine's existing quality + n-gram
+# machinery. Determinism follows the KN-LM conventions: integer
+# counts, ONE shared QTRUNC'd term per bucket, DECIMAL(38,9) per-doc
+# sums, (logw DESC, doc_id) total order via the two-pass rank.
+# ----------------------------------------------------------------------
+
+
+def _dsir_oracle() -> str:
+    from xsarsea_spark.pipeline.dsir import (DSIR_B, DSIR_FRAC,
+                                             dsir_term_sql)
+
+    bad = _DQB_BAD.format(nt="len(string_split(text, ' '))")
+    h40 = _H40_DUCK.format(x="__f")
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS l,
+    ({bad}) = 0 AS is_target
+  FROM documents WHERE text IS NOT NULL),
+f AS (
+  SELECT doc_id, is_target, {h40} % {DSIR_B} AS bucket FROM (
+    SELECT doc_id, is_target, unnest(list_concat(l,
+      CASE WHEN len(l) >= 2 THEN list_transform(range(1, len(l)),
+        i -> l[i] || ' ' || l[i + 1]) ELSE [] END)) AS __f
+    FROM d)),
+cr AS (SELECT bucket, COUNT(*) AS cr FROM f GROUP BY 1),
+ct AS (SELECT bucket, COUNT(*) AS ct FROM f WHERE is_target
+       GROUP BY 1),
+tots AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+    CAST(SUM(COALESCE(ct, 0)) AS BIGINT) AS nt
+  FROM cr LEFT JOIN ct USING (bucket)),
+terms AS (SELECT bucket,
+    CAST({dsir_term_sql(DSIR_B)} AS DECIMAL(38,9)) AS __term
+  FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tots),
+sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+    SUM(__term) AS logw_d
+  FROM f JOIN terms USING (bucket) GROUP BY 1),
+k AS (SELECT CAST(CEIL(COUNT(*) * {DSIR_FRAC}) AS BIGINT) AS __k
+      FROM sc),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY logw_d DESC, doc_id)
+      AS sel_rank FROM sc)
+SELECT r.doc_id, r.n_feats, CAST(r.logw_d AS DOUBLE) AS logw,
+  CAST(r.sel_rank AS BIGINT) AS sel_rank
+FROM r, k WHERE r.sel_rank <= k.__k"""
+
+
+@spec(
+    "doc_dsir_select",
+    _dsir_oracle(),
+    description="DSIR data selection (Xie et al. 2023): hashed "
+                "unigram+bigram bucket features, add-one-smoothed "
+                "target vs raw multinomials (target = the exact-"
+                "integer quality-gate pass set), per-doc log "
+                "importance weight on the DECIMAL grid, "
+                "deterministic top-25% selection via the distributed "
+                "two-pass rank — no corpus-wide window, bucket table "
+                "broadcast",
+    tags=("pipeline", "curation", "sampling", "lm"),
+)
+def q_doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.dsir import dsir_logweights, dsir_select
+
+    docs = load(spark, sf_dir, "documents").filter("text IS NOT NULL")
+    bad = _DQB_BAD.format(nt="size(split(text, ' '))")
+    d = docs.selectExpr("doc_id", "text", "n_chars",
+                        f"({bad}) = 0 AS is_target")
+    sel = dsir_select(dsir_logweights(d))
+    return sel.selectExpr("doc_id", "n_feats",
+                          "CAST(logw AS DOUBLE) AS logw",
+                          "CAST(sel_rank AS BIGINT) AS sel_rank")
+
+
+# ----------------------------------------------------------------------
+# UniMax per-language budget capping (Chung et al. 2023): one total
+# token budget water-filled across languages — low-resource languages
+# contribute everything, high-resource languages cap at the common
+# water level v = max integer with sum_l min(avail_l, v) <= budget.
+# The level comes from two L x L broadcast triangular joins (L =
+# language count), the per-doc cut from ONE global running sum with
+# broadcast per-language offsets — no per-language window anywhere.
+# All-integer, so the replay is bit-exact.
+# ----------------------------------------------------------------------
+
+_UMX_BUDGET = 2000
+
+
+def _unimax_oracle() -> str:
+    from xsarsea_spark.pipeline.text import LANG_MARKERS
+
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        conds = " OR ".join(f"x = '{m}'" for m in LANG_MARKERS[lang])
+        scores.append(
+            f"len(list_filter(l, x -> {conds}))"
+            f" / CAST(len(l) AS DOUBLE) AS score_{lang}")
+    best = "greatest(" + ", ".join(
+        f"score_{k}" for k in sorted(LANG_MARKERS)) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{k} = {best} THEN '{k}'"
+        for k in sorted(LANG_MARKERS)) + " END"
+    b = _UMX_BUDGET
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+           FROM documents WHERE text IS NOT NULL),
+s AS (SELECT doc_id, {", ".join(scores)}, len(l) AS ntok FROM t),
+p AS (SELECT doc_id, {case} AS lang, CAST(ntok AS BIGINT) AS ntok,
+        md5(CAST(doc_id AS VARCHAR)) AS pr FROM s),
+lg AS (SELECT lang, CAST(SUM(ntok) AS BIGINT) AS avail
+       FROM p GROUP BY 1),
+cand AS (SELECT a.lang, a.avail, COUNT(b.lang) AS rn,
+    CAST(SUM(b.avail) AS BIGINT) AS cum
+  FROM lg a LEFT JOIN lg b ON b.avail < a.avail
+    OR (b.avail = a.avail AND b.lang <= a.lang) GROUP BY 1, 2),
+lt AS (SELECT COUNT(*) AS L FROM lg),
+cc AS (SELECT GREATEST({b} - (cum - avail), 0) // (L - rn + 1)
+         AS c FROM cand, lt),
+lv AS (SELECT CAST(MAX(c) AS BIGINT) AS v FROM (
+    SELECT c, CAST(SUM(LEAST(b.avail, c)) AS BIGINT) AS fs
+    FROM cc, lg b GROUP BY c) WHERE fs <= {b}),
+cp AS (SELECT lang, CAST(LEAST(avail, v) AS BIGINT) AS lang_cap
+       FROM lg, lv),
+w AS (SELECT p.*, SUM(ntok) OVER (PARTITION BY lang
+    ORDER BY pr, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM p),
+k AS (SELECT w.*, cp.lang_cap,
+    (cum <= cp.lang_cap OR cum = ntok) AS kept
+  FROM w JOIN cp USING (lang))
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(ntok) AS BIGINT) AS tokens_total,
+  MAX(lang_cap) AS lang_cap,
+  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN kept THEN ntok ELSE 0 END) AS BIGINT)
+    AS tokens_kept,
+  md5(array_to_string(list(doc_id ORDER BY doc_id)
+      FILTER (WHERE kept), ',')) AS kept_ids_digest
+FROM k GROUP BY lang"""
+
+
+@spec(
+    "doc_unimax_cap",
+    _unimax_oracle(),
+    description="UniMax per-language token-budget capping (Chung et "
+                "al. 2023): water-filled level over language-ID "
+                "groups (two L x L broadcast triangular joins), "
+                "hash-priority per-doc cut via one global running "
+                "sum + broadcast language offsets — never a "
+                "per-language window; kept-set membership pinned by "
+                "a doc-id digest",
+    tags=("pipeline", "curation", "sampling"),
+)
+def q_doc_unimax_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.sampling import unimax_language_cap
+    from xsarsea_spark.pipeline.text import language_id
+
+    docs = load(spark, sf_dir, "documents").filter("text IS NOT NULL")
+    pd = language_id(docs).selectExpr(
+        "doc_id", "pred_lang AS lang",
+        "size(split(text, ' ')) AS n_tokens")
+    d = unimax_language_cap(pd, budget=_UMX_BUDGET)
+    return d.groupBy("lang").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(SUM(n_tokens) AS BIGINT)").alias("tokens_total"),
+        F.expr("MAX(lang_cap)").alias("lang_cap"),
+        F.expr("CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END)"
+               " AS BIGINT)").alias("n_kept"),
+        F.expr("CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END)"
+               " AS BIGINT)").alias("tokens_kept"),
+        F.expr("md5(array_join(transform(array_sort("
+               "collect_list(CASE WHEN kept THEN doc_id END)),"
+               " x -> CAST(x AS STRING)), ','))")
+        .alias("kept_ids_digest"))
+
+
+# ----------------------------------------------------------------------
+# Cross-snapshot URL dedup — the CDX-style CommonCrawl shape for the
+# URL layer: history is N separately-persisted crawl snapshots' URL
+# key tables (canonical dup keys from the pipeline.urls chain); the
+# new crawl probes their tagged union in ONE equality join, and every
+# batch URL reports whether it is a recrawl, the EARLIEST snapshot
+# that saw its canonical key, and how many historical copies exist.
+# Same doc_id-range snapshot cuts as minhash_cross_snapshot; the
+# oracle replays the chain + cuts from scratch.
+# ----------------------------------------------------------------------
+
+
+def _url_xsnap_oracle() -> str:
+    from xsarsea_spark.pipeline.urls import url_cte_chain
+
+    parts, prev = url_cte_chain(
+        f"SELECT doc_id, {_URL_SYNTH} AS url FROM documents")
+    parts += [
+        f"per AS (SELECT doc_id, dup_key, domain FROM {prev})",
+        f"cut AS (SELECT"
+        f" CAST(CEIL(MAX(doc_id) * {_INC_FRAC}) AS BIGINT) AS c,"
+        f" CAST(CEIL(MAX(doc_id) * {_XSNAP_FRACS[0]}) AS BIGINT)"
+        f" AS c0,"
+        f" CAST(CEIL(MAX(doc_id) * {_XSNAP_FRACS[1]}) AS BIGINT)"
+        f" AS c1 FROM documents)",
+        "hist AS (SELECT p.dup_key,"
+        " CAST(CASE WHEN p.doc_id < cut.c0 THEN 0"
+        " WHEN p.doc_id < cut.c1 THEN 1 ELSE 2 END AS INT)"
+        " AS snapshot, p.doc_id FROM per p, cut"
+        " WHERE p.doc_id < cut.c)",
+        "st AS (SELECT dup_key, snapshot, COUNT(*) AS cnt,"
+        " MIN(doc_id) AS first_doc FROM hist GROUP BY 1, 2)",
+        "batch AS (SELECT p.* FROM per p, cut"
+        " WHERE p.doc_id >= cut.c)",
+    ]
+    return ("WITH " + ",\n".join(parts) + """
+SELECT b.doc_id, b.domain,
+  CAST(COALESCE(MIN(st.snapshot), -1) AS INT) AS first_seen,
+  CAST(COALESCE(SUM(st.cnt), 0) AS BIGINT) AS n_hist_copies,
+  CAST(COALESCE(MIN(st.first_doc), -1) AS BIGINT)
+    AS earliest_hist_doc,
+  COUNT(st.snapshot) > 0 AS is_recrawl
+FROM batch b LEFT JOIN st ON st.dup_key = b.dup_key
+GROUP BY b.doc_id, b.domain""")
+
+
+@spec(
+    "doc_url_cross_snapshot",
+    _url_xsnap_oracle(),
+    description="CDX-style cross-snapshot URL dedup: new crawl's "
+                "canonical URL keys probe the tagged union of 3 "
+                "prior snapshots' persisted key tables in one "
+                "equality join; every batch URL reports recrawl "
+                "status, earliest snapshot seen and historical copy "
+                "count — the URL-layer CommonCrawl shape",
+    tags=("pipeline", "dedup", "incremental"),
+)
+def q_doc_url_cross_snapshot(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.urls import url_norm_steps
+
+    docs = load(spark, sf_dir, "documents")
+    df = docs.selectExpr("doc_id", f"{_URL_SYNTH} AS url")
+    for col, expr in url_norm_steps("spark"):
+        df = df.withColumn(col, F.expr(expr))
+    # the usual chain codegen barrier; hist and batch both slice it
+    per = materialize(df.select("doc_id", "dup_key", "domain"))
+    cuts = docs.agg(
+        F.expr(f"CAST(CEIL(MAX(doc_id) * {_INC_FRAC}) AS BIGINT)")
+        .alias("c"),
+        F.expr(f"CAST(CEIL(MAX(doc_id) * {_XSNAP_FRACS[0]})"
+               f" AS BIGINT)").alias("c0"),
+        F.expr(f"CAST(CEIL(MAX(doc_id) * {_XSNAP_FRACS[1]})"
+               f" AS BIGINT)").alias("c1"))
+    d = per.crossJoin(F.broadcast(cuts))
+    # each snapshot's key table is persisted ingest-time state in
+    # production; the probe sees only their union
+    hist = (d.filter("doc_id < c")
+            .selectExpr("dup_key",
+                        "CAST(CASE WHEN doc_id < c0 THEN 0"
+                        " WHEN doc_id < c1 THEN 1 ELSE 2 END"
+                        " AS INT) AS snapshot", "doc_id"))
+    st = hist.groupBy("dup_key", "snapshot").agg(
+        F.expr("COUNT(*)").alias("cnt"),
+        F.expr("MIN(doc_id)").alias("first_doc"))
+    batch = d.filter("doc_id >= c").select("doc_id", "dup_key",
+                                           "domain")
+    return (batch.join(st, on="dup_key", how="left")
+            .groupBy("doc_id", "domain")
+            .agg(F.expr("CAST(COALESCE(MIN(snapshot), -1) AS INT)")
+                 .alias("first_seen"),
+                 F.expr("CAST(COALESCE(SUM(cnt), 0) AS BIGINT)")
+                 .alias("n_hist_copies"),
+                 F.expr("CAST(COALESCE(MIN(first_doc), -1)"
+                        " AS BIGINT)").alias("earliest_hist_doc"),
+                 F.expr("COUNT(snapshot) > 0").alias("is_recrawl")))
+
+
+# ----------------------------------------------------------------------
 # Interpolated Kneser-Ney bigram LM on a HELD-OUT split — the
 # smoother KenLM actually uses (modified KN; single-discount
 # interpolated form here), with proper train/test separation: counts
