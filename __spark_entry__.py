@@ -56,40 +56,42 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every window entry is green on the local strict DuckDB compare,
 # re-run in window order as a final pre-flight.
 _PRIORITY = [
-    # Round-9 window. (a) the 22 stale round-3 sentinels VERDICT r8
-    # asked for — five rounds of refactors since their last driver
-    # row (q12 is also the only query that ever failed, in round 2):
-    "benchmark_contamination", "doc_gopher_quality",
-    "doc_tfidf_topterms", "events_hourly", "events_json_extract",
-    "events_sessionize", "events_stream_hourly",
-    "histogram_mirror_union", "inversion_crosspol_dsig",
-    "lang_id_quality", "lsh_ann", "multimodal_feature_values",
-    "multimodal_frame_sample", "q03_shipping_priority",
-    "q06_forecast_revenue", "q09_product_profit",
-    "q12_late_shipping", "q_rollup_revenue", "scene_crop_subsample",
-    "sigma0_resample", "simhash_fingerprint", "token_count_bpe",
-    # (b) round-9 additions (OPQ allocation eval, CCNet per-language
-    # KN-LM terciles, URL/domain dedup, URL-dedup streaming ingest):
-    "opq_alloc_recall", "doc_ccnet_perlang_buckets", "doc_url_dedup",
-    "stream_url_ingest", "domain_quality_block",
-    # (c) queries whose lineage changed this round: the three SA
-    # queries ride the content-keyed persisted ladder cache; the
-    # inversion pair rides the NaN-masked _nearest_idx; pq_ann's
-    # oracle builder was parametrized (default byte-identical);
-    # multimodal_wav_fingerprint derives its frame count from the
-    # input; the three ntile_distributed users ride the factored
-    # _ntile_expr:
+    # Round-10 window. (a) round-10 additions, never driver-checked
+    # (full-PSL registrable domain, DSIR selection, UniMax language
+    # capping, CDX cross-snapshot URL dedup):
+    "doc_psl_domain", "doc_dsir_select", "doc_unimax_cap",
+    "doc_url_cross_snapshot",
+    # (b) rows whose OUTPUT or lineage changed this round: the three
+    # SA queries moved to one shared mod-7 corpus slice (values
+    # changed with their oracles); the URL trio rides the
+    # NULL-guarded synth URL + the 452-suffix PSL-derived expression
+    # set:
     "doc_crossdup_exact", "doc_longest_dup_span",
-    "doc_source_crossdup_matrix", "inversion_dualpol",
-    "inversion_crosspol", "pq_ann", "multimodal_wav_fingerprint",
-    "doc_perplexity_buckets", "doc_classifier_select",
-    "doc_quality_curriculum", "stream_curated_ingest",
-    # (d) fill to 50 with the stalest remaining rows (round 4):
-    "doc_bm25_topk", "doc_chunking", "doc_editdist_verify",
-    "doc_fingerprint", "doc_inverted_index", "doc_mixture_sample",
-    "doc_ngram_crossdup", "doc_pii_redact", "doc_rolling_hash",
-    "embedding_hof_battery", "embedding_int8_quant",
-    "events_band_join",
+    "doc_source_crossdup_matrix", "doc_url_dedup",
+    "domain_quality_block", "stream_url_ingest",
+    # (c) the full stale round-4 cohort — six rounds since their
+    # last driver row (sketch family, funnel/retention, SCD2/CDC,
+    # stream dedup/cohort/interval-join, multiprobe ANN):
+    "events_bloom_prefilter", "events_countmin",
+    "events_dd_quantiles", "events_funnel", "events_gapfill_interp",
+    "events_hll_distinct", "events_hourly_anomaly",
+    "events_kmv_distinct", "events_markov_transitions",
+    "events_minute_dedup", "events_pivot", "events_retention",
+    "events_salted_join", "events_scd2_history",
+    "events_snapshot_cdc", "events_stream_cohort",
+    "events_stream_dedup", "events_stream_interval_join",
+    "lsh_ann_multiprobe", "lut_step_inference", "multimodal_features",
+    "stratified_sample", "text_token_stats",
+    # (d) fill to 50 with the stalest round-5 rows (alphabetical
+    # first 17; the remaining 8 — events_type_correlation onward —
+    # rotate in next round):
+    "doc_bpe_train", "doc_ngram_novelty", "dup_graph_triangles",
+    "embedding_ann_recall", "embedding_pca_outliers",
+    "embedding_pca_power", "embedding_pca_project",
+    "embedding_pca_topk", "embedding_pca_whiten", "events_ab_ttest",
+    "events_cohort_ltv", "events_ewma", "events_holt_backtest",
+    "events_holt_trend", "events_rank_stability",
+    "events_seasonal_profile", "events_stream_growth",
 ]
 
 
