@@ -27,6 +27,7 @@ __all__ = [
     "HASH40_SQL",
     "PII_PATTERNS",
     "normalize_text", "NORM_SPARK_SQL", "NORM_DUCK_SQL",
+    "repetition_signals", "GOPHER_REP_THRESHOLDS",
 ]
 
 # 40-bit content hash from md5 hex — bit-identical in Spark and DuckDB
@@ -719,6 +720,163 @@ def duplicate_spans_maximal(docs: DataFrame, n: int = 8,
         )
         .drop("__grp")
     )
+
+
+# Gopher (Rae et al. 2021) Table A1 repetition thresholds: a doc is
+# dropped when ANY metric exceeds its limit. Keys: ("top", n) =
+# fraction of characters in the most frequent word n-gram;
+# ("dup", n) = fraction of characters inside ANY word n-gram that
+# occurs more than once in the doc (span-union coverage).
+GOPHER_REP_THRESHOLDS = {
+    ("top", 2): 0.20, ("top", 3): 0.18, ("top", 4): 0.16,
+    ("dup", 5): 0.15, ("dup", 6): 0.14, ("dup", 7): 0.13,
+    ("dup", 8): 0.12, ("dup", 9): 0.11, ("dup", 10): 0.10,
+}
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """The FULL Gopher repetition battery (Rae et al. 2021 §A1.1 /
+    Table A1) in CHARACTER fractions — the paper-faithful upgrade of
+    :func:`gopher_quality`'s token-count ratios:
+
+    - ``top{n}_char_frac`` (n = 2..4): occurrences x character
+      length of the doc's most frequent word n-gram, over total
+      characters (the standard uncapped ratio — overlapping
+      occurrences of a self-repeating gram can push it past 1, as in
+      the reference implementations);
+    - ``dup{n}_char_frac`` (n = 5..10): fraction of characters
+      covered by the UNION of spans of n-grams occurring more than
+      once within the doc (exact interval union, so overlapping
+      duplicated grams never double-count);
+    - ``repetition_pass``: every metric at or under its Table A1
+      threshold.
+
+    Determinism: gram identity is the literal joined-token string
+    (top family) or its 40-bit hash (dup family — both engines
+    derive the same integer); character counts are exact integers
+    (token lengths + internal separators), so each emitted fraction
+    is one IEEE division of integers. Top-gram argmax tie-breaks on
+    (count DESC, gram ASC).
+
+    Scale: the 9 per-n gram frames are projections of ONE token-array
+    scan, unioned with n as a data column, so the dup family pays ONE
+    hash aggregation + ONE join-back + ONE islands window keyed by
+    (doc, n) — windows are document-bounded, the accepted class; the
+    span-to-character conversion is an equality join on the doc id
+    with a position range predicate (per-doc cardinality). Only
+    (doc, n, position, hash) tuples shuffle, never gram strings, for
+    the dup family."""
+    from pyspark.sql import Window
+
+    toks = (docs.filter(F.col(text_col).isNotNull())
+            .selectExpr(id_col, f"split({text_col}, ' ') AS __l",
+                        f"length({text_col}) AS n_chars"))
+    base = toks.selectExpr(id_col, "n_chars",
+                           "size(__l) AS n_tokens")
+
+    def gram_frame(ns: list[int], keep_gram: bool):
+        parts = []
+        for n in ns:
+            g = (f"transform(sequence(1, size(__l) - {n - 1}),"
+                 f" i -> array_join(slice(__l, i, {n}), ' '))")
+            sel = (toks.filter(F.expr(f"size(__l) >= {n}"))
+                   .select(id_col, F.lit(n).alias("__n"),
+                           F.posexplode(F.expr(g))
+                           .alias("__p", "__g")))
+            if keep_gram:
+                parts.append(sel.selectExpr(
+                    id_col, "__n", "__p", "__g",
+                    "length(__g) AS __glen"))
+            else:
+                parts.append(sel.selectExpr(
+                    id_col, "__n", "__p",
+                    f"{HASH40_SQL.format(x='__g')} AS __h"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # top family (n = 2..4): count per gram string, per-doc argmax
+    gt = gram_frame([2, 3, 4], keep_gram=True)
+    cnt = gt.groupBy(id_col, "__n", "__g", "__glen").agg(
+        F.count(F.lit(1)).alias("__c"))
+    wtop = Window.partitionBy(id_col, "__n").orderBy(
+        F.col("__c").desc(), F.col("__g").asc())
+    top = (cnt.withColumn("__rk", F.row_number().over(wtop))
+           .filter("__rk = 1")
+           .selectExpr(id_col, "__n",
+                       "CAST(__c * __glen AS BIGINT) AS __topchars"))
+    top_w = base.select(id_col)
+    for n in (2, 3, 4):
+        top_w = top_w.join(
+            top.filter(F.col("__n") == n)
+            .selectExpr(id_col, f"__topchars AS __top{n}"),
+            on=id_col, how="left")
+
+    # dup family (n = 5..10): duplicated-gram span union -> covered
+    # characters via a position-range join against the token table
+    gd = gram_frame([5, 6, 7, 8, 9, 10], keep_gram=False)
+    dup = (gd.groupBy(id_col, "__n", "__h")
+           .agg(F.count(F.lit(1)).alias("__c"))
+           .filter("__c >= 2").select(id_col, "__n", "__h"))
+    hits = (gd.join(dup, on=[id_col, "__n", "__h"])
+            .select(id_col, "__n", "__p"))
+    wisl = Window.partitionBy(id_col, "__n").orderBy("__p")
+    marked = hits.withColumn(
+        "__new",
+        F.when(F.lag("__p").over(wisl).isNull()
+               | (F.col("__p") - F.lag("__p").over(wisl)
+                  > F.col("__n")), F.lit(1)).otherwise(F.lit(0)))
+    spans = (marked.withColumn(
+        "__grp", F.sum("__new").over(
+            wisl.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(id_col, "__n", "__grp")
+        .agg(F.min("__p").alias("__a"),
+             (F.max("__p") + F.col("__n") - 1).alias("__b"))
+        .drop("__grp"))
+    tklen = toks.select(
+        id_col,
+        F.posexplode(F.expr("transform(__l, x -> length(x))"))
+        .alias("__i", "__wlen"))
+    # span chars = sum of covered token lengths + internal separators
+    cov = (spans.join(tklen, on=id_col)
+           .filter("__i >= __a AND __i <= __b")
+           .groupBy(id_col, "__n", "__a", "__b")
+           .agg(F.expr("CAST(SUM(__wlen) + MAX(__b) - MAX(__a)"
+                       " AS BIGINT)").alias("__spanchars"))
+           .groupBy(id_col, "__n")
+           .agg(F.expr("CAST(SUM(__spanchars) AS BIGINT)")
+                .alias("__covchars")))
+    dup_w = base.select(id_col)
+    for n in range(5, 11):
+        dup_w = dup_w.join(
+            cov.filter(F.col("__n") == n)
+            .selectExpr(id_col, f"__covchars AS __dup{n}"),
+            on=id_col, how="left")
+
+    out = base.join(top_w, on=id_col).join(dup_w, on=id_col)
+    cols = [id_col, "n_chars", "n_tokens"]
+    gates = []
+    for n in (2, 3, 4):
+        thr = GOPHER_REP_THRESHOLDS[("top", n)]
+        out = out.withColumn(
+            f"top{n}_char_frac",
+            F.expr(f"COALESCE(__top{n}, 0)"
+                   f" / CAST(nullif(n_chars, 0) AS DOUBLE)"))
+        cols.append(f"top{n}_char_frac")
+        gates.append(f"top{n}_char_frac <= {thr}e0")
+    for n in range(5, 11):
+        thr = GOPHER_REP_THRESHOLDS[("dup", n)]
+        out = out.withColumn(
+            f"dup{n}_char_frac",
+            F.expr(f"COALESCE(__dup{n}, 0)"
+                   f" / CAST(nullif(n_chars, 0) AS DOUBLE)"))
+        cols.append(f"dup{n}_char_frac")
+        gates.append(f"dup{n}_char_frac <= {thr}e0")
+    out = out.withColumn("repetition_pass",
+                         F.expr(" AND ".join(gates)))
+    return out.select(*cols, "repetition_pass")
 
 
 NORM_SPARK_SQL = ("trim(regexp_replace(regexp_replace(lower({x}),"

@@ -2260,6 +2260,131 @@ def q_doc_url_cross_snapshot(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
+# Full Gopher repetition battery (Rae et al. 2021 Table A1) in
+# CHARACTER fractions — the paper-faithful upgrade of the
+# token-count gopher_quality gates: top n-gram char fraction for
+# n=2..4 (occurrences x gram char length / chars) and duplicated
+# n-gram char COVERAGE for n=5..10 (exact span union, so overlapping
+# duplicated grams never double-count), plus the Table A1 pass flag.
+# All counts/lengths are integers; each fraction is one IEEE
+# division. The 9 per-n gram frames are projections of one token
+# scan with n as a data column, so the dup family pays one hash agg
+# + one join-back + one doc-bounded islands window.
+# ----------------------------------------------------------------------
+
+
+def _gopher_rep_oracle() -> str:
+    from xsarsea_spark.pipeline.text import GOPHER_REP_THRESHOLDS
+
+    h40 = _H40_DUCK.format(x="s.g")
+    gt_parts, gd_parts = [], []
+    for n in (2, 3, 4):
+        gt_parts.append(
+            f"SELECT doc_id, {n} AS n, s.g AS g FROM ("
+            f"SELECT doc_id, unnest(list_transform("
+            f"range(1, len(l) - {n} + 2),"
+            f" i -> struct_pack(g := array_to_string("
+            f"l[i:i+{n - 1}], ' ')))) AS s"
+            f" FROM dd WHERE len(l) >= {n})")
+    for n in range(5, 11):
+        gd_parts.append(
+            f"SELECT doc_id, {n} AS n, s.p AS p, {h40} AS h FROM ("
+            f"SELECT doc_id, unnest(list_transform("
+            f"range(1, len(l) - {n} + 2),"
+            f" i -> struct_pack(p := i, g := array_to_string("
+            f"l[i:i+{n - 1}], ' ')))) AS s"
+            f" FROM dd WHERE len(l) >= {n})")
+    tpv = ", ".join(
+        f"MAX(CASE WHEN n = {n} AND rk = 1 THEN topchars END)"
+        f" AS top{n}" for n in (2, 3, 4))
+    dpv = ", ".join(
+        f"MAX(CASE WHEN n = {n} THEN covchars END) AS dup{n}"
+        for n in range(5, 11))
+    fracs, gates = [], []
+    for n in (2, 3, 4):
+        thr = GOPHER_REP_THRESHOLDS[("top", n)]
+        fracs.append(f"COALESCE(top{n}, 0)"
+                     f" / CAST(nullif(n_chars, 0) AS DOUBLE)"
+                     f" AS top{n}_char_frac")
+        gates.append(f"COALESCE(top{n}, 0)"
+                     f" / CAST(nullif(n_chars, 0) AS DOUBLE)"
+                     f" <= {thr}e0")
+    for n in range(5, 11):
+        thr = GOPHER_REP_THRESHOLDS[("dup", n)]
+        fracs.append(f"COALESCE(dup{n}, 0)"
+                     f" / CAST(nullif(n_chars, 0) AS DOUBLE)"
+                     f" AS dup{n}_char_frac")
+        gates.append(f"COALESCE(dup{n}, 0)"
+                     f" / CAST(nullif(n_chars, 0) AS DOUBLE)"
+                     f" <= {thr}e0")
+    return f"""
+WITH dd AS (
+  SELECT doc_id, string_split(text, ' ') AS l, len(text) AS n_chars,
+    len(string_split(text, ' ')) AS n_tokens
+  FROM documents WHERE text IS NOT NULL),
+gt AS ({" UNION ALL ".join(gt_parts)}),
+tc AS (SELECT doc_id, n, g, COUNT(*) AS c FROM gt GROUP BY 1, 2, 3),
+tt AS (SELECT doc_id, n, CAST(c * len(g) AS BIGINT) AS topchars,
+    ROW_NUMBER() OVER (PARTITION BY doc_id, n
+      ORDER BY c DESC, g ASC) AS rk FROM tc),
+tpv AS (SELECT doc_id, {tpv} FROM tt GROUP BY 1),
+gd AS ({" UNION ALL ".join(gd_parts)}),
+dup AS (SELECT doc_id, n, h FROM gd GROUP BY 1, 2, 3
+        HAVING COUNT(*) >= 2),
+hits AS (SELECT gd.doc_id, gd.n, gd.p FROM gd
+         JOIN dup USING (doc_id, n, h)),
+mk AS (SELECT *, CASE WHEN lag(p) OVER w IS NULL
+      OR p - lag(p) OVER w > n THEN 1 ELSE 0 END AS nw
+    FROM hits WINDOW w AS (PARTITION BY doc_id, n ORDER BY p)),
+gr AS (SELECT *, SUM(nw) OVER (PARTITION BY doc_id, n ORDER BY p
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM mk),
+sp AS (SELECT doc_id, n, grp, MIN(p) AS a, MAX(p) + n - 1 AS b
+       FROM gr GROUP BY 1, 2, 3),
+tk AS (SELECT doc_id, s.i AS i, s.wl AS wl FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(l) + 1),
+      i -> struct_pack(i := i, wl := len(l[i])))) AS s FROM dd)),
+cv AS (SELECT sp.doc_id, sp.n, sp.a, sp.b,
+    CAST(SUM(tk.wl) + sp.b - sp.a AS BIGINT) AS spanchars
+  FROM sp JOIN tk ON tk.doc_id = sp.doc_id
+    AND tk.i >= sp.a AND tk.i <= sp.b
+  GROUP BY 1, 2, 3, 4),
+cvn AS (SELECT doc_id, n, CAST(SUM(spanchars) AS BIGINT)
+    AS covchars FROM cv GROUP BY 1, 2),
+dpv AS (SELECT doc_id, {dpv} FROM cvn GROUP BY 1)
+SELECT dd.doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  {", ".join(fracs)},
+  ({" AND ".join(gates)}) AS repetition_pass
+FROM dd LEFT JOIN tpv USING (doc_id) LEFT JOIN dpv USING (doc_id)"""
+
+
+@spec(
+    "doc_gopher_repetition",
+    _gopher_rep_oracle(),
+    description="Full Gopher repetition battery (Rae et al. 2021 "
+                "Table A1), character fractions: top n-gram char "
+                "fraction (n=2..4, count x gram length) and "
+                "duplicated n-gram char coverage (n=5..10, exact "
+                "span union), with the Table A1 pass flag — one "
+                "token scan feeds all 9 gram frames with n as a "
+                "data column",
+    tags=("pipeline", "quality", "text"),
+)
+def q_doc_gopher_repetition(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.text import repetition_signals
+
+    out = repetition_signals(load(spark, sf_dir, "documents"))
+    casts = ["doc_id", "CAST(n_chars AS BIGINT) AS n_chars",
+             "CAST(n_tokens AS BIGINT) AS n_tokens"]
+    casts += [f"top{n}_char_frac" for n in (2, 3, 4)]
+    casts += [f"dup{n}_char_frac" for n in range(5, 11)]
+    casts += ["repetition_pass"]
+    return out.selectExpr(*casts)
+
+
+# ----------------------------------------------------------------------
 # Interpolated Kneser-Ney bigram LM on a HELD-OUT split — the
 # smoother KenLM actually uses (modified KN; single-discount
 # interpolated form here), with proper train/test separation: counts
