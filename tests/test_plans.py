@@ -493,11 +493,19 @@ def test_dsir_unimax_urlxsnap_plans_are_scale_safe(spark):
     from xsarsea_spark.suite import REGISTRY
 
     for name in ("doc_dsir_select", "doc_unimax_cap",
-                 "doc_url_cross_snapshot"):
+                 "doc_url_cross_snapshot", "doc_decontaminate"):
         plan = (REGISTRY[name].spark(spark, SF)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "CartesianProduct" not in plan, name
-        _assert_all_windows_pid_partitioned(plan)
+        if name == "doc_decontaminate":
+            # its islands window is doc_id-partitioned (document-
+            # bounded state, the duplicate_spans class), not the
+            # two-pass rank's __pid
+            for ln in plan.splitlines():
+                if "Window" in ln and "WindowGroupLimit" not in ln:
+                    assert "doc_id" in ln, f"{name}: {ln}"
+        else:
+            _assert_all_windows_pid_partitioned(plan)
         for ln in plan.splitlines():
             if "NestedLoopJoin" in ln:
                 assert "Broadcast" in ln, f"{name}: {ln}"

@@ -2385,6 +2385,135 @@ def q_doc_gopher_repetition(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
+# Benchmark DECONTAMINATION with span removal — the step after the
+# contamination REPORT: every corpus n-gram colliding with the
+# benchmark shingle set marks its token span, overlapping spans
+# union (gap <= n merges, the Lee et al. surgical variant of GPT-3's
+# window removal), and the cleaned document is reconstructed
+# relationally (uncovered tokens re-joined in order). Output: per
+# CONTAMINATED doc, span/token/char removal stats + the cleaned
+# text's digest — membership and bytes both pinned. Same benchmark
+# convention as benchmark_contamination (doc_id % 97), same n.
+# ----------------------------------------------------------------------
+
+
+def _decontam_oracle() -> str:
+    n = _CONTAM_N
+    # DuckDB lists are 1-based and range() is 0-based here, so the
+    # k-th gram token is l[i + k + 1] (l[i + 0] would be the NULL
+    # zero index and silently drop every doc's first gram)
+    g = " || ' ' || ".join(f"l[i + {k + 1}]" for k in range(n))
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l,
+    len(text) AS n_chars FROM documents WHERE text IS NOT NULL),
+bench AS (SELECT DISTINCT
+    unnest(list_transform(range(len(l) - {n - 1}), i -> {g}))
+    AS g FROM t WHERE doc_id % 97 = 0),
+corp AS (SELECT doc_id, l, n_chars FROM t WHERE doc_id % 97 <> 0),
+grams AS (SELECT doc_id, s.p AS p, s.g AS g FROM (
+    SELECT doc_id, unnest(list_transform(
+      range(1, len(l) - {n} + 2),
+      i -> struct_pack(p := i, g := array_to_string(
+        l[i:i+{n - 1}], ' ')))) AS s FROM corp)),
+hits AS (SELECT g.doc_id, g.p FROM grams g
+         JOIN bench b ON b.g = g.g),
+mk AS (SELECT *, CASE WHEN lag(p) OVER w IS NULL
+      OR p - lag(p) OVER w > {n} THEN 1 ELSE 0 END AS nw
+    FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+gr AS (SELECT *, SUM(nw) OVER (PARTITION BY doc_id ORDER BY p
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM mk),
+sp AS (SELECT doc_id, grp, MIN(p) AS a, MAX(p) + {n} - 1 AS b
+       FROM gr GROUP BY 1, 2),
+tk AS (SELECT doc_id, s.i AS i, s.w AS w FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(l) + 1),
+      i -> struct_pack(i := i, w := l[i]))) AS s FROM corp)),
+cov AS (SELECT tk.doc_id, tk.i, tk.w,
+    MAX(CASE WHEN tk.i >= sp.a AND tk.i <= sp.b THEN 1 ELSE 0 END)
+      AS c
+  FROM tk JOIN sp ON sp.doc_id = tk.doc_id GROUP BY 1, 2, 3),
+cl AS (SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_tokens_before,
+    CAST(SUM(1 - c) AS BIGINT) AS n_tokens_after,
+    COALESCE(array_to_string(list(w ORDER BY i)
+      FILTER (WHERE c = 0), ' '), '') AS cleaned
+  FROM cov GROUP BY 1),
+ns AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+       FROM sp GROUP BY 1)
+SELECT cl.doc_id, ns.n_spans, cl.n_tokens_before, cl.n_tokens_after,
+  CAST(c.n_chars - len(cl.cleaned) AS BIGINT) AS chars_removed,
+  md5(cl.cleaned) AS cleaned_digest
+FROM cl JOIN ns USING (doc_id)
+JOIN corp c ON c.doc_id = cl.doc_id"""
+
+
+@spec(
+    "doc_decontaminate",
+    _decontam_oracle(),
+    description="Benchmark decontamination with span REMOVAL: corpus "
+                "n-grams colliding with the benchmark shingle set "
+                "mark token spans, overlapping spans union, and the "
+                "cleaned document is rebuilt relationally — per "
+                "contaminated doc the span/token/char removal stats "
+                "and the cleaned text's md5; islands window is "
+                "doc-bounded, the benchmark set joins by gram "
+                "equality",
+    tags=("pipeline", "dedup", "text"),
+)
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    n = _CONTAM_N
+    docs = (load(spark, sf_dir, "documents")
+            .filter("text IS NOT NULL")
+            .selectExpr("doc_id", "split(text, ' ') AS __l",
+                        "length(text) AS n_chars"))
+    gexpr = (f"transform(sequence(1, size(__l) - {n - 1}),"
+             f" i -> array_join(slice(__l, i, {n}), ' '))")
+    bench = (docs.filter("doc_id % 97 = 0")
+             .selectExpr(f"explode({gexpr}) AS __g").distinct())
+    corp = docs.filter("doc_id % 97 <> 0")
+    grams = (corp.filter(F.expr(f"size(__l) >= {n}"))
+             .select("doc_id",
+                     F.posexplode(F.expr(gexpr)).alias("__p", "__g")))
+    hits = grams.join(bench, on="__g").select("doc_id", "__p")
+    w = Window.partitionBy("doc_id").orderBy("__p")
+    marked = hits.withColumn(
+        "__new",
+        F.when(F.lag("__p").over(w).isNull()
+               | (F.col("__p") - F.lag("__p").over(w) > n),
+               F.lit(1)).otherwise(F.lit(0)))
+    spans = (marked.withColumn(
+        "__grp", F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "__grp")
+        .agg(F.min("__p").alias("__a"),
+             (F.max("__p") + F.lit(n - 1)).alias("__b"))
+        .drop("__grp"))
+    tk = corp.select(
+        "doc_id", F.posexplode("__l").alias("__i", "__w"))
+    cov = (tk.join(spans, on="doc_id")
+           .groupBy("doc_id", "__i", "__w")
+           .agg(F.expr("MAX(CASE WHEN __i >= __a AND __i <= __b"
+                       " THEN 1 ELSE 0 END)").alias("__c")))
+    cl = cov.groupBy("doc_id").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_tokens_before"),
+        F.expr("CAST(SUM(1 - __c) AS BIGINT)").alias("n_tokens_after"),
+        F.expr("array_join(transform(array_sort(collect_list("
+               "CASE WHEN __c = 0 THEN named_struct('i', __i,"
+               " 'w', __w) END)), x -> x.w), ' ')").alias("__cleaned"))
+    ns = spans.groupBy("doc_id").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_spans"))
+    return (cl.join(ns, on="doc_id")
+            .join(corp.select("doc_id", "n_chars"), on="doc_id")
+            .selectExpr("doc_id", "n_spans", "n_tokens_before",
+                        "n_tokens_after",
+                        "CAST(n_chars - length(__cleaned) AS BIGINT)"
+                        " AS chars_removed",
+                        "md5(__cleaned) AS cleaned_digest"))
+
+
+# ----------------------------------------------------------------------
 # Interpolated Kneser-Ney bigram LM on a HELD-OUT split — the
 # smoother KenLM actually uses (modified KN; single-discount
 # interpolated form here), with proper train/test separation: counts
