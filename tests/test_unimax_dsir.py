@@ -69,6 +69,22 @@ def test_unimax_operator_semantics(spark):
         {"en": 180, "de": 45, "fr": 5}
 
 
+def test_unimax_equal_languages_exact_fit(spark):
+    """Collision regression (code-review find): two languages with
+    EQUAL avail produce the same candidate level; without dedup the
+    feasibility sum counted each language's min() twice, rejected
+    every level, and an exactly-fitting budget kept only first docs."""
+    from xsarsea_spark.pipeline.sampling import unimax_language_cap
+
+    rows = [(0, "en", 4), (1, "en", 6), (2, "de", 7), (3, "de", 3)]
+    pd = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_tokens long")
+    out = unimax_language_cap(pd, budget=20).collect()
+    assert {r["lang"]: r["lang_cap"] for r in out} == \
+        {"en": 10, "de": 10}
+    assert all(r["kept"] for r in out)
+
+
 def test_dsir_weights_prefer_target_like_docs(spark):
     """Docs sharing the target subset's n-grams must outscore docs
     made of raw-only n-grams."""

@@ -132,6 +132,12 @@ def dsir_select(scored: DataFrame, frac: float = DSIR_FRAC,
     """Top-``frac`` selection by (weight DESC, id ASC) — exact
     deterministic resampling via the distributed two-pass rank; adds
     ``sel_rank`` and keeps only selected rows. k = ceil(frac * n)."""
+    from xsarsea_spark.engine import materialize
+
+    # two consumers (the k-count aggregation and global_rank's
+    # range-partition pass) would otherwise each replay the full
+    # logweights lineage — a whole extra pass over the feature stream
+    scored = materialize(scored)
     k = scored.agg(F.expr(
         f"CAST(CEIL(COUNT(*) * {frac!r}) AS BIGINT)").alias("__k"))
     ranked = global_rank(

@@ -42,8 +42,11 @@ with their exceptions, the TLD-level wildcards; private section: the
 big multi-tenant hosting suffixes), in the standard .dat line format
 so the SAME parser handles both. It is deliberately not claimed to be
 the complete ~10k-entry list: deployments that need authoritative
-coverage point the conf at the real file and every consumer inherits
-it.
+coverage point the conf at the real file, which every
+``load_psl_lines``/``with_psl_domain`` caller then uses. (The
+``pipeline.urls`` expression chain is the one exception — its
+IN-list is frozen from the snapshot at import time, before any
+session exists; see its docstring.)
 
 Parity: the reference repo has no web-corpus surface (engine-brief
 extension -- dedup family). Suffix data derives from the public

@@ -152,8 +152,13 @@ def unimax_language_cap(per_doc: DataFrame, budget: int,
                 f"GREATEST({budget} - (__cum - __avail), 0)"
                 f" div (__L - __rn + 1) AS __c"))
     # feasibility: keep candidates with sum_l min(avail_l, c) <= B;
-    # the water level is the largest feasible candidate
-    lvl = (cand.crossJoin(F.broadcast(lb))
+    # the water level is the largest feasible candidate. DISTINCT
+    # first: two languages can produce the SAME candidate level
+    # (e.g. equal avails), and grouping the cross-join by __c without
+    # dedup would sum each language's min() m times for an m-way
+    # collision — inflating fs and wrongly rejecting feasible levels
+    # (two langs of 10 tokens at budget 20 kept only first docs)
+    lvl = (cand.select("__c").distinct().crossJoin(F.broadcast(lb))
            .groupBy("__c")
            .agg(F.expr("CAST(SUM(LEAST(__ab, __c)) AS BIGINT)")
                 .alias("__f"))

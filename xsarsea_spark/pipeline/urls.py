@@ -20,13 +20,15 @@ crawler-frontier conventions):
 
 Registrable domain: last two host labels, or last three when the
 two-label tail is a known multi-label public suffix. The suffix set
-is DATA from :mod:`xsarsea_spark.pipeline.psl` (the exact 2-label
-rules of the PSL snapshot there, or of the authoritative
-``public_suffix_list.dat`` when ``spark.xsarsea.psl.path`` points at
-one) — this expression chain handles the exact-2-label majority
-in-plan with zero joins; hosts needing the FULL algorithm (3+-label
-rules, wildcards, exceptions) go through ``psl.with_psl_domain``,
-the broadcast-join operator.
+is DATA from :mod:`xsarsea_spark.pipeline.psl` — specifically the
+exact 2-label rules of the EMBEDDED SNAPSHOT, frozen at import time
+(this expression chain is built before any SparkSession exists, so
+it cannot read ``spark.xsarsea.psl.path``). It handles the
+exact-2-label majority in-plan with zero joins; deployments that
+need the authoritative conf-loaded list — or the full algorithm
+(3+-label rules, wildcards, exceptions) — use
+``psl.with_psl_domain``, the broadcast-join operator, which does
+honor the conf.
 
 Everything is ONE in-plan expression chain per engine — regexes in
 the RE2 ∩ java.util.regex common subset (the doc_normalize_profile

@@ -2100,8 +2100,8 @@ cand AS (SELECT a.lang, a.avail, COUNT(b.lang) AS rn,
   FROM lg a LEFT JOIN lg b ON b.avail < a.avail
     OR (b.avail = a.avail AND b.lang <= a.lang) GROUP BY 1, 2),
 lt AS (SELECT COUNT(*) AS L FROM lg),
-cc AS (SELECT GREATEST({b} - (cum - avail), 0) // (L - rn + 1)
-         AS c FROM cand, lt),
+cc AS (SELECT DISTINCT GREATEST({b} - (cum - avail), 0)
+         // (L - rn + 1) AS c FROM cand, lt),
 lv AS (SELECT CAST(MAX(c) AS BIGINT) AS v FROM (
     SELECT c, CAST(SUM(LEAST(b.avail, c)) AS BIGINT) AS fs
     FROM cc, lg b GROUP BY c) WHERE fs <= {b}),
@@ -2470,7 +2470,12 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "length(text) AS n_chars"))
     gexpr = (f"transform(sequence(1, size(__l) - {n - 1}),"
              f" i -> array_join(slice(__l, i, {n}), ' '))")
+    # size guard: sequence(1, size-2) COUNTS DOWN for sub-n docs and
+    # slice() then hits index 0 (the dedup.shingle hazard class); the
+    # oracle's end-exclusive range() yields no grams for the same
+    # docs, so the guard is also what keeps the engines agreeing
     bench = (docs.filter("doc_id % 97 = 0")
+             .filter(F.expr(f"size(__l) >= {n}"))
              .selectExpr(f"explode({gexpr}) AS __g").distinct())
     corp = docs.filter("doc_id % 97 <> 0")
     grams = (corp.filter(F.expr(f"size(__l) >= {n}"))
