@@ -136,3 +136,54 @@ def test_psl_domain_plan_is_scale_safe(spark):
     n_ex = sum(1 for ln in plan.splitlines()
                if "Exchange" in ln and "Broadcast" not in ln)
     assert n_ex <= 2, plan
+
+
+def test_psl_domain_is_a_fixpoint():
+    """The defining property of a registrable domain: feeding a
+    non-NULL psl_domain back through the algorithm returns itself
+    (it has exactly public-suffix labels + 1, so the same winning
+    rule fires and n = ps + 1 keeps the whole host). Checked in
+    DuckDB with the same generated CTEs the suite oracle uses;
+    hypothesis builds hosts from snapshot-relevant labels."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from xsarsea_spark.pipeline.psl import (PSL_SNAPSHOT,
+                                            parse_psl_rules,
+                                            psl_oracle_ctes)
+
+    rows = parse_psl_rules(PSL_SNAPSHOT.splitlines())
+    label = st.text(alphabet="abcxyz09-", min_size=1, max_size=5)
+    tail = st.sampled_from([
+        "com", "co.uk", "com.br", "kawasaki.jp", "city.kawasaki.jp",
+        "ck", "www.ck", "blogspot.com", "compute.amazonaws.com",
+        "xyzzy", "tokyo.jp"])
+
+    @st.composite
+    def hostish(draw):
+        subs = draw(st.lists(label, min_size=0, max_size=3))
+        return ".".join(subs + [draw(tail)])
+
+    def domains(hosts):
+        con = duckdb.connect()
+        vals = ", ".join(f"('{h}')" for h in hosts)
+        con.execute(f"CREATE TABLE hh AS SELECT * FROM"
+                    f" (VALUES {vals}) t(host)")
+        parts, last = psl_oracle_ctes("SELECT host FROM hh", rows)
+        sql = ("WITH " + ",\n".join(parts)
+               + f" SELECT host, psl_domain FROM {last}")
+        return dict(con.execute(sql).fetchall())
+
+    @given(st.lists(hostish(), min_size=1, max_size=8, unique=True))
+    @settings(max_examples=25, deadline=None)
+    def check(hosts):
+        first = domains(hosts)
+        doms = sorted({d for d in first.values() if d})
+        if not doms:
+            return
+        second = domains(doms)
+        for d in doms:
+            assert second.get(d) == d, (d, second.get(d))
+
+    check()

@@ -45,7 +45,8 @@ from xsarsea_spark.operators.rank import global_rank
 from xsarsea_spark.pipeline.text import HASH40_SQL
 
 __all__ = ["DSIR_B", "DSIR_FRAC", "dsir_term_sql", "dsir_features",
-           "dsir_logweights", "dsir_select"]
+           "dsir_fit_terms", "dsir_score", "dsir_logweights",
+           "dsir_select", "dsir_threshold"]
 
 DSIR_B = 256        # hashed feature buckets
 DSIR_FRAC = 0.25    # selected fraction of scored docs
@@ -80,34 +81,28 @@ def dsir_term_sql(b: int = DSIR_B) -> str:
 
 def dsir_features(docs: DataFrame, b: int = DSIR_B,
                   text_col: str = "text", id_col: str = "doc_id",
-                  target_col: str = "is_target") -> DataFrame:
-    """(id, is_target, bucket) hashed-feature rows: one explode of
+                  target_col: str | None = "is_target") -> DataFrame:
+    """(id[, is_target], bucket) hashed-feature rows: one explode of
     the unigram+bigram array, bucket = 40-bit content hash mod ``b``
-    (non-negative in both engines, so ``%`` agrees)."""
+    (non-negative in both engines, so ``%`` agrees). Pass
+    ``target_col=None`` when scoring against pre-fitted terms (no
+    membership column needed)."""
     feats = _FEATS_SPARK.format(l="__l")
+    keep = [id_col] + ([target_col] if target_col else [])
     return (
         docs.filter(F.col(text_col).isNotNull())
-        .selectExpr(id_col, target_col,
-                    f"split({text_col}, ' ') AS __l")
-        .selectExpr(id_col, target_col,
-                    f"explode({feats}) AS __f")
-        .selectExpr(id_col, target_col,
+        .selectExpr(*keep, f"split({text_col}, ' ') AS __l")
+        .selectExpr(*keep, f"explode({feats}) AS __f")
+        .selectExpr(*keep,
                     f"{HASH40_SQL.format(x='__f')} % {b} AS bucket"))
 
 
-def dsir_logweights(docs: DataFrame, b: int = DSIR_B,
-                    text_col: str = "text", id_col: str = "doc_id",
-                    target_col: str = "is_target") -> DataFrame:
-    """Per-doc DSIR log importance weight: (id, n_feats,
-    logw DECIMAL(38,9)). ``target_col`` is a boolean column on
-    ``docs`` marking the target-domain subset."""
-    from xsarsea_spark.engine import materialize
-
-    # three consumers (raw counts, target counts, the score join)
-    # would each replay the explode without the barrier
-    feats = materialize(
-        dsir_features(docs, b=b, text_col=text_col,
-                      id_col=id_col, target_col=target_col))
+def dsir_fit_terms(feats: DataFrame, b: int = DSIR_B,
+                   target_col: str = "is_target") -> DataFrame:
+    """Fit the per-bucket log-ratio term table (bucket, __term
+    DECIMAL(38,9)) from a feature stream carrying the target flag —
+    the offline artifact a production DSIR sampler persists once and
+    applies at ingest."""
     cr = feats.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("cr"))
     ct = (feats.filter(F.col(target_col))
@@ -115,11 +110,46 @@ def dsir_logweights(docs: DataFrame, b: int = DSIR_B,
     tots = cr.join(ct, on="bucket", how="left").agg(
         F.expr("CAST(SUM(cr) AS BIGINT)").alias("nr"),
         F.expr("CAST(SUM(COALESCE(ct, 0)) AS BIGINT)").alias("nt"))
-    terms = (cr.join(ct, on="bucket", how="left")
-             .crossJoin(F.broadcast(tots))
-             .selectExpr("bucket",
-                         f"CAST({dsir_term_sql(b)} AS"
-                         f" DECIMAL(38,9)) AS __term"))
+    return (cr.join(ct, on="bucket", how="left")
+            .crossJoin(F.broadcast(tots))
+            .selectExpr("bucket",
+                        f"CAST({dsir_term_sql(b)} AS"
+                        f" DECIMAL(38,9)) AS __term"))
+
+
+def dsir_score(docs: DataFrame, terms: DataFrame, b: int = DSIR_B,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Score docs against a PRE-FITTED terms table: (id, n_feats,
+    logw DECIMAL(38,9)) — the apply-at-ingest half of DSIR. Buckets
+    absent from the terms table contribute nothing (can only happen
+    when the table was fitted on a different corpus; the fit emits
+    every bucket its corpus has)."""
+    feats = dsir_features(docs, b=b, text_col=text_col,
+                          id_col=id_col, target_col=None)
+    return (feats.join(F.broadcast(terms), on="bucket")
+            .groupBy(id_col)
+            .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_feats"),
+                 F.expr("SUM(__term)").alias("logw")))
+
+
+def dsir_logweights(docs: DataFrame, b: int = DSIR_B,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    target_col: str = "is_target") -> DataFrame:
+    """Per-doc DSIR log importance weight: (id, n_feats,
+    logw DECIMAL(38,9)). ``target_col`` is a boolean column on
+    ``docs`` marking the target-domain subset. Fit and score run on
+    the same corpus (the batch selection shape); use
+    :func:`dsir_fit_terms` + :func:`dsir_score` to fit once and
+    apply to other data."""
+    from xsarsea_spark.engine import materialize
+
+    # three consumers (raw counts, target counts, the score join)
+    # would each replay the explode without the barrier
+    feats = materialize(
+        dsir_features(docs, b=b, text_col=text_col,
+                      id_col=id_col, target_col=target_col))
+    terms = dsir_fit_terms(feats, b=b, target_col=target_col)
     return (feats.join(F.broadcast(terms), on="bucket")
             .groupBy(id_col)
             .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_feats"),
@@ -146,3 +176,25 @@ def dsir_select(scored: DataFrame, frac: float = DSIR_FRAC,
         rank_col="sel_rank")
     return (ranked.crossJoin(F.broadcast(k))
             .filter("sel_rank <= __k").drop("__k"))
+
+
+def dsir_threshold(scored: DataFrame, frac: float = DSIR_FRAC,
+                   id_col: str = "doc_id",
+                   weight_col: str = "logw") -> DataFrame:
+    """1-row frame (__thr DECIMAL): the weight at rank
+    ceil(frac * n) under (weight DESC, id ASC) — the acceptance
+    threshold a streaming DSIR ingest applies to every incoming
+    batch (>= semantics: ties AT the threshold are all admitted,
+    the natural streaming relaxation of exact top-k)."""
+    from xsarsea_spark.engine import materialize
+
+    scored = materialize(scored)
+    k = scored.agg(F.expr(
+        f"CAST(CEIL(COUNT(*) * {frac!r}) AS BIGINT)").alias("__k"))
+    ranked = global_rank(
+        scored,
+        [F.col(weight_col).desc(), F.col(id_col).asc()],
+        rank_col="__rk")
+    return (ranked.crossJoin(F.broadcast(k))
+            .filter("__rk = __k")
+            .selectExpr(f"{weight_col} AS __thr"))

@@ -2385,6 +2385,169 @@ def q_doc_gopher_repetition(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
+# STREAMING DSIR ingest — the production order of data selection:
+# the sampler (per-bucket log-ratio terms + acceptance threshold) is
+# FITTED OFFLINE on a historical slice and persisted; every incoming
+# micro-batch is scored against the persisted artifact and only docs
+# at or above the threshold are admitted, deduped exactly-once
+# through the same bloom/anti-join core as the other ingests. The
+# threshold is the rank-ceil(frac*n) weight of the history's own
+# scores (>= semantics: ties at the threshold all admit — the
+# natural streaming relaxation of exact top-k). Oracle is the
+# one-shot batch replay: fit on history, score all, filter, dedup,
+# roll up per source.
+# ----------------------------------------------------------------------
+
+
+def _stream_dsir_oracle() -> str:
+    from xsarsea_spark.pipeline.dsir import (DSIR_B, DSIR_FRAC,
+                                             dsir_term_sql)
+
+    bad = _DQB_BAD.format(nt="len(string_split(text, ' '))")
+    h40 = _H40_DUCK.format(x="__f")
+    feats = ("unnest(list_concat(l, CASE WHEN len(l) >= 2 THEN"
+             " list_transform(range(1, len(l)),"
+             " i -> l[i] || ' ' || l[i + 1]) ELSE [] END)) AS __f")
+    return f"""
+WITH d AS (
+  SELECT doc_id, COALESCE(source, '') AS source,
+    COALESCE(n_chars, 0) AS n_chars, text,
+    string_split(text, ' ') AS l, ({bad}) = 0 AS is_target
+  FROM documents WHERE text IS NOT NULL),
+cut AS (SELECT CAST(CEIL(MAX(doc_id) * {_INC_FRAC}) AS BIGINT) AS c
+        FROM documents),
+hist AS (SELECT d.* FROM d, cut WHERE d.doc_id < cut.c),
+hf AS (SELECT doc_id, is_target, {h40} % {DSIR_B} AS bucket FROM (
+    SELECT doc_id, is_target, {feats} FROM hist)),
+cr AS (SELECT bucket, COUNT(*) AS cr FROM hf GROUP BY 1),
+ct AS (SELECT bucket, COUNT(*) AS ct FROM hf WHERE is_target
+       GROUP BY 1),
+tots AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+    CAST(SUM(COALESCE(ct, 0)) AS BIGINT) AS nt
+  FROM cr LEFT JOIN ct USING (bucket)),
+terms AS (SELECT bucket,
+    CAST({dsir_term_sql(DSIR_B)} AS DECIMAL(38,9)) AS t
+  FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tots),
+af AS (SELECT doc_id, {h40} % {DSIR_B} AS bucket FROM (
+    SELECT doc_id, {feats} FROM d)),
+sc AS (SELECT doc_id, SUM(t) AS logw
+       FROM af JOIN terms USING (bucket) GROUP BY 1),
+hsc AS (SELECT sc.doc_id, sc.logw FROM sc
+        JOIN hist ON hist.doc_id = sc.doc_id),
+k AS (SELECT CAST(CEIL(COUNT(*) * {DSIR_FRAC}) AS BIGINT) AS k
+      FROM hsc),
+thr AS (SELECT logw AS t FROM (
+    SELECT logw, ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id)
+      AS rn FROM hsc), k WHERE rn = k.k),
+kept AS (SELECT d.doc_id, d.source, d.n_chars, sc.logw,
+    md5(d.text) AS digest
+  FROM d JOIN sc ON sc.doc_id = d.doc_id, thr
+  WHERE sc.logw >= thr.t),
+uniq AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+    (PARTITION BY digest ORDER BY doc_id) AS rn FROM kept)
+  WHERE rn = 1)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  CAST(SUM(logw) AS DOUBLE) AS sum_logw
+FROM uniq GROUP BY source"""
+
+
+@spec(
+    "stream_dsir_ingest",
+    _stream_dsir_oracle(),
+    description="Structured-Streaming DSIR ingest: sampler fitted "
+                "offline on the historical slice (persisted bucket "
+                "terms + rank-k acceptance threshold), every "
+                "micro-batch scored against the artifact and "
+                "thresholded before the exactly-once bloom/anti-join "
+                "dedup core; double availableNow run over one "
+                "checkpoint, final table value-equal to the one-shot "
+                "batch replay",
+    tags=("pipeline", "streaming", "sampling", "sink"),
+)
+def q_stream_dsir_ingest(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from xsarsea_spark.pipeline.dsir import (dsir_features,
+                                             dsir_fit_terms,
+                                             dsir_score,
+                                             dsir_threshold)
+    from xsarsea_spark.pipeline.ingest import ingest_curated_batch
+
+    base = scratch_path(spark, "stream_dsir", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    terms_path = os.path.join(base, "terms.parquet")
+    thr_path = os.path.join(base, "thr.parquet")
+    table_dir = os.path.join(base, "table")
+    bloom_path = os.path.join(base, "bloom.parquet")
+    marker_path = os.path.join(base, "bloom_sync.txt")
+    ckpt_dir = os.path.join(base, "ckpt")
+
+    docs_b = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bad = _DQB_BAD.format(nt="size(split(text, ' '))")
+    cuts = docs_b.agg(
+        F.expr(f"CAST(CEIL(MAX(doc_id) * {_INC_FRAC}) AS BIGINT)")
+        .alias("c"))
+    hist = (docs_b.crossJoin(F.broadcast(cuts))
+            .filter("doc_id < c AND text IS NOT NULL")
+            .selectExpr("doc_id", "text", "n_chars",
+                        f"({bad}) = 0 AS is_target"))
+    # offline fit: persist the sampler artifact (terms + threshold);
+    # repartition(1), never coalesce(1) (the sidecar-write landmine)
+    feats_h = materialize(dsir_features(hist))
+    dsir_fit_terms(feats_h).repartition(1).write.mode(
+        "overwrite").parquet(terms_path)
+    terms = spark.read.parquet(terms_path)
+    dsir_threshold(dsir_score(hist, terms)).repartition(1) \
+        .write.mode("overwrite").parquet(thr_path)
+
+    schema = docs_b.schema
+
+    def dsir_prep(df: DataFrame) -> DataFrame:
+        t = spark.read.parquet(terms_path)
+        thr = spark.read.parquet(thr_path)
+        x = df.filter("text IS NOT NULL")
+        scored = dsir_score(x, t)
+        return (x.join(scored, on="doc_id")
+                .crossJoin(F.broadcast(thr))
+                .filter("logw >= __thr")
+                .selectExpr("doc_id", "coalesce(source, '') AS source",
+                            "coalesce(n_chars, 0L) AS n_chars",
+                            "logw", "md5(text) AS digest"))
+
+    def ingest(df: DataFrame, batch_id: int) -> None:
+        ingest_curated_batch(
+            spark, df, table_dir, bloom_path, marker_path,
+            min_chars=0, zcols=["n_chars", "doc_id"],
+            zbits=_CUR_BITS, m_bits=_ING_BLOOM_BITS,
+            k=_ING_BLOOM_K, prep=dsir_prep)
+
+    def run_stream() -> None:
+        src = (spark.readStream.schema(schema)
+               .option("pathGlobFilter", "documents.parquet")
+               .parquet(sf_dir))
+        q = (src.writeStream.foreachBatch(ingest)
+             .option("checkpointLocation", ckpt_dir)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    run_stream()
+    run_stream()    # second run: zero new files -> no-op
+
+    back = spark.read.parquet(table_dir)
+    return back.groupBy("source").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("sum_chars"),
+        F.expr("CAST(SUM(logw) AS DOUBLE)").alias("sum_logw"))
+
+
+# ----------------------------------------------------------------------
 # Benchmark DECONTAMINATION with span removal — the step after the
 # contamination REPORT: every corpus n-gram colliding with the
 # benchmark shingle set marks its token span, overlapping spans
