@@ -19,8 +19,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["with_norm", "cosine_topk", "lsh_ann", "lsh_ann_multiprobe",
-           "binary_quantize", "hamming_topk"]
+__all__ = ["with_norm", "cosine_topk", "nearest_in_reference",
+           "lsh_ann", "lsh_ann_multiprobe", "binary_quantize",
+           "hamming_topk"]
 
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) ->"
@@ -70,6 +71,48 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def nearest_in_reference(
+    corpus: DataFrame,
+    reference: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per corpus vector, THE single nearest reference vector by
+    cosine — the embedding-level contamination probe (paraphrased
+    benchmark leakage that n-gram overlap cannot see). The reference
+    (benchmark) side is small and BROADCAST; the corpus side streams
+    through one nested-loop pass and a map-side-combined max — no
+    window, no shuffle of vector payloads, so a 100 TB corpus pays a
+    single scan.
+
+    Returns (vec_id, bench_id, cosine); ties break to the lowest
+    reference id via the max-struct trick (cosine, -id). Zero-norm
+    vectors score the -2.0 sentinel (below the valid cosine range)
+    instead of NULL so the struct comparison stays total.
+    """
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col("__norm").alias("__cn"),
+    )
+    r = with_norm(reference, vec_col).select(
+        F.col(id_col).alias("__rid"),
+        F.col(vec_col).alias("__rv"),
+        F.col("__norm").alias("__rn"),
+    )
+    dot = _DOT.format(a="__cv", b="__rv")
+    scored = c.crossJoin(F.broadcast(r)).withColumn(
+        "__cos",
+        F.expr(f"coalesce(({dot}) / nullif(__cn * __rn, 0e0), -2e0)"))
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.expr("max(named_struct('c', __cos, 'nid', -__rid))")
+             .alias("__m"))
+        .selectExpr("vec_id", "-__m.nid AS bench_id",
+                    "__m.c AS cosine")
     )
 
 

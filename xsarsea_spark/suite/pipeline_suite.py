@@ -685,6 +685,70 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Embedding-level benchmark leakage — the contamination probe n-gram
+# overlap cannot see (paraphrased or re-tokenized benchmark content
+# keeps its embedding neighborhood): per corpus vector, the single
+# nearest benchmark vector by exact cosine, with leak flags at the
+# standard thresholds. The benchmark side (vec_id % 97, the
+# convention benchmark_contamination uses for documents) broadcasts;
+# the corpus streams through one pass + a map-side-combined max.
+# ----------------------------------------------------------------------
+
+_EBL_THRESH = ("90", "95", "99")
+
+
+def _emb_leak_oracle() -> str:
+    flags = ", ".join(
+        f"cosine >= 0.{t}e0 AS leak{t}" for t in _EBL_THRESH)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      (a, b) -> a + b)) AS nrm
+  FROM embeddings),
+bench AS (SELECT vec_id AS bid, embedding AS bv, nrm AS bn
+          FROM e WHERE vec_id % 97 = 0),
+corp AS (SELECT vec_id, embedding AS cv, nrm AS cn
+         FROM e WHERE vec_id % 97 <> 0),
+scored AS (
+  SELECT c.vec_id, b.bid,
+    COALESCE(list_reduce(list_transform(range(1, len(c.cv) + 1),
+      i -> CAST(c.cv[i] AS DOUBLE) * CAST(b.bv[i] AS DOUBLE)),
+      (a, x) -> a + x) / nullif(c.cn * b.bn, 0e0), -2e0) AS cosine
+  FROM corp c, bench b),
+top AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+    (PARTITION BY vec_id ORDER BY cosine DESC, bid ASC) AS rn
+  FROM scored) WHERE rn = 1)
+SELECT vec_id, bid AS bench_id, cosine, {flags}
+FROM top"""
+
+
+@spec(
+    "embedding_benchmark_leakage",
+    _emb_leak_oracle(),
+    description="Embedding-level benchmark leakage: per corpus "
+                "vector the nearest benchmark vector by exact cosine "
+                "(benchmark side broadcast, corpus streamed, "
+                "map-side-combined max — no window, no vector "
+                "shuffle) with leak flags at 0.90/0.95/0.99 — the "
+                "paraphrase-level contamination probe n-gram overlap "
+                "misses",
+    tags=("pipeline", "similarity", "dedup"),
+)
+def q_embedding_benchmark_leakage(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.similarity import nearest_in_reference
+
+    emb = load(spark, sf_dir, "embeddings")
+    bench = emb.filter("vec_id % 97 = 0")
+    corp = emb.filter("vec_id % 97 <> 0")
+    out = nearest_in_reference(corp, bench)
+    flags = [f"cosine >= 0.{t}e0 AS leak{t}" for t in _EBL_THRESH]
+    return out.selectExpr("vec_id", "bench_id", "cosine", *flags)
+
+
+# ----------------------------------------------------------------------
 # LSH-bucketed ANN — the 100 TB scale path. Exact oracle: hyperplanes
 # are LCG-derived integer-ratio literals and projections accumulate in
 # a fixed left-to-right order, so bucket membership, candidates and
