@@ -493,7 +493,8 @@ def test_dsir_unimax_urlxsnap_plans_are_scale_safe(spark):
     from xsarsea_spark.suite import REGISTRY
 
     for name in ("doc_dsir_select", "doc_unimax_cap",
-                 "doc_url_cross_snapshot", "doc_decontaminate"):
+                 "doc_url_cross_snapshot", "doc_decontaminate",
+                 "embedding_benchmark_leakage"):
         plan = (REGISTRY[name].spark(spark, SF)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "CartesianProduct" not in plan, name

@@ -2565,7 +2565,12 @@ def q_stream_dsir_ingest(spark: SparkSession,
     dsir_fit_terms(feats_h).repartition(1).write.mode(
         "overwrite").parquet(terms_path)
     terms = spark.read.parquet(terms_path)
-    dsir_threshold(dsir_score(hist, terms)).repartition(1) \
+    # score the history from the ALREADY-materialized feature frame
+    # (dsir_score would re-explode the history corpus a second time)
+    hsc = (feats_h.join(F.broadcast(terms), on="bucket")
+           .groupBy("doc_id")
+           .agg(F.expr("SUM(__term)").alias("logw")))
+    dsir_threshold(hsc).repartition(1) \
         .write.mode("overwrite").parquet(thr_path)
 
     schema = docs_b.schema
