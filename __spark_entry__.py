@@ -62,7 +62,7 @@ _PRIORITY = [
     "doc_psl_domain", "doc_dsir_select", "doc_unimax_cap",
     "doc_url_cross_snapshot", "doc_gopher_repetition",
     "doc_decontaminate", "stream_dsir_ingest",
-    "embedding_benchmark_leakage",
+    "embedding_benchmark_leakage", "doc_lang_temperature_mix",
     # (b) rows whose OUTPUT or lineage changed this round: the three
     # SA queries moved to one shared mod-7 corpus slice (values
     # changed with their oracles); the URL trio rides the
@@ -85,13 +85,13 @@ _PRIORITY = [
     "lsh_ann_multiprobe", "lut_step_inference", "multimodal_features",
     "stratified_sample", "text_token_stats",
     # (d) fill to 50 with the stalest round-5 rows (alphabetical
-    # first 13; the remaining 12 — events_holt_trend onward —
+    # first 12; the remaining 13 — events_holt_backtest onward —
     # rotate in next round):
     "doc_bpe_train", "doc_ngram_novelty", "dup_graph_triangles",
     "embedding_ann_recall", "embedding_pca_outliers",
     "embedding_pca_power", "embedding_pca_project",
     "embedding_pca_topk", "embedding_pca_whiten", "events_ab_ttest",
-    "events_cohort_ltv", "events_ewma", "events_holt_backtest",
+    "events_cohort_ltv", "events_ewma",
 ]
 
 

@@ -494,7 +494,8 @@ def test_dsir_unimax_urlxsnap_plans_are_scale_safe(spark):
 
     for name in ("doc_dsir_select", "doc_unimax_cap",
                  "doc_url_cross_snapshot", "doc_decontaminate",
-                 "embedding_benchmark_leakage"):
+                 "embedding_benchmark_leakage",
+                 "doc_lang_temperature_mix"):
         plan = (REGISTRY[name].spark(spark, SF)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "CartesianProduct" not in plan, name

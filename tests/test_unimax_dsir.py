@@ -106,3 +106,29 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     assert got[100] > got[200]
     # identical text -> identical weight regardless of membership
     assert got[0] == got[100]
+
+
+def test_temperature_apportionment_sums_to_budget(spark):
+    """Largest-remainder apportionment: per-language budgets sum to
+    EXACTLY the total budget, and the allocation matches a
+    brute-force Hamilton apportionment of the same quotas."""
+    from xsarsea_spark.suite import REGISTRY
+    from xsarsea_spark.suite.pipeline_suite import (_TMP_BUDGET,
+                                                    _TMP_T)
+
+    out = (REGISTRY["doc_lang_temperature_mix"]
+           .spark(spark, "/root/testdata/sf0.001").collect())
+    budgets = {r["lang"]: r["lang_budget"] for r in out}
+    assert sum(budgets.values()) == _TMP_BUDGET
+    # brute-force Hamilton from the reported avail tokens
+    import math
+    avail = {r["lang"]: r["tokens_total"] for r in out}
+    w = {lg: round(a ** (1.0 / _TMP_T), 9) for lg, a in avail.items()}
+    sw = sum(w.values())
+    quota = {lg: _TMP_BUDGET * wv / sw for lg, wv in w.items()}
+    base = {lg: math.floor(q) for lg, q in quota.items()}
+    left = _TMP_BUDGET - sum(base.values())
+    order = sorted(quota, key=lambda lg: (-(quota[lg] - base[lg]), lg))
+    for lg in order[:left]:
+        base[lg] += 1
+    assert budgets == base, (budgets, base)

@@ -2449,6 +2449,167 @@ def q_doc_gopher_repetition(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
+# Temperature-based language sampling (the mT5 / XLM-R standard that
+# UniMax was proposed against): per-language budget share
+# proportional to tokens^(1/T), apportioned onto the integer token
+# budget by the largest-remainder (Hamilton) method — floor every
+# quota, then hand the leftover tokens to the largest remainders
+# (ties to lang ASC). pow() is the one libm call; it goes through
+# the QTRUNC barrier and everything after is exact integers and
+# single IEEE divisions, so the apportionment is engine-identical.
+# Per-doc cut reuses the UniMax machinery (hash-priority cumsum via
+# one global running sum + broadcast language offsets).
+# ----------------------------------------------------------------------
+
+_TMP_BUDGET, _TMP_T = 2000, 3
+
+
+def _lang_pred_duck() -> tuple[str, str]:
+    from xsarsea_spark.pipeline.text import LANG_MARKERS
+
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        conds = " OR ".join(f"x = '{m}'" for m in LANG_MARKERS[lang])
+        scores.append(
+            f"len(list_filter(l, x -> {conds}))"
+            f" / CAST(len(l) AS DOUBLE) AS score_{lang}")
+    best = "greatest(" + ", ".join(
+        f"score_{k}" for k in sorted(LANG_MARKERS)) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{k} = {best} THEN '{k}'"
+        for k in sorted(LANG_MARKERS)) + " END"
+    return ", ".join(scores), case
+
+
+def _temperature_oracle() -> str:
+    scores, case = _lang_pred_duck()
+    b, t = _TMP_BUDGET, _TMP_T
+    w = QTRUNC(f"pow(CAST(avail AS DOUBLE), 1e0/{t}e0)", 9)
+    return f"""
+WITH tt AS (SELECT doc_id, string_split(text, ' ') AS l
+           FROM documents WHERE text IS NOT NULL),
+s AS (SELECT doc_id, {scores}, len(l) AS ntok FROM tt),
+p AS (SELECT doc_id, {case} AS lang, CAST(ntok AS BIGINT) AS ntok,
+        md5(CAST(doc_id AS VARCHAR)) AS pr FROM s),
+lg AS (SELECT lang, CAST(SUM(ntok) AS BIGINT) AS avail
+       FROM p GROUP BY 1),
+wt AS (SELECT lang, avail, CAST({w} AS DECIMAL(38,9)) AS w FROM lg),
+tot AS (SELECT SUM(w) AS sw FROM wt),
+q AS (SELECT lang, avail, w,
+    CAST({b} * w AS DOUBLE) / CAST(sw AS DOUBLE) AS quota
+  FROM wt, tot),
+fl AS (SELECT *, CAST(FLOOR(quota) AS BIGINT) AS base,
+    quota - FLOOR(quota) AS rem FROM q),
+lo AS (SELECT CAST({b} - SUM(base) AS BIGINT) AS leftover FROM fl),
+rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC)
+       AS rr FROM fl),
+cp AS (SELECT lang, avail, quota,
+    CAST(base + CASE WHEN rr <= lo.leftover THEN 1 ELSE 0 END
+      AS BIGINT) AS lang_budget
+  FROM rk, lo),
+wn AS (SELECT p.*, SUM(ntok) OVER (PARTITION BY lang
+    ORDER BY pr, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM p),
+k AS (SELECT wn.*, cp.lang_budget, cp.quota,
+    (cum <= cp.lang_budget OR cum = ntok) AS kept
+  FROM wn JOIN cp USING (lang))
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(ntok) AS BIGINT) AS tokens_total,
+  MAX(lang_budget) AS lang_budget,
+  MAX(quota) AS quota,
+  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN kept THEN ntok ELSE 0 END) AS BIGINT)
+    AS tokens_kept,
+  md5(array_to_string(list(doc_id ORDER BY doc_id)
+      FILTER (WHERE kept), ',')) AS kept_ids_digest
+FROM k GROUP BY lang"""
+
+
+@spec(
+    "doc_lang_temperature_mix",
+    _temperature_oracle(),
+    description="Temperature-based language sampling (mT5/XLM-R, "
+                "T=3): per-language budget proportional to "
+                "tokens^(1/T), apportioned exactly onto the integer "
+                "token budget by the largest-remainder method "
+                "(QTRUNC'd pow, DECIMAL weight sums, single IEEE "
+                "divisions); per-doc cut via one global running sum "
+                "+ broadcast language offsets — never a per-language "
+                "window",
+    tags=("pipeline", "curation", "sampling"),
+)
+def q_doc_lang_temperature_mix(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.rank import global_rank
+    from xsarsea_spark.pipeline.text import language_id
+
+    b, t = _TMP_BUDGET, _TMP_T
+    docs = load(spark, sf_dir, "documents").filter("text IS NOT NULL")
+    pd = language_id(docs).selectExpr(
+        "doc_id", "pred_lang AS __lang",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS __ntok",
+        "md5(CAST(doc_id AS STRING)) AS __pr")
+    langs = pd.groupBy("__lang").agg(
+        F.expr("CAST(SUM(__ntok) AS BIGINT)").alias("__avail"))
+    w = QTRUNC(f"pow(CAST(__avail AS DOUBLE), 1e0/{t}e0)", 9)
+    wt = langs.selectExpr("__lang", "__avail",
+                          f"CAST({w} AS DECIMAL(38,9)) AS __w")
+    tot = wt.agg(F.expr("SUM(__w)").alias("__sw"))
+    q = (wt.crossJoin(F.broadcast(tot))
+         .selectExpr("__lang", "__avail",
+                     f"CAST({b} * __w AS DOUBLE)"
+                     f" / CAST(__sw AS DOUBLE) AS __quota"))
+    fl = q.selectExpr(
+        "__lang", "__avail", "__quota",
+        "CAST(FLOOR(__quota) AS BIGINT) AS __base",
+        "__quota - FLOOR(__quota) AS __rem")
+    lo = fl.agg(F.expr(f"CAST({b} - SUM(__base) AS BIGINT)")
+                .alias("__leftover"))
+    # L-row frame: the remainder rank rides the same LxL triangular
+    # broadcast join the UniMax level uses — no window
+    fb = fl.selectExpr("__lang AS __lb", "__rem AS __rb")
+    rk = (fl.join(F.broadcast(fb),
+                  F.expr("__rb > __rem OR (__rb = __rem"
+                         " AND __lb <= __lang)"), "left")
+          .groupBy("__lang", "__avail", "__quota", "__base")
+          .agg(F.expr("COUNT(__lb)").alias("__rr")))
+    cp = (rk.crossJoin(F.broadcast(lo))
+          .selectExpr("__lang", "__avail", "__quota",
+                      "CAST(__base + CASE WHEN __rr <= __leftover"
+                      " THEN 1 ELSE 0 END AS BIGINT)"
+                      " AS lang_budget"))
+    ranked = global_rank(
+        pd,
+        [F.col("__lang").asc(), F.col("__pr").asc(),
+         F.col("doc_id").asc()],
+        rank_col="__gr", running_sums={"__gcum": "__ntok"})
+    offs = ranked.groupBy("__lang").agg(
+        F.expr("CAST(MIN(__gcum - __ntok) AS BIGINT)").alias("__off"))
+    d = (ranked
+         .join(F.broadcast(offs), on="__lang")
+         .join(F.broadcast(cp), on="__lang")
+         .selectExpr("doc_id", "__lang AS lang", "__ntok",
+                     "__quota AS quota", "lang_budget",
+                     "__gcum - __off <= lang_budget"
+                     " OR __gcum - __off = __ntok AS kept"))
+    return d.groupBy("lang").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(SUM(__ntok) AS BIGINT)").alias("tokens_total"),
+        F.expr("MAX(lang_budget)").alias("lang_budget"),
+        F.expr("MAX(quota)").alias("quota"),
+        F.expr("CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END)"
+               " AS BIGINT)").alias("n_kept"),
+        F.expr("CAST(SUM(CASE WHEN kept THEN __ntok ELSE 0 END)"
+               " AS BIGINT)").alias("tokens_kept"),
+        F.expr("md5(array_join(transform(array_sort("
+               "collect_list(CASE WHEN kept THEN doc_id END)),"
+               " x -> CAST(x AS STRING)), ','))")
+        .alias("kept_ids_digest"))
+
+
+# ----------------------------------------------------------------------
 # STREAMING DSIR ingest — the production order of data selection:
 # the sampler (per-bucket log-ratio terms + acceptance threshold) is
 # FITTED OFFLINE on a historical slice and persisted; every incoming
