@@ -63,6 +63,12 @@ _PRIORITY = [
     "doc_url_cross_snapshot", "doc_gopher_repetition",
     "doc_decontaminate", "stream_dsir_ingest",
     "embedding_benchmark_leakage", "doc_lang_temperature_mix",
+    # late round-10 additions (attribution, RFM quintiles, streaming
+    # hourly top-k, SoftDeDup weights, JL random-projection recall,
+    # WARC source round trip):
+    "events_attribution", "events_rfm", "events_stream_topk",
+    "doc_soft_dedup", "embedding_rp_recall",
+    "documents_warc_roundtrip",
     # (b) rows whose OUTPUT or lineage changed this round: the three
     # SA queries moved to one shared mod-7 corpus slice (values
     # changed with their oracles); the URL trio rides the
@@ -85,13 +91,11 @@ _PRIORITY = [
     "lsh_ann_multiprobe", "lut_step_inference", "multimodal_features",
     "stratified_sample", "text_token_stats",
     # (d) fill to 50 with the stalest round-5 rows (alphabetical
-    # first 12; the remaining 13 — events_holt_backtest onward —
-    # rotate in next round):
+    # first 6; the remaining — embedding_pca_project onward — rotate
+    # in next round):
     "doc_bpe_train", "doc_ngram_novelty", "dup_graph_triangles",
     "embedding_ann_recall", "embedding_pca_outliers",
-    "embedding_pca_power", "embedding_pca_project",
-    "embedding_pca_topk", "embedding_pca_whiten", "events_ab_ttest",
-    "events_cohort_ltv", "events_ewma",
+    "embedding_pca_power",
 ]
 
 

@@ -511,3 +511,39 @@ def test_dsir_unimax_urlxsnap_plans_are_scale_safe(spark):
         for ln in plan.splitlines():
             if "NestedLoopJoin" in ln:
                 assert "Broadcast" in ln, f"{name}: {ln}"
+
+
+def test_round10_additions_plans_are_scale_safe(spark):
+    """Round-10 late additions: events_rfm's three quintiles ride the
+    two-pass grouped rank (every Window __pid-partitioned);
+    events_attribution's carry window is user_id-partitioned
+    (per-user linear state, the sessionize class);
+    events_stream_topk's rank window is hour_bucket-partitioned
+    (state bounded by event-type cardinality); doc_soft_dedup plans
+    pure shingle-keyed hash joins; embedding_rp_recall's only
+    nested-loop join is the broadcast 20-row query block (the
+    brute-force-baseline class, same as cosine_topk — the scale path
+    is IVF/LSH). None may plan a cartesian product."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["events_rfm"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    _assert_all_windows_pid_partitioned(plan)
+
+    for name, part_col in (("events_attribution", "user_id"),
+                           ("events_stream_topk", "hour_bucket")):
+        plan = (REGISTRY[name].spark(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan, name
+        for ln in plan.splitlines():
+            if "Window" in ln and "WindowGroupLimit" not in ln:
+                assert part_col in ln, f"{name}: {ln}"
+
+    for name in ("events_rfm", "doc_soft_dedup",
+                 "embedding_rp_recall"):
+        plan = (REGISTRY[name].spark(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan, name
+        for ln in plan.splitlines():
+            if "NestedLoopJoin" in ln:
+                assert "Broadcast" in ln, f"{name}: {ln}"

@@ -1,0 +1,288 @@
+"""Spark 4 Python DataSource for WARC (ISO 28500) — the container
+format web-crawl corpora (CommonCrawl WARC/WET) actually arrive in:
+``spark.read.format("warc").load(path)`` /
+``df.write.format("warc").save(dir)``.
+
+Dependency-free: the record grammar is simple enough to parse exactly
+(version line, CRLF header block, ``Content-Length``-delimited payload,
+CRLF CRLF record separator), and gzip — including the multi-member
+per-record gzip CommonCrawl ships — is in the stdlib. NetCDF got the
+same treatment in :mod:`sources.spark_datasource`; this module is its
+text-corpus sibling.
+
+Row model (one row per WARC record):
+
+- ``record_id``/``warc_type``/``target_uri``/``warc_date``/
+  ``content_type`` STRING — the standard named headers (NULL when
+  absent);
+- ``content_length`` BIGINT — the payload byte count;
+- ``payload`` BINARY — the raw payload bytes, exactly as stored (NULL
+  when the record carries the ``WARC-X-Null-Payload`` marker the
+  writer emits for NULL inputs — absent-vs-empty must survive the
+  trip);
+- ``headers`` MAP<STRING,STRING> — every header, lower-cased keys,
+  percent-decoded values (so writer-escaped CR/LF/% round-trip).
+
+Writer contract: a ``payload`` column (BINARY or STRING — strings are
+UTF-8 encoded) is required; every OTHER column is stringified into a
+``WARC-X-<name>`` header (NULL columns simply omit the header), with
+``%``, CR and LF percent-escaped so header framing can never be
+corrupted by data. Each task writes one ``part-<uuid>.warc[.gz]``
+(option ``compression=gzip``) — the one-file-per-task contract every
+distributed sink here uses; ``mode("overwrite")`` clears prior parts
+driver-side before tasks start, and abort removes this attempt's
+files.
+
+Scale notes: the parallel unit is the FILE (a crawl arrives as many
+~1 GB segments — the production layout); records inside a file are
+decoded streaming, never materialized whole-file. A single plain file
+is one partition by construction (records are variable-length and
+self-delimiting, so safe mid-file splits would need an index; crawls
+never ship one giant file).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceWriter, InputPartition,
+                                    WriterCommitMessage)
+from pyspark.sql.types import (BinaryType, LongType, MapType,
+                               StringType, StructField, StructType)
+
+__all__ = ["WarcDataSource", "register_warc",
+           "parse_warc_bytes", "build_warc_record"]
+
+_NULL_MARK = "warc-x-null-payload"
+
+_SCHEMA = StructType([
+    StructField("record_id", StringType(), True),
+    StructField("warc_type", StringType(), True),
+    StructField("target_uri", StringType(), True),
+    StructField("warc_date", StringType(), True),
+    StructField("content_type", StringType(), True),
+    StructField("content_length", LongType(), True),
+    StructField("payload", BinaryType(), True),
+    StructField("headers", MapType(StringType(), StringType()), True),
+])
+
+
+def _escape(v: str) -> str:
+    """Percent-escape the three characters that could break header
+    framing (CR, LF) or the escaping itself (%)."""
+    return (v.replace("%", "%25").replace("\r", "%0D")
+            .replace("\n", "%0A"))
+
+
+def _unescape(v: str) -> str:
+    return (v.replace("%0D", "\r").replace("%0A", "\n")
+            .replace("%25", "%"))
+
+
+def build_warc_record(headers: dict[str, str],
+                      payload: bytes | None) -> bytes:
+    """One spec-shaped record: version line, escaped headers,
+    Content-Length, blank line, payload, record separator."""
+    body = payload if payload is not None else b""
+    lines = ["WARC/1.0"]
+    for k, v in headers.items():
+        lines.append(f"{k}: {_escape(v)}")
+    if payload is None:
+        lines.append("WARC-X-Null-Payload: 1")
+    lines.append(f"Content-Length: {len(body)}")
+    head = ("\r\n".join(lines) + "\r\n\r\n").encode("utf-8")
+    return head + body + b"\r\n\r\n"
+
+
+def parse_warc_bytes(buf: bytes):
+    """Yield (headers: dict lower->unescaped, payload: bytes|None) per
+    record. Exact on writer output; tolerant of LF-only header blocks
+    (seen in hand-made WET files)."""
+    pos, n = 0, len(buf)
+    while pos < n:
+        # skip inter-record padding
+        while pos < n and buf[pos:pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            return
+        if not buf.startswith(b"WARC/", pos):
+            raise ValueError(
+                f"warc: expected record header at byte {pos}, found "
+                f"{buf[pos:pos + 16]!r}")
+        # header block ends at the first blank line
+        sep = buf.find(b"\r\n\r\n", pos)
+        sep_len = 4
+        lf = buf.find(b"\n\n", pos)
+        if sep < 0 or (0 <= lf < sep):
+            sep, sep_len = lf, 2
+        if sep < 0:
+            raise ValueError("warc: unterminated header block")
+        head = buf[pos:sep].decode("utf-8")
+        headers: dict[str, str] = {}
+        for line in head.splitlines()[1:]:
+            if not line.strip():
+                continue
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = _unescape(v.strip())
+        try:
+            clen = int(headers["content-length"])
+        except KeyError:
+            raise ValueError("warc: record without Content-Length")
+        body_at = sep + sep_len
+        payload = buf[body_at:body_at + clen]
+        if len(payload) != clen:
+            raise ValueError("warc: truncated payload")
+        if headers.get(_NULL_MARK) == "1":
+            yield headers, None
+        else:
+            yield headers, payload
+        pos = body_at + clen
+    return
+
+
+def _read_file_bytes(path: str) -> bytes:
+    if path.endswith(".gz"):
+        import gzip
+
+        # GzipFile reads ALL concatenated members — the per-record
+        # gzip layout CommonCrawl uses decodes in one pass
+        with gzip.open(path, "rb") as f:
+            return f.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _resolve_paths(path: str) -> list[str]:
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.warc"))
+                       + glob.glob(os.path.join(path, "*.warc.gz")))
+        if not files:
+            raise FileNotFoundError(f"warc: no .warc[.gz] files in {path}")
+        return files
+    return [path]
+
+
+class _File(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _WarcReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc: .load(path) is required")
+
+    def partitions(self):
+        return [_File(p) for p in _resolve_paths(self.path)]
+
+    def read(self, partition: _File):
+        named = ("warc-record-id", "warc-type", "warc-target-uri",
+                 "warc-date", "content-type")
+        for headers, payload in parse_warc_bytes(
+                _read_file_bytes(partition.path)):
+            yield (
+                *(headers.get(k) for k in named),
+                int(headers["content-length"]),
+                payload,
+                headers,
+            )
+
+
+class _Done(WriterCommitMessage):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _WarcWriter(DataSourceWriter):
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc: .save(path) is required")
+        self.gzip = options.get("compression", "").lower() == "gzip"
+        names = [f.name for f in schema.fields]
+        if "payload" not in names:
+            raise ValueError(
+                "warc: a 'payload' column (BINARY or STRING) is "
+                f"required; got columns {names}")
+        ptype = schema["payload"].dataType
+        if not isinstance(ptype, (BinaryType, StringType)):
+            raise ValueError(
+                "warc: 'payload' must be BINARY or STRING, got "
+                f"{ptype.simpleString()}")
+        self.schema = schema
+        self.pay_at = names.index("payload")
+        self.meta = [(i, n) for i, n in enumerate(names)
+                     if i != self.pay_at]
+
+    def write(self, rows):
+        import gzip
+        import os
+        import uuid
+
+        chunks: list[bytes] = []
+        for row in rows:
+            raw = row[self.pay_at]
+            if isinstance(raw, str):
+                raw = raw.encode("utf-8")
+            headers = {"WARC-Type": "resource"}
+            for i, name in self.meta:
+                v = row[i]
+                if v is not None:
+                    headers[f"WARC-X-{name}"] = str(v)
+            chunks.append(build_warc_record(headers, raw))
+        os.makedirs(self.path, exist_ok=True)
+        ext = ".warc.gz" if self.gzip else ".warc"
+        dest = os.path.join(self.path,
+                            f"part-{uuid.uuid4().hex}{ext}")
+        buf = b"".join(chunks)
+        if self.gzip:
+            # mtime pinned: identical content -> identical bytes
+            buf = gzip.compress(buf, mtime=0)
+        with open(dest, "wb") as f:
+            f.write(buf)
+        return _Done(dest)
+
+    def commit(self, messages):
+        pass
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class WarcDataSource(DataSource):
+    """``spark.read.format("warc")`` — ISO 28500 web-archive files."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self):
+        return _SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _WarcReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        if overwrite:
+            import glob
+            import os
+
+            path = self.options.get("path")
+            if path and os.path.isdir(path):
+                for p in (glob.glob(os.path.join(path, "*.warc"))
+                          + glob.glob(os.path.join(path,
+                                                   "*.warc.gz"))):
+                    os.remove(p)
+        return _WarcWriter(self.options, schema)
+
+
+def register_warc(spark) -> None:
+    """Idempotent format registration for a session."""
+    spark.dataSource.register(WarcDataSource)

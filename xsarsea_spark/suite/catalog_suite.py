@@ -1196,3 +1196,38 @@ def q_documents_orc_roundtrip(spark: SparkSession,
     docs.write.mode("overwrite").orc(base)
     back = spark.read.schema(docs.schema).orc(base)
     return _roundtrip_profile(back)
+
+
+@spec(
+    "documents_warc_roundtrip",
+    _RT_ORACLE,
+    description="WARC (ISO 28500) source round trip through the "
+                "Python DataSource (sources/warc.py): documents "
+                "written as per-record-metadata WARC resource "
+                "records with multi-member gzip (the CommonCrawl "
+                "layout), read back via format('warc'), columns "
+                "reconstructed from headers + payload — same "
+                "byte-fidelity profile as the JSONL/CSV/ORC trips",
+    tags=("sources", "formats"),
+)
+def q_documents_warc_roundtrip(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from xsarsea_spark.sources.warc import register_warc
+
+    register_warc(spark)
+    docs = load(spark, sf_dir, "documents")
+    base = _rt_base(spark, sf_dir, "warc")
+    (docs.selectExpr("text AS payload", "doc_id", "lang", "source",
+                     "n_chars")
+     .write.format("warc").option("compression", "gzip")
+     .mode("overwrite").save(base))
+    back = (spark.read.format("warc").load(base)
+            .selectExpr(
+                "CAST(headers['warc-x-doc_id'] AS BIGINT) AS doc_id",
+                "CASE WHEN payload IS NULL THEN CAST(NULL AS STRING)"
+                " ELSE decode(payload, 'UTF-8') END AS text",
+                "headers['warc-x-lang'] AS lang",
+                "headers['warc-x-source'] AS source",
+                "CAST(headers['warc-x-n_chars'] AS BIGINT)"
+                " AS n_chars"))
+    return _roundtrip_profile(back)

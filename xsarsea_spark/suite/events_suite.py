@@ -2076,3 +2076,182 @@ def q_events_interval_overlap(spark: SparkSession,
     return (i.join(deg, on="event_id", how="left")
             .selectExpr("event_id", "s_us", "e_us",
                         "COALESCE(n_overlaps, 0L) AS n_overlaps"))
+
+
+# ----------------------------------------------------------------------
+# Conversion attribution (last-touch + lookback gate): every purchase
+# is credited to the LATEST view/click touch strictly earlier in the
+# per-user (us, event_id) order and within a 7-day lookback; purchases
+# with no qualifying touch land in the 'none' bucket. The carried
+# "latest touch" is a running MAX over an encoded BIGINT
+# (us * 4 + type_code) so one window pass carries both the touch time
+# and its type — us is monotone in the frame's order, so the max IS
+# the latest, and the low bits break same-microsecond ties
+# deterministically (click > view). One user_id exchange end-to-end;
+# the final rollup has at most 3 rows. All integer except the exact
+# DECIMAL revenue sum — value-exact cross-engine.
+# ----------------------------------------------------------------------
+
+_ATTR_LOOKBACK_US = 7 * 86_400_000_000      # 7 days of microseconds
+
+_ATTR_CASE = ("CASE WHEN event_type = 'view' THEN us * 4 + 1"
+              " WHEN event_type = 'click' THEN us * 4 + 2 END")
+
+_ATTR_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, value, {_US_DUCK} AS us
+  FROM events),
+c AS (
+  SELECT *, MAX({_ATTR_CASE}) OVER (
+      PARTITION BY user_id ORDER BY us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS enc
+  FROM e),
+p AS (
+  SELECT CASE WHEN enc IS NULL
+              OR us - (enc // 4) > {_ATTR_LOOKBACK_US} THEN 'none'
+              WHEN enc % 4 = 2 THEN 'click' ELSE 'view'
+         END AS touch_type,
+         value
+  FROM c WHERE event_type = 'purchase')
+SELECT touch_type, COUNT(*) AS n_conversions,
+  {DSUM('value')} AS attributed_value
+FROM p GROUP BY touch_type
+"""
+
+
+@spec(
+    "events_attribution",
+    _ATTR_ORACLE,
+    description="Last-touch conversion attribution with a 7-day "
+                "lookback: one running-max window pass carries the "
+                "latest view/click touch (time and type packed in "
+                "one BIGINT) to each purchase over a single user_id "
+                "exchange; unattributed purchases bucket to 'none'",
+    tags=("events", "attribution", "window"),
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_id", "event_type", "value",
+        f"{_US_SPARK} AS us")
+    w = (Window.partitionBy("user_id").orderBy("us", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    c = ev.withColumn("enc", F.expr(f"max({_ATTR_CASE})").over(w))
+    p = c.filter("event_type = 'purchase'").selectExpr(
+        f"CASE WHEN enc IS NULL"
+        f" OR us - (enc DIV 4) > {_ATTR_LOOKBACK_US} THEN 'none'"
+        f" WHEN enc % 4 = 2 THEN 'click' ELSE 'view'"
+        f" END AS touch_type",
+        "value")
+    return p.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.expr(DSUM("value")).alias("attributed_value"))
+
+
+# ----------------------------------------------------------------------
+# RFM segmentation: per-user Recency (last activity of ANY type),
+# Frequency (purchase count) and Monetary (exact-DECIMAL purchase
+# revenue), each quintiled into scores 1-5 (bin 1 = most recent /
+# most frequent / highest spend). The Spark side computes each
+# quintile with operators.rank.ntile_grouped — value-identical to
+# NTILE(5) but built on the two-pass global rank, so no corpus-wide
+# single-partition sort exists in the plan at any user count; the
+# oracle replays it as DuckDB's native NTILE. (user_id tiebreaks make
+# every ordering total, so the quintile assignment is unique.)
+# ----------------------------------------------------------------------
+
+_RFM_ORACLE = f"""
+WITH u AS (
+  SELECT user_id, MAX({_US_DUCK}) AS last_us,
+    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS f,
+    COALESCE({DSUM("CASE WHEN event_type = 'purchase'"
+                   " THEN value END")}, 0e0) AS m
+  FROM events GROUP BY user_id)
+SELECT user_id, last_us, CAST(f AS BIGINT) AS f, m,
+  CAST(NTILE(5) OVER (ORDER BY last_us DESC, user_id) AS INT) AS r_bin,
+  CAST(NTILE(5) OVER (ORDER BY f DESC, user_id) AS INT) AS f_bin,
+  CAST(NTILE(5) OVER (ORDER BY m DESC, user_id) AS INT) AS m_bin,
+  CAST(NTILE(5) OVER (ORDER BY last_us DESC, user_id) * 100
+   + NTILE(5) OVER (ORDER BY f DESC, user_id) * 10
+   + NTILE(5) OVER (ORDER BY m DESC, user_id) AS INT) AS rfm
+FROM u
+"""
+
+
+@spec(
+    "events_rfm",
+    _RFM_ORACLE,
+    description="RFM quintile segmentation: per-user recency/"
+                "frequency/monetary rollup, then three NTILE(5) "
+                "scores via the two-pass grouped rank (no global "
+                "single-partition window) and the combined 3-digit "
+                "RFM segment code",
+    tags=("events", "segmentation", "rank"),
+)
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.rank import ntile_grouped
+
+    ev = load(spark, sf_dir, "events")
+    u = (ev.groupBy("user_id").agg(
+            F.expr(f"MAX({_US_SPARK})").alias("last_us"),
+            F.expr("CAST(COUNT(CASE WHEN event_type = 'purchase'"
+                   " THEN 1 END) AS BIGINT)").alias("f"),
+            F.expr("COALESCE(" + DSUM(
+                "CASE WHEN event_type = 'purchase' THEN value END")
+                + ", 0e0)").alias("m"))
+         .withColumn("__g", F.lit(0)))
+    for col, order in (("r_bin", [F.col("last_us").desc(),
+                                  F.col("user_id").asc()]),
+                       ("f_bin", [F.col("f").desc(),
+                                  F.col("user_id").asc()]),
+                       ("m_bin", [F.col("m").desc(),
+                                  F.col("user_id").asc()])):
+        u = ntile_grouped(u, 5, ["__g"], order, bin_col=col)
+    return u.selectExpr(
+        "user_id", "last_us", "f", "m",
+        "CAST(r_bin AS INT) AS r_bin", "CAST(f_bin AS INT) AS f_bin",
+        "CAST(m_bin AS INT) AS m_bin",
+        "CAST(r_bin * 100 + f_bin * 10 + m_bin AS INT) AS rfm")
+
+
+# ----------------------------------------------------------------------
+# Streaming hourly top-k event types: the watermarked tumbling-hour
+# stream aggregation (same engine path as events_stream_hourly)
+# finished by a per-hour top-3 rank on the emitted result. The rank
+# window partitions on hour_bucket — per-partition state is bounded
+# by the event-type cardinality, never by corpus size — and ties
+# break on event_type, so the top-3 set is unique and exact. The
+# oracle replays the whole thing as batch SQL.
+# ----------------------------------------------------------------------
+
+_STREAM_TOPK_ORACLE = f"""
+WITH h AS (
+  SELECT ({_US_DUCK} // 3600000000) AS hour_bucket, event_type,
+    COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT hour_bucket, rank, event_type, n_events FROM (
+  SELECT *, row_number() OVER (PARTITION BY hour_bucket
+      ORDER BY n_events DESC, event_type) AS rank
+  FROM h)
+WHERE rank <= 3
+"""
+
+
+@spec(
+    "events_stream_topk",
+    _STREAM_TOPK_ORACLE,
+    description="Streaming hourly top-3 event types: watermarked "
+                "tumbling-window stream aggregation finished by a "
+                "bounded-state per-hour rank (partition cardinality "
+                "= event types, never corpus size)",
+    tags=("events", "streaming", "rank"),
+)
+def q_events_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.streaming.events import stream_hourly_counts
+
+    h = stream_hourly_counts(spark, sf_dir).select(
+        "hour_bucket", "event_type", "n_events")
+    w = Window.partitionBy("hour_bucket").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc())
+    return (h.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("hour_bucket", "rank", "event_type", "n_events"))

@@ -8918,3 +8918,199 @@ def q_embedding_matryoshka(spark: SparkSession,
                    " / CAST(n_exact AS DOUBLE)").alias("recall"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# SoftDeDup-style duplication-aware sampling weights (Xia et al. 2024,
+# "SoftDeDup" — reweight instead of remove): per document, the
+# fraction of its DISTINCT word 3-gram shingles that occur in more
+# than one document ("commonness"), mapped to a sampling weight
+# 1 / (1 + 4 * dup_frac) — a heavily duplicated doc keeps ~1/5 the
+# sampling mass of a fully novel one instead of being dropped. Two
+# shuffles at any scale: shingle-keyed doc-frequency agg, then the
+# shingle-keyed join back and a doc_id rollup. Counts are integers;
+# the weight arithmetic (divide, multiply, add) is single-op IEEE,
+# so weights are value-exact cross-engine. Docs under 3 tokens have
+# no shingles and drop out — same end-exclusive range semantics in
+# both engines (cf. pipeline.dedup.shingle).
+# ----------------------------------------------------------------------
+
+_SOFT_LAMBDA = "4.0e0"
+
+_SOFT_DEDUP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+      range(len(l) - 2),
+      i -> l[i + 1] || ' ' || l[i + 2] || ' ' || l[i + 3])) AS shingle
+  FROM t WHERE len(l) >= 3),
+df AS (
+  SELECT shingle, COUNT(*) AS ndocs FROM sh GROUP BY shingle),
+d AS (
+  SELECT sh.doc_id, COUNT(*) AS n_shingles,
+    COUNT(CASE WHEN df.ndocs > 1 THEN 1 END) AS n_dup
+  FROM sh JOIN df ON df.shingle = sh.shingle
+  GROUP BY sh.doc_id)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+  CAST(n_dup AS BIGINT) AS n_dup,
+  n_dup / CAST(n_shingles AS DOUBLE) AS dup_frac,
+  1e0 / (1e0 + {_SOFT_LAMBDA}
+         * (n_dup / CAST(n_shingles AS DOUBLE))) AS weight
+FROM d
+"""
+
+
+@spec(
+    "doc_soft_dedup",
+    _SOFT_DEDUP_ORACLE,
+    description="SoftDeDup duplication-aware sampling weights: "
+                "per-doc fraction of distinct 3-gram shingles seen "
+                "in >1 document, mapped to 1/(1+4*frac) sampling "
+                "mass — reweight-not-remove dedup, two bounded "
+                "shuffles, weights value-exact cross-engine",
+    tags=("pipeline", "dedup", "sampling"),
+)
+def q_doc_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.dedup import shingle
+
+    docs = load(spark, sf_dir, "documents")
+    sh = shingle(docs, n=3)
+    df = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("__ndocs"))
+    d = (sh.join(df, on="shingle")
+         .groupBy("doc_id")
+         .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_shingles"),
+              F.expr("CAST(COUNT(CASE WHEN __ndocs > 1 THEN 1 END)"
+                     " AS BIGINT)").alias("n_dup")))
+    return d.selectExpr(
+        "doc_id", "n_shingles", "n_dup",
+        "n_dup / CAST(n_shingles AS DOUBLE) AS dup_frac",
+        f"1e0 / (1e0 + {_SOFT_LAMBDA}"
+        f" * (n_dup / CAST(n_shingles AS DOUBLE))) AS weight")
+
+
+# ----------------------------------------------------------------------
+# Johnson-Lindenstrauss signed random projection recall — the
+# dimensionality-reduction point of the retrieval-compression ladder
+# (PCA keeps learned axes, Matryoshka keeps prefix axes; JL keeps
+# RANDOM +-1 combinations, data-independent and train-free). The
+# 16 x 64 sign matrix is derived from a fixed integer LCG and baked
+# into both engines' expressions as literals; each projection and
+# each squared-L2 distance is a LEFT-ASSOCIATIVE chain of IEEE
+# single ops evaluated in the same order on both sides, so projected
+# values, rankings AND recall@k are value-exact cross-engine. Spark
+# broadcasts the 20-query projection block; per-query candidate
+# ranking reuses the bounded row_number shape of cosine_topk.
+# ----------------------------------------------------------------------
+
+_RP_DIM = 16
+
+
+def _rp_sign(i: int, j: int) -> int:
+    """Deterministic +-1 from a fixed integer hash (no RNG state)."""
+    return 1 if ((i * 73 + j * 1009) * 2654435761) % (1 << 32) \
+        < (1 << 31) else -1
+
+
+def _rp_proj_exprs(elem: str) -> list[str]:
+    """One left-assoc +- chain per projected dim; ``elem`` formats the
+    1-based component access for the target engine."""
+    out = []
+    for j in range(_RP_DIM):
+        parts = []
+        for i in range(1, _CND_DIM + 1):
+            term = f"CAST({elem.format(i=i)} AS DOUBLE)"
+            if not parts:
+                parts.append(f"(- {term})" if _rp_sign(i, j) < 0
+                             else term)
+            else:
+                parts.append(f"{'-' if _rp_sign(i, j) < 0 else '+'}"
+                             f" {term}")
+        out.append("(" + " ".join(parts) + ")")
+    return out
+
+
+def _rp_oracle() -> str:
+    projs = _rp_proj_exprs("embedding[{i}]")
+    psel = ", ".join(f"{p} AS p{j}" for j, p in enumerate(projs))
+    qsel = ", ".join(f"p{j} AS q{j}" for j in range(_RP_DIM))
+    d2 = " + ".join(f"(q.q{j} - c.p{j}) * (q.q{j} - c.p{j})"
+                    for j in range(_RP_DIM))
+    return f"""
+WITH ex AS ({_KNN_ORACLE}),
+c AS (SELECT vec_id, {psel} FROM embeddings),
+q AS (SELECT vec_id AS query_id, {qsel} FROM c
+      WHERE vec_id < {_KNN_NQ}),
+s AS (SELECT q.query_id, c.vec_id AS neighbor_id, {d2} AS d2
+      FROM q JOIN c ON c.vec_id <> q.query_id),
+rt AS (SELECT query_id, neighbor_id FROM (
+         SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY d2 ASC, neighbor_id ASC) AS rank
+         FROM s)
+       WHERE rank <= {_KNN_K}),
+m AS (SELECT ex.query_id, COUNT(*) AS n_matched
+      FROM ex JOIN rt ON rt.query_id = ex.query_id
+                     AND rt.neighbor_id = ex.neighbor_id
+      GROUP BY ex.query_id),
+nq AS (SELECT query_id, COUNT(*) AS n_exact FROM ex
+       GROUP BY query_id)
+SELECT nq.query_id, CAST(nq.n_exact AS BIGINT) AS n_exact,
+  CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+  coalesce(m.n_matched, 0) / CAST(nq.n_exact AS DOUBLE) AS recall
+FROM nq LEFT JOIN m ON m.query_id = nq.query_id
+"""
+
+
+@spec(
+    "embedding_rp_recall",
+    _rp_oracle(),
+    description="Recall@k of Johnson-Lindenstrauss signed random "
+                "projection (64 -> 16 dims, fixed literal +-1 "
+                "matrix, left-assoc IEEE chains) vs exact cosine "
+                "ground truth — projections, rankings and recall "
+                "value-exact cross-engine",
+    tags=("pipeline", "similarity", "eval"),
+)
+def q_embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from xsarsea_spark.pipeline.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    projs = _rp_proj_exprs("element_at(embedding, {i})")
+    c = emb.selectExpr(
+        "vec_id", *[f"{p} AS p{j}" for j, p in enumerate(projs)])
+    q = (c.filter(F.col("vec_id") < _KNN_NQ)
+         .selectExpr("vec_id AS query_id",
+                     *[f"p{j} AS q{j}" for j in range(_RP_DIM)]))
+    d2 = " + ".join(f"(q{j} - p{j}) * (q{j} - p{j})"
+                    for j in range(_RP_DIM))
+    scored = (c.withColumnRenamed("vec_id", "neighbor_id")
+              .join(F.broadcast(q),
+                    F.col("query_id") != F.col("neighbor_id"))
+              .selectExpr("query_id", "neighbor_id", f"{d2} AS d2"))
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc())
+    rt = (scored.withColumn("rank", F.row_number().over(win))
+          .filter(F.col("rank") <= _KNN_K)
+          .select("query_id", "neighbor_id"))
+    ex = cosine_topk(emb.filter(F.col("vec_id") < _KNN_NQ), emb,
+                     k=_KNN_K).select("query_id", "neighbor_id")
+    m = (ex.join(rt, on=["query_id", "neighbor_id"])
+         .groupBy("query_id")
+         .agg(F.count(F.lit(1)).alias("n_matched")))
+    nq = ex.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"))
+    return (
+        nq.join(m, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.expr("CAST(coalesce(n_matched, 0) AS BIGINT)")
+            .alias("n_matched"),
+            F.expr("coalesce(n_matched, 0)"
+                   " / CAST(n_exact AS DOUBLE)").alias("recall"),
+        )
+    )
