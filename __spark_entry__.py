@@ -65,10 +65,12 @@ _PRIORITY = [
     "embedding_benchmark_leakage", "doc_lang_temperature_mix",
     # late round-10 additions (attribution, RFM quintiles, streaming
     # hourly top-k, SoftDeDup weights, JL random-projection recall,
-    # WARC source round trip):
+    # WARC source round trip, DAU/WAU/MAU ladder, hard-negative
+    # mining, domain-grouped leakage-free split):
     "events_attribution", "events_rfm", "events_stream_topk",
     "doc_soft_dedup", "embedding_rp_recall",
-    "documents_warc_roundtrip",
+    "documents_warc_roundtrip", "events_active_users",
+    "embedding_hard_negatives", "doc_domain_split",
     # (b) rows whose OUTPUT or lineage changed this round: the three
     # SA queries moved to one shared mod-7 corpus slice (values
     # changed with their oracles); the URL trio rides the
@@ -91,11 +93,9 @@ _PRIORITY = [
     "lsh_ann_multiprobe", "lut_step_inference", "multimodal_features",
     "stratified_sample", "text_token_stats",
     # (d) fill to 50 with the stalest round-5 rows (alphabetical
-    # first 6; the remaining — embedding_pca_project onward — rotate
+    # first 3; the remaining — embedding_ann_recall onward — rotate
     # in next round):
     "doc_bpe_train", "doc_ngram_novelty", "dup_graph_triangles",
-    "embedding_ann_recall", "embedding_pca_outliers",
-    "embedding_pca_power",
 ]
 
 

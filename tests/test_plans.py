@@ -547,3 +547,25 @@ def test_round10_additions_plans_are_scale_safe(spark):
         for ln in plan.splitlines():
             if "NestedLoopJoin" in ln:
                 assert "Broadcast" in ln, f"{name}: {ln}"
+
+
+def test_round10_second_wave_plans_are_scale_safe(spark):
+    """events_active_users is distinct + hash aggs with a 1-row
+    broadcast bound (no window at all); embedding_hard_negatives'
+    only nested-loop join is the broadcast 20-row query block;
+    doc_domain_split is PSL broadcast joins + a 1-row broadcast
+    leak count. No cartesian products; any nested loop must be
+    broadcast."""
+    from xsarsea_spark.suite import REGISTRY
+
+    for name in ("events_active_users", "embedding_hard_negatives",
+                 "doc_domain_split"):
+        plan = (REGISTRY[name].spark(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan, name
+        for ln in plan.splitlines():
+            if "NestedLoopJoin" in ln:
+                assert "Broadcast" in ln, f"{name}: {ln}"
+    plan = (REGISTRY["events_active_users"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan

@@ -179,16 +179,46 @@ class _WarcReader(DataSourceReader):
         return [_File(p) for p in _resolve_paths(self.path)]
 
     def read(self, partition: _File):
+        """Yield Arrow RecordBatches (not per-row tuples): a real
+        crawl segment holds ~50k records, and the columnar handoff
+        keeps the Python-side cost per record at list-append level
+        while Spark ingests each batch in one Arrow exchange."""
+        import pyarrow as pa
+
         named = ("warc-record-id", "warc-type", "warc-target-uri",
                  "warc-date", "content-type")
+        schema = pa.schema([
+            ("record_id", pa.string()), ("warc_type", pa.string()),
+            ("target_uri", pa.string()), ("warc_date", pa.string()),
+            ("content_type", pa.string()),
+            ("content_length", pa.int64()),
+            ("payload", pa.binary()),
+            ("headers", pa.map_(pa.string(), pa.string())),
+        ])
+        cols: list[list] = [[] for _ in range(8)]
+
+        def flush():
+            if not cols[0]:
+                return None
+            batch = pa.RecordBatch.from_arrays(
+                [pa.array(c, type=f.type)
+                 for c, f in zip(cols, schema)], schema=schema)
+            for c in cols:
+                c.clear()
+            return batch
+
         for headers, payload in parse_warc_bytes(
                 _read_file_bytes(partition.path)):
-            yield (
-                *(headers.get(k) for k in named),
-                int(headers["content-length"]),
-                payload,
-                headers,
-            )
+            for i, k in enumerate(named):
+                cols[i].append(headers.get(k))
+            cols[5].append(int(headers["content-length"]))
+            cols[6].append(payload)
+            cols[7].append(list(headers.items()))
+            if len(cols[0]) >= 4096:
+                yield flush()
+        batch = flush()
+        if batch is not None:
+            yield batch
 
 
 class _Done(WriterCommitMessage):

@@ -2255,3 +2255,80 @@ def q_events_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (h.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 3)
             .select("hour_bucket", "rank", "event_type", "n_events"))
+
+
+# ----------------------------------------------------------------------
+# DAU / WAU / MAU + stickiness: the standard product-analytics active-
+# user ladder. One distinct (user, day) presence table feeds all three
+# counts; the trailing 7- and 30-day windows are EXPLODED FORWARD
+# (each presence day contributes to the next 7/30 target days) so the
+# whole query is distinct + hash aggregations — no corpus-wide window,
+# no per-day self-join, and the fan-out is a bounded constant (x7,
+# x30 on user-DAYS, already deduped, not raw events). Target days are
+# clamped to the observed [min_day, max_day] via a 1-row broadcast.
+# stickiness = dau/mau is a single exact IEEE division.
+# ----------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+_ACTIVE_USERS_ORACLE = f"""
+WITH p AS (
+  SELECT DISTINCT user_id, ({_US_DUCK} // {_DAY_US}) AS day
+  FROM events),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM p),
+dau AS (SELECT day, COUNT(*) AS dau FROM p GROUP BY day),
+w AS (SELECT DISTINCT user_id, day + o AS day
+      FROM p, (SELECT unnest(range(0, 7)) AS o)),
+wau AS (SELECT w.day, COUNT(*) AS wau FROM w, bounds
+        WHERE w.day <= bounds.hi GROUP BY w.day),
+m AS (SELECT DISTINCT user_id, day + o AS day
+      FROM p, (SELECT unnest(range(0, 30)) AS o)),
+mau AS (SELECT m.day, COUNT(*) AS mau FROM m, bounds
+        WHERE m.day <= bounds.hi GROUP BY m.day)
+SELECT wau.day AS day,
+  CAST(COALESCE(dau.dau, 0) AS BIGINT) AS dau,
+  CAST(wau.wau AS BIGINT) AS wau,
+  CAST(mau.mau AS BIGINT) AS mau,
+  COALESCE(dau.dau, 0) / CAST(mau.mau AS DOUBLE) AS stickiness
+FROM wau JOIN mau ON mau.day = wau.day
+LEFT JOIN dau ON dau.day = wau.day
+"""
+
+
+@spec(
+    "events_active_users",
+    _ACTIVE_USERS_ORACLE,
+    description="DAU/WAU/MAU active-user ladder + stickiness: one "
+                "distinct user-day presence table exploded forward "
+                "into bounded 7/30-day contributions — distinct + "
+                "hash aggs only, no corpus-wide window or per-day "
+                "self-join",
+    tags=("events", "analytics", "agg"),
+)
+def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    p = ev.selectExpr("user_id",
+                      f"({_US_SPARK}) DIV {_DAY_US} AS day").distinct()
+    bounds = p.agg(F.max("day").alias("__hi"))
+    dau = p.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+
+    def trailing(n: int, name: str) -> DataFrame:
+        x = (p.selectExpr("user_id",
+                          f"explode(sequence(day, day + {n - 1}))"
+                          " AS day")
+             .distinct()
+             .join(F.broadcast(bounds), F.col("day") <= F.col("__hi"))
+             .groupBy("day")
+             .agg(F.count(F.lit(1)).alias(name)))
+        return x
+
+    wau, mau = trailing(7, "wau"), trailing(30, "mau")
+    return (wau.join(mau, on="day")
+            .join(dau, on="day", how="left")
+            .selectExpr(
+                "day",
+                "CAST(COALESCE(dau, 0) AS BIGINT) AS dau",
+                "CAST(wau AS BIGINT) AS wau",
+                "CAST(mau AS BIGINT) AS mau",
+                "COALESCE(dau, 0) / CAST(mau AS DOUBLE)"
+                " AS stickiness"))

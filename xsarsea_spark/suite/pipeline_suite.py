@@ -21,6 +21,7 @@ from xsarsea_spark.suite.base import QTRUNC, spec
 
 # DuckDB spelling of pipeline.text.HASH40_SQL (same value)
 _H40_DUCK = "CAST('0x' || substr(md5({x}), 1, 10) AS BIGINT)"
+_H40_SPARK = "CAST(conv(substring(md5({x}), 1, 10), 16, 10) AS BIGINT)"
 
 
 # ----------------------------------------------------------------------
@@ -9114,3 +9115,165 @@ def q_embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
                    " / CAST(n_exact AS DOUBLE)").alias("recall"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Contrastive hard-negative mining: for each query vector, the top-k
+# most-similar CORPUS vectors with a DIFFERENT label — the standard
+# negative-selection step for training retrieval/embedding models
+# (harder negatives = higher gradient signal than random ones). The
+# exact-cosine machinery of embedding_knn with the label-inequality
+# predicate pushed into the broadcast join; cosines are sequential
+# JVM folds, so rankings and values are exact cross-engine.
+# ----------------------------------------------------------------------
+
+_HARDNEG_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding,
+    sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      (a, b) -> a + b)) AS nrm
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qv,
+             nrm AS qn
+      FROM e WHERE vec_id < {_KNN_NQ}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+    list_reduce(list_transform(range(1, len(q.qv) + 1),
+      i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+      (a, b) -> a + b) / (q.qn * e.nrm) AS cosine
+  FROM q JOIN e ON e.label <> q.qlabel)
+SELECT query_id, rank, neighbor_id, CAST(label AS INT) AS label,
+  cosine
+FROM (
+  SELECT query_id, neighbor_id, label, cosine,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {_KNN_K}
+"""
+
+
+@spec(
+    "embedding_hard_negatives",
+    _HARDNEG_ORACLE,
+    description="Contrastive hard-negative mining: exact top-k "
+                "cosine neighbors restricted to a DIFFERENT label "
+                "than the query — label inequality pushed into the "
+                "broadcast join, rankings value-exact cross-engine",
+    tags=("pipeline", "similarity", "training"),
+)
+def q_embedding_hard_negatives(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from xsarsea_spark.pipeline.similarity import with_norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = with_norm(emb, "embedding")
+    q = (e.filter(F.col("vec_id") < _KNN_NQ)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("label").alias("__ql"),
+                 F.col("embedding").alias("__qv"),
+                 F.col("__norm").alias("__qn")))
+    dot = ("aggregate(zip_with(__qv, embedding,"
+           " (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),"
+           " 0d, (acc, x) -> acc + x)")
+    scored = (e.join(F.broadcast(q), F.col("label") != F.col("__ql"))
+              .withColumn("cosine",
+                          F.expr(f"({dot})"
+                                 " / nullif(__qn * __norm, 0e0)")))
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= _KNN_K)
+            .selectExpr("query_id", "rank",
+                        "vec_id AS neighbor_id",
+                        "CAST(label AS INT) AS label", "cosine"))
+
+
+# ----------------------------------------------------------------------
+# Leakage-free grouped train/val/test split: every document's
+# registrable domain (full PSL matching, same operator doc_psl_domain
+# exercises) is hashed ONCE to a split — 80/10/10 by md5-derived
+# bucket — so near-duplicates sharing a site can never straddle the
+# train/eval boundary (the contamination mode document-level random
+# splits are known for). The per-split profile carries an honestly
+# computed n_leaky_domains column (domains observed in >1 split),
+# which the grouped construction forces to 0. Split assignment is a
+# broadcast-joined domain table; no shuffle beyond the rollups.
+# ----------------------------------------------------------------------
+
+
+def _domain_split_oracle() -> str:
+    from xsarsea_spark.pipeline.psl import (PSL_SNAPSHOT,
+                                            parse_psl_rules,
+                                            psl_oracle_ctes)
+
+    rows = parse_psl_rules(PSL_SNAPSHOT.splitlines())
+    parts, prev = psl_oracle_ctes(
+        f"SELECT doc_id, n_chars, {_PSL_HOST} AS host FROM documents",
+        rows)
+    h40 = _H40_DUCK.format(x="domain")
+    return ("WITH " + ",\n".join(parts) + f""",
+d AS (
+  SELECT doc_id, n_chars,
+    coalesce(psl_domain, '<public-suffix>') AS domain
+  FROM {prev}),
+s AS (
+  SELECT *, CASE {h40} % 10 WHEN 0 THEN 'test' WHEN 1 THEN 'val'
+            ELSE 'train' END AS split
+  FROM d),
+leak AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky FROM (
+    SELECT domain FROM s GROUP BY domain
+    HAVING COUNT(DISTINCT split) > 1))
+SELECT split, COUNT(*) AS n_docs,
+  CAST(COUNT(DISTINCT domain) AS BIGINT) AS n_domains,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+  leak.n_leaky AS n_leaky_domains
+FROM s, leak GROUP BY split, leak.n_leaky""")
+
+
+@spec(
+    "doc_domain_split",
+    _domain_split_oracle(),
+    description="Leakage-free grouped train/val/test split: the "
+                "registrable domain (full PSL matching) hashes once "
+                "to an 80/10/10 split so same-site near-duplicates "
+                "never straddle train/eval; per-split profile plus "
+                "an honestly computed leaky-domain count (0 by "
+                "construction)",
+    tags=("pipeline", "sampling", "training"),
+)
+def q_doc_domain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.psl import (PSL_SNAPSHOT, psl_rules,
+                                            with_psl_domain)
+
+    rules_df, rows = psl_rules(spark, PSL_SNAPSHOT.splitlines())
+    df = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "n_chars", f"{_PSL_HOST} AS host")
+    d = with_psl_domain(df, "host", rules_df, rows).selectExpr(
+        "doc_id", "n_chars",
+        "coalesce(psl_domain, '<public-suffix>') AS domain")
+    h40 = _H40_SPARK.format(x="domain")
+    s = d.selectExpr(
+        "doc_id", "n_chars", "domain",
+        f"CASE {h40} % 10 WHEN 0 THEN 'test' WHEN 1 THEN 'val'"
+        " ELSE 'train' END AS split")
+    leak = (s.groupBy("domain")
+            .agg(F.countDistinct("split").alias("__ns"))
+            .filter("__ns > 1")
+            .agg(F.expr("CAST(COUNT(*) AS BIGINT)")
+                 .alias("n_leaky_domains")))
+    prof = s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(COUNT(DISTINCT domain) AS BIGINT)")
+        .alias("n_domains"),
+        F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"))
+    return prof.join(F.broadcast(leak)).select(
+        "split", "n_docs", "n_domains", "sum_chars", "min_doc",
+        "max_doc", "n_leaky_domains")
