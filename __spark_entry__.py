@@ -71,6 +71,7 @@ _PRIORITY = [
     "doc_soft_dedup", "embedding_rp_recall",
     "documents_warc_roundtrip", "events_active_users",
     "embedding_hard_negatives", "doc_domain_split",
+    "events_path_analysis",
     # (b) rows whose OUTPUT or lineage changed this round: the three
     # SA queries moved to one shared mod-7 corpus slice (values
     # changed with their oracles); the URL trio rides the
@@ -93,9 +94,9 @@ _PRIORITY = [
     "lsh_ann_multiprobe", "lut_step_inference", "multimodal_features",
     "stratified_sample", "text_token_stats",
     # (d) fill to 50 with the stalest round-5 rows (alphabetical
-    # first 3; the remaining — embedding_ann_recall onward — rotate
+    # first 2; the remaining — dup_graph_triangles onward — rotate
     # in next round):
-    "doc_bpe_train", "doc_ngram_novelty", "dup_graph_triangles",
+    "doc_bpe_train", "doc_ngram_novelty",
 ]
 
 

@@ -569,3 +569,19 @@ def test_round10_second_wave_plans_are_scale_safe(spark):
     plan = (REGISTRY["events_active_users"].spark(spark, SF)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Window" not in plan
+
+
+def test_path_analysis_topk_is_take_ordered(spark):
+    """events_path_analysis' global top-20 must plan as
+    TakeOrderedAndProject (per-partition heaps + k-row driver
+    merge), never a full global sort or corpus-wide window; its only
+    window is the user_id-partitioned lead pass."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["events_path_analysis"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            assert "user_id" in ln, ln

@@ -2332,3 +2332,64 @@ def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(mau AS BIGINT) AS mau",
                 "COALESCE(dau, 0) / CAST(mau AS DOUBLE)"
                 " AS stickiness"))
+
+
+# ----------------------------------------------------------------------
+# User-journey path analysis: the top event-type trigrams (consecutive
+# 3-step paths) across all user sessions — the "what do users do
+# next" query every product-analytics stack runs. Two leads over one
+# user_id exchange (linear per-user state), a path hash agg, then a
+# global top-20 via sort+limit, which Spark plans as
+# TakeOrderedAndProject — per-partition heaps + a k-row driver merge,
+# NEVER a corpus-wide window or full sort. (path, count) ties break
+# on the path string, so the top-k set is unique cross-engine.
+# ----------------------------------------------------------------------
+
+_PATH_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, {_US_DUCK} AS us, event_id
+  FROM events),
+t AS (
+  SELECT user_id, event_type AS s0,
+    lead(event_type, 1) OVER w AS s1,
+    lead(event_type, 2) OVER w AS s2
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+p AS (
+  SELECT user_id, s0 || '>' || s1 || '>' || s2 AS path FROM t
+  WHERE s1 IS NOT NULL AND s2 IS NOT NULL)
+SELECT path, COUNT(*) AS n_occurrences,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM p GROUP BY path
+ORDER BY n_occurrences DESC, path
+LIMIT 20
+"""
+
+
+@spec(
+    "events_path_analysis",
+    _PATH_ORACLE,
+    description="Top-20 user-journey event-type trigrams: two leads "
+                "over one user_id exchange, path hash agg, global "
+                "top-k as TakeOrderedAndProject (per-partition heaps "
+                "+ k-row merge — no corpus-wide sort or window)",
+    tags=("events", "analytics", "window"),
+)
+def q_events_path_analysis(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").selectExpr(
+        "user_id", "event_type", f"{_US_SPARK} AS us", "event_id")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    t = ev.select(
+        "user_id",
+        F.col("event_type").alias("s0"),
+        F.lead("event_type", 1).over(w).alias("s1"),
+        F.lead("event_type", 2).over(w).alias("s2"))
+    p = (t.filter("s1 IS NOT NULL AND s2 IS NOT NULL")
+         .selectExpr("user_id",
+                     "concat(s0, '>', s1, '>', s2) AS path"))
+    return (p.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.expr("CAST(COUNT(DISTINCT user_id) AS BIGINT)")
+                 .alias("n_users"))
+            .orderBy(F.col("n_occurrences").desc(), F.col("path"))
+            .limit(20))
