@@ -129,3 +129,35 @@ def test_gzip_parts_are_deterministic(spark, tmp_path):
     b2 = sorted(open(p, "rb").read()
                 for p in glob.glob(os.path.join(o2, "*.gz")))
     assert b1 == b2
+
+
+def test_record_stream_roundtrip_property():
+    """Property: any sequence of (headers, payload) records survives
+    build -> concat -> parse exactly — arbitrary header values
+    (CR/LF/%/unicode) and arbitrary payload bytes including record-
+    boundary look-alikes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    header_val = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        max_size=40)
+    header_key = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz-", min_size=1,
+        max_size=12).map(lambda s: "WARC-X-" + s)
+    record = st.tuples(
+        st.dictionaries(header_key, header_val, max_size=4),
+        st.one_of(st.none(), st.binary(max_size=200)))
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(record, max_size=8))
+    def check(records):
+        blob = b"".join(build_warc_record(h, p) for h, p in records)
+        out = list(parse_warc_bytes(blob))
+        assert len(out) == len(records)
+        for (h_in, p_in), (h_out, p_out) in zip(records, out):
+            assert p_out == p_in
+            for k, v in h_in.items():
+                assert h_out[k.lower()] == v
+
+    check()

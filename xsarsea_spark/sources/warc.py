@@ -67,14 +67,26 @@ _SCHEMA = StructType([
 
 
 def _escape(v: str) -> str:
-    """Percent-escape the three characters that could break header
-    framing (CR, LF) or the escaping itself (%)."""
-    return (v.replace("%", "%25").replace("\r", "%0D")
-            .replace("\n", "%0A"))
+    """Percent-escape what could break header framing: CR/LF (record
+    grammar), the escape character itself, and LEADING/TRAILING
+    space/tab (the parser's value trim would eat them). Internal
+    spaces stay literal — the wire format remains readable and the
+    parser never trims inside a value."""
+    v = (v.replace("%", "%25").replace("\r", "%0D")
+         .replace("\n", "%0A"))
+    edge = {" ": "%20", "\t": "%09"}
+    if v[:1] in edge:
+        v = edge[v[0]] + v[1:]
+    if v[-1:] in edge:
+        v = v[:-1] + edge[v[-1]]
+    return v
 
 
 def _unescape(v: str) -> str:
+    # %25 must decode LAST: escaping encodes '%' first, so no other
+    # %XX token can be produced by literal data
     return (v.replace("%0D", "\r").replace("%0A", "\n")
+            .replace("%20", " ").replace("%09", "\t")
             .replace("%25", "%"))
 
 
@@ -118,11 +130,15 @@ def parse_warc_bytes(buf: bytes):
             raise ValueError("warc: unterminated header block")
         head = buf[pos:sep].decode("utf-8")
         headers: dict[str, str] = {}
-        for line in head.splitlines()[1:]:
-            if not line.strip():
+        # split on the spec's CRLF (LF-only tolerated) — NOT
+        # str.splitlines(), which also splits on NEL/VT/FF/U+2028
+        # and would truncate header values containing them; trim
+        # only ASCII space/tab, never unicode whitespace
+        for line in head.replace("\r\n", "\n").split("\n")[1:]:
+            if not line.strip(" \t"):
                 continue
             k, _, v = line.partition(":")
-            headers[k.strip().lower()] = _unescape(v.strip())
+            headers[k.strip(" \t").lower()] = _unescape(v.strip(" \t"))
         try:
             clen = int(headers["content-length"])
         except KeyError:
