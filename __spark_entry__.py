@@ -71,7 +71,7 @@ _PRIORITY = [
     "doc_soft_dedup", "embedding_rp_recall",
     "documents_warc_roundtrip", "events_active_users",
     "embedding_hard_negatives", "doc_domain_split",
-    "events_path_analysis",
+    "events_path_analysis", "events_attribution_linear",
     # (b) rows whose OUTPUT or lineage changed this round: the three
     # SA queries moved to one shared mod-7 corpus slice (values
     # changed with their oracles); the URL trio rides the
@@ -93,10 +93,9 @@ _PRIORITY = [
     "events_stream_dedup", "events_stream_interval_join",
     "lsh_ann_multiprobe", "lut_step_inference", "multimodal_features",
     "stratified_sample", "text_token_stats",
-    # (d) fill to 50 with the stalest round-5 rows (alphabetical
-    # first 2; the remaining — dup_graph_triangles onward — rotate
-    # in next round):
-    "doc_bpe_train", "doc_ngram_novelty",
+    # (d) fill to 50 with the stalest round-5 row (the remaining —
+    # doc_ngram_novelty onward — rotate in next round):
+    "doc_bpe_train",
 ]
 
 

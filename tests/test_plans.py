@@ -585,3 +585,19 @@ def test_path_analysis_topk_is_take_ordered(spark):
     for ln in plan.splitlines():
         if "Window" in ln and "WindowGroupLimit" not in ln:
             assert "user_id" in ln, ln
+
+
+def test_attribution_linear_join_is_bucketed_hash(spark):
+    """events_attribution_linear's purchase-touch candidate stage
+    must be a hash equi-join on (user_id, bkt) — never a nested-loop
+    range join — and the whole plan has no cartesian product; any
+    nested loop (the 1-row 'none' group) must be broadcast."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["events_attribution_linear"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "bkt" in plan
+    for ln in plan.splitlines():
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln, ln

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from xsarsea_spark.sources.tables import load
-from xsarsea_spark.suite.base import DSUM, spec
+from xsarsea_spark.suite.base import DSUM, QTRUNC, spec
 
 _US_SPARK = "(ts DIV 1000)"
 _US_DUCK = "epoch_us(ts)"
@@ -2393,3 +2393,93 @@ def q_events_path_analysis(spark: SparkSession,
                  .alias("n_users"))
             .orderBy(F.col("n_occurrences").desc(), F.col("path"))
             .limit(20))
+
+
+# ----------------------------------------------------------------------
+# LINEAR multi-touch attribution — the fractional-credit complement
+# to events_attribution's last-touch: every view/click touch in the
+# 7-day window strictly before a purchase shares the conversion
+# equally (credit 1/n). Spark meets purchase->touch candidates in a
+# bucketed hash equi-join (7-day buckets, purchases exploded to 2
+# covering buckets — the events_interval_overlap pattern, never an
+# unbounded range join); the oracle replays it as DuckDB's native
+# IEJoin, an algorithmically independent check. Per-purchase credit
+# shares pass a QTRUNC 1e-9 barrier BEFORE the exact DECIMAL rollup,
+# so the order-free sums agree cross-engine despite 1/n being a
+# non-terminating binary fraction.
+# ----------------------------------------------------------------------
+
+_ATTRL_US = 7 * 86_400_000_000
+
+
+def _attrl_oracle() -> str:
+    sq = QTRUNC("c / CAST(n AS DOUBLE)", 9)
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, value, {_US_DUCK} AS us
+  FROM events),
+p AS (SELECT event_id AS pid, user_id, us AS pus, value FROM e
+      WHERE event_type = 'purchase'),
+t AS (SELECT user_id, us AS tus, event_type AS ttype FROM e
+      WHERE event_type IN ('view', 'click')),
+j AS (SELECT p.pid, p.value, t.ttype FROM p JOIN t
+      ON t.user_id = p.user_id AND t.tus < p.pus
+     AND p.pus - t.tus <= {_ATTRL_US}),
+g1 AS (SELECT pid, value, ttype, COUNT(*) AS c FROM j
+       GROUP BY pid, value, ttype),
+g2 AS (SELECT pid, SUM(c) AS n FROM g1 GROUP BY pid),
+s AS (SELECT ttype, {sq} AS sq, value
+      FROM g1 JOIN g2 USING (pid))
+SELECT ttype AS touch_type, {DSUM('sq', 9)} AS credit,
+  {DSUM('sq * value')} AS credited_value
+FROM s GROUP BY ttype
+UNION ALL
+SELECT 'none' AS touch_type, CAST(COUNT(*) AS DOUBLE) AS credit,
+  {DSUM('value')} AS credited_value
+FROM p WHERE pid NOT IN (SELECT pid FROM g2)
+HAVING COUNT(*) > 0
+"""
+
+
+@spec(
+    "events_attribution_linear",
+    _attrl_oracle(),
+    description="Linear multi-touch attribution: every view/click in "
+                "the 7-day pre-purchase window shares credit 1/n — "
+                "bucketed hash equi-join candidates (purchases "
+                "exploded to 2 covering 7-day buckets) vs the "
+                "oracle's native IEJoin; QTRUNC'd shares feed exact "
+                "DECIMAL rollups",
+    tags=("events", "attribution", "join", "range"),
+)
+def q_events_attribution_linear(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").selectExpr(
+        "event_id", "user_id", "event_type", "value",
+        f"{_US_SPARK} AS us")
+    p = ev.filter("event_type = 'purchase'").selectExpr(
+        "event_id AS pid", "user_id", "us AS pus", "value")
+    t = (ev.filter("event_type IN ('view', 'click')")
+         .selectExpr("user_id", "us AS tus", "event_type AS ttype",
+                     f"tus DIV {_ATTRL_US} AS bkt"))
+    pe = p.selectExpr(
+        "pid", "user_id", "pus", "value",
+        f"explode(array(pus DIV {_ATTRL_US} - 1,"
+        f" pus DIV {_ATTRL_US})) AS bkt")
+    j = (pe.join(t, on=["user_id", "bkt"])
+         .filter(f"tus < pus AND pus - tus <= {_ATTRL_US}")
+         .select("pid", "value", "ttype"))
+    g1 = j.groupBy("pid", "value", "ttype").agg(
+        F.count(F.lit(1)).alias("c"))
+    g2 = g1.groupBy("pid").agg(F.sum("c").alias("n"))
+    sq = QTRUNC("c / CAST(n AS DOUBLE)", 9)
+    s = g1.join(g2, on="pid").selectExpr("ttype", f"{sq} AS sq",
+                                         "value")
+    att = s.groupBy(F.col("ttype").alias("touch_type")).agg(
+        F.expr(DSUM("sq", 9)).alias("credit"),
+        F.expr(DSUM("sq * value")).alias("credited_value"))
+    none = (p.join(g2, on="pid", how="left_anti")
+            .groupBy(F.lit("none").alias("touch_type"))
+            .agg(F.expr("CAST(COUNT(*) AS DOUBLE)").alias("credit"),
+                 F.expr(DSUM("value")).alias("credited_value")))
+    return att.unionByName(none)
