@@ -72,6 +72,7 @@ _PRIORITY = [
     "documents_warc_roundtrip", "events_active_users",
     "embedding_hard_negatives", "doc_domain_split",
     "events_path_analysis", "events_attribution_linear",
+    "doc_robots_filter",
     # (b) rows whose OUTPUT or lineage changed this round: the three
     # SA queries moved to one shared mod-7 corpus slice (values
     # changed with their oracles); the URL trio rides the
@@ -93,9 +94,8 @@ _PRIORITY = [
     "events_stream_dedup", "events_stream_interval_join",
     "lsh_ann_multiprobe", "lut_step_inference", "multimodal_features",
     "stratified_sample", "text_token_stats",
-    # (d) fill to 50 with the stalest round-5 row (the remaining —
-    # doc_ngram_novelty onward — rotate in next round):
-    "doc_bpe_train",
+    # window full at 50 with this round's additions; the stale
+    # round-5 cohort (doc_bpe_train onward) rotates in next round
 ]
 
 

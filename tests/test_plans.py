@@ -601,3 +601,18 @@ def test_attribution_linear_join_is_bucketed_hash(spark):
     for ln in plan.splitlines():
         if "NestedLoopJoin" in ln:
             assert "Broadcast" in ln, ln
+
+
+def test_robots_filter_plan_is_domain_keyed(spark):
+    """doc_robots_filter's verdict must be a domain equi-join (rules
+    frame vs URLs) + hash aggregation — no cartesian product, no
+    per-URL nested loop; the LIKE precedence lives inside the MAX
+    aggregate, not a join condition."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["doc_robots_filter"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln, ln

@@ -9277,3 +9277,120 @@ def q_doc_domain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prof.join(F.broadcast(leak)).select(
         "split", "n_docs", "n_domains", "sum_chars", "min_doc",
         "max_doc", "n_leaky_domains")
+
+
+# ----------------------------------------------------------------------
+# robots.txt compliance filter (RFC 9309) — the crawl-pipeline step
+# between URL discovery and fetch/keep. Same spec-as-data design as
+# the PSL operator: per-domain robots.txt BODIES are parsed once
+# into a rules frame (pipeline/robots.py — grouping, * wildcards,
+# $ anchors, longest-match precedence with Allow on ties, exact
+# agent group overriding *), and the verdict is one domain-keyed
+# equi-join + LIKE + integer-MAX precedence — no UDF. The synthetic
+# bodies give md5-even domains a 'mybot' group (so the eval agent's
+# exact group SHADOWS the * rules there — /admin/ flips allowed)
+# and every domain a * group exercising wildcard + anchor rules.
+# The driver-side parse is a distinct-sources collect: domains are
+# registry-cardinality (the ntile_grouped/broadcast contract), and
+# fetching one robots.txt per domain is exactly what a crawler does.
+# ----------------------------------------------------------------------
+
+_RB_DOMAIN = "concat(coalesce(source, ''), '.example')"
+_RB_PATH = (
+    "concat('/',"
+    " CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'private'"
+    " WHEN 1 THEN 'public' WHEN 2 THEN 'admin' ELSE 'blog' END,"
+    " '/page', doc_id % 20,"
+    " CASE WHEN doc_id % 5 = 0 THEN '.html' ELSE '' END)"
+)
+_RB_MYBOT = ("User-agent: mybot\nDisallow: /private/\n"
+             "Allow: /private/page1*\nDisallow: /blog/page1$\n")
+_RB_STAR = ("User-agent: *\nDisallow: /admin/\n"
+            "Disallow: /*.html$\nAllow: /blog/\n")
+
+
+def _robots_oracle() -> str:
+    from xsarsea_spark.pipeline.robots import (parse_robots_txt,
+                                               robots_like_pattern,
+                                               rule_specificity)
+
+    def values(body: str) -> str:
+        return ", ".join(
+            f"({is_allow}, '{robots_like_pattern(rule)}',"
+            f" {rule_specificity(rule)})"
+            for _a, is_allow, rule in parse_robots_txt(body))
+
+    h40 = _H40_DUCK.format(x="domain")
+    return f"""
+WITH doms AS (
+  SELECT DISTINCT {_RB_DOMAIN} AS domain FROM documents),
+pd AS (SELECT domain, ({h40}) % 2 = 0 AS has_mybot FROM doms),
+mr AS (SELECT * FROM (VALUES {values(_RB_MYBOT)})
+       AS t(is_allow, pattern, spec)),
+sr AS (SELECT * FROM (VALUES {values(_RB_STAR)})
+       AS t(is_allow, pattern, spec)),
+rules AS (
+  SELECT domain, is_allow, pattern, spec FROM pd, mr WHERE has_mybot
+  UNION ALL
+  SELECT domain, is_allow, pattern, spec FROM pd, sr
+  WHERE NOT has_mybot),
+urls AS (
+  SELECT doc_id, {_RB_DOMAIN} AS domain, {_RB_PATH} AS path
+  FROM documents),
+j AS (
+  SELECT u.doc_id, u.domain,
+    MAX(CASE WHEN u.path LIKE r.pattern
+        THEN r.spec * 2 + r.is_allow END) AS win
+  FROM urls u LEFT JOIN rules r ON r.domain = u.domain
+  GROUP BY u.doc_id, u.domain),
+v AS (SELECT doc_id, domain,
+        (win IS NULL OR win % 2 = 1) AS allowed FROM j)
+SELECT domain, COUNT(*) AS n_urls,
+  CAST(COUNT(CASE WHEN allowed THEN 1 END) AS BIGINT) AS n_allowed,
+  CAST(COUNT(CASE WHEN NOT allowed THEN 1 END) AS BIGINT)
+    AS n_blocked,
+  MIN(CASE WHEN NOT allowed THEN doc_id END) AS min_blocked
+FROM v GROUP BY domain
+"""
+
+
+@spec(
+    "doc_robots_filter",
+    _robots_oracle(),
+    description="RFC 9309 robots.txt compliance filter: per-domain "
+                "robots bodies parsed to a rules frame (grouping, * "
+                "wildcards, $ anchors, longest-match with Allow on "
+                "ties, exact agent group shadowing *), verdict via "
+                "one domain equi-join + LIKE + integer-MAX "
+                "precedence — no UDF; per-domain allow/block rollup",
+    tags=("pipeline", "text", "sampling"),
+)
+def q_doc_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from xsarsea_spark.pipeline.robots import (robots_rules_df,
+                                               with_robots_verdict)
+
+    docs = load(spark, sf_dir, "documents")
+    urls = docs.selectExpr("doc_id", f"{_RB_DOMAIN} AS domain",
+                           f"{_RB_PATH} AS path")
+    # one robots.txt body per domain — domains are source-cardinality
+    # (bounded, the broadcast contract); parity decides whether the
+    # exact 'mybot' group exists, matching the oracle's md5 test
+    domains = [r.domain for r in urls.select("domain").distinct()
+               .collect()]
+    bodies = []
+    for d in sorted(domains):
+        even = int(hashlib.md5(d.encode()).hexdigest()[:10],
+                   16) % 2 == 0
+        bodies.append((d, (_RB_MYBOT if even else "") + _RB_STAR))
+    rules = robots_rules_df(spark, bodies)
+    v = with_robots_verdict(urls, rules, "mybot")
+    return v.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.expr("CAST(COUNT(CASE WHEN allowed THEN 1 END) AS BIGINT)")
+        .alias("n_allowed"),
+        F.expr("CAST(COUNT(CASE WHEN NOT allowed THEN 1 END)"
+               " AS BIGINT)").alias("n_blocked"),
+        F.expr("MIN(CASE WHEN NOT allowed THEN doc_id END)")
+        .alias("min_blocked"))
