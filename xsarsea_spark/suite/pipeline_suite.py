@@ -9394,3 +9394,145 @@ def q_doc_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                " AS BIGINT)").alias("n_blocked"),
         F.expr("MIN(CASE WHEN NOT allowed THEN doc_id END)")
         .alias("min_blocked"))
+
+
+# ----------------------------------------------------------------------
+# STREAMING robots-gated ingest — the crawl-frontier production
+# order: the per-domain robots rules are compiled ONCE before the
+# stream starts (the offline-artifact shape stream_dsir_ingest
+# uses), every micro-batch is verdicted (RFC 9309 precedence) and
+# only allowed URLs proceed into the exactly-once URL-dedup core
+# (persisted bloom sidecar + exact anti-join backstop). Double
+# availableNow run over one checkpoint; final table value-equal to
+# the one-shot batch replay the oracle runs.
+# ----------------------------------------------------------------------
+
+
+def _stream_robots_oracle() -> str:
+    from xsarsea_spark.pipeline.robots import (parse_robots_txt,
+                                               robots_like_pattern,
+                                               rule_specificity)
+
+    def values(body: str) -> str:
+        return ", ".join(
+            f"({is_allow}, '{robots_like_pattern(rule)}',"
+            f" {rule_specificity(rule)})"
+            for _a, is_allow, rule in parse_robots_txt(body))
+
+    h40 = _H40_DUCK.format(x="domain")
+    return f"""
+WITH doms AS (
+  SELECT DISTINCT {_RB_DOMAIN} AS domain FROM documents),
+pd AS (SELECT domain, ({h40}) % 2 = 0 AS has_mybot FROM doms),
+mr AS (SELECT * FROM (VALUES {values(_RB_MYBOT)})
+       AS t(is_allow, pattern, spec)),
+sr AS (SELECT * FROM (VALUES {values(_RB_STAR)})
+       AS t(is_allow, pattern, spec)),
+rules AS (
+  SELECT domain, is_allow, pattern, spec FROM pd, mr WHERE has_mybot
+  UNION ALL
+  SELECT domain, is_allow, pattern, spec FROM pd, sr
+  WHERE NOT has_mybot),
+urls AS (
+  SELECT doc_id, COALESCE(n_chars, 0) AS n_chars,
+    {_RB_DOMAIN} AS domain, {_RB_PATH} AS path
+  FROM documents),
+j AS (
+  SELECT u.doc_id, u.n_chars, u.domain, u.path,
+    MAX(CASE WHEN u.path LIKE r.pattern
+        THEN r.spec * 2 + r.is_allow END) AS win
+  FROM urls u LEFT JOIN rules r ON r.domain = u.domain
+  GROUP BY u.doc_id, u.n_chars, u.domain, u.path),
+allowed AS (
+  SELECT doc_id, n_chars, domain, path,
+    md5(domain || path) AS digest
+  FROM j WHERE win IS NULL OR win % 2 = 1),
+kept AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+      (PARTITION BY digest ORDER BY doc_id) AS rn FROM allowed)
+  WHERE rn = 1)
+SELECT domain, COUNT(*) AS n_urls,
+  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM kept GROUP BY domain
+"""
+
+
+@spec(
+    "stream_robots_ingest",
+    _stream_robots_oracle(),
+    description="Structured-Streaming robots-gated ingest: RFC 9309 "
+                "rules compiled offline once, every micro-batch "
+                "verdicted (exact agent group, longest-match, Allow "
+                "ties) before the exactly-once URL-dedup core "
+                "(bloom sidecar + anti-join backstop); double "
+                "availableNow run value-equal to the batch replay",
+    tags=("pipeline", "streaming", "dedup", "sink"),
+)
+def q_stream_robots_ingest(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from xsarsea_spark.pipeline.ingest import ingest_curated_batch
+    from xsarsea_spark.pipeline.robots import (robots_rules_df,
+                                               with_robots_verdict)
+
+    base = scratch_path(spark, "stream_robots", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    table_dir = os.path.join(base, "table")
+    bloom_path = os.path.join(base, "bloom.parquet")
+    marker_path = os.path.join(base, "bloom_sync.txt")
+    ckpt_dir = os.path.join(base, "ckpt")
+
+    # offline artifact: rules compiled once from the historical
+    # corpus (domains are source-cardinality; one robots.txt per
+    # domain is exactly what a polite crawler has already fetched)
+    docs = load(spark, sf_dir, "documents")
+    domains = [r.domain for r in
+               docs.selectExpr(f"{_RB_DOMAIN} AS domain")
+               .distinct().collect()]
+    bodies = []
+    for d in sorted(domains):
+        even = int(hashlib.md5(d.encode()).hexdigest()[:10],
+                   16) % 2 == 0
+        bodies.append((d, (_RB_MYBOT if even else "") + _RB_STAR))
+    rules = robots_rules_df(spark, bodies)
+
+    def robots_prep(df: DataFrame) -> DataFrame:
+        urls = df.selectExpr(
+            "doc_id", "COALESCE(n_chars, 0L) AS n_chars",
+            f"{_RB_DOMAIN} AS domain", f"{_RB_PATH} AS path")
+        v = with_robots_verdict(urls, rules, "mybot")
+        return (v.filter("allowed").drop("allowed")
+                .withColumn("digest",
+                            F.expr("md5(concat(domain, path))")))
+
+    def ingest(df: DataFrame, batch_id: int) -> None:
+        ingest_curated_batch(
+            spark, df, table_dir, bloom_path, marker_path,
+            min_chars=0, zcols=["n_chars", "doc_id"],
+            zbits=_CUR_BITS, m_bits=_ING_BLOOM_BITS,
+            k=_ING_BLOOM_K, prep=robots_prep)
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+
+    def run_stream() -> None:
+        src = (spark.readStream.schema(schema)
+               .option("pathGlobFilter", "documents.parquet")
+               .parquet(sf_dir))
+        q = (src.writeStream.foreachBatch(ingest)
+             .option("checkpointLocation", ckpt_dir)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    run_stream()
+    run_stream()    # second run: zero new files -> no-op
+
+    back = spark.read.parquet(table_dir)
+    return back.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("sum_chars"))
