@@ -73,6 +73,7 @@ _PRIORITY = [
     "embedding_hard_negatives", "doc_domain_split",
     "events_path_analysis", "events_attribution_linear",
     "doc_robots_filter", "stream_robots_ingest",
+    "events_stream_attribution",
     # (b) rows whose OUTPUT or lineage changed this round: the three
     # SA queries moved to one shared mod-7 corpus slice (values
     # changed with their oracles); the URL trio rides the
@@ -93,9 +94,8 @@ _PRIORITY = [
     "events_snapshot_cdc", "events_stream_cohort",
     "events_stream_dedup", "events_stream_interval_join",
     "lsh_ann_multiprobe", "lut_step_inference", "multimodal_features",
-    "stratified_sample",
-    # text_token_stats displaced by the round's last addition;
-    # rotates in next round with the rest of the stale cohort
+    # text_token_stats + stratified_sample displaced by the round's
+    # last additions; they rotate in next round with the stale cohort
     # window full at 50 with this round's additions; the stale
     # round-5 cohort (doc_bpe_train onward) rotates in next round
 ]

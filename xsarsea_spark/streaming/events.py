@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["events_stream", "stream_hourly_counts",
+           "stream_attribution",
            "stream_hourly_to_parquet", "read_latest_batch",
            "stream_user_profile_tws",
            "stream_minute_dedup", "stream_sessionize",
@@ -533,3 +534,65 @@ def stream_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_users").over(w).cast("bigint")
         .alias("cumulative_users"),
     )
+
+
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming last-touch attribution via
+    applyInPandasWithState: per-user state is ONE packed BIGINT (the
+    latest view/click touch, ``us * 4 + type_code``), carried across
+    micro-batches; each purchase row is emitted with the touch type
+    that gets its credit under the 7-day lookback.
+
+    Value-identical to the batch window form (events_attribution):
+    rows are folded in ascending (us, event_id) order, touches
+    update the carry BEFORE any later-ordered purchase in the same
+    batch reads it — exactly the ``ROWS UNBOUNDED PRECEDING TO 1
+    PRECEDING`` running max — and the packed encoding breaks
+    same-microsecond ties identically (click > view)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    lookback = 7 * 86_400_000_000
+    ev = (
+        events_stream(spark, sf_dir)
+        .withWatermark("event_time", "1 hour")
+        .select("user_id", "event_id", "event_type", "value", "ts")
+    )
+    out_schema = "touch_type string, value double"
+    state_schema = "enc bigint"
+
+    def fn(key, pdfs, state: GroupState):
+        df = pd.concat(list(pdfs))
+        df = df.assign(__us=df["ts"] // 1000).sort_values(
+            ["__us", "event_id"])
+        enc = state.get[0] if state.exists else None
+        out_t, out_v = [], []
+        for r in df.itertuples():
+            us = None if pd.isna(r.ts) else int(r.ts) // 1000
+            if r.event_type in ("view", "click") and us is not None:
+                cand = us * 4 + (2 if r.event_type == "click" else 1)
+                enc = cand if enc is None else max(enc, cand)
+            elif r.event_type == "purchase":
+                # mirrors the batch CASE: NULL carry -> 'none';
+                # a NULL purchase time skips the lookback test
+                # (NULL comparison is not-true), keeping the type
+                if enc is None or (us is not None
+                                   and us - enc // 4 > lookback):
+                    t = "none"
+                else:
+                    t = "click" if enc % 4 == 2 else "view"
+                out_t.append(t)
+                out_v.append(None if pd.isna(r.value)
+                             else float(r.value))
+        if enc is not None:
+            state.update((enc,))
+        yield pd.DataFrame({"touch_type": pd.Series(out_t,
+                                                    dtype="object"),
+                            "value": pd.Series(out_v,
+                                               dtype="float64")})
+
+    att = ev.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
+    return _run_to_memory(att, "update")

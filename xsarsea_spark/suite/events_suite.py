@@ -2483,3 +2483,23 @@ def q_events_attribution_linear(spark: SparkSession,
             .agg(F.expr("CAST(COUNT(*) AS DOUBLE)").alias("credit"),
                  F.expr(DSUM("value")).alias("credited_value")))
     return att.unionByName(none)
+
+
+@spec(
+    "events_stream_attribution",
+    _ATTR_ORACLE,
+    description="Stateful streaming last-touch attribution "
+                "(applyInPandasWithState): per-user carry is one "
+                "packed BIGINT crossing micro-batches; same oracle "
+                "as the batch window form — the stateful fold IS the "
+                "running max",
+    tags=("events", "streaming", "attribution"),
+)
+def q_events_stream_attribution(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from xsarsea_spark.streaming.events import stream_attribution
+
+    att = stream_attribution(spark, sf_dir)
+    return att.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.expr(DSUM("value")).alias("attributed_value"))
