@@ -73,7 +73,7 @@ _PRIORITY = [
     "embedding_hard_negatives", "doc_domain_split",
     "events_path_analysis", "events_attribution_linear",
     "doc_robots_filter", "stream_robots_ingest",
-    "events_stream_attribution",
+    "events_stream_attribution", "doc_crawl_frontier",
     # (b) rows whose OUTPUT or lineage changed this round: the three
     # SA queries moved to one shared mod-7 corpus slice (values
     # changed with their oracles); the URL trio rides the
@@ -93,9 +93,10 @@ _PRIORITY = [
     "events_salted_join", "events_scd2_history",
     "events_snapshot_cdc", "events_stream_cohort",
     "events_stream_dedup", "events_stream_interval_join",
-    "lsh_ann_multiprobe", "lut_step_inference", "multimodal_features",
-    # text_token_stats + stratified_sample displaced by the round's
-    # last additions; they rotate in next round with the stale cohort
+    "lsh_ann_multiprobe", "lut_step_inference",
+    # text_token_stats, stratified_sample and multimodal_features
+    # displaced by the round's last additions; they rotate in next
+    # round with the stale cohort
     # window full at 50 with this round's additions; the stale
     # round-5 cohort (doc_bpe_train onward) rotates in next round
 ]

@@ -616,3 +616,20 @@ def test_robots_filter_plan_is_domain_keyed(spark):
     for ln in plan.splitlines():
         if "NestedLoopJoin" in ln:
             assert "Broadcast" in ln, ln
+
+
+def test_crawl_frontier_ranks_are_two_pass(spark):
+    """doc_crawl_frontier's per-domain slot and global fetch order
+    must both ride the two-pass distributed rank: every Window in
+    the plan is __pid-partitioned (never a per-domain or global
+    single-partition sort), no cartesian product, nested loops only
+    broadcast."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["doc_crawl_frontier"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    _assert_all_windows_pid_partitioned(plan)
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln, ln

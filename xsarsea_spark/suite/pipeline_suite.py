@@ -9536,3 +9536,65 @@ def q_stream_robots_ingest(spark: SparkSession,
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
         F.expr("CAST(SUM(n_chars) AS BIGINT)").alias("sum_chars"))
+
+
+# ----------------------------------------------------------------------
+# Politeness-fair crawl-frontier schedule — the fetch ordering a
+# crawler runs AFTER robots filtering and URL dedup: one URL per
+# domain per round (round-robin across domains), so no host is
+# hammered while the frontier drains. Both ranks ride the two-pass
+# distributed rank: the in-domain slot is global_rank over (domain,
+# priority, path) minus each domain's broadcast first-rank offset
+# (domains are source-cardinality — the broadcast contract), and the
+# global fetch order is a second global_rank over (slot, domain,
+# path). NO per-domain or corpus-wide single-partition sort exists
+# in the plan at any frontier size (plan-asserted); the oracle
+# replays both as native ROW_NUMBER windows.
+# ----------------------------------------------------------------------
+
+_FRONTIER_ORACLE = f"""
+WITH u AS (
+  SELECT {_RB_DOMAIN} AS domain, {_RB_PATH} AS path,
+    MIN(doc_id) AS priority
+  FROM documents GROUP BY 1, 2),
+s AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
+      ORDER BY priority, path) AS slot
+  FROM u)
+SELECT domain, path, priority, CAST(slot AS BIGINT) AS slot,
+  CAST(ROW_NUMBER() OVER (ORDER BY slot, domain, path) AS BIGINT)
+    AS fetch_order
+FROM s
+"""
+
+
+@spec(
+    "doc_crawl_frontier",
+    _FRONTIER_ORACLE,
+    description="Politeness-fair crawl-frontier schedule: per-domain "
+                "slot + round-robin global fetch order, both via the "
+                "two-pass distributed rank (no per-domain or "
+                "corpus-wide single-partition sort at any size)",
+    tags=("pipeline", "sampling", "rank"),
+)
+def q_doc_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.rank import global_rank
+
+    docs = load(spark, sf_dir, "documents")
+    u = (docs.selectExpr(f"{_RB_DOMAIN} AS domain",
+                         f"{_RB_PATH} AS path", "doc_id")
+         .groupBy("domain", "path")
+         .agg(F.min("doc_id").alias("priority")))
+    ranked = global_rank(
+        u, [F.col("domain").asc(), F.col("priority").asc(),
+            F.col("path").asc()], rank_col="__gr")
+    first = ranked.groupBy("domain").agg(
+        F.min("__gr").alias("__first"))
+    s = (ranked.join(F.broadcast(first), on="domain")
+         .selectExpr("domain", "path", "priority",
+                     "CAST(__gr - __first + 1 AS BIGINT) AS slot"))
+    out = global_rank(
+        s, [F.col("slot").asc(), F.col("domain").asc(),
+            F.col("path").asc()], rank_col="__fo")
+    return out.selectExpr("domain", "path", "priority", "slot",
+                          "CAST(__fo AS BIGINT) AS fetch_order")
