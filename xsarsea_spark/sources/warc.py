@@ -43,8 +43,8 @@ never ship one giant file).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    DataSourceWriter, InputPartition,
+from pyspark.sql.datasource import (DataSource, DataSourceArrowWriter,
+                                    DataSourceReader, InputPartition,
                                     WriterCommitMessage)
 from pyspark.sql.types import (BinaryType, LongType, MapType,
                                StringType, StructField, StructType)
@@ -120,12 +120,25 @@ def parse_warc_bytes(buf: bytes):
             raise ValueError(
                 f"warc: expected record header at byte {pos}, found "
                 f"{buf[pos:pos + 16]!r}")
-        # header block ends at the first blank line
-        sep = buf.find(b"\r\n\r\n", pos)
-        sep_len = 4
-        lf = buf.find(b"\n\n", pos)
-        if sep < 0 or (0 <= lf < sep):
-            sep, sep_len = lf, 2
+        # header block ends at the first blank line. Walk newline to
+        # newline (O(header), NOT buf.find of a fixed blank-line
+        # token — searching b"\n\n" in a CRLF file never matches and
+        # would rescan the whole remaining buffer per record, an
+        # O(n^2) trap at crawl-segment sizes)
+        sep = -1
+        scan = pos
+        while True:
+            nl = buf.find(b"\n", scan)
+            if nl < 0:
+                break
+            nxt = buf[nl + 1:nl + 3]
+            if nxt[:1] == b"\n":                 # \n\n
+                sep, body_at = nl, nl + 2
+                break
+            if nxt == b"\r\n":                   # \n\r\n
+                sep, body_at = nl, nl + 3
+                break
+            scan = nl + 1
         if sep < 0:
             raise ValueError("warc: unterminated header block")
         head = buf[pos:sep].decode("utf-8")
@@ -133,8 +146,12 @@ def parse_warc_bytes(buf: bytes):
         # split on the spec's CRLF (LF-only tolerated) — NOT
         # str.splitlines(), which also splits on NEL/VT/FF/U+2028
         # and would truncate header values containing them; trim
-        # only ASCII space/tab, never unicode whitespace
+        # only ASCII space/tab, never unicode whitespace. A lone
+        # trailing \r per line is CRLF framing (raw \r in values is
+        # always %0D-escaped), stripped before the key/value split.
         for line in head.replace("\r\n", "\n").split("\n")[1:]:
+            if line.endswith("\r"):
+                line = line[:-1]
             if not line.strip(" \t"):
                 continue
             k, _, v = line.partition(":")
@@ -143,7 +160,6 @@ def parse_warc_bytes(buf: bytes):
             clen = int(headers["content-length"])
         except KeyError:
             raise ValueError("warc: record without Content-Length")
-        body_at = sep + sep_len
         payload = buf[body_at:body_at + clen]
         if len(payload) != clen:
             raise ValueError("warc: truncated payload")
@@ -242,7 +258,12 @@ class _Done(WriterCommitMessage):
         self.path = path
 
 
-class _WarcWriter(DataSourceWriter):
+class _WarcWriter(DataSourceArrowWriter):
+    """Arrow-batch writer (the Spark 4 `DataSourceArrowWriter` path):
+    rows arrive as pyarrow RecordBatches, columns drop to Python
+    lists through Arrow's C conversion once per batch — no Spark Row
+    materialization on the hot path."""
+
     def __init__(self, options, schema: StructType):
         self.path = options.get("path")
         if not self.path:
@@ -263,22 +284,25 @@ class _WarcWriter(DataSourceWriter):
         self.meta = [(i, n) for i, n in enumerate(names)
                      if i != self.pay_at]
 
-    def write(self, rows):
+    def write(self, batches):
         import gzip
         import os
         import uuid
 
         chunks: list[bytes] = []
-        for row in rows:
-            raw = row[self.pay_at]
-            if isinstance(raw, str):
-                raw = raw.encode("utf-8")
-            headers = {"WARC-Type": "resource"}
-            for i, name in self.meta:
-                v = row[i]
-                if v is not None:
-                    headers[f"WARC-X-{name}"] = str(v)
-            chunks.append(build_warc_record(headers, raw))
+        for batch in batches:
+            pay = batch.column(self.pay_at).to_pylist()
+            metas = [(name, batch.column(i).to_pylist())
+                     for i, name in self.meta]
+            for r, raw in enumerate(pay):
+                if isinstance(raw, str):
+                    raw = raw.encode("utf-8")
+                headers = {"WARC-Type": "resource"}
+                for name, col in metas:
+                    v = col[r]
+                    if v is not None:
+                        headers[f"WARC-X-{name}"] = str(v)
+                chunks.append(build_warc_record(headers, raw))
         os.makedirs(self.path, exist_ok=True)
         ext = ".warc.gz" if self.gzip else ".warc"
         dest = os.path.join(self.path,
