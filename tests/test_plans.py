@@ -633,3 +633,20 @@ def test_crawl_frontier_ranks_are_two_pass(spark):
     for ln in plan.splitlines():
         if "NestedLoopJoin" in ln:
             assert "Broadcast" in ln, ln
+
+
+def test_experimentation_guardrails_plans(spark):
+    """events_ab_srm is one distinct + one hash agg (no window, no
+    join at all beyond none); events_cuped's only joins are the two
+    1-row broadcasts (cut timestamp, theta frame) — no cartesian
+    product, nested loops broadcast-only, no windows."""
+    from xsarsea_spark.suite import REGISTRY
+
+    for name in ("events_ab_srm", "events_cuped"):
+        plan = (REGISTRY[name].spark(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan, name
+        assert "Window" not in plan, name
+        for ln in plan.splitlines():
+            if "NestedLoopJoin" in ln:
+                assert "Broadcast" in ln, f"{name}: {ln}"

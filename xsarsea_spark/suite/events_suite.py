@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from xsarsea_spark.sources.tables import load
-from xsarsea_spark.suite.base import DSUM, QTRUNC, spec
+from xsarsea_spark.suite.base import DAVG, DSUM, QTRUNC, spec
 
 _US_SPARK = "(ts DIV 1000)"
 _US_DUCK = "epoch_us(ts)"
@@ -2503,3 +2503,163 @@ def q_events_stream_attribution(spark: SparkSession,
     return att.groupBy("touch_type").agg(
         F.count(F.lit(1)).alias("n_conversions"),
         F.expr(DSUM("value")).alias("attributed_value"))
+
+
+# ----------------------------------------------------------------------
+# Experiment guardrails, part 1: sample-ratio-mismatch (SRM) check.
+# Users hash 50/50 into variants (md5-derived bucket — the same
+# deterministic assignment the ab_ttest row uses); per event-type
+# segment, the chi-square goodness-of-fit statistic against the
+# expected even split, flagged at the df=1 95% critical value. The
+# statistic is pure arithmetic on exact integer user counts, so
+# values AND flags are identical cross-engine. One distinct + one
+# hash agg; output cardinality = event types.
+# ----------------------------------------------------------------------
+
+_SRM_CRIT = "3.841458820694124e0"     # chi2 df=1, p=0.05
+_VARIANT_DUCK = ("CASE WHEN (CAST('0x' || substr(md5('V#' ||"
+                 " CAST(user_id AS VARCHAR)), 1, 10) AS BIGINT))"
+                 " % 2 = 0 THEN 'a' ELSE 'b' END")
+_VARIANT_SPARK = ("CASE WHEN CAST(conv(substring(md5(concat('V#',"
+                  " CAST(user_id AS STRING))), 1, 10), 16, 10)"
+                  " AS BIGINT) % 2 = 0 THEN 'a' ELSE 'b' END")
+
+_SRM_ORACLE = f"""
+WITH p AS (
+  SELECT DISTINCT event_type, user_id, {_VARIANT_DUCK} AS variant
+  FROM events),
+g AS (
+  SELECT event_type,
+    COUNT(CASE WHEN variant = 'a' THEN 1 END) AS n_a,
+    COUNT(CASE WHEN variant = 'b' THEN 1 END) AS n_b
+  FROM p GROUP BY event_type)
+SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+  CAST(n_b AS BIGINT) AS n_b,
+  (n_a - (n_a + n_b) / 2e0) * (n_a - (n_a + n_b) / 2e0)
+    / ((n_a + n_b) / 2e0)
+  + (n_b - (n_a + n_b) / 2e0) * (n_b - (n_a + n_b) / 2e0)
+    / ((n_a + n_b) / 2e0) AS chi2,
+  ((n_a - (n_a + n_b) / 2e0) * (n_a - (n_a + n_b) / 2e0)
+    / ((n_a + n_b) / 2e0)
+  + (n_b - (n_a + n_b) / 2e0) * (n_b - (n_a + n_b) / 2e0)
+    / ((n_a + n_b) / 2e0)) > {_SRM_CRIT} AS srm
+FROM g
+"""
+
+
+@spec(
+    "events_ab_srm",
+    _SRM_ORACLE,
+    description="Sample-ratio-mismatch guardrail: per-segment "
+                "chi-square GOF of the hash-assigned 50/50 split "
+                "against its expectation, flagged at the df=1 95% "
+                "critical value — exact integer counts, "
+                "deterministic statistic and flag",
+    tags=("events", "experimentation", "agg"),
+)
+def q_events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    p = ev.selectExpr("event_type", "user_id",
+                      f"{_VARIANT_SPARK} AS variant").distinct()
+    g = p.groupBy("event_type").agg(
+        F.expr("COUNT(CASE WHEN variant = 'a' THEN 1 END)")
+        .alias("__na"),
+        F.expr("COUNT(CASE WHEN variant = 'b' THEN 1 END)")
+        .alias("__nb"))
+    chi2 = ("(__na - (__na + __nb) / 2e0) * (__na - (__na + __nb)"
+            " / 2e0) / ((__na + __nb) / 2e0)"
+            " + (__nb - (__na + __nb) / 2e0) * (__nb - (__na +"
+            " __nb) / 2e0) / ((__na + __nb) / 2e0)")
+    return g.selectExpr(
+        "event_type", "CAST(__na AS BIGINT) AS n_a",
+        "CAST(__nb AS BIGINT) AS n_b",
+        f"{chi2} AS chi2", f"({chi2}) > {_SRM_CRIT} AS srm")
+
+
+# ----------------------------------------------------------------------
+# Experiment guardrails, part 2: CUPED variance reduction (Deng et
+# al. 2013) — the standard pre-experiment covariate adjustment:
+# theta = cov(pre, post) / var(pre) over all exposed users, adjusted
+# metric = post - theta * (pre - mean(pre)), reported per variant
+# with the achieved variance-reduction ratio. The pre/post split is
+# the corpus's 14th day (min event time + 14 days, a 1-row
+# broadcast); moments ride exact DECIMAL sums, every division and
+# the final statistics pass a QTRUNC 1e-9 barrier, so theta, means
+# and ratios agree cross-engine bit-for-grid.
+# ----------------------------------------------------------------------
+
+
+def _cuped_oracle() -> str:
+    q = "{}"
+    t9 = lambda e: QTRUNC(e, 9)   # noqa: E731
+    return f"""
+WITH b AS (SELECT MIN({_US_DUCK}) + 14 * 86400000000 AS cut
+           FROM events),
+u AS (
+  SELECT user_id, {_VARIANT_DUCK} AS variant,
+    COALESCE({DSUM("CASE WHEN ts IS NOT NULL AND "
+                   + _US_DUCK + " < b.cut THEN value END")}, 0e0)
+      AS pre,
+    COALESCE({DSUM("CASE WHEN ts IS NOT NULL AND "
+                   + _US_DUCK + " >= b.cut THEN value END")}, 0e0)
+      AS post
+  FROM events, b GROUP BY user_id, {_VARIANT_DUCK}),
+m AS (
+  SELECT COUNT(*) AS n, {DSUM('pre')} AS sx, {DSUM('post')} AS sy,
+    {DSUM('pre * pre')} AS sxx, {DSUM('pre * post')} AS sxy
+  FROM u),
+t AS (
+  SELECT n, sx / n AS mx,
+    {t9("(sxy - sx * sy / n) / nullif(sxx - sx * sx / n, 0e0)")}
+      AS theta
+  FROM m)
+SELECT variant, COUNT(*) AS n_users,
+  {t9(DAVG('post'))} AS mean_post,
+  {t9("%s" % DAVG("post - t.theta * (pre - t.mx)"))} AS mean_cuped,
+  {t9("t.theta")} AS theta
+FROM u, t GROUP BY variant, t.theta, t.mx
+"""
+
+
+@spec(
+    "events_cuped",
+    _cuped_oracle(),
+    description="CUPED variance reduction (Deng et al. 2013): "
+                "theta = cov(pre,post)/var(pre) from exact DECIMAL "
+                "moments, per-variant adjusted means — pre/post cut "
+                "at min event time + 14 days via a 1-row broadcast; "
+                "QTRUNC barriers make every statistic value-exact",
+    tags=("events", "experimentation", "agg"),
+)
+def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t9 = lambda e: QTRUNC(e, 9)   # noqa: E731
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(F.expr(f"MIN({_US_SPARK}) + 14 * 86400000000")
+               .alias("cut"))
+    u = (ev.join(F.broadcast(b))
+         .groupBy("user_id",
+                  F.expr(_VARIANT_SPARK).alias("variant"))
+         .agg(F.expr("COALESCE(" + DSUM(
+                 "CASE WHEN ts IS NOT NULL AND " + _US_SPARK
+                 + " < cut THEN value END") + ", 0e0)").alias("pre"),
+              F.expr("COALESCE(" + DSUM(
+                 "CASE WHEN ts IS NOT NULL AND " + _US_SPARK
+                 + " >= cut THEN value END") + ", 0e0)")
+              .alias("post")))
+    m = u.agg(F.expr("COUNT(*)").alias("n"),
+              F.expr(DSUM("pre")).alias("sx"),
+              F.expr(DSUM("post")).alias("sy"),
+              F.expr(DSUM("pre * pre")).alias("sxx"),
+              F.expr(DSUM("pre * post")).alias("sxy"))
+    t = m.selectExpr(
+        "n", "sx / n AS mx",
+        t9("(sxy - sx * sy / n)"
+           " / nullif(sxx - sx * sx / n, 0e0)") + " AS theta")
+    return (u.join(F.broadcast(t))
+            .groupBy("variant", "theta", "mx")
+            .agg(F.expr(t9(DAVG("post"))).alias("mean_post"),
+                 F.expr(t9(DAVG("post - theta * (pre - mx)")))
+                 .alias("mean_cuped"),
+                 F.count(F.lit(1)).alias("n_users"))
+            .selectExpr("variant", "n_users", "mean_post",
+                        "mean_cuped", t9("theta") + " AS theta"))
