@@ -1231,3 +1231,29 @@ def q_documents_warc_roundtrip(spark: SparkSession,
                 "CAST(headers['warc-x-n_chars'] AS BIGINT)"
                 " AS n_chars"))
     return _roundtrip_profile(back)
+
+
+@spec(
+    "documents_xml_roundtrip",
+    _RT_ORACLE,
+    description="XML source round trip (Spark 4 native StaxXML): "
+                "documents written one <doc> row element each, read "
+                "back with an explicit schema and surrounding-space "
+                "trimming disabled — same byte-fidelity profile as "
+                "the JSONL/CSV/ORC/WARC trips; entity escaping of "
+                "text content is the format's own concern and must "
+                "be transparent",
+    tags=("sources", "formats"),
+)
+def q_documents_xml_roundtrip(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    base = _rt_base(spark, sf_dir, "xml")
+    (docs.write.mode("overwrite")
+     .format("xml").option("rowTag", "doc")
+     .save(base))
+    back = (spark.read.schema(docs.schema)
+            .format("xml").option("rowTag", "doc")
+            .option("ignoreSurroundingSpaces", "false")
+            .load(base))
+    return _roundtrip_profile(back)
