@@ -9598,3 +9598,92 @@ def q_doc_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("path").asc()], rank_col="__fo")
     return out.selectExpr("domain", "path", "priority", "slot",
                           "CAST(__fo AS BIGINT) AS fetch_order")
+
+
+# ----------------------------------------------------------------------
+# Maximum-inner-product search (MIPS) via the augmented-vector
+# reduction (Bachrach et al. 2014): append sqrt(M^2 - ||c||^2) to
+# every corpus vector (M = max corpus norm, a 1-row broadcast) and 0
+# to queries; then squared L2 over the augmented space is
+# ||q||^2 + M^2 - 2<q,c>, so NEAREST-neighbor machinery answers the
+# MAX-DOT-PRODUCT query — the recommendation-retrieval reduction
+# that lets one ANN index serve both metrics. Executed here exactly:
+# the augmented distance is a fixed-order fold (sqrt is IEEE-exact,
+# so the augmentation introduces no engine divergence), ranked
+# ascending with id tie-breaks; the reported score is the DIRECT dot
+# product of each chosen neighbor, making the reduction's
+# correctness visible in the output (rank order must be descending
+# in dot).
+# ----------------------------------------------------------------------
+
+
+def _mips_oracle() -> str:
+    d = _CND_DIM
+    nrm2 = (f"list_reduce(list_transform(range(1, {d + 1}),"
+            f" i -> CAST(embedding[i] AS DOUBLE)"
+            f" * CAST(embedding[i] AS DOUBLE)), (a, b) -> a + b)")
+    dot = (f"list_reduce(list_transform(range(1, {d + 1}),"
+           f" i -> CAST(q.qv[i] AS DOUBLE)"
+           f" * CAST(c.embedding[i] AS DOUBLE)), (a, b) -> a + b)")
+    return f"""
+WITH e AS (SELECT vec_id, embedding, {nrm2} AS n2 FROM embeddings),
+m AS (SELECT MAX(n2) AS m2 FROM e),
+c AS (SELECT vec_id, embedding, n2, sqrt(m.m2 - n2) AS aug
+      FROM e, m),
+q AS (SELECT vec_id AS query_id, embedding AS qv, n2 AS qn2
+      FROM e WHERE vec_id < {_KNN_NQ}),
+s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+    ({dot}) AS dot,
+    q.qn2 - 2 * ({dot}) + c.n2 + c.aug * c.aug AS aug_d2
+  FROM q JOIN c ON c.vec_id <> q.query_id)
+SELECT query_id, rank, neighbor_id, dot FROM (
+  SELECT query_id, neighbor_id, dot,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY aug_d2 ASC, neighbor_id ASC) AS rank
+  FROM s)
+WHERE rank <= {_KNN_K}
+"""
+
+
+@spec(
+    "embedding_mips_topk",
+    _mips_oracle(),
+    description="Maximum-inner-product top-k via the augmented-"
+                "vector reduction (append sqrt(M^2-||c||^2); L2 "
+                "order becomes dot order): nearest-neighbor "
+                "machinery answers the recommendation-style max-dot "
+                "query; reported scores are the direct dot products "
+                "of the chosen neighbors",
+    tags=("pipeline", "similarity"),
+)
+def q_embedding_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _CND_DIM
+    emb = load(spark, sf_dir, "embeddings")
+    nrm2 = (f"aggregate(transform(sequence(1, {d}),"
+            f" i -> CAST(element_at(embedding, i) AS DOUBLE)"
+            f" * CAST(element_at(embedding, i) AS DOUBLE)),"
+            f" 0d, (a, b) -> a + b)")
+    e = emb.selectExpr("vec_id", "embedding", f"{nrm2} AS n2")
+    m = e.agg(F.expr("MAX(n2)").alias("m2"))
+    c = (e.join(F.broadcast(m))
+         .selectExpr("vec_id", "embedding", "n2",
+                     "sqrt(m2 - n2) AS aug"))
+    q = (e.filter(F.col("vec_id") < _KNN_NQ)
+         .selectExpr("vec_id AS query_id", "embedding AS qv",
+                     "n2 AS qn2"))
+    dot = (f"aggregate(zip_with(qv, embedding,"
+           f" (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),"
+           f" 0d, (acc, x) -> acc + x)")
+    s = (c.withColumnRenamed("vec_id", "neighbor_id")
+         .join(F.broadcast(q),
+               F.col("query_id") != F.col("neighbor_id"))
+         .selectExpr("query_id", "neighbor_id", f"({dot}) AS dot",
+                     f"qn2 - 2 * ({dot}) + n2 + aug * aug"
+                     " AS aug_d2"))
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("aug_d2").asc(), F.col("neighbor_id").asc())
+    return (s.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= _KNN_K)
+            .select("query_id", "rank", "neighbor_id", "dot"))
