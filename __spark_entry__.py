@@ -74,6 +74,8 @@ _PRIORITY = [
     "events_path_analysis", "events_attribution_linear",
     "doc_robots_filter", "stream_robots_ingest",
     "events_stream_attribution", "doc_crawl_frontier",
+    "events_ab_srm", "events_cuped", "embedding_mips_topk",
+    "documents_xml_roundtrip",
     # (b) rows whose OUTPUT or lineage changed this round: the three
     # SA queries moved to one shared mod-7 corpus slice (values
     # changed with their oracles); the URL trio rides the
@@ -85,18 +87,19 @@ _PRIORITY = [
     # (c) the full stale round-4 cohort — six rounds since their
     # last driver row (sketch family, funnel/retention, SCD2/CDC,
     # stream dedup/cohort/interval-join, multiprobe ANN):
-    "events_bloom_prefilter", "events_countmin",
-    "events_dd_quantiles", "events_funnel", "events_gapfill_interp",
+    "events_bloom_prefilter",
+    "events_dd_quantiles", "events_funnel",
     "events_hll_distinct", "events_hourly_anomaly",
-    "events_kmv_distinct", "events_markov_transitions",
-    "events_minute_dedup", "events_pivot", "events_retention",
+    "events_markov_transitions",
+    "events_minute_dedup", "events_retention",
     "events_salted_join", "events_scd2_history",
     "events_snapshot_cdc", "events_stream_cohort",
     "events_stream_dedup", "events_stream_interval_join",
     "lsh_ann_multiprobe", "lut_step_inference",
-    # text_token_stats, stratified_sample and multimodal_features
-    # displaced by the round's last additions; they rotate in next
-    # round with the stale cohort
+    # displaced by the round's late additions (rotate in next round
+    # with the stale cohort): text_token_stats, stratified_sample,
+    # multimodal_features, events_countmin, events_kmv_distinct,
+    # events_pivot, events_gapfill_interp
     # window full at 50 with this round's additions; the stale
     # round-5 cohort (doc_bpe_train onward) rotates in next round
 ]

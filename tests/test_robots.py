@@ -116,3 +116,25 @@ def test_like_metachars_stay_literal(spark):
     v = _verdicts(spark, "User-agent: *\nDisallow: /100%",
                   ["/100%done", "/100done"])
     assert v == {"/100%done": False, "/100done": True}
+
+
+def test_duplicate_rows_and_colliding_columns_survive(spark):
+    body = "User-agent: *\nDisallow: /x\n"
+    rules = robots_rules_df(spark, [("d.example", body)])
+    # duplicate (domain, path) rows must NOT collapse, and an input
+    # column named 'pattern' must not collide with the rules side
+    df = spark.createDataFrame(
+        [("d.example", "/x/1", "p0"), ("d.example", "/x/1", "p0"),
+         ("d.example", "/y", "p1")],
+        "domain string, path string, pattern string")
+    out = with_robots_verdict(df, rules, "bot").collect()
+    assert len(out) == 3
+    got = sorted((r.path, r.pattern, r.allowed) for r in out)
+    assert got == [("/x/1", "p0", False), ("/x/1", "p0", False),
+                   ("/y", "p1", True)]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="__rb_"):
+        with_robots_verdict(
+            df.withColumnRenamed("pattern", "__rb_pattern"),
+            rules, "bot")

@@ -132,3 +132,16 @@ def test_temperature_apportionment_sums_to_budget(spark):
     for lg in order[:left]:
         base[lg] += 1
     assert budgets == base, (budgets, base)
+
+
+def test_dsir_threshold_empty_history_is_one_row_admit_all(spark):
+    """The 1-row contract must hold for an EMPTY history: a 0-row
+    threshold frame crossJoined into an ingest prep would silently
+    drop every micro-batch forever. Empty history -> one row with a
+    NULL threshold (= admit everything)."""
+    from xsarsea_spark.pipeline.dsir import dsir_threshold
+
+    empty = spark.createDataFrame([], "doc_id long, logw double")
+    rows = dsir_threshold(empty).collect()
+    assert len(rows) == 1
+    assert rows[0]["__thr"] is None

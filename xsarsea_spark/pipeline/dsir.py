@@ -185,7 +185,14 @@ def dsir_threshold(scored: DataFrame, frac: float = DSIR_FRAC,
     ceil(frac * n) under (weight DESC, id ASC) — the acceptance
     threshold a streaming DSIR ingest applies to every incoming
     batch (>= semantics: ties AT the threshold are all admitted,
-    the natural streaming relaxation of exact top-k)."""
+    the natural streaming relaxation of exact top-k).
+
+    The 1-row contract holds for EMPTY history too: with no scored
+    rows the threshold frame still has one row, with a NULL ``__thr``
+    that the consumer reads as admit-everything (``coalesce`` below).
+    Without it, a crossJoin against a 0-row frame would silently
+    drop every incoming micro-batch forever — the worst possible
+    failure mode for an ingest gate."""
     from xsarsea_spark.engine import materialize
 
     scored = materialize(scored)
@@ -195,6 +202,9 @@ def dsir_threshold(scored: DataFrame, frac: float = DSIR_FRAC,
         scored,
         [F.col(weight_col).desc(), F.col(id_col).asc()],
         rank_col="__rk")
-    return (ranked.crossJoin(F.broadcast(k))
+    at_k = (ranked.crossJoin(F.broadcast(k))
             .filter("__rk = __k")
             .selectExpr(f"{weight_col} AS __thr"))
+    # exactly one row, always: MIN over zero rows is NULL, and a
+    # NULL threshold means "no history -> admit everything"
+    return at_k.agg(F.expr("MIN(__thr)").alias("__thr"))

@@ -129,24 +129,41 @@ def with_robots_verdict(df: DataFrame, rules: DataFrame,
     pattern, Allow on ties — the integer key encodes exactly the RFC
     precedence). URLs with no matching rule (or no rules at all)
     default to allowed via the left join.
+
+    Input cardinality is preserved EXACTLY: each input row gets its
+    own verdict keyed by a per-row id, so duplicate (domain, path)
+    rows — a normal crawl occurrence — come out as duplicates, never
+    collapsed by the aggregate. Rules columns ride internal
+    ``__rb_*`` names so the input frame may carry columns named
+    ``pattern``/``spec``/``is_allow`` without collision (``__rb_*``
+    itself is reserved and rejected).
     """
+    bad = [c for c in df.columns if c.startswith("__rb_")]
+    if bad:
+        raise ValueError(
+            f"with_robots_verdict: input columns {bad} collide with "
+            "the reserved __rb_* namespace")
     a = agent.lower()
     grp = rules.groupBy(domain_col).agg(
         F.max(F.when(F.col("agent") == a, 1).otherwise(0))
-        .alias("__has_exact"))
+        .alias("__rb_exact"))
     applicable = (
         rules.join(grp, on=domain_col)
         .filter((F.col("agent") == a)
                 | ((F.col("agent") == "*")
-                   & (F.col("__has_exact") == 0)))
-        .select(domain_col, "is_allow", "pattern", "spec"))
-    win = (f"CASE WHEN pattern IS NOT NULL"
-           f" AND {path_col} LIKE pattern ESCAPE '\\\\'"
-           f" THEN spec * 2 + is_allow END")
+                   & (F.col("__rb_exact") == 0)))
+        .select(F.col(domain_col),
+                F.col("is_allow").alias("__rb_allow"),
+                F.col("pattern").alias("__rb_pattern"),
+                F.col("spec").alias("__rb_spec")))
+    win = (f"CASE WHEN __rb_pattern IS NOT NULL"
+           f" AND {path_col} LIKE __rb_pattern ESCAPE '\\\\'"
+           f" THEN __rb_spec * 2 + __rb_allow END")
+    keyed = df.withColumn("__rb_rid", F.monotonically_increasing_id())
     matched = (
-        df.join(applicable, on=domain_col, how="left")
-        .groupBy(*df.columns)
-        .agg(F.expr(f"max({win})").alias("__win")))
+        keyed.join(applicable, on=domain_col, how="left")
+        .groupBy("__rb_rid", *df.columns)
+        .agg(F.expr(f"max({win})").alias("__rb_win")))
     return matched.withColumn(
-        "allowed", F.expr("__win IS NULL OR __win % 2 = 1")
-    ).drop("__win")
+        "allowed", F.expr("__rb_win IS NULL OR __rb_win % 2 = 1")
+    ).drop("__rb_win", "__rb_rid")

@@ -864,20 +864,24 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
     out = base.join(top_w, on=id_col).join(dup_w, on=id_col)
     cols = [id_col, "n_chars", "n_tokens"]
     gates = []
+    # outer COALESCE: an EMPTY doc (n_chars = 0) has no repeated
+    # content — fractions are 0 and the battery PASSES; without it
+    # x/NULLIF(0,0) propagates NULL into repetition_pass and a
+    # filter('repetition_pass') silently drops the doc as a fail
     for n in (2, 3, 4):
         thr = GOPHER_REP_THRESHOLDS[("top", n)]
         out = out.withColumn(
             f"top{n}_char_frac",
-            F.expr(f"COALESCE(__top{n}, 0)"
-                   f" / CAST(nullif(n_chars, 0) AS DOUBLE)"))
+            F.expr(f"COALESCE(COALESCE(__top{n}, 0)"
+                   f" / CAST(nullif(n_chars, 0) AS DOUBLE), 0e0)"))
         cols.append(f"top{n}_char_frac")
         gates.append(f"top{n}_char_frac <= {thr}e0")
     for n in range(5, 11):
         thr = GOPHER_REP_THRESHOLDS[("dup", n)]
         out = out.withColumn(
             f"dup{n}_char_frac",
-            F.expr(f"COALESCE(__dup{n}, 0)"
-                   f" / CAST(nullif(n_chars, 0) AS DOUBLE)"))
+            F.expr(f"COALESCE(COALESCE(__dup{n}, 0)"
+                   f" / CAST(nullif(n_chars, 0) AS DOUBLE), 0e0)"))
         cols.append(f"dup{n}_char_frac")
         gates.append(f"dup{n}_char_frac <= {thr}e0")
     out = out.withColumn("repetition_pass",

@@ -289,30 +289,36 @@ class _WarcWriter(DataSourceArrowWriter):
         import os
         import uuid
 
-        chunks: list[bytes] = []
-        for batch in batches:
-            pay = batch.column(self.pay_at).to_pylist()
-            metas = [(name, batch.column(i).to_pylist())
-                     for i, name in self.meta]
-            for r, raw in enumerate(pay):
-                if isinstance(raw, str):
-                    raw = raw.encode("utf-8")
-                headers = {"WARC-Type": "resource"}
-                for name, col in metas:
-                    v = col[r]
-                    if v is not None:
-                        headers[f"WARC-X-{name}"] = str(v)
-                chunks.append(build_warc_record(headers, raw))
         os.makedirs(self.path, exist_ok=True)
         ext = ".warc.gz" if self.gzip else ".warc"
         dest = os.path.join(self.path,
                             f"part-{uuid.uuid4().hex}{ext}")
-        buf = b"".join(chunks)
-        if self.gzip:
-            # mtime pinned: identical content -> identical bytes
-            buf = gzip.compress(buf, mtime=0)
+        # records stream straight to the file (GzipFile with mtime
+        # pinned keeps identical content -> identical bytes): peak
+        # memory is one record, not the whole part file — a ~1 GB
+        # crawl segment never lives in the Python heap
         with open(dest, "wb") as f:
-            f.write(buf)
+            # filename pinned empty too: GzipFile would otherwise
+            # bake the random part name into the gzip header
+            out = gzip.GzipFile(filename="", fileobj=f, mode="wb",
+                                mtime=0) if self.gzip else f
+            try:
+                for batch in batches:
+                    pay = batch.column(self.pay_at).to_pylist()
+                    metas = [(name, batch.column(i).to_pylist())
+                             for i, name in self.meta]
+                    for r, raw in enumerate(pay):
+                        if isinstance(raw, str):
+                            raw = raw.encode("utf-8")
+                        headers = {"WARC-Type": "resource"}
+                        for name, col in metas:
+                            v = col[r]
+                            if v is not None:
+                                headers[f"WARC-X-{name}"] = str(v)
+                        out.write(build_warc_record(headers, raw))
+            finally:
+                if out is not f:
+                    out.close()
         return _Done(dest)
 
     def commit(self, messages):
@@ -339,7 +345,7 @@ class WarcDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return _WarcReader(self.options)
 
-    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+    def writer(self, schema, overwrite: bool) -> DataSourceArrowWriter:
         if overwrite:
             import glob
             import os

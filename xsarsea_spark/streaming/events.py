@@ -569,16 +569,17 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc = state.get[0] if state.exists else None
         out_t, out_v = [], []
         for r in df.itertuples():
-            us = None if pd.isna(r.ts) else int(r.ts) // 1000
-            if r.event_type in ("view", "click") and us is not None:
+            if pd.isna(r.ts):
+                # NULL-ts rows are outside the attribution domain on
+                # BOTH sides (the batch query filters ts IS NOT NULL
+                # — window order on a NULL us is engine-dependent)
+                continue
+            us = int(r.ts) // 1000
+            if r.event_type in ("view", "click"):
                 cand = us * 4 + (2 if r.event_type == "click" else 1)
                 enc = cand if enc is None else max(enc, cand)
             elif r.event_type == "purchase":
-                # mirrors the batch CASE: NULL carry -> 'none';
-                # a NULL purchase time skips the lookback test
-                # (NULL comparison is not-true), keeping the type
-                if enc is None or (us is not None
-                                   and us - enc // 4 > lookback):
+                if enc is None or us - enc // 4 > lookback:
                     t = "none"
                 else:
                     t = "click" if enc % 4 == 2 else "view"

@@ -2100,7 +2100,7 @@ _ATTR_CASE = ("CASE WHEN event_type = 'view' THEN us * 4 + 1"
 _ATTR_ORACLE = f"""
 WITH e AS (
   SELECT user_id, event_id, event_type, value, {_US_DUCK} AS us
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 c AS (
   SELECT *, MAX({_ATTR_CASE}) OVER (
       PARTITION BY user_id ORDER BY us, event_id
@@ -2130,9 +2130,13 @@ FROM p GROUP BY touch_type
     tags=("events", "attribution", "window"),
 )
 def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").selectExpr(
-        "user_id", "event_id", "event_type", "value",
-        f"{_US_SPARK} AS us")
+    # NULL-ts rows are excluded on BOTH sides: the carry window
+    # orders by us, and Spark sorts NULLS FIRST ascending while
+    # DuckDB sorts them LAST — the same cross-engine hazard
+    # events_user_growth filters for (and the streaming fold skips)
+    ev = load(spark, sf_dir, "events").filter("ts IS NOT NULL") \
+        .selectExpr("user_id", "event_id", "event_type", "value",
+                    f"{_US_SPARK} AS us")
     w = (Window.partitionBy("user_id").orderBy("us", "event_id")
          .rowsBetween(Window.unboundedPreceding, -1))
     c = ev.withColumn("enc", F.expr(f"max({_ATTR_CASE})").over(w))
@@ -2348,7 +2352,7 @@ def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PATH_ORACLE = f"""
 WITH e AS (
   SELECT user_id, event_type, {_US_DUCK} AS us, event_id
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 t AS (
   SELECT user_id, event_type AS s0,
     lead(event_type, 1) OVER w AS s1,
@@ -2376,8 +2380,11 @@ LIMIT 20
 )
 def q_events_path_analysis(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").selectExpr(
-        "user_id", "event_type", f"{_US_SPARK} AS us", "event_id")
+    # ts IS NOT NULL on both sides: lead order on us diverges
+    # cross-engine for NULLs (Spark NULLS FIRST asc, DuckDB LAST)
+    ev = load(spark, sf_dir, "events").filter("ts IS NOT NULL") \
+        .selectExpr("user_id", "event_type", f"{_US_SPARK} AS us",
+                    "event_id")
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     t = ev.select(
         "user_id",

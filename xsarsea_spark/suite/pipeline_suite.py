@@ -65,7 +65,12 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Language-ID heuristic + quality score
 # ----------------------------------------------------------------------
 
-def _lang_oracle() -> str:
+def _lang_pred_duck() -> tuple[str, str]:
+    """The ONE DuckDB spelling of the marker-based language-ID
+    prediction (per-language score projections + greatest/CASE
+    winner) — shared by every oracle that re-derives a language
+    column (language_id, UniMax, temperature mix), so a tie-break
+    tweak can never make them disagree."""
     from xsarsea_spark.pipeline.text import LANG_MARKERS
 
     scores = []
@@ -73,13 +78,18 @@ def _lang_oracle() -> str:
         conds = " OR ".join(f"x = '{m}'" for m in LANG_MARKERS[lang])
         scores.append(
             f"len(list_filter(l, x -> {conds}))"
-            f" / CAST(len(l) AS DOUBLE) AS score_{lang}"
-        )
+            f" / CAST(len(l) AS DOUBLE) AS score_{lang}")
     best = "greatest(" + ", ".join(
         f"score_{k}" for k in sorted(LANG_MARKERS)) + ")"
     case = "CASE " + " ".join(
-        f"WHEN score_{k} = {best} THEN '{k}'" for k in sorted(LANG_MARKERS)
-    ) + " END"
+        f"WHEN score_{k} = {best} THEN '{k}'"
+        for k in sorted(LANG_MARKERS)) + " END"
+    return ", ".join(scores), case
+
+
+def _lang_oracle() -> str:
+    scores_csv, case = _lang_pred_duck()
+    scores = [scores_csv]
     return f"""
 WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l
            FROM documents),
@@ -2138,24 +2148,12 @@ _UMX_BUDGET = 2000
 
 
 def _unimax_oracle() -> str:
-    from xsarsea_spark.pipeline.text import LANG_MARKERS
-
-    scores = []
-    for lang in sorted(LANG_MARKERS):
-        conds = " OR ".join(f"x = '{m}'" for m in LANG_MARKERS[lang])
-        scores.append(
-            f"len(list_filter(l, x -> {conds}))"
-            f" / CAST(len(l) AS DOUBLE) AS score_{lang}")
-    best = "greatest(" + ", ".join(
-        f"score_{k}" for k in sorted(LANG_MARKERS)) + ")"
-    case = "CASE " + " ".join(
-        f"WHEN score_{k} = {best} THEN '{k}'"
-        for k in sorted(LANG_MARKERS)) + " END"
+    scores_csv, case = _lang_pred_duck()
     b = _UMX_BUDGET
     return f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
            FROM documents WHERE text IS NOT NULL),
-s AS (SELECT doc_id, {", ".join(scores)}, len(l) AS ntok FROM t),
+s AS (SELECT doc_id, {scores_csv}, len(l) AS ntok FROM t),
 p AS (SELECT doc_id, {case} AS lang, CAST(ntok AS BIGINT) AS ntok,
         md5(CAST(doc_id AS VARCHAR)) AS pr FROM s),
 lg AS (SELECT lang, CAST(SUM(ntok) AS BIGINT) AS avail
@@ -2365,23 +2363,22 @@ def _gopher_rep_oracle() -> str:
     dpv = ", ".join(
         f"MAX(CASE WHEN n = {n} THEN covchars END) AS dup{n}"
         for n in range(5, 11))
+    # outer COALESCE: an EMPTY doc (n_chars = 0) has no repeated
+    # content — its fractions are 0 and it PASSES, rather than the
+    # NULL verdict x/NULLIF(0,0) would propagate into a filter
     fracs, gates = [], []
     for n in (2, 3, 4):
         thr = GOPHER_REP_THRESHOLDS[("top", n)]
-        fracs.append(f"COALESCE(top{n}, 0)"
-                     f" / CAST(nullif(n_chars, 0) AS DOUBLE)"
-                     f" AS top{n}_char_frac")
-        gates.append(f"COALESCE(top{n}, 0)"
-                     f" / CAST(nullif(n_chars, 0) AS DOUBLE)"
-                     f" <= {thr}e0")
+        e = (f"COALESCE(COALESCE(top{n}, 0)"
+             f" / CAST(nullif(n_chars, 0) AS DOUBLE), 0e0)")
+        fracs.append(f"{e} AS top{n}_char_frac")
+        gates.append(f"{e} <= {thr}e0")
     for n in range(5, 11):
         thr = GOPHER_REP_THRESHOLDS[("dup", n)]
-        fracs.append(f"COALESCE(dup{n}, 0)"
-                     f" / CAST(nullif(n_chars, 0) AS DOUBLE)"
-                     f" AS dup{n}_char_frac")
-        gates.append(f"COALESCE(dup{n}, 0)"
-                     f" / CAST(nullif(n_chars, 0) AS DOUBLE)"
-                     f" <= {thr}e0")
+        e = (f"COALESCE(COALESCE(dup{n}, 0)"
+             f" / CAST(nullif(n_chars, 0) AS DOUBLE), 0e0)")
+        fracs.append(f"{e} AS dup{n}_char_frac")
+        gates.append(f"{e} <= {thr}e0")
     return f"""
 WITH dd AS (
   SELECT doc_id, string_split(text, ' ') AS l, len(text) AS n_chars,
@@ -2463,23 +2460,6 @@ def q_doc_gopher_repetition(spark: SparkSession,
 # ----------------------------------------------------------------------
 
 _TMP_BUDGET, _TMP_T = 2000, 3
-
-
-def _lang_pred_duck() -> tuple[str, str]:
-    from xsarsea_spark.pipeline.text import LANG_MARKERS
-
-    scores = []
-    for lang in sorted(LANG_MARKERS):
-        conds = " OR ".join(f"x = '{m}'" for m in LANG_MARKERS[lang])
-        scores.append(
-            f"len(list_filter(l, x -> {conds}))"
-            f" / CAST(len(l) AS DOUBLE) AS score_{lang}")
-    best = "greatest(" + ", ".join(
-        f"score_{k}" for k in sorted(LANG_MARKERS)) + ")"
-    case = "CASE " + " ".join(
-        f"WHEN score_{k} = {best} THEN '{k}'"
-        for k in sorted(LANG_MARKERS)) + " END"
-    return ", ".join(scores), case
 
 
 def _temperature_oracle() -> str:
@@ -2744,7 +2724,9 @@ def q_stream_dsir_ingest(spark: SparkSession,
         scored = dsir_score(x, t)
         return (x.join(scored, on="doc_id")
                 .crossJoin(F.broadcast(thr))
-                .filter("logw >= __thr")
+                # NULL __thr = empty-history sampler: admit all
+                # (dsir_threshold's 1-row contract, never 0-row)
+                .filter("__thr IS NULL OR logw >= __thr")
                 .selectExpr("doc_id", "coalesce(source, '') AS source",
                             "coalesce(n_chars, 0L) AS n_chars",
                             "logw", "md5(text) AS digest"))
@@ -9308,8 +9290,19 @@ _RB_MYBOT = ("User-agent: mybot\nDisallow: /private/\n"
 _RB_STAR = ("User-agent: *\nDisallow: /admin/\n"
             "Disallow: /*.html$\nAllow: /blog/\n")
 
+# the winning-rule predicate: ESCAPE matches the Spark operator's
+# backslash-escaped patterns (DuckDB's LIKE has NO default escape
+# character, so without the clause a rule containing '_'/'%'/'\\'
+# would silently diverge cross-engine)
+_RB_WIN = (r"MAX(CASE WHEN u.path LIKE r.pattern ESCAPE '\'"
+           " THEN r.spec * 2 + r.is_allow END)")
 
-def _robots_oracle() -> str:
+
+def _robots_ctes() -> str:
+    """The shared doms/pd/mr/sr/rules CTE prefix both robots oracles
+    consume — ONE definition so the batch filter and the streaming
+    ingest can never disagree about rule compilation or group
+    selection."""
     from xsarsea_spark.pipeline.robots import (parse_robots_txt,
                                                robots_like_pattern,
                                                rule_specificity)
@@ -9321,8 +9314,7 @@ def _robots_oracle() -> str:
             for _a, is_allow, rule in parse_robots_txt(body))
 
     h40 = _H40_DUCK.format(x="domain")
-    return f"""
-WITH doms AS (
+    return f"""doms AS (
   SELECT DISTINCT {_RB_DOMAIN} AS domain FROM documents),
 pd AS (SELECT domain, ({h40}) % 2 = 0 AS has_mybot FROM doms),
 mr AS (SELECT * FROM (VALUES {values(_RB_MYBOT)})
@@ -9333,14 +9325,32 @@ rules AS (
   SELECT domain, is_allow, pattern, spec FROM pd, mr WHERE has_mybot
   UNION ALL
   SELECT domain, is_allow, pattern, spec FROM pd, sr
-  WHERE NOT has_mybot),
+  WHERE NOT has_mybot)"""
+
+
+def _robots_bodies(domains: list) -> list:
+    """Shared driver-side body synthesis (md5-even domains get the
+    exact 'mybot' group) — one definition for both Spark queries,
+    matching the oracle's md5 parity test."""
+    import hashlib
+
+    out = []
+    for d in sorted(domains):
+        even = int(hashlib.md5(d.encode()).hexdigest()[:10],
+                   16) % 2 == 0
+        out.append((d, (_RB_MYBOT if even else "") + _RB_STAR))
+    return out
+
+
+def _robots_oracle() -> str:
+    return f"""
+WITH {_robots_ctes()},
 urls AS (
   SELECT doc_id, {_RB_DOMAIN} AS domain, {_RB_PATH} AS path
   FROM documents),
 j AS (
   SELECT u.doc_id, u.domain,
-    MAX(CASE WHEN u.path LIKE r.pattern
-        THEN r.spec * 2 + r.is_allow END) AS win
+    {_RB_WIN} AS win
   FROM urls u LEFT JOIN rules r ON r.domain = u.domain
   GROUP BY u.doc_id, u.domain),
 v AS (SELECT doc_id, domain,
@@ -9366,8 +9376,6 @@ FROM v GROUP BY domain
     tags=("pipeline", "text", "sampling"),
 )
 def q_doc_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-
     from xsarsea_spark.pipeline.robots import (robots_rules_df,
                                                with_robots_verdict)
 
@@ -9375,16 +9383,10 @@ def q_doc_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls = docs.selectExpr("doc_id", f"{_RB_DOMAIN} AS domain",
                            f"{_RB_PATH} AS path")
     # one robots.txt body per domain — domains are source-cardinality
-    # (bounded, the broadcast contract); parity decides whether the
-    # exact 'mybot' group exists, matching the oracle's md5 test
+    # (bounded, the broadcast contract)
     domains = [r.domain for r in urls.select("domain").distinct()
                .collect()]
-    bodies = []
-    for d in sorted(domains):
-        even = int(hashlib.md5(d.encode()).hexdigest()[:10],
-                   16) % 2 == 0
-        bodies.append((d, (_RB_MYBOT if even else "") + _RB_STAR))
-    rules = robots_rules_df(spark, bodies)
+    rules = robots_rules_df(spark, _robots_bodies(domains))
     v = with_robots_verdict(urls, rules, "mybot")
     return v.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_urls"),
@@ -9409,38 +9411,15 @@ def q_doc_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_robots_oracle() -> str:
-    from xsarsea_spark.pipeline.robots import (parse_robots_txt,
-                                               robots_like_pattern,
-                                               rule_specificity)
-
-    def values(body: str) -> str:
-        return ", ".join(
-            f"({is_allow}, '{robots_like_pattern(rule)}',"
-            f" {rule_specificity(rule)})"
-            for _a, is_allow, rule in parse_robots_txt(body))
-
-    h40 = _H40_DUCK.format(x="domain")
     return f"""
-WITH doms AS (
-  SELECT DISTINCT {_RB_DOMAIN} AS domain FROM documents),
-pd AS (SELECT domain, ({h40}) % 2 = 0 AS has_mybot FROM doms),
-mr AS (SELECT * FROM (VALUES {values(_RB_MYBOT)})
-       AS t(is_allow, pattern, spec)),
-sr AS (SELECT * FROM (VALUES {values(_RB_STAR)})
-       AS t(is_allow, pattern, spec)),
-rules AS (
-  SELECT domain, is_allow, pattern, spec FROM pd, mr WHERE has_mybot
-  UNION ALL
-  SELECT domain, is_allow, pattern, spec FROM pd, sr
-  WHERE NOT has_mybot),
+WITH {_robots_ctes()},
 urls AS (
   SELECT doc_id, COALESCE(n_chars, 0) AS n_chars,
     {_RB_DOMAIN} AS domain, {_RB_PATH} AS path
   FROM documents),
 j AS (
   SELECT u.doc_id, u.n_chars, u.domain, u.path,
-    MAX(CASE WHEN u.path LIKE r.pattern
-        THEN r.spec * 2 + r.is_allow END) AS win
+    {_RB_WIN} AS win
   FROM urls u LEFT JOIN rules r ON r.domain = u.domain
   GROUP BY u.doc_id, u.n_chars, u.domain, u.path),
 allowed AS (
@@ -9470,7 +9449,6 @@ FROM kept GROUP BY domain
 )
 def q_stream_robots_ingest(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
-    import hashlib
     import os
     import shutil
 
@@ -9492,12 +9470,7 @@ def q_stream_robots_ingest(spark: SparkSession,
     domains = [r.domain for r in
                docs.selectExpr(f"{_RB_DOMAIN} AS domain")
                .distinct().collect()]
-    bodies = []
-    for d in sorted(domains):
-        even = int(hashlib.md5(d.encode()).hexdigest()[:10],
-                   16) % 2 == 0
-        bodies.append((d, (_RB_MYBOT if even else "") + _RB_STAR))
-    rules = robots_rules_df(spark, bodies)
+    rules = robots_rules_df(spark, _robots_bodies(domains))
 
     def robots_prep(df: DataFrame) -> DataFrame:
         urls = df.selectExpr(
