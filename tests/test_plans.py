@@ -650,3 +650,18 @@ def test_experimentation_guardrails_plans(spark):
         for ln in plan.splitlines():
             if "NestedLoopJoin" in ln:
                 assert "Broadcast" in ln, f"{name}: {ln}"
+
+
+def test_cdx_surt_index_rank_is_two_pass(spark):
+    """doc_cdx_surt_index's total order must ride the two-pass rank
+    (every Window __pid-partitioned), with no cartesian product and
+    broadcast-only nested loops."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["doc_cdx_surt_index"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    _assert_all_windows_pid_partitioned(plan)
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln, ln

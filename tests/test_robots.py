@@ -138,3 +138,29 @@ def test_duplicate_rows_and_colliding_columns_survive(spark):
         with_robots_verdict(
             df.withColumnRenamed("pattern", "__rb_pattern"),
             rules, "bot")
+
+
+def test_parser_fuzz_never_crashes_and_rows_are_wellformed():
+    """Property: parse_robots_txt accepts ANY text without raising,
+    and every produced row has a lower-cased agent, a 0/1 allow flag
+    and a non-empty rule; robots_like_pattern compiles every rule."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from xsarsea_spark.pipeline.robots import (parse_robots_txt,
+                                               robots_like_pattern,
+                                               rule_specificity)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=400))
+    def check(body):
+        rows = parse_robots_txt(body)
+        for agent, is_allow, rule in rows:
+            assert agent == agent.lower()
+            assert is_allow in (0, 1)
+            assert rule
+            pat = robots_like_pattern(rule)
+            assert isinstance(pat, str)
+            assert rule_specificity(rule) >= 0
+
+    check()

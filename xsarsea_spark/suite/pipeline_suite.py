@@ -9660,3 +9660,67 @@ def q_embedding_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (s.withColumn("rank", F.row_number().over(win))
             .filter(F.col("rank") <= _KNN_K)
             .select("query_id", "rank", "neighbor_id", "dot"))
+
+
+# ----------------------------------------------------------------------
+# CDX-style SURT index — the lookup structure web archives build
+# over WARC captures: each canonicalized URL keyed by its SURT form
+# (Sort-friendly URI Reordering Transform: host labels reversed and
+# comma-joined, then ')' and the path/query), totally ordered so
+# prefix scans answer "every capture under this host/domain". Rides
+# the existing URL canonicalization chain; the global index order is
+# the two-pass distributed rank (no corpus-wide single-partition
+# sort), replayed by the oracle as a native ROW_NUMBER.
+# ----------------------------------------------------------------------
+
+
+def _surt_expr(dialect: str) -> str:
+    if dialect == "spark":
+        rev = "array_join(reverse(split(u_hostd, '\\\\.')), ',')"
+    else:
+        rev = ("array_to_string(list_reverse("
+               "string_split(u_hostd, '.')), ',')")
+    return (f"concat({rev}, ')', u_path,"
+            f" CASE WHEN u_params = '' THEN ''"
+            f" ELSE concat('?', u_params) END)")
+
+
+def _cdx_oracle() -> str:
+    from xsarsea_spark.pipeline.urls import url_cte_chain
+
+    parts, prev = url_cte_chain(
+        f"SELECT doc_id, {_URL_SYNTH} AS url FROM documents")
+    parts.append(
+        f"sx AS (SELECT doc_id, {_surt_expr('duck')} AS surt,"
+        f" md5(dup_key) AS digest FROM {prev})")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY surt, doc_id) AS BIGINT)
+    AS surt_rank,
+  surt, doc_id, digest
+FROM sx""")
+
+
+@spec(
+    "doc_cdx_surt_index",
+    _cdx_oracle(),
+    description="CDX-style SURT index over canonicalized URLs "
+                "(host labels reversed for prefix-scan lookup, "
+                "total order via the two-pass distributed rank — "
+                "no corpus-wide single-partition sort)",
+    tags=("pipeline", "dedup", "rank"),
+)
+def q_doc_cdx_surt_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.rank import global_rank
+    from xsarsea_spark.pipeline.urls import url_norm_steps
+
+    docs = load(spark, sf_dir, "documents")
+    x = docs.selectExpr("doc_id", f"{_URL_SYNTH} AS url")
+    for col, expr in url_norm_steps("spark"):
+        x = x.withColumn(col, F.expr(expr))
+    sx = x.selectExpr("doc_id", f"{_surt_expr('spark')} AS surt",
+                      "md5(dup_key) AS digest")
+    ranked = global_rank(
+        sx, [F.col("surt").asc(), F.col("doc_id").asc()],
+        rank_col="__sr")
+    return ranked.selectExpr("CAST(__sr AS BIGINT) AS surt_rank",
+                             "surt", "doc_id", "digest")
