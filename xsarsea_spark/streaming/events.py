@@ -543,12 +543,24 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches; each purchase row is emitted with the touch type
     that gets its credit under the 7-day lookback.
 
-    Value-identical to the batch window form (events_attribution):
-    rows are folded in ascending (us, event_id) order, touches
-    update the carry BEFORE any later-ordered purchase in the same
-    batch reads it — exactly the ``ROWS UNBOUNDED PRECEDING TO 1
-    PRECEDING`` running max — and the packed encoding breaks
-    same-microsecond ties identically (click > view)."""
+    Value-identical to the batch window form (events_attribution)
+    when micro-batches partition event time monotonically (one
+    availableNow batch, or an in-order source): rows fold in
+    ascending (us, event_id) order, touches update the carry BEFORE
+    any later-ordered purchase in the same batch reads it — exactly
+    the ``ROWS UNBOUNDED PRECEDING TO 1 PRECEDING`` running max —
+    and the packed encoding breaks same-microsecond ties identically
+    (click > view). An OUT-OF-ORDER late purchase (arriving in a
+    batch after a touch that follows it in event time) attributes
+    against the latest state — the standard streaming relaxation:
+    exact replay of the batch window across arbitrary batch splits
+    would require retaining every touch (unbounded state).
+
+    NULL-ts rows are filtered BEFORE the state operator, matching
+    the batch query's ``ts IS NOT NULL`` — and keeping the Arrow
+    handoff on int64: one NULL in a chunk would convert the whole
+    nanosecond column to float64, whose 256 ns spacing above 2^53
+    silently rounds microsecond arithmetic."""
     import pandas as pd
     from pyspark.sql.streaming.state import (GroupState,
                                              GroupStateTimeout)
@@ -557,6 +569,7 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         events_stream(spark, sf_dir)
         .withWatermark("event_time", "1 hour")
+        .filter("ts IS NOT NULL")
         .select("user_id", "event_id", "event_type", "value", "ts")
     )
     out_schema = "touch_type string, value double"
@@ -569,10 +582,7 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc = state.get[0] if state.exists else None
         out_t, out_v = [], []
         for r in df.itertuples():
-            if pd.isna(r.ts):
-                # NULL-ts rows are outside the attribution domain on
-                # BOTH sides (the batch query filters ts IS NOT NULL
-                # — window order on a NULL us is engine-dependent)
+            if pd.isna(r.ts):      # defense only; filtered upstream
                 continue
             us = int(r.ts) // 1000
             if r.event_type in ("view", "click"):

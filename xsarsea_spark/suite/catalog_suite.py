@@ -1240,9 +1240,14 @@ def q_documents_warc_roundtrip(spark: SparkSession,
                 "documents written one <doc> row element each, read "
                 "back with an explicit schema and surrounding-space "
                 "trimming disabled — same byte-fidelity profile as "
-                "the JSONL/CSV/ORC/WARC trips; entity escaping of "
-                "text content is the format's own concern and must "
-                "be transparent",
+                "the JSONL/CSV/ORC/WARC trips for XML-REPRESENTABLE "
+                "text. Two caveats are XML 1.0's own semantics, not "
+                "the trip's: parsers normalize bare/CRLF carriage "
+                "returns in content to \\n, and an empty element "
+                "reads back as NULL — text containing raw \\r or "
+                "equal to '' is NOT byte-transparent through this "
+                "format (the WARC/JSONL trips are the lossless "
+                "carriers for such payloads)",
     tags=("sources", "formats"),
 )
 def q_documents_xml_roundtrip(spark: SparkSession,

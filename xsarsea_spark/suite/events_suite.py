@@ -2566,8 +2566,12 @@ FROM g
 )
 def q_events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    p = ev.selectExpr("event_type", "user_id",
-                      f"{_VARIANT_SPARK} AS variant").distinct()
+    # distinct FIRST: variant is a pure function of user_id, so the
+    # md5/conv chain runs once per (type, user) pair — not once per
+    # raw event — and the derived string never rides the shuffle
+    p = (ev.select("event_type", "user_id").distinct()
+         .selectExpr("event_type", "user_id",
+                     f"{_VARIANT_SPARK} AS variant"))
     g = p.groupBy("event_type").agg(
         F.expr("COUNT(CASE WHEN variant = 'a' THEN 1 END)")
         .alias("__na"),

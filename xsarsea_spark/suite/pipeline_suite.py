@@ -89,11 +89,10 @@ def _lang_pred_duck() -> tuple[str, str]:
 
 def _lang_oracle() -> str:
     scores_csv, case = _lang_pred_duck()
-    scores = [scores_csv]
     return f"""
 WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l
            FROM documents),
-s AS (SELECT doc_id, lang, {", ".join(scores)},
+s AS (SELECT doc_id, lang, {scores_csv},
         len(l) AS n_tokens, len(list_distinct(l)) AS n_distinct,
         len(list_filter(l, x -> x = 'a' OR x = 'the'))
           / CAST(len(l) AS DOUBLE) AS swr
