@@ -9723,3 +9723,90 @@ def q_doc_cdx_surt_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="__sr")
     return ranked.selectExpr("CAST(__sr AS BIGINT) AS surt_rank",
                              "surt", "doc_id", "digest")
+
+
+# ----------------------------------------------------------------------
+# End-to-end CRAWL curation funnel — the round's crawl components
+# composed in production order, one count per stage: discovered
+# URLs -> RFC 9309 robots-allowed -> unique after URL dedup
+# (first-capture canonical) -> passing the exact-integer quality
+# battery. The same shape pipeline_curate_end2end gives the text
+# side; here it certifies that robots verdicts, URL identity and
+# the quality gate COMPOSE without re-deriving each other's inputs.
+# Every stage is a filter/distinct over the previous one, so the
+# funnel counts are monotone by construction — the oracle replays
+# all four stages in one CTE chain.
+# ----------------------------------------------------------------------
+
+
+def _crawl_funnel_oracle() -> str:
+    bad = _DQB_BAD.format(nt="len(string_split(text, ' '))")
+    return f"""
+WITH {_robots_ctes()},
+urls AS (
+  SELECT doc_id, text, COALESCE(n_chars, 0) AS n_chars,
+    {_RB_DOMAIN} AS domain, {_RB_PATH} AS path
+  FROM documents),
+j AS (
+  SELECT u.doc_id, u.text, u.n_chars, u.domain, u.path,
+    {_RB_WIN} AS win
+  FROM urls u LEFT JOIN rules r ON r.domain = u.domain
+  GROUP BY u.doc_id, u.text, u.n_chars, u.domain, u.path),
+allowed AS (
+  SELECT *, md5(domain || path) AS digest FROM j
+  WHERE win IS NULL OR win % 2 = 1),
+kept AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+      (PARTITION BY digest ORDER BY doc_id) AS rn FROM allowed)
+  WHERE rn = 1),
+q AS (SELECT * FROM kept
+      WHERE text IS NOT NULL AND ({bad}) = 0)
+SELECT stage, n_rows FROM (
+  SELECT 1 AS ord, 'discovered' AS stage,
+    (SELECT COUNT(*) FROM urls) AS n_rows
+  UNION ALL SELECT 2, 'robots_allowed',
+    (SELECT COUNT(*) FROM allowed)
+  UNION ALL SELECT 3, 'url_unique', (SELECT COUNT(*) FROM kept)
+  UNION ALL SELECT 4, 'quality_pass', (SELECT COUNT(*) FROM q))
+"""
+
+
+@spec(
+    "pipeline_crawl_funnel",
+    _crawl_funnel_oracle(),
+    description="End-to-end crawl curation funnel: discovered -> "
+                "RFC 9309 robots-allowed -> URL-dedup unique -> "
+                "quality-gate pass, one exact count per stage — the "
+                "crawl components composed in production order",
+    tags=("pipeline", "dedup", "sampling"),
+)
+def q_pipeline_crawl_funnel(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from xsarsea_spark.pipeline.robots import (robots_rules_df,
+                                               with_robots_verdict)
+
+    docs = load(spark, sf_dir, "documents")
+    urls = docs.selectExpr(
+        "doc_id", "text", "COALESCE(n_chars, 0L) AS n_chars",
+        f"{_RB_DOMAIN} AS domain", f"{_RB_PATH} AS path")
+    domains = [r.domain for r in urls.select("domain").distinct()
+               .collect()]
+    rules = robots_rules_df(spark, _robots_bodies(domains))
+    allowed = (with_robots_verdict(urls, rules, "mybot")
+               .filter("allowed")
+               .withColumn("digest",
+                           F.expr("md5(concat(domain, path))")))
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    kept = (allowed.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1"))
+    bad = _DQB_BAD.format(nt="size(split(text, ' '))")
+    q = kept.filter(f"text IS NOT NULL AND ({bad}) = 0")
+    counts = [("discovered", urls), ("robots_allowed", allowed),
+              ("url_unique", kept), ("quality_pass", q)]
+    out = None
+    for stage, frame in counts:
+        c = frame.agg(F.count(F.lit(1)).alias("n_rows")) \
+            .selectExpr(f"'{stage}' AS stage", "n_rows")
+        out = c if out is None else out.unionByName(c)
+    return out
