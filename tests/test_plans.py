@@ -665,3 +665,18 @@ def test_cdx_surt_index_rank_is_two_pass(spark):
     for ln in plan.splitlines():
         if "NestedLoopJoin" in ln:
             assert "Broadcast" in ln, ln
+
+
+def test_seasonal_anomaly_is_windowless_broadcast(spark):
+    """events_seasonal_anomaly must plan as two hash aggs + one
+    broadcast join of the bounded (type, hour-of-day) profile —
+    no window, no cartesian product."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["events_seasonal_anomaly"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln, ln

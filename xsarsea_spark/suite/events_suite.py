@@ -2674,3 +2674,85 @@ def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_users"))
             .selectExpr("variant", "n_users", "mean_post",
                         "mean_cuped", t9("theta") + " AS theta"))
+
+
+# ----------------------------------------------------------------------
+# Seasonal-residual anomaly detection (STL-lite): hourly counts per
+# event type are deseasonalized against their HOUR-OF-DAY profile
+# (mean and sample variance per (type, hod) — a bounded 24 x types
+# frame, broadcast back), and hours whose residual z-score passes
+# |z| > 3 are flagged. Distinct from events_hourly_anomaly's
+# trailing-window score: this one removes the daily cycle first, so
+# a busy-but-normal 9am never alarms while a quiet-hour spike does.
+# Two hash aggs + one broadcast join — no window; integer count
+# sums make the moments exact, and z passes a QTRUNC barrier so
+# scores AND flags agree cross-engine.
+# ----------------------------------------------------------------------
+
+
+def _seasonal_anom_oracle() -> str:
+    z = QTRUNC("(n - mu) / sd", 9)
+    return f"""
+WITH h AS (
+  SELECT event_type, ({_US_DUCK} // 3600000000) AS hour_bucket,
+    COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+p AS (
+  SELECT event_type, hour_bucket % 24 AS hod,
+    COUNT(*) AS cnt, SUM(n) AS sx, SUM(n * n) AS sxx
+  FROM h GROUP BY 1, 2),
+m AS (
+  SELECT event_type, hod, sx / CAST(cnt AS DOUBLE) AS mu,
+    sqrt(nullif((sxx - sx * sx / CAST(cnt AS DOUBLE))
+                / nullif(cnt - 1, 0), 0e0)) AS sd
+  FROM p)
+SELECT h.event_type, h.hour_bucket, CAST(h.n AS BIGINT) AS n,
+  CAST(h.hour_bucket % 24 AS BIGINT) AS hod,
+  {QTRUNC('mu', 9)} AS expected,
+  {z} AS z,
+  COALESCE(ABS({z}) > 3e0, false) AS is_anomaly
+FROM h JOIN m ON m.event_type = h.event_type
+              AND m.hod = h.hour_bucket % 24
+"""
+
+
+@spec(
+    "events_seasonal_anomaly",
+    _seasonal_anom_oracle(),
+    description="Seasonal-residual anomaly detection: hourly counts "
+                "deseasonalized against the hour-of-day profile "
+                "(bounded broadcast frame), |z| > 3 flags — removes "
+                "the daily cycle before scoring, unlike the "
+                "trailing-window variant; no window, exact moments, "
+                "QTRUNC'd scores",
+    tags=("events", "anomaly", "timeseries"),
+)
+def q_events_seasonal_anomaly(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    h = (ev.groupBy("event_type",
+                    F.expr(f"({_US_SPARK}) DIV 3600000000")
+                    .alias("hour_bucket"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    p = (h.groupBy("event_type",
+                   F.expr("hour_bucket % 24").alias("hod"))
+         .agg(F.count(F.lit(1)).alias("cnt"),
+              F.sum("n").alias("sx"),
+              F.expr("SUM(n * n)").alias("sxx")))
+    m = p.selectExpr(
+        "event_type AS __mt", "hod AS __mh",
+        "sx / CAST(cnt AS DOUBLE) AS mu",
+        "sqrt(nullif((sxx - sx * sx / CAST(cnt AS DOUBLE))"
+        " / nullif(cnt - 1, 0), 0e0)) AS sd")
+    z = QTRUNC("(n - mu) / sd", 9)
+    return (h.join(F.broadcast(m),
+                   (F.col("event_type") == F.col("__mt"))
+                   & (F.expr("hour_bucket % 24") == F.col("__mh")))
+            .select("event_type", "hour_bucket",
+                    F.col("n").cast("bigint").alias("n"),
+                    F.expr("CAST(hour_bucket % 24 AS BIGINT)")
+                    .alias("hod"),
+                    F.expr(QTRUNC("mu", 9)).alias("expected"),
+                    F.expr(z).alias("z"),
+                    F.expr(f"COALESCE(ABS({z}) > 3e0, false)")
+                    .alias("is_anomaly")))
