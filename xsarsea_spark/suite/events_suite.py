@@ -2756,3 +2756,68 @@ def q_events_seasonal_anomaly(spark: SparkSession,
                     F.expr(z).alias("z"),
                     F.expr(f"COALESCE(ABS({z}) > 3e0, false)")
                     .alias("is_anomaly")))
+
+
+# ----------------------------------------------------------------------
+# Experiment guardrails, part 3: power analysis — the sample-size
+# calculation run BEFORE an A/B test. Per event-type metric, the
+# baseline mean/variance come from exact DECIMAL moments, the
+# minimum detectable effect is 5% of the mean, and the required
+# per-arm n is the standard two-sided normal approximation
+# n = (z_{a/2} + z_b)^2 * 2 * var / delta^2 at alpha = 5%, power =
+# 80% (z constants as literals). Every statistic passes a QTRUNC
+# barrier BEFORE the ceil, so n_per_arm is integer-identical
+# cross-engine. One hash agg; output cardinality = event types.
+# ----------------------------------------------------------------------
+
+_PWR_Z = "(1.959963984540054e0 + 8.416212335729143e-1)"
+
+
+def _power_oracle() -> str:
+    mean = QTRUNC("sx / n", 9)
+    var = QTRUNC("(sxx - sx * sx / n) / nullif(n - 1, 0)", 9)
+    mde = f"({mean}) * 5e-2"
+    npa = (f"CAST(CEIL({_PWR_Z} * {_PWR_Z} * 2e0 * ({var})"
+           f" / nullif(({mde}) * ({mde}), 0e0)) AS BIGINT)")
+    return f"""
+WITH g AS (
+  SELECT event_type, COUNT(value) AS n,
+    {DSUM('value')} AS sx, {DSUM('value * value')} AS sxx
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+  {mean} AS mean, {var} AS variance,
+  {QTRUNC(mde, 9)} AS mde,
+  {npa} AS n_per_arm
+FROM g
+"""
+
+
+@spec(
+    "events_power_analysis",
+    _power_oracle(),
+    description="A/B power analysis: per-metric baseline moments "
+                "(exact DECIMAL sums), 5%-of-mean minimum detectable "
+                "effect, and the two-sided normal-approximation "
+                "per-arm sample size at alpha=5%/power=80% — QTRUNC "
+                "before ceil makes n_per_arm integer-identical "
+                "cross-engine; one hash agg",
+    tags=("events", "experimentation", "agg"),
+)
+def q_events_power_analysis(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    mean = QTRUNC("sx / n", 9)
+    var = QTRUNC("(sxx - sx * sx / n) / nullif(n - 1, 0)", 9)
+    mde = f"({mean}) * 5e-2"
+    npa = (f"CAST(CEIL({_PWR_Z} * {_PWR_Z} * 2e0 * ({var})"
+           f" / nullif(({mde}) * ({mde}), 0e0)) AS BIGINT)")
+    ev = load(spark, sf_dir, "events")
+    g = (ev.filter("value IS NOT NULL AND NOT isnan(value)")
+         .groupBy("event_type")
+         .agg(F.expr("COUNT(value)").alias("n"),
+              F.expr(DSUM("value")).alias("sx"),
+              F.expr(DSUM("value * value")).alias("sxx")))
+    return g.selectExpr(
+        "event_type", "CAST(n AS BIGINT) AS n_obs",
+        f"{mean} AS mean", f"{var} AS variance",
+        f"{QTRUNC(mde, 9)} AS mde", f"{npa} AS n_per_arm")
