@@ -680,3 +680,18 @@ def test_seasonal_anomaly_is_windowless_broadcast(spark):
     for ln in plan.splitlines():
         if "NestedLoopJoin" in ln:
             assert "Broadcast" in ln, ln
+
+
+def test_equidepth_histogram_rides_two_pass_rank(spark):
+    """events_equidepth_histogram's NTILE must be the two-pass
+    grouped rank (every Window __pid-partitioned), no cartesian,
+    nested loops broadcast-only."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["events_equidepth_histogram"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    _assert_all_windows_pid_partitioned(plan)
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln, ln

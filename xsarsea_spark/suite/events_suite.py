@@ -2821,3 +2821,57 @@ def q_events_power_analysis(spark: SparkSession,
         "event_type", "CAST(n AS BIGINT) AS n_obs",
         f"{mean} AS mean", f"{var} AS variance",
         f"{QTRUNC(mde, 9)} AS mde", f"{npa} AS n_per_arm")
+
+
+# ----------------------------------------------------------------------
+# Exact equi-depth histogram construction — the ANALYZE-statistics
+# op an optimizer runs to build per-column histograms: 10 equal-
+# population buckets per event type over `value`, each reporting
+# its population and [lo, hi] bounds. EXACT, not a sketch (the
+# dd_quantiles row is the mergeable-sketch counterpart): bucket
+# assignment is NTILE(10) by (value, event_id) — a total order — on
+# the two-pass grouped rank, so no per-type single-partition sort
+# exists at any scale; the oracle replays it as native NTILE.
+# ----------------------------------------------------------------------
+
+_EQD_ORACLE = f"""
+WITH e AS (
+  SELECT event_type, event_id, value FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)),
+b AS (
+  SELECT event_type, value,
+    NTILE(10) OVER (PARTITION BY event_type
+                    ORDER BY value, event_id) AS bucket
+  FROM e)
+SELECT event_type, CAST(bucket AS INT) AS bucket,
+  COUNT(*) AS n_rows, MIN(value) AS lo, MAX(value) AS hi
+FROM b GROUP BY event_type, bucket
+"""
+
+
+@spec(
+    "events_equidepth_histogram",
+    _EQD_ORACLE,
+    description="Exact equi-depth histogram (ANALYZE-style column "
+                "statistics): 10 equal-population value buckets per "
+                "event type via NTILE on the two-pass grouped rank "
+                "— no per-group single-partition sort; per-bucket "
+                "population and [lo, hi] bounds, value-exact",
+    tags=("events", "statistics", "rank"),
+)
+def q_events_equidepth_histogram(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.rank import ntile_grouped
+
+    ev = (load(spark, sf_dir, "events")
+          .filter("value IS NOT NULL AND NOT isnan(value)")
+          .select("event_type", "event_id", "value"))
+    b = ntile_grouped(
+        ev, 10, ["event_type"],
+        [F.col("value").asc(), F.col("event_id").asc()],
+        bin_col="bucket")
+    return (b.groupBy("event_type",
+                      F.col("bucket").cast("int").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("value").alias("lo"),
+                 F.max("value").alias("hi")))
