@@ -700,3 +700,62 @@ def q_lineitem_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_set={"l_returnflag": ["A", "N", "R"]},
         unique=[["l_orderkey", "l_linenumber"]],
     )
+
+
+# ----------------------------------------------------------------------
+# ANALYZE-style table statistics — the per-column summary an
+# optimizer collects (and the companion of the equi-depth histogram
+# row): exact NDV, null count and [min, max] for every numeric
+# lineitem column, emitted in long form (one row per column). ONE
+# scan: the per-column stats ride a single aggregate with exact
+# COUNT(DISTINCT) rewrites (Spark plans multi-distinct via expand —
+# map-side partials, no per-column rescans), then a literal unpivot.
+# All-integer/identical-double stats, value-exact cross-engine.
+# ----------------------------------------------------------------------
+
+_ANALYZE_COLS = ("l_orderkey", "l_partkey", "l_suppkey",
+                 "l_linenumber", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax")
+
+
+def _analyze_oracle() -> str:
+    rows = []
+    for c in _ANALYZE_COLS:
+        rows.append(
+            f"SELECT '{c}' AS column_name,"
+            f" COUNT(DISTINCT {c}) AS ndv,"
+            f" COUNT(*) - COUNT({c}) AS n_nulls,"
+            f" CAST(MIN({c}) AS DOUBLE) AS min_value,"
+            f" CAST(MAX({c}) AS DOUBLE) AS max_value,"
+            f" COUNT(*) AS n_rows FROM lineitem")
+    return " UNION ALL ".join(rows)
+
+
+@spec(
+    "lineitem_analyze_stats",
+    _analyze_oracle(),
+    description="ANALYZE-style optimizer statistics in long form: "
+                "exact NDV, null count, [min, max] and row count "
+                "per numeric lineitem column — one scan, multi-"
+                "distinct via Spark's expand rewrite, value-exact",
+    tags=("relational", "statistics", "agg"),
+)
+def q_lineitem_analyze_stats(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _ANALYZE_COLS:
+        aggs += [
+            F.expr(f"COUNT(DISTINCT {c})").alias(f"__ndv_{c}"),
+            F.expr(f"COUNT(*) - COUNT({c})").alias(f"__nn_{c}"),
+            F.expr(f"CAST(MIN({c}) AS DOUBLE)").alias(f"__mn_{c}"),
+            F.expr(f"CAST(MAX({c}) AS DOUBLE)").alias(f"__mx_{c}"),
+        ]
+    aggs.append(F.expr("COUNT(*)").alias("__n"))
+    g = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __ndv_{c}, __nn_{c}, __mn_{c}, __mx_{c}"
+        for c in _ANALYZE_COLS)
+    return g.selectExpr(
+        f"stack({len(_ANALYZE_COLS)}, {stack})"
+        " AS (column_name, ndv, n_nulls, min_value, max_value)",
+        "__n AS n_rows")
