@@ -9810,3 +9810,110 @@ def q_pipeline_crawl_funnel(spark: SparkSession,
             .selectExpr(f"'{stage}' AS stage", "n_rows")
         out = c if out is None else out.unionByName(c)
     return out
+
+
+# ----------------------------------------------------------------------
+# Farthest-point-sampling coreset (k-center / diversity selection) —
+# the greedy 2-approximation every coreset/active-learning stack
+# uses to pick a maximally-spread sample: seed with vec_id 0, then
+# repeatedly take the vector whose MINIMUM squared L2 distance to
+# the already-selected set is LARGEST (ties -> lowest id). The
+# Spark side runs k-1 bounded rounds — selected vectors are a k-row
+# driver list broadcast into a LEAST-of-folds projection, the
+# argmax is a TakeOrdered limit 1 — so per-round cost is one corpus
+# scan and the driver state is k vectors, never the corpus. The
+# oracle UNROLLS the same greedy exactly (k literal CTE stages);
+# distances are fixed-order folds, so selections, distances and
+# ranks are value-exact cross-engine.
+# ----------------------------------------------------------------------
+
+_FPS_K = 5
+
+
+def _fps_dist_duck(a: str, b: str) -> str:
+    return (f"list_reduce(list_transform(range(1, {_CND_DIM + 1}),"
+            f" i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+            f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))),"
+            f" (x, y) -> x + y)")
+
+
+def _fps_oracle() -> str:
+    parts = [
+        # seed = MIN vec_id (never assumes a literal id exists)
+        "s1 AS (SELECT 1 AS sel_rank,"
+        " (SELECT MIN(vec_id) FROM embeddings) AS vec_id,"
+        " CAST(NULL AS DOUBLE) AS d_min)",
+        "v1 AS (SELECT e.embedding FROM embeddings e, s1"
+        " WHERE e.vec_id = s1.vec_id LIMIT 1)",
+        f"d1 AS (SELECT e.vec_id,"
+        f" {_fps_dist_duck('e.embedding', 'v1.embedding')} AS dm"
+        f" FROM embeddings e, v1, s1 WHERE e.vec_id <> s1.vec_id)",
+    ]
+    prev_d = "d1"
+    sels = ["s1"]
+    for i in range(2, _FPS_K + 1):
+        parts.append(
+            f"s{i} AS (SELECT {i} AS sel_rank, vec_id, dm AS d_min"
+            f" FROM {prev_d} ORDER BY dm DESC, vec_id LIMIT 1)")
+        sels.append(f"s{i}")
+        if i < _FPS_K:
+            parts.append(
+                f"v{i} AS (SELECT e.embedding FROM embeddings e,"
+                f" s{i} WHERE e.vec_id = s{i}.vec_id)")
+            parts.append(
+                f"d{i} AS (SELECT d.vec_id, LEAST(d.dm,"
+                f" {_fps_dist_duck('e.embedding', f'v{i}.embedding')}"
+                f") AS dm"
+                f" FROM {prev_d} d JOIN embeddings e"
+                f" ON e.vec_id = d.vec_id, v{i}"
+                f" WHERE d.vec_id NOT IN"
+                f" (SELECT vec_id FROM s{i}))")
+            prev_d = f"d{i}"
+    union = " UNION ALL ".join(f"SELECT * FROM {s}" for s in sels)
+    return "WITH " + ",\n".join(parts) + f"\n{union}"
+
+
+@spec(
+    "embedding_fps_coreset",
+    _fps_oracle(),
+    description="Farthest-point-sampling coreset (k-center greedy "
+                "2-approx diversity selection): k-1 bounded rounds, "
+                "each one corpus scan + a TakeOrdered argmax with a "
+                "k-row broadcast selected set — selections and "
+                "distances value-exact vs the oracle's unrolled "
+                "greedy",
+    tags=("pipeline", "sampling", "similarity"),
+)
+def q_embedding_fps_coreset(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    d = _CND_DIM
+    emb = load(spark, sf_dir, "embeddings").select("vec_id",
+                                                   "embedding")
+    seed_id = emb.agg(F.min("vec_id")).collect()[0][0]
+    first = emb.filter(F.col("vec_id") == seed_id).limit(1) \
+        .collect()[0]
+    selected = [(1, int(seed_id), None, list(first.embedding))]
+
+    def dist_to(vec: list) -> str:
+        lit = "array(" + ", ".join(f"CAST({float(x)!r}D AS DOUBLE)"
+                                   for x in vec) + ")"
+        return (f"aggregate(zip_with(embedding, {lit},"
+                f" (a, b) -> (CAST(a AS DOUBLE) - b)"
+                f" * (CAST(a AS DOUBLE) - b)),"
+                f" 0d, (acc, x) -> acc + x)")
+
+    for i in range(2, _FPS_K + 1):
+        chosen = [s[1] for s in selected]
+        dmin = "least(" + ", ".join(
+            dist_to(s[3]) for s in selected) + ")" \
+            if len(selected) > 1 else dist_to(selected[0][3])
+        cand = (emb.filter(~F.col("vec_id").isin(chosen))
+                .selectExpr("vec_id", "embedding",
+                            f"{dmin} AS dm")
+                .orderBy(F.col("dm").desc(), F.col("vec_id").asc())
+                .limit(1).collect()[0])
+        selected.append((i, int(cand.vec_id), float(cand.dm),
+                         list(cand.embedding)))
+    return spark.createDataFrame(
+        [(r, v, dm) for r, v, dm, _vec in selected],
+        "sel_rank int, vec_id bigint, d_min double")
