@@ -2698,13 +2698,17 @@ WITH h AS (
     COUNT(*) AS n
   FROM events GROUP BY 1, 2),
 p AS (
-  SELECT event_type, hour_bucket % 24 AS hod,
-    COUNT(*) AS cnt, SUM(n) AS sx, SUM(n * n) AS sxx
+  SELECT event_type, hour_bucket % 24 AS hod, COUNT(*) AS cnt,
+    SUM(CAST(n AS DECIMAL(38,0))) AS sx,
+    SUM(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+      AS sxx
   FROM h GROUP BY 1, 2),
 m AS (
-  SELECT event_type, hod, sx / CAST(cnt AS DOUBLE) AS mu,
-    sqrt(nullif((sxx - sx * sx / CAST(cnt AS DOUBLE))
-                / nullif(cnt - 1, 0), 0e0)) AS sd
+  SELECT event_type, hod, CAST(sx AS DOUBLE) / cnt AS mu,
+    sqrt(nullif(GREATEST(
+      (CAST(sxx AS DOUBLE) / cnt
+       - (CAST(sx AS DOUBLE) / cnt) * (CAST(sx AS DOUBLE) / cnt))
+      * cnt / nullif(cnt - 1, 0), 0e0), 0e0)) AS sd
   FROM p)
 SELECT h.event_type, h.hour_bucket, CAST(h.n AS BIGINT) AS n,
   CAST(h.hour_bucket % 24 AS BIGINT) AS hod,
@@ -2734,16 +2738,24 @@ def q_events_seasonal_anomaly(spark: SparkSession,
                     F.expr(f"({_US_SPARK}) DIV 3600000000")
                     .alias("hour_bucket"))
          .agg(F.count(F.lit(1)).alias("n")))
+    # moments on the DECIMAL grid (BIGINT sx*sx wraps silently past
+    # ~3e9 events per cell in non-ANSI mode), variance composed in
+    # doubles from the exact sums and CLAMPED at 0 — double rounding
+    # can go infinitesimally negative for a near-constant series,
+    # and DuckDB's sqrt hard-errors on it where Spark returns NaN
     p = (h.groupBy("event_type",
                    F.expr("hour_bucket % 24").alias("hod"))
          .agg(F.count(F.lit(1)).alias("cnt"),
-              F.sum("n").alias("sx"),
-              F.expr("SUM(n * n)").alias("sxx")))
+              F.expr("SUM(CAST(n AS DECIMAL(38,0)))").alias("sx"),
+              F.expr("SUM(CAST(n AS DECIMAL(19,0))"
+                     " * CAST(n AS DECIMAL(19,0)))").alias("sxx")))
     m = p.selectExpr(
         "event_type AS __mt", "hod AS __mh",
-        "sx / CAST(cnt AS DOUBLE) AS mu",
-        "sqrt(nullif((sxx - sx * sx / CAST(cnt AS DOUBLE))"
-        " / nullif(cnt - 1, 0), 0e0)) AS sd")
+        "CAST(sx AS DOUBLE) / cnt AS mu",
+        "sqrt(nullif(GREATEST("
+        "(CAST(sxx AS DOUBLE) / cnt"
+        " - (CAST(sx AS DOUBLE) / cnt) * (CAST(sx AS DOUBLE) / cnt))"
+        " * cnt / nullif(cnt - 1, 0), 0e0), 0e0)) AS sd")
     z = QTRUNC("(n - mu) / sd", 9)
     return (h.join(F.broadcast(m),
                    (F.col("event_type") == F.col("__mt"))

@@ -9890,6 +9890,10 @@ def q_embedding_fps_coreset(spark: SparkSession,
     emb = load(spark, sf_dir, "embeddings").select("vec_id",
                                                    "embedding")
     seed_id = emb.agg(F.min("vec_id")).collect()[0][0]
+    schema = "sel_rank int, vec_id bigint, d_min double"
+    if seed_id is None:
+        # empty corpus: mirror the oracle's s1 row (NULL seed)
+        return spark.createDataFrame([(1, None, None)], schema)
     first = emb.filter(F.col("vec_id") == seed_id).limit(1) \
         .collect()[0]
     selected = [(1, int(seed_id), None, list(first.embedding))]
@@ -9907,13 +9911,17 @@ def q_embedding_fps_coreset(spark: SparkSession,
         dmin = "least(" + ", ".join(
             dist_to(s[3]) for s in selected) + ")" \
             if len(selected) > 1 else dist_to(selected[0][3])
-        cand = (emb.filter(~F.col("vec_id").isin(chosen))
+        rows = (emb.filter(~F.col("vec_id").isin(chosen))
                 .selectExpr("vec_id", "embedding",
                             f"{dmin} AS dm")
                 .orderBy(F.col("dm").desc(), F.col("vec_id").asc())
-                .limit(1).collect()[0])
+                .limit(1).collect())
+        if not rows:
+            # fewer than k vectors: degrade to a partial selection,
+            # exactly like the oracle's empty d{i}/s{i} stages
+            break
+        cand = rows[0]
         selected.append((i, int(cand.vec_id), float(cand.dm),
                          list(cand.embedding)))
     return spark.createDataFrame(
-        [(r, v, dm) for r, v, dm, _vec in selected],
-        "sel_rank int, vec_id bigint, d_min double")
+        [(r, v, dm) for r, v, dm, _vec in selected], schema)
