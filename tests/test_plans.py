@@ -695,3 +695,19 @@ def test_equidepth_histogram_rides_two_pass_rank(spark):
     for ln in plan.splitlines():
         if "NestedLoopJoin" in ln:
             assert "Broadcast" in ln, ln
+
+
+def test_zipf_coverage_running_sum_is_two_pass(spark):
+    """doc_zipf_coverage's cumulative sum must ride the two-pass
+    rank's distributed running-sum (every Window __pid-partitioned),
+    no cartesian product, nested loops broadcast-only (the 1-row
+    total)."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["doc_zipf_coverage"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    _assert_all_windows_pid_partitioned(plan)
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln, ln

@@ -9925,3 +9925,66 @@ def q_embedding_fps_coreset(spark: SparkSession,
                          list(cand.embedding)))
     return spark.createDataFrame(
         [(r, v, dm) for r, v, dm, _vec in selected], schema)
+
+
+# ----------------------------------------------------------------------
+# Zipf coverage curve — the corpus statistic behind every "top-k
+# tokens cover X% of the corpus" claim (and the sanity check before
+# vocabulary truncation): cumulative token-mass share of the k most
+# frequent unigrams at k = 1, 10, 100, 1000. The cumulative sum
+# rides global_rank's distributed running-sum support (per-partition
+# totals + broadcast offsets — the only running-sum machinery in the
+# repo, never a corpus-wide window), counts are integers, and the
+# share is one exact-inputs division. Ranks past the vocabulary
+# size simply have no row — identical on both engines.
+# ----------------------------------------------------------------------
+
+_ZIPF_KS = (1, 10, 100, 1000)
+
+_ZIPF_ORACLE = f"""
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+  WHERE text IS NOT NULL),
+c AS (SELECT tok, COUNT(*) AS c FROM t WHERE tok <> ''
+      GROUP BY tok),
+tot AS (SELECT SUM(c) AS n FROM c),
+r AS (
+  SELECT tok, c,
+    ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS k,
+    SUM(c) OVER (ORDER BY c DESC, tok
+                 ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c)
+SELECT r.k AS top_k, CAST(r.cum AS BIGINT) AS cum_tokens,
+  CAST(tot.n AS BIGINT) AS total_tokens,
+  r.cum / CAST(tot.n AS DOUBLE) AS coverage
+FROM r, tot WHERE r.k IN {_ZIPF_KS}
+"""
+
+
+@spec(
+    "doc_zipf_coverage",
+    _ZIPF_ORACLE,
+    description="Zipf coverage curve: cumulative token-mass share "
+                "of the top-k unigrams at k=1/10/100/1000 — the "
+                "running sum rides the two-pass distributed rank "
+                "(never a corpus-wide window); exact integer "
+                "counts, one division",
+    tags=("pipeline", "text", "statistics", "rank"),
+)
+def q_doc_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.rank import global_rank
+
+    docs = load(spark, sf_dir, "documents")
+    c = (docs.filter("text IS NOT NULL")
+         .selectExpr("explode(split(text, ' ')) AS tok")
+         .filter("tok <> ''")
+         .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    tot = c.agg(F.expr("SUM(c)").alias("__n"))
+    r = global_rank(c, [F.col("c").desc(), F.col("tok").asc()],
+                    rank_col="__k", running_sums={"__cum": "c"})
+    return (r.filter(F.col("__k").isin(list(_ZIPF_KS)))
+            .join(F.broadcast(tot))
+            .selectExpr("__k AS top_k",
+                        "CAST(__cum AS BIGINT) AS cum_tokens",
+                        "CAST(__n AS BIGINT) AS total_tokens",
+                        "__cum / CAST(__n AS DOUBLE) AS coverage"))
