@@ -9988,3 +9988,66 @@ def q_doc_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "CAST(__cum AS BIGINT) AS cum_tokens",
                         "CAST(__n AS BIGINT) AS total_tokens",
                         "__cum / CAST(__n AS DOUBLE) AS coverage"))
+
+
+# ----------------------------------------------------------------------
+# Per-source duplication profile — the triage report run before
+# choosing dedup effort per ingest source: exact content identity
+# (md5), per source the doc count, distinct-content count, the
+# duplicate surplus and its rate, plus how many of the source's
+# contents also appear in ANOTHER source (cross-source leakage).
+# Two hash aggs on the digest; the cross-source flag is a bounded
+# per-digest distinct count — no pairwise stage.
+# ----------------------------------------------------------------------
+
+_DUP_RATE_ORACLE = """
+WITH d AS (
+  SELECT coalesce(source, '') AS source, md5(text) AS digest
+  FROM documents WHERE text IS NOT NULL),
+x AS (
+  SELECT digest, COUNT(DISTINCT source) AS nsrc FROM d GROUP BY 1),
+g AS (
+  SELECT d.source, d.digest, COUNT(*) AS c,
+    MAX(x.nsrc) AS nsrc
+  FROM d JOIN x ON x.digest = d.digest
+  GROUP BY d.source, d.digest)
+SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+  COUNT(*) AS n_unique,
+  CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup_surplus,
+  (SUM(c) - COUNT(*)) / CAST(SUM(c) AS DOUBLE) AS dup_rate,
+  CAST(COUNT(CASE WHEN nsrc > 1 THEN 1 END) AS BIGINT)
+    AS n_cross_source
+FROM g GROUP BY source
+"""
+
+
+@spec(
+    "doc_dedup_rate_by_source",
+    _DUP_RATE_ORACLE,
+    description="Per-source duplication triage: exact-content doc/"
+                "unique counts, duplicate surplus and rate, and the "
+                "cross-source-leakage count — two digest hash aggs, "
+                "no pairwise stage",
+    tags=("pipeline", "dedup", "statistics"),
+)
+def q_doc_dedup_rate_by_source(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    d = (load(spark, sf_dir, "documents")
+         .filter("text IS NOT NULL")
+         .selectExpr("coalesce(source, '') AS source",
+                     "md5(text) AS digest"))
+    x = d.groupBy("digest").agg(
+        F.expr("COUNT(DISTINCT source)").alias("__nsrc"))
+    g = (d.join(x, on="digest")
+         .groupBy("source", "digest")
+         .agg(F.count(F.lit(1)).alias("c"),
+              F.max("__nsrc").alias("__ns")))
+    return g.groupBy("source").agg(
+        F.expr("CAST(SUM(c) AS BIGINT)").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.expr("CAST(SUM(c) - COUNT(*) AS BIGINT)")
+        .alias("n_dup_surplus"),
+        F.expr("(SUM(c) - COUNT(*)) / CAST(SUM(c) AS DOUBLE)")
+        .alias("dup_rate"),
+        F.expr("CAST(COUNT(CASE WHEN __ns > 1 THEN 1 END)"
+               " AS BIGINT)").alias("n_cross_source"))
