@@ -711,3 +711,18 @@ def test_zipf_coverage_running_sum_is_two_pass(spark):
     for ln in plan.splitlines():
         if "NestedLoopJoin" in ln:
             assert "Broadcast" in ln, ln
+
+
+def test_user_gini_rank_is_two_pass(spark):
+    """events_user_gini's in-type ranks must ride the two-pass rank
+    (every Window __pid-partitioned); no cartesian product; nested
+    loops broadcast-only."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["events_user_gini"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    _assert_all_windows_pid_partitioned(plan)
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln, ln

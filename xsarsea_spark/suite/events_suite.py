@@ -2887,3 +2887,75 @@ def q_events_equidepth_histogram(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.min("value").alias("lo"),
                  F.max("value").alias("hi")))
+
+
+# ----------------------------------------------------------------------
+# Activity concentration (Gini coefficient) — "do 1% of users
+# generate half the events?": per event type, the exact Gini of
+# per-user event counts via the sorted-rank identity
+# G = 2 * sum(i * x_i) / (n * sum(x)) - (n + 1) / n with x ascending
+# by (count, user_id). The in-type rank comes from ONE global
+# two-pass rank plus broadcast per-type offsets (the crawl-frontier
+# shape — no per-type single-partition sort), sum(i * x_i) rides
+# the DECIMAL grid (i * x products overflow BIGINT long before a
+# 100 TB corpus runs out of users), and the final statistic passes
+# a QTRUNC barrier.
+# ----------------------------------------------------------------------
+
+_GINI_ORACLE = f"""
+WITH u AS (
+  SELECT event_type, user_id, COUNT(*) AS c FROM events
+  GROUP BY event_type, user_id),
+r AS (
+  SELECT event_type, c,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY c, user_id) AS i
+  FROM u),
+g AS (
+  SELECT event_type, COUNT(*) AS n,
+    CAST(SUM(CAST(c AS DECIMAL(38,0))) AS BIGINT) AS t,
+    SUM(CAST(i AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS s
+  FROM r GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n_users,
+  t AS n_events,
+  {QTRUNC("2e0 * CAST(s AS DOUBLE) / (n * CAST(t AS DOUBLE))"
+          " - (n + 1e0) / n", 9)} AS gini
+FROM g
+"""
+
+
+@spec(
+    "events_user_gini",
+    _GINI_ORACLE,
+    description="Exact Gini concentration of per-user activity per "
+                "event type via the sorted-rank identity — in-type "
+                "ranks on the two-pass grouped rank (no per-type "
+                "single-partition sort), DECIMAL-grid moment, "
+                "QTRUNC'd statistic",
+    tags=("events", "statistics", "rank"),
+)
+def q_events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.rank import global_rank
+
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c"))
+    ranked = global_rank(
+        u, [F.col("event_type").asc(), F.col("c").asc(),
+            F.col("user_id").asc()], rank_col="__gr")
+    first = ranked.groupBy("event_type").agg(
+        F.min("__gr").alias("__first"))
+    r = (ranked.join(F.broadcast(first), on="event_type")
+         .selectExpr("event_type", "c",
+                     "__gr - __first + 1 AS i"))
+    g = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(CAST(c AS DECIMAL(38,0))) AS BIGINT)")
+        .alias("t"),
+        F.expr("SUM(CAST(i AS DECIMAL(19,0))"
+               " * CAST(c AS DECIMAL(19,0)))").alias("s"))
+    return g.selectExpr(
+        "event_type", "CAST(n AS BIGINT) AS n_users",
+        "t AS n_events",
+        QTRUNC("2e0 * CAST(s AS DOUBLE) / (n * CAST(t AS DOUBLE))"
+               " - (n + 1e0) / n", 9) + " AS gini")
