@@ -2959,3 +2959,68 @@ def q_events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t AS n_events",
         QTRUNC("2e0 * CAST(s AS DOUBLE) / (n * CAST(t AS DOUBLE))"
                " - (n + 1e0) / n", 9) + " AS gini")
+
+
+# ----------------------------------------------------------------------
+# Journey predictability — per-state transition entropy of the
+# user-journey Markov chain (the information-theoretic companion of
+# events_markov_transitions' probabilities): for each current event
+# type, H = -sum_next p * log2(p) in bits — 0 means the next step
+# is fully determined, log2(|types|) means uniform. Transition
+# counts are integers; each p*log2(p) term passes a QTRUNC barrier
+# (log2 is libm) and the per-state sum rides an exact DECIMAL grid,
+# so entropies agree cross-engine. One user_id exchange for the
+# lead, two hash aggs after.
+# ----------------------------------------------------------------------
+
+
+def _entropy_oracle() -> str:
+    term = QTRUNC(
+        "(c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))", 12)
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type, {_US_DUCK} AS us, event_id
+  FROM events WHERE ts IS NOT NULL),
+t AS (
+  SELECT event_type AS s0, lead(event_type) OVER w AS s1
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+c AS (SELECT s0, s1, COUNT(*) AS c FROM t WHERE s1 IS NOT NULL
+      GROUP BY s0, s1),
+n AS (SELECT s0, SUM(c) AS n FROM c GROUP BY s0),
+h AS (SELECT c.s0, CAST(n.n AS BIGINT) AS n_transitions,
+        CAST(SUM(CAST(-({term}) AS DECIMAL(38,12))) AS DOUBLE)
+          AS entropy_bits
+      FROM c JOIN n ON n.s0 = c.s0 GROUP BY c.s0, n.n)
+SELECT s0 AS event_type, n_transitions, entropy_bits FROM h
+"""
+
+
+@spec(
+    "events_transition_entropy",
+    _entropy_oracle(),
+    description="Per-state transition entropy of the user-journey "
+                "Markov chain (bits): QTRUNC'd p*log2(p) terms on "
+                "an exact DECIMAL sum — 0 = deterministic next "
+                "step; one user_id exchange + two hash aggs",
+    tags=("events", "statistics", "window"),
+)
+def q_events_transition_entropy(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    term = QTRUNC(
+        "(c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))", 12)
+    ev = (load(spark, sf_dir, "events").filter("ts IS NOT NULL")
+          .selectExpr("user_id", "event_type", f"{_US_SPARK} AS us",
+                      "event_id"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    t = ev.select(F.col("event_type").alias("s0"),
+                  F.lead("event_type").over(w).alias("s1"))
+    c = (t.filter("s1 IS NOT NULL")
+         .groupBy("s0", "s1").agg(F.count(F.lit(1)).alias("c")))
+    n = c.groupBy("s0").agg(F.sum("c").alias("n"))
+    return (c.join(n, on="s0")
+            .groupBy(F.col("s0").alias("event_type"),
+                     F.col("n").cast("bigint")
+                     .alias("n_transitions"))
+            .agg(F.expr(f"CAST(SUM(CAST(-({term})"
+                        f" AS DECIMAL(38,12))) AS DOUBLE)")
+                 .alias("entropy_bits")))
