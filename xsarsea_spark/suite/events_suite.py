@@ -3024,3 +3024,78 @@ def q_events_transition_entropy(spark: SparkSession,
             .agg(F.expr(f"CAST(SUM(CAST(-({term})"
                         f" AS DECIMAL(38,12))) AS DOUBLE)")
                  .alias("entropy_bits")))
+
+
+# ----------------------------------------------------------------------
+# Dead-letter quarantine report — the ingest-side data-quality
+# split (the events twin of lineitem_dq_gate's expectation report):
+# each record is checked against the gate battery (NULL timestamp,
+# NULL user, missing/NaN value, unknown event type, negative
+# value), per-reason violation counts are exact integers, and the
+# headline row reports how many records quarantine (>= 1 reason)
+# vs pass clean. One scan, one aggregate — the counts a pipeline
+# alerts on before the clean slice proceeds.
+# ----------------------------------------------------------------------
+
+_DQQ_REASONS = (
+    ("null_ts", "ts IS NULL"),
+    ("null_user", "user_id IS NULL"),
+    ("bad_value", "value IS NULL OR isnan(value)"),
+    ("unknown_type",
+     "event_type IS NULL OR event_type NOT IN"
+     " ('view', 'click', 'purchase', 'signup', 'error')"),
+    ("negative_value",
+     "value IS NOT NULL AND NOT isnan(value) AND value < 0e0"),
+)
+
+_DQQ_ANY = " OR ".join(f"({cond})" for _n, cond in _DQQ_REASONS)
+
+
+def _dqq_oracle() -> str:
+    rows = [
+        f"SELECT '{name}' AS reason,"
+        f" CAST(COUNT(CASE WHEN {cond} THEN 1 END) AS BIGINT)"
+        f" AS n_rows FROM events"
+        for name, cond in _DQQ_REASONS
+    ]
+    rows.append(
+        f"SELECT '__quarantined' AS reason,"
+        f" CAST(COUNT(CASE WHEN {_DQQ_ANY} THEN 1 END) AS BIGINT)"
+        f" AS n_rows FROM events")
+    rows.append(
+        f"SELECT '__clean' AS reason,"
+        f" CAST(COUNT(CASE WHEN NOT ({_DQQ_ANY}) THEN 1 END)"
+        f" AS BIGINT) AS n_rows FROM events")
+    return " UNION ALL ".join(rows)
+
+
+@spec(
+    "events_dq_quarantine",
+    _dqq_oracle(),
+    description="Dead-letter quarantine report: per-reason gate "
+                "violation counts (NULL ts/user, NaN value, unknown "
+                "type, negative value) plus the quarantined-vs-clean "
+                "headline — one scan, one aggregate, exact integers",
+    tags=("events", "quality", "agg"),
+)
+def q_events_dq_quarantine(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    aggs = [
+        F.expr(f"CAST(COUNT(CASE WHEN {cond} THEN 1 END) AS BIGINT)")
+        .alias(f"__{name}")
+        for name, cond in _DQQ_REASONS
+    ]
+    aggs.append(F.expr(
+        f"CAST(COUNT(CASE WHEN {_DQQ_ANY} THEN 1 END) AS BIGINT)")
+        .alias("__quar"))
+    aggs.append(F.expr(
+        f"CAST(COUNT(CASE WHEN NOT ({_DQQ_ANY}) THEN 1 END)"
+        f" AS BIGINT)").alias("__clean"))
+    g = ev.agg(*aggs)
+    stack = ", ".join(
+        [f"'{name}', __{name}" for name, _c in _DQQ_REASONS]
+        + ["'__quarantined', __quar", "'__clean', __clean"])
+    return g.selectExpr(
+        f"stack({len(_DQQ_REASONS) + 2}, {stack})"
+        " AS (reason, n_rows)")
