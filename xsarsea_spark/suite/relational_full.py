@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xsarsea_spark.sources.tables import load
-from xsarsea_spark.suite.base import DAVG, DSUM, spec
+from xsarsea_spark.suite.base import DAVG, DSUM, QTRUNC, spec
 
 _REV = "l_extendedprice * (1e0 - l_discount)"
 
@@ -759,3 +759,107 @@ def q_lineitem_analyze_stats(spark, sf_dir):
         f"stack({len(_ANALYZE_COLS)}, {stack})"
         " AS (column_name, ndv, n_nulls, min_value, max_value)",
         "__n AS n_rows")
+
+
+# ----------------------------------------------------------------------
+# Price-volume-mix revenue decomposition — the BI bridge every
+# finance review runs: month-over-month revenue change split into
+# the price effect (p1-p0)*q0, the volume effect p0*(q1-q0), the
+# cross term (p1-p0)*(q1-q0) over parts sold in BOTH months, plus
+# the mix buckets (revenue from parts new this month / lost from
+# parts that stopped selling). Identity (exact in real arithmetic):
+# delta = price + volume + cross + new - lost. Part-month frames
+# meet in ONE partkey-keyed self-join shifted by a month; effect
+# terms pass a QTRUNC barrier (price is a ratio) before exact
+# DECIMAL month rollups, so every bridge component is value-exact
+# cross-engine.
+# ----------------------------------------------------------------------
+
+
+def _pvm_oracle() -> str:
+    p1, p0 = "(r1 / q1)", "(r0 / q0)"
+    pe = QTRUNC(f"({p1} - {p0}) * q0", 6)
+    ve = QTRUNC(f"{p0} * (q1 - q0)", 6)
+    ce = QTRUNC(f"({p1} - {p0}) * (q1 - q0)", 6)
+    return f"""
+WITH pm AS (
+  SELECT CAST(EXTRACT(year FROM l_shipdate) * 12
+       + EXTRACT(month FROM l_shipdate) AS BIGINT) AS m,
+    l_partkey, {DSUM('l_extendedprice')} AS r,
+    {DSUM('l_quantity')} AS q
+  FROM lineitem GROUP BY 1, l_partkey),
+pair AS (
+  SELECT c.m, c.l_partkey, c.r AS r1, c.q AS q1,
+         p.r AS r0, p.q AS q0
+  FROM pm c JOIN pm p ON p.l_partkey = c.l_partkey
+                     AND p.m = c.m - 1),
+cont AS (
+  SELECT m, {DSUM('r1 - r0')} AS delta_cont,
+    {DSUM(pe, 6)} AS price_effect,
+    {DSUM(ve, 6)} AS volume_effect,
+    {DSUM(ce, 6)} AS cross_effect
+  FROM pair GROUP BY m),
+new_r AS (
+  SELECT c.m, {DSUM('c.r')} AS new_revenue
+  FROM pm c LEFT JOIN pm p ON p.l_partkey = c.l_partkey
+                          AND p.m = c.m - 1
+  WHERE p.l_partkey IS NULL GROUP BY c.m),
+lost_r AS (
+  SELECT p.m + 1 AS m, {DSUM('p.r')} AS lost_revenue
+  FROM pm p LEFT JOIN pm c ON c.l_partkey = p.l_partkey
+                          AND c.m = p.m + 1
+  WHERE c.l_partkey IS NULL GROUP BY p.m + 1)
+SELECT cont.m AS month_key, cont.delta_cont, cont.price_effect,
+  cont.volume_effect, cont.cross_effect,
+  COALESCE(new_r.new_revenue, 0e0) AS new_parts_revenue,
+  COALESCE(lost_r.lost_revenue, 0e0) AS lost_parts_revenue
+FROM cont LEFT JOIN new_r ON new_r.m = cont.m
+LEFT JOIN lost_r ON lost_r.m = cont.m
+"""
+
+
+@spec(
+    "q_price_volume_mix",
+    _pvm_oracle(),
+    description="Price-volume-mix revenue bridge: month-over-month "
+                "delta split into price/volume/cross effects over "
+                "continuing parts plus new/lost mix buckets — one "
+                "partkey self-join shifted a month, QTRUNC'd effect "
+                "terms into exact DECIMAL rollups",
+    tags=("relational", "finance", "join"),
+)
+def q_q_price_volume_mix(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    pm = (li.groupBy(
+            F.expr("CAST(EXTRACT(year FROM l_shipdate) * 12"
+                   " + EXTRACT(month FROM l_shipdate) AS BIGINT)")
+            .alias("m"), "l_partkey")
+          .agg(F.expr(DSUM("l_extendedprice")).alias("r"),
+               F.expr(DSUM("l_quantity")).alias("q")))
+    cur = pm.selectExpr("m", "l_partkey", "r AS r1", "q AS q1")
+    prv = pm.selectExpr("m + 1 AS m", "l_partkey", "r AS r0",
+                        "q AS q0")
+    pair = cur.join(prv, on=["m", "l_partkey"])
+    p1, p0 = "(r1 / q1)", "(r0 / q0)"
+    pe = QTRUNC(f"({p1} - {p0}) * q0", 6)
+    ve = QTRUNC(f"{p0} * (q1 - q0)", 6)
+    ce = QTRUNC(f"({p1} - {p0}) * (q1 - q0)", 6)
+    cont = pair.groupBy("m").agg(
+        F.expr(DSUM("r1 - r0")).alias("delta_cont"),
+        F.expr(DSUM(pe, 6)).alias("price_effect"),
+        F.expr(DSUM(ve, 6)).alias("volume_effect"),
+        F.expr(DSUM(ce, 6)).alias("cross_effect"))
+    new_r = (cur.join(prv, on=["m", "l_partkey"], how="left_anti")
+             .groupBy("m")
+             .agg(F.expr(DSUM("r1")).alias("new_revenue")))
+    lost_r = (prv.join(cur, on=["m", "l_partkey"], how="left_anti")
+              .groupBy("m")
+              .agg(F.expr(DSUM("r0")).alias("lost_revenue")))
+    return (cont.join(new_r, on="m", how="left")
+            .join(lost_r, on="m", how="left")
+            .selectExpr(
+                "m AS month_key", "delta_cont", "price_effect",
+                "volume_effect", "cross_effect",
+                "COALESCE(new_revenue, 0e0) AS new_parts_revenue",
+                "COALESCE(lost_revenue, 0e0)"
+                " AS lost_parts_revenue"))
