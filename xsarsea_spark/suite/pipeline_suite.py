@@ -10051,3 +10051,74 @@ def q_doc_dedup_rate_by_source(spark: SparkSession,
         .alias("dup_rate"),
         F.expr("CAST(COUNT(CASE WHEN __ns > 1 THEN 1 END)"
                " AS BIGINT)").alias("n_cross_source"))
+
+
+# ----------------------------------------------------------------------
+# Heaps' law vocabulary growth — the companion of the Zipf curve:
+# distinct-vocabulary size after each decile of the corpus (docs in
+# doc_id order), the curve that predicts how vocabulary scales with
+# corpus size (and when a tokenizer's vocab budget saturates).
+# Cumulative DISTINCT is relational poison; the first-occurrence
+# trick makes it two hash aggs: vocab(k) = tokens whose FIRST
+# document rank is <= k. Document ranks ride the two-pass rank;
+# the 10 decile cutoffs are a broadcast frame met with a <=
+# predicate (10x fan-out, broadcast NLJ class).
+# ----------------------------------------------------------------------
+
+_HEAPS_ORACLE = """
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL),
+ft AS (SELECT tok, MIN(doc_id) AS fdoc FROM dt
+       WHERE tok <> '' GROUP BY tok),
+dr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rk
+       FROM (SELECT DISTINCT doc_id FROM documents
+             WHERE text IS NOT NULL)),
+fr AS (SELECT ft.tok, dr.rk AS frk FROM ft
+       JOIN dr ON dr.doc_id = ft.fdoc),
+tot AS (SELECT COUNT(*) AS d FROM dr),
+ks AS (SELECT i AS decile,
+         CAST(CEIL(tot.d * i / 10.0) AS BIGINT) AS k
+       FROM (SELECT unnest(range(1, 11)) AS i), tot)
+SELECT ks.decile AS decile, ks.k AS n_docs_prefix,
+  CAST(COUNT(CASE WHEN fr.frk <= ks.k THEN 1 END) AS BIGINT)
+    AS vocab_size
+FROM ks, fr GROUP BY ks.decile, ks.k
+"""
+
+
+@spec(
+    "doc_heaps_vocab_growth",
+    _HEAPS_ORACLE,
+    description="Heaps' law vocabulary growth: distinct-vocab size "
+                "after each corpus decile via the first-occurrence "
+                "trick (vocab(k) = tokens whose first doc rank <= "
+                "k) — two hash aggs + the two-pass doc rank, never "
+                "a cumulative-distinct window",
+    tags=("pipeline", "text", "statistics", "rank"),
+)
+def q_doc_heaps_vocab_growth(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.rank import global_rank
+
+    docs = load(spark, sf_dir, "documents").filter("text IS NOT NULL")
+    dt = (docs.selectExpr("doc_id",
+                          "explode(split(text, ' ')) AS tok")
+          .filter("tok <> ''").distinct())
+    ft = dt.groupBy("tok").agg(F.min("doc_id").alias("fdoc"))
+    dr = global_rank(docs.select("doc_id").distinct(),
+                     [F.col("doc_id").asc()], rank_col="rk")
+    fr = ft.join(dr.withColumnRenamed("doc_id", "fdoc"), on="fdoc") \
+        .select("tok", F.col("rk").alias("frk"))
+    tot = dr.agg(F.count(F.lit(1)).alias("d"))
+    ks = (spark.range(1, 11).selectExpr("id AS decile")
+          .join(F.broadcast(tot))
+          .selectExpr("decile",
+                      "CAST(CEIL(d * decile / 10.0) AS BIGINT)"
+                      " AS k"))
+    return (fr.join(F.broadcast(ks))
+            .groupBy("decile", "k")
+            .agg(F.expr("CAST(COUNT(CASE WHEN frk <= k"
+                        " THEN 1 END) AS BIGINT)")
+                 .alias("vocab_size"))
+            .withColumnRenamed("k", "n_docs_prefix"))
