@@ -10122,3 +10122,59 @@ def q_doc_heaps_vocab_growth(spark: SparkSession,
                         " THEN 1 END) AS BIGINT)")
                  .alias("vocab_size"))
             .withColumnRenamed("k", "n_docs_prefix"))
+
+
+# ----------------------------------------------------------------------
+# Language-ID confusion matrix — the evaluation rollup for the
+# marker-based classifier: per (labeled, predicted) pair the doc
+# count, plus each cell's share of its labeled row (the per-class
+# recall when labeled = predicted). Uses the ONE shared language
+# predictor (_lang_pred_duck / pipeline.text.language_id), so this
+# eval can never drift from the classifier it scores. Two hash
+# aggs; output cardinality = |langs|^2.
+# ----------------------------------------------------------------------
+
+
+def _lang_confusion_oracle() -> str:
+    scores_csv, case = _lang_pred_duck()
+    return f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l
+           FROM documents
+           WHERE text IS NOT NULL AND lang IS NOT NULL
+             AND len(string_split(text, ' ')) > 0),
+s AS (SELECT doc_id, lang, {scores_csv} FROM t),
+p AS (SELECT lang, {case} AS pred_lang FROM s),
+c AS (SELECT lang, pred_lang, COUNT(*) AS n_docs
+      FROM p GROUP BY lang, pred_lang),
+r AS (SELECT lang, SUM(n_docs) AS row_n FROM c GROUP BY lang)
+SELECT c.lang, c.pred_lang, CAST(c.n_docs AS BIGINT) AS n_docs,
+  c.n_docs / CAST(r.row_n AS DOUBLE) AS row_share
+FROM c JOIN r ON r.lang = c.lang
+"""
+
+
+@spec(
+    "doc_lang_confusion",
+    _lang_confusion_oracle(),
+    description="Language-ID confusion matrix: (labeled, predicted) "
+                "doc counts + per-labeled-row shares, built on the "
+                "ONE shared language predictor so the eval can "
+                "never drift from the classifier it scores; two "
+                "hash aggs",
+    tags=("pipeline", "text", "eval"),
+)
+def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.text import language_id
+
+    docs = (load(spark, sf_dir, "documents")
+            .filter("text IS NOT NULL AND lang IS NOT NULL"
+                    " AND size(split(text, ' ')) > 0"))
+    p = language_id(docs).select("lang", "pred_lang")
+    c = p.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    r = c.groupBy("lang").agg(F.sum("n_docs").alias("__rn"))
+    return (c.join(r, on="lang")
+            .selectExpr("lang", "pred_lang",
+                        "CAST(n_docs AS BIGINT) AS n_docs",
+                        "n_docs / CAST(__rn AS DOUBLE)"
+                        " AS row_share"))
