@@ -3099,3 +3099,54 @@ def q_events_dq_quarantine(spark: SparkSession,
     return g.selectExpr(
         f"stack({len(_DQQ_REASONS) + 2}, {stack})"
         " AS (reason, n_rows)")
+
+
+# ----------------------------------------------------------------------
+# SLO error-budget report — the SRE rollup run over event streams:
+# per day, total events, error events, the error rate against a 1%
+# SLO, the fraction of that day's budget consumed, and the breach
+# flag. Exact integer counts and one division per row — a single
+# hash agg on the integer day bucket.
+# ----------------------------------------------------------------------
+
+_SLO_TARGET = "1e-2"
+
+_SLO_ORACLE = f"""
+SELECT ({_US_DUCK} // {_DAY_US}) AS day,
+  COUNT(*) AS n_events,
+  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+    AS n_errors,
+  COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+    / CAST(COUNT(*) AS DOUBLE) AS error_rate,
+  COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+    / CAST(COUNT(*) AS DOUBLE) / {_SLO_TARGET} AS budget_consumed,
+  COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+    / CAST(COUNT(*) AS DOUBLE) > {_SLO_TARGET} AS slo_breach
+FROM events WHERE ts IS NOT NULL
+GROUP BY 1
+"""
+
+
+@spec(
+    "events_slo_error_budget",
+    _SLO_ORACLE,
+    description="SLO error-budget report: per-day error rate vs a "
+                "1% target, budget-consumed fraction and breach "
+                "flag — one hash agg on the integer day bucket, "
+                "exact counts and one division per row",
+    tags=("events", "quality", "agg"),
+)
+def q_events_slo_error_budget(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter("ts IS NOT NULL")
+    err = "COUNT(CASE WHEN event_type = 'error' THEN 1 END)"
+    return (ev.groupBy(F.expr(f"({_US_SPARK}) DIV {_DAY_US}")
+                       .alias("day"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.expr(f"CAST({err} AS BIGINT)").alias("n_errors"),
+                 F.expr(f"{err} / CAST(COUNT(*) AS DOUBLE)")
+                 .alias("error_rate"),
+                 F.expr(f"{err} / CAST(COUNT(*) AS DOUBLE)"
+                        f" / {_SLO_TARGET}").alias("budget_consumed"),
+                 F.expr(f"{err} / CAST(COUNT(*) AS DOUBLE)"
+                        f" > {_SLO_TARGET}").alias("slo_breach")))
