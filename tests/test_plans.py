@@ -726,3 +726,29 @@ def test_user_gini_rank_is_two_pass(spark):
     for ln in plan.splitlines():
         if "NestedLoopJoin" in ln:
             assert "Broadcast" in ln, ln
+
+
+def test_mips_topk_window_input_is_funneled(spark):
+    """embedding_mips_topk must NOT shuffle the full corpus x NQ
+    scored stream into NQ window partitions: a per-partition partial
+    top-k (MapInPandas, same stage as the broadcast scoring join —
+    no exchange between the join and the funnel) must bound the
+    global window's input to <= partitions*NQ*k survivors."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["embedding_mips_topk"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" in plan, "partial top-k funnel missing"
+    # tree prints parent-first: the Window (global pass) must sit
+    # ABOVE the MapInPandas funnel, i.e. consume its output
+    assert plan.index("Window") < plan.index("MapInPandas")
+    # the funnel rides the broadcast join's stage: no shuffle
+    # between scoring and the partial top-k
+    pre = plan[plan.index("MapInPandas"):]
+    assert "CartesianProduct" not in plan
+    head, _, _ = pre.partition("BroadcastHashJoin")
+    # broadcast exchanges and the 1-row MAX(n2) SinglePartition agg
+    # are bounded; only a hash-partitioned shuffle would mean the
+    # funnel added a real data movement
+    assert "Exchange hashpartitioning" not in head, \
+        "partial top-k must not add a shuffle before the funnel"

@@ -9654,9 +9654,35 @@ def q_embedding_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
          .selectExpr("query_id", "neighbor_id", f"({dot}) AS dot",
                      f"qn2 - 2 * ({dot}) + n2 + aug * aug"
                      " AS aug_d2"))
+    # Scale funnel: the scored stream is corpus x NQ rows; shuffling
+    # all of them into NQ window partitions is the one skewed-funnel
+    # pattern this file bans. Instead run a per-partition partial
+    # top-k (Arrow-batched, NO shuffle — it sits in the same stage
+    # as the broadcast join) that keeps a running best-k per query
+    # across the partition's batches, emitting <= partitions*NQ*k
+    # survivors; the global window then orders a bounded input. Any
+    # global top-k row is by definition in its partition's per-query
+    # top-k, so the funnel is lossless and the answer bit-identical
+    # (ties broken on neighbor_id in both passes).
+    k = _KNN_K
+
+    def _partial_topk(batches):
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            cur = pdf if best is None else pd.concat(
+                [best, pdf], ignore_index=True)
+            best = (cur.sort_values(["aug_d2", "neighbor_id"],
+                                    kind="mergesort")
+                    .groupby("query_id", sort=False).head(k))
+        if best is not None:
+            yield best
+
+    survivors = s.mapInPandas(_partial_topk, schema=s.schema)
     win = Window.partitionBy("query_id").orderBy(
         F.col("aug_d2").asc(), F.col("neighbor_id").asc())
-    return (s.withColumn("rank", F.row_number().over(win))
+    return (survivors.withColumn("rank", F.row_number().over(win))
             .filter(F.col("rank") <= _KNN_K)
             .select("query_id", "rank", "neighbor_id", "dot"))
 
@@ -9906,16 +9932,25 @@ def q_embedding_fps_coreset(spark: SparkSession,
                 f" * (CAST(a AS DOUBLE) - b)),"
                 f" 0d, (acc, x) -> acc + x)")
 
+    # Incremental d_min: carry the running min-distance as a
+    # PERSISTED column and fold in ONE new distance per round
+    # (O(d) expression, one scan) instead of rebuilding least()
+    # over all i selected vectors (O(k*d) expression growth).
+    # min over a set is fold-order-free for doubles, so the
+    # selections and distances are value-identical to the oracle's
+    # unrolled greedy; memory is one (vec_id, embedding, dm) corpus
+    # copy, unpersisted as each round's successor materializes.
+    state = (emb.filter(F.col("vec_id") != int(seed_id))
+             .selectExpr("vec_id", "embedding",
+                         f"{dist_to(selected[0][3])} AS dm"))
+    prev = None
     for i in range(2, _FPS_K + 1):
-        chosen = [s[1] for s in selected]
-        dmin = "least(" + ", ".join(
-            dist_to(s[3]) for s in selected) + ")" \
-            if len(selected) > 1 else dist_to(selected[0][3])
-        rows = (emb.filter(~F.col("vec_id").isin(chosen))
-                .selectExpr("vec_id", "embedding",
-                            f"{dmin} AS dm")
-                .orderBy(F.col("dm").desc(), F.col("vec_id").asc())
+        st = state.persist()
+        rows = (st.orderBy(F.col("dm").desc(), F.col("vec_id").asc())
                 .limit(1).collect())
+        if prev is not None:
+            prev.unpersist()
+        prev = st
         if not rows:
             # fewer than k vectors: degrade to a partial selection,
             # exactly like the oracle's empty d{i}/s{i} stages
@@ -9923,6 +9958,15 @@ def q_embedding_fps_coreset(spark: SparkSession,
         cand = rows[0]
         selected.append((i, int(cand.vec_id), float(cand.dm),
                          list(cand.embedding)))
+        state = (st.filter(F.col("vec_id") != int(cand.vec_id))
+                 .selectExpr(
+                     "vec_id", "embedding",
+                     f"LEAST(dm, {dist_to(list(cand.embedding))})"
+                     " AS dm"))
+    if prev is not None:
+        prev.unpersist()
+    # built from driver-side rows (the selections were collected),
+    # so the result carries no lineage on the unpersisted state
     return spark.createDataFrame(
         [(r, v, dm) for r, v, dm, _vec in selected], schema)
 
