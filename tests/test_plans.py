@@ -752,3 +752,61 @@ def test_mips_topk_window_input_is_funneled(spark):
     # funnel added a real data movement
     assert "Exchange hashpartitioning" not in head, \
         "partial top-k must not add a shuffle before the funnel"
+
+
+def test_bfd_packing_is_bucket_local(spark):
+    """doc_pack_bfd must pack inside hash buckets: one
+    FlatMapGroupsInPandas kernel keyed by the bucket, no cartesian
+    product, no corpus-wide window (any Window must be the two-pass
+    rank's __pid partitioning), nested loops broadcast-only."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["doc_pack_bfd"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "FlatMapGroupsInPandas" in plan, "bucket kernel missing"
+    assert "hashpartitioning(bucket" in plan, \
+        "packing shuffle must key on the hash bucket"
+    assert "CartesianProduct" not in plan
+    _assert_all_windows_pid_partitioned(plan)
+    for ln in plan.splitlines():
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln, ln
+
+
+def test_paired_dedup_is_banded_never_allpairs(spark):
+    """multimodal_paired_dedup: both modality pair streams must be
+    LSH-band hash joins (no cartesian product anywhere), nested
+    loops broadcast-only, windows pid-scoped (minhash signatures)."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["multimodal_paired_dedup"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    _assert_all_windows_pid_partitioned(plan)
+    for ln in plan.splitlines():
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln, ln
+
+
+def test_unimax_enforce_is_two_pass_plus_broadcasts(spark):
+    """unimax_enforce (the streaming UniMax batch gate): the only
+    running-sum machinery is the two-pass rank (__pid windows), and
+    the caps/offsets/consumed joins are explicit broadcasts of L-row
+    frames — no per-language window, no cartesian product."""
+    from pyspark.sql import functions as F
+
+    from xsarsea_spark.pipeline.sampling import unimax_enforce
+
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .filter("text IS NOT NULL")
+            .selectExpr("doc_id", "COALESCE(lang, '') AS lang",
+                        "size(split(text, ' ')) AS n_tokens"))
+    caps = docs.groupBy("lang").agg(
+        F.expr("CAST(100 AS BIGINT)").alias("lang_cap"))
+    plan = (unimax_enforce(docs, caps)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    _assert_all_windows_pid_partitioned(plan)
+    for ln in plan.splitlines():
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln, ln

@@ -29,7 +29,7 @@ from pyspark.sql import types as T
 __all__ = ["attach_payload", "extract_features", "decode_image",
            "decode_ppm", "decode_bmp", "attach_image_payload",
            "decode_features", "ahash_features", "phash_features",
-           "dct_int", "phash_neardup"]
+           "dct_int", "phash_neardup", "phash_pairs"]
 
 
 def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -523,3 +523,34 @@ def phash_neardup(ph: DataFrame, n_bands: int = 4,
                         "COALESCE(n_candidates, 0L) AS n_candidates",
                         "COALESCE(n_neardups, 0L) AS n_neardups",
                         "COALESCE(min_hamming, -1L) AS min_hamming"))
+
+
+def phash_pairs(ph: DataFrame, n_bands: int = 4,
+                band_bits: int = 8,
+                max_hamming: int = 3,
+                id_col: str = "doc_id") -> DataFrame:
+    """Image near-duplicate PAIRS from a pHash frame: the banded
+    Hamming candidate join of :func:`phash_neardup`, kept at pair
+    grain — (id_a, id_b, hamming) with id_a < id_b and hamming
+    within the threshold. Pigeonhole-exact recall like the profile
+    variant; candidates dedupe BEFORE the bit_count verify so each
+    pair is scored once however many bands it collides in.
+
+    Scale: band table is n_images * n_bands rows hash-joined on the
+    (band, key) pair — the standard LSH probe shape, never all-pairs.
+    """
+    bands = ph.select(
+        id_col, "phash",
+        F.explode(F.expr(f"sequence(0, {n_bands - 1})")).alias("b"))
+    k = bands.withColumn(
+        "key", F.expr(f"shiftright(phash, {band_bits} * b)"
+                      f" & {(1 << band_bits) - 1}"))
+    a = k.selectExpr("b", "key", f"{id_col} AS id_a", "phash AS pa")
+    x = k.selectExpr("b", "key", f"{id_col} AS id_b", "phash AS pb")
+    cand = (a.join(x, on=["b", "key"])
+            .filter("id_a < id_b")
+            .select("id_a", "id_b", "pa", "pb").distinct())
+    return (cand.selectExpr(
+        "id_a", "id_b",
+        "CAST(bit_count(pa ^ pb) AS BIGINT) AS hamming")
+        .filter(f"hamming <= {max_hamming}"))

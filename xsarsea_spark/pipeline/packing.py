@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from xsarsea_spark.pipeline.text import HASH40_SQL
 
-__all__ = ["pack_sequences", "mixture_sample"]
+__all__ = ["pack_sequences", "mixture_sample", "pack_best_fit"]
 
 
 def pack_sequences(docs: DataFrame, seq_len: int,
@@ -89,3 +89,91 @@ def mixture_sample(docs: DataFrame, rate_sql: str,
         x=f"CAST({id_col} AS STRING) || '#' || {source_col}")
     return docs.filter(
         F.expr(f"({h}) / 1099511627776e0 < ({rate_sql})"))
+
+
+def pack_best_fit(lengths: DataFrame, seq_len: int, n_buckets: int,
+                  id_col: str = "doc_id",
+                  len_col: str = "n_tokens") -> DataFrame:
+    """Best-fit-decreasing (BFD) sequence packing with document-
+    boundary segments — the packing every pretraining data loader
+    runs when padding waste matters more than strict concat order
+    (Krell et al. 2022 study the family; BFD is the classic
+    bin-packing 11/9-OPT greedy).
+
+    Documents longer than ``seq_len`` are first ceil-split into
+    chunks of at most ``seq_len`` tokens; chunks are then packed
+    within deterministic hash buckets (``doc_id % n_buckets``): sort
+    by (len DESC, doc_id, chunk_id), place each chunk into the open
+    sequence with the SMALLEST remaining capacity that still fits
+    (ties: earliest-opened sequence), else open a new sequence.
+
+    Returns one row per placed segment: (bucket, seq_id, slot,
+    doc_id, chunk_id, seg_len, seq_offset) — ``seq_offset`` is the
+    segment's start position inside its sequence, so consecutive
+    (seq_offset, seg_len) spans ARE the block-diagonal
+    document-boundary attention mask of the packed sequence.
+
+    Scale: packing is bucket-local — ONE shuffle on the hash bucket,
+    then an Arrow-batched greedy kernel per bucket (applyInPandas;
+    the greedy is inherently sequential, so the bucket is the
+    parallelism unit). Size ``n_buckets`` so a bucket holds ~10^4
+    docs: packing quality only needs a few thousand candidates per
+    bin pool, and no corpus-wide state exists at any size.
+    """
+    from pyspark.sql import types as T
+
+    chunks = (
+        lengths.selectExpr(f"{id_col} AS doc_id",
+                           f"CAST({len_col} AS BIGINT) AS __n")
+        .filter("__n >= 1")
+        .selectExpr(
+            "doc_id", "__n",
+            f"explode(sequence(0, CAST((__n - 1) DIV {seq_len}"
+            f" AS INT))) AS __k")
+        .selectExpr(
+            "doc_id",
+            "CAST(__k AS BIGINT) AS chunk_id",
+            f"LEAST(CAST({seq_len} AS BIGINT),"
+            f" __n - __k * {seq_len}) AS seg_len",
+            f"doc_id % {n_buckets} AS bucket"))
+
+    schema = T.StructType([
+        T.StructField("bucket", T.LongType()),
+        T.StructField("seq_id", T.LongType()),
+        T.StructField("slot", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_id", T.LongType()),
+        T.StructField("seg_len", T.LongType()),
+        T.StructField("seq_offset", T.LongType()),
+    ])
+
+    def kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["seg_len", "doc_id", "chunk_id"],
+                              ascending=[False, True, True])
+        bucket = int(pdf["bucket"].iloc[0])
+        rems: list[int] = []     # remaining capacity per open seq
+        fills: list[int] = []    # tokens already placed per seq
+        out = []
+        slot = 0
+        for doc_id, chunk_id, seg in zip(
+                pdf["doc_id"], pdf["chunk_id"], pdf["seg_len"]):
+            seg = int(seg)
+            best, best_rem = -1, None
+            for j, rem in enumerate(rems):
+                if rem >= seg and (best_rem is None or rem < best_rem):
+                    best, best_rem = j, rem
+            if best < 0:
+                rems.append(seq_len)
+                fills.append(0)
+                best = len(rems) - 1
+            slot += 1
+            out.append((bucket, best + 1, slot, int(doc_id),
+                        int(chunk_id), seg, fills[best]))
+            rems[best] -= seg
+            fills[best] += seg
+        return pd.DataFrame(
+            out, columns=[f.name for f in schema.fields])
+
+    return chunks.groupBy("bucket").applyInPandas(kernel, schema)

@@ -27,7 +27,7 @@ from xsarsea_spark.engine import get_conf_int, materialize
 from xsarsea_spark.pipeline.dedup import shingle
 
 __all__ = ["stratified_sample", "source_token_cap",
-           "unimax_language_cap", "contamination_report",
+           "unimax_language_cap", "unimax_enforce", "contamination_report",
            "dup_components"]
 
 
@@ -326,3 +326,56 @@ def dup_components(pairs: DataFrame, max_rounds: int = 20,
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+def unimax_enforce(per_doc: DataFrame, caps: DataFrame,
+                   consumed: DataFrame | None = None,
+                   lang_col: str = "lang",
+                   token_col: str = "n_tokens",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Enforce PERSISTED per-language UniMax caps on a batch — the
+    streaming half of :func:`unimax_language_cap`: caps are fitted
+    offline (an L-row artifact), every micro-batch ranks its docs in
+    deterministic hash-priority order and admits until the language's
+    remaining budget. ``caps`` carries (lang, lang_cap); ``consumed``
+    (optional) carries (lang, used) — tokens already admitted by
+    earlier batches, so the gate is ``used + cum <= cap``. A language
+    absent from ``caps`` has budget 0; the first doc EVER of a
+    language is always admitted (used = 0 and cum = its own tokens —
+    the batch contract's no-language-silenced rule).
+
+    Scale: same machinery as the batch form — ONE global running sum
+    (two-pass rank) + broadcast L-row offsets/caps/consumed joins.
+    """
+    from xsarsea_spark.operators.rank import global_rank
+
+    pd = per_doc.selectExpr(
+        f"{id_col}", f"{lang_col} AS __lang",
+        f"CAST({token_col} AS BIGINT) AS __ntok",
+        f"md5(CAST({id_col} AS STRING)) AS __pr")
+    ranked = global_rank(
+        pd,
+        [F.col("__lang").asc(), F.col("__pr").asc(),
+         F.col(id_col).asc()],
+        rank_col="__gr", running_sums={"__gcum": "__ntok"})
+    offs = ranked.groupBy("__lang").agg(
+        F.expr("CAST(MIN(__gcum - __ntok) AS BIGINT)").alias("__off"))
+    cp = caps.selectExpr(f"{lang_col} AS __lang",
+                         "CAST(lang_cap AS BIGINT) AS __cap")
+    j = (ranked
+         .join(F.broadcast(offs), on="__lang")
+         .join(F.broadcast(cp), on="__lang", how="left"))
+    if consumed is not None:
+        us = consumed.selectExpr(f"{lang_col} AS __lang",
+                                 "CAST(used AS BIGINT) AS __used")
+        j = j.join(F.broadcast(us), on="__lang", how="left")
+    else:
+        j = j.withColumn("__used", F.lit(0).cast("long"))
+    return j.selectExpr(
+        f"{id_col}", "__lang AS lang", "__ntok AS n_tokens",
+        "CAST(__gcum - __off AS BIGINT) AS cum_tokens",
+        "CAST(COALESCE(__cap, 0) AS BIGINT) AS lang_cap",
+        "COALESCE(__used, 0L) + (__gcum - __off)"
+        " <= COALESCE(__cap, 0)"
+        " OR (COALESCE(__used, 0L) = 0"
+        " AND __gcum - __off = __ntok) AS kept")

@@ -462,6 +462,144 @@ def q_multimodal_phash_neardup(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
+# Cross-modal (CLIP-style) paired dedup — the curation step for
+# image-text PAIR datasets (LAION/DataComp shape): a pair duplicates
+# another pair only when BOTH modalities near-duplicate. Text side =
+# the MinHash-LSH pair stream (same n/k/threshold as
+# minhash_lsh_neardup, corpus restricted to docs that carry an image
+# payload); image side = the banded-Hamming pHash pair stream (same
+# bands/threshold as multimodal_phash_neardup); the paired-dup set is
+# their pair-level intersection. Per pair-doc: near-dup degree in
+# each modality and cross-modally, best cross-modal distances, and a
+# canonical-keeper flag (smallest doc_id among its cross-modal
+# partners). Both sides are LSH-banded joins — never all-pairs — and
+# the intersection is one hash equi-join on (id_a, id_b).
+# ----------------------------------------------------------------------
+
+
+def _mm_paired_dedup_oracle() -> str:
+    from xsarsea_spark.pipeline.multimodal import _IMG_H, _IMG_W
+    from xsarsea_spark.suite.pipeline_suite import _minhash_oracle
+
+    full = _IMG_W * _IMG_H * 3
+    mask = (1 << _PND_BITS) - 1
+    return f"""
+WITH np AS ({_minhash_oracle()}),
+ph AS ({_mm_phash_oracle()}),
+paired AS (SELECT doc_id FROM documents
+           WHERE length(text) >= {full}),
+tp AS (SELECT np.id_a, np.id_b, np.jaccard FROM np
+       JOIN paired a ON a.doc_id = np.id_a
+       JOIN paired b ON b.doc_id = np.id_b),
+bands AS (SELECT doc_id, phash,
+            unnest(range(0, {_PND_BANDS})) AS b FROM ph),
+k AS (SELECT doc_id, phash, b,
+        (phash >> ({_PND_BITS} * b)) & {mask} AS key FROM bands),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b,
+           a.phash AS pa, x.phash AS pb
+         FROM k a JOIN k x ON x.b = a.b AND x.key = a.key
+           AND a.doc_id < x.doc_id),
+ip AS (SELECT id_a, id_b,
+         CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+       FROM cand WHERE bit_count(xor(pa, pb)) <= {_PND_MAXH}),
+bo AS (SELECT t.id_a, t.id_b, t.jaccard, i.hamming
+       FROM tp t JOIN ip i ON i.id_a = t.id_a AND i.id_b = t.id_b),
+ts AS (SELECT id_a AS doc_id FROM tp
+       UNION ALL SELECT id_b FROM tp),
+tc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_text_nd
+       FROM ts GROUP BY 1),
+isym AS (SELECT id_a AS doc_id FROM ip
+         UNION ALL SELECT id_b FROM ip),
+ic AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_image_nd
+       FROM isym GROUP BY 1),
+bsym AS (SELECT id_a AS doc_id, id_b AS partner, jaccard, hamming
+           FROM bo
+         UNION ALL
+         SELECT id_b, id_a, jaccard, hamming FROM bo),
+bc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paired_nd,
+         CAST(MIN(hamming) AS BIGINT) AS min_hamming,
+         MAX(jaccard) AS max_jaccard,
+         MIN(partner) AS mp FROM bsym GROUP BY 1)
+SELECT p.doc_id,
+  CAST(COALESCE(tc.n_text_nd, 0) AS BIGINT) AS n_text_nd,
+  CAST(COALESCE(ic.n_image_nd, 0) AS BIGINT) AS n_image_nd,
+  CAST(COALESCE(bc.n_paired_nd, 0) AS BIGINT) AS n_paired_nd,
+  CAST(COALESCE(bc.min_hamming, -1) AS BIGINT) AS min_hamming,
+  CAST(COALESCE(bc.max_jaccard, -1) AS DOUBLE) AS max_jaccard,
+  (bc.mp IS NULL OR p.doc_id < bc.mp) AS is_canonical
+FROM paired p
+LEFT JOIN tc USING (doc_id)
+LEFT JOIN ic USING (doc_id)
+LEFT JOIN bc USING (doc_id)
+"""
+
+
+@spec(
+    "multimodal_paired_dedup",
+    _mm_paired_dedup_oracle(),
+    description="Cross-modal (CLIP-style) paired dedup over "
+                "image-text pairs: MinHash-LSH text pairs "
+                "intersected with banded-Hamming pHash image pairs "
+                "at pair grain — per pair-doc modality/cross-modal "
+                "near-dup degrees, best cross-modal Jaccard/Hamming "
+                "and the canonical-keeper flag",
+    tags=("pipeline", "multimodal", "dedup"),
+)
+def q_multimodal_paired_dedup(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.dedup import minhash_lsh_dedup
+    from xsarsea_spark.pipeline.multimodal import (_IMG_H, _IMG_W,
+                                                   attach_image_payload,
+                                                   phash_features,
+                                                   phash_pairs)
+    from xsarsea_spark.suite.pipeline_suite import _MH_K, _MH_N, _MH_T
+
+    full = _IMG_W * _IMG_H * 3
+    docs = load(spark, sf_dir, "documents")
+    paired = docs.filter(F.length("text") >= full)
+    # per-doc signatures are corpus-independent, so restricting the
+    # MinHash input to pair-carrying docs yields exactly the oracle's
+    # "all-docs pairs filtered to paired endpoints" — minus the work
+    tp = minhash_lsh_dedup(paired, n=_MH_N, k=_MH_K,
+                           threshold=_MH_T)
+    ph = phash_features(attach_image_payload(docs)).select(
+        "doc_id", "phash")
+    ip = phash_pairs(ph, n_bands=_PND_BANDS, band_bits=_PND_BITS,
+                     max_hamming=_PND_MAXH)
+    bo = tp.join(ip, on=["id_a", "id_b"])
+    ts = tp.selectExpr("id_a AS doc_id").unionByName(
+        tp.selectExpr("id_b AS doc_id"))
+    tc = ts.groupBy("doc_id").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_text_nd"))
+    isym = ip.selectExpr("id_a AS doc_id").unionByName(
+        ip.selectExpr("id_b AS doc_id"))
+    ic = isym.groupBy("doc_id").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_image_nd"))
+    bsym = bo.selectExpr("id_a AS doc_id", "id_b AS partner",
+                         "jaccard", "hamming").unionByName(
+        bo.selectExpr("id_b AS doc_id", "id_a AS partner",
+                      "jaccard", "hamming"))
+    bc = bsym.groupBy("doc_id").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_paired_nd"),
+        F.expr("CAST(MIN(hamming) AS BIGINT)").alias("min_hamming"),
+        F.expr("MAX(jaccard)").alias("max_jaccard"),
+        F.expr("MIN(partner)").alias("mp"))
+    return (paired.select("doc_id")
+            .join(tc, "doc_id", "left")
+            .join(ic, "doc_id", "left")
+            .join(bc, "doc_id", "left")
+            .selectExpr(
+                "doc_id",
+                "COALESCE(n_text_nd, 0L) AS n_text_nd",
+                "COALESCE(n_image_nd, 0L) AS n_image_nd",
+                "COALESCE(n_paired_nd, 0L) AS n_paired_nd",
+                "COALESCE(min_hamming, -1L) AS min_hamming",
+                "CAST(COALESCE(max_jaccard, -1) AS DOUBLE)"
+                " AS max_jaccard",
+                "(mp IS NULL OR doc_id < mp) AS is_canonical"))
+
+
+# ----------------------------------------------------------------------
 # JPEG codec end-to-end under the driver gate: the Arrow kernel builds
 # a deterministic smooth image per doc (dims and knobs derived from
 # doc_id), round-trips it through the dependency-free baseline JPEG

@@ -2760,6 +2760,187 @@ def q_stream_dsir_ingest(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
+# Streaming UniMax budget enforcement at ingest — doc_unimax_cap's
+# water-filled per-language caps fitted OFFLINE on the historical
+# slice (an L-row persisted artifact), then every micro-batch
+# language-IDs its docs, ranks them in hash-priority order and
+# admits until the language's REMAINING budget (persisted per-batch
+# consumed-token counters, overwritten by batch id so a retried
+# batch never double-counts) before the exactly-once bloom/anti-join
+# dedup core. Double availableNow run over one checkpoint; oracle is
+# the one-shot replay (fit caps on history, enforce over the full
+# stream at consumed = 0 — value-equal because availableNow over the
+# single source file is one batch; multi-batch runs enforce the same
+# caps batch-sequentially, the natural streaming relaxation).
+# ----------------------------------------------------------------------
+
+
+def _stream_unimax_oracle() -> str:
+    scores_csv, case = _lang_pred_duck()
+    b = _UMX_BUDGET
+    return f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l
+           FROM documents WHERE text IS NOT NULL),
+s AS (SELECT doc_id, text, {scores_csv}, len(l) AS ntok FROM t),
+p AS (SELECT doc_id, text, {case} AS lang,
+        CAST(ntok AS BIGINT) AS ntok,
+        md5(CAST(doc_id AS VARCHAR)) AS pr FROM s),
+cut AS (SELECT CAST(CEIL(MAX(doc_id) * {_INC_FRAC}) AS BIGINT) AS c
+        FROM documents),
+hist AS (SELECT p.* FROM p, cut WHERE p.doc_id < cut.c),
+lg AS (SELECT lang, CAST(SUM(ntok) AS BIGINT) AS avail
+       FROM hist GROUP BY 1),
+cand AS (SELECT a.lang, a.avail, COUNT(b.lang) AS rn,
+    CAST(SUM(b.avail) AS BIGINT) AS cum
+  FROM lg a LEFT JOIN lg b ON b.avail < a.avail
+    OR (b.avail = a.avail AND b.lang <= a.lang) GROUP BY 1, 2),
+lt AS (SELECT COUNT(*) AS L FROM lg),
+cc AS (SELECT DISTINCT GREATEST({b} - (cum - avail), 0)
+         // (L - rn + 1) AS c FROM cand, lt),
+lv AS (SELECT CAST(MAX(c) AS BIGINT) AS v FROM (
+    SELECT c, CAST(SUM(LEAST(b.avail, c)) AS BIGINT) AS fs
+    FROM cc, lg b GROUP BY c) WHERE fs <= {b}),
+cp AS (SELECT lang, CAST(LEAST(avail, v) AS BIGINT) AS lang_cap
+       FROM lg, lv),
+w AS (SELECT p.*, SUM(ntok) OVER (PARTITION BY lang
+    ORDER BY pr, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM p),
+k AS (SELECT w.*, CAST(COALESCE(cp.lang_cap, 0) AS BIGINT)
+        AS lang_cap,
+    (cum <= COALESCE(cp.lang_cap, 0) OR cum = ntok) AS kept
+  FROM w LEFT JOIN cp USING (lang)),
+kept AS (SELECT doc_id, lang, ntok, lang_cap, md5(text) AS digest
+         FROM k WHERE kept),
+uniq AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+    (PARTITION BY digest ORDER BY doc_id) AS rn FROM kept)
+  WHERE rn = 1)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+  CAST(SUM(ntok) AS BIGINT) AS tokens_kept,
+  MAX(lang_cap) AS lang_cap,
+  md5(array_to_string(list(doc_id ORDER BY doc_id), ','))
+    AS kept_ids_digest
+FROM uniq GROUP BY lang"""
+
+
+@spec(
+    "stream_unimax_ingest",
+    _stream_unimax_oracle(),
+    description="Structured-Streaming UniMax ingest: water-filled "
+                "per-language caps fitted offline on the history "
+                "slice (L-row artifact), each micro-batch language-"
+                "IDed, hash-priority ranked and admitted against "
+                "the remaining budget (per-batch consumed counters, "
+                "retry-idempotent) before the exactly-once "
+                "bloom/anti-join dedup core; double availableNow "
+                "run, final table value-equal to the one-shot replay",
+    tags=("pipeline", "streaming", "sampling", "sink"),
+)
+def q_stream_unimax_ingest(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from xsarsea_spark.engine import materialize
+    from xsarsea_spark.pipeline.ingest import ingest_curated_batch
+    from xsarsea_spark.pipeline.sampling import (unimax_enforce,
+                                                 unimax_language_cap)
+    from xsarsea_spark.pipeline.text import language_id
+
+    base = scratch_path(spark, "stream_unimax", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    caps_path = os.path.join(base, "caps.parquet")
+    counters_dir = os.path.join(base, "consumed")
+    table_dir = os.path.join(base, "table")
+    bloom_path = os.path.join(base, "bloom.parquet")
+    marker_path = os.path.join(base, "bloom_sync.txt")
+    ckpt_dir = os.path.join(base, "ckpt")
+
+    docs_b = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cuts = docs_b.agg(
+        F.expr(f"CAST(CEIL(MAX(doc_id) * {_INC_FRAC}) AS BIGINT)")
+        .alias("c"))
+    hist = (docs_b.crossJoin(F.broadcast(cuts))
+            .filter("doc_id < c AND text IS NOT NULL"))
+    hist_pd = language_id(hist).selectExpr(
+        "doc_id", "pred_lang AS lang",
+        "size(split(text, ' ')) AS n_tokens")
+    # offline fit: the water level needs only the L-row language
+    # frame, so the cap artifact is the per-doc decision frame
+    # rolled up; repartition(1), never coalesce(1)
+    unimax_language_cap(hist_pd, budget=_UMX_BUDGET) \
+        .groupBy("lang") \
+        .agg(F.expr("CAST(MAX(lang_cap) AS BIGINT)")
+             .alias("lang_cap")) \
+        .repartition(1).write.mode("overwrite").parquet(caps_path)
+
+    schema = docs_b.schema
+
+    def _consumed_before(batch_id: int):
+        if not os.path.isdir(counters_dir):
+            return None
+        parts = [d for d in sorted(os.listdir(counters_dir))
+                 if d.startswith("batch=")
+                 and int(d.split("=", 1)[1]) < batch_id]
+        if not parts:
+            return None
+        u = spark.read.parquet(
+            *[os.path.join(counters_dir, d) for d in parts])
+        return u.groupBy("lang").agg(
+            F.expr("CAST(SUM(used) AS BIGINT)").alias("used"))
+
+    def ingest(df: DataFrame, batch_id: int) -> None:
+        caps = spark.read.parquet(caps_path)
+        x = df.filter("text IS NOT NULL")
+        pdd = language_id(x).selectExpr(
+            "doc_id", "text", "pred_lang AS lang",
+            "size(split(text, ' ')) AS n_tokens")
+        enforced = materialize(
+            unimax_enforce(pdd.drop("text"), caps,
+                           consumed=_consumed_before(batch_id))
+            .join(pdd.select("doc_id", "text"), on="doc_id")
+            .filter("kept")
+            .selectExpr("doc_id", "lang", "n_tokens", "lang_cap",
+                        "md5(text) AS digest"))
+        ingest_curated_batch(
+            spark, df, table_dir, bloom_path, marker_path,
+            min_chars=0, zcols=["n_tokens", "doc_id"],
+            zbits=_CUR_BITS, m_bits=_ING_BLOOM_BITS,
+            k=_ING_BLOOM_K, prep=lambda _raw: enforced)
+        # retry-idempotent consumed counters: batch N overwrites its
+        # OWN partition, so a replayed batch never double-counts
+        enforced.groupBy("lang").agg(
+            F.expr("CAST(SUM(n_tokens) AS BIGINT)").alias("used")) \
+            .repartition(1).write.mode("overwrite").parquet(
+                os.path.join(counters_dir, f"batch={batch_id}"))
+
+    def run_stream() -> None:
+        src = (spark.readStream.schema(schema)
+               .option("pathGlobFilter", "documents.parquet")
+               .parquet(sf_dir))
+        q = (src.writeStream.foreachBatch(ingest)
+             .option("checkpointLocation", ckpt_dir)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    run_stream()
+    run_stream()    # second run: zero new files -> no-op
+
+    back = spark.read.parquet(table_dir)
+    return back.groupBy("lang").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.expr("CAST(SUM(n_tokens) AS BIGINT)").alias("tokens_kept"),
+        F.expr("CAST(MAX(lang_cap) AS BIGINT)").alias("lang_cap"),
+        F.expr("md5(array_join(transform(array_sort("
+               "collect_list(doc_id)), x -> CAST(x AS STRING)),"
+               " ','))").alias("kept_ids_digest"))
+
+
+# ----------------------------------------------------------------------
 # Benchmark DECONTAMINATION with span removal — the step after the
 # contamination REPORT: every corpus n-gram colliding with the
 # benchmark shingle set marks its token span, overlapping spans
@@ -6554,6 +6735,157 @@ def q_doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bpe_encode(load(spark, sf_dir, "documents"),
                       n_merges=_BPE_MERGES)
+
+
+# ----------------------------------------------------------------------
+# Tokenizer-aware best-fit-decreasing packing (packing v2) — the
+# loader-grade alternative to concat-then-chunk: lengths come from
+# the BPE tokenizer (the same learned merges as doc_bpe_encode, so
+# sequence budgets count REAL tokens, not whitespace words),
+# over-long docs ceil-split into <= L chunks, and chunks pack by the
+# classic best-fit-decreasing greedy inside deterministic hash
+# buckets. Each placed segment reports its (seq_offset, seg_len)
+# span — exactly the block-diagonal document-boundary attention
+# mask a pretraining loader builds per packed sequence. The oracle
+# replays the greedy EXACTLY with a recursive CTE folding one chunk
+# per step over a (remaining-capacity, bin) list state; the Spark
+# side is one shuffle on the bucket + an Arrow-batched per-bucket
+# kernel (the greedy is sequential by nature; the bucket is the
+# parallelism unit, sized ~10^4 docs at 100 TB).
+# ----------------------------------------------------------------------
+
+_BFD_LEN, _BFD_NB = 128, 8
+
+
+def _bfd_seg_ctes() -> list[str]:
+    L, NB = _BFD_LEN, _BFD_NB
+    parts = _bpe_ctes(True)
+    parts += [
+        f"lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n"
+        f" FROM t{_BPE_MERGES})",
+        f"ch AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,"
+        f" LEAST({L}, n - k * {L}) AS seg_len,"
+        f" doc_id % {NB} AS bucket"
+        f" FROM (SELECT doc_id, n, unnest(range(0, (n - 1) // {L}"
+        f" + 1)) AS k FROM lens WHERE n >= 1))",
+        "it AS (SELECT bucket, doc_id, chunk_id, seg_len,"
+        " ROW_NUMBER() OVER (PARTITION BY bucket"
+        " ORDER BY seg_len DESC, doc_id, chunk_id) AS rk FROM ch)",
+        "nb AS (SELECT bucket, MAX(rk) AS mx FROM it GROUP BY bucket)",
+        # one recursion step places the rank-(step+1) chunk of every
+        # bucket: best bin = smallest remaining capacity that fits
+        # (struct sort on (rem, bin_id) — BFD's tie goes to the
+        # earliest-opened bin), else open bin len(bins)+1
+        "pk AS (SELECT bucket, 0 AS step,"
+        " CAST([] AS STRUCT(rem BIGINT, bin_id BIGINT)[]) AS bins,"
+        " CAST([] AS STRUCT(doc_id BIGINT, chunk_id BIGINT,"
+        " len BIGINT, bin_id BIGINT, slot BIGINT)[]) AS placed"
+        " FROM nb"
+        " UNION ALL"
+        " SELECT p.bucket, p.step + 1,"
+        " CASE WHEN len(list_filter(p.bins, b -> b.rem >= i.seg_len))"
+        " = 0 THEN list_append(p.bins, {'rem': " + str(L) +
+        " - i.seg_len, 'bin_id': len(p.bins) + 1})"
+        " ELSE list_transform(p.bins, b -> CASE WHEN b.bin_id ="
+        " list_sort(list_filter(p.bins,"
+        " x -> x.rem >= i.seg_len))[1].bin_id"
+        " THEN {'rem': b.rem - i.seg_len, 'bin_id': b.bin_id}"
+        " ELSE b END) END,"
+        " list_append(p.placed, {'doc_id': i.doc_id,"
+        " 'chunk_id': i.chunk_id, 'len': i.seg_len,"
+        " 'bin_id': CASE WHEN len(list_filter(p.bins,"
+        " b -> b.rem >= i.seg_len)) = 0 THEN len(p.bins) + 1"
+        " ELSE list_sort(list_filter(p.bins,"
+        " x -> x.rem >= i.seg_len))[1].bin_id END,"
+        " 'slot': len(p.placed) + 1})"
+        " FROM pk p JOIN it i ON i.bucket = p.bucket"
+        " AND i.rk = p.step + 1)",
+        "fin AS (SELECT p.bucket,"
+        " unnest(p.placed, recursive := false) AS s"
+        " FROM pk p JOIN nb ON nb.bucket = p.bucket"
+        " AND p.step = nb.mx)",
+        "seg AS (SELECT bucket, s.bin_id AS seq_id, s.slot AS slot,"
+        " s.doc_id AS doc_id, s.chunk_id AS chunk_id,"
+        " s.len AS seg_len,"
+        " SUM(s.len) OVER (PARTITION BY bucket, s.bin_id"
+        " ORDER BY s.slot) - s.len AS seq_offset FROM fin)",
+    ]
+    return parts
+
+
+def _bfd_oracle() -> str:
+    return ("WITH RECURSIVE " + ",\n".join(_bfd_seg_ctes()) + """
+SELECT bucket, CAST(seq_id AS BIGINT) AS seq_id,
+  CAST(slot AS BIGINT) AS slot, doc_id, chunk_id,
+  CAST(seg_len AS BIGINT) AS seg_len,
+  CAST(seq_offset AS BIGINT) AS seq_offset
+FROM seg""")
+
+
+@spec(
+    "doc_pack_bfd",
+    _bfd_oracle(),
+    description="Tokenizer-aware best-fit-decreasing packing: BPE "
+                "token lengths, ceil-split over-long docs, BFD "
+                "greedy inside deterministic hash buckets (one "
+                "bucket shuffle + Arrow kernel) — every placement, "
+                "slot and in-sequence offset value-exact vs a "
+                "recursive-CTE replay of the greedy",
+    tags=("pipeline", "packing", "text"),
+)
+def q_doc_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.bpe import bpe_encode
+    from xsarsea_spark.pipeline.packing import pack_best_fit
+
+    docs = load(spark, sf_dir, "documents")
+    lens = bpe_encode(docs, n_merges=_BPE_MERGES).select(
+        "doc_id", "n_tokens_encoded")
+    return pack_best_fit(lens, seq_len=_BFD_LEN, n_buckets=_BFD_NB,
+                         len_col="n_tokens_encoded")
+
+
+def _bfd_masks_oracle() -> str:
+    return ("WITH RECURSIVE " + ",\n".join(_bfd_seg_ctes()) + f"""
+SELECT bucket, CAST(seq_id AS BIGINT) AS seq_id,
+  CAST(COUNT(*) AS BIGINT) AS n_segments,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(SUM(seg_len) AS BIGINT) AS fill_tokens,
+  CAST({_BFD_LEN} - SUM(seg_len) AS BIGINT) AS pad_tokens,
+  array_to_string(list(seg_len ORDER BY slot), ',') AS mask_spec,
+  md5(array_to_string(list(doc_id ORDER BY slot), ','))
+    AS docs_digest
+FROM seg GROUP BY bucket, seq_id""")
+
+
+@spec(
+    "doc_pack_bfd_masks",
+    _bfd_masks_oracle(),
+    description="Per packed sequence of the BFD packing: segment "
+                "count, distinct docs, fill/pad token budget and "
+                "the slot-ordered segment-length mask spec (the "
+                "block-diagonal attention mask) — membership pinned "
+                "by a slot-ordered doc-id digest",
+    tags=("pipeline", "packing", "text"),
+)
+def q_doc_pack_bfd_masks(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    seg = q_doc_pack_bfd(spark, sf_dir)
+    return seg.groupBy("bucket", "seq_id").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_segments"),
+        F.expr("CAST(COUNT(DISTINCT doc_id) AS BIGINT)")
+        .alias("n_docs"),
+        F.expr("CAST(SUM(seg_len) AS BIGINT)").alias("fill_tokens"),
+        F.expr(f"CAST({_BFD_LEN} - SUM(seg_len) AS BIGINT)")
+        .alias("pad_tokens"),
+        F.expr("array_join(transform(array_sort(collect_list("
+               "struct(slot, seg_len))),"
+               " s -> CAST(s.seg_len AS STRING)), ',')")
+        .alias("mask_spec"),
+        F.expr("md5(array_join(transform(array_sort(collect_list("
+               "struct(slot, doc_id))),"
+               " s -> CAST(s.doc_id AS STRING)), ','))")
+        .alias("docs_digest"))
+
 
 
 # ----------------------------------------------------------------------
