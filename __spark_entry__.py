@@ -56,52 +56,45 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every window entry is green on the local strict DuckDB compare,
 # re-run in window order as a final pre-flight.
 _PRIORITY = [
-    # Round-10 window. (a) round-10 additions, never driver-checked
-    # (full-PSL registrable domain, DSIR selection, UniMax language
-    # capping, CDX cross-snapshot URL dedup):
-    "doc_psl_domain", "doc_dsir_select", "doc_unimax_cap",
-    "doc_url_cross_snapshot", "doc_gopher_repetition",
-    "doc_decontaminate", "stream_dsir_ingest",
-    "embedding_benchmark_leakage", "doc_lang_temperature_mix",
-    # late round-10 additions (attribution, RFM quintiles, streaming
-    # hourly top-k, SoftDeDup weights, JL random-projection recall,
-    # WARC source round trip, DAU/WAU/MAU ladder, hard-negative
-    # mining, domain-grouped leakage-free split):
-    "events_attribution", "events_rfm", "events_stream_topk",
-    "doc_soft_dedup", "embedding_rp_recall",
-    "documents_warc_roundtrip", "events_active_users",
-    "embedding_hard_negatives", "doc_domain_split",
-    "events_path_analysis", "events_attribution_linear",
-    "doc_robots_filter", "stream_robots_ingest",
-    "events_stream_attribution", "doc_crawl_frontier",
-    "events_ab_srm", "events_cuped", "embedding_mips_topk",
-    "documents_xml_roundtrip",
-    # (b) rows whose OUTPUT or lineage changed this round: the three
-    # SA queries moved to one shared mod-7 corpus slice (values
-    # changed with their oracles); the URL trio rides the
-    # NULL-guarded synth URL + the 452-suffix PSL-derived expression
-    # set:
-    "doc_crossdup_exact", "doc_longest_dup_span",
-    "doc_source_crossdup_matrix", "doc_url_dedup",
-    "domain_quality_block", "stream_url_ingest",
-    # (c) the full stale round-4 cohort — six rounds since their
-    # last driver row (sketch family, funnel/retention, SCD2/CDC,
-    # stream dedup/cohort/interval-join, multiprobe ANN):
-    "events_bloom_prefilter",
-    "events_dd_quantiles", "events_funnel",
-    "events_hll_distinct", "events_hourly_anomaly",
-    "events_markov_transitions",
-    "events_minute_dedup", "events_retention",
-    "events_salted_join", "events_scd2_history",
-    "events_snapshot_cdc", "events_stream_cohort",
-    "events_stream_dedup", "events_stream_interval_join",
-    "lsh_ann_multiprobe", "lut_step_inference",
-    # displaced by the round's late additions (rotate in next round
-    # with the stale cohort): text_token_stats, stratified_sample,
-    # multimodal_features, events_countmin, events_kmv_distinct,
-    # events_pivot, events_gapfill_interp
-    # window full at 50 with this round's additions; the stale
-    # round-5 cohort (doc_bpe_train onward) rotates in next round
+    # Round-11 window. (a) round-11 additions (BFD packing pair,
+    # cross-modal paired dedup, streaming UniMax ingest):
+    "doc_pack_bfd", "doc_pack_bfd_masks", "multimodal_paired_dedup",
+    "stream_unimax_ingest",
+    # (b) lineage changed this round: the MIPS top-k gained the
+    # per-partition partial-top-k funnel (same values, new plan):
+    "embedding_mips_topk",
+    # (c) the 16 round-10 late additions that have never had a
+    # DRIVER row (judge-verified last round; driver rows are the
+    # durable record). embedding_fps_coreset also changed lineage
+    # this round (incremental d_min):
+    "lineitem_analyze_stats", "q_price_volume_mix",
+    "doc_cdx_surt_index", "pipeline_crawl_funnel",
+    "embedding_fps_coreset", "doc_zipf_coverage",
+    "doc_dedup_rate_by_source", "doc_heaps_vocab_growth",
+    "doc_lang_confusion", "events_seasonal_anomaly",
+    "events_power_analysis", "events_equidepth_histogram",
+    "events_user_gini", "events_transition_entropy",
+    "events_dq_quarantine", "events_slo_error_budget",
+    # (d) the 7 rows displaced from the round-10 window (last
+    # driver row: round 4):
+    "text_token_stats", "stratified_sample", "multimodal_features",
+    "events_countmin", "events_kmv_distinct", "events_pivot",
+    "events_gapfill_interp",
+    # (e) the stale round-5 cohort (last driver row: round 5) — 22
+    # of its 25 rows fit; multimodal_ahash, multimodal_gif_frames
+    # and multimodal_ahash_neardup rotate in next round (the
+    # multimodal family gets fresh coverage above via
+    # multimodal_paired_dedup):
+    "q_incremental_agg_merge", "q_orders_backlog",
+    "embedding_ann_recall", "dup_graph_triangles",
+    "embedding_pca_power", "embedding_pca_project",
+    "embedding_pca_topk", "embedding_pca_whiten",
+    "embedding_pca_outliers", "doc_bpe_train", "doc_ngram_novelty",
+    "events_ewma", "events_user_growth", "events_ab_ttest",
+    "events_stream_growth", "events_type_correlation",
+    "events_rank_stability", "events_cohort_ltv",
+    "events_user_entropy", "events_holt_trend",
+    "events_holt_backtest", "events_seasonal_profile",
 ]
 
 

@@ -138,6 +138,17 @@ def main() -> None:
     spark = get_session(app_name="xsarsea-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # section timers (stderr only): the wall vs suite_total gap must
+    # stay attributable — warmup, each rep, small passes, throughput
+    _t_section = time.perf_counter()
+
+    def _mark(label: str) -> None:
+        nonlocal _t_section
+        now = time.perf_counter()
+        print(f"bench: [{label}] {now - _t_section:.1f}s",
+              file=sys.stderr)
+        _t_section = now
+
     # warm the JVM + parquet footers + Python/Arrow workers so
     # per-query numbers measure the plans, not session startup or
     # each table's first physical scan
@@ -158,6 +169,7 @@ def main() -> None:
         return s
 
     spark.range(32).repartition(32).select(_warm(col("id"))).collect()
+    _mark("warmup")
 
     def release_query_state() -> None:
         """Between-query hygiene, OUTSIDE the timers: checkpointing
@@ -210,6 +222,7 @@ def main() -> None:
     except Exception as exc:
         print(f"bench: leading throughput pass FAILED: {exc}",
               file=sys.stderr)
+    _mark("throughput-lead")
     samples: dict[str, list[float]] = {n: [] for n in REGISTRY}
     slow_1rep: set[str] = set()
     rep_durs: list[float] = []
@@ -254,6 +267,7 @@ def main() -> None:
             samples[name].append(time.perf_counter() - t0)
             release_query_state()
         rep_durs.append(time.perf_counter() - t_rep)
+        _mark(f"rep{rep}")
         if rep == 0 and reps > 1:
             # ADAPTIVE tier threshold: the static cut alone still
             # lost a rep on hot hosts (rep 1 of a 212-query suite can
@@ -391,6 +405,7 @@ def main() -> None:
             samples[name].append(time.perf_counter() - t0)
             release_query_state()
 
+    _mark("small-passes")
     timings = {n: robust(v) for n, v in samples.items()}
 
     # BASELINE.md "Engine baseline plan" throughput metrics: LUT
@@ -416,6 +431,7 @@ def main() -> None:
                 for k in tp_samples[0]
             }
 
+    _mark("throughput-tail")
     wall_sec = round(time.perf_counter() - wall0, 3)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
