@@ -277,6 +277,18 @@ def main() -> None:
             # share (with 10% headroom), capped at slow_cut.
             rem = budget - (time.perf_counter() - wall0)
             per_rep = max(0.0, rem / (reps - 1) * 0.9)
+            # wall-vs-suite_total discipline: an uncapped budget
+            # share let ONE repeat rep eat ~45% of rep0 (210 s vs
+            # 464 s, round-11 section timers), pushing rep 2 over
+            # budget — the suite then reported reps=2 and skipped
+            # the small-query extra passes entirely. Capping each
+            # repeat rep at a fraction of the measured FULL pass
+            # keeps all `reps` reps (and the small-pass stabilizer)
+            # inside the budget; the delta-first suspects still
+            # bypass the cap via their reserved share.
+            rep_frac = float(os.environ.get(
+                "SPARK_GRAFT_BENCH_REP_FRAC", "0.2"))
+            per_rep = min(per_rep, rep_frac * rep_durs[0])
             first = {n: v[0] for n, v in samples.items()
                      if v and v[0] >= 0}
             # Delta-first admission: queries whose first pass moved
@@ -416,7 +428,11 @@ def main() -> None:
     # either edge of the run can't own the median.
     throughput: dict[str, float] = {}
     try:
-        while len(tp_samples) < max(reps_done, 2):
+        # two temporally-SPREAD samples (one right after warmup, one
+        # here at the end) give the median both load windows; forcing
+        # one per rep bought a third ~15-20 s pass for no extra
+        # window coverage (wall-trim, round 11)
+        while len(tp_samples) < 2:
             tp_samples.append(science_throughput(spark))
         throughput = {
             k: round(statistics.median(s[k] for s in tp_samples), 3)

@@ -810,3 +810,51 @@ def test_unimax_enforce_is_two_pass_plus_broadcasts(spark):
     for ln in plan.splitlines():
         if "NestedLoopJoin" in ln:
             assert "Broadcast" in ln, ln
+
+
+def test_html_extract_is_zero_exchange(spark):
+    """doc_html_extract is synth + strip + pull as pure per-row
+    string work: the corpus must never shuffle."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["doc_html_extract"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_pack_efficiency_report_shape(spark):
+    """doc_pack_efficiency: the BFD side must keep its bucket-keyed
+    kernel, side stats join back as broadcast 1-row aggregates (any
+    nested loop must be broadcast), no cartesian product, windows
+    pid-scoped."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["doc_pack_efficiency"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    _assert_all_windows_pid_partitioned(plan)
+    for ln in plan.splitlines():
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln, ln
+
+
+def test_hybrid_rrf_rank_windows_are_group_limited(spark):
+    """doc_hybrid_rrf's three row_number pools must plan with
+    WindowGroupLimit (per-partition partial top-k before the global
+    rank) — never a full corpus sort into one task; no cartesian
+    product; nested loops broadcast-only (the 1-row query vector and
+    corpus stats)."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["doc_hybrid_rrf"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    # Spark rewrites each row_number<=k into TakeOrderedAndProject
+    # (distributed partial top-k) feeding a k-row window — assert
+    # all three pools got the rewrite
+    assert plan.count("TakeOrderedAndProject") >= 3, \
+        "rank pools must push partial limits below the window"
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln, ln

@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 from xsarsea_spark.pipeline.text import HASH40_SQL
 
-__all__ = ["pack_sequences", "mixture_sample", "pack_best_fit"]
+__all__ = ["pack_sequences", "pack_sequences_from_lengths",
+           "mixture_sample", "pack_best_fit"]
 
 
 def pack_sequences(docs: DataFrame, seq_len: int,
@@ -39,13 +40,28 @@ def pack_sequences(docs: DataFrame, seq_len: int,
     ``max_span`` bounds how many sequences one document may cross
     (validate ``seq_len`` against the longest document upstream).
     """
-    from xsarsea_spark.operators.rank import global_rank
-
     toks = docs.select(
         id_col,
         F.expr(f"size(split({text_col}, ' '))").cast("long")
         .alias("__n"),
     )
+    return pack_sequences_from_lengths(toks, seq_len, id_col=id_col,
+                                       len_col="__n",
+                                       max_span=max_span)
+
+
+def pack_sequences_from_lengths(lengths: DataFrame, seq_len: int,
+                                id_col: str = "doc_id",
+                                len_col: str = "n_tokens",
+                                max_span: int = 8) -> DataFrame:
+    """:func:`pack_sequences` over PRECOMPUTED lengths — the core
+    layout arithmetic, reusable with tokenizer-derived token counts
+    (e.g. BPE-encoded lengths) instead of whitespace words."""
+    from xsarsea_spark.operators.rank import global_rank
+
+    docs = lengths
+    toks = docs.select(
+        id_col, F.col(len_col).cast("long").alias("__n"))
     # inclusive running token total via the distributed two-level
     # scan — exact (integer sums), no corpus-wide window
     laid = global_rank(

@@ -1711,6 +1711,109 @@ def _bigram_ll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# ----------------------------------------------------------------------
+# HTML main-content extraction — the trafilatura/jusText stage every
+# web-corpus pipeline runs before any text filter. The corpus is
+# plain text, so each doc is first wrapped in a deterministic HTML
+# shell (title, nav, an inline script, <p> blocks of 20 tokens, a
+# footer — the same synth-then-process convention as _URL_SYNTH);
+# extraction is then pure relational string work: strip <script>
+# blocks, pull the <p> payloads and the <title>, and report the
+# boilerplate fraction plus an exact round-trip check (extracted
+# text must equal the original payload — the extractor's correctness
+# made visible in the output). Zero UDFs on either engine; regex
+# stays in the RE2 ∩ Java subset (literal tags + non-greedy dot).
+# ----------------------------------------------------------------------
+
+_HTML_PARA_TOKS = 20
+
+
+def _html_synth(dialect: str) -> str:
+    g = _HTML_PARA_TOKS
+    if dialect == "spark":
+        paras = (f"array_join(transform(sequence(0,"
+                 f" CAST((size(l) - 1) DIV {g} AS INT)),"
+                 f" g -> concat('<p>',"
+                 f" array_join(slice(l, g * {g} + 1, {g}), ' '),"
+                 f" '</p>')), '')")
+    else:
+        paras = (f"array_to_string(list_transform(range(0,"
+                 f" (len(l) - 1) // {g} + 1),"
+                 f" g -> '<p>' || array_to_string("
+                 f"l[g * {g} + 1 : g * {g} + {g}], ' ')"
+                 f" || '</p>'), '')")
+    return (
+        "'<html><head><title>Doc ' || CAST(doc_id AS STRING)"
+        " || '</title></head><body>'"
+        " || '<nav>Home &amp; About | Login</nav>'"
+        " || '<script>var t=\"' || CAST(doc_id AS STRING)"
+        " || '\";track(t);</script>'"
+        " || '<h1>Doc ' || CAST(doc_id AS STRING) || '</h1>'"
+        f" || {paras}"
+        " || '<footer>&copy; 2026 Example Corp</footer>"
+        "</body></html>'")
+
+
+_HTML_EXTRACT_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l
+           FROM documents WHERE text IS NOT NULL),
+h AS (SELECT doc_id, text, {_html_synth('duck')} AS html FROM t),
+x AS (SELECT doc_id, text, html,
+        regexp_replace(html, '<script>.*?</script>', '', 'g')
+          AS clean FROM h),
+e AS (SELECT doc_id, text, html,
+        regexp_extract(html, '<title>(.*?)</title>', 1) AS title,
+        regexp_extract_all(clean, '<p>(.*?)</p>', 1) AS paras
+      FROM x),
+m AS (SELECT doc_id, text, html, title, paras,
+        array_to_string(paras, ' ') AS main_text FROM e)
+SELECT doc_id, title,
+  CAST(len(paras) AS BIGINT) AS n_paragraphs,
+  CAST(len(string_split(main_text, ' ')) AS BIGINT)
+    AS extracted_tokens,
+  main_text = text AS roundtrip_ok,
+  (length(html) - length(main_text))
+    / CAST(length(html) AS DOUBLE) AS boilerplate_frac,
+  md5(main_text) AS extracted_md5
+FROM m"""
+
+
+@spec(
+    "doc_html_extract",
+    _HTML_EXTRACT_ORACLE,
+    description="HTML main-content extraction (the trafilatura/"
+                "jusText stage): deterministic HTML shell around "
+                "each doc, relational strip of script/nav/footer "
+                "boilerplate, <p>-payload and <title> pull — "
+                "paragraph/token counts, boilerplate fraction and "
+                "an exact round-trip equality flag, zero UDFs",
+    tags=("pipeline", "text", "quality"),
+)
+def q_doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter("text IS NOT NULL")
+    h = docs.selectExpr(
+        "doc_id", "text", "split(text, ' ') AS l"
+    ).selectExpr("doc_id", "text", f"{_html_synth('spark')} AS html")
+    x = h.selectExpr(
+        "doc_id", "text", "html",
+        "regexp_replace(html, '<script>.*?</script>', '') AS clean")
+    e = x.selectExpr(
+        "doc_id", "text", "html",
+        "regexp_extract(html, '<title>(.*?)</title>', 1) AS title",
+        "regexp_extract_all(clean, '<p>(.*?)</p>', 1) AS paras")
+    m = e.selectExpr("doc_id", "text", "html", "title", "paras",
+                     "array_join(paras, ' ') AS main_text")
+    return m.selectExpr(
+        "doc_id", "title",
+        "CAST(size(paras) AS BIGINT) AS n_paragraphs",
+        "CAST(size(split(main_text, ' ')) AS BIGINT)"
+        " AS extracted_tokens",
+        "main_text = text AS roundtrip_ok",
+        "(length(html) - length(main_text))"
+        " / CAST(length(html) AS DOUBLE) AS boilerplate_frac",
+        "md5(main_text) AS extracted_md5")
+
+
 # C4-style text normalization profile — the canonical-form pass raw
 # web corpora run before exact dedup / shingling (lowercase,
 # non-alphanumeric to space, whitespace collapse, trim). Emits the
@@ -5839,6 +5942,158 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Hybrid retrieval via reciprocal-rank fusion (RRF, Cormack et al.
+# 2009 — the fusion every hybrid search stack runs): the BM25
+# lexical list (same terms/quantization as doc_bm25_topk) fused
+# with an embedding-cosine semantic list (query = the vec_id-0
+# embedding; vec_id indexes the same doc space). Each list is
+# truncated to a candidate pool, fused as sum of 1/(K + rank) —
+# integer ranks, exact divisions, exact sum — and the fused top-k
+# reported with both source ranks (-1 = absent from that list).
+# Both rank windows are WindowGroupLimit-eligible (row_number
+# filtered to the pool), so Spark plans a per-partition partial
+# top-k before the global rank — never a full corpus sort.
+# ----------------------------------------------------------------------
+
+_RRF_K, _RRF_POOL, _RRF_TOPK = 60, 50, 20
+
+
+def _rrf_oracle() -> str:
+    d = _CND_DIM
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    from xsarsea_spark.suite.base import DSUM, QTRUNC
+
+    dot = (f"list_reduce(list_transform(range(1, {d + 1}),"
+           f" i -> CAST(q.qv[i] AS DOUBLE)"
+           f" * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b)")
+    nrm = (f"sqrt(list_reduce(list_transform(range(1, {d + 1}),"
+           f" i -> CAST({{v}}[i] AS DOUBLE)"
+           f" * CAST({{v}}[i] AS DOUBLE)), (a, b) -> a + b))")
+    nq, ne = nrm.format(v="q.qv"), nrm.format(v="e.embedding")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+    len(string_split(text, ' ')) AS dl
+  FROM documents),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+    SUM(len(string_split(text, ' ')))
+      / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf, MIN(dl) AS dl
+  FROM toks WHERE term IN ({terms}) GROUP BY doc_id, term),
+df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM toks WHERE term IN ({terms}) GROUP BY term),
+lex AS (
+  SELECT doc_id,
+    {DSUM(QTRUNC(_BM25_SCORE, 9), 12)} AS score
+  FROM tf JOIN df USING (term) CROSS JOIN stats
+  GROUP BY doc_id),
+lr AS (SELECT doc_id, rl FROM (
+    SELECT doc_id,
+      ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rl
+    FROM lex) WHERE rl <= {_RRF_POOL}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sem AS (
+  SELECT e.vec_id AS doc_id,
+    ({dot}) / ({nq} * {ne}) AS cos
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0 AND {ne} > 0),
+sr AS (SELECT doc_id, rs FROM (
+    SELECT doc_id,
+      ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rs
+    FROM sem) WHERE rs <= {_RRF_POOL}),
+fused AS (
+  SELECT COALESCE(lr.doc_id, sr.doc_id) AS doc_id,
+    CAST(COALESCE(lr.rl, -1) AS BIGINT) AS rank_lex,
+    CAST(COALESCE(sr.rs, -1) AS BIGINT) AS rank_sem,
+    COALESCE(1e0 / ({_RRF_K} + lr.rl), 0e0)
+      + COALESCE(1e0 / ({_RRF_K} + sr.rs), 0e0) AS rrf_score
+  FROM lr FULL OUTER JOIN sr ON sr.doc_id = lr.doc_id)
+SELECT doc_id, rank_lex, rank_sem, rrf_score,
+  CAST(fr AS BIGINT) AS fused_rank
+FROM (SELECT *, ROW_NUMBER() OVER
+        (ORDER BY rrf_score DESC, doc_id) AS fr FROM fused)
+WHERE fr <= {_RRF_TOPK}"""
+
+
+@spec(
+    "doc_hybrid_rrf",
+    _rrf_oracle(),
+    description="Hybrid retrieval via reciprocal-rank fusion: BM25 "
+                "lexical list fused with an embedding-cosine "
+                "semantic list as sum of 1/(K + rank) over truncated "
+                "candidate pools — fused top-k with both source "
+                "ranks, integer ranks and exact divisions",
+    tags=("pipeline", "text", "similarity", "topk"),
+)
+def q_doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from xsarsea_spark.suite.base import DSUM, QTRUNC
+
+    d = _CND_DIM
+    docs = load(spark, sf_dir, "documents")
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    toks = docs.selectExpr(
+        "doc_id", "explode(split(text, ' ')) AS term",
+        "size(split(text, ' ')) AS dl",
+    ).filter(F.expr(f"term IN ({terms})"))
+    stats = docs.selectExpr(
+        "CAST(COUNT(*) AS DOUBLE) AS n_docs",
+        "SUM(size(split(text, ' '))) / CAST(COUNT(*) AS DOUBLE)"
+        " AS avgdl")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("tf"),
+        F.expr("MIN(dl)").alias("dl"))
+    dfr = toks.groupBy("term").agg(
+        F.expr("CAST(COUNT(DISTINCT doc_id) AS DOUBLE)").alias("df"))
+    lex = (tf.join(F.broadcast(dfr), on="term")
+           .crossJoin(F.broadcast(stats))
+           .groupBy("doc_id")
+           .agg(F.expr(DSUM(QTRUNC(_BM25_SCORE, 9), 12))
+                .alias("score")))
+    wl = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lr = (lex.withColumn("rl", F.row_number().over(wl))
+          .filter(F.col("rl") <= _RRF_POOL).select("doc_id", "rl"))
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter("vec_id = 0").selectExpr("embedding AS qv")
+    dot = (f"aggregate(zip_with(qv, embedding,"
+           f" (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),"
+           f" 0d, (acc, x) -> acc + x)")
+    nrm = (f"sqrt(aggregate(transform(sequence(1, {d}),"
+           f" i -> CAST(element_at({{v}}, i) AS DOUBLE)"
+           f" * CAST(element_at({{v}}, i) AS DOUBLE)),"
+           f" 0d, (a, b) -> a + b))")
+    nq, ne = nrm.format(v="qv"), nrm.format(v="embedding")
+    sem = (emb.filter("vec_id <> 0").crossJoin(F.broadcast(qv))
+           .filter(F.expr(f"{ne} > 0"))
+           .selectExpr("vec_id AS doc_id",
+                       f"({dot}) / ({nq} * {ne}) AS cos"))
+    ws = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    sr = (sem.withColumn("rs", F.row_number().over(ws))
+          .filter(F.col("rs") <= _RRF_POOL).select("doc_id", "rs"))
+
+    fused = (lr.join(sr, on="doc_id", how="full_outer")
+             .selectExpr(
+                 "doc_id",
+                 "CAST(COALESCE(rl, -1) AS BIGINT) AS rank_lex",
+                 "CAST(COALESCE(rs, -1) AS BIGINT) AS rank_sem",
+                 f"COALESCE(1e0 / ({_RRF_K} + rl), 0e0)"
+                 f" + COALESCE(1e0 / ({_RRF_K} + rs), 0e0)"
+                 " AS rrf_score"))
+    wf = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (fused.withColumn("fr", F.row_number().over(wf))
+            .filter(F.col("fr") <= _RRF_TOPK)
+            .selectExpr("doc_id", "rank_lex", "rank_sem",
+                        "rrf_score",
+                        "CAST(fr AS BIGINT) AS fused_rank"))
+
+
+# ----------------------------------------------------------------------
 # Int8 embedding quantization (the storage path for embedding columns
 # at 100 TB): per-vector max-abs scale, floor(x+0.5) grid assignment
 # (engine-exact, no ROUND-mode dependence), reconstruction error.
@@ -6885,6 +7140,123 @@ def q_doc_pack_bfd_masks(spark: SparkSession,
                "struct(slot, doc_id))),"
                " s -> CAST(s.doc_id AS STRING)), ','))")
         .alias("docs_digest"))
+
+
+# ----------------------------------------------------------------------
+# Packing-efficiency report — the number a data-loader team actually
+# decides with: BFD vs concat-then-chunk over the SAME BPE token
+# lengths. Concat-chunk wastes ~nothing to padding but lets docs
+# cross sequence boundaries (attention bleed or a mask with split
+# docs); BFD never splits a doc that fits but pays padding. One row
+# per method: sequence count, placed items, token totals, pad
+# budget, utilization (exact-integer division) and how many docs
+# cross/split. Shares the BFD recursive replay + the concat cumsum.
+# ----------------------------------------------------------------------
+
+
+def _pack_eff_oracle() -> str:
+    L = _BFD_LEN
+    parts = _bfd_seg_ctes()
+    parts += [
+        f"cc AS (SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id"
+        f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n"
+        f" AS cb FROM lens WHERE n >= 1)",
+        "sp AS (SELECT doc_id, cb, n, unnest(range(0, 8)) AS k"
+        " FROM cc)",
+        f"cs AS (SELECT doc_id, cb // {L} + k AS seq_id,"
+        f" LEAST(cb + n, (cb // {L} + k + 1) * {L})"
+        f" - GREATEST(cb, (cb // {L} + k) * {L}) AS span_len"
+        f" FROM sp WHERE (cb // {L} + k) * {L} < cb + n)",
+        "bfd_seq AS (SELECT COUNT(*) AS ns FROM"
+        " (SELECT DISTINCT bucket, seq_id FROM seg))",
+        "bfd_split AS (SELECT COUNT(*) AS nc FROM (SELECT doc_id"
+        " FROM seg GROUP BY doc_id HAVING COUNT(*) > 1))",
+        "bfd_row AS (SELECT 'bfd' AS method,"
+        " CAST(bs.ns AS BIGINT) AS n_seqs,"
+        " CAST(COUNT(*) AS BIGINT) AS n_items,"
+        " CAST(SUM(s.seg_len) AS BIGINT) AS total_tokens,"
+        f" CAST(bs.ns * {L} - SUM(s.seg_len) AS BIGINT)"
+        " AS pad_tokens,"
+        f" SUM(s.seg_len) / CAST(bs.ns * {L} AS DOUBLE)"
+        " AS utilization,"
+        " CAST(bp.nc AS BIGINT) AS n_cross_docs"
+        " FROM seg s, bfd_seq bs, bfd_split bp"
+        " GROUP BY bs.ns, bp.nc)",
+        "cc_seq AS (SELECT COUNT(DISTINCT seq_id) AS ns FROM cs)",
+        "cc_split AS (SELECT COUNT(*) AS nc FROM (SELECT doc_id"
+        " FROM cs GROUP BY doc_id HAVING COUNT(*) > 1))",
+        "cc_row AS (SELECT 'concat_chunk' AS method,"
+        " CAST(qs.ns AS BIGINT) AS n_seqs,"
+        " CAST(COUNT(*) AS BIGINT) AS n_items,"
+        " CAST(SUM(c.span_len) AS BIGINT) AS total_tokens,"
+        f" CAST(qs.ns * {L} - SUM(c.span_len) AS BIGINT)"
+        " AS pad_tokens,"
+        f" SUM(c.span_len) / CAST(qs.ns * {L} AS DOUBLE)"
+        " AS utilization,"
+        " CAST(qp.nc AS BIGINT) AS n_cross_docs"
+        " FROM cs c, cc_seq qs, cc_split qp"
+        " GROUP BY qs.ns, qp.nc)",
+    ]
+    return ("WITH RECURSIVE " + ",\n".join(parts) + """
+SELECT * FROM bfd_row UNION ALL SELECT * FROM cc_row""")
+
+
+@spec(
+    "doc_pack_efficiency",
+    _pack_eff_oracle(),
+    description="Packing-efficiency report over the same BPE token "
+                "lengths: BFD vs concat-then-chunk — sequence "
+                "counts, pad budget, utilization (exact-integer "
+                "division) and boundary-crossing/split doc counts, "
+                "one row per method",
+    tags=("pipeline", "packing", "text"),
+)
+def q_doc_pack_efficiency(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.bpe import bpe_encode
+    from xsarsea_spark.pipeline.packing import (
+        pack_best_fit, pack_sequences_from_lengths)
+
+    L = _BFD_LEN
+    docs = load(spark, sf_dir, "documents")
+    lens = bpe_encode(docs, n_merges=_BPE_MERGES).selectExpr(
+        "doc_id", "CAST(n_tokens_encoded AS BIGINT) AS n") \
+        .filter("n >= 1")
+    lens = materialize(lens)   # two consumers, one BPE replay
+    seg = pack_best_fit(lens, seq_len=L, n_buckets=_BFD_NB,
+                        len_col="n")
+    cs = pack_sequences_from_lengths(lens, seq_len=L, len_col="n")
+
+    def report(df, method, seq_cols, item_len, split_key):
+        # all three side stats are 1-row aggregates broadcast back
+        # onto the 1-row main agg — no driver-side action at build
+        ns = (df.select(*seq_cols).distinct()
+              .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("__ns")))
+        nc = (df.groupBy(split_key)
+              .agg(F.count(F.lit(1)).alias("__c"))
+              .filter("__c > 1")
+              .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("__nc")))
+        agg = df.agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_items"),
+            F.expr(f"CAST(SUM({item_len}) AS BIGINT)")
+            .alias("total_tokens"))
+        return (agg.join(F.broadcast(ns)).join(F.broadcast(nc))
+                .selectExpr(
+                    f"'{method}' AS method",
+                    "__ns AS n_seqs",
+                    "n_items",
+                    "total_tokens",
+                    f"CAST(__ns * {L} - total_tokens AS BIGINT)"
+                    " AS pad_tokens",
+                    f"total_tokens / CAST(__ns * {L} AS DOUBLE)"
+                    " AS utilization",
+                    "__nc AS n_cross_docs"))
+
+    bfd = report(seg, "bfd", ["bucket", "seq_id"], "seg_len",
+                 "doc_id")
+    con = report(cs, "concat_chunk", ["seq_id"], "span_len",
+                 "doc_id")
+    return bfd.unionByName(con)
 
 
 
