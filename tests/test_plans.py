@@ -858,3 +858,17 @@ def test_hybrid_rrf_rank_windows_are_group_limited(spark):
     for ln in plan.splitlines():
         if "NestedLoopJoin" in ln:
             assert "Broadcast" in ln, ln
+
+
+def test_icp_order_is_bucket_local(spark):
+    """embedding_icp_order must chain inside hash buckets: one
+    FlatMapGroupsInPandas kernel keyed by the bucket, no cartesian
+    product, no corpus-wide window."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["embedding_icp_order"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "FlatMapGroupsInPandas" in plan, "bucket kernel missing"
+    assert "hashpartitioning(bucket" in plan
+    assert "CartesianProduct" not in plan
+    _assert_all_windows_pid_partitioned(plan)

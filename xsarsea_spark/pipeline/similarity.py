@@ -19,7 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["with_norm", "cosine_topk", "nearest_in_reference",
+__all__ = ["with_norm", "cosine_topk", "icp_order",
+           "nearest_in_reference",
            "lsh_ann", "lsh_ann_multiprobe", "binary_quantize",
            "hamming_topk"]
 
@@ -339,3 +340,70 @@ def lsh_ann_multiprobe(
         .distinct()
     )
     return _exact_topk(cand, queries, corpus, k, vec_col, id_col)
+
+
+def icp_order(emb: DataFrame, n_buckets: int,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """In-context-pretraining document ordering (Shi et al. 2023,
+    arXiv:2310.10638): lay related documents next to each other so
+    packed training sequences hold coherent context, via the paper's
+    greedy nearest-neighbor chain — start at the smallest id, hop to
+    the nearest unvisited neighbor, repeat. Chains are built inside
+    deterministic hash buckets (``id % n_buckets``): the greedy is
+    sequential, so the bucket is the parallelism unit (same contract
+    as ``packing.pack_best_fit``; size buckets ~10^4 docs).
+
+    Distances are EXACT integer keys: each squared-difference term is
+    a double, floor-truncated onto the 1e-9 grid and summed as int64
+    (the DSUM/QTRUNC convention) — so the argmin, and therefore the
+    whole chain, is bit-replicable in any engine regardless of fold
+    order. Ties break on the smaller id.
+
+    Returns (bucket, chain_pos, id, d2_prev) with d2_prev = -1 for
+    each chain head. Downstream, packing along (bucket, chain_pos)
+    order IS the ICP layout.
+    """
+    from pyspark.sql import types as T
+
+    items = emb.selectExpr(
+        f"{id_col} AS vec_id", f"{vec_col} AS embedding",
+        f"{id_col} % {n_buckets} AS bucket")
+
+    schema = T.StructType([
+        T.StructField("bucket", T.LongType()),
+        T.StructField("chain_pos", T.LongType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("d2_prev", T.LongType()),
+    ])
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        bucket = int(pdf["bucket"].iloc[0])
+        ids = pdf["vec_id"].to_numpy()
+        E = np.stack([np.asarray(e, dtype=np.float64)
+                      for e in pdf["embedding"]])
+        m = len(ids)
+        visited = np.zeros(m, dtype=bool)
+        cur = 0                      # smallest id after the sort
+        visited[0] = True
+        rows = [(bucket, 1, int(ids[0]), -1)]
+        sentinel = np.iinfo(np.int64).max
+        for pos in range(2, m + 1):
+            diff = E - E[cur]
+            # exact integer distance key: per-term double product,
+            # floor onto the 1e-9 grid, int64 sum — fold-order-free
+            q = np.floor(diff * diff * 1e9).astype(np.int64) \
+                .sum(axis=1)
+            q[visited] = sentinel
+            nxt = int(np.argmin(q))  # first occurrence = smaller id
+            rows.append((bucket, pos, int(ids[nxt]), int(q[nxt])))
+            visited[nxt] = True
+            cur = nxt
+        return pd.DataFrame(
+            rows, columns=[f.name for f in schema.fields])
+
+    return items.groupBy("bucket").applyInPandas(kernel, schema)

@@ -10277,6 +10277,79 @@ def q_doc_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# In-context-pretraining ordering (Shi et al. 2023): the greedy
+# nearest-neighbor chain that lays related docs adjacently so packed
+# sequences hold coherent context — the modern alternative to
+# packing docs in arrival order. Chains are bucket-local (hash
+# buckets, the sequential greedy's parallelism unit); the distance
+# key is the per-term floor-truncated integer sum, so the argmin and
+# the whole chain replicate bit-exactly. The oracle replays the
+# greedy with a recursive CTE whose state carries the remaining
+# vector set and the chain built so far.
+# ----------------------------------------------------------------------
+
+_ICP_NB = 8
+
+
+def _icp_oracle() -> str:
+    d = _CND_DIM
+    d2 = (f"list_reduce(list_transform(range(1, {d + 1}),"
+          f" i -> CAST(FLOOR((r.emb[i] - cur_emb[i])"
+          f" * (r.emb[i] - cur_emb[i]) * 1e9) AS BIGINT)),"
+          f" (x, y) -> x + y)")
+    return f"""
+WITH RECURSIVE
+it AS (SELECT vec_id % {_ICP_NB} AS bucket, vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       FROM embeddings),
+seed AS (SELECT bucket, MIN(vec_id) AS v0 FROM it GROUP BY bucket),
+st AS (
+  SELECT i.bucket, 1 AS pos, i.vec_id AS cur_id, i.emb AS cur_emb,
+    list_filter(list_sort(list({{'vec_id': i2.vec_id,
+        'emb': i2.emb}})), s -> s.vec_id <> i.vec_id) AS remaining,
+    [{{'pos': CAST(1 AS BIGINT), 'vec_id': i.vec_id,
+      'd2': CAST(-1 AS BIGINT)}}] AS chain
+  FROM it i JOIN seed s ON s.bucket = i.bucket AND i.vec_id = s.v0
+  JOIN it i2 ON i2.bucket = i.bucket
+  GROUP BY i.bucket, i.vec_id, i.emb
+  UNION ALL
+  SELECT p.bucket, p.pos + 1,
+    nxt.vec_id, nxt.emb,
+    list_filter(p.remaining, r -> r.vec_id <> nxt.vec_id),
+    list_append(p.chain, {{'pos': CAST(p.pos + 1 AS BIGINT),
+                          'vec_id': nxt.vec_id, 'd2': nxt.d2}})
+  FROM (
+    SELECT *, list_sort(list_transform(remaining, r ->
+      {{'d2': {d2}, 'vec_id': r.vec_id, 'emb': r.emb}}))[1] AS nxt
+    FROM st WHERE len(remaining) > 0) p
+),
+fin AS (SELECT bucket, unnest(chain, recursive := false) AS c
+        FROM st WHERE len(remaining) = 0)
+SELECT bucket, CAST(c.pos AS BIGINT) AS chain_pos, c.vec_id,
+  c.d2 AS d2_prev
+FROM fin"""
+
+
+@spec(
+    "embedding_icp_order",
+    _icp_oracle(),
+    description="In-context-pretraining ordering (greedy nearest-"
+                "neighbor chain per hash bucket, Shi et al. 2023): "
+                "related docs laid adjacently for coherent packed "
+                "contexts; exact integer distance keys make every "
+                "hop bit-replicable vs the recursive-CTE replay",
+    tags=("pipeline", "similarity", "iterative"),
+)
+def q_embedding_icp_order(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.similarity import icp_order
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id",
+                                                   "embedding")
+    return icp_order(emb, n_buckets=_ICP_NB)
+
+
+# ----------------------------------------------------------------------
 # Maximum-inner-product search (MIPS) via the augmented-vector
 # reduction (Bachrach et al. 2014): append sqrt(M^2 - ||c||^2) to
 # every corpus vector (M = max corpus norm, a 1-row broadcast) and 0
