@@ -872,3 +872,20 @@ def test_icp_order_is_bucket_local(spark):
     assert "hashpartitioning(bucket" in plan
     assert "CartesianProduct" not in plan
     _assert_all_windows_pid_partitioned(plan)
+
+
+def test_icp_pack_layout_is_two_pass(spark):
+    """doc_icp_pack: the chain kernel stays bucket-keyed and the
+    layout cumsum rides the two-pass rank (__pid windows only); no
+    cartesian product; nested loops broadcast-only (the 8-row span
+    spine and partition offsets)."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["doc_icp_pack"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    _assert_all_windows_pid_partitioned(plan)
+    for ln in plan.splitlines():
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln, ln

@@ -10350,6 +10350,83 @@ def q_embedding_icp_order(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
+# ICP packing — the point of the ordering: concat-then-chunk packing
+# laid out along the ICP chain (bucket-major, then chain position),
+# so each training sequence holds consecutive chain hops = related
+# documents. Reuses the lengths-core packer over a composed layout
+# id; the oracle replays the chain (recursive CTE) then the exact
+# window cumsum. Docs without text drop out of the layout on both
+# engines identically.
+# ----------------------------------------------------------------------
+
+
+def _icp_pack_oracle_full() -> str:
+    L = _PACK_LEN
+    return f"""
+WITH RECURSIVE
+ord0 AS MATERIALIZED ({_icp_oracle().strip()}),
+j AS (SELECT o.bucket, o.chain_pos, d.doc_id,
+        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n,
+        o.bucket * 1000000 + o.chain_pos AS lid
+      FROM ord0 o JOIN documents d ON d.doc_id = o.vec_id
+      WHERE d.text IS NOT NULL),
+c AS (SELECT *, SUM(n) OVER (ORDER BY lid
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+        AS cb FROM j),
+sp AS (SELECT *, unnest(range(0, 8)) AS k FROM c),
+s AS (SELECT bucket, chain_pos, doc_id,
+        CAST(cb // {L} + k AS BIGINT) AS seq_id,
+        CAST(GREATEST(cb, (cb // {L} + k) * {L}) - cb AS BIGINT)
+          AS doc_offset,
+        CAST(GREATEST(cb, (cb // {L} + k) * {L})
+          - (cb // {L} + k) * {L} AS BIGINT) AS seq_offset,
+        CAST(LEAST(cb + n, (cb // {L} + k + 1) * {L})
+          - GREATEST(cb, (cb // {L} + k) * {L}) AS BIGINT)
+          AS span_len
+      FROM sp WHERE (cb // {L} + k) * {L} < cb + n)
+SELECT * FROM s"""
+
+
+@spec(
+    "doc_icp_pack",
+    _icp_pack_oracle_full(),
+    description="Packing along the in-context-pretraining chain: "
+                "concat-then-chunk layout ordered by (bucket, chain "
+                "position), so each sequence holds consecutive "
+                "nearest-neighbor hops — the exact spans per "
+                "(document, sequence) intersection, value-exact vs "
+                "the chain replay + window cumsum",
+    tags=("pipeline", "packing", "similarity"),
+)
+def q_doc_icp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.packing import \
+        pack_sequences_from_lengths
+    from xsarsea_spark.pipeline.similarity import icp_order
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id",
+                                                   "embedding")
+    order = icp_order(emb, n_buckets=_ICP_NB)
+    docs = load(spark, sf_dir, "documents") \
+        .filter("text IS NOT NULL") \
+        .selectExpr("doc_id",
+                    "CAST(size(split(text, ' ')) AS BIGINT) AS n")
+    lay = (order.join(docs,
+                      on=order.vec_id == docs.doc_id)
+           .selectExpr("bucket", "chain_pos", "doc_id", "n",
+                       "bucket * 1000000 + chain_pos AS lid"))
+    packed = pack_sequences_from_lengths(
+        lay.select("lid", "n"), seq_len=_PACK_LEN,
+        id_col="lid", len_col="n")
+    return (packed.join(lay.select("lid", "bucket", "chain_pos",
+                                   "doc_id"), on="lid")
+            .selectExpr("bucket", "chain_pos", "doc_id",
+                        "CAST(seq_id AS BIGINT) AS seq_id",
+                        "CAST(doc_offset AS BIGINT) AS doc_offset",
+                        "CAST(seq_offset AS BIGINT) AS seq_offset",
+                        "CAST(span_len AS BIGINT) AS span_len"))
+
+
+# ----------------------------------------------------------------------
 # Maximum-inner-product search (MIPS) via the augmented-vector
 # reduction (Bachrach et al. 2014): append sqrt(M^2 - ||c||^2) to
 # every corpus vector (M = max corpus norm, a 1-row broadcast) and 0
