@@ -62,7 +62,7 @@ _PRIORITY = [
     "doc_pack_bfd", "doc_pack_bfd_masks", "doc_pack_efficiency",
     "multimodal_paired_dedup", "stream_unimax_ingest",
     "doc_html_extract", "doc_hybrid_rrf", "embedding_icp_order",
-    "doc_icp_pack",
+    "doc_icp_pack", "embedding_icp_coherence",
     # (b) lineage changed this round: the MIPS top-k gained the
     # per-partition partial-top-k funnel (same values, new plan):
     "embedding_mips_topk",
@@ -83,12 +83,12 @@ _PRIORITY = [
     "text_token_stats", "stratified_sample", "multimodal_features",
     "events_countmin", "events_kmv_distinct", "events_pivot",
     "events_gapfill_interp",
-    # (e) the stale round-5 cohort (last driver row: round 5) — 17
+    # (e) the stale round-5 cohort (last driver row: round 5) — 16
     # of its 25 rows fit; multimodal_ahash, multimodal_gif_frames,
-    # multimodal_ahash_neardup, events_cohort_ltv,
-    # events_user_entropy, events_holt_trend, events_holt_backtest
-    # and events_seasonal_profile rotate in next round (the
-    # multimodal
+    # multimodal_ahash_neardup, events_rank_stability,
+    # events_cohort_ltv, events_user_entropy, events_holt_trend,
+    # events_holt_backtest and events_seasonal_profile rotate in
+    # next round (the multimodal
     # family gets fresh coverage above via multimodal_paired_dedup):
     "q_incremental_agg_merge", "q_orders_backlog",
     "embedding_ann_recall", "dup_graph_triangles",
@@ -97,7 +97,6 @@ _PRIORITY = [
     "embedding_pca_outliers", "doc_bpe_train", "doc_ngram_novelty",
     "events_ewma", "events_user_growth", "events_ab_ttest",
     "events_stream_growth", "events_type_correlation",
-    "events_rank_stability",
 ]
 
 

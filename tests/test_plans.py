@@ -889,3 +889,16 @@ def test_icp_pack_layout_is_two_pass(spark):
     for ln in plan.splitlines():
         if "NestedLoopJoin" in ln:
             assert "Broadcast" in ln, ln
+
+
+def test_icp_coherence_baseline_is_windowless(spark):
+    """embedding_icp_coherence: the vec_id-order baseline must be
+    the residue-class equi-join (successor = vec_id + NB) — no
+    window outside the bucket kernel's lineage, no cartesian."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["embedding_icp_coherence"].spark(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, "baseline successor must be a join"
+    assert "FlatMapGroupsInPandas" in plan

@@ -10427,6 +10427,80 @@ def q_doc_icp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# ICP coherence eval — the number that justifies the reorder: mean
+# adjacent-hop distance under the ICP chain vs the naive vec_id
+# layout, per layout (2 rows). The baseline needs NO window at all:
+# bucket members are one residue class (vec_id ≡ b mod NB), so the
+# vec_id-order successor is exactly vec_id + NB — one equi-join.
+# Distances are the same floor-truncated integer keys as the chain,
+# so both sides are exact; the means are single exact divisions.
+# ----------------------------------------------------------------------
+
+
+def _icp_coherence_oracle() -> str:
+    d = _CND_DIM
+    d2 = (f"list_reduce(list_transform(range(1, {d + 1}),"
+          f" i -> CAST(FLOOR((a.emb[i] - b.emb[i])"
+          f" * (a.emb[i] - b.emb[i]) * 1e9) AS BIGINT)),"
+          f" (x, y) -> x + y)")
+    return f"""
+WITH RECURSIVE
+ord0 AS MATERIALIZED ({_icp_oracle().strip()}),
+it AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       FROM embeddings),
+icp AS (SELECT 'icp_chain' AS layout,
+    CAST(COUNT(*) AS BIGINT) AS n_hops,
+    SUM(d2_prev) / CAST(COUNT(*) AS DOUBLE) AS mean_d2
+  FROM ord0 WHERE chain_pos >= 2),
+base AS (SELECT 'vec_id_order' AS layout,
+    CAST(COUNT(*) AS BIGINT) AS n_hops,
+    SUM({d2}) / CAST(COUNT(*) AS DOUBLE) AS mean_d2
+  FROM it a JOIN it b ON b.vec_id = a.vec_id + {_ICP_NB})
+SELECT * FROM icp UNION ALL SELECT * FROM base"""
+
+
+@spec(
+    "embedding_icp_coherence",
+    _icp_coherence_oracle(),
+    description="ICP coherence eval: mean adjacent-hop distance "
+                "under the greedy chain vs the naive vec_id layout "
+                "— the baseline successor is one residue-class "
+                "equi-join (vec_id + NB), no window; exact integer "
+                "distance keys, one exact division per row",
+    tags=("pipeline", "similarity"),
+)
+def q_embedding_icp_coherence(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.similarity import icp_order
+
+    d = _CND_DIM
+    emb = load(spark, sf_dir, "embeddings").select("vec_id",
+                                                   "embedding")
+    chain = icp_order(emb, n_buckets=_ICP_NB)
+    icp = (chain.filter("chain_pos >= 2")
+           .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_hops"),
+                F.expr("SUM(d2_prev) / CAST(COUNT(*) AS DOUBLE)")
+                .alias("mean_d2"))
+           .selectExpr("'icp_chain' AS layout", "n_hops", "mean_d2"))
+    a = emb.selectExpr("vec_id", "embedding AS ea")
+    b = emb.selectExpr(f"vec_id - {_ICP_NB} AS vec_id",
+                       "embedding AS eb")
+    d2 = (f"aggregate(zip_with(ea, eb,"
+          f" (x, y) -> CAST(FLOOR((CAST(x AS DOUBLE)"
+          f" - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE)"
+          f" - CAST(y AS DOUBLE)) * 1e9) AS BIGINT)),"
+          f" 0L, (s, v) -> s + v)")
+    base = (a.join(b, on="vec_id")
+            .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_hops"),
+                 F.expr(f"SUM({d2}) / CAST(COUNT(*) AS DOUBLE)")
+                 .alias("mean_d2"))
+            .selectExpr("'vec_id_order' AS layout", "n_hops",
+                        "mean_d2"))
+    return icp.unionByName(base)
+
+
+# ----------------------------------------------------------------------
 # Maximum-inner-product search (MIPS) via the augmented-vector
 # reduction (Bachrach et al. 2014): append sqrt(M^2 - ||c||^2) to
 # every corpus vector (M = max corpus norm, a 1-row broadcast) and 0
