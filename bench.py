@@ -282,15 +282,25 @@ def main() -> None:
             # 464 s, round-11 section timers), pushing rep 2 over
             # budget — the suite then reported reps=2 and skipped
             # the small-query extra passes entirely. Capping each
-            # repeat rep at a fraction of the measured FULL pass
-            # keeps all `reps` reps (and the small-pass stabilizer)
-            # inside the budget; the delta-first suspects still
-            # bypass the cap via their reserved share.
-            rep_frac = float(os.environ.get(
-                "SPARK_GRAFT_BENCH_REP_FRAC", "0.2"))
-            per_rep = min(per_rep, rep_frac * rep_durs[0])
+            # repeat rep keeps all `reps` reps (and the small-pass
+            # stabilizer) inside the budget; delta-first suspects
+            # still bypass the cap via their reserved share.
+            #
+            # The cap base is the estimated FAST-TIER duration, not
+            # the full rep-0 wall: rep 0 includes the slow tier
+            # (first > slow_cut) which repeat reps never run, so a
+            # rep0-based fraction overshot the intent where the slow
+            # tier dominated and under-admitted where the fast tier
+            # did (round-11 driver run: n_slow_1rep=132, half the
+            # suite at a single sample). rep_frac is the fraction of
+            # the fast tier's first-pass time a repeat rep may cost.
             first = {n: v[0] for n, v in samples.items()
                      if v and v[0] >= 0}
+            rep_frac = float(os.environ.get(
+                "SPARK_GRAFT_BENCH_REP_FRAC", "0.45"))
+            fast_base = rep_durs[0] - sum(
+                v for v in first.values() if v > slow_cut)
+            per_rep = min(per_rep, rep_frac * max(0.0, fast_base))
             # Delta-first admission: queries whose first pass moved
             # most vs the last on-disk bench medians enter the repeat
             # tier BEFORE the cheapest-first fill and bypass the slow

@@ -164,31 +164,41 @@ def pack_best_fit(lengths: DataFrame, seq_len: int, n_buckets: int,
     ])
 
     def kernel(pdf):
+        import bisect
+
         import pandas as pd
 
         pdf = pdf.sort_values(["seg_len", "doc_id", "chunk_id"],
                               ascending=[False, True, True])
         bucket = int(pdf["bucket"].iloc[0])
-        rems: list[int] = []     # remaining capacity per open seq
+        # Open bins as a SORTED list of (rem, bin_id): bisect_left
+        # on (seg, -1) lands on the smallest remaining capacity that
+        # fits, and among equal capacities the earliest-opened bin —
+        # the same (smallest rem, earliest bin) tie-break as the
+        # linear scan, at O(n log n) comparisons per bucket instead
+        # of O(n^2) (the scan dominated at the documented ~1e4
+        # docs-per-bucket sizing).
+        open_bins: list[tuple[int, int]] = []
         fills: list[int] = []    # tokens already placed per seq
         out = []
         slot = 0
         for doc_id, chunk_id, seg in zip(
                 pdf["doc_id"], pdf["chunk_id"], pdf["seg_len"]):
             seg = int(seg)
-            best, best_rem = -1, None
-            for j, rem in enumerate(rems):
-                if rem >= seg and (best_rem is None or rem < best_rem):
-                    best, best_rem = j, rem
-            if best < 0:
-                rems.append(seq_len)
+            i = bisect.bisect_left(open_bins, (seg, -1))
+            if i < len(open_bins):
+                rem, best = open_bins.pop(i)
+                new_rem = rem - seg
+            else:
                 fills.append(0)
-                best = len(rems) - 1
+                best = len(fills) - 1
+                new_rem = seq_len - seg
             slot += 1
             out.append((bucket, best + 1, slot, int(doc_id),
                         int(chunk_id), seg, fills[best]))
-            rems[best] -= seg
             fills[best] += seg
+            if new_rem > 0:   # a full bin can never fit seg >= 1
+                bisect.insort(open_bins, (new_rem, best))
         return pd.DataFrame(
             out, columns=[f.name for f in schema.fields])
 

@@ -10367,7 +10367,7 @@ WITH RECURSIVE
 ord0 AS MATERIALIZED ({_icp_oracle().strip()}),
 j AS (SELECT o.bucket, o.chain_pos, d.doc_id,
         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n,
-        o.bucket * 1000000 + o.chain_pos AS lid
+        o.bucket * 4294967296 + o.chain_pos AS lid
       FROM ord0 o JOIN documents d ON d.doc_id = o.vec_id
       WHERE d.text IS NOT NULL),
 c AS (SELECT *, SUM(n) OVER (ORDER BY lid
@@ -10413,7 +10413,13 @@ def q_doc_icp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     lay = (order.join(docs,
                       on=order.vec_id == docs.doc_id)
            .selectExpr("bucket", "chain_pos", "doc_id", "n",
-                       "bucket * 1000000 + chain_pos AS lid"))
+                       # 2^32 shift: lid is the unique total-order
+                       # key pack_sequences_from_lengths ranks on; a
+                       # 1e6 shift collides once a bucket chain
+                       # exceeds 1e6 positions and silently corrupts
+                       # the layout. chain_pos < 2^32 is asserted by
+                       # construction (per-bucket row count).
+                       "bucket * 4294967296 + chain_pos AS lid"))
     packed = pack_sequences_from_lengths(
         lay.select("lid", "n"), seq_len=_PACK_LEN,
         id_col="lid", len_col="n")
@@ -11150,3 +11156,169 @@ def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "CAST(n_docs AS BIGINT) AS n_docs",
                         "n_docs / CAST(__rn AS DOUBLE)"
                         " AS row_share"))
+
+
+# ----------------------------------------------------------------------
+# Infini-gram n-gram count / continuation lookup (Liu et al. 2024) —
+# the eval-side counterpart of substring dedup: corpus counts,
+# document frequencies and next-token statistics for a bounded query
+# set of n-grams (here self-derived: the top grams per length, so
+# the query is self-contained and deterministic). ONE all-JVM
+# inline(flatten(transform(...))) scan yields (doc, n, gram, next)
+# occurrence rows for every n at once; the query grams prune the
+# continuation pass via a broadcast semi-join inside the scan stage;
+# everything downstream is integer hash aggregation — no float
+# hazard anywhere. See pipeline/ngram_index.py for the scale
+# argument (and for when the suffix array is the better index).
+# ----------------------------------------------------------------------
+
+_IG_NS = (1, 2, 3, 5)
+_IG_TOPK = 3
+
+
+def _ig_occ_duck(ns: tuple[int, ...]) -> str:
+    nlist = "[" + ", ".join(str(n) for n in ns) + "]"
+    return f"""
+tk AS (SELECT doc_id, string_split(text, ' ') AS l
+       FROM documents WHERE text IS NOT NULL),
+occ AS (
+  SELECT doc_id, CAST(nn AS BIGINT) AS n,
+    array_to_string(list_slice(l, i, i + nn - 1), ' ') AS gram,
+    CASE WHEN i + nn <= len(l) THEN l[i + nn] END AS cont
+  FROM tk, unnest({nlist}) AS t1(nn),
+       unnest(range(1, len(l) - nn + 2)) AS t2(i)),
+stats AS MATERIALIZED (
+  SELECT n, gram, COUNT(*) AS cnt,
+    COUNT(DISTINCT doc_id) AS doc_freq
+  FROM occ GROUP BY 1, 2)"""
+
+
+def _ig_counts_oracle() -> str:
+    tops = " UNION ALL ".join(
+        f"(SELECT * FROM stats WHERE n = {nn}"
+        f" ORDER BY cnt DESC, gram LIMIT {_IG_TOPK})"
+        for nn in _IG_NS)
+    return f"""
+WITH {_ig_occ_duck(_IG_NS).strip()},
+q AS MATERIALIZED ({tops}),
+cs AS (SELECT o.n, o.gram, o.cont, COUNT(*) AS c
+       FROM occ o JOIN q USING (n, gram)
+       WHERE o.cont IS NOT NULL GROUP BY 1, 2, 3),
+ca AS (SELECT n, gram, COUNT(*) AS cont_distinct,
+         MIN({{'k': -c, 'v': cont}}) AS m
+       FROM cs GROUP BY 1, 2)
+SELECT q.n, q.gram, q.cnt, q.doc_freq,
+  CAST(COALESCE(ca.cont_distinct, 0) AS BIGINT) AS cont_distinct,
+  (ca.m).v AS top_cont,
+  CAST(COALESCE(-(ca.m).k, 0) AS BIGINT) AS top_cont_cnt
+FROM q LEFT JOIN ca USING (n, gram)"""
+
+
+@spec(
+    "doc_infinigram_counts",
+    _ig_counts_oracle(),
+    description="Infini-gram count lookup: occurrence count, doc "
+                "frequency, distinct-continuation count and top "
+                "continuation for the top grams per length — one "
+                "all-JVM position-slice scan, broadcast query "
+                "pruning, pure integer aggregation",
+    tags=("pipeline", "text", "ngram"),
+)
+def q_doc_infinigram_counts(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.ngram_index import (
+        continuation_stats, ngram_occurrences, ngram_stats)
+
+    docs = load(spark, sf_dir, "documents")
+    stats = materialize(
+        ngram_stats(ngram_occurrences(docs, _IG_NS)))
+    qs = None
+    for nn in _IG_NS:
+        top = (stats.filter(F.col("n") == nn)
+               .orderBy(F.col("cnt").desc(), F.col("gram").asc())
+               .limit(_IG_TOPK))
+        qs = top if qs is None else qs.unionAll(top)
+    queries = materialize(qs)
+    # second scan recomputes occurrences with the broadcast query
+    # filter pushed into the scan stage — cheaper at scale than
+    # materializing the corpus-sized occurrence stream
+    cont = continuation_stats(ngram_occurrences(docs, _IG_NS),
+                              queries)
+    return (queries.join(cont, on=["n", "gram"], how="left")
+            .selectExpr(
+                "n", "gram", "cnt", "doc_freq",
+                "CAST(COALESCE(cont_distinct, 0) AS BIGINT)"
+                " AS cont_distinct",
+                "top_cont",
+                "CAST(COALESCE(top_cont_cnt, 0) AS BIGINT)"
+                " AS top_cont_cnt"))
+
+
+# ----------------------------------------------------------------------
+# Infini-gram backoff (the "∞-gram" rule): for each query context,
+# the LONGEST suffix that occurs anywhere in the corpus and its
+# count. Contexts are self-derived: the top-2 4-grams (match at full
+# length) plus the top-2 3-grams prefixed with an out-of-vocabulary
+# token (forcing one backoff hop). The suffix explode is bounded by
+# the context length; the probe is a broadcast join against the
+# gram-stats table; the winner per context is a struct-order min.
+# ----------------------------------------------------------------------
+
+_IGB_NS = (1, 2, 3, 4)
+
+
+def _ig_backoff_oracle() -> str:
+    return f"""
+WITH {_ig_occ_duck(_IGB_NS).strip()},
+q4 AS (SELECT gram FROM stats WHERE n = 4
+       ORDER BY cnt DESC, gram LIMIT 2),
+q3 AS (SELECT gram FROM stats WHERE n = 3
+       ORDER BY cnt DESC, gram LIMIT 2),
+ctx AS (SELECT 'p4:' || gram AS ctx_id, gram AS ctx FROM q4
+        UNION ALL
+        SELECT 'bk:' || gram AS ctx_id, 'zzz ' || gram AS ctx
+        FROM q3),
+sfx AS (SELECT ctx_id, ctx, CAST(k AS BIGINT) AS n,
+          array_to_string(list_slice(string_split(ctx, ' '),
+            len(string_split(ctx, ' ')) - k + 1,
+            len(string_split(ctx, ' '))), ' ') AS gram
+        FROM ctx,
+          unnest(range(1, len(string_split(ctx, ' ')) + 1)) AS t(k)),
+hit AS (SELECT s.ctx_id, s.ctx,
+          MIN({{'k': -s.n, 'g': s.gram, 'c': st.cnt}}) AS m
+        FROM sfx s JOIN stats st ON st.n = s.n AND st.gram = s.gram
+        GROUP BY 1, 2)
+SELECT ctx_id, ctx, CAST(-(m).k AS BIGINT) AS matched_n,
+  (m).g AS suffix, CAST((m).c AS BIGINT) AS cnt
+FROM hit"""
+
+
+@spec(
+    "doc_infinigram_backoff",
+    _ig_backoff_oracle(),
+    description="Infini-gram backoff: longest corpus-occurring "
+                "suffix per query context (top 4-grams verbatim + "
+                "OOV-prefixed 3-grams forcing a backoff hop) — "
+                "bounded suffix explode, broadcast probe of the "
+                "gram-stats table, struct-order argmax",
+    tags=("pipeline", "text", "ngram"),
+)
+def q_doc_infinigram_backoff(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.ngram_index import (
+        backoff_longest_suffix, ngram_occurrences, ngram_stats)
+
+    docs = load(spark, sf_dir, "documents")
+    stats = materialize(
+        ngram_stats(ngram_occurrences(docs, _IGB_NS)))
+    q4 = (stats.filter(F.col("n") == 4)
+          .orderBy(F.col("cnt").desc(), F.col("gram").asc())
+          .limit(2)
+          .selectExpr("'p4:' || gram AS ctx_id", "gram AS ctx"))
+    q3 = (stats.filter(F.col("n") == 3)
+          .orderBy(F.col("cnt").desc(), F.col("gram").asc())
+          .limit(2)
+          .selectExpr("'bk:' || gram AS ctx_id",
+                      "'zzz ' || gram AS ctx"))
+    ctx = materialize(q4.unionAll(q3))
+    return backoff_longest_suffix(ctx, stats)
