@@ -56,47 +56,45 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every window entry is green on the local strict DuckDB compare,
 # re-run in window order as a final pre-flight.
 _PRIORITY = [
-    # Round-11 window. (a) round-11 additions (BFD packing pair +
-    # efficiency report, cross-modal paired dedup, streaming UniMax
-    # ingest, HTML main-content extraction):
+    # Round-12 window. (a) round-12 additions (unigram-LM tokenizer
+    # training + segmentation, infini-gram count lookup + backoff,
+    # Bradley-Terry preference fit):
+    "doc_unigram_lm_train", "doc_unigram_segment",
+    "doc_infinigram_counts", "doc_infinigram_backoff",
+    "events_bradley_terry",
+    # (b) lineage changed this round: the BFD packing kernel moved
+    # to the bisect-sorted open-bin structure (same placements, new
+    # kernel) and doc_icp_pack's layout id widened to a 2^32 shift:
     "doc_pack_bfd", "doc_pack_bfd_masks", "doc_pack_efficiency",
-    "multimodal_paired_dedup", "stream_unimax_ingest",
-    "doc_html_extract", "doc_hybrid_rrf", "embedding_icp_order",
-    "doc_icp_pack", "embedding_icp_coherence",
-    # (b) lineage changed this round: the MIPS top-k gained the
-    # per-partition partial-top-k funnel (same values, new plan):
-    "embedding_mips_topk",
-    # (c) the 16 round-10 late additions that have never had a
-    # DRIVER row (judge-verified last round; driver rows are the
-    # durable record). embedding_fps_coreset also changed lineage
-    # this round (incremental d_min):
-    "lineitem_analyze_stats", "q_price_volume_mix",
-    "doc_cdx_surt_index", "pipeline_crawl_funnel",
-    "embedding_fps_coreset", "doc_zipf_coverage",
-    "doc_dedup_rate_by_source", "doc_heaps_vocab_growth",
-    "doc_lang_confusion", "events_seasonal_anomaly",
-    "events_power_analysis", "events_equidepth_histogram",
-    "events_user_gini", "events_transition_entropy",
-    "events_dq_quarantine", "events_slo_error_budget",
-    # (d) the 7 rows displaced from the round-10 window (last
-    # driver row: round 4):
-    "text_token_stats", "stratified_sample", "multimodal_features",
-    "events_countmin", "events_kmv_distinct", "events_pivot",
-    "events_gapfill_interp",
-    # (e) the stale round-5 cohort (last driver row: round 5) — 16
-    # of its 25 rows fit; multimodal_ahash, multimodal_gif_frames,
-    # multimodal_ahash_neardup, events_rank_stability,
-    # events_cohort_ltv, events_user_entropy, events_holt_trend,
-    # events_holt_backtest and events_seasonal_profile rotate in
-    # next round (the multimodal
-    # family gets fresh coverage above via multimodal_paired_dedup):
-    "q_incremental_agg_merge", "q_orders_backlog",
-    "embedding_ann_recall", "dup_graph_triangles",
-    "embedding_pca_power", "embedding_pca_project",
-    "embedding_pca_topk", "embedding_pca_whiten",
-    "embedding_pca_outliers", "doc_bpe_train", "doc_ngram_novelty",
-    "events_ewma", "events_user_growth", "events_ab_ttest",
-    "events_stream_growth", "events_type_correlation",
+    "doc_icp_pack",
+    # (c) the round-5-stale cohort (VERDICT r11 ask #3a — last
+    # driver row: round 5):
+    "multimodal_ahash", "multimodal_ahash_neardup",
+    "multimodal_gif_frames", "events_rank_stability",
+    "events_cohort_ltv", "events_user_entropy", "events_holt_trend",
+    "events_holt_backtest", "events_seasonal_profile",
+    # (d) 32 of the 41 round-6 sentinels (stalest remaining cohort;
+    # the flagship science rows lead — VERDICT r11 ask #3c). The 9
+    # that do not fit (doc_containment_join,
+    # embedding_matryoshka_recall, multimodal_resize,
+    # multimodal_wav_features, multimodal_wav_segments,
+    # doc_substring_dedup_maximal, ivf_incremental,
+    # documents_csv_roundtrip, documents_orc_roundtrip) rotate in
+    # next round:
+    "sigma0_detrend", "gradient_histogram", "lut_interp",
+    "nesz_flattening", "streaks_full", "rain_mask_filtering",
+    "available_models", "q01_pricing_summary",
+    "q18_large_volume_customer", "graph_pagerank",
+    "q_window_battery", "events_asof_join", "minhash_lsh_neardup",
+    "dup_cluster_components", "embedding_knn",
+    "doc_sequence_packing", "embedding_kmeans",
+    "pipeline_curate_end2end", "events_stream_sessionize",
+    "events_stream_user_stats", "doc_bigram_lm",
+    "doc_weighted_sample", "ivf_ann", "embedding_semdedup",
+    "doc_substring_dedup", "exact_dedup_incremental",
+    "q_market_basket", "q_supplier_pareto",
+    "multimodal_jpeg_roundtrip", "doc_setsim_join",
+    "dup_graph_kcore", "pipeline_curation_report",
 ]
 
 

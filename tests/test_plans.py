@@ -902,3 +902,74 @@ def test_icp_coherence_baseline_is_windowless(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan, "baseline successor must be a join"
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_round12_additions_plans_are_scale_safe(audit_spark):
+    """Round-12 additions. Infini-gram: the top-gram pools collapse
+    to TakeOrderedAndProject (distributed partial top-k, no full
+    sort), the continuation pass broadcasts only the bounded query
+    frame, and no window exists anywhere; backoff probes the stats
+    table with the bounded suffix frame broadcast. Bradley-Terry:
+    the match matrix builds from one (user, type) hash agg + a
+    user-keyed pair join — no cartesian, no broadcast of the O(sf)
+    events table. Unigram-LM: the Viterbi E-step is a MapInPandas
+    over the vocabulary-scale distinct-word table, the only
+    nested-loop join is the broadcast 1-row total."""
+    from xsarsea_spark.suite import REGISTRY
+
+    # the top-gram pool plan — checked pre-materialize (the full
+    # query checkpoints it, so its final plan starts downstream)
+    from pyspark.sql import functions as PF
+
+    from xsarsea_spark.pipeline.ngram_index import (ngram_occurrences,
+                                                    ngram_stats)
+    from xsarsea_spark.sources.tables import load as _load
+    docs = _load(audit_spark, SF, "documents")
+    pool = (ngram_stats(ngram_occurrences(docs, (1, 2)))
+            .filter(PF.col("n") == 2)
+            .orderBy(PF.col("cnt").desc(), PF.col("gram").asc())
+            .limit(3))
+    pool_plan = (pool._jdf.queryExecution().executedPlan()
+                 .toString())
+    assert "TakeOrderedAndProject" in pool_plan
+
+    for name in ("doc_infinigram_counts", "doc_infinigram_backoff"):
+        plan = (REGISTRY[name].spark(audit_spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan, name
+        for ln in plan.splitlines():
+            if "Window" in ln and "WindowGroupLimit" not in ln:
+                raise AssertionError(f"{name}: unexpected window "
+                                     f"{ln}")
+            if "NestedLoopJoin" in ln:
+                assert "Broadcast" in ln, f"{name}: {ln}"
+        assert not [t for t in _broadcast_scans(plan)], name
+
+    from xsarsea_spark.pipeline.preference import preference_matrix
+    from xsarsea_spark.sources.tables import load as _load
+    pm_plan = (preference_matrix(_load(audit_spark, SF, "events"))
+               ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in pm_plan
+    assert "events" not in _broadcast_scans(pm_plan)
+
+    plan = (REGISTRY["events_bradley_terry"].spark(audit_spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            raise AssertionError(f"events_bradley_terry: {ln}")
+
+    for name in ("doc_unigram_lm_train", "doc_unigram_segment"):
+        plan = (REGISTRY[name].spark(audit_spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan, name
+        for ln in plan.splitlines():
+            if "NestedLoopJoin" in ln:
+                assert "Broadcast" in ln, f"{name}: {ln}"
+            if "Window" in ln and "WindowGroupLimit" not in ln:
+                raise AssertionError(f"{name}: unexpected window "
+                                     f"{ln}")
+    seg_plan = (REGISTRY["doc_unigram_segment"]
+                .spark(audit_spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" in seg_plan

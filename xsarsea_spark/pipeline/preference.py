@@ -1,0 +1,141 @@
+"""Bradley-Terry preference-model fit — the pairwise-preference
+aggregation an RLHF data-curation pipeline runs over comparison data
+(which arm wins more often, and by how much?), as a Spark-first
+full-batch gradient ascent on the BT log-likelihood:
+
+    p_ab   = QTRUNC(sigmoid(s_a - s_b), 12)     (libm barrier)
+    qc_ab  = QTRUNC(wins_ab - n_ab * p_ab, 9)   (per-pair residual,
+                                                 floored on-grid)
+    g_t    = DSUM(+qc for t=a, -qc for t=b) / total_matches
+    s'_t   = s_t + lr * g_t
+
+The pair-level gradient contribution of the LOSER side is defined as
+the exact negation of the winner side's on-grid residual (algebraic
+BT identity; negation of an on-grid double is IEEE-exact), so both
+engines sum identical terms whatever the order.
+
+Scale design (100 TB): the corpus-scale work is building the match
+matrix — one hash aggregation per (actor, arm) plus a per-actor
+self-join whose group size is bounded by the arm count, never by the
+corpus. The matrix itself is <= arms^2 rows; each training round is
+ONE grouped aggregation over it, and the driver state is the
+arm-count-sized score vector per round (the bounded-collect
+precedent of ``classifier.train_logreg``'s weights and ``pq``'s
+centroid inits). Rounds are data-independent in count.
+
+Determinism and oracle parity: wins come from exact DECIMAL-sum
+comparisons (order-independent); the only libm call (exp) sits
+behind the QTRUNC barrier; residuals ride the 1e-9 grid before the
+exact DECIMAL sums; the score update is the same IEEE op order in
+the Python driver fold and the oracle's chained-CTE replay — final
+scores are value-exact cross-engine.
+
+Reference parity: the reference engine (umr-lops/xsarsea) has no ML
+surface; this module is part of the LLM-data-pipeline extension the
+engine brief mandates (preference data curation), next to the
+logistic-regression quality classifier (``classifier.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["preference_matrix", "bt_step", "train_bradley_terry",
+           "BT_ROUNDS", "BT_LR", "BT_QK", "BT_SCALE"]
+
+BT_ROUNDS = 8
+BT_LR = 4.0
+BT_QK = 12      # sigmoid quantization grid (1e-12)
+BT_SCALE = 9    # residual grid / DECIMAL sum scale
+
+
+def preference_matrix(events: DataFrame,
+                      actor_col: str = "user_id",
+                      arm_col: str = "event_type",
+                      value_col: str = "value") -> DataFrame:
+    """(arm_a, arm_b, wins_a, n_matches) with arm_a < arm_b: one
+    match per (actor, unordered arm pair) where both arms appear for
+    the actor; the winner is the arm with the larger exact DECIMAL
+    value sum; exact ties are excluded from both counts.
+
+    The per-actor sums are one hash aggregation over the corpus; the
+    pair join is actor-keyed with group size bounded by the arm
+    count (arms are a schema property, not data volume)."""
+    uv = (events.groupBy(actor_col, arm_col)
+          .agg(F.expr(f"SUM(CAST({value_col} AS DECIMAL(38,6)))")
+               .alias("__v")))
+    a = uv.selectExpr(f"{actor_col} AS __u", f"{arm_col} AS arm_a",
+                      "__v AS __va")
+    b = uv.selectExpr(f"{actor_col} AS __u", f"{arm_col} AS arm_b",
+                      "__v AS __vb")
+    return (a.join(b, on="__u")
+            .filter(F.col("arm_a") < F.col("arm_b"))
+            .groupBy("arm_a", "arm_b")
+            .agg(F.expr("CAST(SUM(CASE WHEN __va > __vb THEN 1"
+                        " ELSE 0 END) AS BIGINT)").alias("wins_a"),
+                 F.expr("CAST(SUM(CASE WHEN __va <> __vb THEN 1"
+                        " ELSE 0 END) AS BIGINT)").alias("n_matches"))
+            .filter(F.col("n_matches") > 0))
+
+
+def _s_lit(x: float) -> str:
+    # Python float repr is the shortest round-tripping decimal, so
+    # the parsed double is bit-identical to the driver value (the
+    # classifier._w_lit precedent).
+    return f"CAST({x!r} AS DOUBLE)"
+
+
+def _score_case(scores: dict[str, float], col: str) -> str:
+    arms = sorted(scores)
+    cases = " ".join(f"WHEN '{a}' THEN {_s_lit(scores[a])}"
+                     for a in arms)
+    return f"CASE {col} {cases} END"
+
+
+def bt_step(pm: DataFrame, scores: dict[str, float],
+            lr: float = BT_LR, qk: int = BT_QK,
+            scale: int = BT_SCALE) -> dict[str, float]:
+    """ONE full BT gradient step over the match matrix ``pm``: a
+    signed explode of the on-grid per-pair residual, one grouped
+    exact DECIMAL aggregation, an arm-count-sized collect."""
+    from xsarsea_spark.suite.base import DSUM, QTRUNC
+
+    sa = _score_case(scores, "arm_a")
+    sb = _score_case(scores, "arm_b")
+    p = QTRUNC(
+        f"CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        f" + exp(-(({sa}) - ({sb}))))", qk)
+    qc = QTRUNC(
+        f"CAST(wins_a AS DOUBLE) - CAST(n_matches AS DOUBLE)"
+        f" * ({p})", scale)
+    signed = pm.selectExpr(
+        "arm_a", "arm_b", "n_matches", f"{qc} AS __qc"
+    ).selectExpr(
+        "stack(2, arm_a, __qc, arm_b, -__qc) AS (arm, qc)",
+        "n_matches")
+    rows = (signed.groupBy("arm")
+            .agg(F.expr(DSUM("qc", scale)).alias("sg"),
+                 F.expr("CAST(SUM(n_matches) AS BIGINT)")
+                 .alias("nm"))
+            .collect())
+    total = float(sum(r["nm"] for r in rows)) / 2.0
+    out = dict(scores)
+    for r in rows:
+        # same IEEE tree as the oracle: s + lr * (sg / total)
+        out[r["arm"]] = scores[r["arm"]] + lr * (r["sg"] / total)
+    return out
+
+
+def train_bradley_terry(pm: DataFrame, rounds: int = BT_ROUNDS,
+                        lr: float = BT_LR) -> dict[str, float]:
+    """Full BT fit: ``rounds`` gradient steps from zero-initialized
+    scores over a materialized match matrix."""
+    arms = sorted({r["arm_a"] for r in pm.select("arm_a").distinct()
+                   .collect()}
+                  | {r["arm_b"] for r in pm.select("arm_b").distinct()
+                     .collect()})
+    scores = {a: 0.0 for a in arms}
+    for _ in range(rounds):
+        scores = bt_step(pm, scores, lr=lr)
+    return scores

@@ -3150,3 +3150,115 @@ def q_events_slo_error_budget(spark: SparkSession,
                         f" / {_SLO_TARGET}").alias("budget_consumed"),
                  F.expr(f"{err} / CAST(COUNT(*) AS DOUBLE)"
                         f" > {_SLO_TARGET}").alias("slo_breach")))
+
+
+# ----------------------------------------------------------------------
+# Bradley-Terry preference-model fit (RLHF data curation): which
+# event types "win" head-to-head per user (larger exact DECIMAL
+# value sum), then a full-batch BT gradient ascent on the pairwise
+# win matrix. The corpus-scale work is ONE (user, type) hash agg +
+# a user-keyed pair join whose group size is bounded by the type
+# count; each training round is one grouped exact-DECIMAL agg over
+# the <= T^2-row matrix with the QTRUNC'd sigmoid as the only libm
+# call — scores value-exact vs the chained-CTE replay of every
+# round. See pipeline/preference.py for the scale argument.
+# ----------------------------------------------------------------------
+
+_BT_GUARDED_V = ("SUM(CAST(CASE WHEN isnan(value) THEN NULL"
+                 " ELSE value END AS DECIMAL(38,6)))")
+
+
+def _bt_oracle() -> str:
+    from xsarsea_spark.pipeline.preference import (BT_LR, BT_QK,
+                                                   BT_ROUNDS,
+                                                   BT_SCALE)
+    from xsarsea_spark.suite.base import DSUM, QTRUNC
+
+    parts = [
+        f"uv AS MATERIALIZED (SELECT user_id, event_type,"
+        f" {_BT_GUARDED_V} AS v FROM events GROUP BY 1, 2)",
+        "pm AS MATERIALIZED (SELECT a.event_type AS arm_a,"
+        " b.event_type AS arm_b,"
+        " CAST(SUM(CASE WHEN a.v > b.v THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS wins_a,"
+        " CAST(SUM(CASE WHEN a.v <> b.v THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_matches"
+        " FROM uv a JOIN uv b ON a.user_id = b.user_id"
+        " AND a.event_type < b.event_type GROUP BY 1, 2"
+        " HAVING CAST(SUM(CASE WHEN a.v <> b.v THEN 1 ELSE 0 END)"
+        " AS BIGINT) > 0)",
+        "tot AS (SELECT CAST(SUM(n_matches) AS DOUBLE) AS t FROM pm)",
+        "s0 AS (SELECT arm, CAST(0.0 AS DOUBLE) AS s FROM"
+        " (SELECT arm_a AS arm FROM pm"
+        " UNION SELECT arm_b FROM pm) u)",
+    ]
+    for r in range(BT_ROUNDS):
+        p = QTRUNC(
+            "CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+            " + exp(-((sa2.s) - (sb2.s))))", BT_QK)
+        qc = QTRUNC(
+            f"CAST(wins_a AS DOUBLE) - CAST(n_matches AS DOUBLE)"
+            f" * ({p})", BT_SCALE)
+        parts.append(
+            f"j{r} AS MATERIALIZED (SELECT pm.arm_a, pm.arm_b,"
+            f" {qc} AS qc FROM pm"
+            f" JOIN s{r} sa2 ON sa2.arm = pm.arm_a"
+            f" JOIN s{r} sb2 ON sb2.arm = pm.arm_b)")
+        parts.append(
+            f"c{r} AS (SELECT arm_a AS arm, qc FROM j{r}"
+            f" UNION ALL SELECT arm_b AS arm, -qc FROM j{r})")
+        parts.append(
+            f"g{r} AS MATERIALIZED (SELECT arm,"
+            f" {DSUM('qc', BT_SCALE)} AS sg"
+            f" FROM c{r} GROUP BY arm)")
+        parts.append(
+            f"s{r + 1} AS MATERIALIZED (SELECT s.arm,"
+            f" s.s + CAST({BT_LR!r} AS DOUBLE) * (g.sg / tot.t) AS s"
+            f" FROM s{r} s JOIN g{r} g ON g.arm = s.arm, tot)")
+    parts.append(
+        "wt AS (SELECT arm, CAST(SUM(w) AS BIGINT) AS wins,"
+        " CAST(SUM(n) AS BIGINT) AS n_matches FROM"
+        " (SELECT arm_a AS arm, wins_a AS w, n_matches AS n FROM pm"
+        " UNION ALL SELECT arm_b AS arm, n_matches - wins_a,"
+        " n_matches FROM pm) u GROUP BY arm)")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT wt.arm AS event_type, wt.wins,
+  wt.n_matches - wt.wins AS losses, wt.n_matches,
+  sf.s AS bt_score
+FROM wt JOIN s{BT_ROUNDS} sf ON sf.arm = wt.arm""")
+
+
+@spec(
+    "events_bradley_terry",
+    _bt_oracle(),
+    description="Bradley-Terry preference fit over head-to-head "
+                "event-type matches per user: exact DECIMAL value "
+                "sums decide winners, then full-batch BT gradient "
+                "ascent (QTRUNC sigmoid barrier, on-grid residuals, "
+                "exact DECIMAL gradient sums) — per-type scores "
+                "value-exact vs a chained-CTE replay of every round",
+    tags=("events", "stats", "pipeline", "iterative"),
+)
+def q_events_bradley_terry(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from xsarsea_spark.engine import materialize
+    from xsarsea_spark.pipeline.preference import (
+        preference_matrix, train_bradley_terry)
+
+    ev = load(spark, sf_dir, "events")
+    pm = materialize(preference_matrix(ev))
+    scores = train_bradley_terry(pm)
+    arms = sorted(scores)
+    score_case = "CASE arm " + " ".join(
+        f"WHEN '{a}' THEN CAST({scores[a]!r} AS DOUBLE)"
+        for a in arms) + " END"
+    wa = pm.selectExpr("arm_a AS arm", "wins_a AS w",
+                       "n_matches AS n")
+    wb = pm.selectExpr("arm_b AS arm", "n_matches - wins_a AS w",
+                       "n_matches AS n")
+    return (wa.unionAll(wb).groupBy("arm")
+            .agg(F.expr("CAST(SUM(w) AS BIGINT)").alias("wins"),
+                 F.expr("CAST(SUM(n) AS BIGINT)").alias("n_matches"))
+            .selectExpr("arm AS event_type", "wins",
+                        "n_matches - wins AS losses", "n_matches",
+                        f"{score_case} AS bt_score"))

@@ -11322,3 +11322,148 @@ def q_doc_infinigram_backoff(spark: SparkSession,
                       "'zzz ' || gram AS ctx"))
     ctx = materialize(q4.unionAll(q3))
     return backoff_longest_suffix(ctx, stats)
+
+
+# ----------------------------------------------------------------------
+# Unigram-LM (SentencePiece) tokenizer training — the EM half of the
+# tokenizer story next to BPE: substring seed vocabulary, INT64
+# nanonat piece costs (FLOOR(ln(total/cnt)*1e9) — the only libm call,
+# floored onto the integer grid so the whole Viterbi DP is exact
+# integer arithmetic), Viterbi E-step per DISTINCT word (vocabulary-
+# scale, never corpus-scale), add-one-smoothed M-step over the fixed
+# vocabulary. The oracle replays every EM round as a chained-CTE DP
+# ladder over character positions with struct-order argmin — piece
+# counts, costs AND segmentations are value-exact cross-engine.
+# See pipeline/unigram.py for the scale argument.
+# ----------------------------------------------------------------------
+
+
+def _ulm_seed_ctes() -> list:
+    from xsarsea_spark.pipeline.unigram import ULM_K, ULM_MAXP, \
+        ULM_MAXW
+    return [
+        f"wf AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT)"
+        f" AS f FROM (SELECT unnest(string_split(text, ' ')) AS w"
+        f" FROM documents WHERE text IS NOT NULL) t"
+        f" WHERE length(w) BETWEEN 1 AND {ULM_MAXW} GROUP BY w)",
+        f"sc AS (SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt FROM"
+        f" (SELECT f, substr(w, i, l) AS piece FROM wf,"
+        f" unnest(range(1, {ULM_MAXP} + 1)) AS tl(l),"
+        f" unnest(range(1, length(w) - l + 2)) AS ti(i)) s"
+        f" GROUP BY piece)",
+        f"v0 AS MATERIALIZED (SELECT piece, cnt FROM sc"
+        f" WHERE length(piece) = 1 UNION ALL"
+        f" (SELECT piece, cnt FROM sc WHERE length(piece) >= 2"
+        f" ORDER BY cnt DESC, piece LIMIT {ULM_K}))",
+    ]
+
+
+def _ulm_round_ctes(r: int, with_mstep: bool = True) -> list:
+    """CTEs for EM round ``r``: ik{r} costs from v{r}, the DP ladder
+    dp{r}_1..dp{r}_MAXW, seg{r}; plus cn{r} and v{r+1} when
+    ``with_mstep``."""
+    from xsarsea_spark.pipeline.unigram import ULM_MAXP, ULM_MAXW
+    parts = [
+        f"ik{r} AS MATERIALIZED (SELECT piece,"
+        f" CAST(FLOOR(ln(CAST(t.t AS DOUBLE) / CAST(cnt AS DOUBLE))"
+        f" * 1e9) AS BIGINT) AS ik FROM v{r},"
+        f" (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM v{r}) t)",
+        f"dp{r}_0 AS (SELECT w, f, CAST(0 AS BIGINT) AS k,"
+        f" '' AS path FROM wf)",
+    ]
+    for i in range(1, ULM_MAXW + 1):
+        cands = " UNION ALL ".join(
+            f"SELECT d.w, d.f, d.k + ikt.ik AS k,"
+            f" CASE WHEN d.path = '' THEN ikt.piece"
+            f" ELSE d.path || ' ' || ikt.piece END AS path"
+            f" FROM dp{r}_{i - l} d JOIN ik{r} ikt"
+            f" ON ikt.piece = substr(d.w, {i - l + 1}, {l})"
+            f" WHERE length(d.w) >= {i}"
+            for l in range(1, min(ULM_MAXP, i) + 1))
+        parts.append(
+            f"dp{r}_{i} AS MATERIALIZED (SELECT w, f, (m).k AS k,"
+            f" (m).p AS path FROM (SELECT w, f,"
+            f" MIN({{'k': k, 'p': path}}) AS m FROM ({cands}) c"
+            f" GROUP BY w, f) g)")
+    seg = " UNION ALL ".join(
+        f"SELECT w, f, k, path FROM dp{r}_{i} WHERE length(w) = {i}"
+        for i in range(1, ULM_MAXW + 1))
+    parts.append(f"seg{r} AS MATERIALIZED ({seg})")
+    if with_mstep:
+        parts.append(
+            f"cn{r} AS (SELECT piece, CAST(SUM(f) AS BIGINT) AS raw"
+            f" FROM seg{r}, unnest(string_split(path, ' '))"
+            f" AS t(piece) GROUP BY piece)")
+        parts.append(
+            f"v{r + 1} AS MATERIALIZED (SELECT v.piece,"
+            f" CAST(1 + COALESCE(c.raw, 0) AS BIGINT) AS cnt"
+            f" FROM v0 v LEFT JOIN cn{r} c ON c.piece = v.piece)")
+    return parts
+
+
+def _ulm_train_oracle() -> str:
+    from xsarsea_spark.pipeline.unigram import ULM_ROUNDS
+    parts = _ulm_seed_ctes()
+    for r in range(ULM_ROUNDS):
+        parts += _ulm_round_ctes(r, with_mstep=True)
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT v0.piece, CAST(length(v0.piece) AS BIGINT) AS piece_len,
+  v0.cnt AS seed_cnt, vf.cnt AS em_cnt
+FROM v0 JOIN v{ULM_ROUNDS} vf ON vf.piece = v0.piece""")
+
+
+def _ulm_segment_oracle() -> str:
+    from xsarsea_spark.pipeline.unigram import ULM_ROUNDS
+    parts = _ulm_seed_ctes()
+    for r in range(ULM_ROUNDS):
+        parts += _ulm_round_ctes(r, with_mstep=True)
+    parts += _ulm_round_ctes(ULM_ROUNDS, with_mstep=False)
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT w AS word, f AS freq, CAST(k AS BIGINT) AS cost_ns,
+  path AS segmentation,
+  CAST(len(string_split(path, ' ')) AS BIGINT) AS n_pieces
+FROM seg{ULM_ROUNDS}""")
+
+
+@spec(
+    "doc_unigram_lm_train",
+    _ulm_train_oracle(),
+    description="Unigram-LM (SentencePiece) tokenizer training: "
+                "substring seed vocabulary, integer nanonat costs, "
+                "Viterbi EM over distinct words, add-one M-step — "
+                "seed and re-estimated piece counts value-exact vs "
+                "a chained-CTE replay of every EM round",
+    tags=("pipeline", "text", "tokenizer", "iterative"),
+)
+def q_doc_unigram_lm_train(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.unigram import train_unigram
+
+    docs = load(spark, sf_dir, "documents")
+    _, seed, final, _ = train_unigram(docs)
+    return (seed.selectExpr("piece",
+                            "CAST(length(piece) AS BIGINT)"
+                            " AS piece_len",
+                            "cnt AS seed_cnt")
+            .join(final.selectExpr("piece", "cnt AS em_cnt"),
+                  on="piece"))
+
+
+@spec(
+    "doc_unigram_segment",
+    _ulm_segment_oracle(),
+    description="Unigram-LM Viterbi segmentation of the distinct "
+                "words under the trained piece costs: best path, "
+                "integer total cost and piece count per word — "
+                "value-exact vs the oracle's DP-ladder replay "
+                "(struct-order argmin, ASCII path tie-break)",
+    tags=("pipeline", "text", "tokenizer"),
+)
+def q_doc_unigram_segment(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.unigram import train_unigram
+
+    docs = load(spark, sf_dir, "documents")
+    _, _, _, seg = train_unigram(docs)
+    return seg.selectExpr("w AS word", "f AS freq", "cost_ns",
+                          "path AS segmentation", "n_pieces")
