@@ -61,7 +61,8 @@ _PRIORITY = [
     # Bradley-Terry preference fit):
     "doc_unigram_lm_train", "doc_unigram_segment",
     "doc_infinigram_counts", "doc_infinigram_backoff",
-    "events_bradley_terry",
+    "events_bradley_terry", "events_elo_periods",
+    "doc_unigram_fertility",
     # (b) lineage changed this round: the BFD packing kernel moved
     # to the bisect-sorted open-bin structure (same placements, new
     # kernel) and doc_icp_pack's layout id widened to a 2^32 shift:
@@ -73,9 +74,10 @@ _PRIORITY = [
     "multimodal_gif_frames", "events_rank_stability",
     "events_cohort_ltv", "events_user_entropy", "events_holt_trend",
     "events_holt_backtest", "events_seasonal_profile",
-    # (d) 32 of the 41 round-6 sentinels (stalest remaining cohort;
-    # the flagship science rows lead — VERDICT r11 ask #3c). The 9
-    # that do not fit (doc_containment_join,
+    # (d) 30 of the 41 round-6 sentinels (stalest remaining cohort;
+    # the flagship science rows lead — VERDICT r11 ask #3c). The 11
+    # that do not fit (dup_graph_kcore, pipeline_curation_report,
+    # doc_containment_join,
     # embedding_matryoshka_recall, multimodal_resize,
     # multimodal_wav_features, multimodal_wav_segments,
     # doc_substring_dedup_maximal, ivf_incremental,
@@ -94,7 +96,6 @@ _PRIORITY = [
     "doc_substring_dedup", "exact_dedup_incremental",
     "q_market_basket", "q_supplier_pareto",
     "multimodal_jpeg_roundtrip", "doc_setsim_join",
-    "dup_graph_kcore", "pipeline_curation_report",
 ]
 
 

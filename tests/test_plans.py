@@ -973,3 +973,33 @@ def test_round12_additions_plans_are_scale_safe(audit_spark):
                 .spark(audit_spark, SF)
                 ._jdf.queryExecution().executedPlan().toString())
     assert "MapInPandas" in seg_plan
+
+
+def test_round12_second_wave_plans_are_scale_safe(audit_spark):
+    """events_elo_periods: the period match matrix builds from one
+    (period, user, type) hash agg + a (period, user)-keyed pair
+    join — no cartesian, no O(sf) broadcast (the 1-row min-day
+    frame is the only explicit broadcast). doc_unigram_fertility:
+    the corpus meets only the (lang, word) hash agg; the DP rides
+    the vocabulary-scale word table (MapInPandas), windows absent."""
+    from xsarsea_spark.pipeline.preference import \
+        period_preference_matrix
+    from xsarsea_spark.sources.tables import load as _load
+    from xsarsea_spark.suite import REGISTRY
+
+    pm_plan = (period_preference_matrix(
+        _load(audit_spark, SF, "events"))
+        ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in pm_plan
+    assert "events" not in _broadcast_scans(pm_plan)
+
+    for name in ("events_elo_periods", "doc_unigram_fertility"):
+        plan = (REGISTRY[name].spark(audit_spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan, name
+        for ln in plan.splitlines():
+            if "NestedLoopJoin" in ln:
+                assert "Broadcast" in ln, f"{name}: {ln}"
+            if "Window" in ln and "WindowGroupLimit" not in ln:
+                raise AssertionError(f"{name}: unexpected window "
+                                     f"{ln}")

@@ -42,12 +42,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["preference_matrix", "bt_step", "train_bradley_terry",
-           "BT_ROUNDS", "BT_LR", "BT_QK", "BT_SCALE"]
+           "period_preference_matrix", "elo_periods",
+           "BT_ROUNDS", "BT_LR", "BT_QK", "BT_SCALE",
+           "ELO_PERIODS", "ELO_K", "ELO_INIT"]
 
 BT_ROUNDS = 8
 BT_LR = 4.0
 BT_QK = 12      # sigmoid quantization grid (1e-12)
 BT_SCALE = 9    # residual grid / DECIMAL sum scale
+
+ELO_PERIODS = 6   # fixed rating-period count (weeks, clamped)
+ELO_K = 8.0
+ELO_INIT = 1000.0
 
 
 def preference_matrix(events: DataFrame,
@@ -63,7 +69,9 @@ def preference_matrix(events: DataFrame,
     pair join is actor-keyed with group size bounded by the arm
     count (arms are a schema property, not data volume)."""
     uv = (events.groupBy(actor_col, arm_col)
-          .agg(F.expr(f"SUM(CAST({value_col} AS DECIMAL(38,6)))")
+          .agg(F.expr(f"SUM(CAST(CASE WHEN isnan({value_col})"
+                      f" THEN NULL ELSE {value_col} END"
+                      f" AS DECIMAL(38,6)))")
                .alias("__v")))
     a = uv.selectExpr(f"{actor_col} AS __u", f"{arm_col} AS arm_a",
                       "__v AS __va")
@@ -139,3 +147,85 @@ def train_bradley_terry(pm: DataFrame, rounds: int = BT_ROUNDS,
     for _ in range(rounds):
         scores = bt_step(pm, scores, lr=lr)
     return scores
+
+
+def period_preference_matrix(events: DataFrame,
+                             periods: int = ELO_PERIODS,
+                             actor_col: str = "user_id",
+                             arm_col: str = "event_type",
+                             value_col: str = "value") -> DataFrame:
+    """(p, arm_a, arm_b, wins_a, n_matches): the per-rating-period
+    match matrix — one match per (period, actor, unordered arm pair)
+    decided by exact DECIMAL value sums within the period. Periods
+    are integer event-time weeks from the corpus minimum day,
+    clamped to a FIXED count (the last period absorbs the tail), so
+    the sequential replay depth is data-independent. Same plan shape
+    as :func:`preference_matrix` with the period in every key."""
+    base = events.filter("ts IS NOT NULL")
+    md = base.agg(F.expr(
+        "MIN((ts DIV 1000) DIV 86400000000)").alias("__md"))
+    uv = (base.crossJoin(F.broadcast(md))
+          .selectExpr(
+              actor_col, arm_col, value_col,
+              f"LEAST(CAST((((ts DIV 1000) DIV 86400000000) - __md)"
+              f" DIV 7 AS BIGINT), {periods - 1}) AS p")
+          .groupBy("p", actor_col, arm_col)
+          .agg(F.expr(f"SUM(CAST(CASE WHEN isnan({value_col})"
+                      f" THEN NULL ELSE {value_col} END"
+                      f" AS DECIMAL(38,6)))").alias("__v")))
+    a = uv.selectExpr("p", f"{actor_col} AS __u",
+                      f"{arm_col} AS arm_a", "__v AS __va")
+    b = uv.selectExpr("p", f"{actor_col} AS __u",
+                      f"{arm_col} AS arm_b", "__v AS __vb")
+    return (a.join(b, on=["p", "__u"])
+            .filter(F.col("arm_a") < F.col("arm_b"))
+            .groupBy("p", "arm_a", "arm_b")
+            .agg(F.expr("CAST(SUM(CASE WHEN __va > __vb THEN 1"
+                        " ELSE 0 END) AS BIGINT)").alias("wins_a"),
+                 F.expr("CAST(SUM(CASE WHEN __va <> __vb THEN 1"
+                        " ELSE 0 END) AS BIGINT)").alias("n_matches"))
+            .filter(F.col("n_matches") > 0))
+
+
+def elo_periods(pm: DataFrame, periods: int = ELO_PERIODS,
+                k: float = ELO_K, init: float = ELO_INIT,
+                qk: int = BT_QK,
+                scale: int = BT_SCALE) -> dict[str, float]:
+    """Sequential rating-period Elo (the Glicko-style batch regime:
+    ratings frozen within a period, updated once per period):
+
+        E_ab = QTRUNC(1 / (1 + 10^((r_b - r_a) / 400)), qk)
+        qc   = QTRUNC(wins_a - n_ab * E_ab, scale)
+        r'_t = r_t + K * DSUM(+qc for t=a, -qc for t=b)
+
+    One grouped exact-DECIMAL aggregation per period over the
+    period's slice of the match matrix, arm-count-sized collects —
+    the same scale contract as :func:`bt_step`."""
+    from xsarsea_spark.suite.base import DSUM, QTRUNC
+
+    arms = sorted(
+        {r["arm_a"] for r in pm.select("arm_a").distinct().collect()}
+        | {r["arm_b"] for r in
+           pm.select("arm_b").distinct().collect()})
+    ratings = {a: init for a in arms}
+    for p in range(periods):
+        ra = _score_case(ratings, "arm_a")
+        rb = _score_case(ratings, "arm_b")
+        e = QTRUNC(
+            f"CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+            f" + pow(CAST(10.0 AS DOUBLE),"
+            f" (({rb}) - ({ra})) / CAST(400.0 AS DOUBLE)))", qk)
+        qc = QTRUNC(
+            f"CAST(wins_a AS DOUBLE) - CAST(n_matches AS DOUBLE)"
+            f" * ({e})", scale)
+        rows = (pm.filter(F.col("p") == p)
+                .selectExpr("arm_a", "arm_b", f"{qc} AS __qc")
+                .selectExpr("stack(2, arm_a, __qc, arm_b, -__qc)"
+                            " AS (arm, qc)")
+                .groupBy("arm")
+                .agg(F.expr(DSUM("qc", scale)).alias("d"))
+                .collect())
+        for r in rows:
+            # same IEEE tree as the oracle: r + K * d
+            ratings[r["arm"]] = ratings[r["arm"]] + k * r["d"]
+    return ratings

@@ -3262,3 +3262,118 @@ def q_events_bradley_terry(spark: SparkSession,
             .selectExpr("arm AS event_type", "wins",
                         "n_matches - wins AS losses", "n_matches",
                         f"{score_case} AS bt_score"))
+
+
+# ----------------------------------------------------------------------
+# Sequential rating-period Elo (the Glicko-style batch regime):
+# ratings frozen within an event-time week, updated once per period
+# from that period's head-to-head matches — the time-respecting
+# counterpart of events_bradley_terry. Period count is FIXED (the
+# last week absorbs the tail), so the oracle's sequential replay
+# depth is data-independent. Only libm call is the 10^x in the
+# expected-score formula, QTRUNC'd; updates ride on-grid residuals
+# and exact DECIMAL sums — final ratings value-exact cross-engine.
+# ----------------------------------------------------------------------
+
+
+def _elo_oracle() -> str:
+    from xsarsea_spark.pipeline.preference import (BT_QK, BT_SCALE,
+                                                   ELO_INIT, ELO_K,
+                                                   ELO_PERIODS)
+    from xsarsea_spark.suite.base import DSUM, QTRUNC
+
+    parts = [
+        f"uvp AS MATERIALIZED (SELECT"
+        f" LEAST(({_US_DUCK} // 86400000000 - md.d) // 7,"
+        f" {ELO_PERIODS - 1}) AS p, user_id, event_type,"
+        f" {_BT_GUARDED_V} AS v"
+        f" FROM events, (SELECT MIN({_US_DUCK} // 86400000000) AS d"
+        f" FROM events WHERE ts IS NOT NULL) md"
+        f" WHERE ts IS NOT NULL GROUP BY 1, 2, 3)",
+        "pm AS MATERIALIZED (SELECT a.p, a.event_type AS arm_a,"
+        " b.event_type AS arm_b,"
+        " CAST(SUM(CASE WHEN a.v > b.v THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS wins_a,"
+        " CAST(SUM(CASE WHEN a.v <> b.v THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_matches"
+        " FROM uvp a JOIN uvp b ON a.p = b.p"
+        " AND a.user_id = b.user_id"
+        " AND a.event_type < b.event_type GROUP BY 1, 2, 3"
+        " HAVING CAST(SUM(CASE WHEN a.v <> b.v THEN 1 ELSE 0 END)"
+        " AS BIGINT) > 0)",
+        f"r0 AS (SELECT arm, CAST({ELO_INIT!r} AS DOUBLE) AS s FROM"
+        f" (SELECT arm_a AS arm FROM pm"
+        f" UNION SELECT arm_b FROM pm) u)",
+    ]
+    for p in range(ELO_PERIODS):
+        e = QTRUNC(
+            "CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+            " + pow(CAST(10.0 AS DOUBLE),"
+            " ((rb2.s) - (ra2.s)) / CAST(400.0 AS DOUBLE)))", BT_QK)
+        qc = QTRUNC(
+            f"CAST(wins_a AS DOUBLE) - CAST(n_matches AS DOUBLE)"
+            f" * ({e})", BT_SCALE)
+        parts.append(
+            f"j{p} AS MATERIALIZED (SELECT pm.arm_a, pm.arm_b,"
+            f" {qc} AS qc FROM pm"
+            f" JOIN r{p} ra2 ON ra2.arm = pm.arm_a"
+            f" JOIN r{p} rb2 ON rb2.arm = pm.arm_b"
+            f" WHERE pm.p = {p})")
+        parts.append(
+            f"c{p} AS (SELECT arm_a AS arm, qc FROM j{p}"
+            f" UNION ALL SELECT arm_b AS arm, -qc FROM j{p})")
+        parts.append(
+            f"g{p} AS MATERIALIZED (SELECT arm,"
+            f" {DSUM('qc', BT_SCALE)} AS d FROM c{p} GROUP BY arm)")
+        parts.append(
+            f"r{p + 1} AS MATERIALIZED (SELECT r.arm,"
+            f" r.s + CAST({ELO_K!r} AS DOUBLE)"
+            f" * COALESCE(g.d, CAST(0.0 AS DOUBLE)) AS s"
+            f" FROM r{p} r LEFT JOIN g{p} g ON g.arm = r.arm)")
+    parts.append(
+        "wt AS (SELECT arm, CAST(SUM(w) AS BIGINT) AS wins,"
+        " CAST(SUM(n) AS BIGINT) AS n_matches FROM"
+        " (SELECT arm_a AS arm, wins_a AS w, n_matches AS n FROM pm"
+        " UNION ALL SELECT arm_b AS arm, n_matches - wins_a,"
+        " n_matches FROM pm) u GROUP BY arm)")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT wt.arm AS event_type, wt.wins,
+  wt.n_matches - wt.wins AS losses, wt.n_matches,
+  rf.s AS elo
+FROM wt JOIN r{ELO_PERIODS} rf ON rf.arm = wt.arm""")
+
+
+@spec(
+    "events_elo_periods",
+    _elo_oracle(),
+    description="Sequential rating-period Elo over weekly "
+                "head-to-head event-type matches: ratings frozen "
+                "within each week, one exact-DECIMAL grouped update "
+                "per period (QTRUNC'd 10^x expected score) — final "
+                "ratings value-exact vs the chained-CTE sequential "
+                "replay",
+    tags=("events", "stats", "pipeline", "iterative"),
+)
+def q_events_elo_periods(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    from xsarsea_spark.engine import materialize
+    from xsarsea_spark.pipeline.preference import (
+        elo_periods, period_preference_matrix)
+
+    ev = load(spark, sf_dir, "events")
+    pm = materialize(period_preference_matrix(ev))
+    ratings = elo_periods(pm)
+    arms = sorted(ratings)
+    rating_case = "CASE arm " + " ".join(
+        f"WHEN '{a}' THEN CAST({ratings[a]!r} AS DOUBLE)"
+        for a in arms) + " END"
+    wa = pm.selectExpr("arm_a AS arm", "wins_a AS w",
+                       "n_matches AS n")
+    wb = pm.selectExpr("arm_b AS arm", "n_matches - wins_a AS w",
+                       "n_matches AS n")
+    return (wa.unionAll(wb).groupBy("arm")
+            .agg(F.expr("CAST(SUM(w) AS BIGINT)").alias("wins"),
+                 F.expr("CAST(SUM(n) AS BIGINT)").alias("n_matches"))
+            .selectExpr("arm AS event_type", "wins",
+                        "n_matches - wins AS losses", "n_matches",
+                        f"{rating_case} AS elo"))

@@ -11467,3 +11467,80 @@ def q_doc_unigram_segment(spark: SparkSession,
     _, _, _, seg = train_unigram(docs)
     return seg.selectExpr("w AS word", "f AS freq", "cost_ns",
                           "path AS segmentation", "n_pieces")
+
+
+# ----------------------------------------------------------------------
+# Unigram tokenizer fertility — the trained unigram LM applied
+# corpus-wide: per-language weighted pieces-per-word (fertility) and
+# chars-per-piece, the compression report a tokenizer ships with
+# (the unigram counterpart of doc_tokenizer_fertility's BPE view).
+# The corpus appears in ONE (lang, word) hash agg; the segmentation
+# join is against the vocabulary-scale word table. All sums are
+# exact BIGINT; two final divisions.
+# ----------------------------------------------------------------------
+
+
+def _ulm_fertility_oracle() -> str:
+    from xsarsea_spark.pipeline.unigram import ULM_MAXW, ULM_ROUNDS
+    parts = _ulm_seed_ctes()
+    for r in range(ULM_ROUNDS):
+        parts += _ulm_round_ctes(r, with_mstep=True)
+    parts += _ulm_round_ctes(ULM_ROUNDS, with_mstep=False)
+    parts.append(
+        f"lw AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM"
+        f" (SELECT lang, unnest(string_split(text, ' ')) AS w"
+        f" FROM documents WHERE text IS NOT NULL"
+        f" AND lang IS NOT NULL) t"
+        f" WHERE length(w) BETWEEN 1 AND {ULM_MAXW} GROUP BY 1, 2)")
+    parts.append(
+        f"np AS (SELECT w,"
+        f" CAST(len(string_split(path, ' ')) AS BIGINT) AS np"
+        f" FROM seg{ULM_ROUNDS})")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT lang,
+  CAST(SUM(c) AS BIGINT) AS n_words,
+  CAST(SUM(c * np) AS BIGINT) AS n_pieces,
+  CAST(SUM(c * length(w)) AS BIGINT) AS n_chars,
+  CAST(SUM(c * np) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+    AS fertility,
+  CAST(SUM(c * length(w)) AS DOUBLE) / CAST(SUM(c * np) AS DOUBLE)
+    AS chars_per_piece
+FROM lw JOIN np USING (w) GROUP BY lang""")
+
+
+@spec(
+    "doc_unigram_fertility",
+    _ulm_fertility_oracle(),
+    description="Unigram tokenizer fertility report: per-language "
+                "weighted pieces-per-word and chars-per-piece under "
+                "the trained unigram LM — one corpus-scale (lang, "
+                "word) hash agg joined to the vocabulary-scale "
+                "Viterbi segmentation, exact integer sums",
+    tags=("pipeline", "text", "tokenizer"),
+)
+def q_doc_unigram_fertility(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.unigram import ULM_MAXW, \
+        train_unigram
+
+    docs = load(spark, sf_dir, "documents")
+    _, _, _, seg = train_unigram(docs)
+    lw = (docs.filter("text IS NOT NULL AND lang IS NOT NULL")
+          .selectExpr("lang", "explode(split(text, ' ')) AS w")
+          .filter(F.length("w").between(1, ULM_MAXW))
+          .groupBy("lang", "w")
+          .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("c")))
+    np_ = seg.selectExpr("w", "n_pieces AS np")
+    return (lw.join(np_, on="w")
+            .groupBy("lang")
+            .agg(F.expr("CAST(SUM(c) AS BIGINT)").alias("n_words"),
+                 F.expr("CAST(SUM(c * np) AS BIGINT)")
+                 .alias("n_pieces"),
+                 F.expr("CAST(SUM(c * length(w)) AS BIGINT)")
+                 .alias("n_chars"),
+                 F.expr("CAST(SUM(c * np) AS DOUBLE)"
+                        " / CAST(SUM(c) AS DOUBLE)")
+                 .alias("fertility"),
+                 F.expr("CAST(SUM(c * length(w)) AS DOUBLE)"
+                        " / CAST(SUM(c * np) AS DOUBLE)")
+                 .alias("chars_per_piece")))
