@@ -1003,3 +1003,27 @@ def test_round12_second_wave_plans_are_scale_safe(audit_spark):
             if "Window" in ln and "WindowGroupLimit" not in ln:
                 raise AssertionError(f"{name}: unexpected window "
                                      f"{ln}")
+
+
+def test_round12_third_wave_plans_are_scale_safe(audit_spark):
+    """events_k_anonymity: three QI hash aggs joined back on the QI
+    keys — no window, no cartesian, nothing O(sf) broadcast at audit
+    confs. stream_elo_train's reported frame aggregates the
+    checkpointed match matrix — no cartesian, no window (the
+    streaming path itself is exercised by the query run)."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["events_k_anonymity"].spark(audit_spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert not _broadcast_scans(plan)
+    for ln in plan.splitlines():
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            raise AssertionError(f"events_k_anonymity: {ln}")
+
+    plan = (REGISTRY["stream_elo_train"].spark(audit_spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            raise AssertionError(f"stream_elo_train: {ln}")

@@ -42,7 +42,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["preference_matrix", "bt_step", "train_bradley_terry",
-           "period_preference_matrix", "elo_periods",
+           "period_preference_matrix", "elo_step", "elo_periods",
+           "save_ratings", "load_ratings",
            "BT_ROUNDS", "BT_LR", "BT_QK", "BT_SCALE",
            "ELO_PERIODS", "ELO_K", "ELO_INIT"]
 
@@ -94,11 +95,18 @@ def _s_lit(x: float) -> str:
     return f"CAST({x!r} AS DOUBLE)"
 
 
-def _score_case(scores: dict[str, float], col: str) -> str:
+def _score_case(scores: dict[str, float], col: str,
+                default: float | None = None) -> str:
+    """Exact score-literal lookup; ``default`` adds an ELSE branch
+    so arms first seen in a batch score at the init value without a
+    prior discovery pass."""
     arms = sorted(scores)
     cases = " ".join(f"WHEN '{a}' THEN {_s_lit(scores[a])}"
                      for a in arms)
-    return f"CASE {col} {cases} END"
+    tail = f" ELSE {_s_lit(default)}" if default is not None else ""
+    if not arms:
+        return _s_lit(default if default is not None else 0.0)
+    return f"CASE {col} {cases}{tail} END"
 
 
 def bt_step(pm: DataFrame, scores: dict[str, float],
@@ -187,45 +195,81 @@ def period_preference_matrix(events: DataFrame,
             .filter(F.col("n_matches") > 0))
 
 
-def elo_periods(pm: DataFrame, periods: int = ELO_PERIODS,
-                k: float = ELO_K, init: float = ELO_INIT,
-                qk: int = BT_QK,
-                scale: int = BT_SCALE) -> dict[str, float]:
-    """Sequential rating-period Elo (the Glicko-style batch regime:
-    ratings frozen within a period, updated once per period):
+def elo_step(pm_slice: DataFrame, ratings: dict[str, float],
+             k: float = ELO_K, init: float = ELO_INIT,
+             qk: int = BT_QK,
+             scale: int = BT_SCALE) -> dict[str, float]:
+    """ONE Elo rating-period update over a match-matrix slice:
 
         E_ab = QTRUNC(1 / (1 + 10^((r_b - r_a) / 400)), qk)
         qc   = QTRUNC(wins_a - n_ab * E_ab, scale)
         r'_t = r_t + K * DSUM(+qc for t=a, -qc for t=b)
 
-    One grouped exact-DECIMAL aggregation per period over the
-    period's slice of the match matrix, arm-count-sized collects —
-    the same scale contract as :func:`bt_step`."""
+    One grouped exact-DECIMAL aggregation, arm-count-sized collect —
+    the same scale contract as :func:`bt_step`. Arms first seen in
+    this slice enter at ``init`` (identical to a full-history init,
+    since untouched ratings never move). The batch unit of both the
+    periodized trainer (:func:`elo_periods`) and the streaming
+    ingest."""
     from xsarsea_spark.suite.base import DSUM, QTRUNC
 
+    # ONE job: the ELSE branch scores unseen arms at init, so the
+    # batch needs no arm-discovery pass, and the grouped-agg result
+    # rows ARE the batch's arm set
+    ra = _score_case(ratings, "arm_a", default=init)
+    rb = _score_case(ratings, "arm_b", default=init)
+    e = QTRUNC(
+        f"CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+        f" + pow(CAST(10.0 AS DOUBLE),"
+        f" (({rb}) - ({ra})) / CAST(400.0 AS DOUBLE)))", qk)
+    qc = QTRUNC(
+        f"CAST(wins_a AS DOUBLE) - CAST(n_matches AS DOUBLE)"
+        f" * ({e})", scale)
+    rows = (pm_slice
+            .selectExpr("arm_a", "arm_b", f"{qc} AS __qc")
+            .selectExpr("stack(2, arm_a, __qc, arm_b, -__qc)"
+                        " AS (arm, qc)")
+            .groupBy("arm")
+            .agg(F.expr(DSUM("qc", scale)).alias("d"))
+            .collect())
+    out = dict(ratings)
+    for r in rows:
+        # same IEEE tree as the oracle: r + K * d
+        out[r["arm"]] = out.get(r["arm"], init) + k * r["d"]
+    return out
+
+
+def elo_periods(pm: DataFrame, periods: int = ELO_PERIODS,
+                k: float = ELO_K, init: float = ELO_INIT,
+                qk: int = BT_QK,
+                scale: int = BT_SCALE) -> dict[str, float]:
+    """Sequential rating-period Elo (the Glicko-style batch regime:
+    ratings frozen within a period, updated once per period) —
+    ``periods`` chained :func:`elo_step` calls over the period
+    slices of the match matrix."""
     arms = sorted(
         {r["arm_a"] for r in pm.select("arm_a").distinct().collect()}
         | {r["arm_b"] for r in
            pm.select("arm_b").distinct().collect()})
     ratings = {a: init for a in arms}
     for p in range(periods):
-        ra = _score_case(ratings, "arm_a")
-        rb = _score_case(ratings, "arm_b")
-        e = QTRUNC(
-            f"CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
-            f" + pow(CAST(10.0 AS DOUBLE),"
-            f" (({rb}) - ({ra})) / CAST(400.0 AS DOUBLE)))", qk)
-        qc = QTRUNC(
-            f"CAST(wins_a AS DOUBLE) - CAST(n_matches AS DOUBLE)"
-            f" * ({e})", scale)
-        rows = (pm.filter(F.col("p") == p)
-                .selectExpr("arm_a", "arm_b", f"{qc} AS __qc")
-                .selectExpr("stack(2, arm_a, __qc, arm_b, -__qc)"
-                            " AS (arm, qc)")
-                .groupBy("arm")
-                .agg(F.expr(DSUM("qc", scale)).alias("d"))
-                .collect())
-        for r in rows:
-            # same IEEE tree as the oracle: r + K * d
-            ratings[r["arm"]] = ratings[r["arm"]] + k * r["d"]
+        ratings = elo_step(pm.filter(F.col("p") == p), ratings,
+                           k=k, init=init, qk=qk, scale=scale)
     return ratings
+
+
+def save_ratings(spark, ratings: dict[str, float],
+                 path: str) -> None:
+    """Persist an arm->rating map as a tiny parquet (exact doubles —
+    parquet round-trips IEEE 754 bit-for-bit). repartition(1), never
+    coalesce(1): coalesce of a local-relation frame stalls ~6 s in
+    task scheduling on this Spark build (the save_weights
+    precedent)."""
+    spark.createDataFrame(
+        sorted(ratings.items()), "arm string, s double"
+    ).repartition(1).write.mode("overwrite").parquet(path)
+
+
+def load_ratings(spark, path: str) -> dict[str, float]:
+    return {r["arm"]: r["s"]
+            for r in spark.read.parquet(path).collect()}

@@ -3276,16 +3276,18 @@ def q_events_bradley_terry(spark: SparkSession,
 # ----------------------------------------------------------------------
 
 
-def _elo_oracle() -> str:
+def _elo_oracle(periods: int | None = None) -> str:
     from xsarsea_spark.pipeline.preference import (BT_QK, BT_SCALE,
                                                    ELO_INIT, ELO_K,
                                                    ELO_PERIODS)
     from xsarsea_spark.suite.base import DSUM, QTRUNC
 
+    if periods is None:
+        periods = ELO_PERIODS
     parts = [
         f"uvp AS MATERIALIZED (SELECT"
         f" LEAST(({_US_DUCK} // 86400000000 - md.d) // 7,"
-        f" {ELO_PERIODS - 1}) AS p, user_id, event_type,"
+        f" {periods - 1}) AS p, user_id, event_type,"
         f" {_BT_GUARDED_V} AS v"
         f" FROM events, (SELECT MIN({_US_DUCK} // 86400000000) AS d"
         f" FROM events WHERE ts IS NOT NULL) md"
@@ -3305,7 +3307,7 @@ def _elo_oracle() -> str:
         f" (SELECT arm_a AS arm FROM pm"
         f" UNION SELECT arm_b FROM pm) u)",
     ]
-    for p in range(ELO_PERIODS):
+    for p in range(periods):
         e = QTRUNC(
             "CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
             " + pow(CAST(10.0 AS DOUBLE),"
@@ -3340,7 +3342,7 @@ def _elo_oracle() -> str:
 SELECT wt.arm AS event_type, wt.wins,
   wt.n_matches - wt.wins AS losses, wt.n_matches,
   rf.s AS elo
-FROM wt JOIN r{ELO_PERIODS} rf ON rf.arm = wt.arm""")
+FROM wt JOIN r{periods} rf ON rf.arm = wt.arm""")
 
 
 @spec(
@@ -3363,6 +3365,221 @@ def q_events_elo_periods(spark: SparkSession,
     ev = load(spark, sf_dir, "events")
     pm = materialize(period_preference_matrix(ev))
     ratings = elo_periods(pm)
+    arms = sorted(ratings)
+    rating_case = "CASE arm " + " ".join(
+        f"WHEN '{a}' THEN CAST({ratings[a]!r} AS DOUBLE)"
+        for a in arms) + " END"
+    wa = pm.selectExpr("arm_a AS arm", "wins_a AS w",
+                       "n_matches AS n")
+    wb = pm.selectExpr("arm_b AS arm", "n_matches - wins_a AS w",
+                       "n_matches AS n")
+    return (wa.unionAll(wb).groupBy("arm")
+            .agg(F.expr("CAST(SUM(w) AS BIGINT)").alias("wins"),
+                 F.expr("CAST(SUM(n) AS BIGINT)").alias("n_matches"))
+            .selectExpr("arm AS event_type", "wins",
+                        "n_matches - wins AS losses", "n_matches",
+                        f"{rating_case} AS elo"))
+
+
+# ----------------------------------------------------------------------
+# k-anonymity privacy gate (Sweeney 2002) — the pre-release check a
+# training-data pipeline runs before shipping event-derived data:
+# each row's quasi-identifier tuple (event_type, day, prop bucket)
+# must be shared by >= K rows; rows failing generalize the QI
+# ladder day -> week -> whole-range and are suppressed if every
+# level fails. Three hash aggs + three hash joins back on the QI
+# keys — all integers, one division per output row.
+# ----------------------------------------------------------------------
+
+_KA_K = 25
+# NULLIF guards the no-digit case: Spark's ANSI CAST('' AS BIGINT)
+# throws (and DuckDB's errors too); rows without a numeric prop are
+# excluded from the gate identically in both engines.
+_KA_PK_DUCK = ("CAST(NULLIF(regexp_extract(props, '([0-9]+)', 1),"
+               " '') AS BIGINT) // 10")
+_KA_PK_SPARK = ("CAST(NULLIF(regexp_extract(props, '([0-9]+)', 1),"
+                " '') AS BIGINT) DIV 10")
+
+_KANON_ORACLE = f"""
+WITH b AS (
+  SELECT event_id, event_type,
+    {_US_DUCK} // 86400000000 AS day,
+    ({_US_DUCK} // 86400000000) // 7 AS week,
+    {_KA_PK_DUCK} AS pk
+  FROM events WHERE ts IS NOT NULL AND props IS NOT NULL
+    AND NULLIF(regexp_extract(props, '([0-9]+)', 1), '')
+      IS NOT NULL),
+g0 AS (SELECT event_type, day, pk, COUNT(*) AS c0
+       FROM b GROUP BY 1, 2, 3),
+g1 AS (SELECT event_type, week, pk, COUNT(*) AS c1
+       FROM b GROUP BY 1, 2, 3),
+g2 AS (SELECT event_type, pk, COUNT(*) AS c2 FROM b GROUP BY 1, 2),
+lv AS (SELECT b.event_type,
+         CASE WHEN g0.c0 >= {_KA_K} THEN 0
+              WHEN g1.c1 >= {_KA_K} THEN 1
+              WHEN g2.c2 >= {_KA_K} THEN 2
+              ELSE 3 END AS lvl
+       FROM b
+       JOIN g0 ON g0.event_type = b.event_type
+         AND g0.day = b.day AND g0.pk = b.pk
+       JOIN g1 ON g1.event_type = b.event_type
+         AND g1.week = b.week AND g1.pk = b.pk
+       JOIN g2 ON g2.event_type = b.event_type AND g2.pk = b.pk)
+SELECT event_type,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_day_anon,
+  CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_week_anon,
+  CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_range_anon,
+  CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_suppressed,
+  CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS suppression_rate
+FROM lv GROUP BY event_type
+"""
+
+
+@spec(
+    "events_k_anonymity",
+    _KANON_ORACLE,
+    description="k-anonymity privacy gate: per-row quasi-identifier "
+                "group sizes along the generalization ladder "
+                "(day -> week -> whole range), suppression of rows "
+                "failing every level — three hash aggs + joins back "
+                "on the QI keys, exact integer counts",
+    tags=("events", "quality", "privacy"),
+)
+def q_events_k_anonymity(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    b = (ev.filter("ts IS NOT NULL AND props IS NOT NULL AND"
+                   " NULLIF(regexp_extract(props, '([0-9]+)', 1),"
+                   " '') IS NOT NULL")
+         .selectExpr("event_id", "event_type",
+                     f"({_US_SPARK}) DIV 86400000000 AS day",
+                     f"(({_US_SPARK}) DIV 86400000000) DIV 7"
+                     " AS week",
+                     f"{_KA_PK_SPARK} AS pk"))
+    g0 = b.groupBy("event_type", "day", "pk").agg(
+        F.count(F.lit(1)).alias("c0"))
+    g1 = b.groupBy("event_type", "week", "pk").agg(
+        F.count(F.lit(1)).alias("c1"))
+    g2 = b.groupBy("event_type", "pk").agg(
+        F.count(F.lit(1)).alias("c2"))
+    lv = (b.join(g0, on=["event_type", "day", "pk"])
+          .join(g1, on=["event_type", "week", "pk"])
+          .join(g2, on=["event_type", "pk"])
+          .selectExpr("event_type",
+                      f"CASE WHEN c0 >= {_KA_K} THEN 0"
+                      f" WHEN c1 >= {_KA_K} THEN 1"
+                      f" WHEN c2 >= {_KA_K} THEN 2"
+                      f" ELSE 3 END AS lvl"))
+    agg = [F.count(F.lit(1)).alias("n_rows")]
+    for lvl, nm in ((0, "n_day_anon"), (1, "n_week_anon"),
+                    (2, "n_range_anon"), (3, "n_suppressed")):
+        agg.append(F.expr(
+            f"CAST(SUM(CASE WHEN lvl = {lvl} THEN 1 ELSE 0 END)"
+            f" AS BIGINT)").alias(nm))
+    agg.append(F.expr(
+        "CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS DOUBLE)"
+        " / CAST(COUNT(*) AS DOUBLE)").alias("suppression_rate"))
+    return lv.groupBy("event_type").agg(*agg)
+
+
+# ----------------------------------------------------------------------
+# STREAMING Elo ingest — continual preference-rating training as
+# rating periods arrive: each file arrival becomes one foreachBatch
+# micro-batch that applies ONE Elo period update (elo_step: a
+# grouped exact-DECIMAL agg over the batch's match matrix) from the
+# latest persisted rating version STRICTLY BELOW its batch id, then
+# persists v{batch_id} — crash-replay of batch N rebuilds v{N} from
+# v{N-1} + its own rows, never compounding (the
+# stream_classifier_train versioned-state contract). A final
+# no-new-files run proves the exactly-once no-op. Because the
+# arrival slices ARE the event-time periods in order, the final
+# ratings equal the batch events_elo_periods fit — the SAME oracle
+# grades both.
+# ----------------------------------------------------------------------
+
+
+_ELO_STREAM_PERIODS = 3
+
+
+@spec(
+    "stream_elo_train",
+    _elo_oracle(_ELO_STREAM_PERIODS),
+    description="Structured-Streaming Elo ingest: one rating-period "
+                "update per file-arrival micro-batch, versioned "
+                "rating state rebuilt from strictly-below versions "
+                "(crash-replay safe), no-op on replay — final "
+                "ratings value-exact vs the batch periodized fit's "
+                "chained-CTE sequential replay",
+    tags=("events", "stats", "pipeline", "streaming", "iterative",
+          "incremental"),
+)
+def q_stream_elo_train(spark: SparkSession,
+                       sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from xsarsea_spark.engine import materialize, scratch_path
+    from xsarsea_spark.pipeline.preference import (
+        elo_step, load_ratings, period_preference_matrix,
+        save_ratings)
+
+    base = scratch_path(spark, "stream_elo", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    watch = os.path.join(base, "incoming")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(watch)
+
+    ev = load(spark, sf_dir, "events")
+    # the full periodized match matrix once; arrival slice p = the
+    # period-p matches (delivered in event-time order)
+    pm = materialize(period_preference_matrix(
+        ev, periods=_ELO_STREAM_PERIODS))
+    for p in range(_ELO_STREAM_PERIODS):
+        (pm.filter(F.col("p") == p).repartition(1)
+         .write.parquet(os.path.join(base, f"arrival_{p}")))
+    schema = pm.schema
+
+    def step(df, batch_id: int) -> None:
+        vers = (sorted(int(v[1:]) for v in os.listdir(state))
+                if os.path.isdir(state) else [])
+        prev = [v for v in vers if v < batch_id]
+        ratings = (load_ratings(
+            spark, os.path.join(state, f"v{prev[-1]}"))
+            if prev else {})
+        r2 = elo_step(df, ratings)
+        save_ratings(spark, r2, os.path.join(state, f"v{batch_id}"))
+
+    def run_stream() -> None:
+        src = spark.readStream.schema(schema).parquet(watch)
+        q = (src.writeStream.foreachBatch(step)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    for p in range(_ELO_STREAM_PERIODS):
+        adir = os.path.join(base, f"arrival_{p}")
+        for fn in os.listdir(adir):
+            if fn.endswith(".parquet"):
+                shutil.copy(os.path.join(adir, fn),
+                            os.path.join(watch, f"a{p}_{fn}"))
+        run_stream()
+    run_stream()   # no new files -> no-op (exactly-once)
+
+    vers = sorted(int(v[1:]) for v in os.listdir(state))
+    if len(vers) != _ELO_STREAM_PERIODS:   # -O strips bare asserts
+        raise RuntimeError(
+            f"expected {_ELO_STREAM_PERIODS} rating versions, got "
+            f"{vers} — an arrival batch was skipped or duplicated")
+    ratings = load_ratings(spark, os.path.join(state,
+                                               f"v{vers[-1]}"))
     arms = sorted(ratings)
     rating_case = "CASE arm " + " ".join(
         f"WHEN '{a}' THEN CAST({ratings[a]!r} AS DOUBLE)"
