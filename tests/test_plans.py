@@ -1027,3 +1027,21 @@ def test_round12_third_wave_plans_are_scale_safe(audit_spark):
     for ln in plan.splitlines():
         if "Window" in ln and "WindowGroupLimit" not in ln:
             raise AssertionError(f"stream_elo_train: {ln}")
+
+
+def test_bitext_margin_plans_are_scale_safe(audit_spark):
+    """Both kNN passes are the scan x bounded-broadcast class: the
+    only nested-loop joins must be broadcast (the query block /
+    candidate set), never a cartesian; every window is query-id
+    partitioned (bounded partitions)."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["embedding_bitext_margin"]
+            .spark(audit_spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln, ln
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            assert "query_id" in ln, ln

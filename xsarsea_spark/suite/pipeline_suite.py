@@ -11544,3 +11544,132 @@ def q_doc_unigram_fertility(spark: SparkSession,
                  F.expr("CAST(SUM(c * length(w)) AS DOUBLE)"
                         " / CAST(SUM(c * np) AS DOUBLE)")
                  .alias("chars_per_piece")))
+
+
+# ----------------------------------------------------------------------
+# Bitext mining with the margin criterion (Artetxe & Schwenk 2019,
+# the CCMatrix/LASER mining rule): a candidate pair's raw cosine is
+# ratio-scored against the average similarity of each side's own
+# k-nearest neighborhood, which suppresses hubness — pairs are
+# accepted when margin >= 1 (closer than both neighborhoods). Two
+# kNN passes (forward: query block vs the other side; backward: the
+# bounded forward-candidate set vs the full near side) — both the
+# scan x bounded-broadcast class of embedding_knn; at corpus x
+# corpus scale the candidate generator swaps for the IVF/LSH paths.
+# Determinism: sequential-fold cosines, QTRUNC'd to the 1e-12 grid,
+# neighborhood averages as exact DECIMAL sums over on-grid terms,
+# margins one shared division, argmax by struct order.
+# ----------------------------------------------------------------------
+
+_BTX_NQ, _BTX_K = 20, 5
+
+
+def _bitext_oracle() -> str:
+    from xsarsea_spark.suite.base import DSUM
+    fold = ("list_reduce(list_transform(range(1, len({a}) + 1),"
+            " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),"
+            " (x, y) -> x + y)")
+    nrm = ("sqrt(list_reduce(list_transform("
+           "range(1, len(embedding) + 1),"
+           " i -> CAST(embedding[i] AS DOUBLE)"
+           " * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y))")
+    cosf = fold.format(a="q.qv", b="c.cv") + " / (q.qn * c.cn)"
+    qcos = QTRUNC("cosine", 12)
+    return f"""
+WITH e AS (SELECT vec_id, embedding, {nrm} AS nr FROM embeddings),
+sa AS (SELECT vec_id, embedding AS cv, nr AS cn FROM e
+       WHERE vec_id % 2 = 0),
+sb AS (SELECT vec_id, embedding AS cv, nr AS cn FROM e
+       WHERE vec_id % 2 = 1),
+qa AS (SELECT vec_id AS query_id, cv AS qv, cn AS qn FROM sa
+       WHERE vec_id < {2 * _BTX_NQ}),
+fs AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         {cosf} AS cosine
+       FROM qa q JOIN sb c ON TRUE),
+fr AS (SELECT query_id, neighbor_id, {qcos} AS qcos,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id ASC) AS rk
+       FROM fs),
+fk AS MATERIALIZED (SELECT query_id, neighbor_id, qcos FROM fr
+                    WHERE rk <= {_BTX_K}),
+favg AS (SELECT query_id, {DSUM('qcos', 12)}
+           / CAST({_BTX_K} AS DOUBLE) AS fa
+         FROM fk GROUP BY query_id),
+cand AS (SELECT DISTINCT neighbor_id FROM fk),
+qb AS (SELECT e.vec_id AS query_id, e.embedding AS qv, e.nr AS qn
+       FROM e JOIN cand ON cand.neighbor_id = e.vec_id),
+bs AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         {cosf} AS cosine
+       FROM qb q JOIN sa c ON c.vec_id <> q.query_id),
+br AS (SELECT query_id, {qcos} AS qcos,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id ASC) AS rk
+       FROM bs),
+bavg AS (SELECT query_id AS neighbor_id, {DSUM('qcos', 12)}
+           / CAST({_BTX_K} AS DOUBLE) AS ba
+         FROM br WHERE rk <= {_BTX_K} GROUP BY query_id),
+mg AS (SELECT fk.query_id, fk.neighbor_id, fk.qcos,
+         {QTRUNC("fk.qcos / nullif((favg.fa + bavg.ba)"
+                 " / CAST(2.0 AS DOUBLE), CAST(0.0 AS DOUBLE))",
+                 12)} AS margin
+       FROM fk JOIN favg ON favg.query_id = fk.query_id
+       JOIN bavg ON bavg.neighbor_id = fk.neighbor_id),
+best AS (SELECT query_id,
+           MIN({{'m': -margin, 'y': neighbor_id, 'c': qcos}}) AS w
+         FROM mg WHERE margin IS NOT NULL GROUP BY query_id)
+SELECT query_id, (w).y AS match_id, (w).c AS cosine,
+  -(w).m AS margin, -(w).m >= CAST(1.0 AS DOUBLE) AS accepted
+FROM best"""
+
+
+@spec(
+    "embedding_bitext_margin",
+    _bitext_oracle(),
+    description="Bitext mining with the margin criterion: forward "
+                "kNN of the query block into the other side, "
+                "backward kNN of the bounded candidate set, "
+                "ratio margin vs both neighborhood averages, "
+                "argmax match + acceptance flag — QTRUNC'd fold "
+                "cosines, exact DECIMAL neighborhood sums",
+    tags=("pipeline", "similarity"),
+)
+def q_embedding_bitext_margin(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.similarity import cosine_topk
+    from xsarsea_spark.suite.base import DSUM
+
+    emb = load(spark, sf_dir, "embeddings")
+    sa = emb.filter("vec_id % 2 = 0")
+    sb = emb.filter("vec_id % 2 = 1")
+    qa = sa.filter(F.col("vec_id") < 2 * _BTX_NQ)
+    fk = materialize(
+        cosine_topk(qa, sb, k=_BTX_K)
+        .selectExpr("query_id", "neighbor_id",
+                    f"{QTRUNC('cosine', 12)} AS qcos"))
+    favg = fk.groupBy("query_id").agg(
+        F.expr(f"{DSUM('qcos', 12)} / CAST({_BTX_K} AS DOUBLE)")
+        .alias("fa"))
+    cand = (fk.select(F.col("neighbor_id").alias("vec_id"))
+            .distinct()
+            .join(emb, on="vec_id"))
+    bavg = (cosine_topk(cand, sa, k=_BTX_K)
+            .selectExpr("query_id AS neighbor_id",
+                        f"{QTRUNC('cosine', 12)} AS qcos")
+            .groupBy("neighbor_id")
+            .agg(F.expr(f"{DSUM('qcos', 12)}"
+                        f" / CAST({_BTX_K} AS DOUBLE)").alias("ba")))
+    mg = (fk.join(favg, on="query_id")
+          .join(bavg, on="neighbor_id")
+          .selectExpr(
+              "query_id", "neighbor_id", "qcos",
+              QTRUNC("qcos / nullif((fa + ba) / CAST(2.0 AS DOUBLE),"
+                     " CAST(0.0 AS DOUBLE))", 12) + " AS margin")
+          .filter("margin IS NOT NULL"))
+    return (mg.groupBy("query_id")
+            .agg(F.min(F.struct((-F.col("margin")).alias("m"),
+                                F.col("neighbor_id").alias("y"),
+                                F.col("qcos").alias("c")))
+                 .alias("w"))
+            .selectExpr("query_id", "w.y AS match_id",
+                        "w.c AS cosine", "-w.m AS margin",
+                        "-w.m >= CAST(1.0 AS DOUBLE) AS accepted"))
