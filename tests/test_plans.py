@@ -1045,3 +1045,29 @@ def test_bitext_margin_plans_are_scale_safe(audit_spark):
             assert "Broadcast" in ln, ln
         if "Window" in ln and "WindowGroupLimit" not in ln:
             assert "query_id" in ln, ln
+
+
+def test_retrieval_eval_and_ldiv_plans_are_scale_safe(audit_spark):
+    """doc_retrieval_eval: every rank window is query_id-partitioned
+    (bounded query count) and group-limited where Spark supports it;
+    no cartesian; nested loops broadcast-only (the 1-row stats frame
+    and bounded query blocks). events_l_diversity: one grouped
+    distinct-count + rollup, windowless."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["doc_retrieval_eval"].spark(audit_spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln, ln
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            assert "query_id" in ln, ln
+
+    plan = (REGISTRY["events_l_diversity"].spark(audit_spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert not _broadcast_scans(plan)
+    for ln in plan.splitlines():
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            raise AssertionError(f"events_l_diversity: {ln}")

@@ -3594,3 +3594,79 @@ def q_stream_elo_train(spark: SparkSession,
             .selectExpr("arm AS event_type", "wins",
                         "n_matches - wins AS losses", "n_matches",
                         f"{rating_case} AS elo"))
+
+
+# ----------------------------------------------------------------------
+# l-diversity (Machanavajjhala 2007) — k-anonymity's companion gate:
+# a quasi-identifier group is safe only if its SENSITIVE attribute
+# (here user_id) takes at least L distinct values, otherwise group
+# membership leaks the sensitive value even when the group is
+# k-anonymous. One grouped distinct-count over the QI keys + a
+# per-type rollup — all integers, one division per output row.
+# ----------------------------------------------------------------------
+
+_LDIV_L = 5
+
+_LDIV_ORACLE = f"""
+WITH b AS (
+  SELECT event_type, user_id,
+    ({_US_DUCK} // 86400000000) // 7 AS week,
+    {_KA_PK_DUCK} AS pk
+  FROM events WHERE ts IS NOT NULL AND props IS NOT NULL
+    AND NULLIF(regexp_extract(props, '([0-9]+)', 1), '')
+      IS NOT NULL),
+g AS (SELECT event_type, week, pk,
+        COUNT(*) AS n, COUNT(DISTINCT user_id) AS l
+      FROM b GROUP BY 1, 2, 3)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_groups,
+  CAST(SUM(CASE WHEN l >= {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_diverse_groups,
+  CAST(SUM(n) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN l >= {_LDIV_L} THEN n ELSE 0 END) AS BIGINT)
+    AS n_rows_diverse,
+  CAST(MIN(l) AS BIGINT) AS min_l,
+  CAST(SUM(CASE WHEN l >= {_LDIV_L} THEN n ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(n) AS DOUBLE) AS retention_rate
+FROM g GROUP BY event_type
+"""
+
+
+@spec(
+    "events_l_diversity",
+    _LDIV_ORACLE,
+    description="l-diversity privacy gate over the week-level "
+                "quasi-identifier groups: distinct sensitive values "
+                "(user_id) per group vs the L threshold, retained "
+                "row fraction per event type — one grouped "
+                "distinct-count + a per-type rollup, exact integers",
+    tags=("events", "quality", "privacy"),
+)
+def q_events_l_diversity(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    b = (ev.filter("ts IS NOT NULL AND props IS NOT NULL AND"
+                   " NULLIF(regexp_extract(props, '([0-9]+)', 1),"
+                   " '') IS NOT NULL")
+         .selectExpr("event_type", "user_id",
+                     f"(({_US_SPARK}) DIV 86400000000) DIV 7"
+                     " AS week",
+                     f"{_KA_PK_SPARK} AS pk"))
+    g = (b.groupBy("event_type", "week", "pk")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.countDistinct("user_id").alias("l")))
+    return (g.groupBy("event_type")
+            .agg(F.expr("CAST(COUNT(*) AS BIGINT)")
+                 .alias("n_groups"),
+                 F.expr(f"CAST(SUM(CASE WHEN l >= {_LDIV_L} THEN 1"
+                        f" ELSE 0 END) AS BIGINT)")
+                 .alias("n_diverse_groups"),
+                 F.expr("CAST(SUM(n) AS BIGINT)").alias("n_rows"),
+                 F.expr(f"CAST(SUM(CASE WHEN l >= {_LDIV_L} THEN n"
+                        f" ELSE 0 END) AS BIGINT)")
+                 .alias("n_rows_diverse"),
+                 F.expr("CAST(MIN(l) AS BIGINT)").alias("min_l"),
+                 F.expr(f"CAST(SUM(CASE WHEN l >= {_LDIV_L} THEN n"
+                        f" ELSE 0 END) AS DOUBLE)"
+                        f" / CAST(SUM(n) AS DOUBLE)")
+                 .alias("retention_rate")))

@@ -11673,3 +11673,280 @@ def q_embedding_bitext_margin(spark: SparkSession,
             .selectExpr("query_id", "w.y AS match_id",
                         "w.c AS cosine", "-w.m AS margin",
                         "-w.m >= CAST(1.0 AS DOUBLE) AS accepted"))
+
+
+# ----------------------------------------------------------------------
+# Retrieval evaluation harness — recall@k and MRR of three retrieval
+# methods (BM25 lexical, dense cosine, RRF fusion) against a
+# deterministic relevance oracle (a document is relevant to a query
+# iff it contains >= 3 of the query's 4 lead tokens). The harness is
+# what a RAG / retrieval stack ships next to the index: per-query
+# top-k from each method, hit/first-rank rollups, mean metrics. Per-
+# query rank windows are WindowGroupLimit-eligible (bounded query
+# count partitions the corpus-scale score streams); metric means are
+# exact DECIMAL sums of on-grid per-query values.
+# ----------------------------------------------------------------------
+
+_REV_Q = (0, 3, 11, 17)    # query doc ids
+_REV_K = 10                # evaluated depth
+_REV_MIN = 3               # relevance: >= 3 of the 4 lead tokens
+
+
+def _rev_metric_block(top: str, rank_col: str, method: str) -> str:
+    """Per-method metric CTEs over a (query_id, doc_id, {rank})
+    top-k table named ``top``: hits, first relevant rank, then the
+    mean recall/MRR rollup row."""
+    return f"""
+h_{method} AS (
+  SELECT t.query_id,
+    COUNT(r.doc_id) AS hits,
+    MIN(CASE WHEN r.doc_id IS NOT NULL THEN t.{rank_col} END)
+      AS first_rank
+  FROM {top} t LEFT JOIN rel r
+    ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+  GROUP BY t.query_id),
+m_{method} AS (
+  SELECT '{method}' AS method,
+    CAST(COUNT(*) AS BIGINT) AS n_queries,
+    {{rec}} AS mean_recall_at_k,
+    {{mrr}} AS mean_mrr
+  FROM qd
+  LEFT JOIN h_{method} h ON h.query_id = qd.query_id
+  LEFT JOIN nrel n ON n.query_id = qd.query_id)"""
+
+
+def _rev_fill_metrics(block: str) -> str:
+    from xsarsea_spark.suite.base import DSUM, QTRUNC
+    rec = (DSUM(QTRUNC(
+        "CASE WHEN n.nr IS NULL OR n.nr = 0 THEN 0e0"
+        " ELSE COALESCE(h.hits, 0) / CAST(n.nr AS DOUBLE) END",
+        12), 12) + " / COUNT(*)")
+    mrr = (DSUM(QTRUNC(
+        "CASE WHEN h.first_rank IS NULL THEN 0e0"
+        " ELSE 1e0 / CAST(h.first_rank AS DOUBLE) END", 12), 12)
+        + " / COUNT(*)")
+    return block.format(rec=rec, mrr=mrr)
+
+
+def _retrieval_eval_oracle() -> str:
+    from xsarsea_spark.suite.base import DSUM, QTRUNC
+
+    d = _CND_DIM
+    qids = ", ".join(str(q) for q in _REV_Q)
+    dot = (f"list_reduce(list_transform(range(1, {d + 1}),"
+           f" i -> CAST(q.qv[i] AS DOUBLE)"
+           f" * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b)")
+    nrm = (f"sqrt(list_reduce(list_transform(range(1, {d + 1}),"
+           f" i -> CAST({{v}}[i] AS DOUBLE)"
+           f" * CAST({{v}}[i] AS DOUBLE)), (a, b) -> a + b))")
+    nq, ne = nrm.format(v="q.qv"), nrm.format(v="e.embedding")
+    blocks = ",".join(
+        _rev_fill_metrics(_rev_metric_block(t, rc, m))
+        for t, rc, m in (("lr", "rk", "bm25"),
+                         ("sr", "rk", "dense"),
+                         ("fr", "rk", "rrf")))
+    return f"""
+WITH qd AS (
+  SELECT doc_id AS query_id,
+    list_slice(string_split(text, ' '), 1, 4) AS qt
+  FROM documents WHERE doc_id IN ({qids})),
+qterm AS (SELECT DISTINCT query_id, unnest(qt) AS term FROM qd),
+dterm AS (SELECT DISTINCT doc_id,
+            unnest(string_split(text, ' ')) AS term
+          FROM documents WHERE text IS NOT NULL),
+rel AS MATERIALIZED (
+  SELECT q.query_id, t.doc_id
+  FROM qterm q JOIN dterm t USING (term)
+  WHERE t.doc_id <> q.query_id
+  GROUP BY q.query_id, t.doc_id HAVING COUNT(*) >= {_REV_MIN}),
+nrel AS (SELECT query_id, COUNT(*) AS nr FROM rel
+         GROUP BY query_id),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+    len(string_split(text, ' ')) AS dl
+  FROM documents WHERE text IS NOT NULL),
+qts AS (SELECT DISTINCT term FROM qterm),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+    SUM(len(string_split(text, ' ')))
+      / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM documents WHERE text IS NOT NULL),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf, MIN(dl) AS dl
+  FROM toks JOIN qts USING (term) GROUP BY doc_id, term),
+dfr AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM toks JOIN qts USING (term) GROUP BY term),
+lex AS (
+  SELECT q.query_id, tf.doc_id,
+    {DSUM(QTRUNC(_BM25_SCORE, 9), 12)} AS score
+  FROM qterm q JOIN tf USING (term) JOIN dfr USING (term)
+  CROSS JOIN stats
+  WHERE tf.doc_id <> q.query_id
+  GROUP BY q.query_id, tf.doc_id),
+lr AS MATERIALIZED (SELECT query_id, doc_id, rk FROM (
+    SELECT query_id, doc_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY score DESC, doc_id) AS rk
+    FROM lex) WHERE rk <= {_REV_K}),
+qe AS (SELECT vec_id AS query_id, embedding AS qv
+       FROM embeddings WHERE vec_id IN ({qids})),
+sem AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+    ({dot}) / ({nq} * {ne}) AS cos
+  FROM qe q JOIN embeddings e ON e.vec_id <> q.query_id
+  WHERE {ne} > 0),
+sr AS MATERIALIZED (SELECT query_id, doc_id, rk FROM (
+    SELECT query_id, doc_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cos DESC, doc_id) AS rk
+    FROM sem) WHERE rk <= {_REV_K}),
+fused AS (
+  SELECT COALESCE(lr.query_id, sr.query_id) AS query_id,
+    COALESCE(lr.doc_id, sr.doc_id) AS doc_id,
+    COALESCE(1e0 / ({_RRF_K} + lr.rk), 0e0)
+      + COALESCE(1e0 / ({_RRF_K} + sr.rk), 0e0) AS rrf_score
+  FROM lr FULL OUTER JOIN sr
+    ON sr.query_id = lr.query_id AND sr.doc_id = lr.doc_id),
+fr AS MATERIALIZED (SELECT query_id, doc_id, rk FROM (
+    SELECT query_id, doc_id,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY rrf_score DESC, doc_id) AS rk
+    FROM fused) WHERE rk <= {_REV_K}),{blocks}
+SELECT * FROM m_bm25
+UNION ALL SELECT * FROM m_dense
+UNION ALL SELECT * FROM m_rrf"""
+
+
+@spec(
+    "doc_retrieval_eval",
+    _retrieval_eval_oracle(),
+    description="Retrieval evaluation harness: recall@10 and MRR of "
+                "BM25, dense-cosine and RRF-fused retrieval against "
+                "a deterministic token-overlap relevance oracle — "
+                "per-query group-limited rank windows, exact DECIMAL "
+                "metric means over on-grid per-query values",
+    tags=("pipeline", "text", "similarity", "topk"),
+)
+def q_doc_retrieval_eval(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from xsarsea_spark.suite.base import DSUM, QTRUNC
+
+    d = _CND_DIM
+    qids = ", ".join(str(q) for q in _REV_Q)
+    docs = load(spark, sf_dir, "documents")
+    qd = (docs.filter(f"doc_id IN ({qids})")
+          .selectExpr("doc_id AS query_id",
+                      "slice(split(text, ' '), 1, 4) AS qt"))
+    qterm = materialize(
+        qd.selectExpr("query_id", "explode(qt) AS term").distinct())
+    dterm = (docs.filter("text IS NOT NULL")
+             .selectExpr("doc_id", "explode(split(text, ' '))"
+                         " AS term").distinct())
+    rel = materialize(
+        qterm.join(dterm, on="term")
+        .filter("doc_id <> query_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .filter(f"__m >= {_REV_MIN}")
+        .select("query_id", "doc_id"))
+    nrel = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("nr"))
+
+    toks = (docs.filter("text IS NOT NULL")
+            .selectExpr("doc_id", "explode(split(text, ' '))"
+                        " AS term",
+                        "size(split(text, ' ')) AS dl")
+            .join(F.broadcast(qterm.select("term").distinct()),
+                  on="term"))
+    stats = docs.filter("text IS NOT NULL").selectExpr(
+        "CAST(COUNT(*) AS DOUBLE) AS n_docs",
+        "SUM(size(split(text, ' '))) / CAST(COUNT(*) AS DOUBLE)"
+        " AS avgdl")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("tf"),
+        F.expr("MIN(dl)").alias("dl"))
+    dfr = toks.groupBy("term").agg(
+        F.expr("CAST(COUNT(DISTINCT doc_id) AS DOUBLE)").alias("df"))
+    lex = (qterm.join(tf, on="term")
+           .join(F.broadcast(dfr), on="term")
+           .crossJoin(F.broadcast(stats))
+           .filter("doc_id <> query_id")
+           .groupBy("query_id", "doc_id")
+           .agg(F.expr(DSUM(QTRUNC(_BM25_SCORE, 9), 12))
+                .alias("score")))
+    wl = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    lr = materialize(
+        lex.withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") <= _REV_K)
+        .select("query_id", "doc_id", "rk"))
+
+    emb = load(spark, sf_dir, "embeddings")
+    qe = emb.filter(f"vec_id IN ({qids})").selectExpr(
+        "vec_id AS query_id", "embedding AS qv")
+    dot = ("aggregate(zip_with(qv, embedding,"
+           " (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),"
+           " 0d, (acc, x) -> acc + x)")
+    nrm = (f"sqrt(aggregate(transform(sequence(1, {d}),"
+           f" i -> CAST(element_at({{v}}, i) AS DOUBLE)"
+           f" * CAST(element_at({{v}}, i) AS DOUBLE)),"
+           f" 0d, (a, b) -> a + b))")
+    nq, ne = nrm.format(v="qv"), nrm.format(v="embedding")
+    sem = (emb.crossJoin(F.broadcast(qe))
+           .filter("vec_id <> query_id")
+           .filter(F.expr(f"{ne} > 0"))
+           .selectExpr("query_id", "vec_id AS doc_id",
+                       f"({dot}) / ({nq} * {ne}) AS cos"))
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("doc_id"))
+    sr = materialize(
+        sem.withColumn("rk", F.row_number().over(ws))
+        .filter(F.col("rk") <= _REV_K)
+        .select("query_id", "doc_id", "rk"))
+
+    fused = (lr.withColumnRenamed("rk", "rl")
+             .join(sr.withColumnRenamed("rk", "rs"),
+                   on=["query_id", "doc_id"], how="full_outer")
+             .selectExpr(
+                 "query_id", "doc_id",
+                 f"COALESCE(1e0 / ({_RRF_K} + rl), 0e0)"
+                 f" + COALESCE(1e0 / ({_RRF_K} + rs), 0e0)"
+                 " AS rrf_score"))
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id"))
+    fr = materialize(
+        fused.withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= _REV_K)
+        .select("query_id", "doc_id", "rk"))
+
+    rec = DSUM(QTRUNC(
+        "CASE WHEN nr IS NULL OR nr = 0 THEN 0e0"
+        " ELSE COALESCE(hits, 0) / CAST(nr AS DOUBLE) END", 12), 12) \
+        + " / COUNT(*)"
+    mrr = DSUM(QTRUNC(
+        "CASE WHEN first_rank IS NULL THEN 0e0"
+        " ELSE 1e0 / CAST(first_rank AS DOUBLE) END", 12), 12) \
+        + " / COUNT(*)"
+
+    out = None
+    for top, method in ((lr, "bm25"), (sr, "dense"), (fr, "rrf")):
+        h = (top.join(rel.withColumn("__r", F.lit(1)),
+                      on=["query_id", "doc_id"], how="left")
+             .groupBy("query_id")
+             .agg(F.expr("CAST(COUNT(__r) AS BIGINT)").alias("hits"),
+                  F.expr("MIN(CASE WHEN __r IS NOT NULL THEN rk"
+                         " END)").alias("first_rank")))
+        m = (qd.select("query_id")
+             .join(h, on="query_id", how="left")
+             .join(nrel, on="query_id", how="left")
+             .agg(F.expr("CAST(COUNT(*) AS BIGINT)")
+                  .alias("n_queries"),
+                  F.expr(rec).alias("mean_recall_at_k"),
+                  F.expr(mrr).alias("mean_mrr"))
+             .selectExpr(f"'{method}' AS method", "n_queries",
+                         "mean_recall_at_k", "mean_mrr"))
+        out = m if out is None else out.unionAll(m)
+    return out
