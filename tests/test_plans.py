@@ -1071,3 +1071,46 @@ def test_retrieval_eval_and_ldiv_plans_are_scale_safe(audit_spark):
     for ln in plan.splitlines():
         if "Window" in ln and "WindowGroupLimit" not in ln:
             raise AssertionError(f"events_l_diversity: {ln}")
+
+
+def test_theil_sen_and_bootstrap_plans_are_scale_safe(audit_spark):
+    """events_theil_sen: the rank windows order the pair frame
+    (bounded by the day-span square) and the daily frame — global
+    windows over BOUNDED inputs, the corpus meets only the per-day
+    hash agg. events_bootstrap_ci: replicate explode collapses via
+    partial aggregation to (type, B) cells; rank windows partition
+    on event_type; no cartesian beyond broadcast 1-row frames."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["events_theil_sen"].spark(audit_spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln, ln
+    # broadcasts of the events table are legal ONLY as day-grouped
+    # aggregates (bounded by the day span) — the market_basket
+    # "broadcast the COUNT, not the table" rule: every broadcast
+    # subtree that reaches events.parquet must aggregate first
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        depth = len(ln) - len(ln.lstrip())
+        saw_agg = False
+        for nxt in lines[i + 1:]:
+            nd = len(nxt) - len(nxt.lstrip())
+            if nxt.strip() and nd <= depth:
+                break
+            if "HashAggregate" in nxt:
+                saw_agg = True
+            if "events.parquet" in nxt:
+                assert saw_agg, f"raw events broadcast: {ln}"
+
+    plan = (REGISTRY["events_bootstrap_ci"].spark(audit_spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert not _broadcast_scans(plan)
+    for ln in plan.splitlines():
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            assert "event_type" in ln, ln

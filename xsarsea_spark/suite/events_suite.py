@@ -3670,3 +3670,203 @@ def q_events_l_diversity(spark: SparkSession,
                         f" ELSE 0 END) AS DOUBLE)"
                         f" / CAST(SUM(n) AS DOUBLE)")
                  .alias("retention_rate")))
+
+
+# ----------------------------------------------------------------------
+# Theil-Sen robust trend (Sen 1968) — the outlier-resistant slope a
+# metrics pipeline prefers over OLS when single days spike: the
+# LOWER MEDIAN of all pairwise slopes between per-day means, and the
+# matching intercept median. The pair frame is bounded by the SQUARE
+# OF THE DAY SPAN (a property of the time range, not the corpus), so
+# the rank window over it is bounded at any data scale; the
+# corpus-scale work is one per-day exact-DECIMAL mean. The lower
+# median (element at rank (n+1)/2 under (value, tie-key) order) is
+# chosen over the interpolating median so both engines pick the
+# IDENTICAL element — no midpoint arithmetic.
+# ----------------------------------------------------------------------
+
+_TS_ORACLE = f"""
+WITH daily AS (
+  SELECT {_US_DUCK} // 86400000000 AS day, {DAVG('value')} AS m
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+pr AS (
+  SELECT a.day AS d1, b.day AS d2,
+    (b.m - a.m) / CAST(b.day - a.day AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON b.day > a.day),
+ns AS (SELECT COUNT(*) AS n FROM pr),
+sl AS (SELECT slope FROM (
+    SELECT slope, ROW_NUMBER() OVER
+      (ORDER BY slope, d1, d2) AS rk FROM pr), ns
+  WHERE rk = (ns.n + 1) // 2),
+ic AS (SELECT icpt FROM (
+    SELECT daily.m - sl.slope * CAST(daily.day AS DOUBLE) AS icpt,
+      daily.day,
+      ROW_NUMBER() OVER (ORDER BY daily.m - sl.slope
+        * CAST(daily.day AS DOUBLE), daily.day) AS rk
+    FROM daily, sl),
+    (SELECT COUNT(*) AS nd FROM daily) c
+  WHERE rk = (c.nd + 1) // 2)
+SELECT sl.slope AS ts_slope, ic.icpt AS ts_intercept,
+  CAST(c.nd AS BIGINT) AS n_days, CAST(ns.n AS BIGINT) AS n_pairs
+FROM sl, ic, ns, (SELECT COUNT(*) AS nd FROM daily) c
+"""
+
+
+@spec(
+    "events_theil_sen",
+    _TS_ORACLE,
+    description="Theil-Sen robust trend of daily mean value: lower "
+                "median of all pairwise slopes (pair frame bounded "
+                "by the day-span square, never the corpus) + the "
+                "matching intercept median — exact-DECIMAL daily "
+                "means, identical element selection in both engines",
+    tags=("events", "stats"),
+)
+def q_events_theil_sen(spark: SparkSession,
+                       sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").filter("ts IS NOT NULL")
+    daily = (ev.groupBy(F.expr(f"({_US_SPARK}) DIV 86400000000")
+                        .alias("day"))
+             .agg(F.expr(DAVG("value")).alias("m")))
+    a = daily.selectExpr("day AS d1", "m AS m1")
+    b = daily.selectExpr("day AS d2", "m AS m2")
+    # the daily frame is bounded by the day span (a time-range
+    # property, not data volume) — broadcasting it keeps the
+    # inequality pair join a BroadcastNestedLoopJoin, never a
+    # cartesian of distributed partitions
+    pr = (a.join(F.broadcast(b), F.col("d2") > F.col("d1"))
+          .selectExpr("d1", "d2",
+                      "(m2 - m1) / CAST(d2 - d1 AS DOUBLE)"
+                      " AS slope"))
+    ns = pr.agg(F.count(F.lit(1)).alias("n"))
+    wsl = Window.orderBy("slope", "d1", "d2")
+    sl = (pr.withColumn("rk", F.row_number().over(wsl))
+          .crossJoin(F.broadcast(ns))
+          .filter("rk = (n + 1) DIV 2")
+          .selectExpr("slope", "CAST(n AS BIGINT) AS n_pairs"))
+    ic_base = (daily.crossJoin(F.broadcast(sl))
+               .selectExpr("m - slope * CAST(day AS DOUBLE)"
+                           " AS icpt", "day", "slope", "n_pairs"))
+    nd = daily.agg(F.count(F.lit(1)).alias("nd"))
+    wic = Window.orderBy("icpt", "day")
+    return (ic_base.withColumn("rk", F.row_number().over(wic))
+            .crossJoin(F.broadcast(nd))
+            .filter("rk = (nd + 1) DIV 2")
+            .selectExpr("slope AS ts_slope", "icpt AS ts_intercept",
+                        "CAST(nd AS BIGINT) AS n_days", "n_pairs"))
+
+
+# ----------------------------------------------------------------------
+# Poisson-bootstrap confidence intervals (the one-pass bootstrap of
+# Chamandy et al. 2012 — the resampling a metrics platform runs when
+# the data cannot be materialized B times): per (row, replicate) a
+# DETERMINISTIC Poisson(1) weight from the inverse CDF of an md5
+# unit uniform, so both engines draw the identical resample; per
+# (type, replicate) weighted exact-DECIMAL means; the CI bounds are
+# ORDER-STATISTIC elements of the B replicate means ((value,
+# replicate) order — identical element selection, no interpolation).
+# One pass: the replicate explode multiplies map-side rows B times
+# but partial aggregation collapses them to (type, B) cells before
+# any shuffle.
+# ----------------------------------------------------------------------
+
+_BOOT_B = 32
+# Poisson(1) inverse-CDF thresholds scaled to the 2^40 hash space
+# (floor(cdf * 2^40) as exact integer literals): P(X<=k) for k=0..5.
+_BOOT_THRESH = (404487723187, 808975446375, 1011219307969,
+                1078633928500, 1095487583633, 1098858314660)
+
+
+def _boot_w(h: str) -> str:
+    conds = " ".join(
+        f"WHEN {h} < {t} THEN {k}"
+        for k, t in enumerate(_BOOT_THRESH))
+    return f"CASE {conds} ELSE 6 END"
+
+
+_BOOT_H_DUCK = ("CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)"
+                " || ':' || CAST(b AS VARCHAR)), 1, 10) AS BIGINT)")
+_BOOT_H_SPARK = ("CAST(conv(substring(md5(concat(CAST(event_id AS"
+                 " STRING), ':', CAST(b AS STRING))), 1, 10), 16,"
+                 " 10) AS BIGINT)")
+
+
+def _boot_oracle() -> str:
+    w = _boot_w(_BOOT_H_DUCK)
+    return f"""
+WITH r AS (
+  SELECT event_type, value, b, {w} AS w
+  FROM events, unnest(range(1, {_BOOT_B} + 1)) AS t(b)
+  WHERE value IS NOT NULL AND NOT isnan(value)),
+bm AS (
+  SELECT event_type, b,
+    {DSUM('w * value')} / CAST(SUM(w) AS DOUBLE) AS bmean
+  FROM r GROUP BY event_type, b HAVING SUM(w) > 0),
+rk AS (
+  SELECT event_type, bmean,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+      ORDER BY bmean, b) AS lo_rk,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+      ORDER BY bmean DESC, b DESC) AS hi_rk
+  FROM bm),
+full_m AS (
+  SELECT event_type, {DAVG('value')} AS mean_value,
+    COUNT(value) AS n
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY event_type)
+SELECT f.event_type, f.mean_value, CAST(f.n AS BIGINT) AS n,
+  CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+  lo.bmean AS ci_lo, hi.bmean AS ci_hi
+FROM full_m f
+JOIN rk lo ON lo.event_type = f.event_type AND lo.lo_rk = 2
+JOIN rk hi ON hi.event_type = f.event_type AND hi.hi_rk = 2
+"""
+
+
+@spec(
+    "events_bootstrap_ci",
+    _boot_oracle(),
+    description="One-pass Poisson-bootstrap CI of the per-type mean "
+                "value: deterministic md5 inverse-CDF Poisson(1) "
+                "weights, 32 replicate exact-DECIMAL weighted means, "
+                "order-statistic CI bounds (2nd smallest / 2nd "
+                "largest) — identical resamples in both engines",
+    tags=("events", "stats", "sketch"),
+)
+def q_events_bootstrap_ci(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = (load(spark, sf_dir, "events")
+          .filter("value IS NOT NULL AND NOT isnan(value)"))
+    w = _boot_w(_BOOT_H_SPARK)
+    r = ev.selectExpr(
+        "event_id", "event_type", "value",
+        f"explode(sequence(1, {_BOOT_B})) AS b"
+    ).selectExpr("event_type", "value", "b", f"{w} AS w")
+    bm = (r.groupBy("event_type", "b")
+          .agg(F.expr(f"{DSUM('w * value')} / CAST(SUM(w)"
+                      f" AS DOUBLE)").alias("bmean"),
+               F.expr("SUM(w)").alias("__sw"))
+          .filter("__sw > 0"))
+    wlo = Window.partitionBy("event_type").orderBy("bmean", "b")
+    whi = Window.partitionBy("event_type").orderBy(
+        F.desc("bmean"), F.desc("b"))
+    rk = (bm.withColumn("lo_rk", F.row_number().over(wlo))
+          .withColumn("hi_rk", F.row_number().over(whi)))
+    lo = (rk.filter("lo_rk = 2")
+          .selectExpr("event_type", "bmean AS ci_lo"))
+    hi = (rk.filter("hi_rk = 2")
+          .selectExpr("event_type", "bmean AS ci_hi"))
+    full_m = (ev.groupBy("event_type")
+              .agg(F.expr(DAVG("value")).alias("mean_value"),
+                   F.expr("CAST(COUNT(value) AS BIGINT)")
+                   .alias("n")))
+    return (full_m.join(lo, on="event_type")
+            .join(hi, on="event_type")
+            .selectExpr("event_type", "mean_value", "n",
+                        f"CAST({_BOOT_B} AS BIGINT)"
+                        " AS n_replicates",
+                        "ci_lo", "ci_hi"))
