@@ -66,6 +66,7 @@ _PRIORITY = [
     "stream_elo_train", "embedding_bitext_margin",
     "events_l_diversity", "doc_retrieval_eval",
     "events_theil_sen", "events_bootstrap_ci",
+    "events_kmv_set_algebra",
     # (b) lineage changed this round: the BFD packing kernel moved
     # to the bisect-sorted open-bin structure (same placements, new
     # kernel) and doc_icp_pack's layout id widened to a 2^32 shift:
@@ -77,9 +78,10 @@ _PRIORITY = [
     "multimodal_gif_frames", "events_rank_stability",
     "events_cohort_ltv", "events_user_entropy", "events_holt_trend",
     "events_holt_backtest", "events_seasonal_profile",
-    # (d) 23 of the 41 round-6 sentinels (stalest remaining cohort;
-    # the flagship science rows lead — VERDICT r11 ask #3c). The 18
-    # that do not fit (embedding_semdedup, doc_substring_dedup,
+    # (d) 22 of the 41 round-6 sentinels (stalest remaining cohort;
+    # the flagship science rows lead — VERDICT r11 ask #3c). The 19
+    # that do not fit (ivf_ann, embedding_semdedup,
+    # doc_substring_dedup,
     # exact_dedup_incremental, q_market_basket,
     # q_supplier_pareto, multimodal_jpeg_roundtrip,
     # doc_setsim_join, dup_graph_kcore, pipeline_curation_report,
@@ -98,7 +100,7 @@ _PRIORITY = [
     "doc_sequence_packing", "embedding_kmeans",
     "pipeline_curate_end2end", "events_stream_sessionize",
     "events_stream_user_stats", "doc_bigram_lm",
-    "doc_weighted_sample", "ivf_ann",
+    "doc_weighted_sample",
 ]
 
 

@@ -1114,3 +1114,18 @@ def test_theil_sen_and_bootstrap_plans_are_scale_safe(audit_spark):
     for ln in plan.splitlines():
         if "Window" in ln and "WindowGroupLimit" not in ln:
             assert "event_type" in ln, ln
+
+
+def test_kmv_set_algebra_plan_is_scale_safe(audit_spark):
+    """All rank windows are WindowGroupLimit-rewritten partial
+    top-ks (rk <= k filters); the only nested loops are the
+    broadcast 1-row estimate frames; no cartesian."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["events_kmv_set_algebra"].spark(audit_spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    for ln in plan.splitlines():
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln, ln

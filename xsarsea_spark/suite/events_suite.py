@@ -3870,3 +3870,143 @@ def q_events_bootstrap_ci(spark: SparkSession,
                         f"CAST({_BOOT_B} AS BIGINT)"
                         " AS n_replicates",
                         "ci_lo", "ci_hi"))
+
+
+# ----------------------------------------------------------------------
+# KMV set algebra — the reason a platform keeps KMV sketches around:
+# union/intersection/Jaccard estimates BETWEEN sets without
+# rescanning either (Beyer et al. 2007). Sides = click vs purchase
+# user sets; the union sketch is the k smallest distinct hashes of
+# the merged sketches (the defining mergeability), Jaccard = the
+# fraction of the union top-k present in BOTH side sketches,
+# intersection = Jaccard x union estimate. Deterministic md5 hashes
+# make every estimate value-exact cross-engine; the rank windows
+# are WindowGroupLimit-rewritten partial top-ks.
+# ----------------------------------------------------------------------
+
+_KSA_A, _KSA_B, _KSA_K = "click", "purchase", 64
+
+_KSA_EST = ("CASE WHEN {n} < {k} THEN CAST({n} AS DOUBLE)"
+            " ELSE {km1} * 1099511627776e0 / {hk} END")
+
+
+def _ksa_oracle() -> str:
+    k = _KSA_K
+    h = ("CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10)"
+         " AS BIGINT)")
+    est = lambda n, hk: _KSA_EST.format(n=n, hk=hk, k=k, km1=k - 1)
+    return f"""
+WITH da AS (SELECT DISTINCT {h} AS h FROM events
+            WHERE event_type = '{_KSA_A}'),
+db AS (SELECT DISTINCT {h} AS h FROM events
+       WHERE event_type = '{_KSA_B}'),
+sa AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h)
+         AS rk FROM da) WHERE rk <= {k}),
+sb AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h)
+         AS rk FROM db) WHERE rk <= {k}),
+su AS (SELECT h, rk FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h)
+         AS rk FROM (SELECT h FROM sa UNION SELECT h FROM sb) u)
+       WHERE rk <= {k}),
+ea AS (SELECT MAX(CASE WHEN rk = {k} THEN h END) AS hk, MAX(rk) AS n
+       FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk FROM da)
+       WHERE rk <= {k}),
+eb AS (SELECT MAX(CASE WHEN rk = {k} THEN h END) AS hk, MAX(rk) AS n
+       FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk FROM db)
+       WHERE rk <= {k}),
+eu AS (SELECT MAX(CASE WHEN rk = {k} THEN h END) AS hk, MAX(rk) AS n
+       FROM su),
+jc AS (SELECT COUNT(*) AS nboth, (SELECT MAX(rk) FROM su) AS nu
+       FROM su JOIN sa USING (h) JOIN sb USING (h)),
+tr AS (SELECT
+    COUNT(DISTINCT CASE WHEN event_type = '{_KSA_A}'
+      THEN user_id END) AS true_a,
+    COUNT(DISTINCT CASE WHEN event_type = '{_KSA_B}'
+      THEN user_id END) AS true_b,
+    COUNT(DISTINCT CASE WHEN event_type IN ('{_KSA_A}',
+      '{_KSA_B}') THEN user_id END) AS true_union
+  FROM events),
+ti AS (SELECT COUNT(*) AS true_intersection FROM (
+    SELECT user_id FROM events
+    WHERE event_type IN ('{_KSA_A}', '{_KSA_B}')
+    GROUP BY user_id
+    HAVING COUNT(DISTINCT event_type) = 2) x)
+SELECT
+  {est('ea.n', 'ea.hk')} AS est_a,
+  {est('eb.n', 'eb.hk')} AS est_b,
+  {est('eu.n', 'eu.hk')} AS est_union,
+  CAST(jc.nboth AS DOUBLE) / CAST(jc.nu AS DOUBLE) AS jaccard_est,
+  (CAST(jc.nboth AS DOUBLE) / CAST(jc.nu AS DOUBLE))
+    * ({est('eu.n', 'eu.hk')}) AS est_intersection,
+  CAST(tr.true_a AS BIGINT) AS true_a,
+  CAST(tr.true_b AS BIGINT) AS true_b,
+  CAST(tr.true_union AS BIGINT) AS true_union,
+  CAST(ti.true_intersection AS BIGINT) AS true_intersection
+FROM ea, eb, eu, jc, tr, ti"""
+
+
+@spec(
+    "events_kmv_set_algebra",
+    _ksa_oracle(),
+    description="KMV sketch set algebra: union / Jaccard / "
+                "intersection estimates between the click and "
+                "purchase user sets from merged k-smallest-hash "
+                "sketches, next to the exact counts — deterministic "
+                "md5 hashes, group-limited rank windows, value-exact",
+    tags=("events", "agg", "sketch"),
+)
+def q_events_kmv_set_algebra(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from xsarsea_spark.operators.sketch import (kmv_estimate,
+                                                kmv_merge,
+                                                kmv_sketch)
+
+    k = _KSA_K
+    ev = load(spark, sf_dir, "events")
+    val = "CAST(user_id AS STRING)"
+    sa = kmv_sketch(
+        ev.filter(f"event_type = '{_KSA_A}'")
+        .selectExpr("'u' AS side", "user_id"), ["side"], val, k=k)
+    sb = kmv_sketch(
+        ev.filter(f"event_type = '{_KSA_B}'")
+        .selectExpr("'u' AS side", "user_id"), ["side"], val, k=k)
+    su = kmv_merge(sa, sb, ["side"], k=k)
+    ea = kmv_estimate(sa, ["side"], k=k).selectExpr(
+        "kmv_estimate AS est_a")
+    eb = kmv_estimate(sb, ["side"], k=k).selectExpr(
+        "kmv_estimate AS est_b")
+    eu = kmv_estimate(su, ["side"], k=k).selectExpr(
+        "kmv_estimate AS est_union")
+    jc = (su.join(sa.selectExpr("h"), on="h")
+          .join(sb.selectExpr("h"), on="h")
+          .agg(F.count(F.lit(1)).alias("nboth"))
+          .crossJoin(F.broadcast(
+              su.agg(F.expr("MAX(rk)").alias("nu"))))
+          .selectExpr("CAST(nboth AS DOUBLE) / CAST(nu AS DOUBLE)"
+                      " AS jaccard_est"))
+    tr = ev.agg(
+        F.expr(f"CAST(COUNT(DISTINCT CASE WHEN event_type ="
+               f" '{_KSA_A}' THEN user_id END) AS BIGINT)")
+        .alias("true_a"),
+        F.expr(f"CAST(COUNT(DISTINCT CASE WHEN event_type ="
+               f" '{_KSA_B}' THEN user_id END) AS BIGINT)")
+        .alias("true_b"),
+        F.expr(f"CAST(COUNT(DISTINCT CASE WHEN event_type IN"
+               f" ('{_KSA_A}', '{_KSA_B}') THEN user_id END)"
+               f" AS BIGINT)").alias("true_union"))
+    ti = (ev.filter(f"event_type IN ('{_KSA_A}', '{_KSA_B}')")
+          .groupBy("user_id")
+          .agg(F.countDistinct("event_type").alias("__t"))
+          .filter("__t = 2")
+          .agg(F.expr("CAST(COUNT(*) AS BIGINT)")
+               .alias("true_intersection")))
+    return (ea.crossJoin(F.broadcast(eb))
+            .crossJoin(F.broadcast(eu))
+            .crossJoin(F.broadcast(jc))
+            .crossJoin(F.broadcast(tr))
+            .crossJoin(F.broadcast(ti))
+            .selectExpr("est_a", "est_b", "est_union",
+                        "jaccard_est",
+                        "jaccard_est * est_union"
+                        " AS est_intersection",
+                        "true_a", "true_b", "true_union",
+                        "true_intersection"))
