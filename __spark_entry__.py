@@ -66,7 +66,8 @@ _PRIORITY = [
     "stream_elo_train", "embedding_bitext_margin",
     "events_l_diversity", "doc_retrieval_eval",
     "events_theil_sen", "events_bootstrap_ci",
-    "events_kmv_set_algebra",
+    "events_kmv_set_algebra", "stream_kmv_union",
+    "doc_unigram_artifact_segment",
     # (b) lineage changed this round: the BFD packing kernel moved
     # to the bisect-sorted open-bin structure (same placements, new
     # kernel) and doc_icp_pack's layout id widened to a 2^32 shift:
@@ -78,9 +79,10 @@ _PRIORITY = [
     "multimodal_gif_frames", "events_rank_stability",
     "events_cohort_ltv", "events_user_entropy", "events_holt_trend",
     "events_holt_backtest", "events_seasonal_profile",
-    # (d) 22 of the 41 round-6 sentinels (stalest remaining cohort;
-    # the flagship science rows lead — VERDICT r11 ask #3c). The 19
-    # that do not fit (ivf_ann, embedding_semdedup,
+    # (d) 20 of the 41 round-6 sentinels (stalest remaining cohort;
+    # the flagship science rows lead — VERDICT r11 ask #3c). The 21
+    # that do not fit (doc_bigram_lm, doc_weighted_sample,
+    # ivf_ann, embedding_semdedup,
     # doc_substring_dedup,
     # exact_dedup_incremental, q_market_basket,
     # q_supplier_pareto, multimodal_jpeg_roundtrip,
@@ -99,8 +101,7 @@ _PRIORITY = [
     "dup_cluster_components", "embedding_knn",
     "doc_sequence_packing", "embedding_kmeans",
     "pipeline_curate_end2end", "events_stream_sessionize",
-    "events_stream_user_stats", "doc_bigram_lm",
-    "doc_weighted_sample",
+    "events_stream_user_stats",
 ]
 
 

@@ -1129,3 +1129,24 @@ def test_kmv_set_algebra_plan_is_scale_safe(audit_spark):
     for ln in plan.splitlines():
         if "NestedLoopJoin" in ln:
             assert "Broadcast" in ln, ln
+
+
+def test_stream_kmv_and_unigram_artifact_plans(audit_spark):
+    """stream_kmv_union's reported frame joins the tiny persisted
+    sketch with the per-type exact distinct — no cartesian;
+    doc_unigram_artifact_segment plans the loaded-artifact Viterbi
+    as MapInPandas with broadcast-only nested loops."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["stream_kmv_union"].spark(audit_spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+
+    plan = (REGISTRY["doc_unigram_artifact_segment"]
+            .spark(audit_spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    for ln in plan.splitlines():
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln, ln

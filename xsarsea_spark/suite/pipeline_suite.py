@@ -11950,3 +11950,49 @@ def q_doc_retrieval_eval(spark: SparkSession,
                          "mean_recall_at_k", "mean_mrr"))
         out = m if out is None else out.unionAll(m)
     return out
+
+
+# ----------------------------------------------------------------------
+# Unigram tokenizer artifact lifecycle — train once, persist the
+# vocabulary counts (the ENTIRE learned state: bounded rows,
+# corpus-independent — the bpe_save_merges precedent), reload, and
+# segment with the LOADED artifact: proves the persisted tokenizer
+# reproduces the in-memory one bit-for-bit (parquet BIGINT counts
+# round-trip exactly; costs are re-derived from counts in SQL, so
+# the artifact needs no doubles at all). Graded by the same
+# DP-ladder oracle as doc_unigram_segment.
+# ----------------------------------------------------------------------
+
+
+@spec(
+    "doc_unigram_artifact_segment",
+    _ulm_segment_oracle(),
+    description="Unigram tokenizer artifact lifecycle: persist the "
+                "trained vocabulary counts, reload, re-derive costs "
+                "and segment with the loaded artifact — output "
+                "bit-identical to the in-memory tokenizer, same "
+                "oracle as doc_unigram_segment",
+    tags=("pipeline", "text", "tokenizer", "formats"),
+)
+def q_doc_unigram_artifact_segment(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from xsarsea_spark.engine import materialize, scratch_path
+    from xsarsea_spark.pipeline.unigram import (em_round,
+                                                piece_costs,
+                                                seed_vocab,
+                                                viterbi_segment,
+                                                word_freqs)
+
+    docs = load(spark, sf_dir, "documents")
+    wf = materialize(word_freqs(docs))
+    vocab = materialize(seed_vocab(wf))
+    for _ in range(2):
+        vocab = materialize(em_round(wf, vocab))
+    path = scratch_path(spark, "unigram_vocab", sf_dir)
+    # the artifact: (piece, cnt) BIGINT rows — repartition(1), not
+    # coalesce(1) (the documented local-relation write stall)
+    vocab.repartition(1).write.mode("overwrite").parquet(path)
+    loaded = spark.read.parquet(path)
+    seg = viterbi_segment(wf, piece_costs(loaded))
+    return seg.selectExpr("w AS word", "f AS freq", "cost_ns",
+                          "path AS segmentation", "n_pieces")
