@@ -1150,3 +1150,29 @@ def test_stream_kmv_and_unigram_artifact_plans(audit_spark):
     for ln in plan.splitlines():
         if "NestedLoopJoin" in ln:
             assert "Broadcast" in ln, ln
+
+
+def test_benford_and_autocorr_plans_are_scale_safe(audit_spark):
+    """events_benford: one hash agg on the all-integer digit key +
+    a broadcast 1-row total — no window, no cartesian.
+    events_autocorr: the lag join runs over the bounded daily frame
+    (broadcast), corpus meets only the per-day mean agg."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["events_benford"].spark(audit_spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            raise AssertionError(f"events_benford: {ln}")
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln, ln
+
+    plan = (REGISTRY["events_autocorr"].spark(audit_spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    for ln in plan.splitlines():
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            raise AssertionError(f"events_autocorr: {ln}")
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln, ln

@@ -4107,3 +4107,140 @@ def q_stream_kmv_union(spark: SparkSession,
         .alias("true_distinct"))
     return est.join(true, on="event_type").select(
         "event_type", "kmv_estimate", "true_distinct")
+
+
+# ----------------------------------------------------------------------
+# Benford first-digit audit (Newcomb 1881 / Benford 1938) — the
+# classic data-quality screen for fabricated or truncated numeric
+# columns: observed first-significant-digit counts vs the log10
+# law. Digit extraction is ALL-INTEGER (exact DECIMAL micro-units ->
+# BIGINT -> first character), so no log/float hazard touches the
+# group key; the expected probabilities are the only libm calls,
+# QTRUNC'd; chi-square terms ride the on-grid DECIMAL sum.
+# ----------------------------------------------------------------------
+
+# first significant digit of a positive value, exactly: the DECIMAL
+# cast is exact, x1e6 keeps six fractional digits, the leading
+# character of the BIGINT's decimal print is the digit
+_BFD_DIGIT_DUCK = ("substr(CAST(CAST(CAST(value AS DECIMAL(38,6))"
+                   " * 1000000 AS BIGINT) AS VARCHAR), 1, 1)")
+_BFD_DIGIT_SPARK = ("substring(CAST(CAST(CAST(value AS"
+                    " DECIMAL(38,6)) * 1000000 AS BIGINT)"
+                    " AS STRING), 1, 1)")
+
+
+def _benford_oracle() -> str:
+    p = QTRUNC("log10(1e0 + 1e0 / CAST(digit AS DOUBLE))", 12)
+    chi = QTRUNC(
+        "(CAST(observed AS DOUBLE) - expected_n)"
+        " * (CAST(observed AS DOUBLE) - expected_n) / expected_n", 9)
+    return f"""
+WITH b AS (
+  SELECT CAST({_BFD_DIGIT_DUCK} AS BIGINT) AS digit
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND value > 0),
+o AS (SELECT digit, COUNT(*) AS observed FROM b
+      WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
+n AS (SELECT CAST(SUM(observed) AS DOUBLE) AS n FROM o),
+e AS (SELECT digit, observed, {p} AS expected_p,
+        ({p}) * n.n AS expected_n
+      FROM o, n)
+SELECT digit, CAST(observed AS BIGINT) AS observed, expected_p,
+  expected_n, {chi} AS chi_term
+FROM e"""
+
+
+@spec(
+    "events_benford",
+    _benford_oracle(),
+    description="Benford first-digit audit of event values: "
+                "all-integer digit extraction (exact DECIMAL "
+                "micro-units, no log on the group key), QTRUNC'd "
+                "log10 expected probabilities, on-grid chi-square "
+                "terms — one hash agg",
+    tags=("events", "quality", "stats"),
+)
+def q_events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = QTRUNC("log10(1e0 + 1e0 / CAST(digit AS DOUBLE))", 12)
+    chi = QTRUNC(
+        "(CAST(observed AS DOUBLE) - expected_n)"
+        " * (CAST(observed AS DOUBLE) - expected_n) / expected_n", 9)
+    ev = load(spark, sf_dir, "events")
+    o = (ev.filter("value IS NOT NULL AND NOT isnan(value)"
+                   " AND value > 0")
+         .selectExpr(f"CAST({_BFD_DIGIT_SPARK} AS BIGINT) AS digit")
+         .filter("digit BETWEEN 1 AND 9")
+         .groupBy("digit")
+         .agg(F.count(F.lit(1)).alias("observed")))
+    n = o.agg(F.expr("CAST(SUM(observed) AS DOUBLE)").alias("n"))
+    return (o.crossJoin(F.broadcast(n))
+            .selectExpr("digit",
+                        "CAST(observed AS BIGINT) AS observed",
+                        f"{p} AS expected_p",
+                        f"({p}) * n AS expected_n")
+            .selectExpr("digit", "observed", "expected_p",
+                        "expected_n", f"{chi} AS chi_term"))
+
+
+# ----------------------------------------------------------------------
+# Lag-1 autocorrelation of the daily mean (the quick seasonality /
+# momentum screen before fitting anything heavier): Pearson r
+# between consecutive-day exact-DECIMAL means. The lag join and the
+# correlation run over the BOUNDED daily frame (day-span rows); the
+# corpus meets only the per-day mean agg. Products are floored onto
+# the 1e-9 grid before exact DECIMAL sums, then one shared IEEE
+# formula tree — r is value-exact cross-engine.
+# ----------------------------------------------------------------------
+
+
+def _autocorr_oracle() -> str:
+    t = lambda e: QTRUNC(e, 9)
+    return f"""
+WITH daily AS (
+  SELECT {_US_DUCK} // 86400000000 AS day, {DAVG('value')} AS m
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+pr AS (
+  SELECT a.m AS x, b.m AS y
+  FROM daily a JOIN daily b ON b.day = a.day + 1),
+s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        {DSUM(t('x'), 9)} AS sx, {DSUM(t('y'), 9)} AS sy,
+        {DSUM(t('x * x'), 9)} AS sxx, {DSUM(t('y * y'), 9)} AS syy,
+        {DSUM(t('x * y'), 9)} AS sxy
+      FROM pr)
+SELECT CAST(1 AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+  (n * sxy - sx * sy)
+    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
+FROM s"""
+
+
+@spec(
+    "events_autocorr",
+    _autocorr_oracle(),
+    description="Lag-1 autocorrelation of daily mean value: exact "
+                "DECIMAL per-day means, on-grid product sums over "
+                "the bounded daily frame, one shared IEEE Pearson "
+                "tree — value-exact",
+    tags=("events", "stats"),
+)
+def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = lambda e: QTRUNC(e, 9)
+    ev = load(spark, sf_dir, "events").filter("ts IS NOT NULL")
+    daily = (ev.groupBy(F.expr(f"({_US_SPARK}) DIV 86400000000")
+                        .alias("day"))
+             .agg(F.expr(DAVG("value")).alias("m")))
+    a = daily.selectExpr("day AS d1", "m AS x")
+    b = daily.selectExpr("day AS d2", "m AS y")
+    pr = (a.join(F.broadcast(b), F.expr("d2 = d1 + 1"))
+          .select("x", "y"))
+    return (pr.agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("n"),
+        F.expr(DSUM(t("x"), 9)).alias("sx"),
+        F.expr(DSUM(t("y"), 9)).alias("sy"),
+        F.expr(DSUM(t("x * x"), 9)).alias("sxx"),
+        F.expr(DSUM(t("y * y"), 9)).alias("syy"),
+        F.expr(DSUM(t("x * y"), 9)).alias("sxy"))
+        .selectExpr("CAST(1 AS BIGINT) AS lag",
+                    "CAST(n AS BIGINT) AS n_pairs",
+                    "(n * sxy - sx * sy)"
+                    " / sqrt((n * sxx - sx * sx)"
+                    " * (n * syy - sy * sy)) AS r"))
