@@ -56,52 +56,51 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every window entry is green on the local strict DuckDB compare,
 # re-run in window order as a final pre-flight.
 _PRIORITY = [
-    # Round-12 window. (a) round-12 additions (unigram-LM tokenizer
-    # training + segmentation, infini-gram count lookup + backoff,
-    # Bradley-Terry preference fit):
-    "doc_unigram_lm_train", "doc_unigram_segment",
-    "doc_infinigram_counts", "doc_infinigram_backoff",
-    "events_bradley_terry", "events_elo_periods",
-    "doc_unigram_fertility", "events_k_anonymity",
-    "stream_elo_train", "embedding_bitext_margin",
-    "events_l_diversity", "doc_retrieval_eval",
-    "events_theil_sen", "events_bootstrap_ci",
-    "events_kmv_set_algebra", "stream_kmv_union",
-    "doc_unigram_artifact_segment",
-    # (b) lineage changed this round: the BFD packing kernel moved
-    # to the bisect-sorted open-bin structure (same placements, new
-    # kernel) and doc_icp_pack's layout id widened to a 2^32 shift:
-    "doc_pack_bfd", "doc_pack_bfd_masks", "doc_pack_efficiency",
-    "doc_icp_pack",
-    # (c) the round-5-stale cohort (VERDICT r11 ask #3a — last
-    # driver row: round 5):
-    "multimodal_ahash", "multimodal_ahash_neardup",
-    "multimodal_gif_frames", "events_rank_stability",
-    "events_cohort_ltv", "events_user_entropy", "events_holt_trend",
-    "events_holt_backtest", "events_seasonal_profile",
-    # (d) 20 of the 41 round-6 sentinels (stalest remaining cohort;
-    # the flagship science rows lead — VERDICT r11 ask #3c). The 21
-    # that do not fit (doc_bigram_lm, doc_weighted_sample,
-    # ivf_ann, embedding_semdedup,
-    # doc_substring_dedup,
-    # exact_dedup_incremental, q_market_basket,
-    # q_supplier_pareto, multimodal_jpeg_roundtrip,
-    # doc_setsim_join, dup_graph_kcore, pipeline_curation_report,
-    # doc_containment_join,
-    # embedding_matryoshka_recall, multimodal_resize,
-    # multimodal_wav_features, multimodal_wav_segments,
-    # doc_substring_dedup_maximal, ivf_incremental,
-    # documents_csv_roundtrip, documents_orc_roundtrip) rotate in
-    # next round:
-    "sigma0_detrend", "gradient_histogram", "lut_interp",
-    "nesz_flattening", "streaks_full", "rain_mask_filtering",
-    "available_models", "q01_pricing_summary",
-    "q18_large_volume_customer", "graph_pagerank",
-    "q_window_battery", "events_asof_join", "minhash_lsh_neardup",
-    "dup_cluster_components", "embedding_knn",
-    "doc_sequence_packing", "embedding_kmeans",
-    "pipeline_curate_end2end", "events_stream_sessionize",
-    "events_stream_user_stats",
+    # Round-13 window. (a) never-driver-rowed queries: the round-13
+    # additions (SA-artifact infini-gram backoff, DPO pair curation,
+    # unigram-artifact perplexity buckets) plus the two late r12
+    # additions the r12 window missed:
+    "doc_infinigram_sa_backoff", "events_dpo_pairs",
+    "doc_unigram_ppl_buckets", "events_benford", "events_autocorr",
+    # (b) the complete round-6 sentinel cohort (the 21 the r12
+    # window deferred — after this row the whole registry is
+    # round-7+ fresh):
+    "doc_bigram_lm", "doc_weighted_sample", "ivf_ann",
+    "embedding_semdedup", "doc_substring_dedup",
+    "exact_dedup_incremental", "q_market_basket",
+    "q_supplier_pareto", "multimodal_jpeg_roundtrip",
+    "doc_setsim_join", "dup_graph_kcore",
+    "pipeline_curation_report", "doc_containment_join",
+    "embedding_matryoshka_recall", "multimodal_resize",
+    "multimodal_wav_features", "multimodal_wav_segments",
+    "doc_substring_dedup_maximal", "ivf_incremental",
+    "documents_csv_roundtrip", "documents_orc_roundtrip",
+    # (c) lineage-adjacent rows: pipeline/suffix.py gained the
+    # pair-table probe functions (pure additions, existing kernels
+    # untouched), ngram_index.py gained the SA probe, and
+    # events_bradley_terry's oracle construction was refactored
+    # into the shared _bt_fit_parts (generated SQL byte-identical)
+    # — re-rowed as regression insurance:
+    "doc_longest_dup_span", "doc_source_crossdup_matrix",
+    "doc_infinigram_backoff", "events_bradley_terry",
+    # (d) 20 of the 35 round-7 sentinels (now the stalest cohort;
+    # flagship science rows lead). The 15 that do not fit
+    # (embedding_binary_quant_recall, embedding_sq8_recall,
+    # lineitem_dq_gate, minhash_cross_snapshot, minhash_incremental,
+    # multimodal_phash, neardup_quality_keeper,
+    # q02_min_cost_supplier, q11_important_parts,
+    # q_customer_running_total, q_price_quantiles,
+    # q_region_revenue_share, q_skyline_parts, q_zorder_profile,
+    # stream_neardup_ingest) rotate in next round:
+    "angle_conventions", "dsig_weights", "local_gradients_pyramid",
+    "stacked_histogram_mean", "wind_vector_ops",
+    "doc_bpe_bytelevel", "doc_bpe_encode", "doc_chunk_dedup",
+    "doc_classifier_auc", "doc_classifier_calibration",
+    "doc_classifier_perlang", "doc_length_psi", "doc_line_dedup",
+    "doc_mixture_schedule", "doc_quality_classifier",
+    "doc_shard_assignment", "doc_source_boilerplate",
+    "doc_source_cap", "doc_tokenizer_fertility",
+    "doc_winnow_neardup",
 ]
 
 

@@ -1176,3 +1176,47 @@ def test_benford_and_autocorr_plans_are_scale_safe(audit_spark):
             raise AssertionError(f"events_autocorr: {ln}")
         if "NestedLoopJoin" in ln:
             assert "Broadcast" in ln, ln
+
+
+def test_round13_plans_are_scale_safe(audit_spark):
+    """doc_infinigram_sa_backoff: the probe is broadcast joins of
+    the query-sized key frames into the persisted ladder — no
+    cartesian, nothing O(sf) force-broadcast, the only windows are
+    the two-pass rank's __pid internals (inside the cached build).
+    events_dpo_pairs: the per-actor cap must compile to a
+    group-limited rank window; the corpus meets one (actor, arm)
+    hash agg. doc_unigram_ppl_buckets: terciles ride the two-pass
+    rank (__pid windows only); the segmentation join is the
+    vocabulary-scale broadcast; corpus-wide windows absent."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["doc_infinigram_sa_backoff"]
+            .spark(audit_spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert not _broadcast_scans(plan)
+    for ln in plan.splitlines():
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            assert "__pid" in ln, f"sa_backoff: {ln}"
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln, ln
+
+    plan = (REGISTRY["events_dpo_pairs"].spark(audit_spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "events" not in _broadcast_scans(plan)
+    for ln in plan.splitlines():
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            assert "user_id" in ln, f"events_dpo_pairs: {ln}"
+
+    plan = (REGISTRY["doc_unigram_ppl_buckets"]
+            .spark(audit_spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "documents" not in _broadcast_scans(plan)
+    for ln in plan.splitlines():
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            assert "__pid" in ln, f"unigram_ppl_buckets: {ln}"
+        if "NestedLoopJoin" in ln:
+            assert "Broadcast" in ln, ln

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["ngram_occurrences", "ngram_stats", "continuation_stats",
-           "backoff_longest_suffix"]
+           "backoff_longest_suffix", "sa_backoff_longest_suffix"]
 
 
 def _ns_array(ns: tuple[int, ...]) -> str:
@@ -118,6 +118,134 @@ def backoff_longest_suffix(contexts: DataFrame,
     hits = F.broadcast(sfx).join(stats, on=["n", "gram"])
     return (hits.groupBy("ctx_id", "ctx")
             .agg(F.min(F.struct((-F.col("n")).alias("k"),
+                                F.col("gram").alias("g"),
+                                F.col("cnt").alias("c")))
+                 .alias("__m"))
+            .selectExpr("ctx_id", "ctx",
+                        "CAST(-__m.k AS BIGINT) AS matched_n",
+                        "__m.g AS suffix",
+                        "CAST(__m.c AS BIGINT) AS cnt"))
+
+
+def _floor_log2_case(col: str, max_n: int) -> str:
+    """Exact integer floor(log2(k)) for 1 <= k <= max_n as a CASE
+    ladder — pure integer arithmetic, no libm."""
+    cases = " ".join(f"WHEN {k} THEN {k.bit_length() - 1}"
+                     for k in range(1, max_n + 1))
+    return f"CASE {col} {cases} END"
+
+
+def sa_backoff_longest_suffix(contexts: DataFrame,
+                              tables: list,
+                              pairs: list,
+                              max_n: int,
+                              id_col: str = "doc_id") -> DataFrame:
+    """Infini-gram backoff answered from the PERSISTED suffix-array
+    artifact (``pipeline.suffix.suffix_probe_index_cached``) instead
+    of a per-query corpus rescan — the build-once / probe-many plan
+    of Liu 2024 for unbounded-length or interactive query sets.
+
+    Probe (per context suffix of token length k, k <= ``max_n``):
+
+    1. the query's rank ladder: round-0 ranks are the 40-bit token
+       hashes (t_0's seeding); the round-l rank of query position i
+       is the pair-table lookup of (qr_{l-1}(i), qr_{l-1}(i+2^(l-1)))
+       — O(k * log k) lookups against the persisted pair tables, a
+       miss at any round proving the window matches nothing;
+    2. occurrence count by the standard overlapping-window argument:
+       with a = floor(log2 k), position p starts an occurrence of the
+       k-gram iff rank_a(p) = qr_a(1) AND rank_a(p + k - 2^a) =
+       qr_a(k - 2^a + 1) — the two 2^a-windows cover all k tokens,
+       padded corpus ranks can never equal a full-window query rank
+       (their chains bottom out in the 0 pad mark), and p + k - 1 <=
+       doclen is implied by the second window being unpadded. The
+       count probe is a broadcast semi-join of the (bounded) query
+       keys into ladder level a — at scale a bucketed-by-rank read,
+       never a corpus rescan;
+    3. the winner per context is the struct-order min of
+       (-k, gram, cnt) over its suffix candidates with cnt >= 1 —
+       identical to :func:`backoff_longest_suffix`'s semantics, so
+       the position-slice oracle grades this path unchanged.
+
+    Output: (ctx_id, ctx, matched_n, suffix, cnt).
+    """
+    from functools import reduce
+
+    from xsarsea_spark.engine import materialize
+    from xsarsea_spark.pipeline.text import HASH40_SQL
+
+    levels = max_n.bit_length() - 1   # deepest window level used
+    # suffix candidates: one row per (context, suffix length k)
+    sfx = contexts.selectExpr(
+        "ctx_id", "ctx",
+        """inline(transform(
+             sequence(1, size(split(ctx, ' '))),
+             kk -> struct(
+               CAST(kk AS BIGINT) AS k,
+               slice(split(ctx, ' '),
+                     size(split(ctx, ' ')) - kk + 1, kk)
+                 AS toks)))""").withColumn(
+        "gram", F.expr("array_join(toks, ' ')"))
+    # query rank ladder, round 0 = token hashes
+    q0 = (sfx.selectExpr("ctx_id", "k",
+                         "posexplode(toks) AS (__i0, __w)")
+          .selectExpr("ctx_id", "k", "__i0 + 1 AS i",
+                      HASH40_SQL.format(x="__w") + " AS qr"))
+    # each level is materialized: the ladder is iterative lineage —
+    # level l reads level l-1 twice (both half-windows) and the key
+    # frame reads the final ladder twice, so an unmaterialized chain
+    # recomputes the lower levels exponentially often. The frames
+    # are query-sized (bounded), so each checkpoint is trivial.
+    qlv = [materialize(q0)]
+    for lvl in range(1, levels + 1):
+        h = 1 << (lvl - 1)
+        a = qlv[-1].selectExpr("ctx_id", "k", "i", "qr AS r1")
+        b = qlv[-1].selectExpr("ctx_id", "k", f"i - {h} AS i",
+                               "qr AS r2")
+        lk = pairs[lvl - 1].selectExpr("r1", "r2", "r AS qr")
+        qlv.append(materialize(
+            a.join(b, on=["ctx_id", "k", "i"])
+            .join(lk, on=["r1", "r2"], how="left")
+            .select("ctx_id", "k", "i", "qr")))
+    qall = reduce(
+        lambda x, y: x.unionByName(y),
+        [qf.withColumn("lvl", F.lit(l).cast("int"))
+         for l, qf in enumerate(qlv)])
+    # per-candidate probe keys: window level a, the two window ranks
+    keys = (sfx.selectExpr(
+        "ctx_id", "ctx", "k", "gram",
+        f"CAST({_floor_log2_case('k', max_n)} AS INT) AS lvl")
+        .withColumn("__delta", F.expr("k - shiftleft(1L, lvl)")))
+    k1 = (keys.join(qall.filter("i = 1")
+                    .selectExpr("ctx_id", "k", "lvl", "qr AS qr1"),
+                    on=["ctx_id", "k", "lvl"])
+          .join(qall.selectExpr("ctx_id", "k", "lvl",
+                                "i - 1 AS __delta", "qr AS qr2"),
+                on=["ctx_id", "k", "lvl", "__delta"])
+          .filter("qr1 IS NOT NULL AND qr2 IS NOT NULL"))
+    # count probe against the tagged ladder levels a query of <=
+    # max_n tokens can touch — a static property of max_n, no job
+    used = sorted({(k).bit_length() - 1
+                   for k in range(1, max_n + 1)})
+    tagged = reduce(
+        lambda x, y: x.unionByName(y),
+        [tables[a].selectExpr(f"{id_col} AS __id", "p", "r")
+         .withColumn("lvl", F.lit(a).cast("int")) for a in used])
+    first = tagged.selectExpr("lvl", "__id", "p", "r AS qr1")
+    second = tagged.selectExpr("lvl AS __l2", "__id AS __id2",
+                               "p AS __p2", "r AS qr2")
+    j1 = first.join(F.broadcast(k1), on=["lvl", "qr1"])
+    j2 = j1.join(
+        second,
+        on=[j1["lvl"] == second["__l2"],
+            j1["__id"] == second["__id2"],
+            second["__p2"] == j1["p"] + j1["__delta"],
+            j1["qr2"] == second["qr2"]])
+    cnt = (j2.groupBy("ctx_id", "k", "gram")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    hits = contexts.join(cnt, on="ctx_id")
+    return (hits.groupBy("ctx_id", "ctx")
+            .agg(F.min(F.struct((-F.col("k")).alias("k"),
                                 F.col("gram").alias("g"),
                                 F.col("cnt").alias("c")))
                  .alias("__m"))

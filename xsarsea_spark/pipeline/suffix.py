@@ -65,7 +65,8 @@ from xsarsea_spark.pipeline.text import HASH40_SQL
 
 __all__ = ["suffix_rank_tables", "suffix_rank_tables_cached",
            "sa_adjacent_pairs", "adjacent_lcp",
-           "longest_dup_span", "cross_doc_lcp"]
+           "longest_dup_span", "cross_doc_lcp",
+           "pair_rank_tables", "suffix_probe_index_cached"]
 
 CONF_SFX_CACHE = "spark.xsarsea.suffix.cache"
 # Bump when the ladder construction changes: the cache key must not
@@ -131,9 +132,30 @@ def suffix_rank_tables(docs: DataFrame, rounds: int,
     return tables
 
 
+def _sfx_cache_key(docs: DataFrame, rounds: int,
+                   text_col: str, id_col: str) -> str:
+    """The content-fingerprint cache key shared by the ladder and
+    pair-table caches: (algorithm version, rounds, columns, corpus
+    fingerprint), the fingerprint being four independent statistics
+    of the per-row (id, text) hash stream — one aggregation job."""
+    h32 = F.hash(F.col(id_col), F.col(text_col)).cast("long")
+    h64 = F.xxhash64(F.col(id_col), F.col(text_col))
+    fp = (docs.filter(F.col(text_col).isNotNull())
+          .agg(F.count("*").alias("__c"),
+               F.sum(h32).alias("__s"),
+               # full-width 64-bit values: sum on the DECIMAL(38,0)
+               # grid so ANSI mode can't overflow-abort at 2 rows
+               F.sum(h64.cast("decimal(38,0)")).alias("__x"),
+               F.min(h64).alias("__m"))
+          .first())
+    return (f"v{_SFX_CACHE_VERSION}_r{rounds}_{id_col}_{text_col}"
+            f"_{fp['__c']}_{fp['__s']}_{fp['__x']}_{fp['__m']}")
+
+
 def suffix_rank_tables_cached(docs: DataFrame, rounds: int,
                               text_col: str = "text",
-                              id_col: str = "doc_id"
+                              id_col: str = "doc_id",
+                              key: str | None = None
                               ) -> list[DataFrame]:
     """:func:`suffix_rank_tables` behind a content-keyed persisted
     cache — the materialized-view pattern the engine already uses for
@@ -173,19 +195,11 @@ def suffix_rank_tables_cached(docs: DataFrame, rounds: int,
     # mapping to the same key and reusing the wrong persisted ladder
     # with no error signal — now requires SIMULTANEOUS agreement of
     # two unrelated hash families plus an order statistic, not one
-    # 64-bit sum
-    h32 = F.hash(F.col(id_col), F.col(text_col)).cast("long")
-    h64 = F.xxhash64(F.col(id_col), F.col(text_col))
-    fp = (docs.filter(F.col(text_col).isNotNull())
-          .agg(F.count("*").alias("__c"),
-               F.sum(h32).alias("__s"),
-               # full-width 64-bit values: sum on the DECIMAL(38,0)
-               # grid so ANSI mode can't overflow-abort at 2 rows
-               F.sum(h64.cast("decimal(38,0)")).alias("__x"),
-               F.min(h64).alias("__m"))
-          .first())
-    key = (f"v{_SFX_CACHE_VERSION}_r{rounds}_{id_col}_{text_col}"
-           f"_{fp['__c']}_{fp['__s']}_{fp['__x']}_{fp['__m']}")
+    # 64-bit sum. Callers that maintain several caches of one corpus
+    # (the probe index) pass the precomputed ``key`` so the
+    # fingerprint job runs once.
+    if key is None:
+        key = _sfx_cache_key(docs, rounds, text_col, id_col)
     root = scratch_path(spark, "sfx_ladder", key)
     marker = os.path.join(root, "_SFX_DONE")
     if not os.path.exists(marker):
@@ -387,3 +401,120 @@ def cross_doc_lcp(docs: DataFrame, rounds: int,
                     "CAST(greatest(__b, __f, 0L) AS BIGINT)"
                     " AS cross_lcp")
     )
+
+
+def pair_rank_tables(tables: list[DataFrame],
+                     id_col: str = "doc_id") -> list[DataFrame]:
+    """pair_k for k = 1..rounds: the DISTINCT (r1, r2, r) rank-merge
+    lookup of doubling round k — r is the round-k dense rank assigned
+    to the key (rank_{k-1}(p), rank_{k-1}(p + 2^(k-1)) or 0). Derived
+    from the ladder by replaying each round's key construction and
+    pairing it with the round's persisted rank, so the lookup is
+    byte-consistent with the ladder by construction.
+
+    This is the PROBE half of the suffix-array artifact: a query
+    string's round-k rank is the pair-table lookup of its two
+    half-window ranks, recursively down to round 0 (where the rank IS
+    the 40-bit token hash — ``suffix_rank_tables`` seeds t_0 with it
+    directly, no dense-rank pass). A query whose lookup misses at any
+    round matches nothing in the corpus. Padded corpus entries
+    (suffixes shorter than the window) carry rank chains that bottom
+    out in the 0 pad mark, which no full-window query chain can
+    reach, so probe hits are always real full-window matches.
+    """
+    out = []
+    for k in range(1, len(tables)):
+        h = 1 << (k - 1)
+        prev = tables[k - 1]
+        shifted = prev.selectExpr(id_col, f"p - {h} AS p",
+                                  "r AS __r2")
+        keyed = (prev.join(shifted, on=[id_col, "p"], how="left")
+                 .selectExpr(id_col, "p", "r AS r1",
+                             "coalesce(__r2, 0) AS r2"))
+        out.append(
+            keyed.join(tables[k], on=[id_col, "p"])
+            .select("r1", "r2", "r").distinct())
+    return out
+
+
+def suffix_probe_index_cached(docs: DataFrame, rounds: int,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              max_level: int | None = None
+                              ) -> tuple[list[DataFrame],
+                                         list[DataFrame]]:
+    """(ladder tables, pair lookup tables), both persisted — the
+    build-once / probe-many suffix-array index of the infini-gram
+    design (Liu 2024: one index build, many O(query * log n) count
+    probes, no corpus rescan per query). The ladder rides
+    :func:`suffix_rank_tables_cached`; the pair tables are persisted
+    next to it under the same content fingerprint (same four-statistic
+    key construction) so a corpus change invalidates both at once.
+
+    At scale the pair tables would be written bucketed by (r1, r2)
+    and the ladder bucketed by r, so a probe's broadcast-semi-join
+    reads only the matching buckets; at test scale they are plain
+    parquet and the probe is a broadcast hash join per round.
+
+    ``max_level`` limits the RETURNED lists to ladder levels
+    0..max_level and pair tables 1..max_level — the build persists
+    every level regardless (the artifact is complete), but a probe
+    for queries of <= 2^(max_level+1) - 1 tokens never touches the
+    higher levels, so skipping their reads saves one schema-load job
+    each. The ONE fingerprint job keys both caches.
+    """
+    import os
+    import shutil
+
+    spark = docs.sparkSession
+    if get_conf(spark, CONF_SFX_CACHE, "true").strip().lower() \
+            != "true":
+        tables = suffix_rank_tables_cached(docs, rounds,
+                                           text_col=text_col,
+                                           id_col=id_col)
+        pairs = pair_rank_tables(tables, id_col=id_col)
+        if max_level is not None:
+            return tables[:max_level + 1], pairs[:max_level]
+        return tables, pairs
+    key = _sfx_cache_key(docs, rounds, text_col, id_col)
+    root = scratch_path(spark, "sfx_pairs", key)
+    marker = os.path.join(root, "_SFX_DONE")
+    lroot = scratch_path(spark, "sfx_ladder", key)
+    lmarker = os.path.join(lroot, "_SFX_DONE")
+    if os.path.exists(marker) and os.path.exists(lmarker):
+        # both artifacts complete: read only what the probe needs
+        n_t = rounds if max_level is None else max_level
+        tables = [spark.read.parquet(os.path.join(lroot, f"t{k}"))
+                  for k in range(n_t + 1)]
+        pairs = [spark.read.parquet(os.path.join(root, f"p{k}"))
+                 for k in range(1, n_t + 1)]
+        return tables, pairs
+    tables = suffix_rank_tables_cached(docs, rounds,
+                                       text_col=text_col,
+                                       id_col=id_col, key=key)
+    if not os.path.exists(marker):
+        pairs = pair_rank_tables(tables, id_col=id_col)
+        tmp = f"{root}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        for k, t in enumerate(pairs):
+            t.write.mode("overwrite").parquet(
+                os.path.join(tmp, f"p{k + 1}"))
+        with open(os.path.join(tmp, "_SFX_DONE"), "w") as f:
+            f.write("ok\n")
+        if os.path.exists(marker):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            if os.path.isdir(root):
+                shutil.rmtree(root, ignore_errors=True)
+            try:
+                os.rename(tmp, root)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+                if not os.path.exists(marker):
+                    raise
+    n_p = rounds if max_level is None else max_level
+    pairs = [spark.read.parquet(os.path.join(root, f"p{k}"))
+             for k in range(1, n_p + 1)]
+    if max_level is not None:
+        tables = tables[:max_level + 1]
+    return tables, pairs

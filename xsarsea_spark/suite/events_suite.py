@@ -3168,7 +3168,10 @@ _BT_GUARDED_V = ("SUM(CAST(CASE WHEN isnan(value) THEN NULL"
                  " ELSE value END AS DECIMAL(38,6)))")
 
 
-def _bt_oracle() -> str:
+def _bt_fit_parts() -> list:
+    """The BT fit as a chained-CTE list up to the final score table
+    ``s{BT_ROUNDS}`` — shared verbatim by the fit report
+    (events_bradley_terry) and the DPO pair-curation oracle."""
     from xsarsea_spark.pipeline.preference import (BT_LR, BT_QK,
                                                    BT_ROUNDS,
                                                    BT_SCALE)
@@ -3215,6 +3218,13 @@ def _bt_oracle() -> str:
             f"s{r + 1} AS MATERIALIZED (SELECT s.arm,"
             f" s.s + CAST({BT_LR!r} AS DOUBLE) * (g.sg / tot.t) AS s"
             f" FROM s{r} s JOIN g{r} g ON g.arm = s.arm, tot)")
+    return parts
+
+
+def _bt_oracle() -> str:
+    from xsarsea_spark.pipeline.preference import BT_ROUNDS
+
+    parts = _bt_fit_parts()
     parts.append(
         "wt AS (SELECT arm, CAST(SUM(w) AS BIGINT) AS wins,"
         " CAST(SUM(n) AS BIGINT) AS n_matches FROM"
@@ -3262,6 +3272,103 @@ def q_events_bradley_terry(spark: SparkSession,
             .selectExpr("arm AS event_type", "wins",
                         "n_matches - wins AS losses", "n_matches",
                         f"{score_case} AS bt_score"))
+
+
+# ----------------------------------------------------------------------
+# DPO/RLHF preference-pair curation on top of the Bradley-Terry fit:
+# per-actor head-to-head outcomes become (chosen, rejected) training
+# pairs, kept only when the actor's local verdict AGREES with the
+# global BT ordering by at least a margin (noisy / contradictory
+# pairs are what DPO curation drops), capped per actor (no single
+# heavy actor dominates the pair set), then deduped into per-pair
+# counts. The corpus appears in ONE (actor, arm) hash agg; the pair
+# join is actor-keyed with group size bounded by the arm count; the
+# per-actor cap is a group-limited rank window (WindowGroupLimit);
+# BT scores ride the same value-exact chained-CTE replay as
+# events_bradley_terry (shared _bt_fit_parts).
+# ----------------------------------------------------------------------
+
+_DPO_MARGIN = 0.05   # min BT-score margin for a curated pair
+_DPO_CAP = 2         # max pairs kept per actor
+
+
+def _dpo_oracle() -> str:
+    from xsarsea_spark.pipeline.preference import BT_ROUNDS
+
+    parts = _bt_fit_parts()
+    parts += [
+        "up AS (SELECT a.user_id,"
+        " CASE WHEN a.v > b.v THEN a.event_type"
+        " ELSE b.event_type END AS chosen,"
+        " CASE WHEN a.v > b.v THEN b.event_type"
+        " ELSE a.event_type END AS rejected"
+        " FROM uv a JOIN uv b ON a.user_id = b.user_id"
+        " AND a.event_type < b.event_type WHERE a.v <> b.v)",
+        f"mg AS (SELECT up.user_id, up.chosen, up.rejected,"
+        f" sc.s - sr.s AS bt_margin FROM up"
+        f" JOIN s{BT_ROUNDS} sc ON sc.arm = up.chosen"
+        f" JOIN s{BT_ROUNDS} sr ON sr.arm = up.rejected"
+        f" WHERE sc.s - sr.s >= CAST({_DPO_MARGIN!r} AS DOUBLE))",
+        "cap AS (SELECT user_id, chosen, rejected, bt_margin,"
+        " ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY"
+        " bt_margin DESC, chosen, rejected) AS rn FROM mg)",
+    ]
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT chosen, rejected, MIN(bt_margin) AS bt_margin,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM cap WHERE rn <= {_DPO_CAP} GROUP BY chosen, rejected""")
+
+
+@spec(
+    "events_dpo_pairs",
+    _dpo_oracle(),
+    description="DPO preference-pair curation over the Bradley-"
+                "Terry fit: per-actor head-to-head (chosen, "
+                "rejected) pairs kept when the actor agrees with "
+                "the global BT ordering by >= the margin, capped "
+                "per actor via a group-limited rank window, deduped "
+                "to per-pair counts — margins value-exact vs the "
+                "shared chained-CTE BT replay",
+    tags=("events", "stats", "pipeline", "iterative"),
+)
+def q_events_dpo_pairs(spark: SparkSession,
+                       sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from xsarsea_spark.engine import materialize
+    from xsarsea_spark.pipeline.preference import (
+        _score_case, preference_matrix, train_bradley_terry)
+
+    ev = load(spark, sf_dir, "events")
+    pm = materialize(preference_matrix(ev))
+    scores = train_bradley_terry(pm)
+    uv = (ev.groupBy("user_id", "event_type")
+          .agg(F.expr(_BT_GUARDED_V).alias("v")))
+    a = uv.selectExpr("user_id", "event_type AS arm_a",
+                      "v AS __va")
+    b = uv.selectExpr("user_id", "event_type AS arm_b",
+                      "v AS __vb")
+    up = (a.join(b, on="user_id")
+          .filter("arm_a < arm_b AND __va <> __vb")
+          .selectExpr(
+              "user_id",
+              "CASE WHEN __va > __vb THEN arm_a ELSE arm_b END"
+              " AS chosen",
+              "CASE WHEN __va > __vb THEN arm_b ELSE arm_a END"
+              " AS rejected"))
+    margin = (f"({_score_case(scores, 'chosen')})"
+              f" - ({_score_case(scores, 'rejected')})")
+    mg = (up.selectExpr("user_id", "chosen", "rejected",
+                        f"{margin} AS bt_margin")
+          .filter(f"bt_margin >= CAST({_DPO_MARGIN!r} AS DOUBLE)"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("bt_margin"), F.asc("chosen"), F.asc("rejected"))
+    capped = (mg.withColumn("rn", F.row_number().over(w))
+              .filter(f"rn <= {_DPO_CAP}"))
+    return (capped.groupBy("chosen", "rejected")
+            .agg(F.expr("MIN(bt_margin)").alias("bt_margin"),
+                 F.expr("CAST(COUNT(*) AS BIGINT)")
+                 .alias("n_pairs")))
 
 
 # ----------------------------------------------------------------------

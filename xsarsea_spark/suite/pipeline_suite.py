@@ -11325,6 +11325,104 @@ def q_doc_infinigram_backoff(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
+# Infini-gram backoff over the PERSISTED suffix-array index — the
+# build-once / probe-many plan ngram_index.py's own docstring names
+# as the right index for unbounded-length or interactive query sets
+# (Liu 2024). The ladder + pair-table artifact is shared with the
+# whole suffix family (same mod-7 slice, same cached build); the
+# probe is a query-sized rank-ladder walk (O(query * log n) lookups)
+# plus one broadcast semi-join count per window level — no per-query
+# corpus rescan. The oracle is the POSITION-SLICE path — a
+# completely different algorithm — so the SA probe's counts are
+# graded against an independent derivation, not a replay of its own
+# ladder. Contexts are self-derived at index-lookup cost (no gram
+# scan): the first-6-token prefixes of the two smallest-id eligible
+# docs (verbatim, matched at n=6) and the first-5-token prefixes of
+# the two largest-id docs OOV-prefixed (forcing one backoff hop) —
+# exercising window levels 0-2.
+# ----------------------------------------------------------------------
+
+_IGS_MOD = _SFX_MOD   # shared slice -> shared cached index
+_IGS_MAXN = 6      # longest context in tokens
+
+
+def _igs_oracle() -> str:
+    nlist = "[" + ", ".join(str(n) for n in range(1, _IGS_MAXN + 1)) \
+        + "]"
+    return f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l
+       FROM documents WHERE text IS NOT NULL
+       AND doc_id % {_IGS_MOD} = 0),
+occ AS (
+  SELECT doc_id, CAST(nn AS BIGINT) AS n,
+    array_to_string(list_slice(l, i, i + nn - 1), ' ') AS gram
+  FROM tk, unnest({nlist}) AS t1(nn),
+       unnest(range(1, len(l) - nn + 2)) AS t2(i)),
+stats AS MATERIALIZED (
+  SELECT n, gram, COUNT(*) AS cnt FROM occ GROUP BY 1, 2),
+el AS (SELECT doc_id, l FROM tk WHERE len(l) >= {_IGS_MAXN}),
+c1 AS (SELECT 'p6:' || CAST(doc_id AS VARCHAR) AS ctx_id,
+         array_to_string(l[1 : {_IGS_MAXN}], ' ') AS ctx
+       FROM el ORDER BY doc_id LIMIT 2),
+c2 AS (SELECT 'bk:' || CAST(doc_id AS VARCHAR) AS ctx_id,
+         'zzz ' || array_to_string(l[1 : {_IGS_MAXN - 1}], ' ')
+           AS ctx
+       FROM el ORDER BY doc_id DESC LIMIT 2),
+ctx AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+sfx AS (SELECT ctx_id, ctx, CAST(k AS BIGINT) AS n,
+          array_to_string(list_slice(string_split(ctx, ' '),
+            len(string_split(ctx, ' ')) - k + 1,
+            len(string_split(ctx, ' '))), ' ') AS gram
+        FROM ctx,
+          unnest(range(1, len(string_split(ctx, ' ')) + 1)) AS t(k)),
+hit AS (SELECT s.ctx_id, s.ctx,
+          MIN({{'k': -s.n, 'g': s.gram, 'c': st.cnt}}) AS m
+        FROM sfx s JOIN stats st ON st.n = s.n AND st.gram = s.gram
+        GROUP BY 1, 2)
+SELECT ctx_id, ctx, CAST(-(m).k AS BIGINT) AS matched_n,
+  (m).g AS suffix, CAST((m).c AS BIGINT) AS cnt
+FROM hit"""
+
+
+@spec(
+    "doc_infinigram_sa_backoff",
+    _igs_oracle(),
+    description="Infini-gram backoff answered from the persisted "
+                "suffix-array artifact (ladder + pair-table rank "
+                "lookups, shared with the suffix-dedup family): "
+                "query rank ladder by O(query * log n) pair-table "
+                "probes, occurrence counts by the overlapping-"
+                "window rank match, longest-suffix winner per "
+                "context — graded against an independent position-"
+                "slice oracle, not a ladder replay",
+    tags=("pipeline", "text", "ngram", "iterative"),
+)
+def q_doc_infinigram_sa_backoff(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.ngram_index import (
+        sa_backoff_longest_suffix)
+    from xsarsea_spark.pipeline.suffix import (
+        suffix_probe_index_cached)
+
+    docs = load(spark, sf_dir, "documents").filter(
+        f"text IS NOT NULL AND doc_id % {_IGS_MOD} = 0")
+    el = (docs.selectExpr("doc_id", "split(text, ' ') AS l")
+          .filter(f"size(l) >= {_IGS_MAXN}"))
+    c1 = (el.orderBy(F.col("doc_id").asc()).limit(2)
+          .selectExpr("'p6:' || CAST(doc_id AS STRING) AS ctx_id",
+                      f"array_join(slice(l, 1, {_IGS_MAXN}), ' ')"
+                      " AS ctx"))
+    c2 = (el.orderBy(F.col("doc_id").desc()).limit(2)
+          .selectExpr("'bk:' || CAST(doc_id AS STRING) AS ctx_id",
+                      "'zzz ' || array_join("
+                      f"slice(l, 1, {_IGS_MAXN - 1}), ' ') AS ctx"))
+    ctx = materialize(c1.unionAll(c2))
+    tables, pairs = suffix_probe_index_cached(
+        docs, _SFX_ROUNDS, max_level=_IGS_MAXN.bit_length() - 1)
+    return sa_backoff_longest_suffix(ctx, tables, pairs, _IGS_MAXN)
+
+
+# ----------------------------------------------------------------------
 # Unigram-LM (SentencePiece) tokenizer training — the EM half of the
 # tokenizer story next to BPE: substring seed vocabulary, INT64
 # nanonat piece costs (FLOOR(ln(total/cnt)*1e9) — the only libm call,
@@ -11544,6 +11642,143 @@ def q_doc_unigram_fertility(spark: SparkSession,
                  F.expr("CAST(SUM(c * length(w)) AS DOUBLE)"
                         " / CAST(SUM(c * np) AS DOUBLE)")
                  .alias("chars_per_piece")))
+
+
+# ----------------------------------------------------------------------
+# Perplexity quality bucketing under the PERSISTED unigram-LM
+# artifact — the CCNet regime (Wenzek et al. 2020 §4.4: score every
+# document with a reference LM, split each language into
+# head/middle/tail thirds by perplexity; head = lowest perplexity =
+# most reference-like), per language, scored with the saved
+# tokenizer artifact (the doc_unigram_artifact_segment lifecycle:
+# persist the vocabulary counts, reload, re-derive costs) — the
+# unigram-LM counterpart of the bigram-LM doc_perplexity_buckets.
+# The per-document score is exact INT64 arithmetic end to end: total
+# Viterbi nanonat cost / total pieces over the doc's word
+# occurrences (words <= ULM_MAXW chars, the family's DP-depth
+# contract), joined from the vocabulary-scale segmentation table
+# (broadcast). Terciles are rank arithmetic on the (lang, score,
+# doc_id) total order — ridden on the two-pass distributed rank, no
+# corpus-wide window — with per-language offsets/counts from one
+# hash agg: rn*3 <= n -> head, rn*3 <= 2n -> middle, else tail.
+# ----------------------------------------------------------------------
+
+
+def _ppl_oracle() -> str:
+    from xsarsea_spark.pipeline.unigram import ULM_MAXW, ULM_ROUNDS
+    from xsarsea_spark.suite.base import DSUM
+
+    parts = _ulm_seed_ctes()
+    for r in range(ULM_ROUNDS):
+        parts += _ulm_round_ctes(r, with_mstep=True)
+    parts += _ulm_round_ctes(ULM_ROUNDS, with_mstep=False)
+    parts += [
+        f"ow AS (SELECT doc_id, lang, w FROM (SELECT doc_id, lang,"
+        f" unnest(string_split(text, ' ')) AS w FROM documents"
+        f" WHERE text IS NOT NULL AND lang IS NOT NULL) t"
+        f" WHERE length(w) BETWEEN 1 AND {ULM_MAXW})",
+        f"npp AS (SELECT w, k,"
+        f" CAST(len(string_split(path, ' ')) AS BIGINT) AS np"
+        f" FROM seg{ULM_ROUNDS})",
+        "dcp AS (SELECT doc_id, lang,"
+        " CAST(SUM(k) AS BIGINT) AS c,"
+        " CAST(SUM(np) AS BIGINT) AS p"
+        " FROM ow JOIN npp USING (w) GROUP BY 1, 2)",
+        "scp AS (SELECT doc_id, lang, c, p,"
+        " CAST(c AS DOUBLE) / CAST(p AS DOUBLE) AS r FROM dcp)",
+        "rkp AS (SELECT lang, c, p, r,"
+        " ROW_NUMBER() OVER (PARTITION BY lang ORDER BY r, doc_id)"
+        " AS rn,"
+        " COUNT(*) OVER (PARTITION BY lang) AS n FROM scp)",
+        "bkp AS (SELECT lang,"
+        " CASE WHEN rn * 3 <= n THEN 'head'"
+        " WHEN rn * 3 <= 2 * n THEN 'middle'"
+        " ELSE 'tail' END AS bucket, c, p, r FROM rkp)",
+    ]
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(c) AS BIGINT) AS sum_cost_ns,
+  CAST(SUM(p) AS BIGINT) AS sum_pieces,
+  {DSUM(QTRUNC('r / CAST(1e9 AS DOUBLE)', 9), 12)} / COUNT(*)
+    AS mean_nats
+FROM bkp GROUP BY lang, bucket""")
+
+
+@spec(
+    "doc_unigram_ppl_buckets",
+    _ppl_oracle(),
+    description="CCNet-style per-language perplexity bucketing "
+                "under the PERSISTED unigram-LM artifact (save "
+                "vocabulary counts, reload, re-derive costs): "
+                "per-doc INT64 nanonat cost per piece, head/middle/"
+                "tail terciles by rank arithmetic on the "
+                "distributed two-pass rank — bucket populations and "
+                "exact cost sums value-identical to the DP-ladder "
+                "oracle replay",
+    tags=("pipeline", "text", "tokenizer", "quality", "formats"),
+)
+def q_doc_unigram_ppl_buckets(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from xsarsea_spark.engine import materialize, scratch_path
+    from xsarsea_spark.operators.rank import global_rank
+    from xsarsea_spark.pipeline.unigram import (ULM_MAXW, em_round,
+                                                piece_costs,
+                                                seed_vocab,
+                                                viterbi_segment,
+                                                word_freqs)
+    from xsarsea_spark.suite.base import DSUM
+
+    docs = load(spark, sf_dir, "documents")
+    wf = materialize(word_freqs(docs))
+    vocab = materialize(seed_vocab(wf))
+    for _ in range(2):
+        vocab = materialize(em_round(wf, vocab))
+    path = scratch_path(spark, "unigram_ppl_vocab", sf_dir)
+    # the saved tokenizer: (piece, cnt) BIGINT rows — repartition(1),
+    # not coalesce(1) (the documented local-relation write stall)
+    vocab.repartition(1).write.mode("overwrite").parquet(path)
+    loaded = spark.read.parquet(path)
+    # no checkpoint: the broadcast exchange computes the vocabulary-
+    # scale segmentation exactly once
+    seg = (viterbi_segment(wf, piece_costs(loaded))
+           .select("w", "cost_ns", "n_pieces"))
+    occ = (docs.filter("text IS NOT NULL AND lang IS NOT NULL")
+           .selectExpr("doc_id", "lang",
+                       "explode(split(text, ' ')) AS w")
+           .filter(F.length("w").between(1, ULM_MAXW)))
+    dc = (occ.join(F.broadcast(seg), on="w")
+          .groupBy("doc_id", "lang")
+          .agg(F.expr("CAST(SUM(cost_ns) AS BIGINT)").alias("c"),
+               F.expr("CAST(SUM(n_pieces) AS BIGINT)").alias("p")))
+    scored = dc.selectExpr(
+        "doc_id", "lang", "c", "p",
+        "CAST(c AS DOUBLE) / CAST(p AS DOUBLE) AS r")
+    ranked = global_rank(
+        scored,
+        [F.col("lang").asc(), F.col("r").asc(),
+         F.col("doc_id").asc()],
+        rank_col="__g")
+    ls = ranked.groupBy("lang").agg(
+        F.min("__g").alias("__off"),
+        F.count(F.lit(1)).alias("__n"))
+    bucketed = (ranked.join(F.broadcast(ls), on="lang")
+                .selectExpr("lang", "c", "p", "r",
+                            "__g - __off + 1 AS __rn", "__n")
+                .selectExpr(
+                    "lang",
+                    "CASE WHEN __rn * 3 <= __n THEN 'head'"
+                    " WHEN __rn * 3 <= 2 * __n THEN 'middle'"
+                    " ELSE 'tail' END AS bucket",
+                    "c", "p", "r"))
+    return (bucketed.groupBy("lang", "bucket")
+            .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+                 F.expr("CAST(SUM(c) AS BIGINT)")
+                 .alias("sum_cost_ns"),
+                 F.expr("CAST(SUM(p) AS BIGINT)")
+                 .alias("sum_pieces"),
+                 F.expr(DSUM(QTRUNC("r / CAST(1e9 AS DOUBLE)", 9),
+                             12) + " / COUNT(*)")
+                 .alias("mean_nats")))
 
 
 # ----------------------------------------------------------------------
