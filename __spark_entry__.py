@@ -61,7 +61,9 @@ _PRIORITY = [
     # unigram-artifact perplexity buckets) plus the two late r12
     # additions the r12 window missed:
     "doc_infinigram_sa_backoff", "events_dpo_pairs",
-    "doc_unigram_ppl_buckets", "events_benford", "events_autocorr",
+    "doc_unigram_ppl_buckets", "doc_good_turing",
+    "events_cramers_v", "events_mann_kendall",
+    "events_benford", "events_autocorr",
     # (b) the complete round-6 sentinel cohort (the 21 the r12
     # window deferred — after this row the whole registry is
     # round-7+ fresh):
@@ -83,9 +85,10 @@ _PRIORITY = [
     # — re-rowed as regression insurance:
     "doc_longest_dup_span", "doc_source_crossdup_matrix",
     "doc_infinigram_backoff", "events_bradley_terry",
-    # (d) 20 of the 35 round-7 sentinels (now the stalest cohort;
-    # flagship science rows lead). The 15 that do not fit
-    # (embedding_binary_quant_recall, embedding_sq8_recall,
+    # (d) 17 of the 35 round-7 sentinels (now the stalest cohort;
+    # flagship science rows lead). The 18 that do not fit
+    # (doc_source_cap, doc_tokenizer_fertility, doc_winnow_neardup,
+    # embedding_binary_quant_recall, embedding_sq8_recall,
     # lineitem_dq_gate, minhash_cross_snapshot, minhash_incremental,
     # multimodal_phash, neardup_quality_keeper,
     # q02_min_cost_supplier, q11_important_parts,
@@ -99,8 +102,6 @@ _PRIORITY = [
     "doc_classifier_perlang", "doc_length_psi", "doc_line_dedup",
     "doc_mixture_schedule", "doc_quality_classifier",
     "doc_shard_assignment", "doc_source_boilerplate",
-    "doc_source_cap", "doc_tokenizer_fertility",
-    "doc_winnow_neardup",
 ]
 
 

@@ -1220,3 +1220,53 @@ def test_round13_plans_are_scale_safe(audit_spark):
             assert "__pid" in ln, f"unigram_ppl_buckets: {ln}"
         if "NestedLoopJoin" in ln:
             assert "Broadcast" in ln, ln
+
+
+def test_round13_second_wave_plans_are_scale_safe(audit_spark):
+    """doc_good_turing: one (lang, word) hash agg + language-sized
+    rollup — no window, no cartesian, nothing O(sf) broadcast.
+    events_cramers_v: one corpus hash agg; the expected grid is a
+    broadcast cross of two bounded margin frames (types x weekday
+    residues). events_mann_kendall: the pair join runs over the
+    bounded daily frame under an explicit broadcast, corpus meets
+    only the per-day mean agg (the theil_sen rule: any events
+    parquet under a broadcast is day-aggregated first)."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["doc_good_turing"].spark(audit_spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert not _broadcast_scans(plan)
+    for ln in plan.splitlines():
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            raise AssertionError(f"doc_good_turing: {ln}")
+
+    for name in ("events_cramers_v", "events_mann_kendall"):
+        plan = (REGISTRY[name].spark(audit_spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan, name
+        for ln in plan.splitlines():
+            if "Window" in ln and "WindowGroupLimit" not in ln:
+                raise AssertionError(f"{name}: {ln}")
+            if "NestedLoopJoin" in ln:
+                assert "Broadcast" in ln, f"{name}: {ln}"
+        # the market_basket "broadcast the COUNT, not the table"
+        # rule: every broadcast subtree that reaches events.parquet
+        # must aggregate first (margins / totals / daily means are
+        # all bounded aggregates of the corpus)
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "BroadcastExchange" not in ln:
+                continue
+            depth = len(ln) - len(ln.lstrip())
+            saw_agg, saw_events = False, False
+            for nxt in lines[i + 1:]:
+                nd = len(nxt) - len(nxt.lstrip())
+                if nxt.strip() and nd <= depth:
+                    break
+                if "HashAggregate" in nxt:
+                    saw_agg = True
+                if "events.parquet" in nxt:
+                    saw_events = True
+            assert saw_agg or not saw_events, \
+                f"{name}: raw events under broadcast: {ln}"

@@ -3866,6 +3866,200 @@ def q_events_theil_sen(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
+# Mann-Kendall trend test (Mann 1945, Kendall 1975) — the
+# nonparametric significance companion to events_theil_sen's slope:
+# S = sum of pairwise signs over the per-day exact-DECIMAL means,
+# tie-corrected variance, the standard continuity-corrected z. The
+# pair frame is bounded by the day-span square (a time-range
+# property); the corpus appears in ONE per-day mean hash agg. All
+# inputs to the final z are exact integers or identically-derived
+# doubles (sqrt is IEEE-exact), so no quantization barrier is
+# needed anywhere.
+# ----------------------------------------------------------------------
+
+_MK_Z95 = 1.959963984540054
+
+
+def _mk_oracle() -> str:
+    return f"""
+WITH daily AS (
+  SELECT {_US_DUCK} // 86400000000 AS day, {DAVG('value')} AS m
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+sgn AS (SELECT CAST(SUM(CASE WHEN b.m > a.m THEN 1
+                 WHEN b.m < a.m THEN -1 ELSE 0 END) AS BIGINT) AS s
+        FROM daily a JOIN daily b ON b.day > a.day),
+tg AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily
+       GROUP BY m HAVING COUNT(*) > 1),
+tc AS (SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+         AS BIGINT) AS corr,
+         CAST(COUNT(*) AS BIGINT) AS n_tie_groups FROM tg),
+vr AS (SELECT CAST(nd.n * (nd.n - 1) * (2 * nd.n + 5) - tc.corr
+         AS DOUBLE) / CAST(18 AS DOUBLE) AS var_s,
+         tc.n_tie_groups FROM nd, tc),
+zs AS (SELECT CASE
+         WHEN sgn.s > 0 THEN CAST(sgn.s - 1 AS DOUBLE) / sqrt(vr.var_s)
+         WHEN sgn.s < 0 THEN CAST(sgn.s + 1 AS DOUBLE) / sqrt(vr.var_s)
+         ELSE CAST(0.0 AS DOUBLE) END AS z
+       FROM sgn, vr)
+SELECT nd.n AS n_days, sgn.s AS s_stat, vr.n_tie_groups,
+  vr.var_s, zs.z AS z_score,
+  CASE WHEN zs.z > CAST({_MK_Z95!r} AS DOUBLE) THEN 'increasing'
+       WHEN zs.z < -CAST({_MK_Z95!r} AS DOUBLE) THEN 'decreasing'
+       ELSE 'no_trend' END AS trend
+FROM nd, sgn, vr, zs"""
+
+
+@spec(
+    "events_mann_kendall",
+    _mk_oracle(),
+    description="Mann-Kendall nonparametric trend test on the daily "
+                "mean: pairwise-sign S over the bounded daily frame, "
+                "tie-corrected variance, continuity-corrected z and "
+                "the 95% trend verdict — exact integers and "
+                "IEEE-identical arithmetic end to end",
+    tags=("events", "stats"),
+)
+def q_events_mann_kendall(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter("ts IS NOT NULL")
+    daily = (ev.groupBy(F.expr(f"({_US_SPARK}) DIV 86400000000")
+                        .alias("day"))
+             .agg(F.expr(DAVG("value")).alias("m")))
+    nd = daily.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"))
+    a = daily.selectExpr("day AS d1", "m AS m1")
+    b = daily.selectExpr("day AS d2", "m AS m2")
+    sgn = (a.join(F.broadcast(b), F.col("d2") > F.col("d1"))
+           .agg(F.expr("CAST(SUM(CASE WHEN m2 > m1 THEN 1"
+                       " WHEN m2 < m1 THEN -1 ELSE 0 END)"
+                       " AS BIGINT)").alias("s")))
+    tc = (daily.groupBy("m")
+          .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("t"))
+          .filter("t > 1")
+          .agg(F.expr("CAST(COALESCE(SUM(t * (t - 1)"
+                      " * (2 * t + 5)), 0) AS BIGINT)")
+               .alias("corr"),
+               F.expr("CAST(COUNT(*) AS BIGINT)")
+               .alias("n_tie_groups")))
+    return (nd.crossJoin(F.broadcast(sgn))
+            .crossJoin(F.broadcast(tc))
+            .selectExpr(
+                "n", "s", "n_tie_groups",
+                "CAST(n * (n - 1) * (2 * n + 5) - corr AS DOUBLE)"
+                " / CAST(18 AS DOUBLE) AS var_s")
+            .selectExpr(
+                "n", "s", "n_tie_groups", "var_s",
+                "CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)"
+                " / sqrt(var_s)"
+                " WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)"
+                " / sqrt(var_s)"
+                " ELSE CAST(0.0 AS DOUBLE) END AS z")
+            .selectExpr(
+                "n AS n_days", "s AS s_stat", "n_tie_groups",
+                "var_s", "z AS z_score",
+                f"CASE WHEN z > CAST({_MK_Z95!r} AS DOUBLE)"
+                " THEN 'increasing'"
+                f" WHEN z < -CAST({_MK_Z95!r} AS DOUBLE)"
+                " THEN 'decreasing'"
+                " ELSE 'no_trend' END AS trend"))
+
+
+# ----------------------------------------------------------------------
+# Cramér's V association between event type and day-of-week — the
+# contingency-independence check a metrics pipeline runs before
+# trusting a per-weekday rollup (is the type mix stable across the
+# week?). The weekday key is the epoch-day residue mod 7 (pure
+# integer arithmetic, engine-neutral — no calendar functions whose
+# week conventions differ). The full R x C expected grid comes from
+# a broadcast cross of the two bounded margin frames LEFT-joined to
+# the observed cells (zero cells contribute their expectation);
+# chi-square terms are QTRUNC'd onto the 1e-9 grid before the exact
+# DECIMAL sum; V's sqrt is IEEE-exact. ONE corpus-scale hash agg.
+# ----------------------------------------------------------------------
+
+
+def _cv_oracle() -> str:
+    from xsarsea_spark.suite.base import DSUM, QTRUNC
+
+    term = QTRUNC("(CAST(COALESCE(o.c, 0) AS DOUBLE) - e.e)"
+                  " * (CAST(COALESCE(o.c, 0) AS DOUBLE) - e.e)"
+                  " / e.e", 9)
+    return f"""
+WITH base AS (
+  SELECT event_type, ({_US_DUCK} // 86400000000) % 7 AS dow
+  FROM events WHERE ts IS NOT NULL),
+obs AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY 1, 2),
+rt AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS r
+       FROM obs GROUP BY 1),
+ct AS (SELECT dow, CAST(SUM(c) AS BIGINT) AS k FROM obs GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM obs),
+e AS (SELECT rt.event_type, ct.dow,
+        CAST(rt.r * ct.k AS DOUBLE) / CAST(tot.n AS DOUBLE) AS e
+      FROM rt, ct, tot),
+x2 AS (SELECT {DSUM(term, 12)} AS chi2
+       FROM e LEFT JOIN obs o
+         ON o.event_type = e.event_type AND o.dow = e.dow),
+dims AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM rt),
+dimc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM ct)
+SELECT tot.n AS n_events, dims.nr AS n_types, dimc.nc AS n_dows,
+  x2.chi2,
+  CAST((dims.nr - 1) * (dimc.nc - 1) AS BIGINT) AS dof,
+  sqrt(x2.chi2 / (CAST(tot.n AS DOUBLE)
+    * CAST(LEAST(dims.nr - 1, dimc.nc - 1) AS DOUBLE)))
+    AS cramers_v
+FROM tot, dims, dimc, x2"""
+
+
+@spec(
+    "events_cramers_v",
+    _cv_oracle(),
+    description="Cramér's V association between event type and the "
+                "epoch-day weekday residue: full expected grid from "
+                "broadcast margins (zero cells included), on-grid "
+                "chi-square DECIMAL sum, IEEE-exact sqrt — one "
+                "corpus hash agg, windowless",
+    tags=("events", "stats", "quality"),
+)
+def q_events_cramers_v(spark: SparkSession,
+                       sf_dir: str) -> DataFrame:
+    from xsarsea_spark.suite.base import DSUM, QTRUNC
+
+    ev = load(spark, sf_dir, "events").filter("ts IS NOT NULL")
+    obs = (ev.selectExpr("event_type",
+                         f"(({_US_SPARK}) DIV 86400000000) % 7"
+                         " AS dow")
+           .groupBy("event_type", "dow")
+           .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("c")))
+    rt = obs.groupBy("event_type").agg(
+        F.expr("CAST(SUM(c) AS BIGINT)").alias("r"))
+    ct = obs.groupBy("dow").agg(
+        F.expr("CAST(SUM(c) AS BIGINT)").alias("k"))
+    tot = obs.agg(F.expr("CAST(SUM(c) AS BIGINT)").alias("n"))
+    e = (rt.crossJoin(F.broadcast(ct))
+         .crossJoin(F.broadcast(tot))
+         .selectExpr("event_type", "dow",
+                     "CAST(r * k AS DOUBLE) / CAST(n AS DOUBLE)"
+                     " AS e"))
+    term = QTRUNC("(CAST(COALESCE(c, 0) AS DOUBLE) - e)"
+                  " * (CAST(COALESCE(c, 0) AS DOUBLE) - e) / e", 9)
+    x2 = (e.join(obs, on=["event_type", "dow"], how="left")
+          .agg(F.expr(DSUM(term, 12)).alias("chi2")))
+    dims = rt.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("nr"))
+    dimc = ct.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("nc"))
+    return (tot.crossJoin(F.broadcast(dims))
+            .crossJoin(F.broadcast(dimc))
+            .crossJoin(F.broadcast(x2))
+            .selectExpr(
+                "n AS n_events", "nr AS n_types", "nc AS n_dows",
+                "chi2",
+                "CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof",
+                "sqrt(chi2 / (CAST(n AS DOUBLE)"
+                " * CAST(LEAST(nr - 1, nc - 1) AS DOUBLE)))"
+                " AS cramers_v"))
+
+
+# ----------------------------------------------------------------------
 # Poisson-bootstrap confidence intervals (the one-pass bootstrap of
 # Chamandy et al. 2012 — the resampling a metrics platform runs when
 # the data cannot be materialized B times): per (row, replicate) a

@@ -10969,6 +10969,72 @@ def q_doc_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Good-Turing vocabulary statistics (Gale & Sampson 1995, the
+# simple-GT regime) — the unseen-mass estimate an LM-data pipeline
+# reads before trusting a vocabulary: per language, the token count,
+# vocabulary size, the frequency-of-frequency counts N1..N3, the
+# Good-Turing unseen-probability mass P0 = N1/N and the smoothed
+# count for singletons r*(1) = 2*N2/N1. One (lang, word) hash agg
+# over the corpus, then a language-sized rollup — all integers and
+# two exact-inputs divisions, windowless.
+# ----------------------------------------------------------------------
+
+_GT_ORACLE = """
+WITH wf AS (
+  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS w
+    FROM documents
+    WHERE text IS NOT NULL AND lang IS NOT NULL) t
+  WHERE w <> '' GROUP BY 1, 2)
+SELECT lang,
+  CAST(SUM(c) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) AS BIGINT) AS vocab,
+  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+  CAST(SUM(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(c) AS DOUBLE) AS p_unseen,
+  CASE WHEN SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) > 0 THEN
+    CAST(2 * SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      / CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+  END AS gt_r1_star
+FROM wf GROUP BY lang"""
+
+
+@spec(
+    "doc_good_turing",
+    _GT_ORACLE,
+    description="Good-Turing vocabulary report per language: token "
+                "count, vocabulary, frequency-of-frequency N1-N3, "
+                "unseen mass P0 = N1/N and the smoothed singleton "
+                "count 2*N2/N1 — one (lang, word) hash agg, exact "
+                "integers, windowless",
+    tags=("pipeline", "text", "lm"),
+)
+def q_doc_good_turing(spark: SparkSession,
+                      sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    wf = (docs.filter("text IS NOT NULL AND lang IS NOT NULL")
+          .selectExpr("lang", "explode(split(text, ' ')) AS w")
+          .filter("w <> ''")
+          .groupBy("lang", "w")
+          .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("c")))
+    n1 = "SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)"
+    n2 = "SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)"
+    return (wf.groupBy("lang").agg(
+        F.expr("CAST(SUM(c) AS BIGINT)").alias("n_tokens"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("vocab"),
+        F.expr(f"CAST({n1} AS BIGINT)").alias("n1"),
+        F.expr(f"CAST({n2} AS BIGINT)").alias("n2"),
+        F.expr("CAST(SUM(CASE WHEN c = 3 THEN 1 ELSE 0 END)"
+               " AS BIGINT)").alias("n3"),
+        F.expr(f"CAST({n1} AS DOUBLE) / CAST(SUM(c) AS DOUBLE)")
+        .alias("p_unseen"),
+        F.expr(f"CASE WHEN {n1} > 0 THEN CAST(2 * {n2} AS DOUBLE)"
+               f" / CAST({n1} AS DOUBLE) END").alias("gt_r1_star")))
+
+
+# ----------------------------------------------------------------------
 # Per-source duplication profile — the triage report run before
 # choosing dedup effort per ingest source: exact content identity
 # (md5), per source the doc count, distinct-content count, the
