@@ -63,6 +63,7 @@ _PRIORITY = [
     "doc_infinigram_sa_backoff", "events_dpo_pairs",
     "doc_unigram_ppl_buckets", "doc_good_turing",
     "events_cramers_v", "events_mann_kendall",
+    "events_cusum_shift", "doc_char_trigram_entropy",
     "events_benford", "events_autocorr",
     # (b) the complete round-6 sentinel cohort (the 21 the r12
     # window deferred — after this row the whole registry is
@@ -85,9 +86,11 @@ _PRIORITY = [
     # — re-rowed as regression insurance:
     "doc_longest_dup_span", "doc_source_crossdup_matrix",
     "doc_infinigram_backoff", "events_bradley_terry",
-    # (d) 17 of the 35 round-7 sentinels (now the stalest cohort;
-    # flagship science rows lead). The 18 that do not fit
-    # (doc_source_cap, doc_tokenizer_fertility, doc_winnow_neardup,
+    # (d) 15 of the 35 round-7 sentinels (now the stalest cohort;
+    # flagship science rows lead). The 20 that do not fit
+    # (doc_source_boilerplate, doc_source_cap,
+    # doc_tokenizer_fertility, doc_winnow_neardup,
+    # doc_shard_assignment,
     # embedding_binary_quant_recall, embedding_sq8_recall,
     # lineitem_dq_gate, minhash_cross_snapshot, minhash_incremental,
     # multimodal_phash, neardup_quality_keeper,
@@ -101,7 +104,6 @@ _PRIORITY = [
     "doc_classifier_auc", "doc_classifier_calibration",
     "doc_classifier_perlang", "doc_length_psi", "doc_line_dedup",
     "doc_mixture_schedule", "doc_quality_classifier",
-    "doc_shard_assignment", "doc_source_boilerplate",
 ]
 
 

@@ -1270,3 +1270,42 @@ def test_round13_second_wave_plans_are_scale_safe(audit_spark):
                     saw_events = True
             assert saw_agg or not saw_events, \
                 f"{name}: raw events under broadcast: {ln}"
+
+
+def test_round13_third_wave_plans_are_scale_safe(audit_spark):
+    """events_cusum_shift: the cumulative machinery (one running
+    sum + one running min) orders the BOUNDED daily frame — global
+    windows over day-span inputs, the theil_sen class; every
+    broadcast subtree reaching events.parquet aggregates first.
+    doc_char_trigram_entropy: one all-JVM substring-explode scan +
+    (lang, trigram) hash agg + language rollup — windowless."""
+    from xsarsea_spark.suite import REGISTRY
+
+    plan = (REGISTRY["events_cusum_shift"].spark(audit_spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        depth = len(ln) - len(ln.lstrip())
+        saw_agg, saw_events = False, False
+        for nxt in lines[i + 1:]:
+            nd = len(nxt) - len(nxt.lstrip())
+            if nxt.strip() and nd <= depth:
+                break
+            if "HashAggregate" in nxt:
+                saw_agg = True
+            if "events.parquet" in nxt:
+                saw_events = True
+        assert saw_agg or not saw_events, \
+            f"cusum: raw events under broadcast: {ln}"
+
+    plan = (REGISTRY["doc_char_trigram_entropy"]
+            .spark(audit_spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert not _broadcast_scans(plan)
+    for ln in plan.splitlines():
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            raise AssertionError(f"doc_char_trigram_entropy: {ln}")

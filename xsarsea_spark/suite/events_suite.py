@@ -4060,6 +4060,115 @@ def q_events_cramers_v(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
+# CUSUM mean-shift detection (Page 1954) over the daily mean — the
+# change-point alarm a metrics pipeline keeps next to the trend
+# tests: S_i = max(0, S_{i-1} + x_i - mu). The recurrence has the
+# closed form S_i = P_i - min(0, min_{j<=i} P_j) with P the running
+# sum of deviations, so it is ONE cumulative sum plus ONE running
+# min over the bounded daily frame — no sequential fold anywhere.
+# Exactness: daily means are QTRUNC'd onto the 1e-9 grid, the
+# global mean is an exact DECIMAL sum + one division, deviations
+# are re-QTRUNC'd, and the cumulative machinery runs on
+# DECIMAL(38,9) (exact, order-free); the only doubles are the final
+# projections. The alarm threshold is 4x the mean absolute
+# deviation — data-derived, identically computed in both engines.
+# ----------------------------------------------------------------------
+
+
+def _cusum_oracle() -> str:
+    x = QTRUNC("m", 9)
+    dev = QTRUNC("x - mu", 9)
+    mad_t = QTRUNC("abs(x - mu)", 9)
+    return f"""
+WITH daily AS (
+  SELECT {_US_DUCK} // 86400000000 AS day, {DAVG('value')} AS m
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+dx AS (SELECT day, {x} AS x FROM daily),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mu FROM dx),
+dv AS (SELECT day, {dev} AS d,
+         {mad_t} AS ad FROM dx, st),
+h AS (SELECT CAST(4 AS DOUBLE)
+        * (CAST(SUM(CAST(ad AS DECIMAL(38,9))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE)) AS h FROM dv),
+cs AS (SELECT day,
+         CAST(SUM(CAST(d AS DECIMAL(38,9))) OVER (ORDER BY day)
+           AS DECIMAL(30,9)) AS p
+       FROM dv),
+cu AS (SELECT day,
+         CAST(p - LEAST(MIN(p) OVER (ORDER BY day),
+                        CAST(0 AS DECIMAL(30,9))) AS DOUBLE) AS s
+       FROM cs),
+al AS (SELECT CAST(COUNT(CASE WHEN cu.s > h.h THEN 1 END)
+         AS BIGINT) AS n_alarms,
+         MAX(cu.s) AS max_cusum,
+         MIN(CASE WHEN cu.s > h.h THEN cu.day END)
+           AS first_alarm_day
+       FROM cu, h)
+SELECT st.n AS n_days, st.mu, h.h AS threshold,
+  al.max_cusum, al.n_alarms,
+  CAST(al.first_alarm_day AS BIGINT) AS first_alarm_day
+FROM st, h, al"""
+
+
+@spec(
+    "events_cusum_shift",
+    _cusum_oracle(),
+    description="CUSUM mean-shift detection on the daily mean via "
+                "the closed form (cumulative deviation sum minus "
+                "its running min, both exact DECIMAL over the "
+                "bounded daily frame): max statistic, alarm count "
+                "and first alarm day against a 4x-MAD threshold",
+    tags=("events", "stats", "quality"),
+)
+def q_events_cusum_shift(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").filter("ts IS NOT NULL")
+    daily = (ev.groupBy(F.expr(f"({_US_SPARK}) DIV 86400000000")
+                        .alias("day"))
+             .agg(F.expr(DAVG("value")).alias("m")))
+    dx = daily.selectExpr("day", QTRUNC("m", 9) + " AS x")
+    st = dx.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE)"
+               " / CAST(COUNT(*) AS DOUBLE)").alias("mu"))
+    dv = (dx.crossJoin(F.broadcast(st))
+          .selectExpr("day", QTRUNC("x - mu", 9) + " AS d",
+                      QTRUNC("abs(x - mu)", 9) + " AS ad"))
+    h = dv.agg(
+        F.expr("CAST(4 AS DOUBLE)"
+               " * (CAST(SUM(CAST(ad AS DECIMAL(38,9))) AS DOUBLE)"
+               " / CAST(COUNT(*) AS DOUBLE))").alias("h"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0)
+    # the cumulative sum widens to DECIMAL(38,9); narrow it to
+    # (30,9) BEFORE the subtraction — Spark promotes a (38,9)-(38,9)
+    # difference to precision 39, which caps at 38 by SHRINKING the
+    # scale to 8 (a silent digit loss DuckDB does not mirror)
+    cs = dv.withColumn(
+        "p", F.sum(F.expr("CAST(d AS DECIMAL(38,9))")).over(w)
+        .cast("decimal(30,9)"))
+    cu = (cs.withColumn("__rm", F.min("p").over(w))
+          .selectExpr(
+              "day",
+              "CAST(p - LEAST(__rm, CAST(0 AS DECIMAL(30,9)))"
+              " AS DOUBLE) AS s"))
+    al = (cu.crossJoin(F.broadcast(h))
+          .agg(F.expr("CAST(COUNT(CASE WHEN s > h THEN 1 END)"
+                      " AS BIGINT)").alias("n_alarms"),
+               F.expr("MAX(s)").alias("max_cusum"),
+               F.expr("CAST(MIN(CASE WHEN s > h THEN day END)"
+                      " AS BIGINT)").alias("first_alarm_day")))
+    return (st.crossJoin(F.broadcast(h))
+            .crossJoin(F.broadcast(al))
+            .selectExpr("n AS n_days", "mu", "h AS threshold",
+                        "max_cusum", "n_alarms", "first_alarm_day"))
+
+
+# ----------------------------------------------------------------------
 # Poisson-bootstrap confidence intervals (the one-pass bootstrap of
 # Chamandy et al. 2012 — the resampling a metrics platform runs when
 # the data cannot be materialized B times): per (row, replicate) a

@@ -11035,6 +11035,76 @@ def q_doc_good_turing(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
+# Character-trigram entropy per language — the signal the n-gram
+# language-ID family ranks on, reported as a corpus statistic: the
+# Shannon entropy of each language's character-trigram distribution
+# (raw text, all positions). H = ln(N) - (sum c*ln(c)) / N needs
+# only per-trigram counts: ONE all-JVM substring-explode scan and a
+# (lang, trigram) hash agg; the c*ln(c) terms are QTRUNC'd onto the
+# 1e-9 grid before the exact DECIMAL sum (c*ln(c) stays far inside
+# the 2^53 grid bound at any graded scale), and ln(N) sits behind
+# its own barrier. Windowless.
+# ----------------------------------------------------------------------
+
+
+def _cte_oracle() -> str:
+    from xsarsea_spark.suite.base import DSUM, QTRUNC
+
+    term = QTRUNC("CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))", 9)
+    lnn = QTRUNC("ln(CAST(SUM(c) AS DOUBLE))", 12)
+    return f"""
+WITH tri AS (
+  SELECT lang, substr(text, i, 3) AS tg FROM (
+    SELECT lang, text FROM documents
+    WHERE text IS NOT NULL AND lang IS NOT NULL
+      AND length(text) >= 3) t,
+    unnest(range(1, length(text) - 1)) AS u(i)),
+tc AS (SELECT lang, tg, CAST(COUNT(*) AS BIGINT) AS c
+       FROM tri GROUP BY 1, 2)
+SELECT lang,
+  CAST(SUM(c) AS BIGINT) AS n_trigrams,
+  CAST(COUNT(*) AS BIGINT) AS distinct_trigrams,
+  {lnn} - {DSUM(term, 12)} / CAST(SUM(c) AS DOUBLE)
+    AS entropy_nats,
+  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_share
+FROM tc GROUP BY lang"""
+
+
+@spec(
+    "doc_char_trigram_entropy",
+    _cte_oracle(),
+    description="Per-language character-trigram Shannon entropy "
+                "(the n-gram language-ID signal as a corpus "
+                "statistic): one all-JVM substring-explode scan, "
+                "one hash agg, on-grid c*ln(c) DECIMAL sum — plus "
+                "the top-trigram share",
+    tags=("pipeline", "text", "lm"),
+)
+def q_doc_char_trigram_entropy(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from xsarsea_spark.suite.base import DSUM
+
+    term = QTRUNC("CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))", 9)
+    lnn = QTRUNC("ln(CAST(SUM(c) AS DOUBLE))", 12)
+    docs = load(spark, sf_dir, "documents")
+    tri = (docs.filter("text IS NOT NULL AND lang IS NOT NULL"
+                       " AND length(text) >= 3")
+           .selectExpr(
+               "lang",
+               "explode(transform(sequence(1, length(text) - 2),"
+               " i -> substring(text, i, 3))) AS tg"))
+    tc = (tri.groupBy("lang", "tg")
+          .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("c")))
+    return (tc.groupBy("lang").agg(
+        F.expr("CAST(SUM(c) AS BIGINT)").alias("n_trigrams"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("distinct_trigrams"),
+        F.expr(f"{lnn} - {DSUM(term, 12)}"
+               " / CAST(SUM(c) AS DOUBLE)").alias("entropy_nats"),
+        F.expr("CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)")
+        .alias("top_share")))
+
+
+# ----------------------------------------------------------------------
 # Per-source duplication profile — the triage report run before
 # choosing dedup effort per ingest source: exact content identity
 # (md5), per source the doc count, distinct-content count, the
