@@ -60,7 +60,8 @@ _PRIORITY = [
     # additions (SA-artifact infini-gram backoff, DPO pair curation,
     # unigram-artifact perplexity buckets) plus the two late r12
     # additions the r12 window missed:
-    "doc_infinigram_sa_backoff", "events_dpo_pairs",
+    "doc_infinigram_sa_backoff", "doc_infinigram_sa_counts",
+    "events_dpo_pairs",
     "doc_unigram_ppl_buckets", "doc_good_turing",
     "events_cramers_v", "events_mann_kendall",
     "events_cusum_shift", "doc_char_trigram_entropy",
@@ -86,9 +87,9 @@ _PRIORITY = [
     # — re-rowed as regression insurance:
     "doc_longest_dup_span", "doc_source_crossdup_matrix",
     "doc_infinigram_backoff", "events_bradley_terry",
-    # (d) 15 of the 35 round-7 sentinels (now the stalest cohort;
-    # flagship science rows lead). The 20 that do not fit
-    # (doc_source_boilerplate, doc_source_cap,
+    # (d) 14 of the 35 round-7 sentinels (now the stalest cohort;
+    # flagship science rows lead). The 21 that do not fit
+    # (doc_quality_classifier, doc_source_boilerplate, doc_source_cap,
     # doc_tokenizer_fertility, doc_winnow_neardup,
     # doc_shard_assignment,
     # embedding_binary_quant_recall, embedding_sq8_recall,
@@ -103,7 +104,7 @@ _PRIORITY = [
     "doc_bpe_bytelevel", "doc_bpe_encode", "doc_chunk_dedup",
     "doc_classifier_auc", "doc_classifier_calibration",
     "doc_classifier_perlang", "doc_length_psi", "doc_line_dedup",
-    "doc_mixture_schedule", "doc_quality_classifier",
+    "doc_mixture_schedule",
 ]
 
 

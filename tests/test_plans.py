@@ -1190,16 +1190,17 @@ def test_round13_plans_are_scale_safe(audit_spark):
     vocabulary-scale broadcast; corpus-wide windows absent."""
     from xsarsea_spark.suite import REGISTRY
 
-    plan = (REGISTRY["doc_infinigram_sa_backoff"]
-            .spark(audit_spark, SF)
-            ._jdf.queryExecution().executedPlan().toString())
-    assert "CartesianProduct" not in plan
-    assert not _broadcast_scans(plan)
-    for ln in plan.splitlines():
-        if "Window" in ln and "WindowGroupLimit" not in ln:
-            assert "__pid" in ln, f"sa_backoff: {ln}"
-        if "NestedLoopJoin" in ln:
-            assert "Broadcast" in ln, ln
+    for name in ("doc_infinigram_sa_backoff",
+                 "doc_infinigram_sa_counts"):
+        plan = (REGISTRY[name].spark(audit_spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan, name
+        assert not _broadcast_scans(plan), name
+        for ln in plan.splitlines():
+            if "Window" in ln and "WindowGroupLimit" not in ln:
+                assert "__pid" in ln, f"{name}: {ln}"
+            if "NestedLoopJoin" in ln:
+                assert "Broadcast" in ln, f"{name}: {ln}"
 
     plan = (REGISTRY["events_dpo_pairs"].spark(audit_spark, SF)
             ._jdf.queryExecution().executedPlan().toString())

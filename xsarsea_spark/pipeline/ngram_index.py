@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["ngram_occurrences", "ngram_stats", "continuation_stats",
-           "backoff_longest_suffix", "sa_backoff_longest_suffix"]
+           "backoff_longest_suffix", "sa_backoff_longest_suffix",
+           "sa_gram_counts"]
 
 
 def _ns_array(ns: tuple[int, ...]) -> str:
@@ -135,23 +136,28 @@ def _floor_log2_case(col: str, max_n: int) -> str:
     return f"CASE {col} {cases} END"
 
 
-def sa_backoff_longest_suffix(contexts: DataFrame,
-                              tables: list,
-                              pairs: list,
-                              max_n: int,
-                              id_col: str = "doc_id") -> DataFrame:
-    """Infini-gram backoff answered from the PERSISTED suffix-array
-    artifact (``pipeline.suffix.suffix_probe_index_cached``) instead
-    of a per-query corpus rescan — the build-once / probe-many plan
-    of Liu 2024 for unbounded-length or interactive query sets.
+def sa_gram_counts(grams: DataFrame,
+                   tables: list,
+                   pairs: list,
+                   max_n: int,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Exact corpus occurrence counts for a BOUNDED query-gram set,
+    answered from the persisted suffix-array artifact
+    (``pipeline.suffix.suffix_probe_index_cached``) — the primary
+    infini-gram operation (Liu 2024: count lookups over a
+    build-once index, O(query * log n) per probe, no corpus rescan).
 
-    Probe (per context suffix of token length k, k <= ``max_n``):
+    ``grams``: (gid, toks) with toks a token array of length <=
+    ``max_n``. Returns (gid, cnt) for grams with cnt >= 1 — absent
+    grams simply produce no row (callers LEFT JOIN for explicit
+    zeros).
+
+    Probe (per gram of token length k):
 
     1. the query's rank ladder: round-0 ranks are the 40-bit token
        hashes (t_0's seeding); the round-l rank of query position i
        is the pair-table lookup of (qr_{l-1}(i), qr_{l-1}(i+2^(l-1)))
-       — O(k * log k) lookups against the persisted pair tables, a
-       miss at any round proving the window matches nothing;
+       — a miss at any round proving the window matches nothing;
     2. occurrence count by the standard overlapping-window argument:
        with a = floor(log2 k), position p starts an occurrence of the
        k-gram iff rank_a(p) = qr_a(1) AND rank_a(p + k - 2^a) =
@@ -161,13 +167,7 @@ def sa_backoff_longest_suffix(contexts: DataFrame,
        doclen is implied by the second window being unpadded. The
        count probe is a broadcast semi-join of the (bounded) query
        keys into ladder level a — at scale a bucketed-by-rank read,
-       never a corpus rescan;
-    3. the winner per context is the struct-order min of
-       (-k, gram, cnt) over its suffix candidates with cnt >= 1 —
-       identical to :func:`backoff_longest_suffix`'s semantics, so
-       the position-slice oracle grades this path unchanged.
-
-    Output: (ctx_id, ctx, matched_n, suffix, cnt).
+       never a corpus rescan.
     """
     from functools import reduce
 
@@ -175,21 +175,11 @@ def sa_backoff_longest_suffix(contexts: DataFrame,
     from xsarsea_spark.pipeline.text import HASH40_SQL
 
     levels = max_n.bit_length() - 1   # deepest window level used
-    # suffix candidates: one row per (context, suffix length k)
-    sfx = contexts.selectExpr(
-        "ctx_id", "ctx",
-        """inline(transform(
-             sequence(1, size(split(ctx, ' '))),
-             kk -> struct(
-               CAST(kk AS BIGINT) AS k,
-               slice(split(ctx, ' '),
-                     size(split(ctx, ' ')) - kk + 1, kk)
-                 AS toks)))""").withColumn(
-        "gram", F.expr("array_join(toks, ' ')"))
+    cand = grams.selectExpr(
+        "gid", "toks", "CAST(size(toks) AS BIGINT) AS k")
     # query rank ladder, round 0 = token hashes
-    q0 = (sfx.selectExpr("ctx_id", "k",
-                         "posexplode(toks) AS (__i0, __w)")
-          .selectExpr("ctx_id", "k", "__i0 + 1 AS i",
+    q0 = (cand.selectExpr("gid", "posexplode(toks) AS (__i0, __w)")
+          .selectExpr("gid", "__i0 + 1 AS i",
                       HASH40_SQL.format(x="__w") + " AS qr"))
     # each level is materialized: the ladder is iterative lineage —
     # level l reads level l-1 twice (both half-windows) and the key
@@ -199,29 +189,28 @@ def sa_backoff_longest_suffix(contexts: DataFrame,
     qlv = [materialize(q0)]
     for lvl in range(1, levels + 1):
         h = 1 << (lvl - 1)
-        a = qlv[-1].selectExpr("ctx_id", "k", "i", "qr AS r1")
-        b = qlv[-1].selectExpr("ctx_id", "k", f"i - {h} AS i",
-                               "qr AS r2")
+        a = qlv[-1].selectExpr("gid", "i", "qr AS r1")
+        b = qlv[-1].selectExpr("gid", f"i - {h} AS i", "qr AS r2")
         lk = pairs[lvl - 1].selectExpr("r1", "r2", "r AS qr")
         qlv.append(materialize(
-            a.join(b, on=["ctx_id", "k", "i"])
+            a.join(b, on=["gid", "i"])
             .join(lk, on=["r1", "r2"], how="left")
-            .select("ctx_id", "k", "i", "qr")))
+            .select("gid", "i", "qr")))
     qall = reduce(
         lambda x, y: x.unionByName(y),
         [qf.withColumn("lvl", F.lit(l).cast("int"))
          for l, qf in enumerate(qlv)])
-    # per-candidate probe keys: window level a, the two window ranks
-    keys = (sfx.selectExpr(
-        "ctx_id", "ctx", "k", "gram",
+    # per-gram probe keys: window level a, the two window ranks
+    keys = (cand.selectExpr(
+        "gid", "k",
         f"CAST({_floor_log2_case('k', max_n)} AS INT) AS lvl")
         .withColumn("__delta", F.expr("k - shiftleft(1L, lvl)")))
     k1 = (keys.join(qall.filter("i = 1")
-                    .selectExpr("ctx_id", "k", "lvl", "qr AS qr1"),
-                    on=["ctx_id", "k", "lvl"])
-          .join(qall.selectExpr("ctx_id", "k", "lvl",
+                    .selectExpr("gid", "lvl", "qr AS qr1"),
+                    on=["gid", "lvl"])
+          .join(qall.selectExpr("gid", "lvl",
                                 "i - 1 AS __delta", "qr AS qr2"),
-                on=["ctx_id", "k", "lvl", "__delta"])
+                on=["gid", "lvl", "__delta"])
           .filter("qr1 IS NOT NULL AND qr2 IS NOT NULL"))
     # count probe against the tagged ladder levels a query of <=
     # max_n tokens can touch — a static property of max_n, no job
@@ -241,9 +230,39 @@ def sa_backoff_longest_suffix(contexts: DataFrame,
             j1["__id"] == second["__id2"],
             second["__p2"] == j1["p"] + j1["__delta"],
             j1["qr2"] == second["qr2"]])
-    cnt = (j2.groupBy("ctx_id", "k", "gram")
-           .agg(F.count(F.lit(1)).alias("cnt")))
-    hits = contexts.join(cnt, on="ctx_id")
+    return (j2.groupBy("gid")
+            .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("cnt")))
+
+
+def sa_backoff_longest_suffix(contexts: DataFrame,
+                              tables: list,
+                              pairs: list,
+                              max_n: int,
+                              id_col: str = "doc_id") -> DataFrame:
+    """Infini-gram backoff over the persisted suffix-array artifact:
+    every suffix of each context becomes a candidate gram, counts
+    come from :func:`sa_gram_counts` (see there for the probe), and
+    the winner per context is the struct-order min of (-k, gram,
+    cnt) over candidates with cnt >= 1 — identical semantics to the
+    position-slice :func:`backoff_longest_suffix`, so the same
+    oracle grades both paths.
+
+    Output: (ctx_id, ctx, matched_n, suffix, cnt).
+    """
+    sfx = contexts.selectExpr(
+        "ctx_id", "ctx",
+        """inline(transform(
+             sequence(1, size(split(ctx, ' '))),
+             kk -> struct(
+               CAST(kk AS BIGINT) AS k,
+               slice(split(ctx, ' '),
+                     size(split(ctx, ' ')) - kk + 1, kk)
+                 AS toks)))""").withColumn(
+        "gram", F.expr("array_join(toks, ' ')")).withColumn(
+        "gid", F.expr("ctx_id || ':' || CAST(k AS STRING)"))
+    cnts = sa_gram_counts(sfx.select("gid", "toks"), tables, pairs,
+                          max_n, id_col=id_col)
+    hits = sfx.join(cnts, on="gid")
     return (hits.groupBy("ctx_id", "ctx")
             .agg(F.min(F.struct((-F.col("k")).alias("k"),
                                 F.col("gram").alias("g"),

@@ -11520,6 +11520,96 @@ SELECT ctx_id, ctx, CAST(-(m).k AS BIGINT) AS matched_n,
 FROM hit"""
 
 
+# ----------------------------------------------------------------------
+# Infini-gram count lookup over the same persisted suffix-array
+# index — the PRIMARY infini-gram operation (Liu 2024 serve count
+# queries first; backoff composes them): exact occurrence counts
+# for a bounded self-derived gram set (prefixes of lengths 1/2/3/4/6
+# of the three smallest-id eligible docs, plus an OOV-prefixed gram
+# per doc that must count ZERO — exercising the absent-gram path via
+# the LEFT join). Same artifact, same O(query * log n) probe; the
+# oracle is again the independent position-slice derivation.
+# ----------------------------------------------------------------------
+
+_IGC_NS = (1, 2, 3, 4, 6)
+
+
+def _igc_oracle() -> str:
+    nlist = "[" + ", ".join(str(n) for n in _IGC_NS) + "]"
+    return f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l
+       FROM documents WHERE text IS NOT NULL
+       AND doc_id % {_IGS_MOD} = 0),
+occ AS (
+  SELECT doc_id, CAST(nn AS BIGINT) AS n,
+    array_to_string(list_slice(l, i, i + nn - 1), ' ') AS gram
+  FROM tk, unnest({nlist}) AS t1(nn),
+       unnest(range(1, len(l) - nn + 2)) AS t2(i)),
+stats AS MATERIALIZED (
+  SELECT n, gram, COUNT(*) AS cnt FROM occ GROUP BY 1, 2),
+base AS (SELECT doc_id, l FROM tk
+         WHERE len(l) >= {_IGS_MAXN} ORDER BY doc_id LIMIT 3),
+q AS (
+  SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(nn AS VARCHAR)
+    AS q_id, CAST(nn AS BIGINT) AS n,
+    array_to_string(l[1 : CAST(nn AS INT)], ' ') AS gram
+  FROM base, unnest({nlist}) AS t(nn)
+  UNION ALL
+  SELECT 'oov:' || CAST(doc_id AS VARCHAR), CAST(3 AS BIGINT),
+    'zzz ' || array_to_string(l[1 : 2], ' ')
+  FROM base)
+SELECT q.q_id, q.n, q.gram,
+  CAST(COALESCE(st.cnt, 0) AS BIGINT) AS cnt
+FROM q LEFT JOIN stats st ON st.n = q.n AND st.gram = q.gram"""
+
+
+@spec(
+    "doc_infinigram_sa_counts",
+    _igc_oracle(),
+    description="Infini-gram count lookup from the persisted "
+                "suffix-array artifact: exact occurrence counts for "
+                "a bounded gram set (doc prefixes of five lengths + "
+                "OOV-prefixed zero-count grams) by the "
+                "overlapping-window rank probe — graded against the "
+                "independent position-slice oracle",
+    tags=("pipeline", "text", "ngram", "iterative"),
+)
+def q_doc_infinigram_sa_counts(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.ngram_index import sa_gram_counts
+    from xsarsea_spark.pipeline.suffix import (
+        suffix_probe_index_cached)
+
+    docs = load(spark, sf_dir, "documents").filter(
+        f"text IS NOT NULL AND doc_id % {_IGS_MOD} = 0")
+    base = materialize(
+        docs.selectExpr("doc_id", "split(text, ' ') AS l")
+        .filter(f"size(l) >= {_IGS_MAXN}")
+        .orderBy(F.col("doc_id").asc()).limit(3))
+    nlist = "array(" + ", ".join(str(n) for n in _IGC_NS) + ")"
+    qmain = base.selectExpr(
+        "doc_id",
+        f"""inline(transform({nlist}, nn -> struct(
+          CAST(nn AS BIGINT) AS n,
+          slice(l, 1, nn) AS toks)))""").selectExpr(
+        "CAST(doc_id AS STRING) || ':' || CAST(n AS STRING)"
+        " AS q_id", "n", "toks")
+    qoov = base.selectExpr(
+        "'oov:' || CAST(doc_id AS STRING) AS q_id",
+        "CAST(3 AS BIGINT) AS n",
+        "concat(array('zzz'), slice(l, 1, 2)) AS toks")
+    q = materialize(
+        qmain.unionByName(qoov)
+        .withColumn("gram", F.expr("array_join(toks, ' ')")))
+    tables, pairs = suffix_probe_index_cached(
+        docs, _SFX_ROUNDS, max_level=_IGS_MAXN.bit_length() - 1)
+    cnts = sa_gram_counts(q.selectExpr("q_id AS gid", "toks"),
+                          tables, pairs, _IGS_MAXN)
+    return (q.join(cnts, q["q_id"] == F.col("gid"), "left")
+            .selectExpr("q_id", "n", "gram",
+                        "CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt"))
+
+
 @spec(
     "doc_infinigram_sa_backoff",
     _igs_oracle(),
