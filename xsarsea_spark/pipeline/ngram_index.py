@@ -175,8 +175,19 @@ def sa_gram_counts(grams: DataFrame,
     from xsarsea_spark.pipeline.text import HASH40_SQL
 
     levels = max_n.bit_length() - 1   # deepest window level used
+    # contract guard: a gram longer than max_n has no ladder level —
+    # without this it would silently join away and callers'
+    # COALESCE(cnt, 0) would report a plausible-but-wrong 0. The
+    # raise_error rides the k projection (k feeds the probe-key
+    # frame, so it is always evaluated), failing the job instead.
     cand = grams.selectExpr(
-        "gid", "toks", "CAST(size(toks) AS BIGINT) AS k")
+        "gid", "toks",
+        f"CASE WHEN size(toks) > {max_n} THEN"
+        " CAST(raise_error("
+        f"'sa_gram_counts: query gram exceeds max_n={max_n}:'"
+        " || ' size(toks)=' || CAST(size(toks) AS STRING)"
+        " || ' gid=' || CAST(gid AS STRING)) AS BIGINT)"
+        " ELSE CAST(size(toks) AS BIGINT) END AS k")
     # query rank ladder, round 0 = token hashes
     q0 = (cand.selectExpr("gid", "posexplode(toks) AS (__i0, __w)")
           .selectExpr("gid", "__i0 + 1 AS i",

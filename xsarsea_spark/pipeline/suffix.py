@@ -74,6 +74,45 @@ CONF_SFX_CACHE = "spark.xsarsea.suffix.cache"
 _SFX_CACHE_VERSION = 2
 
 
+def _publish_cache_dir(tmp: str, root: str, marker: str) -> None:
+    """Atomically publish a staged cache dir at ``root``. Never
+    deletes ``root`` in place while another builder may have just
+    completed it — the old rmtree-then-rename left a TOCTOU window
+    where a concurrent reader saw a missing artifact. A marker-less
+    stale root (crashed pre-rename build) is swapped ASIDE with an
+    atomic rename before the retry, so readers only ever observe
+    either a complete artifact or a clean miss. If a complete
+    artifact appears concurrently, the staged copy is discarded
+    (contents are deterministic — either copy is correct)."""
+    import os
+    import shutil
+
+    if os.path.exists(marker):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    try:
+        os.rename(tmp, root)
+        return
+    except OSError:
+        pass
+    if os.path.exists(marker):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    stale = f"{root}.stale.{os.getpid()}"
+    try:
+        os.rename(root, stale)
+    except OSError:
+        pass
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
+    finally:
+        shutil.rmtree(stale, ignore_errors=True)
+
+
 def _dense_rank(df: DataFrame, keys: list[str],
                 out: str) -> DataFrame:
     """Dense rank of ``keys`` = row_number over the DISTINCT key
@@ -216,22 +255,10 @@ def suffix_rank_tables_cached(docs: DataFrame, rounds: int,
                 os.path.join(tmp, f"t{k}"))
         with open(os.path.join(tmp, "_SFX_DONE"), "w") as f:
             f.write("ok\n")
-        if os.path.exists(marker):
-            shutil.rmtree(tmp, ignore_errors=True)
-        else:
-            if os.path.isdir(root):
-                # marker-less root: a crashed pre-rename build from
-                # an older layout — clear it
-                shutil.rmtree(root, ignore_errors=True)
-            try:
-                os.rename(tmp, root)
-            except OSError:
-                # another builder landed between the check and the
-                # rename; its completed cache is equivalent (the
-                # tables are deterministic) — use it
-                shutil.rmtree(tmp, ignore_errors=True)
-                if not os.path.exists(marker):
-                    raise
+        # TOCTOU-safe swap: never rmtree root in place (a builder
+        # that just completed it would leave readers a window with
+        # a missing artifact) — see _publish_cache_dir
+        _publish_cache_dir(tmp, root, marker)
     return [spark.read.parquet(os.path.join(root, f"t{k}"))
             for k in range(rounds + 1)]
 
@@ -501,17 +528,7 @@ def suffix_probe_index_cached(docs: DataFrame, rounds: int,
                 os.path.join(tmp, f"p{k + 1}"))
         with open(os.path.join(tmp, "_SFX_DONE"), "w") as f:
             f.write("ok\n")
-        if os.path.exists(marker):
-            shutil.rmtree(tmp, ignore_errors=True)
-        else:
-            if os.path.isdir(root):
-                shutil.rmtree(root, ignore_errors=True)
-            try:
-                os.rename(tmp, root)
-            except OSError:
-                shutil.rmtree(tmp, ignore_errors=True)
-                if not os.path.exists(marker):
-                    raise
+        _publish_cache_dir(tmp, root, marker)
     n_p = rounds if max_level is None else max_level
     pairs = [spark.read.parquet(os.path.join(root, f"p{k}"))
              for k in range(1, n_p + 1)]

@@ -4005,8 +4005,9 @@ dimc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM ct)
 SELECT tot.n AS n_events, dims.nr AS n_types, dimc.nc AS n_dows,
   x2.chi2,
   CAST((dims.nr - 1) * (dimc.nc - 1) AS BIGINT) AS dof,
-  sqrt(x2.chi2 / (CAST(tot.n AS DOUBLE)
-    * CAST(LEAST(dims.nr - 1, dimc.nc - 1) AS DOUBLE)))
+  sqrt(x2.chi2 / NULLIF(CAST(tot.n AS DOUBLE)
+    * CAST(LEAST(dims.nr - 1, dimc.nc - 1) AS DOUBLE),
+    CAST(0 AS DOUBLE)))
     AS cramers_v
 FROM tot, dims, dimc, x2"""
 
@@ -4054,8 +4055,13 @@ def q_events_cramers_v(spark: SparkSession,
                 "n AS n_events", "nr AS n_types", "nc AS n_dows",
                 "chi2",
                 "CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof",
-                "sqrt(chi2 / (CAST(n AS DOUBLE)"
-                " * CAST(LEAST(nr - 1, nc - 1) AS DOUBLE)))"
+                # NULLIF guard: a degenerate corpus (single event
+                # type or single weekday residue) zeroes the
+                # denominator — NULL in both engines, never an
+                # engine-specific inf/NaN division convention
+                "sqrt(chi2 / NULLIF(CAST(n AS DOUBLE)"
+                " * CAST(LEAST(nr - 1, nc - 1) AS DOUBLE),"
+                " CAST(0 AS DOUBLE)))"
                 " AS cramers_v"))
 
 

@@ -11947,7 +11947,8 @@ def q_doc_unigram_ppl_buckets(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     from xsarsea_spark.engine import materialize, scratch_path
     from xsarsea_spark.operators.rank import global_rank
-    from xsarsea_spark.pipeline.unigram import (ULM_MAXW, em_round,
+    from xsarsea_spark.pipeline.unigram import (ULM_MAXW,
+                                                ULM_ROUNDS, em_round,
                                                 piece_costs,
                                                 seed_vocab,
                                                 viterbi_segment,
@@ -11957,7 +11958,9 @@ def q_doc_unigram_ppl_buckets(spark: SparkSession,
     docs = load(spark, sf_dir, "documents")
     wf = materialize(word_freqs(docs))
     vocab = materialize(seed_vocab(wf))
-    for _ in range(2):
+    # the oracle replays ULM_ROUNDS rounds — iterate the same
+    # constant so the engines can never desync on a config change
+    for _ in range(ULM_ROUNDS):
         vocab = materialize(em_round(wf, vocab))
     path = scratch_path(spark, "unigram_ppl_vocab", sf_dir)
     # the saved tokenizer: (piece, cnt) BIGINT rows — repartition(1),
