@@ -56,55 +56,49 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every window entry is green on the local strict DuckDB compare,
 # re-run in window order as a final pre-flight.
 _PRIORITY = [
-    # Round-13 window. (a) never-driver-rowed queries: the round-13
-    # additions (SA-artifact infini-gram backoff, DPO pair curation,
-    # unigram-artifact perplexity buckets) plus the two late r12
-    # additions the r12 window missed:
-    "doc_infinigram_sa_backoff", "doc_infinigram_sa_counts",
-    "events_dpo_pairs",
-    "doc_unigram_ppl_buckets", "doc_good_turing",
-    "events_cramers_v", "events_mann_kendall",
-    "events_cusum_shift", "doc_char_trigram_entropy",
-    "events_benford", "events_autocorr",
-    # (b) the complete round-6 sentinel cohort (the 21 the r12
-    # window deferred — after this row the whole registry is
-    # round-7+ fresh):
-    "doc_bigram_lm", "doc_weighted_sample", "ivf_ann",
-    "embedding_semdedup", "doc_substring_dedup",
-    "exact_dedup_incremental", "q_market_basket",
-    "q_supplier_pareto", "multimodal_jpeg_roundtrip",
-    "doc_setsim_join", "dup_graph_kcore",
-    "pipeline_curation_report", "doc_containment_join",
-    "embedding_matryoshka_recall", "multimodal_resize",
-    "multimodal_wav_features", "multimodal_wav_segments",
-    "doc_substring_dedup_maximal", "ivf_incremental",
-    "documents_csv_roundtrip", "documents_orc_roundtrip",
-    # (c) lineage-adjacent rows: pipeline/suffix.py gained the
-    # pair-table probe functions (pure additions, existing kernels
-    # untouched), ngram_index.py gained the SA probe, and
-    # events_bradley_terry's oracle construction was refactored
-    # into the shared _bt_fit_parts (generated SQL byte-identical)
-    # — re-rowed as regression insurance:
+    # Round-14 window. (a) the round-14 additions (SA-artifact
+    # next-token continuation, SA-probe decontamination, tokenizer
+    # comparison report):
+    "doc_infinigram_sa_continuation", "doc_decontam_sa_probe",
+    "doc_tokenizer_compare",
+    # (b) lineage-touched rows: sa_gram_counts gained the
+    # oversized-gram raise_error guard (rides the probe-key
+    # projection of both SA queries), events_cramers_v gained the
+    # NULLIF denominator guard on both engines,
+    # doc_unigram_ppl_buckets now iterates ULM_ROUNDS, and the
+    # suffix cache publish swapped to the TOCTOU-safe
+    # _publish_cache_dir (value-preserving; the three cached-ladder
+    # consumers re-rowed as insurance, same trio as the quiet
+    # re-probe):
+    "doc_infinigram_sa_counts", "doc_infinigram_sa_backoff",
+    "events_cramers_v", "doc_unigram_ppl_buckets",
     "doc_longest_dup_span", "doc_source_crossdup_matrix",
-    "doc_infinigram_backoff", "events_bradley_terry",
-    # (d) 14 of the 35 round-7 sentinels (now the stalest cohort;
-    # flagship science rows lead). The 21 that do not fit
-    # (doc_quality_classifier, doc_source_boilerplate, doc_source_cap,
-    # doc_tokenizer_fertility, doc_winnow_neardup,
-    # doc_shard_assignment,
-    # embedding_binary_quant_recall, embedding_sq8_recall,
-    # lineitem_dq_gate, minhash_cross_snapshot, minhash_incremental,
-    # multimodal_phash, neardup_quality_keeper,
-    # q02_min_cost_supplier, q11_important_parts,
-    # q_customer_running_total, q_price_quantiles,
-    # q_region_revenue_share, q_skyline_parts, q_zorder_profile,
-    # stream_neardup_ingest) rotate in next round:
-    "angle_conventions", "dsig_weights", "local_gradients_pyramid",
-    "stacked_histogram_mean", "wind_vector_ops",
-    "doc_bpe_bytelevel", "doc_bpe_encode", "doc_chunk_dedup",
-    "doc_classifier_auc", "doc_classifier_calibration",
-    "doc_classifier_perlang", "doc_length_psi", "doc_line_dedup",
-    "doc_mixture_schedule",
+    "doc_crossdup_exact",
+    # (c) the complete round-7 sentinel cohort (the 21 the r13
+    # window deferred — after this row the whole registry is
+    # round-8+ fresh):
+    "doc_quality_classifier", "doc_source_boilerplate",
+    "doc_source_cap", "doc_tokenizer_fertility",
+    "doc_winnow_neardup", "doc_shard_assignment",
+    "embedding_binary_quant_recall", "embedding_sq8_recall",
+    "lineitem_dq_gate", "minhash_cross_snapshot",
+    "minhash_incremental", "multimodal_phash",
+    "neardup_quality_keeper", "q02_min_cost_supplier",
+    "q11_important_parts", "q_customer_running_total",
+    "q_price_quantiles", "q_region_revenue_share",
+    "q_skyline_parts", "q_zorder_profile", "stream_neardup_ingest",
+    # (d) 19 of the 43 round-8 sentinels (now the stalest cohort;
+    # alphabetical; the science flagship gmf_eval_family and the
+    # interpolation-join flagships ride in this slice):
+    "ancillary_wind_join", "curated_table_maintain",
+    "doc_bpe_artifact_encode", "doc_classifier_score",
+    "doc_kn_heldout_lm", "doc_mixture_reweight",
+    "doc_normalize_profile", "doc_token_budget_select",
+    "doc_winnowing", "documents_jsonl_roundtrip",
+    "embedding_cosine_neardup", "embedding_drift_monitor",
+    "embedding_pca_incremental", "events_interval_overlap",
+    "exact_dedup", "gmf_eval_family", "ivfpq_ann",
+    "ivfpq_ann_recall", "ivfpq_incremental",
 ]
 
 

@@ -1310,3 +1310,51 @@ def test_round13_third_wave_plans_are_scale_safe(audit_spark):
     for ln in plan.splitlines():
         if "Window" in ln and "WindowGroupLimit" not in ln:
             raise AssertionError(f"doc_char_trigram_entropy: {ln}")
+
+
+def test_round14_plans_are_scale_safe(audit_spark):
+    """doc_infinigram_sa_continuation: the probe family's shape —
+    broadcast query keys into the persisted ladder, the next-token
+    extension a (doc, p + k) equi-join into level 0, vocabulary
+    naming an equi-join — no cartesian, nothing O(sf) forced
+    broadcast, windows only the cached build's __pid internals.
+    doc_decontam_sa_probe: same probe kernel; the benchmark gram set
+    joins by gram equality.  doc_tokenizer_compare: both trainings
+    are hash aggs + bounded-artifact broadcasts; the only corpus
+    frames under a broadcast are aggregated first."""
+    from xsarsea_spark.suite import REGISTRY
+
+    for name in ("doc_infinigram_sa_continuation",
+                 "doc_decontam_sa_probe"):
+        plan = (REGISTRY[name].spark(audit_spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan, name
+        assert not _broadcast_scans(plan), name
+        for ln in plan.splitlines():
+            if "Window" in ln and "WindowGroupLimit" not in ln:
+                assert "__pid" in ln, f"{name}: {ln}"
+            if "NestedLoopJoin" in ln:
+                assert "Broadcast" in ln, f"{name}: {ln}"
+
+    plan = (REGISTRY["doc_tokenizer_compare"].spark(audit_spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        depth = len(ln) - len(ln.lstrip())
+        saw_agg, saw_docs = False, False
+        for nxt in lines[i + 1:]:
+            nd = len(nxt) - len(nxt.lstrip())
+            if nxt.strip() and nd <= depth:
+                break
+            if "HashAggregate" in nxt:
+                saw_agg = True
+            if "documents.parquet" in nxt:
+                saw_docs = True
+        assert saw_agg or not saw_docs, \
+            f"tokenizer_compare: raw documents under broadcast: {ln}"
+    for ln in lines:
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            assert "__pid" in ln, f"tokenizer_compare: {ln}"

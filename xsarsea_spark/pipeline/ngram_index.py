@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["ngram_occurrences", "ngram_stats", "continuation_stats",
            "backoff_longest_suffix", "sa_backoff_longest_suffix",
-           "sa_gram_counts"]
+           "sa_gram_counts", "sa_occurrence_positions",
+           "sa_continuation"]
 
 
 def _ns_array(ns: tuple[int, ...]) -> str:
@@ -136,21 +137,25 @@ def _floor_log2_case(col: str, max_n: int) -> str:
     return f"CASE {col} {cases} END"
 
 
-def sa_gram_counts(grams: DataFrame,
-                   tables: list,
-                   pairs: list,
-                   max_n: int,
-                   id_col: str = "doc_id") -> DataFrame:
-    """Exact corpus occurrence counts for a BOUNDED query-gram set,
-    answered from the persisted suffix-array artifact
-    (``pipeline.suffix.suffix_probe_index_cached``) — the primary
-    infini-gram operation (Liu 2024: count lookups over a
+def sa_occurrence_positions(grams: DataFrame,
+                            tables: list,
+                            pairs: list,
+                            max_n: int,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Exact corpus occurrence POSITIONS for a BOUNDED query-gram
+    set, answered from the persisted suffix-array artifact
+    (``pipeline.suffix.suffix_probe_index_cached``) — the shared
+    kernel of the infini-gram probe family (Liu 2024: lookups over a
     build-once index, O(query * log n) per probe, no corpus rescan).
+    :func:`sa_gram_counts` aggregates it to counts;
+    :func:`sa_continuation` extends each position by one token for
+    the next-token distribution.
 
     ``grams``: (gid, toks) with toks a token array of length <=
-    ``max_n``. Returns (gid, cnt) for grams with cnt >= 1 — absent
-    grams simply produce no row (callers LEFT JOIN for explicit
-    zeros).
+    ``max_n``. Returns (gid, k, __id, p): position ``p`` of document
+    ``__id`` starts an occurrence of the ``k``-token gram ``gid`` —
+    absent grams simply produce no row (callers LEFT JOIN for
+    explicit zeros).
 
     Probe (per gram of token length k):
 
@@ -241,8 +246,74 @@ def sa_gram_counts(grams: DataFrame,
             j1["__id"] == second["__id2"],
             second["__p2"] == j1["p"] + j1["__delta"],
             j1["qr2"] == second["qr2"]])
-    return (j2.groupBy("gid")
+    return j2.select(j1["gid"], j1["k"], j1["__id"], j1["p"])
+
+
+def sa_gram_counts(grams: DataFrame,
+                   tables: list,
+                   pairs: list,
+                   max_n: int,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Exact corpus occurrence counts for a BOUNDED query-gram set —
+    the primary infini-gram operation: the
+    :func:`sa_occurrence_positions` probe aggregated per gram.
+    Returns (gid, cnt) for grams with cnt >= 1."""
+    occ = sa_occurrence_positions(grams, tables, pairs, max_n,
+                                  id_col=id_col)
+    return (occ.groupBy("gid")
             .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("cnt")))
+
+
+def sa_continuation(grams: DataFrame,
+                    tables: list,
+                    pairs: list,
+                    max_n: int,
+                    vocab: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Infini-gram next-token CONTINUATION distribution over the
+    persisted suffix-array artifact (the remaining Liu 2024 primary
+    operation next to count lookup): for each query gram, the
+    distribution over the tokens observed immediately after its
+    corpus occurrences.
+
+    Each occurrence position from :func:`sa_occurrence_positions` is
+    extended by one token via a (doc, position + k) join into the
+    level-0 ladder table — whose rank IS the 40-bit token hash
+    (t_0's seeding) — and the hash is named through ``vocab``
+    ((r, w): token hash -> token string; vocabulary-scale, persisted
+    next to the artifact at production scale). Occurrences at a
+    document's end have no level-0 row at p + k and drop out of the
+    inner join — exactly the "no continuation" semantics. At scale
+    both joins are bucketed (ladder by rank / doc, vocab by rank);
+    nothing rescans the corpus.
+
+    Returns (gid, cont_total, cont_distinct, top_cont,
+    top_cont_cnt): total continuations, distinct next tokens, and
+    the struct-order-min top next token — grams with no occurrence
+    or only doc-end occurrences produce no row (callers LEFT JOIN
+    for explicit zeros)."""
+    occ = sa_occurrence_positions(grams, tables, pairs, max_n,
+                                  id_col=id_col)
+    t0 = tables[0].selectExpr(f"{id_col} AS __cid", "p AS __pn",
+                              "r AS __rn")
+    nxt = occ.join(
+        t0,
+        on=[occ["__id"] == t0["__cid"],
+            t0["__pn"] == occ["p"] + occ["k"]])
+    dist = (nxt.groupBy("gid", "__rn")
+            .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("__c")))
+    named = dist.join(vocab.selectExpr("r AS __rn", "w"), on="__rn")
+    return (named.groupBy("gid")
+            .agg(F.expr("CAST(SUM(__c) AS BIGINT)")
+                 .alias("cont_total"),
+                 F.expr("CAST(COUNT(*) AS BIGINT)")
+                 .alias("cont_distinct"),
+                 F.min(F.struct((-F.col("__c")).alias("k"),
+                                F.col("w").alias("v")))
+                 .alias("__m"))
+            .selectExpr("gid", "cont_total", "cont_distinct",
+                        "__m.v AS top_cont",
+                        "CAST(-__m.k AS BIGINT) AS top_cont_cnt"))
 
 
 def sa_backoff_longest_suffix(contexts: DataFrame,

@@ -6897,14 +6897,16 @@ def _bpe_apply_duck(t: str, lhs: str, rhs: str) -> str:
     return o, kk, rebuild
 
 
-def _bpe_ctes(apply_last: bool) -> list[str]:
+def _bpe_ctes(apply_last: bool, where: str = "") -> list[str]:
     """Chained CTEs replaying the training loop; with ``apply_last``
     the final merge is applied too (t{_BPE_MERGES} exists — the
-    encoded corpus the encode oracle reads)."""
+    encoded corpus the encode oracle reads). ``where`` appends a
+    corpus-slice predicate (AND-ed into t0's filter) for oracles
+    that train on a slice."""
     parts = [
         "t0 AS (SELECT doc_id, string_split(text, ' ') AS t"
         " FROM documents WHERE text IS NOT NULL"
-        " AND len(string_split(text, ' ')) >= 1)",
+        f" AND len(string_split(text, ' ')) >= 1{where})",
     ]
     for r in range(_BPE_MERGES):
         o, kk, rebuild = _bpe_apply_duck("t", "top.lhs", "top.rhs")
@@ -11649,6 +11651,241 @@ def q_doc_infinigram_sa_backoff(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
+# Infini-gram next-token CONTINUATION distribution over the same
+# persisted suffix-array index — the remaining Liu 2024 primary
+# operation next to count lookup: given a context, the distribution
+# over tokens observed immediately after its corpus occurrences.
+# Each occurrence position from the rank probe is extended by one
+# token via a (doc, p + k) join into the level-0 ladder (whose rank
+# IS the 40-bit token hash), named through the vocabulary table
+# (token hash -> token; the artifact's companion vocabulary at
+# production scale, derived here with one vocabulary-scale
+# distinct). Doc-end occurrences have no level-0 row at p + k and
+# drop out — "no continuation". Query grams are the length-2/3
+# prefixes of the three smallest-id eligible docs plus an
+# OOV-prefixed gram per doc (zero path). The oracle is the
+# independent position-slice derivation, not a ladder replay.
+# ----------------------------------------------------------------------
+
+_IGT_NS = (2, 3)
+
+
+def _igt_oracle() -> str:
+    nlist = "[" + ", ".join(str(n) for n in _IGT_NS) + "]"
+    return f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l
+       FROM documents WHERE text IS NOT NULL
+       AND doc_id % {_IGS_MOD} = 0),
+occ AS (
+  SELECT doc_id, CAST(nn AS BIGINT) AS n,
+    array_to_string(list_slice(l, i, i + nn - 1), ' ') AS gram,
+    CASE WHEN i + nn <= len(l) THEN l[i + nn] END AS cont
+  FROM tk, unnest({nlist}) AS t1(nn),
+       unnest(range(1, len(l) - nn + 2)) AS t2(i)),
+stats AS MATERIALIZED (
+  SELECT n, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM occ GROUP BY 1, 2),
+cs AS (SELECT n, gram, cont, COUNT(*) AS c FROM occ
+       WHERE cont IS NOT NULL GROUP BY 1, 2, 3),
+ca AS (SELECT n, gram, CAST(SUM(c) AS BIGINT) AS cont_total,
+         CAST(COUNT(*) AS BIGINT) AS cont_distinct,
+         MIN({{'k': -c, 'v': cont}}) AS m
+       FROM cs GROUP BY 1, 2),
+base AS (SELECT doc_id, l FROM tk
+         WHERE len(l) >= {_IGS_MAXN} ORDER BY doc_id LIMIT 3),
+q AS (
+  SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(nn AS VARCHAR)
+    AS q_id, CAST(nn AS BIGINT) AS n,
+    array_to_string(l[1 : CAST(nn AS INT)], ' ') AS gram
+  FROM base, unnest({nlist}) AS t(nn)
+  UNION ALL
+  SELECT 'oov:' || CAST(doc_id AS VARCHAR), CAST(2 AS BIGINT),
+    'zzz ' || l[1]
+  FROM base)
+SELECT q.q_id, q.n, q.gram,
+  CAST(COALESCE(st.cnt, 0) AS BIGINT) AS cnt,
+  CAST(COALESCE(ca.cont_total, 0) AS BIGINT) AS cont_total,
+  CAST(COALESCE(ca.cont_distinct, 0) AS BIGINT) AS cont_distinct,
+  (ca.m).v AS top_cont,
+  CAST(COALESCE(-(ca.m).k, 0) AS BIGINT) AS top_cont_cnt
+FROM q LEFT JOIN stats st ON st.n = q.n AND st.gram = q.gram
+LEFT JOIN ca ON ca.n = q.n AND ca.gram = q.gram"""
+
+
+@spec(
+    "doc_infinigram_sa_continuation",
+    _igt_oracle(),
+    description="Infini-gram next-token continuation distribution "
+                "from the persisted suffix-array artifact: "
+                "occurrence positions by the rank probe, extended "
+                "one token via the level-0 ladder join and named "
+                "through the vocabulary table — total/distinct "
+                "continuations and the struct-order top next token, "
+                "graded against the independent position-slice "
+                "oracle",
+    tags=("pipeline", "text", "ngram", "iterative"),
+)
+def q_doc_infinigram_sa_continuation(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.ngram_index import (sa_continuation,
+                                                    sa_gram_counts)
+    from xsarsea_spark.pipeline.suffix import (
+        suffix_probe_index_cached)
+    from xsarsea_spark.pipeline.text import HASH40_SQL
+
+    maxn = max(_IGT_NS)
+    docs = load(spark, sf_dir, "documents").filter(
+        f"text IS NOT NULL AND doc_id % {_IGS_MOD} = 0")
+    base = materialize(
+        docs.selectExpr("doc_id", "split(text, ' ') AS l")
+        .filter(f"size(l) >= {_IGS_MAXN}")
+        .orderBy(F.col("doc_id").asc()).limit(3))
+    nlist = "array(" + ", ".join(str(n) for n in _IGT_NS) + ")"
+    qmain = base.selectExpr(
+        "doc_id",
+        f"""inline(transform({nlist}, nn -> struct(
+          CAST(nn AS BIGINT) AS n,
+          slice(l, 1, nn) AS toks)))""").selectExpr(
+        "CAST(doc_id AS STRING) || ':' || CAST(n AS STRING)"
+        " AS q_id", "n", "toks")
+    qoov = base.selectExpr(
+        "'oov:' || CAST(doc_id AS STRING) AS q_id",
+        "CAST(2 AS BIGINT) AS n",
+        "concat(array('zzz'), slice(l, 1, 1)) AS toks")
+    q = materialize(
+        qmain.unionByName(qoov)
+        .withColumn("gram", F.expr("array_join(toks, ' ')")))
+    tables, pairs = suffix_probe_index_cached(
+        docs, _SFX_ROUNDS, max_level=maxn.bit_length() - 1)
+    gs = q.selectExpr("q_id AS gid", "toks")
+    cnts = sa_gram_counts(gs, tables, pairs, maxn)
+    # the artifact's companion vocabulary: token hash -> token
+    vocab = (docs.selectExpr("explode(split(text, ' ')) AS w")
+             .distinct()
+             .selectExpr("w", HASH40_SQL.format(x="w") + " AS r"))
+    cont = sa_continuation(gs, tables, pairs, maxn, vocab)
+    return (q.join(cnts.withColumnRenamed("gid", "q_id"),
+                   on="q_id", how="left")
+            .join(cont.withColumnRenamed("gid", "q_id"),
+                  on="q_id", how="left")
+            .selectExpr(
+                "q_id", "n", "gram",
+                "CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt",
+                "CAST(COALESCE(cont_total, 0) AS BIGINT)"
+                " AS cont_total",
+                "CAST(COALESCE(cont_distinct, 0) AS BIGINT)"
+                " AS cont_distinct",
+                "top_cont",
+                "CAST(COALESCE(top_cont_cnt, 0) AS BIGINT)"
+                " AS top_cont_cnt"))
+
+
+# ----------------------------------------------------------------------
+# Benchmark decontamination via the suffix-array probe index — the
+# scan-free spelling of the contamination check: membership of every
+# benchmark n-gram in the training corpus as O(query * log n) rank
+# probes against the SAME persisted artifact the suffix family
+# shares, instead of a per-run corpus gram scan. The training corpus
+# is the artifact's mod-slice; benchmark docs are the mod-97
+# convention docs OUTSIDE it (disjoint by construction). The oracle
+# IS the scan path (position-slice gram stats joined to the
+# benchmark set), so the probe's answers are graded against the
+# scan-based derivation — same answer, no corpus rescan at query
+# time. Per benchmark doc: gram membership counts, total corpus
+# occurrences, and the contamination rate.
+# ----------------------------------------------------------------------
+
+
+def _dsp_oracle() -> str:
+    n = _CONTAM_N
+    return f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l
+       FROM documents WHERE text IS NOT NULL
+       AND doc_id % {_SFX_MOD} = 0),
+occ AS (
+  SELECT array_to_string(list_slice(l, i, i + {n} - 1), ' ')
+    AS gram
+  FROM tk, unnest(range(1, len(l) - {n} + 2)) AS t(i)),
+stats AS MATERIALIZED (
+  SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM occ GROUP BY 1),
+bd AS (SELECT doc_id, string_split(text, ' ') AS l
+       FROM documents WHERE text IS NOT NULL
+       AND doc_id % 97 = 0 AND doc_id % {_SFX_MOD} <> 0),
+bg AS (SELECT DISTINCT doc_id,
+         array_to_string(list_slice(l, i, i + {n} - 1), ' ')
+           AS gram
+       FROM bd, unnest(range(1, len(l) - {n} + 2)) AS t(i)
+       WHERE len(l) >= {n}),
+j AS (SELECT bg.doc_id, st.cnt
+      FROM bg LEFT JOIN stats st USING (gram))
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(COUNT(cnt) AS BIGINT) AS n_contaminated,
+  CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS corpus_occurrences,
+  CAST(COALESCE(MAX(cnt), 0) AS BIGINT) AS max_gram_count,
+  CAST(COUNT(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+    AS contamination_rate
+FROM j GROUP BY doc_id"""
+
+
+@spec(
+    "doc_decontam_sa_probe",
+    _dsp_oracle(),
+    description="Benchmark decontamination via the persisted "
+                "suffix-array probe index: every benchmark n-gram's "
+                "training-corpus membership as O(query * log n) "
+                "rank probes (no corpus rescan at query time), "
+                "per-doc contamination stats — graded against the "
+                "scan-path oracle",
+    tags=("pipeline", "dedup", "text", "ngram", "iterative"),
+)
+def q_doc_decontam_sa_probe(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.ngram_index import sa_gram_counts
+    from xsarsea_spark.pipeline.suffix import (
+        suffix_probe_index_cached)
+
+    n = _CONTAM_N
+    corpus = load(spark, sf_dir, "documents").filter(
+        f"text IS NOT NULL AND doc_id % {_SFX_MOD} = 0")
+    bench = (load(spark, sf_dir, "documents")
+             .filter("text IS NOT NULL AND doc_id % 97 = 0"
+                     f" AND doc_id % {_SFX_MOD} <> 0")
+             .selectExpr("doc_id", "split(text, ' ') AS l")
+             # size guard: sequence() counts DOWN for sub-n docs
+             # (the dedup.shingle hazard class); the oracle's
+             # end-exclusive range() drops the same docs
+             .filter(f"size(l) >= {n}"))
+    bg = materialize(
+        bench.select(
+            "doc_id",
+            F.explode(F.expr(
+                f"transform(sequence(1, size(l) - {n - 1}),"
+                f" i -> slice(l, i, {n}))")).alias("toks"))
+        .distinct()
+        .withColumn("gram", F.expr("array_join(toks, ' ')")))
+    # the bounded probe set: DISTINCT grams across benchmark docs
+    gs = (bg.select("gram", "toks").distinct()
+          .selectExpr("gram AS gid", "toks"))
+    tables, pairs = suffix_probe_index_cached(
+        corpus, _SFX_ROUNDS, max_level=n.bit_length() - 1)
+    cnts = sa_gram_counts(gs, tables, pairs, n)
+    hit = bg.join(cnts.withColumnRenamed("gid", "gram"),
+                  on="gram", how="left")
+    return hit.groupBy("doc_id").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_grams"),
+        F.expr("CAST(COUNT(cnt) AS BIGINT)").alias("n_contaminated"),
+        F.expr("CAST(COALESCE(SUM(cnt), 0) AS BIGINT)")
+        .alias("corpus_occurrences"),
+        F.expr("CAST(COALESCE(MAX(cnt), 0) AS BIGINT)")
+        .alias("max_gram_count"),
+        F.expr("CAST(COUNT(cnt) AS DOUBLE)"
+               " / CAST(COUNT(*) AS DOUBLE)")
+        .alias("contamination_rate"))
+
+
+# ----------------------------------------------------------------------
 # Unigram-LM (SentencePiece) tokenizer training — the EM half of the
 # tokenizer story next to BPE: substring seed vocabulary, INT64
 # nanonat piece costs (FLOOR(ln(total/cnt)*1e9) — the only libm call,
@@ -11662,13 +11899,15 @@ def q_doc_infinigram_sa_backoff(spark: SparkSession,
 # ----------------------------------------------------------------------
 
 
-def _ulm_seed_ctes() -> list:
+def _ulm_seed_ctes(where: str = "") -> list:
+    """``where`` appends a corpus-slice predicate (AND-ed into wf's
+    document filter) for oracles that train on a slice."""
     from xsarsea_spark.pipeline.unigram import ULM_K, ULM_MAXP, \
         ULM_MAXW
     return [
         f"wf AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT)"
         f" AS f FROM (SELECT unnest(string_split(text, ' ')) AS w"
-        f" FROM documents WHERE text IS NOT NULL) t"
+        f" FROM documents WHERE text IS NOT NULL{where}) t"
         f" WHERE length(w) BETWEEN 1 AND {ULM_MAXW} GROUP BY w)",
         f"sc AS (SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt FROM"
         f" (SELECT f, substr(w, i, l) AS piece FROM wf,"
@@ -12008,6 +12247,151 @@ def q_doc_unigram_ppl_buckets(spark: SparkSession,
                  F.expr(DSUM(QTRUNC("r / CAST(1e9 AS DOUBLE)", 9),
                              12) + " / COUNT(*)")
                  .alias("mean_nats")))
+
+
+# ----------------------------------------------------------------------
+# Tokenizer comparison report — BPE vs unigram-LM trained on the
+# SAME corpus slice, each through its full persisted-artifact
+# lifecycle (train -> persist -> reload -> apply), compared on the
+# fertility/compression statistics a tokenizer evaluation actually
+# reports: units per word and chars per unit. Both trainings run on
+# the doc_id % _TKC_MOD slice so the combined query stays inside the
+# suite's per-query budget; the oracle replays BOTH training loops
+# (the BPE merge-round CTE chain and the unigram EM/DP ladder) on
+# the same slice, so the two report rows are value-exact only if
+# each artifact round trip reproduces its training loop bit-for-bit.
+# All counts are exact BIGINT sums; the two ratios are single double
+# divisions of those.
+# ----------------------------------------------------------------------
+
+_TKC_MOD = 3   # training slice: doc_id % 3 = 0
+
+
+def _tkc_oracle() -> str:
+    from xsarsea_spark.pipeline.unigram import ULM_ROUNDS
+
+    where = f" AND doc_id % {_TKC_MOD} = 0"
+    parts = _bpe_ctes(True, where=where)
+    parts += _ulm_seed_ctes(where=where)
+    for r in range(ULM_ROUNDS):
+        parts += _ulm_round_ctes(r, with_mstep=True)
+    parts += _ulm_round_ctes(ULM_ROUNDS, with_mstep=False)
+    nb = " UNION ALL ".join(
+        f"SELECT 1 AS x FROM top{r}" for r in range(_BPE_MERGES))
+    parts += [
+        f"bmn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv"
+        f" FROM ({nb}) u)",
+        f"benc AS (SELECT doc_id, list_reduce(list_transform(t,"
+        f" x -> len(string_split(x, ' '))), (a, b) -> a + b)"
+        f" AS n_raw, len(t) AS n_enc FROM t{_BPE_MERGES})",
+        "bj AS (SELECT e.n_raw, e.n_enc, length(d.text) AS nch"
+        " FROM benc e JOIN documents d ON d.doc_id = e.doc_id)",
+        "brow AS (SELECT 'bpe' AS tokenizer,"
+        " (SELECT nv FROM bmn) AS n_vocab,"
+        " CAST(COUNT(*) AS BIGINT) AS n_docs,"
+        " CAST(SUM(n_raw) AS BIGINT) AS n_words,"
+        " CAST(SUM(n_enc) AS BIGINT) AS n_units,"
+        " CAST(SUM(nch - (n_raw - 1)) AS BIGINT) AS n_chars"
+        " FROM bj)",
+        f"umn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv"
+        f" FROM v{ULM_ROUNDS})",
+        f"unpp AS (SELECT w,"
+        f" CAST(len(string_split(path, ' ')) AS BIGINT) AS np"
+        f" FROM seg{ULM_ROUNDS})",
+        "urow AS (SELECT 'unigram' AS tokenizer,"
+        " (SELECT nv FROM umn) AS n_vocab,"
+        " (SELECT CAST(COUNT(*) AS BIGINT) FROM documents"
+        f" WHERE text IS NOT NULL{where}) AS n_docs,"
+        " CAST(SUM(f) AS BIGINT) AS n_words,"
+        " CAST(SUM(f * np) AS BIGINT) AS n_units,"
+        " CAST(SUM(f * length(w)) AS BIGINT) AS n_chars"
+        " FROM wf JOIN unpp USING (w))",
+    ]
+    return ("WITH " + ",\n".join(parts) + """
+SELECT tokenizer, n_vocab, n_docs, n_words, n_units, n_chars,
+  CAST(n_units AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility,
+  CAST(n_chars AS DOUBLE) / CAST(n_units AS DOUBLE)
+    AS chars_per_unit
+FROM (SELECT * FROM brow UNION ALL SELECT * FROM urow) z""")
+
+
+@spec(
+    "doc_tokenizer_compare",
+    _tkc_oracle(),
+    description="Tokenizer comparison report: BPE and unigram-LM "
+                "trained on the same corpus slice through their "
+                "persisted-artifact lifecycles, compared on exact "
+                "BIGINT word/unit/char totals with fertility and "
+                "chars-per-unit as single double divisions — both "
+                "training loops replayed by the oracle",
+    tags=("pipeline", "text", "tokenizer", "iterative", "formats"),
+)
+def q_doc_tokenizer_compare(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    import shutil
+
+    from xsarsea_spark.pipeline.bpe import (bpe_apply,
+                                            bpe_load_merges,
+                                            bpe_save_merges,
+                                            bpe_train)
+    from xsarsea_spark.pipeline.unigram import (ULM_ROUNDS, em_round,
+                                                piece_costs,
+                                                seed_vocab,
+                                                viterbi_segment,
+                                                word_freqs)
+
+    sl = load(spark, sf_dir, "documents").filter(
+        f"text IS NOT NULL AND doc_id % {_TKC_MOD} = 0")
+    # BPE lifecycle: train -> persist merge table -> reload -> apply
+    bpath = scratch_path(spark, "tokcmp_bpe", sf_dir)
+    shutil.rmtree(bpath, ignore_errors=True)
+    bpe_save_merges(bpe_train(sl, n_merges=_BPE_MERGES), bpath)
+    bm = bpe_load_merges(spark, bpath)
+    enc = bpe_apply(sl, bm)
+    bj = enc.join(sl.selectExpr("doc_id", "length(text) AS __nch"),
+                  on="doc_id")
+    brow = (bj.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(SUM(n_tokens_raw) AS BIGINT)").alias("n_words"),
+        F.expr("CAST(SUM(n_tokens_encoded) AS BIGINT)")
+        .alias("n_units"),
+        F.expr("CAST(SUM(__nch - (n_tokens_raw - 1)) AS BIGINT)")
+        .alias("n_chars"))
+        .crossJoin(F.broadcast(bm.agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_vocab"))))
+        .selectExpr("'bpe' AS tokenizer", "n_vocab", "n_docs",
+                    "n_words", "n_units", "n_chars"))
+    # unigram lifecycle: train -> persist vocabulary -> reload ->
+    # re-derive costs -> segment (the ppl_buckets artifact shape)
+    wf = materialize(word_freqs(sl))
+    vocab = materialize(seed_vocab(wf))
+    for _ in range(ULM_ROUNDS):
+        vocab = materialize(em_round(wf, vocab))
+    upath = scratch_path(spark, "tokcmp_ulm", sf_dir)
+    vocab.repartition(1).write.mode("overwrite").parquet(upath)
+    loaded = spark.read.parquet(upath)
+    seg = (viterbi_segment(wf, piece_costs(loaded))
+           .select("w", "n_pieces"))
+    urow = (wf.join(seg, on="w")
+            .agg(F.expr("CAST(SUM(f) AS BIGINT)").alias("n_words"),
+                 F.expr("CAST(SUM(f * n_pieces) AS BIGINT)")
+                 .alias("n_units"),
+                 F.expr("CAST(SUM(f * length(w)) AS BIGINT)")
+                 .alias("n_chars"))
+            .crossJoin(F.broadcast(loaded.agg(
+                F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_vocab"))))
+            .crossJoin(F.broadcast(sl.agg(
+                F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_docs"))))
+            .selectExpr("'unigram' AS tokenizer", "n_vocab",
+                        "n_docs", "n_words", "n_units", "n_chars"))
+    return (brow.unionByName(urow)
+            .selectExpr(
+                "tokenizer", "n_vocab", "n_docs", "n_words",
+                "n_units", "n_chars",
+                "CAST(n_units AS DOUBLE) / CAST(n_words AS DOUBLE)"
+                " AS fertility",
+                "CAST(n_chars AS DOUBLE) / CAST(n_units AS DOUBLE)"
+                " AS chars_per_unit"))
 
 
 # ----------------------------------------------------------------------
