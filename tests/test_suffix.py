@@ -151,3 +151,106 @@ def test_ladder_cache_reuse_and_invalidation(spark, monkeypatch,
     finally:
         spark.conf.unset("spark.xsarsea.suffix.cache")
         spark.conf.unset("spark.xsarsea.scratch.dir")
+
+
+def test_sa_gram_counts_rejects_oversized_gram(spark):
+    """A query gram longer than max_n has no ladder level — the old
+    behavior silently joined it away (callers' COALESCE then
+    reported a wrong 0); the contract now raises via the guard on
+    the probe-key projection."""
+    from xsarsea_spark.pipeline.ngram_index import sa_gram_counts
+    from xsarsea_spark.pipeline.suffix import suffix_probe_index_cached
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b"), (2, "b c a b x")],
+        "doc_id long, text string")
+    tables, pairs = suffix_probe_index_cached(docs, 3)
+    good = spark.createDataFrame(
+        [("g1", ["a", "b"]), ("g2", ["b", "c", "a"])],
+        "gid string, toks array<string>")
+    got = {r["gid"]: r["cnt"]
+           for r in sa_gram_counts(good, tables, pairs, 4).collect()}
+    assert got == {"g1": 4, "g2": 3}
+    bad = spark.createDataFrame(
+        [("g3", ["a", "b", "c", "a", "b"])],
+        "gid string, toks array<string>")
+    with pytest.raises(Exception, match="exceeds max_n=4"):
+        sa_gram_counts(bad, tables, pairs, 4).collect()
+
+
+def test_sa_continuation_matches_brute_force(spark):
+    """Next-token distribution from the SA probe equals the direct
+    enumeration: occurrences extended by one token, doc-end
+    occurrences contributing nothing."""
+    from pyspark.sql import functions as F
+
+    from xsarsea_spark.pipeline.ngram_index import sa_continuation
+    from xsarsea_spark.pipeline.suffix import suffix_probe_index_cached
+    from xsarsea_spark.pipeline.text import HASH40_SQL
+
+    rows = [(1, "a b c a b d a b"), (2, "b c a b c x")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tables, pairs = suffix_probe_index_cached(docs, 3)
+    grams = spark.createDataFrame(
+        [("q1", ["a", "b"]), ("q2", ["b", "c"]), ("q3", ["x"]),
+         ("zz", ["nope"])],
+        "gid string, toks array<string>")
+    vocab = (docs.selectExpr("explode(split(text, ' ')) AS w")
+             .distinct()
+             .selectExpr("w", HASH40_SQL.format(x="w") + " AS r"))
+    got = {r["gid"]: (r["cont_total"], r["cont_distinct"],
+                      r["top_cont"], r["top_cont_cnt"])
+           for r in sa_continuation(grams, tables, pairs, 2,
+                                    vocab).collect()}
+    # brute force
+    import collections
+    want = {}
+    for gid, toks in [("q1", ["a", "b"]), ("q2", ["b", "c"]),
+                      ("q3", ["x"]), ("zz", ["nope"])]:
+        dist = collections.Counter()
+        for _, text in rows:
+            l = text.split(" ")
+            k = len(toks)
+            for i in range(len(l) - k + 1):
+                if l[i:i + k] == toks and i + k < len(l):
+                    dist[l[i + k]] += 1
+        if dist:
+            top = min((-c, w) for w, c in dist.items())
+            want[gid] = (sum(dist.values()), len(dist),
+                         top[1], -top[0])
+    assert got == want
+    # doc-end-only occurrence ('x' ends doc 2) and absent gram both
+    # produce no row
+    assert "q3" not in got and "zz" not in got
+
+
+def test_publish_cache_dir_swaps_stale_and_tolerates_winner(tmp_path):
+    """The TOCTOU-safe publish: a marker-less stale root is swapped
+    aside atomically (never rmtree'd in place); a complete
+    concurrent artifact wins and the staged copy is discarded."""
+    import os
+
+    from xsarsea_spark.pipeline.suffix import _publish_cache_dir
+
+    # stale marker-less root blocks the rename -> swapped aside
+    root = tmp_path / "root"
+    root.mkdir()
+    (root / "junk").write_text("stale")
+    tmp = tmp_path / "stage1"
+    tmp.mkdir()
+    (tmp / "_SFX_DONE").write_text("ok\n")
+    (tmp / "data").write_text("v1")
+    _publish_cache_dir(str(tmp), str(root), str(root / "_SFX_DONE"))
+    assert (root / "_SFX_DONE").exists()
+    assert (root / "data").read_text() == "v1"
+    assert not (root / "junk").exists()
+    assert not tmp.exists()
+    # a complete artifact already in place: staged copy discarded,
+    # winner untouched
+    tmp2 = tmp_path / "stage2"
+    tmp2.mkdir()
+    (tmp2 / "_SFX_DONE").write_text("ok\n")
+    (tmp2 / "data").write_text("v2")
+    _publish_cache_dir(str(tmp2), str(root), str(root / "_SFX_DONE"))
+    assert (root / "data").read_text() == "v1"
+    assert not tmp2.exists()
