@@ -60,7 +60,7 @@ _PRIORITY = [
     # next-token continuation, SA-probe decontamination, tokenizer
     # comparison report):
     "doc_infinigram_sa_continuation", "doc_decontam_sa_probe",
-    "doc_tokenizer_compare",
+    "doc_tokenizer_compare", "doc_infinigram_sa_lm",
     # (b) lineage-touched rows: sa_gram_counts gained the
     # oversized-gram raise_error guard (rides the probe-key
     # projection of both SA queries), events_cramers_v gained the
@@ -98,7 +98,7 @@ _PRIORITY = [
     "embedding_cosine_neardup", "embedding_drift_monitor",
     "embedding_pca_incremental", "events_interval_overlap",
     "exact_dedup", "gmf_eval_family", "ivfpq_ann",
-    "ivfpq_ann_recall", "ivfpq_incremental",
+    "ivfpq_ann_recall",
 ]
 
 

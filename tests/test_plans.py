@@ -1325,7 +1325,7 @@ def test_round14_plans_are_scale_safe(audit_spark):
     from xsarsea_spark.suite import REGISTRY
 
     for name in ("doc_infinigram_sa_continuation",
-                 "doc_decontam_sa_probe"):
+                 "doc_decontam_sa_probe", "doc_infinigram_sa_lm"):
         plan = (REGISTRY[name].spark(audit_spark, SF)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "CartesianProduct" not in plan, name

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 __all__ = ["ngram_occurrences", "ngram_stats", "continuation_stats",
            "backoff_longest_suffix", "sa_backoff_longest_suffix",
            "sa_gram_counts", "sa_occurrence_positions",
-           "sa_continuation"]
+           "sa_continuation", "sa_infinigram_lm"]
 
 
 def _ns_array(ns: tuple[int, ...]) -> str:
@@ -354,3 +354,84 @@ def sa_backoff_longest_suffix(contexts: DataFrame,
                         "CAST(-__m.k AS BIGINT) AS matched_n",
                         "__m.g AS suffix",
                         "CAST(__m.c AS BIGINT) AS cnt"))
+
+
+def sa_infinigram_lm(contexts: DataFrame,
+                     tables: list,
+                     pairs: list,
+                     max_n: int,
+                     vocab: DataFrame,
+                     id_col: str = "doc_id") -> DataFrame:
+    """The ∞-gram LM estimate (Liu 2024's headline composition):
+    per context, back off to the LONGEST corpus-occurring suffix,
+    then report THAT suffix's next-token continuation distribution
+    — the estimate P(next | context) = top_cont_cnt / cont_total is
+    exactly the ∞-gram probability of the most likely next token.
+
+    Composition of the artifact probes: one :func:`sa_gram_counts`
+    pass over the bounded suffix-explode picks the winner per
+    context (struct-order min, identical to
+    :func:`sa_backoff_longest_suffix`), one :func:`sa_continuation`
+    pass over the WINNER grams (a context-sized set) attaches the
+    distribution. Both passes are O(query * log n) rank probes —
+    the corpus is never rescanned. Contexts whose every suffix is
+    corpus-absent produce no row (the backoff convention);
+    ``cont_total`` = 0 with NULL top marks a winner whose
+    occurrences all sit at document ends, and ``p_top`` is NULL
+    there (NULLIF guard, identical in both engines).
+
+    Output: (ctx_id, ctx, matched_n, suffix, cnt, cont_total,
+    cont_distinct, top_cont, top_cont_cnt, p_top).
+    """
+    sfx = contexts.selectExpr(
+        "ctx_id", "ctx",
+        """inline(transform(
+             sequence(1, size(split(ctx, ' '))),
+             kk -> struct(
+               CAST(kk AS BIGINT) AS k,
+               slice(split(ctx, ' '),
+                     size(split(ctx, ' ')) - kk + 1, kk)
+                 AS toks)))""").withColumn(
+        "gram", F.expr("array_join(toks, ' ')")).withColumn(
+        "gid", F.expr("ctx_id || ':' || CAST(k AS STRING)"))
+    from xsarsea_spark.engine import materialize
+
+    cnts = sa_gram_counts(sfx.select("gid", "toks"), tables, pairs,
+                          max_n, id_col=id_col)
+    # materialized: the winner frame is context-sized but its
+    # lineage is the whole count probe, and the plan below reads it
+    # TWICE (the output join and the winner-gram recovery) — an
+    # unmaterialized win re-runs the probe per branch
+    win = materialize(
+        sfx.join(cnts, on="gid")
+        .groupBy("ctx_id", "ctx")
+        .agg(F.min(F.struct((-F.col("k")).alias("k"),
+                            F.col("gram").alias("g"),
+                            F.col("cnt").alias("c")))
+             .alias("__m"))
+        .selectExpr("ctx_id", "ctx",
+                    "CAST(-__m.k AS BIGINT) AS matched_n",
+                    "__m.g AS suffix",
+                    "CAST(__m.c AS BIGINT) AS cnt"))
+    # the winner's token array, recovered from the suffix explode
+    # (context-sized join, no re-tokenization)
+    wg = (win.join(sfx.selectExpr("ctx_id", "k AS matched_n",
+                                  "toks"),
+                   on=["ctx_id", "matched_n"])
+          .selectExpr("ctx_id AS gid", "toks"))
+    cont = sa_continuation(wg, tables, pairs, max_n, vocab,
+                           id_col=id_col)
+    return (win.join(cont.withColumnRenamed("gid", "ctx_id"),
+                     on="ctx_id", how="left")
+            .selectExpr(
+                "ctx_id", "ctx", "matched_n", "suffix", "cnt",
+                "CAST(COALESCE(cont_total, 0) AS BIGINT)"
+                " AS cont_total",
+                "CAST(COALESCE(cont_distinct, 0) AS BIGINT)"
+                " AS cont_distinct",
+                "top_cont",
+                "CAST(COALESCE(top_cont_cnt, 0) AS BIGINT)"
+                " AS top_cont_cnt",
+                "CAST(top_cont_cnt AS DOUBLE)"
+                " / CAST(NULLIF(cont_total, 0) AS DOUBLE)"
+                " AS p_top"))

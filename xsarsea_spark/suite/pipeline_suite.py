@@ -11886,6 +11886,118 @@ def q_doc_decontam_sa_probe(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
+# The ∞-gram LM estimate over the persisted suffix-array index —
+# Liu 2024's headline composition: per context, back off to the
+# longest corpus-occurring suffix, then report THAT suffix's
+# next-token continuation distribution; p_top = top_cont_cnt /
+# cont_total is the ∞-gram probability of the most likely next
+# token. One sa_gram_counts pass over the bounded suffix explode
+# picks the winner, one sa_continuation pass over the winner grams
+# attaches the distribution — both O(query * log n) probes, no
+# corpus rescan. Same contexts as the backoff query (verbatim
+# prefixes + OOV-prefixed forcing a hop); the oracle is the
+# independent position-slice derivation; p_top is a single division
+# of two BIGINTs behind a NULLIF guard, identical in both engines.
+# ----------------------------------------------------------------------
+
+
+def _iglm_oracle() -> str:
+    nlist = "[" + ", ".join(str(n) for n in range(1, _IGS_MAXN + 1)) \
+        + "]"
+    return f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l
+       FROM documents WHERE text IS NOT NULL
+       AND doc_id % {_IGS_MOD} = 0),
+occ AS (
+  SELECT doc_id, CAST(nn AS BIGINT) AS n,
+    array_to_string(list_slice(l, i, i + nn - 1), ' ') AS gram,
+    CASE WHEN i + nn <= len(l) THEN l[i + nn] END AS cont
+  FROM tk, unnest({nlist}) AS t1(nn),
+       unnest(range(1, len(l) - nn + 2)) AS t2(i)),
+stats AS MATERIALIZED (
+  SELECT n, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM occ GROUP BY 1, 2),
+cs AS (SELECT n, gram, cont, COUNT(*) AS c FROM occ
+       WHERE cont IS NOT NULL GROUP BY 1, 2, 3),
+ca AS (SELECT n, gram, CAST(SUM(c) AS BIGINT) AS cont_total,
+         CAST(COUNT(*) AS BIGINT) AS cont_distinct,
+         MIN({{'k': -c, 'v': cont}}) AS m
+       FROM cs GROUP BY 1, 2),
+el AS (SELECT doc_id, l FROM tk WHERE len(l) >= {_IGS_MAXN}),
+c1 AS (SELECT 'p6:' || CAST(doc_id AS VARCHAR) AS ctx_id,
+         array_to_string(l[1 : {_IGS_MAXN}], ' ') AS ctx
+       FROM el ORDER BY doc_id LIMIT 2),
+c2 AS (SELECT 'bk:' || CAST(doc_id AS VARCHAR) AS ctx_id,
+         'zzz ' || array_to_string(l[1 : {_IGS_MAXN - 1}], ' ')
+           AS ctx
+       FROM el ORDER BY doc_id DESC LIMIT 2),
+ctx AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+sfx AS (SELECT ctx_id, ctx, CAST(k AS BIGINT) AS n,
+          array_to_string(list_slice(string_split(ctx, ' '),
+            len(string_split(ctx, ' ')) - k + 1,
+            len(string_split(ctx, ' '))), ' ') AS gram
+        FROM ctx,
+          unnest(range(1, len(string_split(ctx, ' ')) + 1)) AS t(k)),
+hit AS (SELECT s.ctx_id, s.ctx,
+          MIN({{'k': -s.n, 'g': s.gram, 'c': st.cnt}}) AS m
+        FROM sfx s JOIN stats st ON st.n = s.n AND st.gram = s.gram
+        GROUP BY 1, 2),
+win AS (SELECT ctx_id, ctx, CAST(-(m).k AS BIGINT) AS matched_n,
+          (m).g AS suffix, CAST((m).c AS BIGINT) AS cnt
+        FROM hit)
+SELECT w.ctx_id, w.ctx, w.matched_n, w.suffix, w.cnt,
+  CAST(COALESCE(ca.cont_total, 0) AS BIGINT) AS cont_total,
+  CAST(COALESCE(ca.cont_distinct, 0) AS BIGINT) AS cont_distinct,
+  (ca.m).v AS top_cont,
+  CAST(COALESCE(-(ca.m).k, 0) AS BIGINT) AS top_cont_cnt,
+  CAST(COALESCE(-(ca.m).k, 0) AS DOUBLE)
+    / CAST(NULLIF(COALESCE(ca.cont_total, 0), 0) AS DOUBLE)
+    AS p_top
+FROM win w LEFT JOIN ca
+  ON ca.n = w.matched_n AND ca.gram = w.suffix"""
+
+
+@spec(
+    "doc_infinigram_sa_lm",
+    _iglm_oracle(),
+    description="The ∞-gram LM estimate from the persisted "
+                "suffix-array artifact: longest-suffix backoff then "
+                "the winner's next-token continuation distribution "
+                "— p_top is the ∞-gram probability of the most "
+                "likely next token; two O(query * log n) probe "
+                "passes, graded against the independent "
+                "position-slice oracle",
+    tags=("pipeline", "text", "ngram", "lm", "iterative"),
+)
+def q_doc_infinigram_sa_lm(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from xsarsea_spark.pipeline.ngram_index import sa_infinigram_lm
+    from xsarsea_spark.pipeline.suffix import (
+        suffix_probe_index_cached)
+    from xsarsea_spark.pipeline.text import HASH40_SQL
+
+    docs = load(spark, sf_dir, "documents").filter(
+        f"text IS NOT NULL AND doc_id % {_IGS_MOD} = 0")
+    el = (docs.selectExpr("doc_id", "split(text, ' ') AS l")
+          .filter(f"size(l) >= {_IGS_MAXN}"))
+    c1 = (el.orderBy(F.col("doc_id").asc()).limit(2)
+          .selectExpr("'p6:' || CAST(doc_id AS STRING) AS ctx_id",
+                      f"array_join(slice(l, 1, {_IGS_MAXN}), ' ')"
+                      " AS ctx"))
+    c2 = (el.orderBy(F.col("doc_id").desc()).limit(2)
+          .selectExpr("'bk:' || CAST(doc_id AS STRING) AS ctx_id",
+                      "'zzz ' || array_join("
+                      f"slice(l, 1, {_IGS_MAXN - 1}), ' ') AS ctx"))
+    ctx = materialize(c1.unionAll(c2))
+    tables, pairs = suffix_probe_index_cached(
+        docs, _SFX_ROUNDS, max_level=_IGS_MAXN.bit_length() - 1)
+    vocab = (docs.selectExpr("explode(split(text, ' ')) AS w")
+             .distinct()
+             .selectExpr("w", HASH40_SQL.format(x="w") + " AS r"))
+    return sa_infinigram_lm(ctx, tables, pairs, _IGS_MAXN, vocab)
+
+
+# ----------------------------------------------------------------------
 # Unigram-LM (SentencePiece) tokenizer training — the EM half of the
 # tokenizer story next to BPE: substring seed vocabulary, INT64
 # nanonat piece costs (FLOOR(ln(total/cnt)*1e9) — the only libm call,
