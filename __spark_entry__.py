@@ -61,6 +61,7 @@ _PRIORITY = [
     # comparison report):
     "doc_infinigram_sa_continuation", "doc_decontam_sa_probe",
     "doc_tokenizer_compare", "doc_infinigram_sa_lm",
+    "doc_source_ks_test", "doc_source_mannwhitney",
     # (b) lineage-touched rows: sa_gram_counts gained the
     # oversized-gram raise_error guard (rides the probe-key
     # projection of both SA queries), events_cramers_v gained the
@@ -97,8 +98,7 @@ _PRIORITY = [
     "doc_winnowing", "documents_jsonl_roundtrip",
     "embedding_cosine_neardup", "embedding_drift_monitor",
     "embedding_pca_incremental", "events_interval_overlap",
-    "exact_dedup", "gmf_eval_family", "ivfpq_ann",
-    "ivfpq_ann_recall",
+    "exact_dedup", "gmf_eval_family",
 ]
 
 

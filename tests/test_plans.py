@@ -1358,3 +1358,36 @@ def test_round14_plans_are_scale_safe(audit_spark):
     for ln in lines:
         if "Window" in ln and "WindowGroupLimit" not in ln:
             assert "__pid" in ln, f"tokenizer_compare: {ln}"
+
+
+def test_ks_and_mannwhitney_plans_are_scale_safe(audit_spark):
+    """doc_source_ks_test / doc_source_mannwhitney: one (source,
+    n_chars) hash agg is the only corpus-scale work; the cumulative
+    machinery orders the BOUNDED distinct-length frame (the
+    theil_sen class); every broadcast subtree reaching
+    documents.parquet aggregates first; the series/stat tails are
+    1-row broadcasts."""
+    from xsarsea_spark.suite import REGISTRY
+
+    for name in ("doc_source_ks_test", "doc_source_mannwhitney"):
+        plan = (REGISTRY[name].spark(audit_spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan, name
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "NestedLoopJoin" in ln:
+                assert "Broadcast" in ln, f"{name}: {ln}"
+            if "BroadcastExchange" not in ln:
+                continue
+            depth = len(ln) - len(ln.lstrip())
+            saw_agg, saw_docs = False, False
+            for nxt in lines[i + 1:]:
+                nd = len(nxt) - len(nxt.lstrip())
+                if nxt.strip() and nd <= depth:
+                    break
+                if "HashAggregate" in nxt:
+                    saw_agg = True
+                if "documents.parquet" in nxt:
+                    saw_docs = True
+            assert saw_agg or not saw_docs, \
+                f"{name}: raw documents under broadcast: {ln}"

@@ -11998,6 +11998,291 @@ def q_doc_infinigram_sa_lm(spark: SparkSession,
 
 
 # ----------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test between the two largest
+# sources' document-length (n_chars) distributions — the
+# distribution-shape drift gate next to doc_length_psi: D is the
+# max ECDF gap, computed exactly from one (source, n_chars) hash
+# agg + cumulative sums over the BOUNDED distinct-length frame (the
+# theil_sen class: global windows only over value-domain rows,
+# never the corpus). D itself is pure arithmetic on exact BIGINT
+# counts (two divisions, one subtraction, ABS — bit-identical cross
+# engine, no QTRUNC needed); the asymptotic p-value truncates the
+# Kolmogorov series at 100 terms with each exp() behind a QTRUNC
+# barrier and an exact DECIMAL sum. The argmax length is the
+# struct-order min of (-d, value).
+# ----------------------------------------------------------------------
+
+_KS_TERMS = 100
+
+
+def _ks_oracle() -> str:
+    from xsarsea_spark.suite.base import DSUM
+
+    term = QTRUNC(
+        "exp(CAST(-2.0 AS DOUBLE) * CAST(k * k AS DOUBLE)"
+        " * lam.l * lam.l)", 12)
+    return f"""
+WITH t AS (SELECT source, n_chars FROM documents
+           WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+tc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS c
+       FROM t GROUP BY source),
+top2 AS (SELECT source, c,
+           ROW_NUMBER() OVER (ORDER BY c DESC, source ASC) AS rn
+         FROM tc QUALIFY rn <= 2),
+lab AS (SELECT t.n_chars AS v,
+          CAST(SUM(CASE WHEN p.rn = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS c1,
+          CAST(SUM(CASE WHEN p.rn = 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS c2
+        FROM t JOIN top2 p ON p.source = t.source
+        GROUP BY t.n_chars),
+nn AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+              CAST(SUM(c2) AS BIGINT) AS n2 FROM lab),
+cum AS (SELECT v,
+          SUM(c1) OVER (ORDER BY v) AS a,
+          SUM(c2) OVER (ORDER BY v) AS b
+        FROM lab),
+dv AS (SELECT v,
+         ABS(CAST(a AS DOUBLE) / CAST(nn.n1 AS DOUBLE)
+           - CAST(b AS DOUBLE) / CAST(nn.n2 AS DOUBLE)) AS d
+       FROM cum, nn),
+dm AS (SELECT MAX(d) AS d_stat,
+         MIN({{'k': -d, 'v': v}}) AS m
+       FROM dv),
+lam AS (SELECT (sqrt(ne.e) + 1.2e-1 + 1.1e-1 / sqrt(ne.e))
+           * dm.d_stat AS l
+        FROM dm, (SELECT CAST(nn.n1 * nn.n2 AS DOUBLE)
+                    / CAST(nn.n1 + nn.n2 AS DOUBLE) AS e
+                  FROM nn) ne),
+ser AS (SELECT {DSUM(f"CASE WHEN k % 2 = 1 THEN {term}"
+                     f" ELSE -({term}) END", 14)} AS s
+        FROM unnest(range(1, {_KS_TERMS + 1})) AS tk(k), lam),
+sa AS (SELECT source FROM top2 WHERE rn = 1),
+sb AS (SELECT source FROM top2 WHERE rn = 2)
+SELECT sa.source AS source_a, sb.source AS source_b,
+  nn.n1 AS n_a, nn.n2 AS n_b,
+  dm.d_stat,
+  CAST((dm.m).v AS BIGINT) AS d_at_chars,
+  LEAST(CAST(1.0 AS DOUBLE),
+        GREATEST(CAST(0.0 AS DOUBLE),
+                 CAST(2.0 AS DOUBLE) * ser.s)) AS p_value
+FROM sa, sb, nn, dm, ser"""
+
+
+@spec(
+    "doc_source_ks_test",
+    _ks_oracle(),
+    description="Two-sample Kolmogorov-Smirnov test between the "
+                "two largest sources' document-length "
+                "distributions: exact ECDF gap from one hash agg + "
+                "cumulative sums over the bounded distinct-length "
+                "frame, struct-order argmax length, 100-term "
+                "Kolmogorov series behind QTRUNC barriers",
+    tags=("pipeline", "quality", "stats"),
+)
+def q_doc_source_ks_test(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    from xsarsea_spark.suite.base import DSUM
+
+    docs = load(spark, sf_dir, "documents").filter(
+        "source IS NOT NULL AND n_chars IS NOT NULL")
+    tc = docs.groupBy("source").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("c"))
+    from pyspark.sql.window import Window
+    top2 = (tc.withColumn(
+        "rn", F.row_number().over(
+            Window.orderBy(F.col("c").desc(), F.col("source").asc())))
+        .filter("rn <= 2"))
+    lab = (docs.join(F.broadcast(top2.select("source", "rn")),
+                     on="source")
+           .groupBy(F.col("n_chars").alias("v"))
+           .agg(F.expr("CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0"
+                       " END) AS BIGINT)").alias("c1"),
+                F.expr("CAST(SUM(CASE WHEN rn = 2 THEN 1 ELSE 0"
+                       " END) AS BIGINT)").alias("c2")))
+    nn = lab.agg(F.expr("CAST(SUM(c1) AS BIGINT)").alias("n1"),
+                 F.expr("CAST(SUM(c2) AS BIGINT)").alias("n2"))
+    # cumulative ECDFs over the BOUNDED distinct-length frame
+    cum = lab.selectExpr(
+        "v",
+        "SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW) AS a",
+        "SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW) AS b")
+    dv = (cum.crossJoin(F.broadcast(nn))
+          .selectExpr("v",
+                      "ABS(CAST(a AS DOUBLE) / CAST(n1 AS DOUBLE)"
+                      " - CAST(b AS DOUBLE) / CAST(n2 AS DOUBLE))"
+                      " AS d"))
+    dm = dv.agg(F.expr("MAX(d)").alias("d_stat"),
+                F.min(F.struct((-F.col("d")).alias("k"),
+                               F.col("v").alias("v"))).alias("m"))
+    lam = (dm.crossJoin(F.broadcast(nn))
+           .selectExpr(
+               "d_stat", "m",
+               "(sqrt(CAST(n1 * n2 AS DOUBLE)"
+               " / CAST(n1 + n2 AS DOUBLE)) + 1.2e-1"
+               " + 1.1e-1 / sqrt(CAST(n1 * n2 AS DOUBLE)"
+               " / CAST(n1 + n2 AS DOUBLE))) * d_stat AS l"))
+    term = QTRUNC(
+        "exp(CAST(-2.0 AS DOUBLE) * CAST(k * k AS DOUBLE)"
+        " * l * l)", 12)
+    ser = (lam.selectExpr(
+        "l", f"explode(sequence(1, {_KS_TERMS})) AS k")
+        .agg(F.expr(DSUM(f"CASE WHEN k % 2 = 1 THEN {term}"
+                         f" ELSE -({term}) END", 14)).alias("s")))
+    sa = top2.filter("rn = 1").selectExpr("source AS source_a")
+    sb = top2.filter("rn = 2").selectExpr("source AS source_b")
+    return (sa.crossJoin(F.broadcast(sb))
+            .crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dm))
+            .crossJoin(F.broadcast(ser))
+            .selectExpr(
+                "source_a", "source_b",
+                "n1 AS n_a", "n2 AS n_b", "d_stat",
+                "CAST(m.v AS BIGINT) AS d_at_chars",
+                "LEAST(CAST(1.0 AS DOUBLE),"
+                " GREATEST(CAST(0.0 AS DOUBLE),"
+                " CAST(2.0 AS DOUBLE) * s)) AS p_value"))
+
+
+# ----------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) between the same two sources —
+# the rank-based location test next to KS's shape test, from the
+# SAME (value, count) aggregate: midranks come from the cumulative
+# count over the bounded distinct-length frame (midrank = count
+# strictly below + (ties + 1)/2 — an exact .5-grid rational), the
+# rank sum is an exact DECIMAL sum of count * midrank, the tie
+# correction is an integer sum of ct^3 - ct, and z applies the
+# 0.5 continuity correction toward the mean. The only libm is one
+# IEEE-exact sqrt; sigma = 0 (all values tied) yields NULL z via
+# NULLIF in both engines.
+# ----------------------------------------------------------------------
+
+
+def _mwu_oracle() -> str:
+    from xsarsea_spark.suite.base import DSUM
+
+    return f"""
+WITH t AS (SELECT source, n_chars FROM documents
+           WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+tc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS c
+       FROM t GROUP BY source),
+top2 AS (SELECT source, c,
+           ROW_NUMBER() OVER (ORDER BY c DESC, source ASC) AS rn
+         FROM tc QUALIFY rn <= 2),
+lab AS (SELECT t.n_chars AS v,
+          CAST(SUM(CASE WHEN p.rn = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS c1,
+          CAST(SUM(CASE WHEN p.rn = 2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS c2
+        FROM t JOIN top2 p ON p.source = t.source
+        GROUP BY t.n_chars),
+nn AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+              CAST(SUM(c2) AS BIGINT) AS n2 FROM lab),
+mr AS (SELECT v, c1, c2, c1 + c2 AS ct,
+         SUM(c1 + c2) OVER (ORDER BY v) - (c1 + c2) AS below
+       FROM lab),
+rs AS (SELECT
+         {DSUM("CAST(c1 AS DOUBLE) * (CAST(below AS DOUBLE)"
+               " + (CAST(ct AS DOUBLE) + 1e0) / 2e0)", 1)} AS r1,
+         CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tie3
+       FROM mr),
+st AS (SELECT nn.n1, nn.n2, rs.r1, rs.tie3,
+         rs.r1 - CAST(nn.n1 * (nn.n1 + 1) AS DOUBLE) / 2e0 AS u1,
+         CAST(nn.n1 * nn.n2 AS DOUBLE) / 2e0 AS mu,
+         sqrt(CAST(nn.n1 * nn.n2 AS DOUBLE) / 12e0
+           * (CAST(nn.n1 + nn.n2 + 1 AS DOUBLE)
+              - CAST(rs.tie3 AS DOUBLE)
+                / (CAST(nn.n1 + nn.n2 AS DOUBLE)
+                   * CAST(nn.n1 + nn.n2 - 1 AS DOUBLE)))) AS sg
+       FROM nn, rs),
+sa AS (SELECT source FROM top2 WHERE rn = 1),
+sb AS (SELECT source FROM top2 WHERE rn = 2)
+SELECT sa.source AS source_a, sb.source AS source_b,
+  st.n1 AS n_a, st.n2 AS n_b,
+  CAST(st.r1 * 2e0 AS BIGINT) AS rank_sum_x2,
+  st.u1 AS u_stat, st.mu AS mu_u, st.tie3 AS tie_term,
+  st.sg AS sigma_u,
+  (st.u1 - st.mu
+   - CASE WHEN st.u1 > st.mu THEN 5e-1
+          WHEN st.u1 < st.mu THEN -5e-1
+          ELSE 0e0 END)
+    / NULLIF(st.sg, CAST(0 AS DOUBLE)) AS z_score
+FROM sa, sb, st"""
+
+
+@spec(
+    "doc_source_mannwhitney",
+    _mwu_oracle(),
+    description="Mann-Whitney U rank-sum test between the two "
+                "largest sources' document lengths: exact midranks "
+                "from the bounded distinct-length frame, DECIMAL "
+                "rank sum, integer tie correction, continuity-"
+                "corrected z with a NULLIF sigma guard — the "
+                "location drift test next to the KS shape test",
+    tags=("pipeline", "quality", "stats"),
+)
+def q_doc_source_mannwhitney(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from xsarsea_spark.suite.base import DSUM
+
+    docs = load(spark, sf_dir, "documents").filter(
+        "source IS NOT NULL AND n_chars IS NOT NULL")
+    tc = docs.groupBy("source").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("c"))
+    top2 = (tc.withColumn(
+        "rn", F.row_number().over(
+            Window.orderBy(F.col("c").desc(), F.col("source").asc())))
+        .filter("rn <= 2"))
+    lab = (docs.join(F.broadcast(top2.select("source", "rn")),
+                     on="source")
+           .groupBy(F.col("n_chars").alias("v"))
+           .agg(F.expr("CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0"
+                       " END) AS BIGINT)").alias("c1"),
+                F.expr("CAST(SUM(CASE WHEN rn = 2 THEN 1 ELSE 0"
+                       " END) AS BIGINT)").alias("c2")))
+    nn = lab.agg(F.expr("CAST(SUM(c1) AS BIGINT)").alias("n1"),
+                 F.expr("CAST(SUM(c2) AS BIGINT)").alias("n2"))
+    mr = lab.selectExpr(
+        "v", "c1", "c2", "c1 + c2 AS ct",
+        "SUM(c1 + c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND CURRENT ROW) - (c1 + c2) AS below")
+    rs = mr.agg(
+        F.expr(DSUM("CAST(c1 AS DOUBLE) * (CAST(below AS DOUBLE)"
+                    " + (CAST(ct AS DOUBLE) + 1e0) / 2e0)", 1))
+        .alias("r1"),
+        F.expr("CAST(SUM(ct * ct * ct - ct) AS BIGINT)")
+        .alias("tie3"))
+    st = (rs.crossJoin(F.broadcast(nn))
+          .selectExpr(
+              "n1", "n2", "r1", "tie3",
+              "r1 - CAST(n1 * (n1 + 1) AS DOUBLE) / 2e0 AS u1",
+              "CAST(n1 * n2 AS DOUBLE) / 2e0 AS mu",
+              "sqrt(CAST(n1 * n2 AS DOUBLE) / 12e0"
+              " * (CAST(n1 + n2 + 1 AS DOUBLE)"
+              " - CAST(tie3 AS DOUBLE)"
+              " / (CAST(n1 + n2 AS DOUBLE)"
+              " * CAST(n1 + n2 - 1 AS DOUBLE)))) AS sg"))
+    sa = top2.filter("rn = 1").selectExpr("source AS source_a")
+    sb = top2.filter("rn = 2").selectExpr("source AS source_b")
+    return (sa.crossJoin(F.broadcast(sb))
+            .crossJoin(F.broadcast(st))
+            .selectExpr(
+                "source_a", "source_b",
+                "n1 AS n_a", "n2 AS n_b",
+                "CAST(r1 * 2e0 AS BIGINT) AS rank_sum_x2",
+                "u1 AS u_stat", "mu AS mu_u", "tie3 AS tie_term",
+                "sg AS sigma_u",
+                "(u1 - mu"
+                " - CASE WHEN u1 > mu THEN 5e-1"
+                " WHEN u1 < mu THEN -5e-1 ELSE 0e0 END)"
+                " / NULLIF(sg, CAST(0 AS DOUBLE)) AS z_score"))
+
+
+# ----------------------------------------------------------------------
 # Unigram-LM (SentencePiece) tokenizer training — the EM half of the
 # tokenizer story next to BPE: substring seed vocabulary, INT64
 # nanonat piece costs (FLOOR(ln(total/cnt)*1e9) — the only libm call,
