@@ -241,9 +241,16 @@ def minhash_lsh_incremental(batch_docs: DataFrame,
     pairs whose right side is in the batch — the property the suite
     oracle certifies.
     """
+    from xsarsea_spark.engine import materialize
+
     sh_b = shingle(batch_docs, n=n, text_col=text_col, id_col=id_col)
     sig_b = minhash_signatures(sh_b, k=k, id_col=id_col)
-    bands_b = lsh_bands(sig_b, id_col=id_col)
+    # KB-per-doc band rows, consumed by BOTH the state probe and the
+    # within-batch self-join: the barrier stops each consumer (and
+    # everything downstream of `cand`) from re-planning the whole
+    # shingle->signature->band lineage — the un-truncated plan grew
+    # to ~240 Exchange nodes and paid seconds of Catalyst/AQE work
+    bands_b = materialize(lsh_bands(sig_b, id_col=id_col))
 
     cand_hist = lsh_probe(bands_b, state_bands, id_col=id_col)
     l, r = bands_b.alias("l"), bands_b.alias("r")
@@ -258,7 +265,11 @@ def minhash_lsh_incremental(batch_docs: DataFrame,
                 F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
-    cand = cand_hist.unionByName(cand_batch).distinct()
+    # candidate pairs are output-sized (two ids per row) and feed
+    # THREE consumers (historical semi-join pruning + two verify
+    # joins); checkpointing them truncates the triple-replayed
+    # candidate-generation lineage
+    cand = materialize(cand_hist.unionByName(cand_batch).distinct())
 
     hist_needed = cand.select(F.col("id_a").alias(id_col)).distinct()
     sh_h = shingle(

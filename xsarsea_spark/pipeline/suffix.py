@@ -268,10 +268,13 @@ def sa_adjacent_pairs(final_ranks: DataFrame,
     """SA-adjacent position pairs (da, pa, db, pb): the total suffix
     order is (rank, id, p) — unique — ranked by global_rank; pair row
     n with row n+1."""
-    ordered = global_rank(
+    # both pair sides re-read the ranked table: the barrier stops the
+    # two-pass global_rank (and everything under it) from executing
+    # twice — the ordered table is position-rows of (id, p, __n) only
+    ordered = materialize(global_rank(
         final_ranks,
         [F.col("r").asc(), F.col(id_col).asc(), F.col("p").asc()],
-        rank_col="__n")
+        rank_col="__n"))
     a = ordered.selectExpr(f"{id_col} AS da", "p AS pa",
                            "__n + 1 AS __n")
     b = ordered.selectExpr(f"{id_col} AS db", "p AS pb", "__n")
@@ -331,7 +334,10 @@ def longest_dup_span(docs: DataFrame, rounds: int = 7,
         else suffix_rank_tables
     tables = build(docs, rounds, text_col=text_col, id_col=id_col)
     pairs = sa_adjacent_pairs(tables[-1], id_col=id_col)
-    lcps = adjacent_lcp(pairs, tables, lens, id_col=id_col)
+    # consumed twice below (one union branch per pair side): without
+    # the barrier the whole 2*(rounds+1)-join ladder walk runs twice
+    lcps = materialize(adjacent_lcp(pairs, tables, lens,
+                                    id_col=id_col))
     contrib = (
         lcps.selectExpr(f"da AS {id_col}", "pa AS pos", "lcp")
         .unionByName(
@@ -391,16 +397,20 @@ def cross_doc_lcp(docs: DataFrame, rounds: int,
     build = suffix_rank_tables_cached if cached \
         else suffix_rank_tables
     tables = build(docs, rounds, text_col=text_col, id_col=id_col)
-    ordered = global_rank(
+    # ordered feeds three consumers (both pair sides + the entry
+    # table) and lcps two (prev/next attach): barriers keep the
+    # two-pass rank and the 2*(rounds+1)-join ladder walk at ONE
+    # execution each instead of 3x / 2x
+    ordered = materialize(global_rank(
         tables[-1],
         [F.col("r").asc(), F.col(id_col).asc(), F.col("p").asc()],
-        rank_col="__n")
+        rank_col="__n"))
     # pair j spans SA entries (j, j+1); __n rides through the walk
     a = ordered.selectExpr(f"{id_col} AS da", "p AS pa", "__n")
     b = ordered.selectExpr(f"{id_col} AS db", "p AS pb",
                            "__n - 1 AS __n")
-    lcps = adjacent_lcp(a.join(b, on="__n"), tables, lens,
-                        id_col=id_col)
+    lcps = materialize(adjacent_lcp(a.join(b, on="__n"), tables, lens,
+                                    id_col=id_col))
     prev = lcps.selectExpr("__n + 1 AS __n", "da AS __prev_doc",
                            "lcp AS __lcp_prev")
     nxt = lcps.selectExpr("__n", "lcp AS __lcp_next")

@@ -813,12 +813,17 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
            .filter("__rk = 1")
            .selectExpr(id_col, "__n",
                        "CAST(__c * __glen AS BIGINT) AS __topchars"))
-    top_w = base.select(id_col)
-    for n in (2, 3, 4):
-        top_w = top_w.join(
-            top.filter(F.col("__n") == n)
-            .selectExpr(id_col, f"__topchars AS __top{n}"),
-            on=id_col, how="left")
+    # conditional-aggregation pivot: ONE hash agg attaches every n at
+    # once. The per-n join loop this replaces ran 3 joins whose
+    # branches each re-filtered (and re-planned) the windowed top
+    # frame — same values (top has at most one row per (doc, n), so
+    # MAX(CASE WHEN __n = n ...) is exactly that row's value, NULL
+    # when absent, as the old left join produced)
+    top_w = base.select(id_col).join(
+        top.groupBy(id_col).agg(*[
+            F.max(F.when(F.col("__n") == n, F.col("__topchars")))
+            .alias(f"__top{n}") for n in (2, 3, 4)]),
+        on=id_col, how="left")
 
     # dup family (n = 5..10): duplicated-gram span union -> covered
     # characters via a position-range join against the token table
@@ -854,12 +859,14 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
            .groupBy(id_col, "__n")
            .agg(F.expr("CAST(SUM(__spanchars) AS BIGINT)")
                 .alias("__covchars")))
-    dup_w = base.select(id_col)
-    for n in range(5, 11):
-        dup_w = dup_w.join(
-            cov.filter(F.col("__n") == n)
-            .selectExpr(id_col, f"__covchars AS __dup{n}"),
-            on=id_col, how="left")
+    # same pivot shape as top_w: 6 per-n left joins (each replaying
+    # the islands-window/span lineage) collapse to ONE hash agg +
+    # ONE left join; cov has one row per (doc, n), so values match
+    dup_w = base.select(id_col).join(
+        cov.groupBy(id_col).agg(*[
+            F.max(F.when(F.col("__n") == n, F.col("__covchars")))
+            .alias(f"__dup{n}") for n in range(5, 11)]),
+        on=id_col, how="left")
 
     out = base.join(top_w, on=id_col).join(dup_w, on=id_col)
     cols = [id_col, "n_chars", "n_tokens"]

@@ -8066,7 +8066,10 @@ def q_doc_crossdup_exact(spark: SparkSession,
 
     docs = load(spark, sf_dir, "documents").filter(
         f"text IS NOT NULL AND doc_id % {_SFX_MOD} = 0")
-    cx = cross_doc_lcp(docs, rounds=_SFX_ROUNDS, cached=True)
+    # cx feeds the per-doc rollup AND the argmax-position join: the
+    # barrier keeps the whole range-min pipeline at one execution
+    cx = materialize(cross_doc_lcp(docs, rounds=_SFX_ROUNDS,
+                                   cached=True))
     agg = cx.groupBy("doc_id").agg(
         F.expr("CAST(MAX(cross_lcp) AS BIGINT)")
         .alias("max_cross_tokens"),
@@ -8987,9 +8990,11 @@ def _setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("s").alias("__sb"), F.col("n").alias("__nb"))
     return (
         cand.join(va, on="id_a").join(vb, on="id_b")
+        # array_intersect builds a hash set (O(na+nb)) where the old
+        # filter+array_contains scanned __sb per element (O(na*nb));
+        # counts are identical because __sa/__sb are array_distinct
         .withColumn("n_common", F.expr(
-            "CAST(size(filter(__sa, x -> array_contains(__sb, x)))"
-            " AS BIGINT)"))
+            "CAST(size(array_intersect(__sa, __sb)) AS BIGINT)"))
         .withColumn("jaccard", F.expr(
             "CAST(n_common AS DOUBLE)"
             " / CAST(__na + __nb - n_common AS DOUBLE)"))
@@ -9068,12 +9073,16 @@ def q_dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pairs.selectExpr("id_b AS src", "id_a AS dst"))
     )
     alive = edges.select("src").distinct()
+    # the alive set is node-id-sized (bounded by the capped slice, and
+    # only ever shrinking) — broadcast it so each peel round is two
+    # broadcast hash joins over the checkpointed edge blocks instead
+    # of re-shuffling the edge table into a sort-merge join per round
     for _ in range(_KCORE_R):
         deg = (
-            edges.join(alive.withColumnRenamed("src", "__x"),
-                       edges.src == F.col("__x"))
+            edges.join(F.broadcast(alive.withColumnRenamed(
+                "src", "__x")), edges.src == F.col("__x"))
             .drop("__x")
-            .join(alive.withColumnRenamed("src", "__y"),
+            .join(F.broadcast(alive.withColumnRenamed("src", "__y")),
                   F.col("dst") == F.col("__y"))
             .groupBy("src")
             .agg(F.count(F.lit(1)).alias("__n"))
@@ -9081,10 +9090,10 @@ def q_dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         alive = materialize(
             deg.filter(F.col("__n") >= _KCORE_K).select("src"))
     return (
-        edges.join(alive.withColumnRenamed("src", "__x"),
+        edges.join(F.broadcast(alive.withColumnRenamed("src", "__x")),
                    edges.src == F.col("__x"))
         .drop("__x")
-        .join(alive.withColumnRenamed("src", "__y"),
+        .join(F.broadcast(alive.withColumnRenamed("src", "__y")),
               F.col("dst") == F.col("__y"))
         .groupBy("src")
         .agg(F.count(F.lit(1)).alias("core_degree"))
@@ -9290,9 +9299,10 @@ def q_doc_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("s").alias("__sb"), F.col("n").alias("__nb"))
     return (
         cand.join(va, on="id_a").join(vb, on="id_b")
+        # hash-set intersection, not the O(na*nb) per-pair scan; same
+        # count on array_distinct inputs (see _setsim_pairs)
         .withColumn("n_common", F.expr(
-            "CAST(size(filter(__sa, x -> array_contains(__sb, x)))"
-            " AS BIGINT)"))
+            "CAST(size(array_intersect(__sa, __sb)) AS BIGINT)"))
         .withColumn("containment", F.expr(
             "CAST(n_common AS DOUBLE)"
             " / CAST(LEAST(__na, __nb) AS DOUBLE)"))
