@@ -376,13 +376,22 @@ def bpe_apply_bytelevel(docs: DataFrame, merges: DataFrame,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:
     """Byte-level twin of ``bpe_apply``: GPT-2-style pre-tokenization
-    + byte-fallback symbols, then the persisted merge list in one
-    Arrow pass per pre-token row. Same output schema and values as
-    ``bpe_bytelevel_encode`` with the same merges.
+    + byte-fallback symbols, then the persisted merge list applied to
+    the DISTINCT pre-token table in one Arrow pass (merges are
+    position-independent, so the per-occurrence result is a pure
+    function of the pre-token string) and joined back onto the
+    narrow occurrence frame. Same output schema and values as
+    ``bpe_bytelevel_encode`` with the same merges — the Python
+    boundary now carries vocabulary rows, not corpus rows.
     """
-    pts = bytelevel_pretokens(docs, text_col=text_col, id_col=id_col)
-    enc = pts.mapInPandas(_apply_merges_kernel(_collect_merges(merges)),
-                          schema=pts.schema)
+    pre = _bytelevel_pre(docs, text_col, id_col)
+    vocab = (pre.select("__tok").distinct()
+             .selectExpr("__tok", f"{_HEX_SYMBOLS_SQL} AS __t"))
+    enc_vocab = vocab.mapInPandas(
+        _apply_merges_kernel(_collect_merges(merges)),
+        schema=vocab.schema)
+    enc = pre.join(enc_vocab, on="__tok").select(
+        id_col, "__pt", "__t")
     return (
         enc.groupBy(id_col)
         .agg(
@@ -418,6 +427,28 @@ def bytelevel_pretokens(docs: DataFrame, text_col: str = "text",
     byte naming that both engines derive with ``hex(encode(tok))``
     (bit-identical cross-engine), keeping the plumbing table-free.
     """
+    return _bytelevel_pre(docs, text_col, id_col).selectExpr(
+        id_col, "__pt", f"{_HEX_SYMBOLS_SQL} AS __t")
+
+
+# the byte-symbol expansion of one pre-token string: its UTF-8 bytes
+# as two-char uppercase hex symbols (injective byte naming — see
+# bytelevel_pretokens). Applied to DISTINCT pre-tokens wherever
+# possible: hex() over every corpus occurrence costs corpus-scale
+# string work for a vocabulary-scale result.
+_HEX_SYMBOLS_SQL = (
+    "transform(sequence(1, length(hex(encode(__tok, 'UTF-8')))"
+    " div 2), i -> substr(hex(encode(__tok, 'UTF-8')),"
+    " 2 * i - 1, 2))")
+
+
+def _bytelevel_pre(docs: DataFrame, text_col: str,
+                   id_col: str) -> DataFrame:
+    """(id, __pt, __tok): GPT-2 pre-tokenization WITHOUT the byte
+    expansion — the narrow occurrence frame (position + raw pre-token
+    string) every byte-level path shuffles; the hex symbol arrays are
+    derived per DISTINCT pre-token (``_bytelevel_vocab``), not per
+    occurrence."""
     pat = F.lit(GPT2_PRETOKEN_PAT)
     return (
         docs.filter(F.col(text_col).isNotNull())
@@ -426,12 +457,21 @@ def bytelevel_pretokens(docs: DataFrame, text_col: str = "text",
                 .alias("__pts"))
         .select(id_col, F.posexplode("__pts").alias("__pt", "__tok"))
         # posexplode is 0-based; oracle lists are 1-based
-        .selectExpr(
-            id_col, "__pt + 1 AS __pt",
-            "transform(sequence(1, length(hex(encode(__tok, 'UTF-8')))"
-            " div 2), i -> substr(hex(encode(__tok, 'UTF-8')),"
-            " 2 * i - 1, 2)) AS __t")
+        .selectExpr(id_col, "__pt + 1 AS __pt", "__tok")
     )
+
+
+def _bytelevel_vocab(pre: DataFrame) -> DataFrame:
+    """Distinct pre-token frequency table (__tok, __f, __t0): ONE
+    map-side-combined count agg over the occurrence frame, then the
+    byte-symbol expansion on the vocabulary rows only. __tok <-> __t0
+    is a bijection (hex of the UTF-8 bytes is injective), so counts
+    keyed by __tok equal counts keyed by the symbol array — the
+    property that keeps merges/tie-breaks identical to grouping on
+    the expanded arrays directly."""
+    return (pre.groupBy("__tok")
+            .agg(F.count(F.lit(1)).alias("__f"))
+            .withColumn("__t0", F.expr(_HEX_SYMBOLS_SQL)))
 
 
 def bpe_bytelevel_train(docs: DataFrame, n_merges: int = 4,
@@ -446,13 +486,13 @@ def bpe_bytelevel_train(docs: DataFrame, n_merges: int = 4,
         from xsarsea_spark.engine import get_conf
         sample_frac = float(get_conf(
             docs.sparkSession, "spark.xsarsea.bpe.sampleFrac", "1.0"))
-    pts = bytelevel_pretokens(docs, text_col=text_col, id_col=id_col)
+    pre = _bytelevel_pre(docs, text_col, id_col)
     # train on the distinct pre-token frequency table: counts (and
     # therefore merges and tie-breaks) are exactly the corpus counts
+    # (__tok <-> __t0 bijection, see _bytelevel_vocab)
     wf = materialize(
-        pts.groupBy(F.col("__t").alias("__t0"))
-        .agg(F.count(F.lit(1)).alias("__f"))
-        .withColumn("__t", F.col("__t0")))
+        _bytelevel_vocab(pre)
+        .select("__t0", "__f", F.col("__t0").alias("__t")))
     _, merges = _merge_rounds_weighted(
         wf, n_merges, apply_last=False, sample_frac=sample_frac)
     return docs.sparkSession.createDataFrame(
@@ -493,20 +533,23 @@ def bpe_bytelevel_encode(docs: DataFrame, n_merges: int = 4,
         from xsarsea_spark.engine import get_conf
         sample_frac = float(get_conf(
             docs.sparkSession, "spark.xsarsea.bpe.sampleFrac", "1.0"))
-    pts = bytelevel_pretokens(docs, text_col=text_col, id_col=id_col)
-    wf = materialize(
-        pts.groupBy(F.col("__t").alias("__t0"))
-        .agg(F.count(F.lit(1)).alias("__f"))
-        .withColumn("__t", F.col("__t0")))
+    pre = _bytelevel_pre(docs, text_col, id_col)
+    vocab = materialize(_bytelevel_vocab(pre))
+    wf = vocab.select("__t0", "__f", F.col("__t0").alias("__t"))
     seg, _ = _merge_rounds_weighted(
         wf, n_merges, apply_last=True, sample_frac=sample_frac)
-    # segment each corpus pre-token by joining back on its ORIGINAL
-    # symbol array — vocabulary-scale right side, so the optimizer
-    # broadcasts it in practice; the rounds themselves never touch
-    # the corpus again after the one frequency agg
-    cur = (pts.join(seg.select("__t0",
-                               F.col("__t").alias("__tf")),
-                    pts["__t"] == F.col("__t0"))
+    # segment each corpus pre-token by joining back on the RAW
+    # pre-token string (mapped to its segmentation through the
+    # __tok <-> __t0 bijection) — vocabulary-scale right side, so
+    # the optimizer broadcasts it in practice; the corpus explode
+    # now shuffles plain strings, never per-occurrence symbol
+    # arrays, and the rounds never touch the corpus after the one
+    # frequency agg
+    tokseg = (vocab.select("__tok", "__t0")
+              .join(seg.select("__t0", F.col("__t").alias("__tf")),
+                    on="__t0")
+              .select("__tok", "__tf"))
+    cur = (pre.join(tokseg, on="__tok")
            .select(id_col, "__pt", F.col("__tf").alias("__t")))
     return (
         cur.groupBy(id_col)

@@ -11374,25 +11374,50 @@ FROM q LEFT JOIN ca USING (n, gram)"""
 )
 def q_doc_infinigram_counts(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
-    from xsarsea_spark.pipeline.ngram_index import (
-        continuation_stats, ngram_occurrences, ngram_stats)
+    from xsarsea_spark.pipeline.ngram_index import ngram_occurrences
 
     docs = load(spark, sf_dir, "documents")
-    stats = materialize(
-        ngram_stats(ngram_occurrences(docs, _IG_NS)))
+    # pass 1: plain per-gram counts ONLY — no countDistinct. The old
+    # combined agg planned count + COUNT(DISTINCT doc_id) through
+    # Spark's expand rewrite (rows doubled pre-shuffle, exchange
+    # keyed (n, gram, doc_id)); the counts alone combine map-side to
+    # distinct grams per partition and decide the top-k selection
+    cnts = materialize(
+        ngram_occurrences(docs, _IG_NS)
+        .groupBy("n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt")))
     qs = None
     for nn in _IG_NS:
-        top = (stats.filter(F.col("n") == nn)
+        top = (cnts.filter(F.col("n") == nn)
                .orderBy(F.col("cnt").desc(), F.col("gram").asc())
                .limit(_IG_TOPK))
         qs = top if qs is None else qs.unionAll(top)
     queries = materialize(qs)
-    # second scan recomputes occurrences with the broadcast query
-    # filter pushed into the scan stage — cheaper at scale than
-    # materializing the corpus-sized occurrence stream
-    cont = continuation_stats(ngram_occurrences(docs, _IG_NS),
-                              queries)
-    return (queries.join(cont, on=["n", "gram"], how="left")
+    # pass 2: ONE re-scan with the broadcast query filter pushed into
+    # the scan stage (cheaper at scale than materializing the
+    # corpus-sized occurrence stream) now feeds BOTH the exact
+    # doc-frequency of the selected grams and their continuation
+    # stats — the query-pruned hit stream is tiny, so the barrier is
+    # output-sized
+    hits = materialize(
+        ngram_occurrences(docs, _IG_NS)
+        .join(F.broadcast(queries.select("n", "gram")),
+              on=["n", "gram"]))
+    dfq = hits.groupBy("n", "gram").agg(
+        F.countDistinct("doc_id").alias("doc_freq"))
+    ch = (hits.filter(F.col("cont").isNotNull())
+          .groupBy("n", "gram", "cont")
+          .agg(F.count(F.lit(1)).alias("__c")))
+    cont = (ch.groupBy("n", "gram")
+            .agg(F.count(F.lit(1)).alias("cont_distinct"),
+                 F.min(F.struct((-F.col("__c")).alias("k"),
+                                F.col("cont").alias("v")))
+                 .alias("__m"))
+            .selectExpr("n", "gram", "cont_distinct",
+                        "__m.v AS top_cont",
+                        "CAST(-__m.k AS BIGINT) AS top_cont_cnt"))
+    return (queries.join(dfq, on=["n", "gram"], how="left")
+            .join(cont, on=["n", "gram"], how="left")
             .selectExpr(
                 "n", "gram", "cnt", "doc_freq",
                 "CAST(COALESCE(cont_distinct, 0) AS BIGINT)"
@@ -11454,11 +11479,17 @@ FROM hit"""
 def q_doc_infinigram_backoff(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     from xsarsea_spark.pipeline.ngram_index import (
-        backoff_longest_suffix, ngram_occurrences, ngram_stats)
+        backoff_longest_suffix, ngram_occurrences)
 
     docs = load(spark, sf_dir, "documents")
+    # counts only: neither the top-gram contexts nor the backoff walk
+    # reads doc_freq, so the old ngram_stats COUNT(DISTINCT doc_id)
+    # (expand rewrite + (n, gram, doc_id)-keyed exchange) was pure
+    # waste — the plain count agg combines map-side to distinct grams
     stats = materialize(
-        ngram_stats(ngram_occurrences(docs, _IGB_NS)))
+        ngram_occurrences(docs, _IGB_NS)
+        .groupBy("n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt")))
     q4 = (stats.filter(F.col("n") == 4)
           .orderBy(F.col("cnt").desc(), F.col("gram").asc())
           .limit(2)
