@@ -108,9 +108,14 @@ def gd_step(xy: DataFrame, w: list[float], lr: float = 1.0,
     # rounding boundary differently across engines; the floor grid
     # is pure IEEE arithmetic, so both engines cast an identical
     # on-grid double (then the cast is unambiguous).
-    row = xy.agg(
+    #
+    # p is projected ONCE below the aggregate: inlining it into every
+    # per-dim gradient sum evaluated the interpreted higher-order
+    # dot product + sigmoid N_FEATURES times per row (identical
+    # value, N_FEATURES x the work)
+    row = xy.select("y", "x", F.expr(p).alias("__p")).agg(
         *[F.expr(DSUM(QTRUNC(
-            f"(({p}) - y) * element_at(x, {d + 1})", scale),
+            f"(__p - y) * element_at(x, {d + 1})", scale),
             scale)).alias(f"g{d}")
           for d in range(N_FEATURES)],
         F.count(F.lit(1)).alias("n"),
@@ -182,9 +187,12 @@ def train_logreg_grouped(xy: DataFrame, group_col: str = "lang",
                 f"{group_col} string, w array<double>")
             rows = (
                 txy.join(F.broadcast(wdf), group_col)
+                # same once-below-the-agg projection as gd_step:
+                # identical value, 1/N_FEATURES of the sigmoid work
+                .select(group_col, "y", "x", F.expr(p).alias("__p"))
                 .groupBy(group_col)
                 .agg(*[F.expr(DSUM(QTRUNC(
-                    f"(({p}) - y) * element_at(x, {d + 1})", scale),
+                    f"(__p - y) * element_at(x, {d + 1})", scale),
                     scale)).alias(f"g{d}")
                     for d in range(N_FEATURES)],
                     F.count(F.lit(1)).alias("n"))

@@ -1355,8 +1355,15 @@ def q_documents_warc_roundtrip(spark: SparkSession,
     register_warc(spark)
     docs = load(spark, sf_dir, "documents")
     base = _rt_base(spark, sf_dir, "warc")
+    # the parquet scan yields ~1 partition at bench scale, so the
+    # Python-side gzip WARC writer (and the per-file reader behind
+    # it) ran single-core; spreading the write across the default
+    # parallelism parallelizes BOTH directions of the trip — the
+    # multi-member layout is unchanged and the per-lang profile is
+    # partitioning-independent
     (docs.selectExpr("text AS payload", "doc_id", "lang", "source",
                      "n_chars")
+     .repartition(spark.sparkContext.defaultParallelism)
      .write.format("warc").option("compression", "gzip")
      .mode("overwrite").save(base))
     back = (spark.read.format("warc").load(base)
