@@ -5927,8 +5927,12 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(COUNT(*) AS DOUBLE)").alias("tf"),
         F.expr("MIN(dl)").alias("dl"),
     )
-    df = toks.groupBy("term").agg(
-        F.expr("CAST(COUNT(DISTINCT doc_id) AS DOUBLE)").alias("df"))
+    # tf holds exactly one row per (doc, term): the per-term doc
+    # frequency is a plain row count over it — same value as
+    # COUNT(DISTINCT doc_id) over the token stream, without the
+    # distinct rewrite or a second pass over the exploded corpus
+    df = tf.groupBy("term").agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("df"))
     scored = (
         tf.join(F.broadcast(df), on="term")
         .crossJoin(F.broadcast(stats))
@@ -6048,8 +6052,10 @@ def q_doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(
         F.expr("CAST(COUNT(*) AS DOUBLE)").alias("tf"),
         F.expr("MIN(dl)").alias("dl"))
-    dfr = toks.groupBy("term").agg(
-        F.expr("CAST(COUNT(DISTINCT doc_id) AS DOUBLE)").alias("df"))
+    # doc frequency from tf (one row per (doc, term)) — identical to
+    # COUNT(DISTINCT doc_id) over toks, minus the distinct machinery
+    dfr = tf.groupBy("term").agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("df"))
     lex = (tf.join(F.broadcast(dfr), on="term")
            .crossJoin(F.broadcast(stats))
            .groupBy("doc_id")
@@ -13151,11 +13157,15 @@ def q_doc_retrieval_eval(spark: SparkSession,
         "CAST(COUNT(*) AS DOUBLE) AS n_docs",
         "SUM(size(split(text, ' '))) / CAST(COUNT(*) AS DOUBLE)"
         " AS avgdl")
-    tf = toks.groupBy("doc_id", "term").agg(
+    # tf is materialized: it feeds BOTH the BM25 score join and the
+    # per-term doc frequency below (one row per (doc, term), so the
+    # plain row count equals COUNT(DISTINCT doc_id) over toks without
+    # the distinct rewrite or a second exploded-corpus pass)
+    tf = materialize(toks.groupBy("doc_id", "term").agg(
         F.expr("CAST(COUNT(*) AS DOUBLE)").alias("tf"),
-        F.expr("MIN(dl)").alias("dl"))
-    dfr = toks.groupBy("term").agg(
-        F.expr("CAST(COUNT(DISTINCT doc_id) AS DOUBLE)").alias("df"))
+        F.expr("MIN(dl)").alias("dl")))
+    dfr = tf.groupBy("term").agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("df"))
     lex = (qterm.join(tf, on="term")
            .join(F.broadcast(dfr), on="term")
            .crossJoin(F.broadcast(stats))
