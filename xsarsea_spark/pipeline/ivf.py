@@ -91,25 +91,6 @@ def _guarded_norms(c: np.ndarray) -> np.ndarray:
     return cn
 
 
-def _assign_kernel(centroids: np.ndarray, id_col: str, vec_col: str):
-    c = np.ascontiguousarray(centroids, dtype=np.float64)
-    cn = _guarded_norms(c)
-
-    def gen(batches):
-        for pdf in batches:
-            v = np.stack(
-                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
-            # cosine assignment (argmax similarity; ties -> lowest
-            # cell, same as the oracle's ORDER BY sim DESC, cell)
-            sim = _sim_to(v, c, cn)
-            yield pd.DataFrame({
-                id_col: pdf[id_col].to_numpy(),
-                "cell": np.argmax(sim, axis=1).astype(np.int32),
-            })
-
-    return gen
-
-
 def train_ivf(corpus: DataFrame, n_centroids: int = 16, iters: int = 5,
               vec_col: str = "embedding",
               id_col: str = "vec_id") -> np.ndarray:
@@ -184,14 +165,34 @@ def train_ivf(corpus: DataFrame, n_centroids: int = 16, iters: int = 5,
 def assign_cells(corpus: DataFrame, centroids: np.ndarray,
                  vec_col: str = "embedding",
                  id_col: str = "vec_id") -> DataFrame:
-    """Index: corpus rows tagged with their nearest-centroid cell."""
-    schema = T.StructType([
-        corpus.schema[id_col],
-        T.StructField("cell", T.IntegerType()),
-    ])
-    cells = corpus.select(id_col, vec_col).mapInPandas(
-        _assign_kernel(centroids, id_col, vec_col), schema=schema)
-    return corpus.join(cells, on=id_col)
+    """Index: corpus rows tagged with their nearest-centroid cell.
+
+    One passthrough kernel pass — every corpus column rides the same
+    Arrow batch that computes the assignment, so no corpus-wide join
+    re-attaches ``cell`` (the join shape shuffled the vectors by id
+    on both sides of a sort-merge join just to glue on one int)."""
+    c = np.ascontiguousarray(centroids, dtype=np.float64)
+    cn = _guarded_norms(c)
+    schema = T.StructType(
+        [corpus.schema[id_col]]
+        + [f for f in corpus.schema.fields if f.name != id_col]
+        + [T.StructField("cell", T.IntegerType())])
+    cols = [id_col] + [n for n in corpus.columns if n != id_col]
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            # cosine assignment (argmax similarity; ties -> lowest
+            # cell, same as the oracle's ORDER BY sim DESC, cell)
+            out = pdf[cols].copy()
+            out["cell"] = np.argmax(
+                _sim_to(v, c, cn), axis=1).astype(np.int32)
+            yield out
+
+    return corpus.mapInPandas(gen, schema=schema)
 
 
 def ivf_search(

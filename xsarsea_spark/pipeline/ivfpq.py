@@ -47,7 +47,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from xsarsea_spark.engine import materialize
-from xsarsea_spark.pipeline.pq import _seq_sqdist, encode_pq, train_pq
+from xsarsea_spark.pipeline.pq import _seq_sqdist, train_pq
 
 __all__ = ["train_ivfpq", "encode_ivfpq", "ivfpq_search"]
 
@@ -55,24 +55,35 @@ __all__ = ["train_ivfpq", "encode_ivfpq", "ivfpq_search"]
 def _residuals(corpus: DataFrame, coarse: np.ndarray,
                vec_col: str, id_col: str) -> DataFrame:
     """(id, cell, resid): coarse assignment (argmin fold-ordered L2,
-    ties -> lowest cell) + exact double residual ``v - centroid``."""
-    spark = corpus.sparkSession
-    cells = encode_pq(corpus, coarse[None], vec_col=vec_col,
-                      id_col=id_col).selectExpr(id_col,
-                                                "codes[0] AS cell")
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in coarse[i]])
-         for i in range(coarse.shape[0])],
-        "cell int, __cent array<double>")
-    return (
-        corpus.select(id_col, vec_col)
-        .join(cells, on=id_col)
-        .join(F.broadcast(cents), on="cell")
-        .select(id_col, "cell",
-                F.expr(f"zip_with({vec_col}, __cent,"
-                       " (a, b) -> CAST(a AS DOUBLE) - b)")
-                .alias("resid"))
-    )
+    ties -> lowest cell) + exact double residual ``v - centroid`` —
+    ONE narrow kernel pass. The assignment and the subtraction share
+    the batch, so no corpus-wide join ever re-attaches the cell (the
+    join shape shuffled the vectors by id on both sides)."""
+    co = np.ascontiguousarray(coarse, dtype=np.float64)
+    schema = T.StructType([
+        corpus.schema[id_col],
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("resid", T.ArrayType(T.DoubleType())),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64)
+                          for x in pdf[vec_col]])
+            # same argmin as encode_pq with m=1 (ties -> lowest cell);
+            # float32 -> float64 is exact, and the elementwise double
+            # subtraction is the zip_with CAST(a AS DOUBLE) - b op
+            cell = np.argmin(_seq_sqdist(v, co), axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "cell": cell.astype(np.int32),
+                "resid": list(v - co[cell]),
+            })
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        gen, schema=schema)
 
 
 def train_ivfpq(corpus: DataFrame, n_cells: int = 8, m: int = 8,
@@ -96,10 +107,40 @@ def train_ivfpq(corpus: DataFrame, n_cells: int = 8, m: int = 8,
 def encode_ivfpq(corpus: DataFrame, coarse: np.ndarray,
                  books: np.ndarray, vec_col: str = "embedding",
                  id_col: str = "vec_id") -> DataFrame:
-    """The index: (id, cell, codes array<int> of length m)."""
-    resid = _residuals(corpus, coarse, vec_col, id_col)
-    codes = encode_pq(resid, books, vec_col="resid", id_col=id_col)
-    return resid.select(id_col, "cell").join(codes, on=id_col)
+    """The index: (id, cell, codes array<int> of length m), built in
+    ONE kernel pass — coarse assign, residual subtraction and the
+    residual-PQ code assignment share the batch (the staged shape
+    re-joined two corpus-wide frames on id just to glue cell and
+    codes back together)."""
+    co = np.ascontiguousarray(coarse, dtype=np.float64)
+    m, _, sub = books.shape
+    slices = [slice(i * sub, (i + 1) * sub) for i in range(m)]
+    schema = T.StructType([
+        corpus.schema[id_col],
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64)
+                          for x in pdf[vec_col]])
+            cell = np.argmin(_seq_sqdist(v, co), axis=1)
+            r = v - co[cell]
+            codes = np.empty((v.shape[0], m), dtype=np.int32)
+            for s_i, sl in enumerate(slices):
+                codes[:, s_i] = np.argmin(
+                    _seq_sqdist(r[:, sl], books[s_i]), axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "cell": cell.astype(np.int32),
+                "codes": list(codes),
+            })
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        gen, schema=schema)
 
 
 def ivfpq_search(queries: DataFrame, index: DataFrame,
@@ -133,6 +174,10 @@ def ivfpq_search(queries: DataFrame, index: DataFrame,
                             F.col(vec_col).alias("__qv"))
         cv = corpus.select(F.col(id_col).alias("neighbor_id"),
                            F.col(vec_col).alias("__cv"))
+        # the shortlist is batch-bounded (n_q * shortlist rows):
+        # broadcast it so the corpus vectors stream through the
+        # refine join instead of being shuffled by neighbor_id
+        cand = F.broadcast(cand) if broadcast_queries else cand
         exact = (
             cand.join(cv, on="neighbor_id")
             .join(F.broadcast(qv), on="query_id")

@@ -203,6 +203,10 @@ def pq_search(queries: DataFrame, codes: DataFrame, books: np.ndarray,
                             F.col(vec_col).alias("__qv"))
         cv = corpus.select(F.col(id_col).alias("neighbor_id"),
                            F.col(vec_col).alias("__cv"))
+        # the shortlist is batch-bounded (n_q * shortlist rows):
+        # broadcast it so the corpus vectors stream through the
+        # refine join instead of being shuffled by neighbor_id
+        cand = F.broadcast(cand) if broadcast_queries else cand
         exact = (
             cand.join(cv, on="neighbor_id")
             .join(F.broadcast(qv), on="query_id")
