@@ -836,27 +836,44 @@ def q_q_price_volume_mix(spark, sf_dir):
             .alias("m"), "l_partkey")
           .agg(F.expr(DSUM("l_extendedprice")).alias("r"),
                F.expr(DSUM("l_quantity")).alias("q")))
-    cur = pm.selectExpr("m", "l_partkey", "r AS r1", "q AS q1")
-    prv = pm.selectExpr("m + 1 AS m", "l_partkey", "r AS r0",
-                        "q AS q0")
-    pair = cur.join(prv, on=["m", "l_partkey"])
+    # ONE execution of pm: each (m, partkey) cell feeds the bridge
+    # twice - as the current month (side 0 at m) and as the previous
+    # month (side 1 at m+1). Merging the two sides per (m, partkey)
+    # replaces the three self-joins (pair / new left-anti / lost
+    # left-anti), each of which re-executed the corpus aggregate on
+    # both of its inputs (6 lineitem aggregations total).
+    two = pm.selectExpr(
+        "l_partkey",
+        "explode(array("
+        " named_struct('m', m, 's', 0, 'r', r, 'q', q),"
+        " named_struct('m', m + 1, 's', 1, 'r', r, 'q', q))) AS e"
+    ).selectExpr("e.m AS m", "l_partkey", "e.s AS s", "e.r AS r",
+                 "e.q AS q")
+    merged = two.groupBy("m", "l_partkey").agg(
+        F.expr("MAX(CASE WHEN s = 0 THEN r END)").alias("r1"),
+        F.expr("MAX(CASE WHEN s = 0 THEN q END)").alias("q1"),
+        F.expr("MAX(CASE WHEN s = 1 THEN r END)").alias("r0"),
+        F.expr("MAX(CASE WHEN s = 1 THEN q END)").alias("q0"))
     p1, p0 = "(r1 / q1)", "(r0 / q0)"
     pe = QTRUNC(f"({p1} - {p0}) * q0", 6)
     ve = QTRUNC(f"{p0} * (q1 - q0)", 6)
     ce = QTRUNC(f"({p1} - {p0}) * (q1 - q0)", 6)
-    cont = pair.groupBy("m").agg(
-        F.expr(DSUM("r1 - r0")).alias("delta_cont"),
-        F.expr(DSUM(pe, 6)).alias("price_effect"),
-        F.expr(DSUM(ve, 6)).alias("volume_effect"),
-        F.expr(DSUM(ce, 6)).alias("cross_effect"))
-    new_r = (cur.join(prv, on=["m", "l_partkey"], how="left_anti")
-             .groupBy("m")
-             .agg(F.expr(DSUM("r1")).alias("new_revenue")))
-    lost_r = (prv.join(cur, on=["m", "l_partkey"], how="left_anti")
-              .groupBy("m")
-              .agg(F.expr(DSUM("r0")).alias("lost_revenue")))
-    return (cont.join(new_r, on="m", how="left")
-            .join(lost_r, on="m", how="left")
+    cont = "r1 IS NOT NULL AND r0 IS NOT NULL"
+    out = merged.groupBy("m").agg(
+        F.expr(DSUM(f"CASE WHEN {cont} THEN r1 - r0 END"))
+        .alias("delta_cont"),
+        F.expr(DSUM(f"CASE WHEN {cont} THEN ({pe}) END", 6))
+        .alias("price_effect"),
+        F.expr(DSUM(f"CASE WHEN {cont} THEN ({ve}) END", 6))
+        .alias("volume_effect"),
+        F.expr(DSUM(f"CASE WHEN {cont} THEN ({ce}) END", 6))
+        .alias("cross_effect"),
+        F.expr(DSUM("CASE WHEN r0 IS NULL THEN r1 END"))
+        .alias("new_revenue"),
+        F.expr(DSUM("CASE WHEN r1 IS NULL THEN r0 END"))
+        .alias("lost_revenue"))
+    # months with >= 1 continuing pair - the old inner-basis (cont)
+    return (out.filter("delta_cont IS NOT NULL")
             .selectExpr(
                 "m AS month_key", "delta_cont", "price_effect",
                 "volume_effect", "cross_effect",
