@@ -423,30 +423,28 @@ def q_minhash_cross_snapshot(spark: SparkSession,
         .alias("c1"))
     d = docs.crossJoin(F.broadcast(cuts))
     batch = d.filter("doc_id >= c").drop("c", "c0", "c1")
-    snaps = [d.filter("doc_id < c0"),
-             d.filter("doc_id >= c0 AND doc_id < c1"),
-             d.filter("doc_id >= c1 AND doc_id < c")]
-    snaps = [s.drop("c", "c0", "c1").withColumn(
-        "snapshot", F.lit(i).cast("int")) for i, s in enumerate(snaps)]
-    # each snapshot's band table is persisted state built at its own
-    # ingest time; the probe sees only their tagged union —
-    # materialized here because BOTH the probe join and the
-    # provenance join consume it (in production it is parquet on
-    # disk; without the barrier each consumer replays all three
-    # shingle->minhash->band chains: measured 11.4 -> ~6 s at sf0.1)
+    # the snapshot tag is a pure function of doc_id and the broadcast
+    # cuts, and the shingle->minhash->band chain keys every stage by
+    # doc_id — so ONE chain over the whole history (re-tagged at the
+    # end) produces the identical tagged union the three per-snapshot
+    # chains built, with one corpus scan/explode instead of three
+    snap_tag = ("CAST(CASE WHEN doc_id < c0 THEN 0"
+                " WHEN doc_id < c1 THEN 1 ELSE 2 END AS INT)"
+                " AS snapshot")
+    hist = d.filter("doc_id < c").drop("c", "c0", "c1")
+    # the band table is persisted state built at ingest time; the
+    # probe sees only the tagged union — materialized here because
+    # BOTH the probe join and the provenance join consume it (in
+    # production it is parquet on disk; without the barrier each
+    # consumer replays the shingle->minhash->band chain)
     from xsarsea_spark.engine import materialize
 
-    parts = [
-        lsh_bands(minhash_signatures(shingle(s, n=_MH_N), k=_MH_K))
-        .withColumn("snapshot", F.lit(i).cast("int"))
-        for i, s in enumerate(snaps)]
-    tagged_bands = parts[0]
-    for p in parts[1:]:
-        tagged_bands = tagged_bands.unionByName(p)
-    tagged_bands = materialize(tagged_bands)
-    snap_docs = snaps[0]
-    for s in snaps[1:]:
-        snap_docs = snap_docs.unionByName(s)
+    tagged_bands = materialize(
+        lsh_bands(minhash_signatures(shingle(hist, n=_MH_N), k=_MH_K))
+        .crossJoin(F.broadcast(cuts))
+        .selectExpr("doc_id", "band", "bandhash", snap_tag))
+    snap_docs = d.filter("doc_id < c").selectExpr(
+        *[c for c in docs.columns], snap_tag)
     return minhash_lsh_cross_snapshot(
         batch, tagged_bands, snap_docs,
         n=_MH_N, k=_MH_K, threshold=_MH_T, batch_snapshot=3)
