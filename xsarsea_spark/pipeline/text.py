@@ -828,11 +828,16 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
     # dup family (n = 5..10): duplicated-gram span union -> covered
     # characters via a position-range join against the token table
     gd = gram_frame([5, 6, 7, 8, 9, 10], keep_gram=False)
-    dup = (gd.groupBy(id_col, "__n", "__h")
-           .agg(F.count(F.lit(1)).alias("__c"))
-           .filter("__c >= 2").select(id_col, "__n", "__h"))
-    hits = (gd.join(dup, on=[id_col, "__n", "__h"])
-            .select(id_col, "__n", "__p"))
+    # ONE pass over the 6-n gram frame: collecting the positions in
+    # the duplicate-count aggregation replaces the second gram
+    # explode + join-back that re-attached positions to duplicated
+    # grams (hits = every occurrence position of a gram seen >= 2
+    # times in the doc; position order is irrelevant - the islands
+    # window re-sorts by __p)
+    hits = (gd.groupBy(id_col, "__n", "__h")
+            .agg(F.collect_list("__p").alias("__ps"))
+            .filter("size(__ps) >= 2")
+            .select(id_col, "__n", F.explode("__ps").alias("__p")))
     wisl = Window.partitionBy(id_col, "__n").orderBy("__p")
     marked = hits.withColumn(
         "__new",
