@@ -66,13 +66,34 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nothing — at ~190k output groups the agg is bound by the
     # hash-table/grouping work, not the DECIMAL conversion (unlike
     # Q1's 4-group case where the conversion dominates).
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.expr(DAVG("l_extendedprice / l_quantity", 9)).alias("unit_cost"))
     part = load(spark, sf_dir, "part").filter(
         (F.col("p_type") == "PROMO") & F.col("p_size").between(10, 20))
     supp = load(spark, sf_dir, "supplier")
     nat = load(spark, sf_dir, "nation")
     reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    # guide-§3.2 pre-filter: only PROMO mid-size parts and EUROPE
+    # suppliers survive the joins below, so semi-join the lineitem
+    # scan on both small key sets BEFORE the (partkey, suppkey)
+    # aggregation - the per-group rows (and the DECIMAL average) of
+    # every surviving group are untouched, the agg just skips groups
+    # the join would discard anyway
+    s2, n2 = (load(spark, sf_dir, "supplier"),
+              load(spark, sf_dir, "nation"))
+    r2 = load(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE")
+    eu_supp = (s2.join(F.broadcast(n2),
+                       s2.s_nationkey == n2.n_nationkey)
+               .join(F.broadcast(r2),
+                     n2.n_regionkey == r2.r_regionkey)
+               .select("s_suppkey"))
+    ps = (li
+          .join(F.broadcast(part.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"), "left_semi")
+          .join(F.broadcast(eu_supp),
+                li.l_suppkey == F.col("s_suppkey"), "left_semi")
+          .groupBy("l_partkey", "l_suppkey").agg(
+              F.expr(DAVG("l_extendedprice / l_quantity", 9))
+              .alias("unit_cost")))
     j = (
         ps.join(part, ps.l_partkey == part.p_partkey)
         .join(supp, ps.l_suppkey == supp.s_suppkey)
