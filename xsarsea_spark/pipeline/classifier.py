@@ -163,30 +163,43 @@ def train_logreg_grouped(xy: DataFrame, group_col: str = "lang",
     pipeline ships, without multiplying passes: each round is a
     single grouped map-side-combined aggregation carrying every
     group's d DECIMAL-grid gradient sums at once, and the per-round
-    weight state is a broadcast (group, w) table joined back onto
-    the cached feature frame. Driver state is |groups| * d doubles
-    (groups are bounded — languages/domains, not documents). The
-    arithmetic per group is identical to :func:`train_logreg`, so
-    the same chained-CTE oracle ladder replays it with a GROUP BY.
+    weight state is inlined as a literal CASE-over-groups array
+    expression (the grouped analog of :func:`train_logreg`'s literal
+    ``z_expr``) — same ``zip_with`` fold over the same doubles as
+    the broadcast-join formulation it replaces, but a round costs
+    one aggregation job with no per-round createDataFrame +
+    BroadcastExchange lifecycle. Driver state is |groups| * d
+    doubles (groups are bounded — languages/domains, not
+    documents). The arithmetic per group is identical to
+    :func:`train_logreg`, so the same chained-CTE oracle ladder
+    replays it with a GROUP BY.
     """
     from xsarsea_spark.suite.base import DSUM, QTRUNC  # deferred
 
-    spark = xy.sparkSession
     txy = xy.select(group_col, "x", "y").persist()
     try:
         groups = sorted(
             r[0] for r in txy.select(group_col).distinct().collect()
             if r[0] is not None)
         w = {g: [0.0] * N_FEATURES for g in groups}
-        p = QTRUNC(
-            f"CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
-            f" + exp(-({GROUPED_Z_SQL})))", qk)
+        # the old inner join against the (group, w) table also
+        # dropped rows whose group is absent from `groups` (only
+        # possible for NULL, which distinct() above filtered) — keep
+        # that row set explicit under the literal-CASE formulation
+        tin = txy.filter(F.col(group_col).isin(list(groups)))
         for _ in range(rounds):
-            wdf = spark.createDataFrame(
-                [(g, w[g]) for g in groups],
-                f"{group_col} string, w array<double>")
+            wcase = ("CASE " + " ".join(
+                "WHEN {c} = '{g}' THEN {arr}".format(
+                    c=group_col, g=str(g).replace("'", "''"),
+                    arr=_w_lit(w[g]))
+                for g in groups) + " END")
+            z = (f"aggregate(zip_with({wcase}, x, (a, b) -> a * b),"
+                 f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+            p = QTRUNC(
+                f"CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+                f" + exp(-({z})))", qk)
             rows = (
-                txy.join(F.broadcast(wdf), group_col)
+                tin
                 # same once-below-the-agg projection as gd_step:
                 # identical value, 1/N_FEATURES of the sigmoid work
                 .select(group_col, "y", "x", F.expr(p).alias("__p"))
