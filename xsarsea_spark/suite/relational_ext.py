@@ -490,9 +490,17 @@ CROSS JOIN n
     tags=("relational", "join"),
 )
 def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xsarsea_spark.engine import materialize
+
     li = load(spark, sf_dir, "lineitem")
     items = li.selectExpr("l_orderkey AS o", "l_partkey AS p") \
         .distinct()
+    # 4 consumers below (n, cnt, and both sides of the pair join),
+    # each demanding a different output partitioning — the executed
+    # plan showed 0 ReusedExchange and 5 lineitem scans, i.e. the
+    # distinct re-ran per consumer. Truncate once; every consumer
+    # reads the deduped (order, part) pairs, not lineitem.
+    items = materialize(items)
     n = items.agg(F.countDistinct("o").alias("n_orders"))
     cnt = items.groupBy("p").agg(F.count(F.lit(1)).alias("cp"))
     a = items.selectExpr("o", "p AS part_a")
