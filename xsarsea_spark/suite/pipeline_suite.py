@@ -9180,40 +9180,62 @@ def q_pipeline_curation_report(spark: SparkSession,
                                              quality_score)
 
     docs = load(spark, sf_dir, "documents")
+    # ONE PASS over cumulative per-doc survival flags instead of a
+    # union of five stage aggregations: the chained stage frames
+    # (s1 ⊃ s2 ⊃ s3 ⊃ s4) re-executed their shared lineage per
+    # union branch — the executed plan carried 32 documents scans
+    # (the MinHash-LSH chain ran 3x, the md5 window 4x). The flags
+    # reproduce the joins exactly: left_anti == left join + NULL
+    # check, inner join + filter == left join + null-safe predicate
+    # (a doc absent from the quality/gopher frame fails the stage in
+    # both formulations). Counts are COUNT(CASE ...) so an empty
+    # stage yields 0/NULL exactly like the oracle's scalar
+    # aggregates; per-row token counts are unchanged integers.
     wmd5 = Window.partitionBy(F.expr("md5(text)")).orderBy("doc_id")
-    s1 = (docs.withColumn("__rn", F.row_number().over(wmd5))
-          .filter("__rn = 1").drop("__rn"))
     near_drop = (minhash_lsh_dedup(docs, n=_MH_N, k=_MH_K,
                                    threshold=_MH_T)
                  .select(F.col("id_b").alias("doc_id")).distinct())
-    s2 = s1.join(near_drop, on="doc_id", how="left_anti")
     qual = quality_score(language_id(docs)).select(
         "doc_id", F.col("quality").alias("__q"))
-    s3 = s2.join(qual, on="doc_id").filter(
-        f"__q >= {_E2E_QMIN}").drop("__q")
     gq = gopher_quality(docs).select("doc_id", "gopher_keep")
-    s4 = s3.join(gq, on="doc_id").filter("gopher_keep") \
-        .drop("gopher_keep")
-
-    def agg(df, stage, name):
-        # null-safe everywhere: Spark's legacy sizeOfNull makes
-        # size(split(NULL)) = -1, which a plain SUM would count while
-        # the DuckDB oracle's SUM skips NULLs — a NULL-text doc
-        # surviving a stage would silently desync engine vs oracle
-        tok = ("CAST(SUM(CASE WHEN text IS NULL THEN 0"
-               " ELSE size(split(text, ' ')) END) AS BIGINT)")
-        return df.selectExpr(
-            f"CAST({stage} AS INT) AS stage",
-            f"'{name}' AS stage_name", "text").groupBy(
-            "stage", "stage_name").agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.expr(tok).alias("n_tokens"))
-
-    return (agg(docs, 0, "raw")
-            .unionByName(agg(s1, 1, "exact_dedup"))
-            .unionByName(agg(s2, 2, "near_dedup"))
-            .unionByName(agg(s3, 3, "quality_gate"))
-            .unionByName(agg(s4, 4, "gopher_gate")))
+    flags = (
+        docs.select("doc_id", "text")
+        .withColumn("__rn", F.row_number().over(wmd5))
+        .join(near_drop.withColumn("__nd", F.lit(1)),
+              on="doc_id", how="left")
+        .join(qual, on="doc_id", how="left")
+        .join(gq, on="doc_id", how="left")
+        .selectExpr(
+            "text",
+            "__rn = 1 AS f1",
+            "__rn = 1 AND __nd IS NULL AS f2",
+            "__rn = 1 AND __nd IS NULL AND (__q IS NOT NULL AND"
+            f" __q >= {_E2E_QMIN}) AS f3",
+            "__rn = 1 AND __nd IS NULL AND (__q IS NOT NULL AND"
+            f" __q >= {_E2E_QMIN}) AND (gopher_keep IS NOT NULL"
+            " AND gopher_keep) AS f4")
+    )
+    # null-safe everywhere: Spark's legacy sizeOfNull makes
+    # size(split(NULL)) = -1, which a plain SUM would count while
+    # the DuckDB oracle's SUM skips NULLs — a NULL-text doc
+    # surviving a stage would silently desync engine vs oracle
+    tok = ("CASE WHEN text IS NULL THEN 0"
+           " ELSE size(split(text, ' ')) END")
+    exprs = []
+    for i, f in enumerate(("true", "f1", "f2", "f3", "f4")):
+        exprs.append(F.expr(
+            f"COUNT(CASE WHEN {f} THEN 1 END)").alias(f"n{i}"))
+        exprs.append(F.expr(
+            f"CAST(SUM(CASE WHEN {f} THEN {tok} END) AS BIGINT)"
+        ).alias(f"t{i}"))
+    names = ("raw", "exact_dedup", "near_dedup", "quality_gate",
+             "gopher_gate")
+    stack = ", ".join(
+        f"CAST({i} AS INT), '{names[i]}', n{i}, t{i}"
+        for i in range(5))
+    return flags.agg(*exprs).selectExpr(
+        f"stack(5, {stack})"
+        " AS (stage, stage_name, n_docs, n_tokens)")
 
 
 # ----------------------------------------------------------------------
