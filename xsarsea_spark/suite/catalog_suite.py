@@ -547,6 +547,7 @@ LEFT JOIN bc USING (doc_id)
 )
 def q_multimodal_paired_dedup(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
+    from xsarsea_spark.engine import materialize
     from xsarsea_spark.pipeline.dedup import minhash_lsh_dedup
     from xsarsea_spark.pipeline.multimodal import (_IMG_H, _IMG_W,
                                                    attach_image_payload,
@@ -560,12 +561,18 @@ def q_multimodal_paired_dedup(spark: SparkSession,
     # per-doc signatures are corpus-independent, so restricting the
     # MinHash input to pair-carrying docs yields exactly the oracle's
     # "all-docs pairs filtered to paired endpoints" — minus the work
-    tp = minhash_lsh_dedup(paired, n=_MH_N, k=_MH_K,
-                           threshold=_MH_T)
+    # both pair tables feed three consumers each (the cross-modal
+    # join + two symmetric union branches); un-truncated, the whole
+    # MinHash chain and the image-decoding pHash chain re-executed
+    # per consumer (41 documents scans, 86 exchanges in the executed
+    # plan). The pair tables are near-dup-bounded — truncate once.
+    tp = materialize(minhash_lsh_dedup(paired, n=_MH_N, k=_MH_K,
+                                       threshold=_MH_T))
     ph = phash_features(attach_image_payload(docs)).select(
         "doc_id", "phash")
-    ip = phash_pairs(ph, n_bands=_PND_BANDS, band_bits=_PND_BITS,
-                     max_hamming=_PND_MAXH)
+    ip = materialize(
+        phash_pairs(ph, n_bands=_PND_BANDS, band_bits=_PND_BITS,
+                    max_hamming=_PND_MAXH))
     bo = tp.join(ip, on=["id_a", "id_b"])
     ts = tp.selectExpr("id_a AS doc_id").unionByName(
         tp.selectExpr("id_b AS doc_id"))
