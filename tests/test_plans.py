@@ -824,14 +824,28 @@ def test_html_extract_is_zero_exchange(spark):
 
 def test_pack_efficiency_report_shape(spark):
     """doc_pack_efficiency: the BFD side must keep its bucket-keyed
-    kernel, side stats join back as broadcast 1-row aggregates (any
-    nested loop must be broadcast), no cartesian product, windows
-    pid-scoped."""
+    kernel (it runs inside the materialize job that truncates the
+    layout for the report's three consumers), side stats join back
+    as broadcast 1-row aggregates (any nested loop must be
+    broadcast), no cartesian product, windows pid-scoped."""
+    import pyspark.sql.functions as F
+    from xsarsea_spark.pipeline.bpe import bpe_encode
+    from xsarsea_spark.pipeline.packing import pack_best_fit
     from xsarsea_spark.suite import REGISTRY
+    from xsarsea_spark.suite.pipeline_suite import (
+        _BFD_LEN, _BFD_NB, _BPE_MERGES)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lens = bpe_encode(docs, n_merges=_BPE_MERGES).selectExpr(
+        "doc_id", "CAST(n_tokens_encoded AS BIGINT) AS n") \
+        .filter("n >= 1")
+    layout_plan = (pack_best_fit(lens, seq_len=_BFD_LEN,
+                                 n_buckets=_BFD_NB, len_col="n")
+                   ._jdf.queryExecution().executedPlan().toString())
+    assert "FlatMapGroupsInPandas" in layout_plan
 
     plan = (REGISTRY["doc_pack_efficiency"].spark(spark, SF)
             ._jdf.queryExecution().executedPlan().toString())
-    assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     _assert_all_windows_pid_partitioned(plan)
     for ln in plan.splitlines():

@@ -7229,9 +7229,16 @@ def q_doc_pack_efficiency(spark: SparkSession,
         "doc_id", "CAST(n_tokens_encoded AS BIGINT) AS n") \
         .filter("n >= 1")
     lens = materialize(lens)   # two consumers, one BPE replay
-    seg = pack_best_fit(lens, seq_len=L, n_buckets=_BFD_NB,
-                        len_col="n")
-    cs = pack_sequences_from_lengths(lens, seq_len=L, len_col="n")
+    # report() consumes each layout three times (main agg, n_seqs,
+    # split counts); without truncation the BFD kernel chain and the
+    # concat-chunk cumsum chain re-execute per consumer (executed
+    # plan: 3x FlatMapGroupsInPandas + 3x the crossJoin chain).
+    # Both tables are chunk-scale rows of small integers — the same
+    # boundedness class as lens above.
+    seg = materialize(pack_best_fit(lens, seq_len=L,
+                                    n_buckets=_BFD_NB, len_col="n"))
+    cs = materialize(pack_sequences_from_lengths(lens, seq_len=L,
+                                                 len_col="n"))
 
     def report(df, method, seq_cols, item_len, split_key):
         # all three side stats are 1-row aggregates broadcast back
