@@ -253,13 +253,19 @@ def sa_gram_counts(grams: DataFrame,
                    tables: list,
                    pairs: list,
                    max_n: int,
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   occ: DataFrame = None) -> DataFrame:
     """Exact corpus occurrence counts for a BOUNDED query-gram set —
     the primary infini-gram operation: the
     :func:`sa_occurrence_positions` probe aggregated per gram.
-    Returns (gid, cnt) for grams with cnt >= 1."""
-    occ = sa_occurrence_positions(grams, tables, pairs, max_n,
-                                  id_col=id_col)
+    Returns (gid, cnt) for grams with cnt >= 1.
+
+    ``occ`` lets a caller that also runs :func:`sa_continuation`
+    over the SAME gram set share one (materialized) probe pass
+    instead of executing the ladder probe once per consumer."""
+    if occ is None:
+        occ = sa_occurrence_positions(grams, tables, pairs, max_n,
+                                      id_col=id_col)
     return (occ.groupBy("gid")
             .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("cnt")))
 
@@ -269,7 +275,8 @@ def sa_continuation(grams: DataFrame,
                     pairs: list,
                     max_n: int,
                     vocab: DataFrame,
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    occ: DataFrame = None) -> DataFrame:
     """Infini-gram next-token CONTINUATION distribution over the
     persisted suffix-array artifact (the remaining Liu 2024 primary
     operation next to count lookup): for each query gram, the
@@ -291,18 +298,46 @@ def sa_continuation(grams: DataFrame,
     top_cont_cnt): total continuations, distinct next tokens, and
     the struct-order-min top next token — grams with no occurrence
     or only doc-end occurrences produce no row (callers LEFT JOIN
-    for explicit zeros)."""
-    occ = sa_occurrence_positions(grams, tables, pairs, max_n,
-                                  id_col=id_col)
+    for explicit zeros).
+
+    ``vocab`` may carry duplicate rows (e.g. the raw exploded corpus
+    token stream): it is rank-pruned with a broadcast semi-join on
+    the bounded continuation-rank set and deduplicated HERE, so
+    callers must not pay a corpus-wide distinct to build it.
+
+    ``occ`` lets a caller that also runs :func:`sa_gram_counts`
+    over the SAME gram set share one (materialized) probe pass."""
+    from xsarsea_spark.engine import materialize
+
+    if occ is None:
+        occ = sa_occurrence_positions(grams, tables, pairs, max_n,
+                                      id_col=id_col)
     t0 = tables[0].selectExpr(f"{id_col} AS __cid", "p AS __pn",
                               "r AS __rn")
     nxt = occ.join(
         t0,
         on=[occ["__id"] == t0["__cid"],
             t0["__pn"] == occ["p"] + occ["k"]])
-    dist = (nxt.groupBy("gid", "__rn")
-            .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("__c")))
-    named = dist.join(vocab.selectExpr("r AS __rn", "w"), on="__rn")
+    # materialized LAZILY: dist is bounded by (grams x their
+    # distinct next tokens) but its lineage is the whole probe, and
+    # it feeds BOTH the broadcast key set below and the naming join
+    # — the shared checkpointed RDD makes the probe run once without
+    # the extra serialized job wave an eager checkpoint would add.
+    dist = materialize(
+        nxt.groupBy("gid", "__rn")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("__c")),
+        eager=False)
+    # name the bounded rank set without a corpus-wide distinct: the
+    # raw (w, r) stream is filtered by a broadcast semi-join on the
+    # ranks that actually continue a query gram, and only the
+    # surviving handful is deduplicated.
+    vsmall = (vocab.selectExpr("r AS __rn", "w")
+              .join(F.broadcast(dist.select("__rn").distinct()),
+                    on="__rn")
+              .distinct())
+    # dist (bounded, materialized) is the broadcast side — the vocab
+    # stream keeps its corpus-scan lineage OUT of any broadcast
+    named = vsmall.join(F.broadcast(dist), on="__rn")
     return (named.groupBy("gid")
             .agg(F.expr("CAST(SUM(__c) AS BIGINT)")
                  .alias("cont_total"),

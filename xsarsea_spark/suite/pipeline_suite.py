@@ -9848,8 +9848,13 @@ def q_embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     rt = (scored.withColumn("rank", F.row_number().over(win))
           .filter(F.col("rank") <= _KNN_K)
           .select("query_id", "neighbor_id"))
-    ex = cosine_topk(emb.filter(F.col("vec_id") < _KNN_NQ), emb,
-                     k=_KNN_K).select("query_id", "neighbor_id")
+    # materialized: ex is bounded (nq * k rows) but its lineage is
+    # the corpus-scale exact-cosine pass, and BOTH output branches
+    # (n_matched join and the n_exact rollup) consume it —
+    # unmaterialized, the scoring scan executes twice.
+    ex = materialize(
+        cosine_topk(emb.filter(F.col("vec_id") < _KNN_NQ), emb,
+                    k=_KNN_K).select("query_id", "neighbor_id"))
     m = (ex.join(rt, on=["query_id", "neighbor_id"])
          .groupBy("query_id")
          .agg(F.count(F.lit(1)).alias("n_matched")))
@@ -11822,8 +11827,8 @@ LEFT JOIN ca ON ca.n = q.n AND ca.gram = q.gram"""
 )
 def q_doc_infinigram_sa_continuation(spark: SparkSession,
                                      sf_dir: str) -> DataFrame:
-    from xsarsea_spark.pipeline.ngram_index import (sa_continuation,
-                                                    sa_gram_counts)
+    from xsarsea_spark.pipeline.ngram_index import (
+        sa_continuation, sa_gram_counts, sa_occurrence_positions)
     from xsarsea_spark.pipeline.suffix import (
         suffix_probe_index_cached)
     from xsarsea_spark.pipeline.text import HASH40_SQL
@@ -11853,12 +11858,22 @@ def q_doc_infinigram_sa_continuation(spark: SparkSession,
     tables, pairs = suffix_probe_index_cached(
         docs, _SFX_ROUNDS, max_level=maxn.bit_length() - 1)
     gs = q.selectExpr("q_id AS gid", "toks")
-    cnts = sa_gram_counts(gs, tables, pairs, maxn)
-    # the artifact's companion vocabulary: token hash -> token
+    # ONE probe pass shared by the count and the continuation
+    # consumers (each would otherwise re-run the ladder probe),
+    # bounded by the query grams' occurrence counts. Lazy
+    # checkpoint: both consumers reference the same RDD, so the
+    # probe's stages run once inside the main action instead of in
+    # an extra serialized job wave.
+    occ = materialize(
+        sa_occurrence_positions(gs, tables, pairs, maxn),
+        eager=False)
+    cnts = sa_gram_counts(gs, tables, pairs, maxn, occ=occ)
+    # the artifact's companion vocabulary: token hash -> token — the
+    # RAW exploded stream; sa_continuation rank-prunes it with a
+    # broadcast semi-join, so no corpus-wide distinct is paid here
     vocab = (docs.selectExpr("explode(split(text, ' ')) AS w")
-             .distinct()
              .selectExpr("w", HASH40_SQL.format(x="w") + " AS r"))
-    cont = sa_continuation(gs, tables, pairs, maxn, vocab)
+    cont = sa_continuation(gs, tables, pairs, maxn, vocab, occ=occ)
     return (q.join(cnts.withColumnRenamed("gid", "q_id"),
                    on="q_id", how="left")
             .join(cont.withColumnRenamed("gid", "q_id"),
@@ -12086,8 +12101,9 @@ def q_doc_infinigram_sa_lm(spark: SparkSession,
     ctx = materialize(c1.unionAll(c2))
     tables, pairs = suffix_probe_index_cached(
         docs, _SFX_ROUNDS, max_level=_IGS_MAXN.bit_length() - 1)
+    # the RAW exploded token stream — sa_continuation rank-prunes it
+    # with a broadcast semi-join, so no corpus-wide distinct is paid
     vocab = (docs.selectExpr("explode(split(text, ' ')) AS w")
-             .distinct()
              .selectExpr("w", HASH40_SQL.format(x="w") + " AS r"))
     return sa_infinigram_lm(ctx, tables, pairs, _IGS_MAXN, vocab)
 
@@ -12184,17 +12200,25 @@ def q_doc_source_ks_test(spark: SparkSession,
     tc = docs.groupBy("source").agg(
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("c"))
     from pyspark.sql.window import Window
-    top2 = (tc.withColumn(
-        "rn", F.row_number().over(
-            Window.orderBy(F.col("c").desc(), F.col("source").asc())))
+    # materialized: top2 (2 rows) feeds the lab join AND the sa/sb
+    # output branches, lab (bounded distinct-length rows) feeds nn +
+    # the ECDF walk + every broadcast replay below — unmaterialized,
+    # each of the final crossJoin branches re-executes the corpus
+    # scan + hash agg (executed plan: 28 documents scans).
+    top2 = materialize(
+        tc.withColumn(
+            "rn", F.row_number().over(
+                Window.orderBy(F.col("c").desc(),
+                               F.col("source").asc())))
         .filter("rn <= 2"))
-    lab = (docs.join(F.broadcast(top2.select("source", "rn")),
-                     on="source")
-           .groupBy(F.col("n_chars").alias("v"))
-           .agg(F.expr("CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0"
-                       " END) AS BIGINT)").alias("c1"),
-                F.expr("CAST(SUM(CASE WHEN rn = 2 THEN 1 ELSE 0"
-                       " END) AS BIGINT)").alias("c2")))
+    lab = materialize(
+        docs.join(F.broadcast(top2.select("source", "rn")),
+                  on="source")
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(F.expr("CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0"
+                    " END) AS BIGINT)").alias("c1"),
+             F.expr("CAST(SUM(CASE WHEN rn = 2 THEN 1 ELSE 0"
+                    " END) AS BIGINT)").alias("c2")))
     nn = lab.agg(F.expr("CAST(SUM(c1) AS BIGINT)").alias("n1"),
                  F.expr("CAST(SUM(c2) AS BIGINT)").alias("n2"))
     # cumulative ECDFs over the BOUNDED distinct-length frame
@@ -12328,17 +12352,23 @@ def q_doc_source_mannwhitney(spark: SparkSession,
         "source IS NOT NULL AND n_chars IS NOT NULL")
     tc = docs.groupBy("source").agg(
         F.expr("CAST(COUNT(*) AS BIGINT)").alias("c"))
-    top2 = (tc.withColumn(
-        "rn", F.row_number().over(
-            Window.orderBy(F.col("c").desc(), F.col("source").asc())))
+    # materialized for the same reason as doc_source_ks_test: top2
+    # and lab otherwise re-execute the corpus scan + hash agg once
+    # per broadcast output branch.
+    top2 = materialize(
+        tc.withColumn(
+            "rn", F.row_number().over(
+                Window.orderBy(F.col("c").desc(),
+                               F.col("source").asc())))
         .filter("rn <= 2"))
-    lab = (docs.join(F.broadcast(top2.select("source", "rn")),
-                     on="source")
-           .groupBy(F.col("n_chars").alias("v"))
-           .agg(F.expr("CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0"
-                       " END) AS BIGINT)").alias("c1"),
-                F.expr("CAST(SUM(CASE WHEN rn = 2 THEN 1 ELSE 0"
-                       " END) AS BIGINT)").alias("c2")))
+    lab = materialize(
+        docs.join(F.broadcast(top2.select("source", "rn")),
+                  on="source")
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(F.expr("CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0"
+                    " END) AS BIGINT)").alias("c1"),
+             F.expr("CAST(SUM(CASE WHEN rn = 2 THEN 1 ELSE 0"
+                    " END) AS BIGINT)").alias("c2")))
     nn = lab.agg(F.expr("CAST(SUM(c1) AS BIGINT)").alias("n1"),
                  F.expr("CAST(SUM(c2) AS BIGINT)").alias("n2"))
     mr = lab.selectExpr(
