@@ -497,14 +497,22 @@ def crossdoc_ngram_dup(docs: DataFrame, n: int = 8,
         .filter(F.expr(f"size(__toks) >= {n}"))
         .select(id_col, F.explode(F.expr(gram.format(n=n))).alias("__h"))
     )
-    docs_per_gram = grams.groupBy("__h").agg(
-        F.countDistinct(id_col).alias("__nd"))
+    # collapse the raw position stream to (hash, doc) occurrence
+    # counts FIRST: the distinct-doc count per hash and the per-doc
+    # rollup are then both derivable from this deduped frame, so the
+    # corpus explode runs once and the full gram stream is shuffled
+    # once (the old shape aggregated and joined the raw stream
+    # separately — two explodes, two full-stream shuffles)
+    per = grams.groupBy("__h", id_col).agg(
+        F.count(F.lit(1)).alias("__c"))
+    docs_per_gram = per.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__nd"))
     return (
-        grams.join(docs_per_gram, on="__h")
+        per.join(docs_per_gram, on="__h")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.expr("SUM(CASE WHEN __nd >= 2 THEN 1 ELSE 0 END)")
+            F.expr("CAST(SUM(__c) AS BIGINT)").alias("n_grams"),
+            F.expr("SUM(CASE WHEN __nd >= 2 THEN __c ELSE 0 END)")
             .cast("bigint").alias("n_shared_grams"),
         )
         .withColumn(

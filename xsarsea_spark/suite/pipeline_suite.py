@@ -1689,13 +1689,24 @@ def _bigram_ll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     bg = bigrams(docs)
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # ONE corpus-scale bigram aggregation: c12 holds exactly one row
+    # per distinct (w1, w2), so the history total c1 is the per-w1
+    # SUM of c12 — deriving it there (vocabulary-scale) removes a
+    # second corpus explode + shuffle. The lazy checkpoint lets both
+    # consumers (the c1 rollup and the scoring join) share one
+    # execution of the corpus aggregation inside the main action.
+    c12 = materialize(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")),
+        eager=False)
+    c1 = c12.groupBy("w1").agg(F.expr("SUM(c12)").alias("c1"))
     vocab = docs.selectExpr("explode(split(text, ' ')) AS x").agg(
         F.countDistinct("x").alias("v"))
+    # pre-join c1 onto c12 (both vocabulary-scale) so the corpus
+    # bigram stream is joined ONCE: every bg row hits both tables by
+    # construction (its (w1, w2) is a c12 key and every c12 key's w1
+    # is a c1 key), so inner-join semantics are unchanged
     scored = (
-        bg.join(c12, on=["w1", "w2"])
-        .join(c1, on="w1")
+        bg.join(c12.join(c1, on="w1"), on=["w1", "w2"])
         .crossJoin(F.broadcast(vocab))
         .selectExpr("doc_id", f"{_bigram_term()} AS term")
     )
@@ -3264,15 +3275,24 @@ def q_kn_heldout_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     held = docs.filter("doc_id % 2 = 1")
     tbg = bigrams(train)
     hbg = bigrams(held)
-    c12 = tbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = tbg.groupBy("w1").agg(
-        F.count(F.lit(1)).alias("c1"),
-        F.countDistinct("w2").alias("n1w1"))
-    nc2 = tbg.groupBy("w2").agg(F.countDistinct("w1").alias("nc2"))
+    # ONE corpus-scale aggregation of the training stream: every
+    # other count table is derivable from c12 at vocabulary scale
+    # (c12 has one row per distinct (w1, w2)): c1 = SUM(c12) per w1,
+    # n1w1/nc2 = key counts, nctot = the row count, and vtrain =
+    # distinct(w1) ∪ distinct(w2) (every token of a >= 2-token doc
+    # appears as a w1 or a w2). Replaces four corpus explodes with
+    # one; the lazy checkpoint shares the single execution across
+    # all five consumers inside the main action.
+    c12 = materialize(
+        tbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")),
+        eager=False)
+    c1 = c12.groupBy("w1").agg(
+        F.expr("SUM(c12)").alias("c1"),
+        F.count(F.lit(1)).alias("n1w1"))
+    nc2 = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("nc2"))
     nctot = c12.groupBy().agg(F.count(F.lit(1)).alias("nctot"))
-    vtrain = (train.filter("text IS NOT NULL")
-              .filter("size(split(text, ' ')) >= 2")
-              .selectExpr("explode(split(text, ' ')) AS x")
+    vtrain = (c12.selectExpr("w1 AS x")
+              .unionAll(c12.selectExpr("w2 AS x"))
               .agg(F.countDistinct("x").alias("vtrain")))
     tots = nctot.crossJoin(F.broadcast(vtrain))
     scored = (
@@ -3426,17 +3446,23 @@ def q_ccnet_perlang_buckets(spark: SparkSession,
     held = docs.filter("doc_id % 2 = 1")
     tbg = bigrams(train).join(langs, on="doc_id")
     hbg = bigrams(held).join(langs, on="doc_id")
-    c12 = tbg.groupBy("lang", "w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12"))
-    c1 = tbg.groupBy("lang", "w1").agg(
-        F.count(F.lit(1)).alias("c1"),
-        F.countDistinct("w2").alias("n1w1"))
-    nc2 = tbg.groupBy("lang", "w2").agg(
-        F.countDistinct("w1").alias("nc2"))
+    # same derivation as doc_kn_heldout_lm, lang-keyed: ONE corpus
+    # aggregation (c12), every other count table rolled up from it
+    # at vocabulary scale — c1 = SUM(c12), n1w1/nc2 = key counts,
+    # nctot = row counts, vtrain = distinct tokens via the
+    # w1 ∪ w2 key union. Four corpus explodes removed.
+    c12 = materialize(
+        tbg.groupBy("lang", "w1", "w2").agg(
+            F.count(F.lit(1)).alias("c12")),
+        eager=False)
+    c1 = c12.groupBy("lang", "w1").agg(
+        F.expr("SUM(c12)").alias("c1"),
+        F.count(F.lit(1)).alias("n1w1"))
+    nc2 = c12.groupBy("lang", "w2").agg(
+        F.count(F.lit(1)).alias("nc2"))
     nct = c12.groupBy("lang").agg(F.count(F.lit(1)).alias("nctot"))
-    vt = (train.filter("text IS NOT NULL")
-          .filter("size(split(text, ' ')) >= 2")
-          .selectExpr("lang", "explode(split(text, ' ')) AS x")
+    vt = (c12.selectExpr("lang", "w1 AS x")
+          .unionAll(c12.selectExpr("lang", "w2 AS x"))
           .groupBy("lang").agg(F.countDistinct("x").alias("vtrain")))
     tots = nct.join(vt, on="lang")
     scored = (
@@ -7592,24 +7618,32 @@ def q_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     bg = bigrams(docs)
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # c1 derived from c12 at vocabulary scale (one corpus bigram
+    # aggregation instead of two) and pre-joined onto c12 so the
+    # corpus stream is joined once — the _bigram_ll rewrite
+    c12 = materialize(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")),
+        eager=False)
+    c1 = c12.groupBy("w1").agg(F.expr("SUM(c12)").alias("c1"))
     vocab = docs.selectExpr("explode(split(text, ' ')) AS x").agg(
         F.countDistinct("x").alias("v"))
     scored = (
-        bg.join(c12, on=["w1", "w2"])
-        .join(c1, on="w1")
+        bg.join(c12.join(c1, on="w1"), on=["w1", "w2"])
         .crossJoin(F.broadcast(vocab))
         .selectExpr("doc_id", f"{_bigram_term()} AS term")
     )
-    s = (
+    # the source-count-sized stage table feeds every downstream
+    # crossJoin branch (tot, j, den, the final projection) — without
+    # the checkpoint each branch re-executed the whole corpus-scale
+    # scoring lineage (40 parquet scans in the executed plan)
+    s = materialize(
         scored.join(docs.select("doc_id", "source"), on="doc_id")
         .groupBy("source").agg(
             F.expr("CAST(COUNT(DISTINCT doc_id) AS BIGINT)")
             .alias("n_docs"),
             F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_tokens"),
-            F.expr("SUM(CAST(term AS DECIMAL(38,9)))").alias("__ll"))
-    )
+            F.expr("SUM(CAST(term AS DECIMAL(38,9)))").alias("__ll")),
+        eager=False)
     tot = s.groupBy().agg(F.expr("SUM(n_tokens)").alias("__tt"),
                           F.expr("SUM(__ll)").alias("__tl"))
     g = QTRUNC(f"exp({_DRM_ETA} * excess)", 9)
