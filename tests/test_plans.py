@@ -591,16 +591,29 @@ def test_attribution_linear_join_is_bucketed_hash(spark):
     """events_attribution_linear's purchase-touch candidate stage
     must be a hash equi-join on (user_id, bkt) — never a nested-loop
     range join — and the whole plan has no cartesian product; any
-    nested loop (the 1-row 'none' group) must be broadcast."""
-    from xsarsea_spark.suite import REGISTRY
+    nested loop (the 1-row 'none' group) must be broadcast. The
+    candidate join sits BELOW the g1 checkpoint barrier (its lineage
+    is invisible in the outer plan), so the join-shape assertion
+    disables the barrier via monkeypatch while the cartesian /
+    broadcast assertions run on the real query."""
+    from xsarsea_spark.suite import REGISTRY, events_suite
 
     plan = (REGISTRY["events_attribution_linear"].spark(spark, SF)
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
-    assert "bkt" in plan
     for ln in plan.splitlines():
         if "NestedLoopJoin" in ln:
             assert "Broadcast" in ln, ln
+    real = events_suite.materialize
+    events_suite.materialize = lambda df, eager=True: df
+    try:
+        full = (REGISTRY["events_attribution_linear"]
+                .spark(spark, SF)
+                ._jdf.queryExecution().executedPlan().toString())
+    finally:
+        events_suite.materialize = real
+    assert "CartesianProduct" not in full
+    assert "bkt" in full
 
 
 def test_robots_filter_plan_is_domain_keyed(spark):

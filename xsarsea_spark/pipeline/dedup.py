@@ -504,11 +504,19 @@ def cosine_neardup(
         return pd.Series(list(out))
 
     buckets_udf = pandas_udf(_bucket_batches, "array<int>")
-    sig = (
+    # lazily checkpointed: the signature table ((id, band, bucket) —
+    # a few ints per vector) feeds BOTH sides of the candidate
+    # self-join, and without the barrier each side re-runs the full
+    # vector scan + Arrow projection kernel (the executed plan
+    # carried 4 ArrowEvalPython nodes over 8 source scans)
+    from xsarsea_spark.engine import materialize
+
+    sig = materialize(
         vecs.select(F.col(id_col),
                     buckets_udf(F.col(vec_col)).alias("__bks"))
-        .select(id_col, F.posexplode("__bks").alias("band", "bucket"))
-    )
+        .select(id_col,
+                F.posexplode("__bks").alias("band", "bucket")),
+        eager=False)
     a = sig.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = sig.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cand = (

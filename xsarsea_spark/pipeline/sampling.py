@@ -125,10 +125,17 @@ def unimax_language_cap(per_doc: DataFrame, budget: int,
     """
     from xsarsea_spark.operators.rank import global_rank
 
-    pd = per_doc.selectExpr(
-        f"{id_col}", f"{lang_col} AS __lang",
-        f"CAST({token_col} AS BIGINT) AS __ntok",
-        f"md5(CAST({id_col} AS STRING)) AS __pr")
+    # lazily checkpointed: this narrow per-doc frame feeds BOTH the
+    # language-totals aggregation and the global running sum, and the
+    # caller's upstream projection (typically the language-ID score
+    # battery) is expensive — without the barrier it executes once
+    # per consumer
+    pd = materialize(
+        per_doc.selectExpr(
+            f"{id_col}", f"{lang_col} AS __lang",
+            f"CAST({token_col} AS BIGINT) AS __ntok",
+            f"md5(CAST({id_col} AS STRING)) AS __pr"),
+        eager=False)
     langs = pd.groupBy("__lang").agg(
         F.expr("CAST(SUM(__ntok) AS BIGINT)").alias("__avail"))
     # candidate water levels: for each k under (avail, lang) order,

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from xsarsea_spark.engine import materialize
 from xsarsea_spark.sources.tables import load
 from xsarsea_spark.suite.base import DAVG, DSUM, QTRUNC, spec
 
@@ -2476,8 +2477,15 @@ def q_events_attribution_linear(spark: SparkSession,
     j = (pe.join(t, on=["user_id", "bkt"])
          .filter(f"tus < pus AND pus - tus <= {_ATTRL_US}")
          .select("pid", "value", "ttype"))
-    g1 = j.groupBy("pid", "value", "ttype").agg(
-        F.count(F.lit(1)).alias("c"))
+    # lazily checkpointed: the per-(purchase, touch-type) counts are
+    # purchase-scale, but their lineage is the bucketed corpus join —
+    # g1 feeds g2, the share join AND (via g2) the none anti-join, so
+    # an unmaterialized g1 re-runs the join per branch (14 source
+    # scans in the executed plan)
+    g1 = materialize(
+        j.groupBy("pid", "value", "ttype").agg(
+            F.count(F.lit(1)).alias("c")),
+        eager=False)
     g2 = g1.groupBy("pid").agg(F.sum("c").alias("n"))
     sq = QTRUNC("c / CAST(n AS DOUBLE)", 9)
     s = g1.join(g2, on="pid").selectExpr("ttype", f"{sq} AS sq",

@@ -2639,10 +2639,16 @@ def q_doc_lang_temperature_mix(spark: SparkSession,
 
     b, t = _TMP_BUDGET, _TMP_T
     docs = load(spark, sf_dir, "documents").filter("text IS NOT NULL")
-    pd = language_id(docs).selectExpr(
-        "doc_id", "pred_lang AS __lang",
-        "CAST(size(split(text, ' ')) AS BIGINT) AS __ntok",
-        "md5(CAST(doc_id AS STRING)) AS __pr")
+    # lazily checkpointed: the narrow per-doc frame feeds the
+    # language-totals aggregation AND the global running sum, and the
+    # language-ID score battery above it is expensive — without the
+    # barrier it executes once per consumer
+    pd = materialize(
+        language_id(docs).selectExpr(
+            "doc_id", "pred_lang AS __lang",
+            "CAST(size(split(text, ' ')) AS BIGINT) AS __ntok",
+            "md5(CAST(doc_id AS STRING)) AS __pr"),
+        eager=False)
     langs = pd.groupBy("__lang").agg(
         F.expr("CAST(SUM(__ntok) AS BIGINT)").alias("__avail"))
     w = QTRUNC(f"pow(CAST(__avail AS DOUBLE), 1e0/{t}e0)", 9)
@@ -3156,13 +3162,20 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.lag("__p").over(w).isNull()
                | (F.col("__p") - F.lag("__p").over(w) > n),
                F.lit(1)).otherwise(F.lit(0)))
-    spans = (marked.withColumn(
-        "__grp", F.sum("__new").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)))
+    # lazily checkpointed: the merged spans are hit-bounded (tiny),
+    # but their lineage is the gram explode + benchmark join — they
+    # feed BOTH the coverage join and the span-count rollup, so an
+    # unmaterialized frame runs that chain twice (12 source scans in
+    # the executed plan)
+    spans = materialize(
+        marked.withColumn(
+            "__grp", F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
         .groupBy("doc_id", "__grp")
         .agg(F.min("__p").alias("__a"),
              (F.max("__p") + F.lit(n - 1)).alias("__b"))
-        .drop("__grp"))
+        .drop("__grp"),
+        eager=False)
     tk = corp.select(
         "doc_id", F.posexplode("__l").alias("__i", "__w"))
     cov = (tk.join(spans, on="doc_id")
@@ -7742,20 +7755,29 @@ def q_token_budget_select(spark: SparkSession,
     from xsarsea_spark.pipeline.text import HASH40_SQL
 
     h40 = HASH40_SQL.format(x="source")
-    d = (load(spark, sf_dir, "documents")
-         .filter("text IS NOT NULL")
-         .selectExpr("doc_id", "source",
-                     "CAST(size(split(text, ' ')) AS BIGINT)"
-                     " AS n_tokens",
-                     f"CAST(1 + ({h40}) % 4 AS BIGINT) AS w"))
+    # lazily checkpointed: the narrow tokenized frame feeds the
+    # global running sum AND the per-source totals, so the text
+    # scan + split runs once instead of twice
+    d = materialize(
+        load(spark, sf_dir, "documents")
+        .filter("text IS NOT NULL")
+        .selectExpr("doc_id", "source",
+                    "CAST(size(split(text, ' ')) AS BIGINT)"
+                    " AS n_tokens",
+                    f"CAST(1 + ({h40}) % 4 AS BIGINT) AS w"),
+        eager=False)
     ranked = global_rank(
         d,
         [F.col("source").asc(),
          F.md5(F.col("doc_id").cast("string")).asc(),
          F.col("doc_id").asc()],
         rank_col="__gr", running_sums={"cum": "n_tokens"})
-    stot = d.groupBy("source", "w").agg(
-        F.sum("n_tokens").alias("tok_s"))
+    # source-count-sized, but its corpus-scale aggregation would
+    # otherwise re-run per consumer (wtot + the two bud branches)
+    stot = materialize(
+        d.groupBy("source", "w").agg(
+            F.sum("n_tokens").alias("tok_s")),
+        eager=False)
     wtot = stot.groupBy().agg(F.sum("w").alias("tw"),
                               F.sum("tok_s").alias("tt"))
     # exclusive prefix over the sources frame (one row per source —
