@@ -4387,13 +4387,20 @@ def q_events_kmv_set_algebra(spark: SparkSession,
     k = _KSA_K
     ev = load(spark, sf_dir, "events")
     val = "CAST(user_id AS STRING)"
-    sa = kmv_sketch(
+    # the three sketches are k-row tables, but each side's lineage is
+    # a corpus scan + distinct + top-k — sa/sb feed the merge, their
+    # own estimates AND the Jaccard join (the merged sketch three
+    # consumers more), so without the lazy checkpoints the corpus
+    # sketch pass executed ~6x (12 source scans in the plan)
+    sa = materialize(kmv_sketch(
         ev.filter(f"event_type = '{_KSA_A}'")
-        .selectExpr("'u' AS side", "user_id"), ["side"], val, k=k)
-    sb = kmv_sketch(
+        .selectExpr("'u' AS side", "user_id"), ["side"], val, k=k),
+        eager=False)
+    sb = materialize(kmv_sketch(
         ev.filter(f"event_type = '{_KSA_B}'")
-        .selectExpr("'u' AS side", "user_id"), ["side"], val, k=k)
-    su = kmv_merge(sa, sb, ["side"], k=k)
+        .selectExpr("'u' AS side", "user_id"), ["side"], val, k=k),
+        eager=False)
+    su = materialize(kmv_merge(sa, sb, ["side"], k=k), eager=False)
     ea = kmv_estimate(sa, ["side"], k=k).selectExpr(
         "kmv_estimate AS est_a")
     eb = kmv_estimate(sb, ["side"], k=k).selectExpr(

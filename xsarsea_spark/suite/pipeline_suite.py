@@ -13268,18 +13268,6 @@ def q_doc_retrieval_eval(spark: SparkSession,
                       "slice(split(text, ' '), 1, 4) AS qt"))
     qterm = materialize(
         qd.selectExpr("query_id", "explode(qt) AS term").distinct())
-    dterm = (docs.filter("text IS NOT NULL")
-             .selectExpr("doc_id", "explode(split(text, ' '))"
-                         " AS term").distinct())
-    rel = materialize(
-        qterm.join(dterm, on="term")
-        .filter("doc_id <> query_id")
-        .groupBy("query_id", "doc_id")
-        .agg(F.count(F.lit(1)).alias("__m"))
-        .filter(f"__m >= {_REV_MIN}")
-        .select("query_id", "doc_id"))
-    nrel = rel.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("nr"))
 
     toks = (docs.filter("text IS NOT NULL")
             .selectExpr("doc_id", "explode(split(text, ' '))"
@@ -13291,15 +13279,29 @@ def q_doc_retrieval_eval(spark: SparkSession,
         "CAST(COUNT(*) AS DOUBLE) AS n_docs",
         "SUM(size(split(text, ' '))) / CAST(COUNT(*) AS DOUBLE)"
         " AS avgdl")
-    # tf is materialized: it feeds BOTH the BM25 score join and the
-    # per-term doc frequency below (one row per (doc, term), so the
-    # plain row count equals COUNT(DISTINCT doc_id) over toks without
-    # the distinct rewrite or a second exploded-corpus pass)
+    # tf is materialized (lazily — its consumers all sit inside the
+    # one final action): it feeds the BM25 score join, the per-term
+    # doc frequency AND the relevance oracle below (one row per
+    # (doc, term) of the query-term-pruned stream, so the plain row
+    # count equals COUNT(DISTINCT doc_id) over toks, and the
+    # relevance match count equals the old corpus-wide
+    # distinct-dterm join restricted to query terms — the corpus
+    # token stream is exploded ONCE and never distinct-shuffled at
+    # corpus scale)
     tf = materialize(toks.groupBy("doc_id", "term").agg(
         F.expr("CAST(COUNT(*) AS DOUBLE)").alias("tf"),
-        F.expr("MIN(dl)").alias("dl")))
+        F.expr("MIN(dl)").alias("dl")), eager=False)
     dfr = tf.groupBy("term").agg(
         F.expr("CAST(COUNT(*) AS DOUBLE)").alias("df"))
+    rel = materialize(
+        qterm.join(tf.select("doc_id", "term"), on="term")
+        .filter("doc_id <> query_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .filter(f"__m >= {_REV_MIN}")
+        .select("query_id", "doc_id"), eager=False)
+    nrel = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("nr"))
     lex = (qterm.join(tf, on="term")
            .join(F.broadcast(dfr), on="term")
            .crossJoin(F.broadcast(stats))
@@ -13312,7 +13314,7 @@ def q_doc_retrieval_eval(spark: SparkSession,
     lr = materialize(
         lex.withColumn("rk", F.row_number().over(wl))
         .filter(F.col("rk") <= _REV_K)
-        .select("query_id", "doc_id", "rk"))
+        .select("query_id", "doc_id", "rk"), eager=False)
 
     emb = load(spark, sf_dir, "embeddings")
     qe = emb.filter(f"vec_id IN ({qids})").selectExpr(
@@ -13335,7 +13337,7 @@ def q_doc_retrieval_eval(spark: SparkSession,
     sr = materialize(
         sem.withColumn("rk", F.row_number().over(ws))
         .filter(F.col("rk") <= _REV_K)
-        .select("query_id", "doc_id", "rk"))
+        .select("query_id", "doc_id", "rk"), eager=False)
 
     fused = (lr.withColumnRenamed("rk", "rl")
              .join(sr.withColumnRenamed("rk", "rs"),
@@ -13350,7 +13352,7 @@ def q_doc_retrieval_eval(spark: SparkSession,
     fr = materialize(
         fused.withColumn("rk", F.row_number().over(wf))
         .filter(F.col("rk") <= _REV_K)
-        .select("query_id", "doc_id", "rk"))
+        .select("query_id", "doc_id", "rk"), eager=False)
 
     rec = DSUM(QTRUNC(
         "CASE WHEN nr IS NULL OR nr = 0 THEN 0e0"
