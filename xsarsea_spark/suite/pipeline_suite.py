@@ -11500,14 +11500,14 @@ def q_doc_infinigram_counts(spark: SparkSession,
     cnts = materialize(
         ngram_occurrences(docs, _IG_NS)
         .groupBy("n", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt")))
+        .agg(F.count(F.lit(1)).alias("cnt")), eager=False)
     qs = None
     for nn in _IG_NS:
         top = (cnts.filter(F.col("n") == nn)
                .orderBy(F.col("cnt").desc(), F.col("gram").asc())
                .limit(_IG_TOPK))
         qs = top if qs is None else qs.unionAll(top)
-    queries = materialize(qs)
+    queries = materialize(qs, eager=False)
     # pass 2: ONE re-scan with the broadcast query filter pushed into
     # the scan stage (cheaper at scale than materializing the
     # corpus-sized occurrence stream) now feeds BOTH the exact
@@ -11517,7 +11517,7 @@ def q_doc_infinigram_counts(spark: SparkSession,
     hits = materialize(
         ngram_occurrences(docs, _IG_NS)
         .join(F.broadcast(queries.select("n", "gram")),
-              on=["n", "gram"]))
+              on=["n", "gram"]), eager=False)
     dfq = hits.groupBy("n", "gram").agg(
         F.countDistinct("doc_id").alias("doc_freq"))
     ch = (hits.filter(F.col("cont").isNotNull())
