@@ -548,6 +548,42 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
+    # Load canaries (round 15): a co-tenant-contended window can
+    # inflate 1-rep timings 2-8x and masquerade as a sea of
+    # regressions (the r14 driver's 32-core run). Two add-only
+    # self-labeling signals:
+    # - rep0_hot_x: this run's rep-0 per-query samples summed over
+    #   the queries the last on-disk bench (same sf) also measured,
+    #   divided by the sum of those prior medians — ~1.0 on a host
+    #   comparable to the recorded base, >>1 in a hot window;
+    # - tp_spread: max over the three throughput metrics of
+    #   max_sample/min_sample across the temporally-spread
+    #   throughput passes — ~1.0 when both windows saw the same
+    #   machine, large when load arrived mid-run.
+    try:
+        _sf_f = float(sf_val) if not isinstance(sf_val, str) else -1.0
+    except (TypeError, ValueError):
+        _sf_f = -1.0
+    _prev = _prev_medians(_sf_f)
+    _common = [n for n, v in samples.items()
+               if v and v[0] >= 0 and _prev.get(n, 0) > 0]
+    rep0_hot_x = (round(
+        sum(samples[n][0] for n in _common)
+        / sum(_prev[n] for n in _common), 3) if _common else None)
+    tp_spread = None
+    if tp_samples:
+        ratios = []
+        for k2 in tp_samples[0]:
+            vals = [s[k2] for s in tp_samples if k2 in s and s[k2] > 0]
+            if len(vals) >= 2:
+                ratios.append(max(vals) / min(vals))
+        if ratios:
+            tp_spread = round(max(ratios), 3)
+    if rep0_hot_x is not None and rep0_hot_x > 2.0:
+        print(f"bench: LOAD ALERT — rep-0 pass ran {rep0_hot_x}x the "
+              "last recorded medians; this window is contended and "
+              "its 1-rep timings are not comparable", file=sys.stderr)
+
     # The driver captures only the LAST 2000 chars of stdout and
     # parses the JSON line out of that window (round 1+2 both lost
     # the bench signal to an oversized line). Full per-query detail
@@ -563,6 +599,8 @@ def main() -> None:
                    "slow_1rep": sorted(slow_1rep),
                    "focus_admitted": focus_admitted,
                    "focus_dropped": focus_dropped,
+                   "rep0_hot_x": rep0_hot_x,
+                   "tp_spread": tp_spread,
                    "wall_sec": wall_sec,
                    "samples": {n: [round(v, 3) for v in vs]
                                for n, vs in samples.items()},
@@ -584,6 +622,8 @@ def main() -> None:
             "reps": reps_done,
             "n_slow_1rep": len(slow_1rep),
             "n_focus": len(focus_admitted),
+            "rep0_hot_x": rep0_hot_x,
+            "tp_spread": tp_spread,
             "wall_sec": wall_sec,
             "throughput": throughput,
             "sf": sf_val,

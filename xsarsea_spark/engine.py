@@ -29,7 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["materialize", "get_conf", "get_conf_int", "CONF_CHECKPOINT_DIR",
-           "scratch_path", "CONF_SCRATCH_DIR"]
+           "scratch_path", "CONF_SCRATCH_DIR",
+           "save_kv_json", "load_kv_json", "fs_list_names"]
 
 CONF_CHECKPOINT_DIR = "spark.xsarsea.checkpoint.dir"
 
@@ -119,3 +120,73 @@ def scratch_path(spark: SparkSession, name: str, key: str) -> str:
     root = get_conf(spark, CONF_SCRATCH_DIR, "/tmp").rstrip("/")
     digest = hashlib.md5(key.encode()).hexdigest()[:12]
     return f"{root}/xsarsea_{name}_{digest}"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop FS API —
+    works for local paths AND DFS URIs (hdfs://, s3a://, ...), unlike
+    ``os``/``shutil``."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def save_kv_json(spark: SparkSession, pairs: list[tuple],
+                 path: str) -> None:
+    """Persist a BOUNDED key->float/int map (model weights, ratings —
+    driver-side state by construction) as one JSON file, written
+    through the Hadoop FS API so the same code works on a DFS.
+
+    Exactness: ``json`` emits shortest-round-trip reprs, so float64
+    values reload bit-identically (the same guarantee the parquet
+    round-trip gave). Crash-safe versioning: write to ``path.tmp``
+    then rename over ``path`` — a crash leaves either the old file or
+    no file, and the versioned-state replay contract rebuilds a
+    missing version from the one strictly below.
+
+    Why not a tiny parquet: each ``createDataFrame -> repartition(1)
+    -> write`` round is a full Spark job (plan + schedule + commit
+    protocol, ~0.3-0.5 s of fixed driver work); a streaming trainer
+    pays it once per micro-batch for a KB of state. The bytes land on
+    the same (DFS-capable) storage either way.
+    """
+    import json as _json
+
+    fs, hpath = _hadoop_fs(spark, path)
+    tmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(_json.dumps(pairs).encode()))
+    finally:
+        out.close()
+    if fs.exists(hpath):
+        fs.delete(hpath, False)
+    fs.rename(tmp, hpath)
+
+
+def fs_list_names(spark: SparkSession, path: str) -> list[str]:
+    """Child names of ``path`` via the Hadoop FS API (DFS-capable);
+    empty list when the directory does not exist."""
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+
+def load_kv_json(spark: SparkSession, path: str) -> list:
+    """Reload a :func:`save_kv_json` artifact as a list of pairs."""
+    import json as _json
+
+    fs, hpath = _hadoop_fs(spark, path)
+    stream = fs.open(hpath)
+    try:
+        # commons-io toString (ships with Spark): py4j passes Python
+        # bytearrays to byte[] BY VALUE, so readFully into a local
+        # buffer would mutate a JVM copy and return zeros
+        jvm = spark._jvm
+        data = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, jvm.java.nio.charset.StandardCharsets.UTF_8)
+    finally:
+        stream.close()
+    return _json.loads(data)

@@ -98,15 +98,22 @@ def dsir_features(docs: DataFrame, b: int = DSIR_B,
 
 
 def dsir_fit_terms(feats: DataFrame, b: int = DSIR_B,
-                   target_col: str = "is_target") -> DataFrame:
+                   target_col: str = "is_target",
+                   count_col: str | None = None) -> DataFrame:
     """Fit the per-bucket log-ratio term table (bucket, __term
     DECIMAL(38,9)) from a feature stream carrying the target flag —
     the offline artifact a production DSIR sampler persists once and
-    applies at ingest."""
-    cr = feats.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cr"))
+    applies at ingest.
+
+    ``count_col``: when the caller pre-collapsed the stream to
+    (.., bucket, count) occurrence counts (guide-§2.3 aggregate-
+    before-materialize), per-bucket totals are SUMs of the counts —
+    identical integers to COUNT(*) over the raw stream."""
+    cnt = (F.count(F.lit(1)) if count_col is None
+           else F.expr(f"CAST(SUM({count_col}) AS BIGINT)"))
+    cr = feats.groupBy("bucket").agg(cnt.alias("cr"))
     ct = (feats.filter(F.col(target_col))
-          .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct")))
+          .groupBy("bucket").agg(cnt.alias("ct")))
     tots = cr.join(ct, on="bucket", how="left").agg(
         F.expr("CAST(SUM(cr) AS BIGINT)").alias("nr"),
         F.expr("CAST(SUM(COALESCE(ct, 0)) AS BIGINT)").alias("nt"))

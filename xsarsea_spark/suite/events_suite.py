@@ -3639,10 +3639,11 @@ def q_stream_elo_train(spark: SparkSession,
     import os
     import shutil
 
-    from xsarsea_spark.engine import materialize, scratch_path
+    from xsarsea_spark.engine import (fs_list_names, load_kv_json,
+                                      materialize, save_kv_json,
+                                      scratch_path)
     from xsarsea_spark.pipeline.preference import (
-        elo_step, load_ratings, period_preference_matrix,
-        save_ratings)
+        elo_step, period_preference_matrix)
 
     base = scratch_path(spark, "stream_elo", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
@@ -3662,14 +3663,21 @@ def q_stream_elo_train(spark: SparkSession,
     schema = pm.schema
 
     def step(df, batch_id: int) -> None:
-        vers = (sorted(int(v[1:]) for v in os.listdir(state))
-                if os.path.isdir(state) else [])
+        # versioned KB-sized rating state via the Hadoop-FS JSON
+        # helper (round 15): each tiny-parquet save/load was a full
+        # Spark job (plan + schedule + commit) per micro-batch —
+        # ~0.5 s of fixed driver work per batch for a KB of state.
+        # Same persisted-state semantics (exact float round-trip,
+        # crash-safe rename, DFS-capable paths).
+        vers = sorted(int(v[1:]) for v in fs_list_names(spark, state)
+                      if not v.endswith(".tmp"))
         prev = [v for v in vers if v < batch_id]
-        ratings = (load_ratings(
-            spark, os.path.join(state, f"v{prev[-1]}"))
+        ratings = (dict(load_kv_json(
+            spark, os.path.join(state, f"v{prev[-1]}")))
             if prev else {})
         r2 = elo_step(df, ratings)
-        save_ratings(spark, r2, os.path.join(state, f"v{batch_id}"))
+        save_kv_json(spark, sorted(r2.items()),
+                     os.path.join(state, f"v{batch_id}"))
 
     def run_stream() -> None:
         src = spark.readStream.schema(schema).parquet(watch)
@@ -3688,13 +3696,14 @@ def q_stream_elo_train(spark: SparkSession,
         run_stream()
     run_stream()   # no new files -> no-op (exactly-once)
 
-    vers = sorted(int(v[1:]) for v in os.listdir(state))
+    vers = sorted(int(v[1:]) for v in fs_list_names(spark, state)
+                  if not v.endswith(".tmp"))
     if len(vers) != _ELO_STREAM_PERIODS:   # -O strips bare asserts
         raise RuntimeError(
             f"expected {_ELO_STREAM_PERIODS} rating versions, got "
             f"{vers} — an arrival batch was skipped or duplicated")
-    ratings = load_ratings(spark, os.path.join(state,
-                                               f"v{vers[-1]}"))
+    ratings = dict(load_kv_json(spark, os.path.join(state,
+                                                    f"v{vers[-1]}")))
     arms = sorted(ratings)
     rating_case = "CASE arm " + " ".join(
         f"WHEN '{a}' THEN CAST({ratings[a]!r} AS DOUBLE)"
@@ -4487,10 +4496,14 @@ def q_stream_kmv_union(spark: SparkSession,
     os.makedirs(watch)
 
     ev = load(spark, sf_dir, "events")
-    for a in range(_SKMV_ARRIVALS):
-        (ev.filter(f"event_id % {_SKMV_ARRIVALS} = {a}")
-         .repartition(1)
-         .write.parquet(os.path.join(base, f"arrival_{a}")))
+    # ONE corpus pass via partitionBy (round 15): the per-slice
+    # filter+write loop scanned events once per arrival; the
+    # partition column is dropped from the data files, so each
+    # __a={k} directory holds exactly the old arrival_{k} rows
+    (ev.withColumn("__a", F.expr(f"event_id % {_SKMV_ARRIVALS}"))
+     .repartition(_SKMV_ARRIVALS, "__a")
+     .write.partitionBy("__a")
+     .parquet(os.path.join(base, "arrivals")))
     # the staged slices carry the loader-canonicalized schema
     # (ts as BIGINT nanos), not the raw parquet timestamp
     schema = ev.schema
@@ -4518,7 +4531,7 @@ def q_stream_kmv_union(spark: SparkSession,
         q.awaitTermination()
 
     for a in range(_SKMV_ARRIVALS):
-        adir = os.path.join(base, f"arrival_{a}")
+        adir = os.path.join(base, "arrivals", f"__a={a}")
         for fn in os.listdir(adir):
             if fn.endswith(".parquet"):
                 shutil.copy(os.path.join(adir, fn),

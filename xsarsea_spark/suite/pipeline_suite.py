@@ -2820,15 +2820,32 @@ def q_stream_dsir_ingest(spark: SparkSession,
                         f"({bad}) = 0 AS is_target"))
     # offline fit: persist the sampler artifact (terms + threshold);
     # repartition(1), never coalesce(1) (the sidecar-write landmine)
-    feats_h = materialize(dsir_features(hist))
-    dsir_fit_terms(feats_h).repartition(1).write.mode(
-        "overwrite").parquet(terms_path)
+    #
+    # The history features are COLLAPSED to (doc, is_target, bucket)
+    # occurrence counts BEFORE the barrier (round 15, guide §2.3):
+    # the raw exploded stream is token-cardinality, the collapsed
+    # frame is bounded by docs x distinct buckets (<= 256/doc), so
+    # the checkpoint stores a fraction of the bytes; both consumers
+    # (per-bucket fit totals, per-doc history scores) are exact
+    # integer/decimal rollups of the counts.
+    feats_h = materialize(
+        dsir_features(hist)
+        .groupBy("doc_id", "is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("__c")))
+    dsir_fit_terms(feats_h, count_col="__c").repartition(1) \
+        .write.mode("overwrite").parquet(terms_path)
     terms = spark.read.parquet(terms_path)
     # score the history from the ALREADY-materialized feature frame
-    # (dsir_score would re-explode the history corpus a second time)
+    # (dsir_score would re-explode the history corpus a second time).
+    # SUM(__term * __c) == SUM over occurrences of __term, exactly:
+    # DECIMAL(20,9) x DECIMAL(10,0) -> DECIMAL(31,9) stays inside
+    # 38 digits, so Spark never rescales (no precision-loss rounding)
     hsc = (feats_h.join(F.broadcast(terms), on="bucket")
            .groupBy("doc_id")
-           .agg(F.expr("SUM(__term)").alias("logw")))
+           .agg(F.expr(
+               "CAST(SUM(CAST(__term AS DECIMAL(20,9))"
+               " * CAST(__c AS DECIMAL(10,0))) AS DECIMAL(38,9))")
+               .alias("logw")))
     dsir_threshold(hsc).repartition(1) \
         .write.mode("overwrite").parquet(thr_path)
 
@@ -2839,14 +2856,23 @@ def q_stream_dsir_ingest(spark: SparkSession,
         thr = spark.read.parquet(thr_path)
         x = df.filter("text IS NOT NULL")
         scored = dsir_score(x, t)
-        return (x.join(scored, on="doc_id")
-                .crossJoin(F.broadcast(thr))
-                # NULL __thr = empty-history sampler: admit all
-                # (dsir_threshold's 1-row contract, never 0-row)
-                .filter("__thr IS NULL OR logw >= __thr")
-                .selectExpr("doc_id", "coalesce(source, '') AS source",
+        # admit FIRST, hash after (round 15): the threshold filter
+        # rides the score frame (no text), so md5 runs only on the
+        # admitted fraction; the doc side is projected to the four
+        # carried columns before the join (guide §2.3 — drop unused
+        # payload columns ahead of the exchange)
+        adm = (scored.crossJoin(F.broadcast(thr))
+               # NULL __thr = empty-history sampler: admit all
+               # (dsir_threshold's 1-row contract, never 0-row)
+               .filter("__thr IS NULL OR logw >= __thr")
+               .select("doc_id", "logw"))
+        slim = x.selectExpr("doc_id",
+                            "coalesce(source, '') AS source",
                             "coalesce(n_chars, 0L) AS n_chars",
-                            "logw", "md5(text) AS digest"))
+                            "text")
+        return (slim.join(adm, on="doc_id")
+                .selectExpr("doc_id", "source", "n_chars", "logw",
+                            "md5(text) AS digest"))
 
     def ingest(df: DataFrame, batch_id: int) -> None:
         ingest_curated_batch(
@@ -3014,11 +3040,16 @@ def q_stream_unimax_ingest(spark: SparkSession,
         pdd = language_id(x).selectExpr(
             "doc_id", "text", "pred_lang AS lang",
             "size(split(text, ' ')) AS n_tokens")
+        # admit first, re-attach text after (round 15, guide §2.3):
+        # the kept filter rides the narrow enforcement frame, so the
+        # text join and the md5 run only on the admitted fraction
+        # (filter commutes with the inner doc_id join — kept is
+        # decided entirely on the enforce side)
         enforced = materialize(
             unimax_enforce(pdd.drop("text"), caps,
                            consumed=_consumed_before(batch_id))
-            .join(pdd.select("doc_id", "text"), on="doc_id")
             .filter("kept")
+            .join(pdd.select("doc_id", "text"), on="doc_id")
             .selectExpr("doc_id", "lang", "n_tokens", "lang_cap",
                         "md5(text) AS digest"))
         ingest_curated_batch(
@@ -5376,11 +5407,11 @@ def q_stream_classifier_train(spark: SparkSession,
     import os
     import shutil
 
+    from xsarsea_spark.engine import (fs_list_names, load_kv_json,
+                                      save_kv_json)
     from xsarsea_spark.pipeline.classifier import (N_FEATURES,
                                                    doc_features,
                                                    gd_step,
-                                                   load_weights,
-                                                   save_weights,
                                                    z_expr)
 
     base = scratch_path(spark, "stream_clf", sf_dir)
@@ -5391,23 +5422,33 @@ def q_stream_classifier_train(spark: SparkSession,
     os.makedirs(watch)
 
     docs = load(spark, sf_dir, "documents")
-    # stage the arrival slices OUTSIDE the watched directory
-    for k in range(_SGD_ARRIVALS):
-        (docs.filter(f"doc_id % {_SGD_ARRIVALS} = {k}")
-         .repartition(1)
-         .write.parquet(os.path.join(base, f"arrival_{k}")))
+    # stage the arrival slices OUTSIDE the watched directory — ONE
+    # corpus pass via partitionBy (round 15): the per-slice
+    # filter+write loop scanned the corpus once per arrival; the
+    # partition column is dropped from the data files, so each
+    # __a={k} directory holds exactly the old arrival_{k} rows
+    (docs.withColumn("__a", F.expr(f"doc_id % {_SGD_ARRIVALS}"))
+     .repartition(_SGD_ARRIVALS, "__a")
+     .write.partitionBy("__a")
+     .parquet(os.path.join(base, "arrivals")))
     schema = spark.read.parquet(
         f"{sf_dir}/documents.parquet").schema
 
     def step(df: DataFrame, batch_id: int) -> None:
-        vers = (sorted(int(v[1:]) for v in os.listdir(state))
-                if os.path.isdir(state) else [])
+        # versioned KB-sized weight state via the Hadoop-FS JSON
+        # helper (round 15): the tiny-parquet save/load per
+        # micro-batch was a full Spark job each way (~0.5 s fixed);
+        # same persisted-state semantics (exact float round-trip,
+        # crash-safe rename, DFS-capable)
+        vers = sorted(int(v[1:]) for v in fs_list_names(spark, state)
+                      if not v.endswith(".tmp"))
         prev = [v for v in vers if v < batch_id]
-        w = (load_weights(spark, os.path.join(state, f"v{prev[-1]}"))
-             if prev else [0.0] * N_FEATURES)
+        w = (list(load_kv_json(
+            spark, os.path.join(state, f"v{prev[-1]}")))
+            if prev else [0.0] * N_FEATURES)
         w2 = gd_step(doc_features(df), w, lr=_LOGREG_LR,
                      qk=_LOGREG_QK, scale=_LOGREG_SCALE)
-        save_weights(spark, w2, os.path.join(state, f"v{batch_id}"))
+        save_kv_json(spark, w2, os.path.join(state, f"v{batch_id}"))
 
     def run_stream() -> None:
         src = spark.readStream.schema(schema).parquet(watch)
@@ -5418,7 +5459,7 @@ def q_stream_classifier_train(spark: SparkSession,
         q.awaitTermination()
 
     for k in range(_SGD_ARRIVALS):
-        adir = os.path.join(base, f"arrival_{k}")
+        adir = os.path.join(base, "arrivals", f"__a={k}")
         for fn in os.listdir(adir):
             if fn.endswith(".parquet"):
                 shutil.copy(os.path.join(adir, fn),
@@ -5426,12 +5467,13 @@ def q_stream_classifier_train(spark: SparkSession,
         run_stream()
     run_stream()   # no new files -> no-op (exactly-once)
 
-    vers = sorted(int(v[1:]) for v in os.listdir(state))
+    vers = sorted(int(v[1:]) for v in fs_list_names(spark, state)
+                  if not v.endswith(".tmp"))
     if len(vers) != _SGD_ARRIVALS:   # not a bare assert: -O strips it
         raise RuntimeError(
             f"expected {_SGD_ARRIVALS} weight versions, got {vers} — "
             f"an arrival batch was skipped or duplicated")
-    w = load_weights(spark, os.path.join(state, f"v{vers[-1]}"))
+    w = list(load_kv_json(spark, os.path.join(state, f"v{vers[-1]}")))
     acc = (doc_features(docs)
            .select("y", F.expr(z_expr(w)).alias("z"))
            .agg(F.expr("CAST(SUM(CASE WHEN (z >= CAST(0.0 AS"
