@@ -11550,16 +11550,50 @@ def q_doc_infinigram_counts(spark: SparkSession,
                .limit(_IG_TOPK))
         qs = top if qs is None else qs.unionAll(top)
     queries = materialize(qs, eager=False)
-    # pass 2: ONE re-scan with the broadcast query filter pushed into
-    # the scan stage (cheaper at scale than materializing the
-    # corpus-sized occurrence stream) now feeds BOTH the exact
-    # doc-frequency of the selected grams and their continuation
-    # stats — the query-pruned hit stream is tiny, so the barrier is
-    # output-sized
+    # pass 2: ONE re-scan with the query-gram filter pushed INSIDE
+    # the position generator (round 15, guide §2.3) — the bounded
+    # top-k set (|ns| x TOPK rows by construction, the
+    # doc_classifier_perlang literal-CASE precedent) is collected and
+    # baked in as a literal n -> array(grams) map, so positions that
+    # do not form a query gram never leave the generator and the
+    # broadcast join disappears; the hit stream feeds BOTH the exact
+    # doc-frequency and the continuation stats. Interleaved A/B at
+    # sf0.1: 4.92 -> 4.31 s median, and the join-era 4L-row struct
+    # stream is gone at every scale.
+    qrows = queries.select("n", "gram").collect()
+    by_n: dict[int, list[str]] = {}
+    for r in qrows:
+        by_n.setdefault(int(r["n"]), []).append(r["gram"])
+
+    def _lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    if not by_n:   # empty corpus -> no query grams; 0-row hits with
+        # the generator's schema (the old join shape, trivially empty)
+        by_n = {1: [""]}
+    entries = ", ".join(
+        f"{nn}L, array({', '.join(_lit(g) for g in gs)})"
+        for nn, gs in sorted(by_n.items()))
+    ns_arr = "array(" + ", ".join(str(nn) for nn in sorted(by_n)) + ")"
     hits = materialize(
-        ngram_occurrences(docs, _IG_NS)
-        .join(F.broadcast(queries.select("n", "gram")),
-              on=["n", "gram"]), eager=False)
+        docs.filter(F.col("text").isNotNull())
+        .selectExpr("doc_id", "split(text, ' ') AS __tk")
+        .selectExpr(
+            "doc_id",
+            f"""inline(filter(flatten(transform({ns_arr}, nn ->
+              transform(
+                slice(sequence(1, size(__tk)), 1,
+                      greatest(size(__tk) - nn + 1, 0)),
+                i -> CASE WHEN array_contains(
+                       element_at(map({entries}), nn),
+                       array_join(slice(__tk, i, nn), ' '))
+                  THEN struct(
+                    CAST(nn AS BIGINT) AS n,
+                    array_join(slice(__tk, i, nn), ' ') AS gram,
+                    CASE WHEN i + nn <= size(__tk)
+                         THEN element_at(__tk, i + nn) END
+                      AS cont) END))),
+              x -> x IS NOT NULL))"""), eager=False)
     dfq = hits.groupBy("n", "gram").agg(
         F.countDistinct("doc_id").alias("doc_freq"))
     ch = (hits.filter(F.col("cont").isNotNull())
