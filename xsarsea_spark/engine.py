@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["materialize", "get_conf", "get_conf_int", "CONF_CHECKPOINT_DIR",
            "scratch_path", "CONF_SCRATCH_DIR",
-           "save_kv_json", "load_kv_json", "fs_list_names"]
+           "save_kv_json", "load_kv_json", "fs_list_names",
+           "fs_write_text", "fs_read_text", "fs_exists"]
 
 CONF_CHECKPOINT_DIR = "spark.xsarsea.checkpoint.dir"
 
@@ -106,11 +107,15 @@ def scratch_path(spark: SparkSession, name: str, key: str) -> str:
 
     Root comes from ``spark.xsarsea.scratch.dir`` (default ``/tmp``) so
     a deployment — or two sessions sharing one host — can isolate their
-    state without code edits. The root must be a LOCAL filesystem path:
-    suite-side maintenance walks it with ``os``/``shutil`` (listing,
-    cleanup), which do not speak ``hdfs://``/``s3://`` URIs. On a
-    cluster, point it at a shared mount (NFS/FUSE) or route the
-    consumers through Hadoop FS APIs first.
+    state without code edits. The exactly-once ingest core
+    (``pipeline/ingest.py``: file inventories, sync markers) and the
+    versioned KB-state helpers below go through the Hadoop FS API and
+    accept DFS URIs (``hdfs://``, ``s3a://``) — tested with a
+    ``file://`` URI root. The SUITE's arrival staging (the bench's
+    simulation of file arrivals: ``shutil.copy`` into watch dirs,
+    ``rmtree`` cleanup) is test scaffolding and still assumes a local
+    root; on a cluster, point the root at a shared mount or a DFS URI
+    for the operator state and keep the simulated spool local.
     ``key`` (usually the dataset directory) is hashed into the leaf so
     runs against different datasets never collide even under the
     default shared root.
@@ -129,20 +134,67 @@ def _hadoop_fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        # LocalFileSystem wraps RawLocalFileSystem with .crc sidecar
+        # checksumming; state files may legitimately be replaced by
+        # external writers (crash recovery, manual ops), which leaves
+        # stale .crc files that fail every later read. The raw FS
+        # skips sidecars; HDFS/object stores have no such wrapper and
+        # keep their own integrity checks.
+        fs = fs.getRawFileSystem()
+    except Exception:
+        pass
     return fs, hpath
 
 
-def save_kv_json(spark: SparkSession, pairs: list[tuple],
+def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write ``text`` to one file through the Hadoop FS API (local
+    paths AND DFS URIs). Crash-safe: write to ``path.tmp`` then
+    rename over ``path`` — a crash leaves either the old file or no
+    file, never a torn one."""
+    fs, hpath = _hadoop_fs(spark, path)
+    tmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode()))
+    finally:
+        out.close()
+    if fs.exists(hpath):
+        fs.delete(hpath, False)
+    fs.rename(tmp, hpath)
+
+
+def fs_read_text(spark: SparkSession, path: str) -> str:
+    """Read one text file through the Hadoop FS API."""
+    fs, hpath = _hadoop_fs(spark, path)
+    stream = fs.open(hpath)
+    try:
+        # commons-io toString (ships with Spark): py4j passes Python
+        # bytearrays to byte[] BY VALUE, so readFully into a local
+        # buffer would mutate a JVM copy and return zeros
+        jvm = spark._jvm
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, jvm.java.nio.charset.StandardCharsets.UTF_8)
+    finally:
+        stream.close()
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FS API (DFS-capable)."""
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def save_kv_json(spark: SparkSession, pairs: list,
                  path: str) -> None:
-    """Persist a BOUNDED key->float/int map (model weights, ratings —
-    driver-side state by construction) as one JSON file, written
-    through the Hadoop FS API so the same code works on a DFS.
+    """Persist BOUNDED driver-side state (model weights, ratings) as
+    one JSON file, written through the Hadoop FS API so the same code
+    works on a DFS.
 
     Exactness: ``json`` emits shortest-round-trip reprs, so float64
     values reload bit-identically (the same guarantee the parquet
-    round-trip gave). Crash-safe versioning: write to ``path.tmp``
-    then rename over ``path`` — a crash leaves either the old file or
-    no file, and the versioned-state replay contract rebuilds a
+    round-trip gave). Crash-safe versioning via :func:`fs_write_text`
+    (tmp+rename) — the versioned-state replay contract rebuilds a
     missing version from the one strictly below.
 
     Why not a tiny parquet: each ``createDataFrame -> repartition(1)
@@ -153,16 +205,7 @@ def save_kv_json(spark: SparkSession, pairs: list[tuple],
     """
     import json as _json
 
-    fs, hpath = _hadoop_fs(spark, path)
-    tmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(_json.dumps(pairs).encode()))
-    finally:
-        out.close()
-    if fs.exists(hpath):
-        fs.delete(hpath, False)
-    fs.rename(tmp, hpath)
+    fs_write_text(spark, path, _json.dumps(pairs))
 
 
 def fs_list_names(spark: SparkSession, path: str) -> list[str]:
@@ -178,15 +221,4 @@ def load_kv_json(spark: SparkSession, path: str) -> list:
     """Reload a :func:`save_kv_json` artifact as a list of pairs."""
     import json as _json
 
-    fs, hpath = _hadoop_fs(spark, path)
-    stream = fs.open(hpath)
-    try:
-        # commons-io toString (ships with Spark): py4j passes Python
-        # bytearrays to byte[] BY VALUE, so readFully into a local
-        # buffer would mutate a JVM copy and return zeros
-        jvm = spark._jvm
-        data = jvm.org.apache.commons.io.IOUtils.toString(
-            stream, jvm.java.nio.charset.StandardCharsets.UTF_8)
-    finally:
-        stream.close()
-    return _json.loads(data)
+    return _json.loads(fs_read_text(spark, path))

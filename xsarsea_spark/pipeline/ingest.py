@@ -28,22 +28,26 @@ extension mandated by the build brief.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from xsarsea_spark.engine import materialize
+from xsarsea_spark.engine import (fs_exists, fs_list_names,
+                                  fs_read_text, fs_write_text,
+                                  materialize)
 from xsarsea_spark.operators.sketch import bloom_build, bloom_mark
 from xsarsea_spark.sources.sinks import write_zordered
 
 __all__ = ["ingest_curated_batch", "ingest_neardup_batch"]
 
+# File inventories and sync markers go through the Hadoop FS API
+# (engine.fs_*), so the ingest state can live on a DFS
+# (hdfs://, s3a://) exactly like the tables it protects — the
+# os/shutil local-only constraint no longer applies to this module.
 
-def _parquet_files(d: str) -> list[str]:
-    if not os.path.isdir(d):
-        return []
-    return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+def _parquet_files(spark: SparkSession, d: str) -> list[str]:
+    return sorted(f for f in fs_list_names(spark, d)
+                  if f.endswith(".parquet"))
 
 
 def ingest_curated_batch(
@@ -94,11 +98,11 @@ def ingest_curated_batch(
         .select(*curated.columns)
     )
 
-    has_table = bool(_parquet_files(table_dir))
+    has_table = bool(_parquet_files(spark, table_dir))
     bloom_in_sync = False
-    if os.path.exists(bloom_path) and os.path.exists(marker_path):
-        with open(marker_path) as fh:
-            bloom_in_sync = fh.read() == "\n".join(_parquet_files(table_dir))
+    if fs_exists(spark, bloom_path) and fs_exists(spark, marker_path):
+        bloom_in_sync = (fs_read_text(spark, marker_path)
+                         == "\n".join(_parquet_files(spark, table_dir)))
 
     if has_table and bloom_in_sync:
         bloom = spark.read.parquet(bloom_path)
@@ -139,7 +143,7 @@ def ingest_curated_batch(
             "digest", m_bits=m_bits, k=k).collect()
         for r in rebuilt:
             words[int(r["word"])] = int(r["bits"])
-    elif os.path.exists(bloom_path):
+    elif fs_exists(spark, bloom_path):
         for r in spark.read.parquet(bloom_path).collect():
             words[int(r["word"])] = int(r["bits"])
     for r in delta:
@@ -151,8 +155,8 @@ def ingest_curated_batch(
     # one-file sidecar either way — see docs/PLANS.md)
     spark.createDataFrame(sorted(words.items()), "word int, bits bigint") \
         .repartition(1).write.mode("overwrite").parquet(bloom_path)
-    with open(marker_path, "w") as fh:
-        fh.write("\n".join(_parquet_files(table_dir)))
+    fs_write_text(spark, marker_path,
+                  "\n".join(_parquet_files(spark, table_dir)))
 
 
 def ingest_neardup_batch(
@@ -201,20 +205,20 @@ def ingest_neardup_batch(
                                               minhash_signatures,
                                               shingle)
 
-    has_seen = bool(_parquet_files(seen_dir))
+    has_seen = bool(_parquet_files(spark, seen_dir))
     seen = spark.read.parquet(seen_dir) if has_seen else None
 
     # self-heal: if the marker doesn't prove the band table covers the
     # current seen inventory (crash between the two appends), rebuild
     # the missing docs' bands from the doc store before probing
     if has_seen:
-        in_sync = (os.path.exists(marker_path)
-                   and open(marker_path).read()
-                   == "\n".join(_parquet_files(seen_dir)))
+        in_sync = (fs_exists(spark, marker_path)
+                   and fs_read_text(spark, marker_path)
+                   == "\n".join(_parquet_files(spark, seen_dir)))
         if not in_sync:
             band_ids = (spark.read.parquet(bands_dir)
                         .select("doc_id").distinct()
-                        if _parquet_files(bands_dir) else None)
+                        if _parquet_files(spark, bands_dir) else None)
             missing = seen.select("doc_id", "text")
             if band_ids is not None:
                 missing = missing.join(band_ids, on="doc_id",
@@ -224,8 +228,8 @@ def ingest_neardup_batch(
             heal = materialize(heal)
             if heal.limit(1).count():
                 heal.write.mode("append").parquet(bands_dir)
-            with open(marker_path, "w") as fh:
-                fh.write("\n".join(_parquet_files(seen_dir)))
+            fs_write_text(spark, marker_path,
+                          "\n".join(_parquet_files(spark, seen_dir)))
 
     # replay backstop: only genuinely-new ids enter the batch
     batch = df
@@ -238,7 +242,7 @@ def ingest_neardup_batch(
     bands_b = lsh_bands(minhash_signatures(sh_b, k=k))
 
     state_bands = (spark.read.parquet(bands_dir)
-                   if _parquet_files(bands_dir) else None)
+                   if _parquet_files(spark, bands_dir) else None)
     if state_bands is not None:
         cand_hist = lsh_probe(bands_b, state_bands)
     else:
@@ -275,5 +279,5 @@ def ingest_neardup_batch(
         .drop("__dup"))
     out.write.mode("append").parquet(seen_dir)
     materialize(bands_b).write.mode("append").parquet(bands_dir)
-    with open(marker_path, "w") as fh:
-        fh.write("\n".join(_parquet_files(seen_dir)))
+    fs_write_text(spark, marker_path,
+                  "\n".join(_parquet_files(spark, seen_dir)))
