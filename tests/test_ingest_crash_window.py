@@ -55,13 +55,15 @@ def test_replay_after_crash_window_adds_no_duplicates(spark, tmp_path):
     # crash window: append batch B's rows, then roll the sidecar +
     # marker back to their pre-B state (as if the process died
     # between the append and the sidecar write)
+    # the sidecar is a single JSON KV file (round 15); the crash
+    # simulation copies/restores the file instead of a parquet dir
     import shutil
-    shutil.copytree(bloom_path, bloom_path + ".bak")
+    shutil.copy(bloom_path, bloom_path + ".bak")
     marker_bak = open(marker_path).read()
     ingest_curated_batch(spark, batch_b, table_dir, bloom_path,
                          marker_path, **_KW)
-    shutil.rmtree(bloom_path)
-    shutil.copytree(bloom_path + ".bak", bloom_path)
+    os.remove(bloom_path)
+    shutil.copy(bloom_path + ".bak", bloom_path)
     with open(marker_path, "w") as fh:
         fh.write(marker_bak)
 

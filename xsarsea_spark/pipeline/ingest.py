@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 
 from xsarsea_spark.engine import (fs_exists, fs_list_names,
                                   fs_read_text, fs_write_text,
-                                  materialize)
+                                  load_kv_json, materialize,
+                                  save_kv_json)
 from xsarsea_spark.operators.sketch import bloom_build, bloom_mark
 from xsarsea_spark.sources.sinks import write_zordered
 
@@ -105,7 +106,10 @@ def ingest_curated_batch(
                          == "\n".join(_parquet_files(spark, table_dir)))
 
     if has_table and bloom_in_sync:
-        bloom = spark.read.parquet(bloom_path)
+        bloom = spark.createDataFrame(
+            [(int(w), int(b)) for w, b in
+             load_kv_json(spark, bloom_path)],
+            "word int, bits bigint")
         marked = bloom_mark(batch, bloom, "digest", m_bits=m_bits, k=k)
         fresh = marked.filter("NOT __maybe").drop("__maybe")
         maybe = marked.filter("__maybe").drop("__maybe")
@@ -126,8 +130,14 @@ def ingest_curated_batch(
                    n_files=n_files, mode="append")
     # incremental sidecar update: OR the APPENDED digests' words into
     # the persisted filter — O(batch) work on the happy path.
-    # Merged driver-side (O(m_bits/63) rows, ~2k) because parquet
-    # can't overwrite a path its own lineage reads.
+    # Merged driver-side (O(m_bits/63) rows, ~2k). The sidecar is a
+    # JSON KV file via the Hadoop FS helpers (round 15): a
+    # per-micro-batch createDataFrame->repartition(1)->parquet write
+    # plus a read-back was ~0.5+0.3 s of fixed Spark-job cost per
+    # batch for KB of state; the JSON write is a driver-side
+    # tmp+rename (crash-safer, too: the old parquet overwrite had a
+    # delete-then-write window, rename is single-step) and the read
+    # side rebuilds the same (word, bits) frame via createDataFrame.
     #
     # DEMOTED path exception: a stale-or-missing sidecar may have
     # holes for digests appended during the crash window, and writing
@@ -144,17 +154,12 @@ def ingest_curated_batch(
         for r in rebuilt:
             words[int(r["word"])] = int(r["bits"])
     elif fs_exists(spark, bloom_path):
-        for r in spark.read.parquet(bloom_path).collect():
-            words[int(r["word"])] = int(r["bits"])
+        for w, b in load_kv_json(spark, bloom_path):
+            words[int(w)] = int(b)
     for r in delta:
         w = int(r["word"])
         words[w] = words.get(w, 0) | int(r["bits"])
-    # repartition(1), not coalesce(1): a coalesced single-task write
-    # of a local-relation frame stalls ~6 s in scheduling on this
-    # Spark build; the tiny round-robin exchange is <1 s (same
-    # one-file sidecar either way — see docs/PLANS.md)
-    spark.createDataFrame(sorted(words.items()), "word int, bits bigint") \
-        .repartition(1).write.mode("overwrite").parquet(bloom_path)
+    save_kv_json(spark, sorted(words.items()), bloom_path)
     fs_write_text(spark, marker_path,
                   "\n".join(_parquet_files(spark, table_dir)))
 
