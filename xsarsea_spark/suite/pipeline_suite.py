@@ -6762,8 +6762,9 @@ def q_stream_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
+    from xsarsea_spark.engine import (fs_list_names, load_kv_json,
+                                      save_kv_json)
     from xsarsea_spark.pipeline.incpca import (drift_report,
-                                               moment_merge,
                                                moment_state)
 
     base = scratch_path(spark, "stream_drift", sf_dir)
@@ -6780,21 +6781,34 @@ def q_stream_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
 
     def absorb(df: DataFrame, batch_id: int) -> None:
-        part = moment_state(df.filter("vec_id % 3 = 2"), d=_PCA_D)
         # merge onto the latest state version STRICTLY BELOW this
         # batch id: a crash-replay of batch N rebuilds v{N} from
-        # v{N-1} + its own rows, never from its own partial output
-        vers = ([int(v[1:]) for v in os.listdir(state_dir)]
-                if os.path.isdir(state_dir) else [])
-        prev = [v for v in sorted(vers) if v < batch_id]
+        # v{N-1} + its own rows, never from its own partial output.
+        # State is the bounded (d^2 + d)-row int64 moment table,
+        # persisted as a JSON KV file (round 15): the per-batch
+        # read+moment_merge+write was 3 Spark jobs; the batch's own
+        # moment aggregation is the only job left, and the merge is
+        # the SAME pure int64 addition driver-side (moment_merge's
+        # documented contract).
+        part = {(int(r["i"]), int(r["j"])):
+                (int(r["q"]), int(r["r"]), int(r["n"]))
+                for r in moment_state(
+                    df.filter("vec_id % 3 = 2"), d=_PCA_D).collect()}
+        vers = sorted(int(v[1:])
+                      for v in fs_list_names(spark, state_dir)
+                      if not v.endswith(".tmp"))
+        prev = [v for v in vers if v < batch_id]
         if prev:
-            cur = moment_merge([
-                spark.read.parquet(
-                    os.path.join(state_dir, f"v{prev[-1]}")),
-                part])
-        else:
-            cur = part
-        cur.repartition(1).write.mode("overwrite").parquet(
+            for (i, j, q, r, n) in load_kv_json(
+                    spark, os.path.join(state_dir, f"v{prev[-1]}")):
+                old = part.get((int(i), int(j)), (0, 0, 0))
+                part[(int(i), int(j))] = (old[0] + int(q),
+                                          old[1] + int(r),
+                                          old[2] + int(n))
+        save_kv_json(
+            spark,
+            [(i, j, q, r, n)
+             for (i, j), (q, r, n) in sorted(part.items())],
             os.path.join(state_dir, f"v{batch_id}"))
 
     def run_stream() -> None:
@@ -6810,9 +6824,13 @@ def q_stream_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_stream()
     run_stream()    # second run: zero new files -> no-op (exactly-once)
 
-    vers = sorted(int(v[1:]) for v in os.listdir(state_dir))
-    final = spark.read.parquet(
-        os.path.join(state_dir, f"v{vers[-1]}"))
+    vers = sorted(int(v[1:]) for v in fs_list_names(spark, state_dir)
+                  if not v.endswith(".tmp"))
+    final = spark.createDataFrame(
+        [(int(i), int(j), int(q), int(r), int(n))
+         for i, j, q, r, n in load_kv_json(
+             spark, os.path.join(state_dir, f"v{vers[-1]}"))],
+        "i int, j int, q long, r long, n long")
     return drift_report(spark.read.parquet(hist_path), final)
 
 
@@ -6876,6 +6894,8 @@ def q_stream_mixture_monitor(spark: SparkSession,
     import os
     import shutil
 
+    from xsarsea_spark.engine import (fs_list_names, load_kv_json,
+                                      save_kv_json)
     from xsarsea_spark.suite.base import QTRUNC
 
     base = scratch_path(spark, "stream_mixshare", sf_dir)
@@ -6896,21 +6916,26 @@ def q_stream_mixture_monitor(spark: SparkSession,
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
 
     def absorb(df: DataFrame, batch_id: int) -> None:
-        part = counts(df.filter("doc_id % 3 = 2"))
-        vers = ([int(v[1:]) for v in os.listdir(state_dir)]
-                if os.path.isdir(state_dir) else [])
-        prev = [v for v in sorted(vers) if v < batch_id]
+        # versioned per-source BIGINT state via the Hadoop-FS JSON
+        # helpers (round 15): the per-batch read+union+agg+write was
+        # 3 Spark jobs for a source-count-sized table; the batch agg
+        # is the only job left, the strictly-below merge is exact
+        # int64 addition driver-side (same NULL-groups-merge
+        # semantics as the old groupBy)
+        part = {r["source"]: int(r["n_tokens"])
+                for r in counts(df.filter("doc_id % 3 = 2")).collect()}
+        vers = sorted(int(v[1:])
+                      for v in fs_list_names(spark, state_dir)
+                      if not v.endswith(".tmp"))
+        prev = [v for v in vers if v < batch_id]
         if prev:
-            cur = (spark.read.parquet(
-                       os.path.join(state_dir, f"v{prev[-1]}"))
-                   .unionByName(part)
-                   .groupBy("source")
-                   .agg(F.expr("CAST(SUM(n_tokens) AS BIGINT)")
-                        .alias("n_tokens")))
-        else:
-            cur = part
-        cur.repartition(1).write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"v{batch_id}"))
+            for src, n in load_kv_json(
+                    spark, os.path.join(state_dir, f"v{prev[-1]}")):
+                part[src] = part.get(src, 0) + int(n)
+        save_kv_json(spark,
+                     sorted(part.items(),
+                            key=lambda kv: (kv[0] is None, kv[0])),
+                     os.path.join(state_dir, f"v{batch_id}"))
 
     def run_stream() -> None:
         src = (spark.readStream.schema(schema)
@@ -6925,8 +6950,12 @@ def q_stream_mixture_monitor(spark: SparkSession,
     run_stream()
     run_stream()    # zero new files -> no-op (exactly-once)
 
-    vers = sorted(int(v[1:]) for v in os.listdir(state_dir))
-    batch = spark.read.parquet(os.path.join(state_dir, f"v{vers[-1]}"))
+    vers = sorted(int(v[1:]) for v in fs_list_names(spark, state_dir)
+                  if not v.endswith(".tmp"))
+    batch = spark.createDataFrame(
+        [(s, int(n)) for s, n in load_kv_json(
+            spark, os.path.join(state_dir, f"v{vers[-1]}"))],
+        "source string, n_tokens bigint")
     hist = spark.read.parquet(hist_path)
     s = (hist.selectExpr("source", "n_tokens AS nh")
          .join(batch.selectExpr("source", "n_tokens AS nb"),
