@@ -3021,18 +3021,26 @@ def q_stream_unimax_ingest(spark: SparkSession,
 
     schema = docs_b.schema
 
+    from xsarsea_spark.engine import (fs_list_names, load_kv_json,
+                                      save_kv_json)
+
     def _consumed_before(batch_id: int):
-        if not os.path.isdir(counters_dir):
-            return None
-        parts = [d for d in sorted(os.listdir(counters_dir))
-                 if d.startswith("batch=")
+        # per-batch consumed counters as JSON KV files (round 15):
+        # the read-parquet + agg per batch was a Spark job for an
+        # L-row table; summing driver-side is the same exact BIGINT
+        # addition, and a retried batch still overwrites its OWN file
+        parts = [d for d in fs_list_names(spark, counters_dir)
+                 if d.startswith("batch=") and not d.endswith(".tmp")
                  and int(d.split("=", 1)[1]) < batch_id]
         if not parts:
             return None
-        u = spark.read.parquet(
-            *[os.path.join(counters_dir, d) for d in parts])
-        return u.groupBy("lang").agg(
-            F.expr("CAST(SUM(used) AS BIGINT)").alias("used"))
+        tot: dict[str, int] = {}
+        for d in sorted(parts):
+            for lang, used in load_kv_json(
+                    spark, os.path.join(counters_dir, d)):
+                tot[lang] = tot.get(lang, 0) + int(used)
+        return spark.createDataFrame(
+            sorted(tot.items()), "lang string, used bigint")
 
     def ingest(df: DataFrame, batch_id: int) -> None:
         caps = spark.read.parquet(caps_path)
@@ -3058,11 +3066,14 @@ def q_stream_unimax_ingest(spark: SparkSession,
             zbits=_CUR_BITS, m_bits=_ING_BLOOM_BITS,
             k=_ING_BLOOM_K, prep=lambda _raw: enforced)
         # retry-idempotent consumed counters: batch N overwrites its
-        # OWN partition, so a replayed batch never double-counts
-        enforced.groupBy("lang").agg(
-            F.expr("CAST(SUM(n_tokens) AS BIGINT)").alias("used")) \
-            .repartition(1).write.mode("overwrite").parquet(
-                os.path.join(counters_dir, f"batch={batch_id}"))
+        # OWN file, so a replayed batch never double-counts
+        save_kv_json(
+            spark,
+            sorted((r["lang"], int(r["used"]))
+                   for r in enforced.groupBy("lang").agg(
+                       F.expr("CAST(SUM(n_tokens) AS BIGINT)")
+                       .alias("used")).collect()),
+            os.path.join(counters_dir, f"batch={batch_id}"))
 
     def run_stream() -> None:
         src = (spark.readStream.schema(schema)
