@@ -203,7 +203,13 @@ def test_incremental_ingest_second_batch_uses_bloom(spark, tmp_path):
     # batch 2: the FULL corpus (overlaps batch 1 by content); run the
     # same split-path ingest against the persisted table + sidecar
     docs.toPandas().to_parquet(src_dir / "documents2.parquet")
-    bloom = spark.read.parquet(os.path.join(base, "bloom.parquet"))
+    # the sidecar is a JSON KV file (round 15) — rebuild the same
+    # (word, bits) frame the ingest core probes with
+    from xsarsea_spark.engine import load_kv_json
+    bloom = spark.createDataFrame(
+        [(int(w), int(b)) for w, b in load_kv_json(
+            spark, os.path.join(base, "bloom.parquet"))],
+        "word int, bits bigint")
     wmd5 = Window.partitionBy("digest").orderBy("doc_id")
     batch = (spark.read.parquet(str(src_dir / "documents2.parquet"))
              .filter("text IS NOT NULL AND n_chars >= 50")
